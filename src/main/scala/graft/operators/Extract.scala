@@ -1,0 +1,181 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.spans
+
+/**
+ * Span-extraction operators — the reference's "table functions"
+ * (reference: spanner/extract.py). Each produces a span relation
+ * `doc_id, span, ...` from documents or tokens.
+ */
+object Extract {
+
+  /**
+   * All non-overlapping regex matches over document text
+   * (`extract_regex`, reference: spanner/extract.py:240-261).
+   * Narrow generate per document row — no shuffle.
+   * Output: doc_id, span, match (covered text).
+   */
+  def extractRegex(docs: DataFrame, pattern: String,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val p = pattern
+    val finditer = udf((text: String) => {
+      if (text == null) Seq.empty[graft.types.Span]
+      else {
+        val m = java.util.regex.Pattern.compile(p).matcher(text)
+        val buf = scala.collection.mutable.ArrayBuffer.empty[graft.types.Span]
+        while (m.find()) buf += graft.types.Span(m.start, m.end)
+        buf.toSeq
+      }
+    })
+    docs.select(col(idCol).as("doc_id"), col(textCol).as("__text"),
+        explode(finditer(col(textCol))).as("span"))
+      .select(col("doc_id"), col("span"),
+        spans.coveredText(col("__text"), col("span")).as("match"))
+  }
+
+  /**
+   * All (possibly overlapping) regex matches that start and end on token
+   * boundaries, with window length `minLen..maxLen` tokens
+   * (`extract_regex_tok`, reference: spanner/extract.py:196-237).
+   *
+   * Plan: window enumeration is the reference's O(n·maxLen) candidate
+   * generation, expressed as a gap-replication equi-join (one shuffle on
+   * doc_id) instead of a loop: begin-token rows replicate once per window
+   * length, equi-join picks up the end token, a join against `docs`
+   * provides the text for the full-match filter. All expressions are
+   * codegen'd; Catalyst broadcasts `docs` when small.
+   *
+   * Output: doc_id, span struct<begin_tok,end_tok,begin,end>, match text.
+   */
+  def extractRegexTok(docs: DataFrame, tokens: DataFrame, pattern: String,
+      minLen: Int = 1, maxLen: Int = 1): DataFrame = {
+    require(minLen >= 1 && maxLen >= minLen, "need 1 <= minLen <= maxLen")
+    val begins = tokens.select(col("doc_id"), col("token_id").as("begin_tok"),
+      col("span")("begin").as("b"),
+      explode(sequence(lit(minLen), lit(maxLen))).as("len"))
+    val ends = tokens.select(col("doc_id").as("e_doc_id"),
+      col("token_id").as("end_tok_id"), col("span")("end").as("e"))
+    val windows = begins.join(ends,
+      begins("doc_id") === ends("e_doc_id") &&
+        ends("end_tok_id") === begins("begin_tok") + begins("len") - 1)
+    val withText = windows.join(docs.select(col("doc_id").as("d_doc_id"),
+        col("text").as("__text")), col("doc_id") === col("d_doc_id"))
+    withText
+      .withColumn("match",
+        expr("substring(__text, b + 1, e - b)"))
+      // fullmatch: anchor the whole covered string
+      .filter(col("match").rlike("^(?:" + pattern + ")$"))
+      .select(col("doc_id"),
+        spans.tokenSpan(col("begin_tok"), col("begin_tok") + col("len"),
+          col("b"), col("e")).as("span"),
+        col("match"))
+  }
+
+  /**
+   * SystemT-style dictionary matching over tokens
+   * (`extract_dict`, reference: spanner/extract.py:112-193).
+   *
+   * The dictionary is tokenized/normalized (`toks: array<string>`, `n`
+   * tokens) and broadcast; matching is the reference's iterated equi-join:
+   * match token 0 densely, then for each length L extend survivors by
+   * joining token `begin+L`. The loop unrolls at plan-build time to the max
+   * entry length, so the whole match is one Catalyst plan of L broadcast
+   * joins — no driver-side iteration over data.
+   *
+   * `tokens` must include `normalized_text` (see Tokenize.normalizedTokens)
+   * and must come from the same tokenizer as the dictionary.
+   *
+   * Output: doc_id, span struct<begin_tok,end_tok,begin,end>, match text.
+   */
+  def extractDict(docs: DataFrame, tokens: DataFrame, dict: DataFrame): DataFrame = {
+    val maxLen = dict.agg(max(size(col("toks")))).head.getInt(0)
+    val toks = tokens.select(col("doc_id"), col("token_id"),
+      col("normalized_text"), col("span"))
+
+    // State: one row per partial match (doc_id, begin_tok, b, lastEnd, toks, n)
+    var matches = toks.join(broadcast(dict), col("normalized_text") === col("toks")(0))
+      .select(col("doc_id"), col("token_id").as("begin_tok"),
+        col("span")("begin").as("b"), col("span")("end").as("e"),
+        col("toks"), col("n"))
+
+    var completed: DataFrame = null
+    for (l <- 1 to maxLen) {
+      val done = matches.filter(col("n") === l)
+        .select(col("doc_id"), col("begin_tok"),
+          (col("begin_tok") + l).as("end_tok"), col("b"), col("e"))
+      completed = if (completed == null) done else completed.unionByName(done)
+      if (l < maxLen) {
+        val next = toks.select(col("doc_id").as("n_doc_id"),
+          col("token_id").as("n_tok"), col("normalized_text").as("n_text"),
+          col("span")("end").as("n_e"))
+        matches = matches.filter(col("n") > l)
+          .join(next, col("doc_id") === col("n_doc_id") &&
+            col("n_tok") === col("begin_tok") + l &&
+            col("n_text") === col("toks")(l))
+          .select(col("doc_id"), col("begin_tok"), col("b"),
+            col("n_e").as("e"), col("toks"), col("n"))
+      }
+    }
+    completed
+      .select(col("doc_id"),
+        spans.tokenSpan(col("begin_tok"), col("end_tok"), col("b"), col("e")).as("span"))
+      .orderBy(col("doc_id"), col("span")("begin"), col("span")("end"))
+  }
+
+  /**
+   * Split each document around split-point spans; emits the spans covering
+   * the text between consecutive split points (`extract_split`, reference:
+   * spanner/extract.py:264-311). Zero/negative-length chunks are dropped,
+   * and — matching the reference's sequential walk — the next chunk begins
+   * at the *previous row's* end even when split spans overlap.
+   *
+   * `splits`: doc_id, span. Output: doc_id, span.
+   */
+  def extractSplit(docs: DataFrame, splits: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy(col("span")("begin"), col("span")("end"))
+    val gaps = splits
+      .withColumn("prev_end", coalesce(lag(col("span")("end"), 1).over(w), lit(0)))
+      .filter(col("span")("begin") > col("prev_end"))
+      .select(col("doc_id"), spans.span(col("prev_end"), col("span")("begin")).as("span"))
+
+    // Trailing chunk: from the last split's end (in walk order) to doc end;
+    // docs with no split points yield one whole-document span.
+    val lastEnd = splits.groupBy("doc_id")
+      .agg(max_by(col("span")("end"),
+        struct(col("span")("begin"), col("span")("end"))).as("last_end"))
+    val docLen = docs.select(col(idCol).as("doc_id"),
+      length(col(textCol)).cast("int").as("len"))
+    val tails = docLen.join(lastEnd, Seq("doc_id"), "left")
+      .withColumn("start", coalesce(col("last_end"), lit(0)))
+      .filter(col("len") > col("start"))
+      .select(col("doc_id"), spans.span(col("start"), col("len")).as("span"))
+
+    gaps.unionByName(tails)
+  }
+
+  /**
+   * Load a SystemT dictionary file: one entry per line, `#` comments,
+   * entries lowercased and tokenized with the engine tokenizer
+   * (`load_dict`/`create_dict`, reference: spanner/extract.py:44-109).
+   * Output: toks array<string>, n int.
+   */
+  def loadDict(spark: SparkSession, path: String): DataFrame = {
+    val lines = spark.read.text(path)
+      .select(trim(col("value")).as("entry"))
+      .filter(length(col("entry")) > 0 && !col("entry").startsWith("#"))
+    createDict(lines)
+  }
+
+  /** Build a dictionary relation from an `entry: string` column. */
+  def createDict(entries: DataFrame): DataFrame = {
+    val tokUdf = udf((s: String) =>
+      Tokenize.tokenOffsets(s.toLowerCase).map { case (b, e) => s.toLowerCase.substring(b, e) })
+    entries.select(tokUdf(col("entry")).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .withColumn("n", size(col("toks")))
+  }
+}

@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.spans
+
+/**
+ * Span-predicate (theta/interval) joins, reduced to equi-joins exactly as
+ * the reference does (reference: spanner/join.py) — the "blocking" pattern
+ * from the entity-resolution literature. Reducing to equi-joins is what
+ * makes these scale on Spark: Catalyst plans an ordinary shuffled (or
+ * broadcast) hash join on `(doc_id, key)` instead of a nested-loop join.
+ */
+object SpanJoin {
+
+  /**
+   * Pairs (first, second) of token spans with
+   * `first.end_tok + gap == second.begin_tok`, `gap ∈ [minGap, maxGap]`
+   * (`adjacent_join`, reference: spanner/join.py:28-85).
+   *
+   * The inner side replicates once per gap value (explode over a constant
+   * sequence — codegen'd, narrow), turning the band predicate into a pure
+   * equi-join on `(doc_id, end_tok)`.
+   *
+   * Inputs: DataFrames with `doc_id` and a token-span struct column.
+   * Output: doc_id, first, second.
+   */
+  def adjacentJoin(first: DataFrame, second: DataFrame,
+      minGap: Int = 0, maxGap: Int = 0,
+      firstCol: String = "span", secondCol: String = "span"): DataFrame = {
+    val outer = first.select(col("doc_id"), col(firstCol).as("first"))
+    val inner = second.select(col("doc_id").as("doc_id2"), col(secondCol).as("second"),
+      explode(sequence(lit(minGap), lit(maxGap))).as("gap"))
+      .withColumn("join_key", col("second")("begin_tok") - col("gap"))
+    outer.join(inner,
+        outer("doc_id") === inner("doc_id2") &&
+          outer("first")("end_tok") === inner("join_key"))
+      .select(col("doc_id"), col("first"), col("second"))
+  }
+
+  /**
+   * All pairs of overlapping spans (`overlap_join`, reference:
+   * spanner/join.py:88-171). Blocking factor = ⌊mean span length⌋ over both
+   * inputs (join.py:129-134, computed with one cheap agg action); each span
+   * emits one row per covered block (explode of a sequence — no UDF);
+   * equi-join on `(doc_id, block)`; exact `overlaps` residual filter;
+   * duplicate pairs from multi-block spans removed by row-key dedup.
+   */
+  def overlapJoin(first: DataFrame, second: DataFrame,
+      firstCol: String = "span", secondCol: String = "span"): DataFrame =
+    blockedJoin(first, second, firstCol, secondCol,
+      (a, b) => spans.overlaps(a, b))
+
+  /**
+   * All pairs where the first span contains the second (`contain_join`,
+   * reference: spanner/join.py:174-203): overlap blocking + contains filter.
+   */
+  def containJoin(first: DataFrame, second: DataFrame,
+      firstCol: String = "span", secondCol: String = "span"): DataFrame =
+    blockedJoin(first, second, firstCol, secondCol,
+      (a, b) => spans.overlaps(a, b) && spans.containsSpan(a, b))
+
+  private def blockedJoin(first: DataFrame, second: DataFrame,
+      firstCol: String, secondCol: String,
+      residual: (Column, Column) => Column): DataFrame = {
+    val f = first.select(col("doc_id"), col(firstCol).as("first"))
+      .withColumn("__k1", monotonically_increasing_id())
+    val s = second.select(col("doc_id").as("doc_id2"), col(secondCol).as("second"))
+      .withColumn("__k2", monotonically_increasing_id())
+
+    // Blocking factor from data stats (one tiny agg job, AQE-style).
+    val lens = f.select((col("first")("end") - col("first")("begin")).as("l"))
+      .unionByName(s.select((col("second")("end") - col("second")("begin")).as("l")))
+    val row = lens.agg(sum("l").as("t"), count(lit(1)).as("n")).head
+    val avg = if (row.getLong(1) == 0) 0.0
+      else row.getLong(0).toDouble / row.getLong(1)
+    val b = math.max(1L, math.floor(avg).toLong)
+
+    def blocks(df: DataFrame, c: String, blockName: String) = df.withColumn(blockName,
+      explode(sequence(floor(col(c)("begin") / b).cast("long"),
+        floor(col(c)("end") / b).cast("long"))))
+
+    val fb = blocks(f, "first", "block1")
+    val sb = blocks(s, "second", "block2")
+    fb.join(sb, col("doc_id") === col("doc_id2") && col("block1") === col("block2"))
+      .dropDuplicates("__k1", "__k2")
+      .filter(residual(col("first"), col("second")))
+      .select(col("doc_id"), col("first"), col("second"))
+  }
+
+  /**
+   * Shift every span of a span column from region-relative to
+   * document-relative offsets (`unpack_semijoin`, reference:
+   * spanner/join.py:206-244), given a column holding the region begin.
+   */
+  def unpackSemijoin(df: DataFrame, spanCol: String, offsetCol: String): DataFrame =
+    df.withColumn(spanCol, spans.shift(col(spanCol), col(offsetCol)))
+}

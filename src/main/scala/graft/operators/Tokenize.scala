@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Deterministic regex tokenizer with the same behavior as the reference's
+ * `simple_tokenizer()` (reference: io/spacy.py:48-72): text splits on all
+ * whitespace; every ASCII punctuation character (Python `string.punctuation`)
+ * is its own single-character token; maximal runs of remaining characters are
+ * word tokens. This is the tokenizer the reference recommends for dictionary
+ * and regex matching, and dictionary matching REQUIRES the same tokenizer on
+ * dict and text (spanner/extract.py:52-55).
+ *
+ * Output relation: `doc_id, token_id (dense 0..n-1 per doc), span
+ * struct<begin,end>, text` — one row per token. The operator is a narrow
+ * map+generate (no shuffle): each document row explodes into its tokens on
+ * the executor that read it, so it scales linearly with input splits.
+ */
+object Tokenize {
+
+  /** ASCII punctuation (Python string.punctuation) as regex char-class body. */
+  val PunctClass = """!-/:-@\[-`{-~"""
+
+  /** One token = run of non-space non-punct chars, or a single punct char. */
+  val TokenPattern = s"[^\\s$PunctClass]+|[$PunctClass]"
+
+  private val compiled = java.util.regex.Pattern.compile(TokenPattern)
+
+  /** Find (begin, end) char offsets of all tokens in a string. */
+  def tokenOffsets(text: String): Seq[(Int, Int)] = {
+    if (text == null) return Seq.empty
+    val m = compiled.matcher(text)
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    while (m.find()) buf += ((m.start, m.end))
+    buf.toSeq
+  }
+
+  private val tokenizeUdf =
+    udf((text: String) => tokenOffsets(text).map { case (b, e) => graft.types.Span(b, e) })
+
+  /**
+   * Tokenize a documents relation into the standard tokens relation.
+   * `make_tokens` parity (reference: io/spacy.py:75-90).
+   */
+  def tokens(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    docs
+      .select(col(idCol).as("doc_id"), col(textCol).as("__text"),
+        posexplode(tokenizeUdf(col(textCol))).as(Seq("token_id", "span")))
+      .select(col("doc_id"), col("token_id"),
+        col("span"),
+        graft.spans.coveredText(col("__text"), col("span")).as("text"))
+  }
+
+  /** Tokens + normalized (lowercase) text — the dictionary-matching key. */
+  def normalizedTokens(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame =
+    tokens(docs, textCol, idCol).withColumn("normalized_text", lower(col("text")))
+}
