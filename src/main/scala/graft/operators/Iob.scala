@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.spans
+
+/**
+ * IOB/IOB2 tag machinery (reference: io/conll.py). The reference implements
+ * these with sequential Python loops; here they are pure window + aggregate
+ * plans (SURVEY §2.5/§2.8) — distributed, codegen-friendly, one shuffle on
+ * doc_id.
+ */
+object Iob {
+
+  /**
+   * IOB1 → IOB2 correction (`_iob_to_iob2`, reference: io/conll.py:590-646):
+   * an `I` tag becomes `B` when it starts an entity — previous tag `O` (or
+   * none), previous token a different entity type, or a sentence boundary.
+   *
+   * Requires columns: doc_id, token_id, `<name>_iob`, `<name>_type`, and a
+   * sentence-begin column (`sentence.begin_tok` by default).
+   */
+  def iobToIob2(tokens: DataFrame, name: String = "ent",
+      sentenceBeginCol: String = "sentence.begin_tok"): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy("token_id")
+    val iob = col(s"${name}_iob")
+    val prevIob = lag(col(s"${name}_iob"), 1).over(w)
+    val prevType = lag(col(s"${name}_type"), 1).over(w)
+    val prevSent = lag(col(sentenceBeginCol), 1).over(w)
+    tokens.withColumn(s"${name}_iob",
+      when(iob === "I" &&
+        (prevIob.isNull || prevIob === "O" ||
+          !(col(s"${name}_type") <=> prevType) ||
+          !(col(sentenceBeginCol) <=> prevSent)), "B")
+        .otherwise(iob))
+  }
+
+  /**
+   * IOB2 tags → entity token spans (`iob_to_spans`, reference:
+   * io/conll.py:856-938). The reference's iterative prefix-expansion becomes
+   * sessionization: a running count of non-`I` tags assigns each token a
+   * segment id; segments whose first tag is `B` are entities. Entities
+   * extend through `I` tags regardless of the `I` token's type, and the
+   * entity type is the `B` token's type — both reference behaviors.
+   *
+   * Requires: doc_id, token_id, span (char span), `<iobCol>`, `<typeCol>`.
+   * Output: doc_id, span struct<begin_tok,end_tok,begin,end>, ent_type.
+   */
+  def iobToSpans(tokens: DataFrame, iobCol: String = "ent_iob",
+      typeCol: String = "ent_type"): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy("token_id")
+    tokens
+      .withColumn("__seg",
+        sum(when(col(iobCol) === "I", 0).otherwise(1)).over(w))
+      .filter(col(iobCol).isin("B", "I"))
+      .groupBy(col("doc_id"), col("__seg"))
+      .agg(
+        min("token_id").as("begin_tok"),
+        (max("token_id") + 1).as("end_tok"),
+        min_by(col(iobCol), col("token_id")).as("__first_tag"),
+        min_by(col(typeCol), col("token_id")).as("ent_type"),
+        min(col("span")("begin")).as("b"),
+        max(col("span")("end")).as("e"))
+      .filter(col("__first_tag") === "B")
+      .select(col("doc_id"),
+        spans.tokenSpan(col("begin_tok"), col("end_tok"), col("b"), col("e")).as("span"),
+        col("ent_type"))
+  }
+
+  /**
+   * Entity spans → per-token IOB2 tags (`spans_to_iob`, reference:
+   * io/conll.py:941-1021): join tokens to entities on token-range
+   * containment (shuffle on doc_id + range residual), tag `B` at the
+   * entity's first token, `I` inside, `O` elsewhere.
+   *
+   * `entities`: doc_id, span struct with begin_tok/end_tok, ent_type.
+   * Output: `tokens` + ent_iob, ent_type.
+   */
+  def spansToIob(tokens: DataFrame, entities: DataFrame): DataFrame = {
+    val ents = entities.select(col("doc_id").as("e_doc_id"),
+      col("span")("begin_tok").as("e_begin"), col("span")("end_tok").as("e_end"),
+      col("ent_type").as("e_type"))
+    tokens.join(ents,
+        col("doc_id") === col("e_doc_id") &&
+          col("token_id") >= col("e_begin") && col("token_id") < col("e_end"),
+        "left")
+      .withColumn("ent_iob",
+        when(col("token_id") === col("e_begin"), "B")
+          .when(col("e_begin").isNotNull, "I")
+          .otherwise("O"))
+      .withColumn("ent_type", col("e_type"))
+      .drop("e_doc_id", "e_begin", "e_end", "e_type")
+  }
+
+  /**
+   * Per-document precision/recall/F1 of predicted vs gold entity spans
+   * (reference: io/conll.py:1461-1516): true positives are the exact-match
+   * inner join on (doc, span, type).
+   */
+  def prfScores(predicted: DataFrame, gold: DataFrame): DataFrame = {
+    val tp = predicted.join(gold, Seq("doc_id", "span", "ent_type"))
+      .groupBy("doc_id").agg(count(lit(1)).as("tp"))
+    val np = predicted.groupBy("doc_id").agg(count(lit(1)).as("n_pred"))
+    val ng = gold.groupBy("doc_id").agg(count(lit(1)).as("n_gold"))
+    np.join(ng, Seq("doc_id"), "full")
+      .join(tp, Seq("doc_id"), "left")
+      .na.fill(0, Seq("tp", "n_pred", "n_gold"))
+      .withColumn("precision", when(col("n_pred") > 0, col("tp") / col("n_pred")).otherwise(lit(0.0)))
+      .withColumn("recall", when(col("n_gold") > 0, col("tp") / col("n_gold")).otherwise(lit(0.0)))
+      .withColumn("f1", when(col("precision") + col("recall") > 0,
+        lit(2) * col("precision") * col("recall") / (col("precision") + col("recall")))
+        .otherwise(lit(0.0)))
+  }
+}

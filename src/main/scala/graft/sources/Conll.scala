@@ -1,0 +1,372 @@
+package graft.sources
+
+import scala.collection.mutable
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.operators.Iob
+
+/**
+ * CoNLL-2003 / CoNLL-U corpus readers (reference: io/conll.py).
+ *
+ * The reference parses files with "straight non-vectorized Python code"
+ * (io/conll.py:320-323) into one pandas DataFrame per document. Here the
+ * unit of parallelism is the *file*: `wholeTextFiles` distributes files
+ * across executors, each file parses to token rows in a single narrow
+ * flatMap, and all downstream correction (IOB1→IOB2) runs as window
+ * functions. A 100 TB corpus of many files scales linearly; document
+ * identity is `(fold, doc_num)` with a derived stable `doc_id` hash,
+ * matching the reference's `combine_folds` flattening (io/conll.py:1437-1458).
+ *
+ * Output token-relation schema:
+ *   fold string (file path), doc_num int, doc_id long, token_id int,
+ *   span struct<begin,end>, text string,
+ *   sentence struct<begin_tok,end_tok,begin,end>, line_num int,
+ *   plus one column per metadata field (`name`), or two (`name_iob`,
+ *   `name_type`) for IOB fields.
+ */
+object Conll {
+
+  /** Reconstruction rules (reference: io/conll.py:45-59): no space before
+    * punctuation/right-paren/'xx contractions; no space after left parens. */
+  private val NoSpaceBefore =
+    java.util.regex.Pattern.compile("[!#%)*+,-./:;=>?@\\]^_`|}~]|'[a-zA-Z]{1,2}")
+  private val NoSpaceAfter = java.util.regex.Pattern.compile("[(<\\[{$]+")
+  private val DocSeparator = "-DOCSTART-"
+
+  private class Sentence(columnNames: Seq[String], iobColumns: Seq[Boolean]) {
+    val tokens = mutable.ArrayBuffer.empty[String]
+    val lineNums = mutable.ArrayBuffer.empty[Int]
+    /** Values per output meta column (name or name_iob/name_type). */
+    val meta: mutable.LinkedHashMap[String, mutable.ArrayBuffer[String]] = {
+      val m = mutable.LinkedHashMap.empty[String, mutable.ArrayBuffer[String]]
+      columnNames.zipWithIndex.foreach { case (n, i) =>
+        if (i < iobColumns.length && iobColumns(i)) {
+          m(s"${n}_iob") = mutable.ArrayBuffer.empty
+          m(s"${n}_type") = mutable.ArrayBuffer.empty
+        } else m(n) = mutable.ArrayBuffer.empty
+      }
+      m
+    }
+
+    def addTags(rawTags: Seq[String], lineNum: Int, isConllU: Boolean): Unit = {
+      rawTags.zipWithIndex.foreach { case (raw, i) =>
+        val name = columnNames(i)
+        if (i < iobColumns.length && iobColumns(i)) {
+          val (tag, ent): (String, String) =
+            if (raw != null && (raw.startsWith("I-") || raw.startsWith("B-"))) {
+              val parts = raw.split("-", 2); (parts(0), parts(1))
+            } else if (raw == "O") ("O", null)
+            else if (!isConllU && raw == "-X-") ("O", null)
+            else throw new IllegalArgumentException(
+              s"Tag '$raw' of IOB field $i at line $lineNum is not I-/B-/O")
+          meta(s"${name}_iob") += tag
+          meta(s"${name}_type") += ent
+        } else meta(name) += raw
+      }
+    }
+  }
+
+  /** Parse CoNLL-2003 content → docs of sentences
+    * (`_parse_conll_file`, reference: io/conll.py:315-377). */
+  private def parse2003(content: String, columnNames: Seq[String],
+      iobColumns: Seq[Boolean]): Seq[Seq[Sentence]] = {
+    val docs = mutable.ArrayBuffer.empty[Seq[Sentence]]
+    var sentences = mutable.ArrayBuffer.empty[Sentence]
+    var cur = new Sentence(columnNames, iobColumns)
+    val lines = content.split("\n", -1)
+    for (i <- lines.indices) {
+      val line = lines(i).trim
+      if (line.isEmpty) {
+        if (cur.tokens.nonEmpty) { sentences += cur; cur = new Sentence(columnNames, iobColumns) }
+      } else {
+        val elems = line.split(" ").toSeq
+        require(elems.length == 1 + columnNames.length,
+          s"Unexpected number of elements ${elems.length} at line $i")
+        if (elems.head == DocSeparator && i > 0) {
+          // End of document; the -DOCSTART- token belongs to the NEXT doc.
+          docs += sentences.toSeq
+          sentences = mutable.ArrayBuffer.empty
+        }
+        cur.tokens += elems.head
+        cur.lineNums += i
+        cur.addTags(elems.tail, i, isConllU = false)
+      }
+    }
+    if (cur.tokens.nonEmpty) sentences += cur
+    if (sentences.nonEmpty) docs += sentences.toSeq
+    docs.toSeq
+  }
+
+  /** One parsed token row, pre-DataFrame. */
+  private def docToRows(fold: String, docNum: Int, doc: Seq[Sentence],
+      metaCols: Seq[String], spaceBeforePunct: Boolean): Seq[Row] = {
+    val rows = mutable.ArrayBuffer.empty[Row]
+    var charPos = 0
+    var tokenPos = 0
+    for (sentence <- doc) {
+      val toks = sentence.tokens
+      val n = toks.length
+      // Prefix of each token: "" or " " (reference: io/conll.py:723-745)
+      val noSpaceBefore = Array.tabulate(n)(i =>
+        !spaceBeforePunct && NoSpaceBefore.matcher(toks(i)).matches())
+      val noSpaceAfter = Array.tabulate(n)(i =>
+        !spaceBeforePunct && NoSpaceAfter.matcher(toks(i)).matches())
+      noSpaceBefore(0) = true
+      noSpaceAfter(n - 1) = true
+      val prefixes = Array.tabulate(n)(i =>
+        if (noSpaceBefore(i) || (i > 0 && noSpaceAfter(i - 1))) "" else " ")
+
+      // char offsets within the sentence, then shifted by charPos
+      var pos = 0
+      val sentBeginTok = tokenPos
+      val sentEndTok = tokenPos + n
+      val begins = new Array[Int](n)
+      val ends = new Array[Int](n)
+      for (i <- 0 until n) {
+        pos += prefixes(i).length
+        begins(i) = charPos + pos
+        pos += toks(i).length
+        ends(i) = charPos + pos
+      }
+      val sentBeginChar = begins(0)
+      val sentEndChar = ends(n - 1)
+      for (i <- 0 until n) {
+        val metaVals = metaCols.map(c => sentence.meta(c)(i))
+        rows += Row.fromSeq(Seq(fold, docNum, tokenPos + i,
+          Row(begins(i), ends(i)), toks(i),
+          Row(sentBeginTok, sentEndTok, sentBeginChar, sentEndChar),
+          sentence.lineNums(i)) ++ metaVals)
+      }
+      charPos += pos + 1 // newline between sentences
+      tokenPos += n
+    }
+    rows.toSeq
+  }
+
+  private def tokensSchema(metaCols: Seq[String]): StructType = StructType(Seq(
+    StructField("fold", StringType), StructField("doc_num", IntegerType),
+    StructField("token_id", IntegerType),
+    StructField("span", graft.types.spanType),
+    StructField("text", StringType),
+    StructField("sentence", graft.types.tokenSpanType),
+    StructField("line_num", IntegerType)) ++
+    metaCols.map(c => StructField(c, StringType)))
+
+  private def metaColsFor(columnNames: Seq[String], iobColumns: Seq[Boolean]): Seq[String] =
+    columnNames.zipWithIndex.flatMap { case (n, i) =>
+      if (i < iobColumns.length && iobColumns(i)) Seq(s"${n}_iob", s"${n}_type") else Seq(n)
+    }
+
+  /**
+   * Read CoNLL-2003 training/test files into the standard token relation
+   * with IOB2-corrected tags (`conll_2003_to_dataframes`, reference:
+   * io/conll.py:1024-1075). `path` may be a file, directory, or glob; each
+   * file is one fold.
+   */
+  def conll2003(spark: SparkSession, path: String,
+      columnNames: Seq[String] = Seq("pos", "phrase", "ent"),
+      iobColumns: Seq[Boolean] = Seq(false, true, true),
+      spaceBeforePunct: Boolean = false): DataFrame = {
+    val metaCols = metaColsFor(columnNames, iobColumns)
+    val schema = tokensSchema(metaCols)
+    val rdd = spark.sparkContext.wholeTextFiles(path).flatMap { case (file, content) =>
+      parse2003(content, columnNames, iobColumns).zipWithIndex.flatMap {
+        case (doc, docNum) => docToRows(file, docNum, doc, metaCols, spaceBeforePunct)
+      }
+    }
+    val raw = spark.createDataFrame(rdd, schema)
+      .withColumn("doc_id", xxhash64(col("fold"), col("doc_num")))
+    // IOB1 → IOB2 correction as a window plan, one pass per IOB field
+    columnNames.zipWithIndex.filter { case (_, i) =>
+      i < iobColumns.length && iobColumns(i) }
+      .map(_._1)
+      .foldLeft(raw) { case (df, name) => Iob.iobToIob2(df, name) }
+  }
+
+  /**
+   * Read a CoNLL-2003 *output* file (tags only, no tokens) and align it to
+   * corpus tokens by position (`conll_2003_output_to_dataframes`,
+   * reference: io/conll.py:1179-1236, parser 508-587). Alignment key is the
+   * global token order of the corpus relation.
+   */
+  def conll2003Output(spark: SparkSession, corpusTokens: DataFrame, path: String,
+      name: String = "ent"): DataFrame = {
+    val lines = spark.sparkContext.wholeTextFiles(path).flatMap { case (_, content) =>
+      content.split("\n", -1).map(_.trim).filter(_.nonEmpty)
+    }.zipWithIndex().map { case (raw, idx) =>
+      require(!raw.contains(" "), s"Line contains unexpected space: '$raw'")
+      val (tag, ent): (String, String) =
+        if (raw.startsWith("I-") || raw.startsWith("B-")) {
+          val p = raw.split("-", 2); (p(0), p(1))
+        } else if (raw == "O") ("O", null)
+        else throw new IllegalArgumentException(s"Unexpected tag $raw")
+      Row(idx, tag, ent)
+    }
+    val tagsDf = spark.createDataFrame(lines, StructType(Seq(
+      StructField("__pos", LongType), StructField(s"${name}_iob", StringType),
+      StructField(s"${name}_type", StringType))))
+    // Global token position in corpus order (fold, doc_num, token_id)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy("fold", "doc_num", "token_id")
+    val base = corpusTokens
+      .drop(s"${name}_iob", s"${name}_type")
+      .withColumn("__pos", row_number().over(w).cast("long") - 1)
+    val joined = base.join(tagsDf, Seq("__pos"), "inner").drop("__pos")
+    Iob.iobToIob2(joined, name)
+  }
+
+  /** Default CoNLL-U field names after the first two required fields
+    * (reference: io/conll.py:62-76). */
+  def defaultConllUFields: Seq[String] =
+    Seq("lemma", "upostag", "xpostag", "features", "head", "deprel", "deps", "misc")
+
+  /** What `#` metadata comments to carry onto token rows
+    * (reference: io/conll.py:84-96): tag in file → output column. */
+  def defaultEwtMetadata: Map[String, String] = Map(
+    "sent_id" -> "sentence_id", "newpar id" -> "paragraph_id", "newdoc id" -> "doc")
+
+  /** Parse CoNLL-U content (`_parse_conll_u_file`, reference:
+    * io/conll.py:380-505): tab-separated with a leading in-sentence index,
+    * `#` metadata lines, `# newdoc id` document separator, optional
+    * subtoken-range merging. Returns (sentence, metadata) pairs per doc. */
+  private def parseConllU(content: String, columnNames: Seq[String],
+      iobColumns: Seq[Boolean], mergeSubtokens: Boolean,
+      metadataFields: Map[String, String]):
+      Seq[Seq[(Sentence, Map[String, String])]] = {
+    val docs = mutable.ArrayBuffer.empty[Seq[(Sentence, Map[String, String])]]
+    var sentences = mutable.ArrayBuffer.empty[(Sentence, Map[String, String])]
+    var cur = new Sentence(columnNames, iobColumns)
+    val curMeta = mutable.Map.empty[String, String]
+    val lines = content.split("\n", -1)
+    var i = 0
+    var subtokEnd = -1
+    while (i < lines.length) {
+      val line = lines(i).trim
+      if (line.isEmpty) {
+        if (cur.tokens.nonEmpty) {
+          sentences += ((cur, curMeta.toMap))
+          cur = new Sentence(columnNames, iobColumns)
+        }
+      } else if (line.startsWith("#")) {
+        val elems = line.split(" = ", 2)
+        if (elems(0) == "# newdoc id" && i > 0 && sentences.nonEmpty) {
+          docs += sentences.toSeq
+          sentences = mutable.ArrayBuffer.empty
+        }
+        val key = elems(0).replaceAll("^[# ]+", "").replaceAll("[# ]+$", "")
+        if (metadataFields.contains(key) && elems.length > 1)
+          curMeta(metadataFields(key)) = elems(1)
+      } else if (i > subtokEnd) {
+        val elems = line.split("\t").toBuffer
+        if (!elems.head.contains("-")) {
+          addConllULine(cur, elems.toSeq, i, columnNames)
+        } else if (mergeSubtokens) {
+          // Merge the subtoken range into one token, joining fields with "|"
+          val Array(startS, endS) = elems.head.split("-", 2)
+          subtokEnd = endS.toInt - startS.toInt + i + 1
+          val combined = elems.take(2) ++ (2 until elems.length).map { f =>
+            (i + 1 to subtokEnd).flatMap { j =>
+              val se = lines(j).split("\t")
+              if (f < se.length && se(f) != "_") Some(se(f)) else None
+            }.mkString("|")
+          }
+          addConllULine(cur, combined.toSeq, i, columnNames)
+        }
+        // without mergeSubtokens, range lines are skipped (word lines follow)
+      }
+      i += 1
+    }
+    if (cur.tokens.nonEmpty) sentences += ((cur, curMeta.toMap))
+    if (sentences.nonEmpty) docs += sentences.toSeq
+    docs.toSeq
+  }
+
+  private def addConllULine(cur: Sentence, elemsIn: Seq[String], lineNum: Int,
+      columnNames: Seq[String]): Unit = {
+    var elems = elemsIn
+    if (elems.length < 2 + columnNames.length)
+      elems = elems ++ Seq.fill(2 + columnNames.length - elems.length)("_")
+    val token = elems(1)
+    val rawTags = elems.slice(2, columnNames.length + 2)
+      .map(t => if (t == "_") null else t)
+    cur.tokens += token
+    cur.lineNums += lineNum
+    cur.addTags(rawTags, lineNum, isConllU = true)
+  }
+
+  /**
+   * Read CoNLL-U files into the standard token relation
+   * (`conll_u_to_dataframes`, reference: io/conll.py:1078-1177). Adds the
+   * requested `#`-comment metadata as columns, re-points `head` indices
+   * from sentence-relative 1-based to document-relative 0-based token ids
+   * (0 → null, reference io/conll.py:773-786), and casts numeric columns.
+   */
+  def conllU(spark: SparkSession, path: String,
+      columnNames: Seq[String] = defaultConllUFields,
+      iobColumns: Seq[Boolean] = Nil,
+      mergeSubtokens: Boolean = false,
+      metadataFields: Map[String, String] = defaultEwtMetadata,
+      numericCols: Seq[String] = Seq("head", "line_num")): DataFrame = {
+    val metaCols = metaColsFor(columnNames, iobColumns)
+    val extraCols = metadataFields.values.toSeq.sorted
+    val schema = StructType(tokensSchema(metaCols).fields ++
+      extraCols.map(c => StructField(c, StringType)))
+    val cn = columnNames; val iobc = iobColumns; val ms = mergeSubtokens
+    val mf = metadataFields
+    val rdd = spark.sparkContext.wholeTextFiles(path).flatMap { case (file, content) =>
+      parseConllU(content, cn, iobc, ms, mf).zipWithIndex.flatMap { case (doc, docNum) =>
+        // token rows from the sentence data, then append per-sentence metadata
+        val rows = docToRows(file, docNum, doc.map(_._1), metaCols,
+          spaceBeforePunct = false)
+        // sentence index per token, to look up metadata
+        val sentMeta = doc.flatMap { case (s, m) => Seq.fill(s.tokens.length)(m) }
+        rows.zip(sentMeta).map { case (r, m) =>
+          Row.fromSeq(r.toSeq ++ extraCols.map(c => m.getOrElse(c, null)))
+        }
+      }
+    }
+    var df = spark.createDataFrame(rdd, schema)
+      .withColumn("doc_id", xxhash64(col("fold"), col("doc_num")))
+    if (columnNames.contains("head")) {
+      // head: 1-based within sentence → doc token id; 0 (root) → null
+      df = df.withColumn("head",
+        when(col("head").isNull || col("head") === "0", lit(null))
+          .otherwise(col("head").cast("int") - 1 + col("sentence")("begin_tok")))
+    }
+    numericCols.filter(c => df.columns.contains(c) && c != "head")
+      .foldLeft(df)((d, c) => d.withColumn(c, col(c).cast("long")))
+  }
+
+  /**
+   * Rebuild the per-document text from a token relation — the inverse of
+   * parsing, exact by construction: gaps between consecutive tokens are
+   * single chars, newline at sentence boundaries, space otherwise
+   * (reference reconstructs one sentence per line, io/conll.py:744-790).
+   * Output: fold, doc_num, doc_id, text.
+   */
+  def documents(tokens: DataFrame): DataFrame = {
+    val assemble = udf((toks: Seq[Row]) => {
+      val sb = new StringBuilder
+      var prevEnd = 0
+      var prevSent = -1
+      toks.foreach { t =>
+        val begin = t.getInt(0); val end = t.getInt(1)
+        val text = t.getString(2); val sentBegin = t.getInt(3)
+        if (begin > prevEnd)
+          sb.append(if (sentBegin != prevSent && prevSent != -1) "\n" else " " * (begin - prevEnd))
+        sb.append(text)
+        prevEnd = end; prevSent = sentBegin
+      }
+      sb.toString
+    })
+    tokens
+      .groupBy("fold", "doc_num", "doc_id")
+      .agg(sort_array(collect_list(struct(
+        col("span")("begin").as("begin"), col("span")("end").as("end"),
+        col("text").as("text"),
+        col("sentence")("begin_tok").as("sent_begin")))).as("toks"))
+      .select(col("fold"), col("doc_num"), col("doc_id"),
+        assemble(col("toks")).as("text"))
+  }
+}
