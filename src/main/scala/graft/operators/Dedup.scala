@@ -1,0 +1,201 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import TextAnalysis.{HashP, shingleHashes}
+
+/**
+ * Deduplication for large-scale training-data pipelines. Five detectors,
+ * all shuffle-frugal and driver-free:
+ *
+ *  - exact:       one groupBy on the full text (or its hash at scale)
+ *  - minhash+LSH: shingle → k minhashes → b bands → bucket equi-join
+ *  - simhash:     32-bit weighted bit-vote fingerprint, banded for radius
+ *  - ngram jaccard: exact verify over LSH candidates (no all-pairs scan)
+ *  - embedding:   cosine near-dup via sign-LSH buckets + residual check
+ *
+ * Hashes use the engine-portable polynomial core (see TextAnalysis), so
+ * every stage is reproducible in plain SQL for differential testing.
+ */
+object Dedup {
+
+  // ---- exact dedup (hash-groupBy) ----
+
+  /**
+   * Exact duplicate groups: one row per distinct text with >1 occurrence;
+   * `keep_id` = smallest doc id (the canonical survivor), `dup_ids` the
+   * rest. One shuffle; at 100 TB group on a hash of the text instead of
+   * the text itself to keep shuffle rows narrow (`byHash = true`).
+   */
+  def exactDupGroups(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", byHash: Boolean = true): DataFrame = {
+    val key = if (byHash) md5(col(textCol)) else col(textCol)
+    docs.groupBy(key.as("text_key"))
+      .agg(min(col(idCol)).as("keep_id"),
+        count(lit(1)).as("n"),
+        sort_array(collect_list(col(idCol))).as("all_ids"))
+      .filter(col("n") > 1)
+      .withColumn("dup_ids", slice(col("all_ids"), 2, 1000000))
+      .drop("all_ids")
+  }
+
+  // ---- minhash + LSH ----
+
+  /** Deterministic hash-family parameters: (a_i, b_i) odd/prime-ish,
+    * small enough that a*h never overflows a long. */
+  def hashParams(k: Int): Seq[(Long, Long)] =
+    (0 until k).map(i => (2L * i + 3L, 10007L * (i + 1)))
+
+  /**
+   * MinHash signature (array<long>, length k) over word `shingleK`-gram
+   * shingles. Pure expression tree: one pass over the text per row, no
+   * shuffle, no UDF.
+   */
+  def minhashSignature(text: Column, k: Int = 16, shingleK: Int = 3): Column = {
+    val hs = shingleHashes(text, shingleK)
+    array(hashParams(k).map { case (a, b) =>
+      array_min(transform(hs, h => (h * a + b) % HashP))
+    }: _*)
+  }
+
+  /**
+   * LSH band keys: the signature split into `bands` contiguous bands of
+   * `k/bands` rows each, each band hashed to one long. Docs sharing any
+   * band key are candidate duplicates.
+   */
+  def lshBandKeys(sig: Column, k: Int = 16, bands: Int = 4): Column = {
+    val rows = k / bands
+    array((0 until bands).map { bnd =>
+      aggregate(slice(sig, bnd * rows + 1, rows), lit(bnd.toLong),
+        (acc, h) => (acc * 31 + h) % HashP)
+    }: _*)
+  }
+
+  /**
+   * MinHash-LSH near-duplicate pairs with exact n-gram Jaccard verify.
+   * Plan: signature (narrow) → explode band keys → shuffle on (band,key)
+   * self-join → distinct candidate pairs → exact Jaccard on the two docs'
+   * distinct shingle-hash sets → threshold filter. The candidate set, not
+   * the corpus, pays the quadratic cost — the standard scale-out shape.
+   *
+   * Output: id_a < id_b, jaccard (rounded 4dp).
+   */
+  def minhashDupPairs(docs: DataFrame, threshold: Double = 0.8,
+      k: Int = 16, bands: Int = 4, shingleK: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val withSets = docs.select(col(idCol).as("id"),
+      shingleHashes(col(textCol), shingleK).as("shingle_set"),
+      minhashSignature(col(textCol), k, shingleK).as("sig"))
+    val banded = withSets.select(col("id"), col("shingle_set"),
+      posexplode(lshBandKeys(col("sig"), k, bands)).as(Seq("band", "key")))
+    val a = banded.select(col("band"), col("key"), col("id").as("id_a"),
+      col("shingle_set").as("set_a"))
+    val b = banded.select(col("band").as("band_b"), col("key").as("key_b"),
+      col("id").as("id_b"), col("shingle_set").as("set_b"))
+    a.join(b, col("band") === col("band_b") && col("key") === col("key_b") &&
+        col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("set_a"), col("set_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("inter", size(array_intersect(col("set_a"), col("set_b"))))
+      .withColumn("uni", size(array_union(col("set_a"), col("set_b"))))
+      .withColumn("jaccard", round(col("inter").cast("double") / col("uni"), 4))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  // ---- simhash ----
+
+  /**
+   * 32-bit SimHash over words (with multiplicity as weights): each word's
+   * portable hash votes ±1 per bit; fingerprint bit i set iff the vote sum
+   * is positive. Pure expression tree.
+   */
+  def simhash(text: Column): Column = {
+    val ws = TextAnalysis.words(text)
+    // bit i of h, with a column-valued shift: floor(h / 2^i) mod 2
+    def bitOf(h: Column, i: Column): Column =
+      floor(h / pow(lit(2.0), i)).cast("long") % 2
+    val votes = aggregate(ws,
+      array_repeat(lit(0L), 32),
+      (acc, w) => {
+        val h = aggregate(split(w, ""), lit(0L), (x, c) => (x * 31 + ascii(c)) % HashP)
+        zip_with(acc, transform(sequence(lit(0), lit(31)),
+          i => when(bitOf(h, i) === 1, 1L).otherwise(-1L)),
+          (a2, b2) => a2 + b2)
+      })
+    aggregate(sequence(lit(0), lit(31)), lit(0L),
+      (acc, i) => acc + when(element_at(votes, i + 1) > 0,
+        pow(lit(2.0), i).cast("long")).otherwise(0L))
+  }
+
+  /**
+   * SimHash near-dup pairs within Hamming distance `maxDist` using the
+   * banding trick: split the 32-bit fingerprint into `maxDist+1` chunks —
+   * two fingerprints within distance d agree exactly on ≥1 chunk — then
+   * verify with a popcount residual. Equi-join on (chunk index, chunk
+   * value); no all-pairs comparison.
+   */
+  def simhashDupPairs(docs: DataFrame, maxDist: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val chunks = maxDist + 1
+    val bitsPer = 32 / chunks
+    val withFp = docs.select(col(idCol).as("id"), simhash(col(textCol)).as("fp"))
+    val banded = withFp.select(col("id"), col("fp"),
+      posexplode(array((0 until chunks).map { c =>
+        shiftright(col("fp"), c * bitsPer)
+          .bitwiseAND((1L << bitsPer) - 1L)
+      }: _*)).as(Seq("chunk", "val")))
+    val a = banded.select(col("chunk"), col("val"), col("id").as("id_a"), col("fp").as("fp_a"))
+    val b = banded.select(col("chunk").as("chunk_b"), col("val").as("val_b"),
+      col("id").as("id_b"), col("fp").as("fp_b"))
+    a.join(b, col("chunk") === col("chunk_b") && col("val") === col("val_b") &&
+        col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("dist", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))))
+      .filter(col("dist") <= maxDist)
+      .select("id_a", "id_b", "dist")
+  }
+
+  // ---- embedding cosine near-dup ----
+
+  /**
+   * Sign-LSH bucket keys for an embedding: the sign pattern of `nPlanes`
+   * pseudo-random hyperplane projections, as one long. Hyperplane
+   * coefficients are a deterministic ±1 pattern derived from (plane, dim)
+   * parity — no RNG, reproducible everywhere.
+   */
+  def signBucket(vec: Column, nPlanes: Int = 8): Column = {
+    val projections = (0 until nPlanes).map { p =>
+      // coefficient for dim j: +1 if (j*(p+3) + p) mod 4 < 2 else -1
+      val proj = aggregate(zip_with(vec, sequence(lit(0), size(vec) - 1),
+        (x, j) => when((j * (p + 3) + p) % 4 < 2, x).otherwise(-x)),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj > 0, pow(lit(2.0), p).cast("long")).otherwise(0L)
+    }
+    projections.reduce((a, b) => a + b)
+  }
+
+  /**
+   * Embedding near-duplicate pairs: bucket by sign-LSH, exact cosine inside
+   * buckets, keep pairs with cosine >= `tau`. For recall, also joins on
+   * buckets differing in one bit (probing) when `probe = true`.
+   */
+  def embeddingDupPairs(embeddings: DataFrame, tau: Double = 0.95,
+      nPlanes: Int = 8, probe: Boolean = true,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val withB = embeddings.select(col(idCol).as("id"), col(vecCol).as("v"),
+      signBucket(col(vecCol), nPlanes).as("bucket"))
+    // multi-probe: each vector also lands in the nPlanes single-bit-flip buckets
+    val probed = if (!probe) withB.withColumn("pbucket", col("bucket"))
+      else withB.select(col("id"), col("v"), explode(array(
+        (col("bucket") +: (0 until nPlanes).map(p =>
+          col("bucket").bitwiseXOR(lit(1L << p)))): _*)).as("pbucket"))
+    val a = probed.select(col("pbucket"), col("id").as("id_a"), col("v").as("v_a"))
+    val b = probed.select(col("pbucket").as("pb2"), col("id").as("id_b"), col("v").as("v_b"))
+    a.join(b, col("pbucket") === col("pb2") && col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("cos", round(graft.tensor.cosine(col("v_a"), col("v_b")), 4))
+      .filter(col("cos") >= tau)
+      .select("id_a", "id_b", "cos")
+  }
+}

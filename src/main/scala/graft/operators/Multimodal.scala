@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Multimodal column plumbing: image/audio/video as opaque `binary` columns
+ * with typed metadata. The Spark-side machinery — schema, batched
+ * mapPartitions, partitioning, output shapes — is real and tested; the
+ * actual codec calls are STUBBED behind `DecodeStub` (deterministic fake
+ * decode) because no image/audio libraries ship in this environment. A
+ * production deployment swaps `DecodeStub.decodeImage` for an actual codec
+ * (or routes the same schema through mapInPandas + PIL on PySpark); nothing
+ * else changes.
+ */
+object Multimodal {
+
+  /** Standard media relation schema. */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("doc_id", LongType),
+    StructField("kind", StringType), // "image" | "audio" | "video"
+    StructField("bytes", BinaryType),
+    StructField("meta", StructType(Seq(
+      StructField("width", IntegerType), StructField("height", IntegerType),
+      StructField("duration_ms", IntegerType), StructField("format", StringType))))))
+
+  /** Deterministic fake decoders: features derive from the byte content so
+    * tests are reproducible. Replace with real codecs in production. */
+  object DecodeStub {
+    /** STUB — stands in for a real image decode (PIL/ImageIO/javacv). */
+    def decodeImage(bytes: Array[Byte], w: Int, h: Int): Array[Float] = {
+      // deterministic pseudo-pixels: rolling hash of bytes seeds a LCG
+      var seed = bytes.foldLeft(0L)((acc, b) => (acc * 31 + (b & 0xff)) % 2147483647L)
+      Array.fill(8) { seed = (seed * 1103515245L + 12345L) % 2147483647L
+        (seed % 1000).toFloat / 1000f }
+    }
+    /** STUB — frame timestamps a real demuxer would return. */
+    def sampleFrames(durationMs: Int, everyMs: Int): Seq[Int] =
+      (0 until durationMs by everyMs).toSeq
+  }
+
+  /**
+   * Batched feature extraction over media rows — the `mapPartitions` shape
+   * used for any model/codec hosting (reference hosts BERT the same way,
+   * io/bert.py:141-153): one decoder instance per partition, rows streamed
+   * through it, output one feature vector per media row.
+   */
+  def extractImageFeatures(media: DataFrame, batchSize: Int = 64): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("features", ArrayType(FloatType))))
+    val mid = media.schema.fieldIndex("media_id")
+    val bid = media.schema.fieldIndex("bytes")
+    val metaIdx = media.schema.fieldIndex("meta")
+    val out = media.toDF.mapPartitions { rows =>
+      // per-partition decoder init happens here (stubbed)
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          val meta = r.getStruct(metaIdx)
+          val feats = DecodeStub.decodeImage(r.getAs[Array[Byte]](bid),
+            if (meta.isNullAt(0)) 0 else meta.getInt(0),
+            if (meta.isNullAt(1)) 0 else meta.getInt(1))
+          Row(r.getLong(mid), feats.toSeq)
+        }
+      }
+    }(Encoders.row(schema))
+    out
+  }
+
+  /**
+   * Frame sampling for video rows: one output row per sampled frame
+   * timestamp. Narrow generate — no shuffle.
+   */
+  def sampleVideoFrames(media: DataFrame, everyMs: Int = 1000): DataFrame = {
+    media.filter(col("kind") === "video")
+      .select(col("media_id"), col("doc_id"),
+        explode(sequence(lit(0),
+          greatest(col("meta")("duration_ms") - 1, lit(0)), lit(everyMs)))
+          .as("frame_ms"))
+  }
+
+  /** Synthesize a deterministic media relation from the documents table —
+    * test/bench input standing in for real binary payloads. */
+  def syntheticMedia(docs: DataFrame): DataFrame = {
+    docs.select(
+      col("doc_id").as("media_id"), col("doc_id"),
+      when(col("doc_id") % 3 === 0, "image")
+        .when(col("doc_id") % 3 === 1, "audio").otherwise("video").as("kind"),
+      encode(substring(col("text"), 1, 64), "UTF-8").as("bytes"),
+      struct(
+        (col("n_chars") % 640).cast("int").as("width"),
+        (col("n_chars") % 480).cast("int").as("height"),
+        (col("n_chars") * 10).cast("int").as("duration_ms"),
+        lit("synthetic").as("format")).as("meta"))
+  }
+}

@@ -1,0 +1,131 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis functions for large-scale training-data pipelines:
+ * language ID, quality scoring, token counting, document fingerprinting.
+ *
+ * All of these are pure Catalyst expression trees over built-in functions —
+ * no UDFs — so they whole-stage-codegen, push no data to the driver, and
+ * (deliberately) use only arithmetic that an external SQL engine can
+ * reproduce exactly, which is how the differential oracle validates them.
+ *
+ * The hash core is a 31-base polynomial rolling hash mod 2^31-1 — the
+ * classic Rabin-Karp/Java-style fingerprint, chosen over Spark's builtin
+ * murmur/xxhash because it is engine-portable and exactly reproducible.
+ */
+object TextAnalysis {
+
+  /** Modulus for all rolling hashes: the Mersenne prime 2^31 - 1. */
+  val HashP: Long = 2147483647L
+
+  /** Polynomial rolling hash of a string column (Rabin-Karp fingerprint). */
+  def portableHash(s: Column): Column =
+    aggregate(split(s, ""), lit(0L), (h, c) => (h * 31 + ascii(c)) % HashP)
+
+  /** Lowercase word list of a text column. */
+  def words(text: Column): Column =
+    regexp_extract_all(lower(text), lit("[a-z0-9]+"), lit(0))
+
+  /** Whitespace-separated token count. */
+  def tokenCountWs(text: Column): Column =
+    size(regexp_extract_all(text, lit("\\S+"), lit(0)))
+
+  /**
+   * BPE-ish subword count: word chunks of <=4 chars plus punctuation marks,
+   * the usual cheap proxy for LLM token counts (~chars/4 within words).
+   */
+  def tokenCountBpe(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z0-9]{1,4}|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Word k-grams of a text column (shingles), space-joined. */
+  def shingles(text: Column, k: Int): Column = {
+    val ws = words(text)
+    when(size(ws) >= k,
+      transform(sequence(lit(0), size(ws) - k),
+        i => concat_ws(" ", slice(ws, i + 1, lit(k)))))
+      .otherwise(array(concat_ws(" ", ws)))
+  }
+
+  /** Distinct shingle hashes — the minhash/jaccard input set. */
+  def shingleHashes(text: Column, k: Int): Column =
+    array_distinct(transform(shingles(text, k), s =>
+      aggregate(split(s, ""), lit(0L), (h, c) => (h * 31 + ascii(c)) % HashP)))
+
+  // ---- language ID (n-gram/stopword heuristic) ----
+
+  /** Tiny per-language stopword lists; ratio of stopwords decides. */
+  val StopwordsEn: Seq[String] = Seq("the", "of", "and", "to", "in", "a", "is",
+    "that", "for", "it", "was", "on", "with", "he", "as", "by", "at", "from")
+  val StopwordsDe: Seq[String] = Seq("der", "die", "das", "und", "ist", "nicht",
+    "mit", "ein", "eine", "zu", "den", "von", "sie", "auf", "des", "im")
+  val StopwordsFr: Seq[String] = Seq("le", "la", "les", "et", "est", "un", "une",
+    "des", "du", "que", "qui", "dans", "pour", "pas", "sur", "au")
+
+  private def stopRatio(ws: Column, stops: Seq[String]): Column = {
+    val arr = array(stops.map(lit): _*)
+    when(size(ws) > 0,
+      size(filter(ws, w => array_contains(arr, w))).cast("double") / size(ws))
+      .otherwise(lit(0.0))
+  }
+
+  /**
+   * Heuristic language ID: highest stopword ratio among {en, de, fr} wins
+   * if above 0.05, else "und" (undetermined). Deterministic tie-break by
+   * that priority order.
+   */
+  def langId(text: Column): Column = {
+    val ws = words(text)
+    val en = stopRatio(ws, StopwordsEn)
+    val de = stopRatio(ws, StopwordsDe)
+    val fr = stopRatio(ws, StopwordsFr)
+    when(en >= de && en >= fr && en > 0.05, "en")
+      .when(de >= fr && de > 0.05, "de")
+      .when(fr > 0.05, "fr")
+      .otherwise("und")
+  }
+
+  // ---- quality scoring ----
+
+  /** Fraction of characters that are alphanumeric or whitespace. */
+  def alnumRatio(text: Column): Column =
+    when(length(text) > 0,
+      (length(regexp_replace(text, "[^A-Za-z0-9 ]", "")).cast("double")) / length(text))
+      .otherwise(lit(0.0))
+
+  /** Fraction of characters that are ASCII punctuation. */
+  def punctRatio(text: Column): Column =
+    when(length(text) > 0,
+      length(regexp_replace(text, "[^!-/:-@\\[-`{-~]", "")).cast("double") / length(text))
+      .otherwise(lit(0.0))
+
+  /** Mean word length (0 for empty docs). */
+  def meanWordLen(text: Column): Column = {
+    val ws = words(text)
+    when(size(ws) > 0,
+      aggregate(ws, lit(0L), (acc, w) => acc + length(w)).cast("double") / size(ws))
+      .otherwise(lit(0.0))
+  }
+
+  /**
+   * Composite quality score in [0,1]: length credit (saturating at 200
+   * words), low punctuation, sane mean word length (2..12), nonzero
+   * stopword presence. The shape follows the usual corpus-cleaning
+   * heuristics (Gopher/C4-style rules), engine-portable arithmetic only.
+   */
+  def qualityScore(text: Column): Column = {
+    val ws = words(text)
+    val nWords = size(ws).cast("double")
+    val lengthCredit = least(nWords / 200.0, lit(1.0))
+    val punctPenalty = greatest(lit(0.0), lit(1.0) - punctRatio(text) * 5)
+    val mwl = meanWordLen(text)
+    val wordShape = when(mwl >= 2 && mwl <= 12, 1.0).otherwise(0.5)
+    val stopCredit = when(stopRatio(ws, StopwordsEn) > 0.05, 1.0).otherwise(0.7)
+    round(lengthCredit * 0.4 + punctPenalty * 0.2 + wordShape * 0.2 + stopCredit * 0.2, 4)
+  }
+
+  /** Whole-document fingerprint: rolling hash of the full text. */
+  def fingerprint(text: Column): Column = portableHash(text)
+}

@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** LLM-pipeline operator behavior: dedup detectors, ANN, text analysis,
+  * tensor ops, multimodal plumbing. */
+class PipelineOpsSpec extends GraftSuite {
+  import spark.implicits._
+
+  val docsData = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog and runs far away today"),
+    (1L, "the quick brown fox jumps over the lazy dog and runs far away tonight"), // near-dup of 0
+    (2L, "completely different text about database engines and query planners"),
+    (3L, "the quick brown fox jumps over the lazy dog and runs far away today"), // exact dup of 0
+    (4L, "der hund und die katze sind nicht auf der wiese mit einem ball"))
+  def docs = docsData.toDF("doc_id", "text")
+
+  test("exact dedup groups") {
+    val g = Dedup.exactDupGroups(docs)
+    assert(g.count() == 1)
+    val r = g.head
+    assert(r.getAs[Long]("keep_id") == 0L)
+    assert(r.getAs[scala.collection.Seq[Long]]("dup_ids").toSeq == Seq(3L))
+  }
+
+  test("minhash LSH finds near and exact duplicates, not unrelated docs") {
+    val pairs = Dedup.minhashDupPairs(docs, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 3L))) // exact dup: jaccard 1.0
+    assert(pairs.contains((0L, 1L)) || pairs.contains((1L, 3L))) // near dup
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("simhash: identical docs distance 0, near dups small distance") {
+    val fps = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("fp"))
+      .as[(Long, Long)].collect().toMap
+    assert(fps(0L) == fps(3L))
+    val d01 = java.lang.Long.bitCount(fps(0L) ^ fps(1L))
+    val d02 = java.lang.Long.bitCount(fps(0L) ^ fps(2L))
+    assert(d01 < d02)
+    val pairs = Dedup.simhashDupPairs(docs, maxDist = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 3L)))
+  }
+
+  test("embedding near-dup + ANN top-k") {
+    val vecs = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Seq(0.99f, 0.05f, 0.0f, 0.0f)), // near 0
+      (2L, Seq(0.0f, 1.0f, 0.0f, 0.0f)),
+      (3L, Seq(0.0f, 0.0f, 1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val dups = Dedup.embeddingDupPairs(vecs, tau = 0.95, nPlanes = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(dups == Set((0L, 1L)))
+
+    val queries = Seq((100L, Seq(1.0f, 0.01f, 0.0f, 0.0f))).toDF("query_id", "embedding")
+    val topk = Similarity.bruteForceTopK(vecs, queries, k = 2)
+      .orderBy("rank").select("vec_id").as[Long].collect()
+    assert(topk.toSeq == Seq(0L, 1L))
+    // LSH path finds the same top hit
+    val lsh = Similarity.lshTopK(vecs, queries, k = 1, nPlanes = 4)
+      .select("vec_id").as[Long].collect()
+    assert(lsh.headOption.contains(0L))
+  }
+
+  test("text analysis: counts, langid, quality, fingerprint") {
+    val r = docs.select(col("doc_id"),
+      TextAnalysis.tokenCountWs(col("text")).as("ws"),
+      TextAnalysis.tokenCountBpe(col("text")).as("bpe"),
+      TextAnalysis.langId(col("text")).as("lang"),
+      TextAnalysis.qualityScore(col("text")).as("q"),
+      TextAnalysis.fingerprint(col("text")).as("fp"))
+      .collect().map(x => x.getLong(0) -> ((x.getInt(1), x.getInt(2),
+        x.getString(3), x.getDouble(4), x.getLong(5)))).toMap
+
+    { val (ws, _, lang, q, _) = r(0L)
+      assert(ws == 14); assert(lang == "en"); assert(q > 0.3 && q <= 1.0) }
+    assert(r(4L)._3 == "de")
+    // identical docs → identical fingerprints; distinct docs differ
+    assert(r(0L)._5 == r(3L)._5 && r(0L)._5 != r(1L)._5)
+    // portable hash agrees with the reference computation
+    val h = docs.filter(col("doc_id") === 0)
+      .select(TextAnalysis.portableHash(lit("hello"))).head.getLong(0)
+    assert(h == 99162322L)
+  }
+
+  test("tensor ops: elementwise, dot/cosine, axis-0 aggregations") {
+    val df = Seq((1L, Seq(1.0f, 2.0f)), (1L, Seq(3.0f, 4.0f))).toDF("g", "v")
+    val r = df.groupBy("g").agg(graft.tensor.sumVec(col("v")).as("s"),
+      count(lit(1)).as("n")).head
+    assert(r.getAs[scala.collection.Seq[Double]]("s").toSeq == Seq(4.0, 6.0))
+    val d = df.select(graft.tensor.dot(col("v"), col("v")).as("d"),
+      graft.tensor.cosine(col("v"), col("v")).as("c")).collect()
+    assert(d.map(_.getDouble(0)).toSet == Set(5.0, 25.0))
+    assert(d.forall(x => math.abs(x.getDouble(1) - 1.0) < 1e-9))
+  }
+
+  test("multimodal plumbing: synthetic media, stub decode, frame sampling") {
+    val docsT = docs.withColumn("n_chars", length(col("text")))
+    val media = Multimodal.syntheticMedia(docsT)
+    assert(media.count() == 5)
+    val feats = Multimodal.extractImageFeatures(media)
+    assert(feats.count() == 5)
+    assert(feats.select(size(col("features"))).distinct().head.getInt(0) == 8)
+    // deterministic: same bytes → same features
+    val f2 = Multimodal.extractImageFeatures(media)
+    assert(feats.collect().map(_.toString).sorted.toSeq ==
+      f2.collect().map(_.toString).sorted.toSeq)
+    val frames = Multimodal.sampleVideoFrames(media, everyMs = 100)
+    assert(frames.count() > 0)
+    assert(frames.select("media_id").distinct().count() ==
+      media.filter(col("kind") === "video").count())
+  }
+}
