@@ -1,0 +1,420 @@
+package graft
+
+/**
+ * DuckDB oracle SQL for every SQL-expressible entry in [[SparkEntry.queries]].
+ *
+ * The driver's correctness gate runs each of these in DuckDB over the same
+ * parquet tables (views named `documents`, `lineitem`, `events`,
+ * `embeddings`, ...) at sf0.01, and compares row-sets (columns sorted by
+ * name, rows sorted, floats at 1e-9 relative tolerance) against the Spark
+ * result. Shared subexpressions are generated from the same constants as the
+ * Scala operators (stopword lists, hash parameters), so the two sides cannot
+ * drift apart silently.
+ *
+ * The testdata documents are strictly single-space-separated `[a-z0-9]+`
+ * words, so the engine tokenizer's output (including char offsets) is
+ * reproducible in SQL as a prefix-sum over word lengths — which is what
+ * makes full differential oracles possible for the span operators, not just
+ * rows-only checks.
+ */
+object Oracles {
+
+  /** Rolling-hash of a string expression — mirror of
+    * TextAnalysis.portableHash (31-base polynomial mod 2^31-1). */
+  def H(e: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(string_split($e, ''), c -> CAST(ascii(c) AS BIGINT))), " +
+      s"(a, b) -> (a*31 + b) % 2147483647)"
+
+  /** Tokens relation with char offsets: doc_id, token_id, "begin", "end",
+    * text. Prefix-sum of (len+1) reproduces the tokenizer's offsets because
+    * the corpus is single-space-separated words. */
+  val ToksCte: String =
+    """t0 AS (SELECT doc_id, generate_subscripts(ws, 1) - 1 AS token_id, unnest(ws) AS text
+      |       FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
+      |toks AS (SELECT doc_id, token_id, text, b AS "begin", b + len(text) AS "end"
+      |       FROM (SELECT doc_id, token_id, text,
+      |               coalesce(sum(len(text) + 1) OVER (PARTITION BY doc_id ORDER BY token_id
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS b
+      |             FROM t0))""".stripMargin
+
+  /** Synthetic-IOB entity segments over toks (mirror of the q31 tagging rule
+    * + Iob.iobToSpans sessionization). Yields CTE `ents` with filter col
+    * `ft` ('B' = real entity). */
+  val EntsCte: String =
+    """tag AS (SELECT doc_id, token_id, "begin", "end",
+      |          CASE WHEN text = 'key' THEN 'B' WHEN text = 'value' THEN 'I' ELSE 'O' END AS iob,
+      |          CASE WHEN text = 'key' THEN 'K' END AS typ FROM toks),
+      |seg AS (SELECT *, sum(CASE WHEN iob = 'I' THEN 0 ELSE 1 END)
+      |          OVER (PARTITION BY doc_id ORDER BY token_id) AS sg FROM tag),
+      |ents AS (SELECT doc_id, sg, min(token_id) AS begin_tok, max(token_id) + 1 AS end_tok,
+      |           min("begin") AS "begin", max("end") AS "end",
+      |           min_by(iob, token_id) AS ft, min_by(typ, token_id) AS ent_type
+      |         FROM seg WHERE iob IN ('B', 'I') GROUP BY doc_id, sg)""".stripMargin
+
+  /** Word list (mirror of TextAnalysis.words). */
+  val Words = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+
+  private def sqlList(xs: Seq[String]) = xs.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  /** Stopword ratio over word-list column `ws` (mirror of stopRatio). */
+  private def ratio(stops: Seq[String]) =
+    s"CASE WHEN len(ws) > 0 THEN CAST(len(list_filter(ws, w -> " +
+      s"list_contains(${sqlList(stops)}, w))) AS DOUBLE) / len(ws) ELSE 0.0 END"
+
+  /** Distinct 3-gram shingle hashes CTE chain over documents → `hs(doc_id, h)`.
+    * Mirror of TextAnalysis.shingleHashes(text, 3). */
+  val ShingleCte: String =
+    s"""ws0 AS (SELECT doc_id, $Words AS w FROM documents),
+       |sh0 AS (SELECT doc_id, CASE WHEN len(w) >= 3
+       |          THEN list_transform(generate_series(0, len(w) - 3),
+       |                 i -> array_to_string(list_slice(w, i + 1, i + 3), ' '))
+       |          ELSE [array_to_string(w, ' ')] END AS s FROM ws0),
+       |hs AS (SELECT doc_id, list_distinct(list_transform(s, t -> ${H("t")})) AS h FROM sh0)""".stripMargin
+
+  /** MinHash signature (k=8) + LSH band keys (bands=4, rows=2) CTE chain →
+    * `bk(doc_id, keys)`. Mirrors Dedup.minhashSignature / lshBandKeys with
+    * hashParams a=2i+3, b=10007(i+1). */
+  val MinhashCte: String =
+    s"""$ShingleCte,
+       |sg AS (SELECT doc_id, list_transform(generate_series(0, 7), i ->
+       |         list_min(list_transform(h, x -> (x*(2*i + 3) + 10007*(i + 1)) % 2147483647))) AS sig
+       |       FROM hs),
+       |bk AS (SELECT doc_id, list_transform(generate_series(0, 3), bb ->
+       |         list_reduce(list_prepend(CAST(bb AS BIGINT), list_slice(sig, bb*2 + 1, bb*2 + 2)),
+       |           (u, v) -> (u*31 + v) % 2147483647)) AS keys FROM sg)""".stripMargin
+
+  /** SimHash fingerprint CTE chain → `fp(doc_id, f)`. Mirror of Dedup.simhash. */
+  val SimhashCte: String =
+    s"""wh AS (SELECT doc_id, list_transform($Words, w -> ${H("w")}) AS h FROM documents),
+       |fp AS (SELECT doc_id, CAST(list_sum(list_transform(generate_series(0, 31), i ->
+       |         CASE WHEN 2*len(list_filter(h, x -> CAST(floor(x / power(2.0, i)) AS BIGINT) % 2 = 1)) - len(h) > 0
+       |              THEN CAST(power(2.0, i) AS BIGINT) ELSE 0 END)) AS BIGINT) AS f FROM wh)""".stripMargin
+
+  /** Double-precision embedding vectors CTE → `ed(id, v)`. */
+  val EmbCte: String =
+    "ed AS (SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)"
+
+  /** Left-fold dot product of two double-list expressions (mirror of
+    * tensor.dot: same element order, same fold order → bit-identical). */
+  def dot(a: String, b: String): String =
+    s"list_reduce(list_prepend(0.0, list_transform($a, (x, i) -> x * $b[i])), (u, w) -> u + w)"
+
+  /** Cosine similarity mirror of tensor.cosine (0 when a norm is 0). */
+  def cos(a: String, b: String): String =
+    s"(CASE WHEN sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}) > 0 " +
+      s"THEN ${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)})) ELSE 0.0 END)"
+
+  /** Sign-LSH bucket of a double-list expression (mirror of Dedup.signBucket,
+    * nPlanes=8; DuckDB lambda index i is 1-based hence (i-1)). */
+  def bucket(v: String): String =
+    s"CAST(list_sum(list_transform(generate_series(0, 7), p -> " +
+      s"CASE WHEN list_reduce(list_prepend(0.0, list_transform($v, (x, i) -> " +
+      s"CASE WHEN ((i-1)*(p + 3) + p) % 4 < 2 THEN x ELSE -x END)), (u, w) -> u + w) > 0 " +
+      s"THEN CAST(power(2.0, p) AS BIGINT) ELSE 0 END)) AS BIGINT)"
+
+  /** Probe-bucket list (own bucket + all single-bit flips) from CTE with
+    * columns (id, bucket) → rows (id, pb). */
+  val ProbeExpr: String =
+    "unnest(list_prepend(bucket, list_transform(generate_series(0, 7), p2 -> " +
+      "xor(bucket, CAST(power(2.0, p2) AS BIGINT))))) AS pb"
+
+  val sql: Map[String, String] = Map(
+
+    // ---- relational core ----
+
+    "q01_lineitem_agg" ->
+      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+        |  sum(l_extendedprice) AS sum_price, avg(l_discount) AS avg_disc, count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q02_priority_revenue" ->
+      """SELECT o_orderpriority, count(DISTINCT o_orderkey) AS n_orders,
+        |  sum(l_extendedprice * (1 - l_discount)) AS revenue
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderpriority""".stripMargin,
+
+    "q03_top_orders" ->
+      "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10",
+
+    "q04_events_hourly" ->
+      """SELECT epoch_ns(ts) // 3600000000000 AS hour_id, event_type,
+        |  count(*) AS n, sum(value) AS sum_value
+        |FROM events GROUP BY hour_id, event_type""".stripMargin,
+
+    "q05_user_sessions" ->
+      """WITH x AS (SELECT user_id, epoch_ns(ts) AS t,
+        |    lag(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS p FROM events)
+        |SELECT user_id, count(*) AS n_events,
+        |  sum(CASE WHEN p IS NULL OR t - p > 1800000000000 THEN 1 ELSE 0 END) AS n_sessions
+        |FROM x GROUP BY user_id""".stripMargin,
+
+    "q40_json_props" ->
+      "SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k FROM events",
+
+    // ---- text analysis ----
+
+    "q06_token_counts" ->
+      """SELECT doc_id, len(regexp_extract_all(text, '\S+')) AS n_ws,
+        |  len(regexp_extract_all(text, '[A-Za-z0-9]{1,4}|[^A-Za-z0-9\s]')) AS n_bpe
+        |FROM documents""".stripMargin,
+
+    "q07_lang_id" -> {
+      val en = ratio(operators.TextAnalysis.StopwordsEn)
+      val de = ratio(operators.TextAnalysis.StopwordsDe)
+      val fr = ratio(operators.TextAnalysis.StopwordsFr)
+      s"""WITH x AS (SELECT doc_id, $Words AS ws FROM documents),
+         |r AS (SELECT doc_id, $en AS en, $de AS de, $fr AS fr FROM x)
+         |SELECT doc_id, CASE WHEN en >= de AND en >= fr AND en > 0.05 THEN 'en'
+         |  WHEN de >= fr AND de > 0.05 THEN 'de'
+         |  WHEN fr > 0.05 THEN 'fr' ELSE 'und' END AS lang_pred FROM r""".stripMargin
+    },
+
+    "q08_quality" -> {
+      val en = ratio(operators.TextAnalysis.StopwordsEn)
+      s"""WITH x AS (SELECT doc_id, text, $Words AS ws FROM documents),
+         |c AS (SELECT doc_id,
+         |  least(CAST(len(ws) AS DOUBLE) / 200.0, 1.0) AS lc,
+         |  greatest(0.0, 1.0 - (CASE WHEN len(text) > 0
+         |    THEN CAST(len(regexp_replace(text, '[^!-/:-@\\[-`{-~]', '', 'g')) AS DOUBLE) / len(text)
+         |    ELSE 0.0 END) * 5) AS pp,
+         |  CASE WHEN len(ws) > 0 THEN CAST(list_sum(list_transform(ws, w -> len(w))) AS DOUBLE) / len(ws)
+         |       ELSE 0.0 END AS mwl,
+         |  $en AS en FROM x)
+         |SELECT doc_id, round(lc*0.4 + pp*0.2 + (CASE WHEN mwl >= 2 AND mwl <= 12 THEN 1.0 ELSE 0.5 END)*0.2
+         |  + (CASE WHEN en > 0.05 THEN 1.0 ELSE 0.7 END)*0.2, 4) AS quality FROM c""".stripMargin
+    },
+
+    "q09_fingerprint" ->
+      s"SELECT doc_id, ${H("text")} AS fp FROM documents",
+
+    "q10_shingles" ->
+      s"WITH $ShingleCte SELECT doc_id, len(h) AS n_sh, list_min(h) AS min_h FROM hs",
+
+    "q11_text_stats" ->
+      """WITH x AS (SELECT doc_id, text, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents)
+        |SELECT doc_id,
+        |  round(CASE WHEN len(text) > 0 THEN CAST(len(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS DOUBLE) / len(text) ELSE 0.0 END, 4) AS alnum_r,
+        |  round(CASE WHEN len(text) > 0 THEN CAST(len(regexp_replace(text, '[^!-/:-@\[-`{-~]', '', 'g')) AS DOUBLE) / len(text) ELSE 0.0 END, 4) AS punct_r,
+        |  round(CASE WHEN len(ws) > 0 THEN CAST(list_sum(list_transform(ws, w -> len(w))) AS DOUBLE) / len(ws) ELSE 0.0 END, 4) AS mean_wl
+        |FROM x""".stripMargin,
+
+    // ---- dedup / similarity ----
+
+    "q12_exact_dup" ->
+      """WITH d AS (SELECT doc_id, array_to_string((string_split(text, ' '))[1:3], ' ') AS k3 FROM documents),
+        |g AS (SELECT k3, min(doc_id) AS keep_id, count(*) AS c FROM d GROUP BY k3)
+        |SELECT g.keep_id, d.doc_id AS dup_id FROM d JOIN g USING (k3)
+        |WHERE g.c > 1 AND d.doc_id <> g.keep_id""".stripMargin,
+
+    "q13_minhash_bands" ->
+      s"""WITH $MinhashCte
+         |SELECT doc_id, generate_subscripts(keys, 1) - 1 AS band, unnest(keys) AS key FROM bk""".stripMargin,
+
+    "q14_minhash_pairs" ->
+      s"""WITH $MinhashCte,
+         |bnd AS (SELECT doc_id, generate_subscripts(keys, 1) - 1 AS band, unnest(keys) AS key FROM bk),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b FROM bnd a
+         |  JOIN bnd b2 ON a.band = b2.band AND a.key = b2.key AND a.doc_id < b2.doc_id)
+         |SELECT * FROM (SELECT id_a, id_b,
+         |    round(CAST(len(list_intersect(x.h, y.h)) AS DOUBLE) / len(list_distinct(list_concat(x.h, y.h))), 4) AS jaccard
+         |  FROM cand JOIN hs x ON x.doc_id = cand.id_a JOIN hs y ON y.doc_id = cand.id_b)
+         |WHERE jaccard >= 0.7""".stripMargin,
+
+    "q15_simhash" ->
+      s"WITH $SimhashCte SELECT doc_id, f AS fp FROM fp",
+
+    "q16_simhash_pairs" ->
+      s"""WITH $SimhashCte,
+         |ch AS (SELECT doc_id, f, generate_subscripts(cs, 1) - 1 AS chunk, unnest(cs) AS val
+         |  FROM (SELECT doc_id, f, list_transform(generate_series(0, 3), c2 -> (f >> (c2*8)) & 255) AS cs FROM fp)),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, a.f AS fa, b2.doc_id AS id_b, b2.f AS fb
+         |  FROM ch a JOIN ch b2 ON a.chunk = b2.chunk AND a.val = b2.val AND a.doc_id < b2.doc_id)
+         |SELECT id_a, id_b, bit_count(xor(fa, fb)) AS dist FROM cand
+         |WHERE bit_count(xor(fa, fb)) <= 3""".stripMargin,
+
+    "q17_embed_pairs" ->
+      s"""WITH $EmbCte,
+         |bk AS (SELECT id, ${bucket("v")} AS bucket FROM ed),
+         |pr AS (SELECT id, $ProbeExpr FROM bk),
+         |cand AS (SELECT DISTINCT a.id AS id_a, b2.id AS id_b FROM pr a
+         |  JOIN pr b2 ON a.pb = b2.pb AND a.id < b2.id)
+         |SELECT * FROM (SELECT id_a, id_b, round(${cos("x.v", "y.v")}, 4) AS cos
+         |  FROM cand JOIN ed x ON x.id = cand.id_a JOIN ed y ON y.id = cand.id_b)
+         |WHERE cos >= 0.3""".stripMargin,
+
+    "q18_ann_brute" ->
+      s"""WITH $EmbCte,
+         |q AS (SELECT id AS query_id, v AS qv FROM ed WHERE id < 5),
+         |scored AS (SELECT query_id, id AS vec_id, round(${cos("qv", "v")}, 6) AS cos FROM ed CROSS JOIN q)
+         |SELECT query_id, vec_id, cos, rn AS rank FROM
+         |  (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rn FROM scored)
+         |WHERE rn <= 10""".stripMargin,
+
+    "q19_ann_lsh" ->
+      s"""WITH $EmbCte,
+         |bk AS (SELECT id, v, ${bucket("v")} AS bucket FROM ed),
+         |pr AS (SELECT id AS query_id, $ProbeExpr FROM bk WHERE id < 5),
+         |cand AS (SELECT DISTINCT pr.query_id, bk.id AS vec_id FROM pr JOIN bk ON pr.pb = bk.bucket),
+         |scored AS (SELECT c.query_id, c.vec_id, round(${cos("q.v", "e2.v")}, 6) AS cos
+         |  FROM cand c JOIN ed q ON q.id = c.query_id JOIN ed e2 ON e2.id = c.vec_id)
+         |SELECT query_id, vec_id, cos, rn AS rank FROM
+         |  (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rn FROM scored)
+         |WHERE rn <= 10""".stripMargin,
+
+    "q20_embed_agg" ->
+      """WITH f AS (SELECT label, generate_subscripts(embedding, 1) - 1 AS dim,
+        |    CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings)
+        |SELECT label, dim, count(*) AS n, sum(x) AS s, sum(x) / count(*) AS m
+        |FROM f GROUP BY label, dim""".stripMargin,
+
+    "q21_vec_ops" ->
+      s"""WITH $EmbCte
+         |SELECT id AS vec_id, sqrt(${dot("v", "v")}) AS nrm,
+         |  ${dot("v", "list_reverse(v)")} AS dotrev FROM ed""".stripMargin,
+
+    // ---- span operators over the tokens relation ----
+
+    "q22_tokens" ->
+      s"""WITH $ToksCte SELECT doc_id, token_id, "begin", "end", text FROM toks""",
+
+    "q23_extract_regex" ->
+      s"""WITH $ToksCte SELECT doc_id, "begin", "end", text AS match FROM toks WHERE text LIKE 's%'""",
+
+    "q24_extract_regex_tok" ->
+      s"""WITH $ToksCte
+         |SELECT t1.doc_id, t1.token_id AS begin_tok, t1.token_id + 2 AS end_tok,
+         |  t1."begin", t2."end", t1.text || ' ' || t2.text AS match
+         |FROM toks t1 JOIN toks t2 ON t1.doc_id = t2.doc_id AND t2.token_id = t1.token_id + 1
+         |WHERE t1.text = 'key'""".stripMargin,
+
+    "q25_extract_dict" ->
+      s"""WITH $ToksCte
+         |SELECT doc_id, token_id AS begin_tok, token_id + 1 AS end_tok, "begin", "end"
+         |  FROM toks WHERE text = 'key'
+         |UNION ALL
+         |SELECT t1.doc_id, t1.token_id, t1.token_id + 2, t1."begin", t2."end"
+         |  FROM toks t1 JOIN toks t2 ON t1.doc_id = t2.doc_id AND t2.token_id = t1.token_id + 1
+         |  WHERE t1.text = 'key' AND t2.text = 'agg'
+         |UNION ALL
+         |SELECT t1.doc_id, t1.token_id, t1.token_id + 2, t1."begin", t2."end"
+         |  FROM toks t1 JOIN toks t2 ON t1.doc_id = t2.doc_id AND t2.token_id = t1.token_id + 1
+         |  WHERE t1.text = 'slow' AND t2.text = 'fast'
+         |UNION ALL
+         |SELECT t1.doc_id, t1.token_id, t1.token_id + 3, t1."begin", t3."end"
+         |  FROM toks t1
+         |  JOIN toks t2 ON t1.doc_id = t2.doc_id AND t2.token_id = t1.token_id + 1
+         |  JOIN toks t3 ON t1.doc_id = t3.doc_id AND t3.token_id = t1.token_id + 2
+         |  WHERE t1.text = 'the' AND t2.text = 'spark' AND t3.text = 'join'""".stripMargin,
+
+    "q26_extract_split" ->
+      s"""WITH $ToksCte SELECT doc_id, "begin", "end", text AS chunk FROM toks""",
+
+    "q27_adjacent_join" ->
+      s"""WITH $ToksCte
+         |SELECT t1.doc_id, t1.token_id AS f_bt, t2.token_id AS s_bt
+         |FROM toks t1 JOIN toks t2 ON t1.doc_id = t2.doc_id
+         |  AND t2.token_id BETWEEN t1.token_id + 1 AND t1.token_id + 2
+         |WHERE t1.text = 'key'""".stripMargin,
+
+    "q28_overlap_join" ->
+      s"""WITH $ToksCte,
+         |w3 AS (SELECT a.doc_id, a."begin" AS b, c."end" AS e FROM toks a
+         |  JOIN toks c ON a.doc_id = c.doc_id AND c.token_id = a.token_id + 2 WHERE a.token_id % 5 = 0),
+         |w2 AS (SELECT a.doc_id, a."begin" AS b, c."end" AS e FROM toks a
+         |  JOIN toks c ON a.doc_id = c.doc_id AND c.token_id = a.token_id + 1 WHERE a.token_id % 3 = 0)
+         |SELECT DISTINCT w3.doc_id, w3.b AS f_b, w3.e AS f_e, w2.b AS s_b, w2.e AS s_e
+         |FROM w3 JOIN w2 ON w3.doc_id = w2.doc_id
+         |  AND ((w3.b = w2.b AND w3.e = w2.e) OR NOT (w2.b >= w3.e OR w2.e <= w3.b))""".stripMargin,
+
+    "q29_contain_join" ->
+      s"""WITH $ToksCte,
+         |w4 AS (SELECT a.doc_id, a."begin" AS b, c."end" AS e FROM toks a
+         |  JOIN toks c ON a.doc_id = c.doc_id AND c.token_id = a.token_id + 3 WHERE a.token_id % 4 = 0)
+         |SELECT DISTINCT w4.doc_id, w4.b AS f_b, w4.e AS f_e, t."begin" AS s_b, t."end" AS s_e
+         |FROM w4 JOIN toks t ON w4.doc_id = t.doc_id
+         |  AND ((w4.b = t."begin" AND w4.e = t."end") OR NOT (t."begin" >= w4.e OR t."end" <= w4.b))
+         |  AND t."begin" >= w4.b AND t."end" <= w4.e""".stripMargin,
+
+    "q30_span_sum" ->
+      s"""WITH $ToksCte
+         |SELECT doc_id, min("begin") AS "begin", max("end") AS "end", count(*) AS n
+         |FROM toks WHERE text LIKE 's%' GROUP BY doc_id""".stripMargin,
+
+    "q31_iob_to_spans" ->
+      s"""WITH $ToksCte, $EntsCte
+         |SELECT doc_id, begin_tok, end_tok, "begin", "end", ent_type FROM ents WHERE ft = 'B'""".stripMargin,
+
+    "q32_spans_to_iob" ->
+      s"""WITH $ToksCte, $EntsCte,
+         |eb AS (SELECT * FROM ents WHERE ft = 'B')
+         |SELECT t.doc_id, t.token_id,
+         |  CASE WHEN t.token_id = eb.begin_tok THEN 'B'
+         |       WHEN eb.begin_tok IS NOT NULL THEN 'I' ELSE 'O' END AS ent_iob,
+         |  coalesce(eb.ent_type, '') AS ent_type
+         |FROM toks t LEFT JOIN eb ON t.doc_id = eb.doc_id
+         |  AND t.token_id >= eb.begin_tok AND t.token_id < eb.end_tok""".stripMargin,
+
+    "q33_iob2_correction" ->
+      s"""WITH $ToksCte,
+         |tg AS (SELECT doc_id, token_id,
+         |    CASE WHEN text IN ('key', 'value') THEN 'I' ELSE 'O' END AS iob,
+         |    CASE WHEN text = 'key' THEN 'K' WHEN text = 'value' THEN 'V' END AS typ,
+         |    token_id // 10 AS sent_b FROM toks),
+         |lg AS (SELECT *, lag(iob) OVER w AS piob, lag(typ) OVER w AS ptyp, lag(sent_b) OVER w AS psb
+         |  FROM tg WINDOW w AS (PARTITION BY doc_id ORDER BY token_id))
+         |SELECT doc_id, token_id,
+         |  CASE WHEN iob = 'I' AND (piob IS NULL OR piob = 'O'
+         |    OR typ IS DISTINCT FROM ptyp OR sent_b IS DISTINCT FROM psb) THEN 'B'
+         |  ELSE iob END AS ent_iob
+         |FROM lg""".stripMargin,
+
+    "q34_prf" ->
+      s"""WITH $ToksCte, $EntsCte,
+         |pred AS (SELECT doc_id, begin_tok, end_tok, "begin", "end", ent_type FROM ents WHERE ft = 'B'),
+         |gold AS (SELECT doc_id, token_id AS begin_tok, token_id + 1 AS end_tok, "begin", "end",
+         |    'K' AS ent_type FROM toks WHERE text = 'key'),
+         |tp AS (SELECT p.doc_id, count(*) AS c FROM pred p JOIN gold g ON p.doc_id = g.doc_id
+         |  AND p.begin_tok = g.begin_tok AND p.end_tok = g.end_tok
+         |  AND p."begin" = g."begin" AND p."end" = g."end" AND p.ent_type = g.ent_type
+         |  GROUP BY p.doc_id),
+         |np AS (SELECT doc_id, count(*) AS n_pred FROM pred GROUP BY doc_id),
+         |ng AS (SELECT doc_id, count(*) AS n_gold FROM gold GROUP BY doc_id),
+         |j AS (SELECT coalesce(np.doc_id, ng.doc_id) AS doc_id,
+         |    coalesce(n_pred, 0) AS n_pred, coalesce(n_gold, 0) AS n_gold
+         |  FROM np FULL JOIN ng ON np.doc_id = ng.doc_id),
+         |k AS (SELECT j.doc_id, n_pred, n_gold, coalesce(c, 0) AS tp FROM j LEFT JOIN tp ON j.doc_id = tp.doc_id),
+         |pr AS (SELECT *, CASE WHEN n_pred > 0 THEN CAST(tp AS DOUBLE) / n_pred ELSE 0.0 END AS precision,
+         |    CASE WHEN n_gold > 0 THEN CAST(tp AS DOUBLE) / n_gold ELSE 0.0 END AS recall FROM k)
+         |SELECT doc_id, n_pred, n_gold, tp, precision, recall,
+         |  CASE WHEN precision + recall > 0 THEN 2*precision*recall / (precision + recall) ELSE 0.0 END AS f1
+         |FROM pr""".stripMargin,
+
+    "q35_consolidate" ->
+      s"""WITH $ToksCte
+         |SELECT a.doc_id, a."begin", c."end" FROM toks a
+         |JOIN toks c ON a.doc_id = c.doc_id AND c.token_id = a.token_id + 2
+         |WHERE a.token_id % 3 = 0""".stripMargin,
+
+    "q36_lemmatize" ->
+      s"""WITH $ToksCte
+         |SELECT t1.doc_id, t1.token_id AS begin_tok,
+         |  regexp_replace(t1.text, 's+$$', '') || ' ' || regexp_replace(t2.text, 's+$$', '') AS lemmas
+         |FROM toks t1 JOIN toks t2 ON t1.doc_id = t2.doc_id AND t2.token_id = t1.token_id + 1
+         |WHERE t1.token_id % 4 = 0""".stripMargin,
+
+    "q41_context" ->
+      s"""WITH $ToksCte
+         |SELECT t.doc_id, t."begin",
+         |  substr(d.text, CAST(greatest(1, t."begin" + 1 - 10) AS BIGINT), CAST(least(t."begin", 10) AS BIGINT)) || '[' ||
+         |  substr(d.text, CAST(t."begin" + 1 AS BIGINT), CAST(t."end" - t."begin" AS BIGINT)) || ']' ||
+         |  substr(d.text, CAST(t."end" + 1 AS BIGINT), 10) AS ctx
+         |FROM toks t JOIN documents d ON t.doc_id = d.doc_id
+         |WHERE t.text LIKE 's%'""".stripMargin,
+
+    "q42_unpack_semijoin" ->
+      s"""WITH $ToksCte
+         |SELECT doc_id, token_id, CAST("begin" + doc_id*1000 AS INT) AS "begin",
+         |  CAST("end" + doc_id*1000 AS INT) AS "end" FROM toks""".stripMargin
+  )
+}

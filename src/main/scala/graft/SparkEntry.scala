@@ -1,13 +1,339 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, StructType}
+import graft.operators._
+import graft.{spans => S}
+
+/**
+ * Driver contract (SURVEY.md §7 + the builder prompt): one declared query
+ * per implemented operator, each paired (in [[Oracles.sql]]) with equivalent
+ * DuckDB SQL over the same parquet tables for the differential correctness
+ * gate. Query lambdas take (session, sf-dir).
+ *
+ * Every lambda builds ONE lazy DataFrame plan — no driver-side actions —
+ * so the driver can count/collect/write it and Catalyst sees the whole
+ * pipeline (pushdown into the parquet scans, broadcast of small sides).
+ */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+
+  // ---- table readers ----
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  private def embeds(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+
+  /** Embeddings with the vector cast to double: keeps every downstream
+    * fold (dot, norm, bucket projections) in double precision so results
+    * are bit-identical to the oracle's double arithmetic. */
+  private def embedsD(s: SparkSession, dir: String): DataFrame =
+    embeds(s, dir).select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("embedding"), col("label"))
+
+  private def lineitem(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/lineitem.parquet")
+
+  private def orders(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/orders.parquet")
+
+  /** `events.ts` is parquet TIMESTAMP(NANOS) — Spark reads it as a nano
+    * LongType under spark.sql.legacy.parquet.nanosAsLong=true (set by
+    * Verify/Bench); queries use integer nano arithmetic. */
+  private def events(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/events.parquet")
+
+  /** Standard tokens relation (doc_id, token_id, span, text, normalized_text). */
+  private def toks(s: SparkSession, dir: String): DataFrame =
+    Tokenize.normalizedTokens(docs(s, dir))
+
+  /** Tokens as token-span structs (begin_tok/end_tok + char offsets). */
+  private def tokSpans(t: DataFrame): DataFrame =
+    t.select(col("doc_id"), col("token_id"), col("text"),
+      S.tokenSpan(col("token_id"), col("token_id") + 1,
+        col("span")("begin"), col("span")("end")).as("span"))
+
+  /** n-token char-span windows anchored at token_id % mod == 0. */
+  private def win(t: DataFrame, n: Int, mod: Int): DataFrame = {
+    val a = t.select(col("doc_id"), col("token_id"), col("span")("begin").as("b"))
+      .filter(col("token_id") % mod === 0)
+    val c = t.select(col("doc_id").as("doc_id2"), col("token_id").as("tid2"),
+      col("span")("end").as("e"))
+    a.join(c, col("doc_id") === col("doc_id2") && col("tid2") === col("token_id") + (n - 1))
+      .select(col("doc_id"), S.span(col("b"), col("e")).as("span"))
+  }
+
+  /** Synthetic IOB tagging rule shared by q31/q32/q34: 'key' begins an
+    * entity (type K), following 'value' tokens continue it. */
+  private def tagged(t: DataFrame): DataFrame = t
+    .withColumn("ent_iob",
+      when(col("text") === "key", "B").when(col("text") === "value", "I").otherwise("O"))
+    .withColumn("ent_type", when(col("text") === "key", lit("K")))
+
+  /** Flagship query (driver smoke-checks rows > 0 on sf0.001): the
+    * market-intelligence-style spanner pipeline — tokenize, dictionary
+    * extraction, consolidate, covered text (SURVEY §7.2 step 2). */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val d = docs(spark, dir)
+    val t = toks(spark, dir)
+    import spark.implicits._
+    val dict = Extract.createDict(
+      Seq("key", "key agg", "slow fast", "the spark join").toDF("entry"))
+    val matches = Extract.extractDict(d, t, dict)
+    Consolidate.consolidate(matches, "span")
+      .join(d.select(col("doc_id"), col("text").as("__t")), "doc_id")
+      .select(col("doc_id"), col("span"),
+        S.coveredText(col("__t"), col("span")).as("match"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- relational core (native Spark SQL surface) ----
+
+    "q01_lineitem_agg" -> ((s, dir) =>
+      lineitem(s, dir).groupBy("l_returnflag", "l_linestatus")
+        .agg(sum("l_quantity").as("sum_qty"), sum("l_extendedprice").as("sum_price"),
+          avg("l_discount").as("avg_disc"), count(lit(1)).as("n"))),
+
+    "q02_priority_revenue" -> ((s, dir) =>
+      orders(s, dir).join(lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(countDistinct("o_orderkey").as("n_orders"),
+          sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))),
+
+    "q03_top_orders" -> ((s, dir) =>
+      orders(s, dir).orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10).select("o_orderkey", "o_totalprice")),
+
+    "q04_events_hourly" -> ((s, dir) =>
+      events(s, dir).groupBy(expr("ts div 3600000000000").as("hour_id"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))),
+
+    "q05_user_sessions" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts")
+      events(s, dir)
+        .withColumn("__prev", lag("ts", 1).over(w))
+        .withColumn("__new",
+          when(col("__prev").isNull || col("ts") - col("__prev") > 1800000000000L, 1)
+            .otherwise(0))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"), sum("__new").as("n_sessions"))
+    }),
+
+    "q40_json_props" -> ((s, dir) =>
+      events(s, dir).select(col("event_id"),
+        from_json(col("props"), new StructType().add("k", IntegerType))("k").as("k"))),
+
+    // ---- text analysis (TextAnalysis — pure expression trees) ----
+
+    "q06_token_counts" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        TextAnalysis.tokenCountWs(col("text")).as("n_ws"),
+        TextAnalysis.tokenCountBpe(col("text")).as("n_bpe"))),
+
+    "q07_lang_id" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))),
+
+    "q08_quality" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("quality"))),
+
+    "q09_fingerprint" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))),
+
+    "q10_shingles" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        size(TextAnalysis.shingleHashes(col("text"), 3)).as("n_sh"),
+        array_min(TextAnalysis.shingleHashes(col("text"), 3)).as("min_h"))),
+
+    "q11_text_stats" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        round(TextAnalysis.alnumRatio(col("text")), 4).as("alnum_r"),
+        round(TextAnalysis.punctRatio(col("text")), 4).as("punct_r"),
+        round(TextAnalysis.meanWordLen(col("text")), 4).as("mean_wl"))),
+
+    // ---- dedup / similarity ----
+
+    "q12_exact_dup" -> ((s, dir) =>
+      Dedup.exactDupPairs(docs(s, dir).select(col("doc_id"),
+        concat_ws(" ", slice(split(col("text"), " "), 1, 3)).as("text")))),
+
+    "q13_minhash_bands" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        posexplode(Dedup.lshBandKeys(
+          Dedup.minhashSignature(col("text"), 8, 3), 8, 4)).as(Seq("band", "key")))),
+
+    "q14_minhash_pairs" -> ((s, dir) =>
+      Dedup.minhashDupPairs(docs(s, dir), threshold = 0.7, k = 8, bands = 4, shingleK = 3)),
+
+    "q15_simhash" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"), Dedup.simhash(col("text")).as("fp"))),
+
+    "q16_simhash_pairs" -> ((s, dir) =>
+      Dedup.simhashDupPairs(docs(s, dir), maxDist = 3)),
+
+    "q17_embed_pairs" -> ((s, dir) =>
+      Dedup.embeddingDupPairs(embedsD(s, dir), tau = 0.3)),
+
+    "q18_ann_brute" -> ((s, dir) => {
+      val e = embedsD(s, dir)
+      val q = e.filter(col("vec_id") < 5).select(col("vec_id").as("query_id"), col("embedding"))
+      Similarity.bruteForceTopK(e, q, k = 10)
+    }),
+
+    "q19_ann_lsh" -> ((s, dir) => {
+      val e = embedsD(s, dir)
+      val q = e.filter(col("vec_id") < 5).select(col("vec_id").as("query_id"), col("embedding"))
+      Similarity.lshTopK(e, q, k = 10)
+    }),
+
+    "q20_embed_agg" -> ((s, dir) =>
+      embeds(s, dir).groupBy("label")
+        .agg(tensor.sumVec(col("embedding")).as("sv"), count(lit(1)).as("n"))
+        .select(col("label"), col("n"),
+          posexplode(col("sv")).as(Seq("dim", "s")))
+        .withColumn("m", col("s") / col("n"))
+        .select("label", "dim", "n", "s", "m")),
+
+    "q21_vec_ops" -> ((s, dir) =>
+      embedsD(s, dir).select(col("vec_id"),
+        tensor.norm2(col("embedding")).as("nrm"),
+        tensor.dot(col("embedding"), reverse(col("embedding"))).as("dotrev"))),
+
+    // ---- span operators ----
+
+    "q22_tokens" -> ((s, dir) =>
+      toks(s, dir).select(col("doc_id"), col("token_id"),
+        col("span")("begin").as("begin"), col("span")("end").as("end"), col("text"))),
+
+    "q23_extract_regex" -> ((s, dir) =>
+      Extract.extractRegex(docs(s, dir), "\\bs[a-z0-9]*")
+        .select(col("doc_id"), col("span")("begin").as("begin"),
+          col("span")("end").as("end"), col("match"))),
+
+    "q24_extract_regex_tok" -> ((s, dir) =>
+      Extract.extractRegexTok(docs(s, dir), toks(s, dir), "key [a-z0-9]+", 2, 2)
+        .select(col("doc_id"), col("span")("begin_tok").as("begin_tok"),
+          col("span")("end_tok").as("end_tok"), col("span")("begin").as("begin"),
+          col("span")("end").as("end"), col("match"))),
+
+    "q25_extract_dict" -> ((s, dir) => {
+      import s.implicits._
+      val dict = Extract.createDict(
+        Seq("key", "key agg", "slow fast", "the spark join").toDF("entry"))
+      Extract.extractDict(docs(s, dir), toks(s, dir), dict)
+        .select(col("doc_id"), col("span")("begin_tok").as("begin_tok"),
+          col("span")("end_tok").as("end_tok"), col("span")("begin").as("begin"),
+          col("span")("end").as("end"))
+    }),
+
+    "q26_extract_split" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val splitPoints = Extract.extractRegex(d, " ").select("doc_id", "span")
+      Extract.extractSplit(d, splitPoints)
+        .join(d.select(col("doc_id"), col("text").as("__t")), "doc_id")
+        .select(col("doc_id"), col("span")("begin").as("begin"),
+          col("span")("end").as("end"), S.coveredText(col("__t"), col("span")).as("chunk"))
+    }),
+
+    "q27_adjacent_join" -> ((s, dir) => {
+      val ts = tokSpans(toks(s, dir))
+      SpanJoin.adjacentJoin(ts.filter(col("text") === "key"), ts, minGap = 0, maxGap = 1)
+        .select(col("doc_id"), col("first")("begin_tok").as("f_bt"),
+          col("second")("begin_tok").as("s_bt"))
+    }),
+
+    "q28_overlap_join" -> ((s, dir) => {
+      val t = toks(s, dir)
+      SpanJoin.overlapJoin(win(t, 3, 5), win(t, 2, 3))
+        .select(col("doc_id"), col("first")("begin").as("f_b"), col("first")("end").as("f_e"),
+          col("second")("begin").as("s_b"), col("second")("end").as("s_e"))
+    }),
+
+    "q29_contain_join" -> ((s, dir) => {
+      val t = toks(s, dir)
+      SpanJoin.containJoin(win(t, 4, 4), t.select(col("doc_id"), col("span")))
+        .select(col("doc_id"), col("first")("begin").as("f_b"), col("first")("end").as("f_e"),
+          col("second")("begin").as("s_b"), col("second")("end").as("s_e"))
+    }),
+
+    "q30_span_sum" -> ((s, dir) =>
+      toks(s, dir).filter(col("text").startsWith("s"))
+        .groupBy("doc_id")
+        .agg(S.spanSum(col("span")).as("cov"), count(lit(1)).as("n"))
+        .select(col("doc_id"), col("cov")("begin").as("begin"),
+          col("cov")("end").as("end"), col("n"))),
+
+    "q31_iob_to_spans" -> ((s, dir) =>
+      Iob.iobToSpans(tagged(toks(s, dir)))
+        .select(col("doc_id"), col("span")("begin_tok").as("begin_tok"),
+          col("span")("end_tok").as("end_tok"), col("span")("begin").as("begin"),
+          col("span")("end").as("end"), col("ent_type"))),
+
+    "q32_spans_to_iob" -> ((s, dir) => {
+      val t = toks(s, dir)
+      Iob.spansToIob(t, Iob.iobToSpans(tagged(t)))
+        .select(col("doc_id"), col("token_id"), col("ent_iob"),
+          coalesce(col("ent_type"), lit("")).as("ent_type"))
+    }),
+
+    "q33_iob2_correction" -> ((s, dir) =>
+      Iob.iobToIob2(
+        toks(s, dir)
+          .withColumn("ent_iob", when(col("text").isin("key", "value"), "I").otherwise("O"))
+          .withColumn("ent_type",
+            when(col("text") === "key", "K").when(col("text") === "value", "V"))
+          .withColumn("sent_b", expr("token_id div 10")),
+        name = "ent", sentenceBeginCol = "sent_b")
+        .select("doc_id", "token_id", "ent_iob")),
+
+    "q34_prf" -> ((s, dir) => {
+      val t = toks(s, dir)
+      val pred = Iob.iobToSpans(tagged(t))
+      val gold = t.filter(col("text") === "key")
+        .select(col("doc_id"),
+          S.tokenSpan(col("token_id"), col("token_id") + 1,
+            col("span")("begin"), col("span")("end")).as("span"),
+          lit("K").as("ent_type"))
+      Iob.prfScores(pred, gold)
+    }),
+
+    "q35_consolidate" -> ((s, dir) =>
+      Consolidate.consolidate(win(toks(s, dir), 3, 1), "span")
+        .select(col("doc_id"), col("span")("begin").as("begin"),
+          col("span")("end").as("end"))),
+
+    "q36_lemmatize" -> ((s, dir) => {
+      val t = toks(s, dir)
+      val features = t.withColumn("lemma", regexp_replace(col("text"), "s+$", ""))
+      val spans2 = t.filter(col("token_id") % 4 === 0)
+        .join(t.select(col("doc_id").as("d2"), col("token_id").as("tid2")),
+          col("d2") === col("doc_id") && col("tid2") === col("token_id") + 1)
+        .select(col("doc_id"),
+          S.tokenSpan(col("token_id"), col("token_id") + 2, lit(0), lit(0)).as("span"))
+      Project.lemmatize(spans2, features)
+        .select(col("doc_id"), col("span")("begin_tok").as("begin_tok"), col("lemmas"))
+    }),
+
+    "q41_context" -> ((s, dir) => {
+      val d = docs(s, dir)
+      toks(s, dir).filter(col("text").startsWith("s"))
+        .join(d.select(col("doc_id"), col("text").as("__t")), "doc_id")
+        .select(col("doc_id"), col("span")("begin").as("begin"),
+          S.context(col("__t"), col("span"), 10).as("ctx"))
+    }),
+
+    "q42_unpack_semijoin" -> ((s, dir) =>
+      SpanJoin.unpackSemijoin(
+        toks(s, dir).withColumn("off", (col("doc_id") * 1000).cast("int")), "span", "off")
+        .select(col("doc_id"), col("token_id"),
+          col("span")("begin").as("begin"), col("span")("end").as("end")))
+  )
+
+  /** DuckDB-equivalent SQL for the correctness gate (see [[Oracles]]). */
+  def oracleSql: Map[String, String] = Oracles.sql
 }

@@ -35,8 +35,26 @@ object Dedup {
         count(lit(1)).as("n"),
         sort_array(collect_list(col(idCol))).as("all_ids"))
       .filter(col("n") > 1)
-      .withColumn("dup_ids", slice(col("all_ids"), 2, 1000000))
+      .withColumn("dup_ids", expr("slice(all_ids, 2, cast(n - 1 as int))"))
       .drop("all_ids")
+  }
+
+  /**
+   * Exact duplicates as (keep_id, dup_id) PAIRS — the scale-safe shape:
+   * no per-group array, so boilerplate texts duplicated millions of times
+   * (common at 100 TB) can't OOM an executor the way `collect_list` in
+   * [[exactDupGroups]] can. Two shuffles on the text key, narrow rows.
+   */
+  def exactDupPairs(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", byHash: Boolean = true): DataFrame = {
+    val key = if (byHash) md5(col(textCol)) else col(textCol)
+    val keyed = docs.select(key.as("text_key"), col(idCol).as("id"))
+    val keeps = keyed.groupBy("text_key")
+      .agg(min(col("id")).as("keep_id"), count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+    keyed.join(keeps, "text_key")
+      .filter(col("id") =!= col("keep_id"))
+      .select(col("keep_id"), col("id").as("dup_id"))
   }
 
   // ---- minhash + LSH ----
@@ -83,19 +101,27 @@ object Dedup {
   def minhashDupPairs(docs: DataFrame, threshold: Double = 0.8,
       k: Int = 16, bands: Int = 4, shingleK: Int = 3,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    // Band join carries ONLY (band, key, id): the shingle sets (≈ doc
+    // length) must not ride through the ×bands explode and self-join
+    // shuffle. Candidates join back to the narrow (id, shingle_set)
+    // relation once for the exact-Jaccard verify.
     val withSets = docs.select(col(idCol).as("id"),
       shingleHashes(col(textCol), shingleK).as("shingle_set"),
       minhashSignature(col(textCol), k, shingleK).as("sig"))
-    val banded = withSets.select(col("id"), col("shingle_set"),
+    val banded = withSets.select(col("id"),
       posexplode(lshBandKeys(col("sig"), k, bands)).as(Seq("band", "key")))
-    val a = banded.select(col("band"), col("key"), col("id").as("id_a"),
-      col("shingle_set").as("set_a"))
+    val a = banded.select(col("band"), col("key"), col("id").as("id_a"))
     val b = banded.select(col("band").as("band_b"), col("key").as("key_b"),
-      col("id").as("id_b"), col("shingle_set").as("set_b"))
-    a.join(b, col("band") === col("band_b") && col("key") === col("key_b") &&
-        col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("set_a"), col("set_b"))
+      col("id").as("id_b"))
+    val candidates = a.join(b,
+        col("band") === col("band_b") && col("key") === col("key_b") &&
+          col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
+    val sets = withSets.select(col("id"), col("shingle_set"))
+    candidates
+      .join(sets.withColumnsRenamed(Map("id" -> "id_a", "shingle_set" -> "set_a")), "id_a")
+      .join(sets.withColumnsRenamed(Map("id" -> "id_b", "shingle_set" -> "set_b")), "id_b")
       .withColumn("inter", size(array_intersect(col("set_a"), col("set_b"))))
       .withColumn("uni", size(array_union(col("set_a"), col("set_b"))))
       .withColumn("jaccard", round(col("inter").cast("double") / col("uni"), 4))
@@ -183,17 +209,24 @@ object Dedup {
   def embeddingDupPairs(embeddings: DataFrame, tau: Double = 0.95,
       nPlanes: Int = 8, probe: Boolean = true,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val withB = embeddings.select(col(idCol).as("id"), col(vecCol).as("v"),
-      signBucket(col(vecCol), nPlanes).as("bucket"))
+    // Narrow candidate generation: only (id, bucket) rides the ×(nPlanes+1)
+    // probe explode and self-join; candidate pairs then join back to the
+    // (id, vector) relation once for the exact-cosine verify.
+    val withV = embeddings.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val withB = withV.select(col("id"), signBucket(col("v"), nPlanes).as("bucket"))
     // multi-probe: each vector also lands in the nPlanes single-bit-flip buckets
     val probed = if (!probe) withB.withColumn("pbucket", col("bucket"))
-      else withB.select(col("id"), col("v"), explode(array(
+      else withB.select(col("id"), explode(array(
         (col("bucket") +: (0 until nPlanes).map(p =>
           col("bucket").bitwiseXOR(lit(1L << p)))): _*)).as("pbucket"))
-    val a = probed.select(col("pbucket"), col("id").as("id_a"), col("v").as("v_a"))
-    val b = probed.select(col("pbucket").as("pb2"), col("id").as("id_b"), col("v").as("v_b"))
-    a.join(b, col("pbucket") === col("pb2") && col("id_a") < col("id_b"))
+    val a = probed.select(col("pbucket"), col("id").as("id_a"))
+    val b = probed.select(col("pbucket").as("pb2"), col("id").as("id_b"))
+    val candidates = a.join(b, col("pbucket") === col("pb2") && col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
+    candidates
+      .join(withV.withColumnsRenamed(Map("id" -> "id_a", "v" -> "v_a")), "id_a")
+      .join(withV.withColumnsRenamed(Map("id" -> "id_b", "v" -> "v_b")), "id_b")
       .withColumn("cos", round(graft.tensor.cosine(col("v_a"), col("v_b")), 4))
       .filter(col("cos") >= tau)
       .select("id_a", "id_b", "cos")

@@ -119,10 +119,12 @@ object Extract {
             col("n_e").as("e"), col("toks"), col("n"))
       }
     }
+    // No global orderBy here: the reference sorts its output
+    // (spanner/extract.py:192-193) but a total sort is the caller's choice —
+    // at scale it is an all-to-one exchange most pipelines don't need.
     completed
       .select(col("doc_id"),
         spans.tokenSpan(col("begin_tok"), col("end_tok"), col("b"), col("e")).as("span"))
-      .orderBy(col("doc_id"), col("span")("begin"), col("span")("end"))
   }
 
   /**

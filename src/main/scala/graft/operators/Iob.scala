@@ -81,16 +81,23 @@ object Iob {
     val ents = entities.select(col("doc_id").as("e_doc_id"),
       col("span")("begin_tok").as("e_begin"), col("span")("end_tok").as("e_end"),
       col("ent_type").as("e_type"))
+    // Exactly one output row per token, like the reference: a token covered
+    // by several (overlapping, unconsolidated) entities keeps the one with
+    // the smallest (begin_tok, end_tok) — deterministic, no join fan-out.
+    val w = Window.partitionBy("doc_id", "token_id")
+      .orderBy(col("e_begin").asc_nulls_last, col("e_end").asc_nulls_last)
     tokens.join(ents,
         col("doc_id") === col("e_doc_id") &&
           col("token_id") >= col("e_begin") && col("token_id") < col("e_end"),
         "left")
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
       .withColumn("ent_iob",
         when(col("token_id") === col("e_begin"), "B")
           .when(col("e_begin").isNotNull, "I")
           .otherwise("O"))
       .withColumn("ent_type", col("e_type"))
-      .drop("e_doc_id", "e_begin", "e_end", "e_type")
+      .drop("e_doc_id", "e_begin", "e_end", "e_type", "__rn")
   }
 
   /**

@@ -1,0 +1,36 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Span projection operators (`lemmatize`, reference: spanner/project.py:36-66).
+ */
+object Project {
+
+  /**
+   * Replace each token span's covered text by the space-joined lemmas of its
+   * tokens (`lemmatize`, reference: spanner/project.py:36-66). The reference
+   * iterates spans in Python and indexes the token-features frame; here it is
+   * one range join tokens⋈spans on `[begin_tok, end_tok)` plus a groupBy —
+   * shuffle on doc_id only, order restored inside the aggregate with
+   * `array_sort` over (token_id, lemma) structs (no per-group sort pass).
+   *
+   * @param spansDf  relation with doc_id + a token-span column `on`
+   *                 (struct with begin_tok/end_tok); rows must be distinct
+   * @param tokenFeatures tokens relation with doc_id, token_id and `lemmaCol`
+   * @return spansDf columns + `lemmas` (space-joined, token order)
+   */
+  def lemmatize(spansDf: DataFrame, tokenFeatures: DataFrame, on: String = "span",
+      lemmaCol: String = "lemma"): DataFrame = {
+    val toks = tokenFeatures.select(col("doc_id").as("t_doc_id"),
+      col("token_id").as("t_tok"), col(lemmaCol).as("t_lemma"))
+    spansDf
+      .join(toks, col("doc_id") === col("t_doc_id") &&
+        col("t_tok") >= col(on)("begin_tok") && col("t_tok") < col(on)("end_tok"))
+      .groupBy(spansDf.columns.map(col): _*)
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("t_tok"), col("t_lemma").as("l")))),
+        x => x("l")), " ").as("lemmas"))
+  }
+}

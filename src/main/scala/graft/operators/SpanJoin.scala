@@ -47,34 +47,48 @@ object SpanJoin {
    * duplicate pairs from multi-block spans removed by row-key dedup.
    */
   def overlapJoin(first: DataFrame, second: DataFrame,
-      firstCol: String = "span", secondCol: String = "span"): DataFrame =
+      firstCol: String = "span", secondCol: String = "span",
+      blockChars: Int = 0): DataFrame =
     blockedJoin(first, second, firstCol, secondCol,
-      (a, b) => spans.overlaps(a, b))
+      (a, b) => spans.overlaps(a, b), blockChars)
 
   /**
    * All pairs where the first span contains the second (`contain_join`,
    * reference: spanner/join.py:174-203): overlap blocking + contains filter.
    */
   def containJoin(first: DataFrame, second: DataFrame,
-      firstCol: String = "span", secondCol: String = "span"): DataFrame =
+      firstCol: String = "span", secondCol: String = "span",
+      blockChars: Int = 0): DataFrame =
     blockedJoin(first, second, firstCol, secondCol,
-      (a, b) => spans.overlaps(a, b) && spans.containsSpan(a, b))
+      (a, b) => spans.overlaps(a, b) && spans.containsSpan(a, b), blockChars)
+
+  /** Default blocking factor (chars per block) when the caller doesn't pass
+    * one: wide enough that typical token/phrase spans hit 1-2 blocks. The
+    * result is identical for any factor (dedup + exact residual filter);
+    * only the candidate-pair count changes. */
+  val DefaultBlockChars = 32
 
   private def blockedJoin(first: DataFrame, second: DataFrame,
       firstCol: String, secondCol: String,
-      residual: (Column, Column) => Column): DataFrame = {
+      residual: (Column, Column) => Column, blockChars: Int): DataFrame = {
+    // Pre-aggregate each side to DISTINCT span values + multiplicities.
+    // Multi-block duplicate pairs are then removed by a value-based
+    // dropDuplicates, and input row multiplicity (the reference emits one
+    // output pair per input ROW pair, spanner/join.py:155-158) is restored
+    // at the end by exploding m1*m2 copies. Never key the dedup on
+    // monotonically_increasing_id: m_i_i is nondeterministic across stage
+    // retries and would silently corrupt the result under executor loss.
     val f = first.select(col("doc_id"), col(firstCol).as("first"))
-      .withColumn("__k1", monotonically_increasing_id())
+      .groupBy("doc_id", "first").agg(count(lit(1)).as("__m1"))
     val s = second.select(col("doc_id").as("doc_id2"), col(secondCol).as("second"))
-      .withColumn("__k2", monotonically_increasing_id())
+      .groupBy("doc_id2", "second").agg(count(lit(1)).as("__m2"))
 
-    // Blocking factor from data stats (one tiny agg job, AQE-style).
-    val lens = f.select((col("first")("end") - col("first")("begin")).as("l"))
-      .unionByName(s.select((col("second")("end") - col("second")("begin")).as("l")))
-    val row = lens.agg(sum("l").as("t"), count(lit(1)).as("n")).head
-    val avg = if (row.getLong(1) == 0) 0.0
-      else row.getLong(0).toDouble / row.getLong(1)
-    val b = math.max(1L, math.floor(avg).toLong)
+    // Blocking factor: the reference derives ⌊mean span length⌋ with an
+    // eager stats pass over both inputs (spanner/join.py:129-134). At scale
+    // that is 2x input I/O per join call, so the default here is a fixed
+    // factor; callers holding better stats (or a cached sample) pass their
+    // own `blockChars`. Correctness never depends on the factor.
+    val b = if (blockChars > 0) blockChars.toLong else DefaultBlockChars.toLong
 
     def blocks(df: DataFrame, c: String, blockName: String) = df.withColumn(blockName,
       explode(sequence(floor(col(c)("begin") / b).cast("long"),
@@ -83,8 +97,9 @@ object SpanJoin {
     val fb = blocks(f, "first", "block1")
     val sb = blocks(s, "second", "block2")
     fb.join(sb, col("doc_id") === col("doc_id2") && col("block1") === col("block2"))
-      .dropDuplicates("__k1", "__k2")
+      .dropDuplicates("doc_id", "first", "second")
       .filter(residual(col("first"), col("second")))
+      .withColumn("__copy", explode(sequence(lit(1L), col("__m1") * col("__m2"))))
       .select(col("doc_id"), col("first"), col("second"))
   }
 
