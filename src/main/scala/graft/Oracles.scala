@@ -403,6 +403,48 @@ object Oracles {
          |FROM toks t1 JOIN toks t2 ON t1.doc_id = t2.doc_id AND t2.token_id = t1.token_id + 1
          |WHERE t1.token_id % 4 = 0""".stripMargin,
 
+    "q37_flag_suspicious" ->
+      s"""WITH $ToksCte, $EntsCte,
+         |eb AS (SELECT doc_id, begin_tok, end_tok, ent_type FROM ents WHERE ft = 'B'),
+         |kk AS (SELECT doc_id, token_id AS begin_tok, token_id + 1 AS end_tok, 'K' AS ent_type
+         |  FROM toks WHERE text = 'key'),
+         |u AS (SELECT *, TRUE AS ig, 0 AS c FROM eb
+         |  UNION ALL SELECT *, FALSE, 1 FROM eb
+         |  UNION ALL SELECT *, FALSE, 1 FROM kk)
+         |SELECT doc_id, begin_tok, end_tok, ent_type, sum(c) AS n_models, bool_or(ig) AS in_gold
+         |FROM u GROUP BY doc_id, begin_tok, end_tok, ent_type""".stripMargin,
+
+    // window arithmetic mirror of Bert.seqToWindows with overlap=2,
+    // non_overlap=4: window_length=8, pre=2, stride=6; post = 8-((n+2)%6),
+    // collapsed by one stride when the remainder is 0.
+    "q38_bert_windows" ->
+      s"""WITH $ToksCte,
+         |n AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id),
+         |p AS (SELECT doc_id, n, CASE WHEN 8 - ((n + 2) % 6) = 8 THEN 2 ELSE 8 - ((n + 2) % 6) END AS post FROM n),
+         |w AS (SELECT doc_id, n, (n + 2 + post) // 6 AS nw FROM p),
+         |g AS (SELECT doc_id, n, unnest(generate_series(0, CAST(nw - 1 AS BIGINT))) AS win FROM w),
+         |j AS (SELECT doc_id, n, win, unnest(generate_series(0, 7)) AS pos FROM g)
+         |SELECT doc_id, win AS window_id, pos,
+         |  CASE WHEN win*6 + pos - 2 >= 0 AND win*6 + pos - 2 < n THEN win*6 + pos - 2 ELSE 0 END AS token_idx,
+         |  CASE WHEN win*6 + pos - 2 >= 0 AND win*6 + pos - 2 < n THEN 1 ELSE 0 END AS mask
+         |FROM j""".stripMargin,
+
+    "q39_media_frames" ->
+      """SELECT doc_id AS media_id, doc_id,
+        |  unnest(generate_series(0, CAST(n_chars*10 - 1 AS BIGINT), 500)) AS frame_ms
+        |FROM documents WHERE doc_id % 3 = 2 AND n_chars*10 > 0""".stripMargin,
+
+    "q43_media_features" -> {
+      // unrolled LCG chain of Multimodal.DecodeStub.decodeImage, seeded by
+      // the rolling hash of the first 64 bytes (= chars: text is ASCII)
+      val chain = (1 to 8).scanLeft("s0")((e, _) =>
+        s"(($e * 1103515245 + 12345) % 2147483647)").drop(1)
+      val fs = chain.map(e => s"round(CAST(($e) % 1000 AS DOUBLE) / 1000, 4)").mkString(", ")
+      s"""WITH m AS (SELECT doc_id AS media_id, ${H("substr(text, 1, 64)")} AS s0 FROM documents),
+         |v AS (SELECT media_id, [$fs] AS fs FROM m)
+         |SELECT media_id, generate_subscripts(fs, 1) - 1 AS i, unnest(fs) AS f FROM v""".stripMargin
+    },
+
     "q41_context" ->
       s"""WITH $ToksCte
          |SELECT t.doc_id, t."begin",

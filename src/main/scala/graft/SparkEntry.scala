@@ -319,6 +319,31 @@ object SparkEntry {
         .select(col("doc_id"), col("span")("begin_tok").as("begin_tok"), col("lemmas"))
     }),
 
+    "q37_flag_suspicious" -> ((s, dir) => {
+      val t = toks(s, dir)
+      val runs = Iob.iobToSpans(tagged(t))
+      val keys = t.filter(col("text") === "key")
+        .select(col("doc_id"),
+          S.tokenSpan(col("token_id"), col("token_id") + 1,
+            col("span")("begin"), col("span")("end")).as("span"),
+          lit("K").as("ent_type"))
+      Cleaning.flagSuspiciousLabels(Seq("mA" -> runs, "mB" -> keys), gold = runs)
+        .select(col("doc_id"), col("span")("begin_tok").as("begin_tok"),
+          col("span")("end_tok").as("end_tok"), col("ent_type"),
+          col("count").as("n_models"), col("in_gold"))
+    }),
+
+    "q38_bert_windows" -> ((s, dir) =>
+      Bert.windowRows(toks(s, dir).select("doc_id", "token_id"), overlap = 2, nonOverlap = 4)),
+
+    "q39_media_frames" -> ((s, dir) =>
+      Multimodal.sampleVideoFrames(Multimodal.syntheticMedia(docs(s, dir)), everyMs = 500)),
+
+    "q43_media_features" -> ((s, dir) =>
+      Multimodal.extractImageFeatures(Multimodal.syntheticMedia(docs(s, dir)))
+        .select(col("media_id"), posexplode(col("features")).as(Seq("i", "f")))
+        .select(col("media_id"), col("i"), round(col("f").cast("double"), 4).as("f"))),
+
     "q41_context" -> ((s, dir) => {
       val d = docs(s, dir)
       toks(s, dir).filter(col("text").startsWith("s"))

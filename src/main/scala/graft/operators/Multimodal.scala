@@ -74,10 +74,11 @@ object Multimodal {
    * timestamp. Narrow generate — no shuffle.
    */
   def sampleVideoFrames(media: DataFrame, everyMs: Int = 1000): DataFrame = {
-    media.filter(col("kind") === "video")
+    // duration 0 (or negative/null) yields NO frames — consistent with
+    // DecodeStub.sampleFrames, which returns an empty range for 0 duration.
+    media.filter(col("kind") === "video" && col("meta")("duration_ms") > 0)
       .select(col("media_id"), col("doc_id"),
-        explode(sequence(lit(0),
-          greatest(col("meta")("duration_ms") - 1, lit(0)), lit(everyMs)))
+        explode(sequence(lit(0), col("meta")("duration_ms") - 1, lit(everyMs)))
           .as("frame_ms"))
   }
 
