@@ -445,6 +445,25 @@ object Oracles {
          |SELECT media_id, generate_subscripts(fs, 1) - 1 AS i, unnest(fs) AS f FROM v""".stripMargin
     },
 
+    "q44_watson_syntax" ->
+      s"""WITH $ToksCte
+         |SELECT t.doc_id, t."begin", t."end",
+         |  CASE WHEN len(t.text) > 4 THEN 'NOUN' ELSE 'DET' END AS part_of_speech,
+         |  regexp_replace(t.text, 's+$$', '') AS lemma,
+         |  0 AS s_b, len(d.text) AS s_e
+         |FROM toks t JOIN documents d ON t.doc_id = d.doc_id""".stripMargin,
+
+    "q45_watson_mentions" ->
+      s"""WITH $ToksCte
+         |SELECT doc_id, 'Word' AS type, 'key' AS text, "begin", "end", 0.5 AS confidence
+         |FROM toks WHERE text = 'key'""".stripMargin,
+
+    "q46_make_span_entities" ->
+      s"""WITH $ToksCte
+         |SELECT doc_id, 'key' AS entity, "begin", "end" FROM (
+         |  SELECT doc_id, "begin", "end", row_number() OVER (PARTITION BY doc_id ORDER BY token_id) AS rn
+         |  FROM toks WHERE text = 'key') WHERE rn <= 2""".stripMargin,
+
     "q41_context" ->
       s"""WITH $ToksCte
          |SELECT t.doc_id, t."begin",

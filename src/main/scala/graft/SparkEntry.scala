@@ -344,6 +344,56 @@ object SparkEntry {
         .select(col("media_id"), posexplode(col("features")).as(Seq("i", "f")))
         .select(col("media_id"), col("i"), round(col("f").cast("double"), 4).as("f"))),
 
+    // Watson NLU: Spark side synthesizes a real JSON response per document
+    // (token/sentence/entity payloads), then parses it back through the
+    // from_json plans; the oracle computes the expected relation directly.
+    "q44_watson_syntax" -> ((s, dir) => {
+      val t = toks(s, dir)
+      val tokJson = concat(lit("{\"text\":\""), col("text"),
+        lit("\",\"part_of_speech\":\""),
+        when(length(col("text")) > 4, "NOUN").otherwise("DET"),
+        lit("\",\"location\":["), col("span")("begin"), lit(","), col("span")("end"),
+        lit("],\"lemma\":\""), regexp_replace(col("text"), "s+$", ""), lit("\"}"))
+      val perDoc = t.withColumn("__tok", struct(col("token_id"), tokJson.as("j")))
+        .groupBy("doc_id")
+        .agg(array_join(transform(sort_array(collect_list(col("__tok"))),
+          x => x("j")), ",").as("toks_json"))
+      val responses = perDoc
+        .join(docs(s, dir).select(col("doc_id"), length(col("text")).as("__len")), "doc_id")
+        .select(col("doc_id"), concat(lit("{\"syntax\":{\"tokens\":["), col("toks_json"),
+          lit("],\"sentences\":[{\"location\":[0,"), col("__len"), lit("]}]}}")).as("response"))
+      sources.WatsonNlu.syntax(responses)
+        .select(col("doc_id"), col("span")("begin").as("begin"), col("span")("end").as("end"),
+          col("part_of_speech"), col("lemma"),
+          col("sentence")("begin").as("s_b"), col("sentence")("end").as("s_e"))
+    }),
+
+    "q45_watson_mentions" -> ((s, dir) => {
+      val keys = toks(s, dir).filter(col("text") === "key")
+      val mentionJson = concat(lit("{\"text\":\"key\",\"location\":["),
+        col("span")("begin"), lit(","), col("span")("end"), lit("],\"confidence\":0.5}"))
+      val responses = keys
+        .withColumn("__m", struct(col("token_id"), mentionJson.as("j")))
+        .groupBy("doc_id")
+        .agg(array_join(transform(sort_array(collect_list(col("__m"))), x => x("j")), ",")
+          .as("ms"))
+        .select(col("doc_id"), concat(
+          lit("{\"entities\":[{\"type\":\"Word\",\"text\":\"key\",\"mentions\":["),
+          col("ms"), lit("]}]}")).as("response"))
+      sources.WatsonNlu.entityMentions(responses)
+        .select(col("doc_id"), col("type"), col("text"),
+          col("span")("begin").as("begin"), col("span")("end").as("end"), col("confidence"))
+    }),
+
+    "q46_make_span_entities" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val ents = d.select(col("doc_id"), explode(array(lit(0), lit(1))).as("ent_idx"),
+        lit("key").as("text"))
+      sources.WatsonNlu.makeSpanFromEntities(d, ents)
+        .select(col("doc_id"), col("entity"),
+          col("span")("begin").as("begin"), col("span")("end").as("end"))
+    }),
+
     "q41_context" -> ((s, dir) => {
       val d = docs(s, dir)
       toks(s, dir).filter(col("text").startsWith("s"))
