@@ -268,6 +268,22 @@ object Oracles {
         |SELECT label, dim, count(*) AS n, sum(x) AS s, sum(x) / count(*) AS m
         |FROM f GROUP BY label, dim""".stripMargin,
 
+    "q47_embed_stats" ->
+      """WITH f AS (SELECT label, vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+        |    CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+        |st AS (SELECT label, dim, count(*) AS n, sum(x) AS sv, sum(x*x) AS ssv,
+        |    bool_or(x > 0.25) AS any_pos, bool_and(x > -0.5) AS all_ok FROM f GROUP BY label, dim),
+        |mn AS (SELECT label, dim, vec_id AS amin FROM
+        |  (SELECT label, dim, vec_id, row_number() OVER (PARTITION BY label, dim ORDER BY x, vec_id) AS rn FROM f)
+        |  WHERE rn = 1),
+        |mx AS (SELECT label, dim, vec_id AS amax FROM
+        |  (SELECT label, dim, vec_id, row_number() OVER (PARTITION BY label, dim ORDER BY x DESC, vec_id) AS rn FROM f)
+        |  WHERE rn = 1)
+        |SELECT st.label, st.dim, st.n, st.ssv/st.n - (st.sv/st.n)*(st.sv/st.n) AS var,
+        |  mn.amin, mx.amax, st.any_pos, st.all_ok
+        |FROM st JOIN mn ON st.label = mn.label AND st.dim = mn.dim
+        |  JOIN mx ON st.label = mx.label AND st.dim = mx.dim""".stripMargin,
+
     "q21_vec_ops" ->
       s"""WITH $EmbCte
          |SELECT id AS vec_id, sqrt(${dot("v", "v")}) AS nrm,

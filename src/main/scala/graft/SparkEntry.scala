@@ -199,6 +199,24 @@ object SparkEntry {
         .withColumn("m", col("s") / col("n"))
         .select("label", "dim", "n", "s", "m")),
 
+    "q47_embed_stats" -> ((s, dir) => {
+      val agg = embeds(s, dir).groupBy("label").agg(
+        count(lit(1)).as("n"),
+        tensor.sumVec(col("embedding")).as("sv"),
+        tensor.sumSqVec(col("embedding")).as("ssv"),
+        tensor.argminVec(col("vec_id"), col("embedding")).as("amin"),
+        tensor.argmaxVec(col("vec_id"), col("embedding")).as("amax"),
+        tensor.anyVec(transform(col("embedding"), x => x > 0.25f)).as("anyv"),
+        tensor.allVec(transform(col("embedding"), x => x > -0.5f)).as("allv"))
+      agg.select(col("label"), col("n"),
+          posexplode(arrays_zip(col("sv"), col("ssv"), col("amin"), col("amax"),
+            col("anyv"), col("allv"))).as(Seq("dim", "z")))
+        .select(col("label"), col("dim"), col("n"),
+          (col("z")("ssv") / col("n") - (col("z")("sv") / col("n")) * (col("z")("sv") / col("n"))).as("var"),
+          col("z")("amin").as("amin"), col("z")("amax").as("amax"),
+          col("z")("anyv").as("any_pos"), col("z")("allv").as("all_ok"))
+    }),
+
     "q21_vec_ops" -> ((s, dir) =>
       embedsD(s, dir).select(col("vec_id"),
         tensor.norm2(col("embedding")).as("nrm"),

@@ -206,13 +206,30 @@ object Conll {
     val tagsDf = spark.createDataFrame(lines, StructType(Seq(
       StructField("__pos", LongType), StructField(s"${name}_iob", StringType),
       StructField(s"${name}_type", StringType))))
-    // Global token position in corpus order (fold, doc_num, token_id)
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy("fold", "doc_num", "token_id")
+    // Global token position = per-document offset + token_id. The offsets
+    // come from a prefix sum over the per-(fold, doc_num) token COUNTS —
+    // one row per document, thousands of rows, not the token stream — so
+    // no partition ever sees more than the (tiny) document directory. The
+    // naive alternative (row_number over an unpartitioned window ordered
+    // by fold/doc/token) funnels the whole corpus through one task.
+    // Fold ordering matches wholeTextFiles' path order (alphabetical),
+    // which is also how the tag lines were numbered.
+    val docDirW = org.apache.spark.sql.expressions.Window
+      .orderBy("fold", "doc_num")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val offsets = corpusTokens.groupBy("fold", "doc_num")
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__off", coalesce(sum("__n").over(docDirW), lit(0L)))
+      .drop("__n")
     val base = corpusTokens
       .drop(s"${name}_iob", s"${name}_type")
-      .withColumn("__pos", row_number().over(w).cast("long") - 1)
-    val joined = base.join(tagsDf, Seq("__pos"), "inner").drop("__pos")
+      .join(broadcast(offsets), Seq("fold", "doc_num"))
+      .withColumn("__pos", col("__off") + col("token_id"))
+      .drop("__off")
+    // LEFT join: a tag-count mismatch surfaces as null tags on the
+    // unmatched tokens instead of silently dropping + misaligning rows
+    // (the reference warns on mismatch, io/conll.py:560-575).
+    val joined = base.join(tagsDf, Seq("__pos"), "left").drop("__pos")
     Iob.iobToIob2(joined, name)
   }
 

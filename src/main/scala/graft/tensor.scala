@@ -42,10 +42,10 @@ object tensor {
 
   // ---- axis-0 (cross-row) reductions (reference: array/tensor.py:618-630) ----
 
-  private def seqOp(f: (Double, Double) => Double)(buf: Array[Double],
-      v: Seq[Float]): Array[Double] = {
-    if (buf.isEmpty) v.map(_.toDouble).toArray
-    else { var i = 0; while (i < buf.length) { buf(i) = f(buf(i), v(i)); i += 1 }; buf }
+  private def seqOp(f: (Double, Double) => Double, init: Double => Double = identity)(
+      buf: Array[Double], v: Seq[Float]): Array[Double] = {
+    if (buf.isEmpty) v.map(x => init(x.toDouble)).toArray
+    else { var i = 0; while (i < buf.length) { buf(i) = f(buf(i), init(v(i))); i += 1 }; buf }
   }
 
   private def combOp(f: (Double, Double) => Double)(a: Array[Double],
@@ -54,10 +54,10 @@ object tensor {
     else { var i = 0; while (i < a.length) { a(i) = f(a(i), b(i)); i += 1 }; a }
   }
 
-  private def mkAgg(f: (Double, Double) => Double) =
+  private def mkAgg(f: (Double, Double) => Double, init: Double => Double = identity) =
     new Aggregator[Seq[Float], Array[Double], Seq[Double]] {
       def zero: Array[Double] = Array.empty
-      def reduce(b: Array[Double], v: Seq[Float]): Array[Double] = seqOp(f)(b, v)
+      def reduce(b: Array[Double], v: Seq[Float]): Array[Double] = seqOp(f, init)(b, v)
       def merge(a: Array[Double], b: Array[Double]): Array[Double] = combOp(f)(a, b)
       def finish(r: Array[Double]): Seq[Double] = r.toSeq
       def bufferEncoder: Encoder[Array[Double]] = ExpressionEncoder[Array[Double]]()
@@ -77,4 +77,104 @@ object tensor {
   /** Mean along axis 0: sumVec / count, composed at call sites. */
   def meanVec(c: Column, n: Column): Column =
     transform(sumVec(c), x => x / n)
+
+  /** Elementwise sum of squares along axis 0 — the second moment that,
+    * with sumVec and a count, yields var/std (tensor `std`/`var` along
+    * axis 0, reference: array/tensor.py:618-630; numpy ddof=0). */
+  val sumSqVec: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udaf(mkAgg(_ + _, x => x * x), ExpressionEncoder[Seq[Float]]())
+
+  /** Population variance along axis 0 from the two moment vectors:
+    * E[x²] − E[x]². */
+  def varVec(sumSq: Column, sum: Column, n: Column): Column =
+    zip_with(sumSq, sum, (ss, s) => ss / n - (s / n) * (s / n))
+
+  def stdVec(sumSq: Column, sum: Column, n: Column): Column =
+    transform(varVec(sumSq, sum, n), x => sqrt(x))
+
+  // ---- argmin/argmax along axis 0 (reference: array/tensor.py:618-630) ----
+
+  private def mkArgAgg(better: (Double, Double) => Boolean) =
+    new Aggregator[(Long, Seq[Float]), (Array[Long], Array[Double]), Seq[Long]] {
+      def zero: (Array[Long], Array[Double]) = (Array.empty, Array.empty)
+      def reduce(b: (Array[Long], Array[Double]),
+          in: (Long, Seq[Float])): (Array[Long], Array[Double]) = {
+        val (id, v) = in
+        if (b._1.isEmpty) (Array.fill(v.length)(id), v.map(_.toDouble).toArray)
+        else {
+          var i = 0
+          while (i < v.length) {
+            val x = v(i).toDouble
+            // ties break toward the smaller id — deterministic under any
+            // partitioning / merge order
+            if (better(x, b._2(i)) || (x == b._2(i) && id < b._1(i))) {
+              b._2(i) = x; b._1(i) = id
+            }
+            i += 1
+          }
+          b
+        }
+      }
+      def merge(a: (Array[Long], Array[Double]),
+          b: (Array[Long], Array[Double])): (Array[Long], Array[Double]) = {
+        if (a._1.isEmpty) b else if (b._1.isEmpty) a
+        else {
+          var i = 0
+          while (i < a._1.length) {
+            if (better(b._2(i), a._2(i)) || (b._2(i) == a._2(i) && b._1(i) < a._1(i))) {
+              a._2(i) = b._2(i); a._1(i) = b._1(i)
+            }
+            i += 1
+          }
+          a
+        }
+      }
+      def finish(r: (Array[Long], Array[Double])): Seq[Long] = r._1.toSeq
+      def bufferEncoder: Encoder[(Array[Long], Array[Double])] =
+        ExpressionEncoder[(Array[Long], Array[Double])]()
+      def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoder[Seq[Long]]()
+    }
+
+  /** Per-dimension id of the row with the minimum value (axis-0 argmin;
+    * the reference returns positional indices — here the caller's id
+    * column plays that role). Usage: argminVec(col("id"), col("vec")). */
+  val argminVec: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udaf(mkArgAgg(_ < _), ExpressionEncoder[(Long, Seq[Float])]())
+
+  val argmaxVec: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udaf(mkArgAgg(_ > _), ExpressionEncoder[(Long, Seq[Float])]())
+
+  // ---- any/all along axis 0 (reference: array/tensor.py:504-533) ----
+
+  private def mkBoolAgg(f: (Boolean, Boolean) => Boolean) =
+    new Aggregator[Seq[Boolean], Array[Boolean], Seq[Boolean]] {
+      def zero: Array[Boolean] = Array.empty
+      def reduce(b: Array[Boolean], v: Seq[Boolean]): Array[Boolean] = {
+        if (b.isEmpty) v.toArray
+        else { var i = 0; while (i < b.length) { b(i) = f(b(i), v(i)); i += 1 }; b }
+      }
+      def merge(a: Array[Boolean], b: Array[Boolean]): Array[Boolean] = {
+        if (a.isEmpty) b else if (b.isEmpty) a
+        else { var i = 0; while (i < a.length) { a(i) = f(a(i), b(i)); i += 1 }; a }
+      }
+      def finish(r: Array[Boolean]): Seq[Boolean] = r.toSeq
+      def bufferEncoder: Encoder[Array[Boolean]] = ExpressionEncoder[Array[Boolean]]()
+      def outputEncoder: Encoder[Seq[Boolean]] = ExpressionEncoder[Seq[Boolean]]()
+    }
+
+  /** Per-dimension OR across rows of a boolean-array column. */
+  val anyVec: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udaf(mkBoolAgg(_ || _), ExpressionEncoder[Seq[Boolean]]())
+
+  /** Per-dimension AND across rows of a boolean-array column. */
+  val allVec: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udaf(mkBoolAgg(_ && _), ExpressionEncoder[Seq[Boolean]]())
+
+  // ---- elementwise comparisons (reference: array/tensor.py:640-693) ----
+
+  def vecEq(a: Column, b: Column): Column = zip_with(a, b, (x, y) => x === y)
+  def vecLt(a: Column, b: Column): Column = zip_with(a, b, (x, y) => x < y)
+  def vecLe(a: Column, b: Column): Column = zip_with(a, b, (x, y) => x <= y)
+  def vecGt(a: Column, b: Column): Column = zip_with(a, b, (x, y) => x > y)
+  def vecGe(a: Column, b: Column): Column = zip_with(a, b, (x, y) => x >= y)
 }
