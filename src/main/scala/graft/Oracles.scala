@@ -480,6 +480,17 @@ object Oracles {
          |  SELECT doc_id, "begin", "end", row_number() OVER (PARTITION BY doc_id ORDER BY token_id) AS rn
          |  FROM toks WHERE text = 'key') WHERE rn <= 2""".stripMargin,
 
+    "q48_make_table" ->
+      """WITH c AS (SELECT l_orderkey % 100 AS doc_id, 0 AS table_idx,
+        |    l_linenumber AS row_idx, CAST(l_linenumber AS VARCHAR) AS row_key,
+        |    l_returnflag AS ck, l_orderkey*10 + l_linenumber AS b,
+        |    CAST(CAST(floor(l_quantity) AS INT) AS VARCHAR) AS v FROM lineitem)
+        |SELECT doc_id, table_idx, row_idx, row_key,
+        |  string_agg(CASE WHEN ck = 'A' THEN v END, ' | ' ORDER BY b, v) AS "A",
+        |  string_agg(CASE WHEN ck = 'N' THEN v END, ' | ' ORDER BY b, v) AS "N",
+        |  string_agg(CASE WHEN ck = 'R' THEN v END, ' | ' ORDER BY b, v) AS "R"
+        |FROM c GROUP BY doc_id, table_idx, row_idx, row_key""".stripMargin,
+
     "q41_context" ->
       s"""WITH $ToksCte
          |SELECT t.doc_id, t."begin",

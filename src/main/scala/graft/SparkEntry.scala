@@ -412,6 +412,20 @@ object SparkEntry {
           col("span")("begin").as("begin"), col("span")("end").as("end"))
     }),
 
+    // Watson Tables pivot reconstruction over a synthesized cells relation:
+    // every (doc, table) reconstructed in ONE groupBy().pivot() pass.
+    "q48_make_table" -> ((s, dir) => {
+      val cells = lineitem(s, dir).select(
+        (col("l_orderkey") % 100).as("doc_id"), lit(0).as("table_idx"),
+        col("l_linenumber").as("row_index_begin"),
+        lit("").as("row_header_texts"),
+        col("l_returnflag").as("column_header_texts"),
+        col("l_linenumber").as("column_index_begin"),
+        (col("l_orderkey") * 10 + col("l_linenumber")).as("begin"),
+        floor(col("l_quantity")).cast("int").cast("string").as("text"))
+      sources.WatsonTables.makeTable(cells)
+    }),
+
     "q41_context" -> ((s, dir) => {
       val d = docs(s, dir)
       toks(s, dir).filter(col("text").startsWith("s"))

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.WatsonTables
+
+/**
+ * Watson Tables against the reference's checked-in fixture
+ * (test_data/io/test_watson_tables/archive.json, exercised by
+ * io/watson/test_tables.py). Goldens read directly from the fixture JSON.
+ */
+class WatsonTablesSpec extends GraftSuite {
+
+  private lazy val archive: Map[String, String] = {
+    // archive.json maps name -> response dict; split into per-response JSON
+    // strings without a JSON library by re-serializing through Spark
+    val raw = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/root/reference/test_data/io/test_watson_tables/archive.json")))
+    import spark.implicits._
+    val df = spark.read.json(Seq(raw).toDS)
+    df.columns.map { name =>
+      name -> df.select(to_json(col(s"`$name`")).as("j")).head().getString(0)
+    }.toMap
+  }
+
+  private def responseDf(name: String) = {
+    import spark.implicits._
+    Seq((0L, archive(name))).toDF("doc_id", "response")
+  }
+
+  test("parse_response relations: headers + body cells (20-populous-countries)") {
+    val r = responseDf("20-populous-countries")
+    assert(WatsonTables.tables(r).count() == 1)
+    assert(WatsonTables.colHeaders(r).count() == 6)
+    assert(WatsonTables.rowHeaders(r).count() == 0)
+    val cells = WatsonTables.bodyCells(r)
+    assert(cells.count() == 126)
+    val c0 = cells.orderBy("begin").head()
+    assert(c0.getAs[String]("text") == "1" &&
+      c0.getAs[String]("column_header_texts") == "Rank")
+  }
+
+  test("make_table pivot reconstruction (tables.py:584-607)") {
+    val cells = WatsonTables.bodyCells(responseDf("20-populous-countries"))
+    val table = WatsonTables.makeTable(cells)
+    assert(table.count() == 21)
+    val cols = table.columns.toSet
+    assert(cols.contains("Rank") && cols.contains("Population") && cols.contains("Date"))
+    val row1 = table.filter(col("row_idx") === 1).head()
+    assert(row1.getAs[String]("Rank") == "1")
+    assert(row1.getAs[String]("Population") == "1,403,627,360")
+    val row3 = table.filter(col("row_idx") === 3).head()
+    assert(row3.getAs[String]("% of worldpopulation") == "4.23%")
+  }
+
+  test("double-header table: multi-header texts join with ' | '") {
+    val cells = WatsonTables.bodyCells(responseDf("double_header_table"))
+    assert(cells.count() == 16)
+    val c0 = cells.orderBy("begin").limit(1).head()
+    assert(c0.getAs[String]("row_header_texts") == "Statatory tax rate")
+    assert(c0.getAs[String]("column_header_texts") ==
+      "Three months ended setptember 30 | 2005")
+    val table = WatsonTables.makeTable(cells)
+    assert(table.count() == 4) // 4 row headers
+    assert(table.columns.contains("Three months ended setptember 30 | 2005"))
+  }
+
+  test("numeric conversion on explicit columns (tables.py:209-302)") {
+    val cells = WatsonTables.bodyCells(responseDf("20-populous-countries"))
+    val table = WatsonTables.convertNumericCols(WatsonTables.makeTable(cells),
+      Seq("Population", "Rank"))
+    val row1 = table.filter(col("row_idx") === 1).head()
+    assert(row1.getAs[Double]("Population") == 1403627360.0)
+    assert(row1.getAs[Double]("Rank") == 1.0)
+    val inferred = WatsonTables.inferNumericCols(cells)
+    assert(inferred.contains("Rank") && inferred.contains("Population"))
+    assert(!inferred.contains("Source"))
+  }
+}
