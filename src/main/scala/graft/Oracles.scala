@@ -491,6 +491,22 @@ object Oracles {
         |  string_agg(CASE WHEN ck = 'R' THEN v END, ' | ' ORDER BY b, v) AS "R"
         |FROM c GROUP BY doc_id, table_idx, row_idx, row_key""".stripMargin,
 
+    "q49_spacy_features" -> {
+      val stops = sqlList(operators.TextAnalysis.StopwordsEn)
+      s"""WITH $ToksCte,
+         |f AS (SELECT doc_id, token_id, "begin", "end", text,
+         |    list_contains($stops, text) AS is_stop,
+         |    max(token_id) OVER (PARTITION BY doc_id) AS mx FROM toks)
+         |SELECT doc_id, token_id, "begin", "end",
+         |  regexp_replace(text, 's+$$', '') AS lemma,
+         |  CASE WHEN is_stop THEN 'DET' WHEN len(text) > 4 THEN 'NOUN' ELSE 'X' END AS pos,
+         |  regexp_replace(regexp_replace(text, '[a-z]', 'x', 'g'), '[0-9]', 'd', 'g') AS shape,
+         |  regexp_matches(text, '^[A-Za-z]+$$') AS is_alpha, is_stop,
+         |  CASE WHEN token_id = 0 THEN -1 ELSE token_id - 1 END AS "left",
+         |  CASE WHEN token_id = mx THEN -1 ELSE token_id + 1 END AS "right"
+         |FROM f""".stripMargin
+    },
+
     "q41_context" ->
       s"""WITH $ToksCte
          |SELECT t.doc_id, t."begin",

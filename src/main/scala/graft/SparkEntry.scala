@@ -426,6 +426,14 @@ object SparkEntry {
       sources.WatsonTables.makeTable(cells)
     }),
 
+    "q49_spacy_features" -> ((s, dir) =>
+      sources.Spacy.makeTokensAndFeatures(docs(s, dir), addLeftAndRight = true)
+        .select(col("doc_id"), col("token_id"),
+          col("span")("begin").as("begin"), col("span")("end").as("end"),
+          col("lemma"), col("pos"), col("shape"), col("is_alpha"), col("is_stop"),
+          coalesce(col("left"), lit(-1)).as("left"),
+          coalesce(col("right"), lit(-1)).as("right"))),
+
     "q41_context" -> ((s, dir) => {
       val d = docs(s, dir)
       toks(s, dir).filter(col("text").startsWith("s"))

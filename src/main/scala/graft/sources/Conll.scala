@@ -37,6 +37,12 @@ object Conll {
   private class Sentence(columnNames: Seq[String], iobColumns: Seq[Boolean]) {
     val tokens = mutable.ArrayBuffer.empty[String]
     val lineNums = mutable.ArrayBuffer.empty[Int]
+    /** CoNLL-09 predicate-argument fields (reference: io/conll.py:292-306):
+      * the reference appends per-sentence `predicate` + `pred{i}arg`
+      * columns; the engine's fixed corpus-wide schema renders them as one
+      * string column + one array column per token. */
+    val predicates = mutable.ArrayBuffer.empty[String]
+    val predArgs = mutable.ArrayBuffer.empty[Seq[String]]
     /** Values per output meta column (name or name_iob/name_type). */
     val meta: mutable.LinkedHashMap[String, mutable.ArrayBuffer[String]] = {
       val m = mutable.LinkedHashMap.empty[String, mutable.ArrayBuffer[String]]
@@ -249,7 +255,9 @@ object Conll {
     * subtoken-range merging. Returns (sentence, metadata) pairs per doc. */
   private def parseConllU(content: String, columnNames: Seq[String],
       iobColumns: Seq[Boolean], mergeSubtokens: Boolean,
-      metadataFields: Map[String, String]):
+      metadataFields: Map[String, String],
+      hasPredicateArgs: Boolean = false,
+      separateSentencesByDoc: Boolean = false):
       Seq[Seq[(Sentence, Map[String, String])]] = {
     val docs = mutable.ArrayBuffer.empty[Seq[(Sentence, Map[String, String])]]
     var sentences = mutable.ArrayBuffer.empty[(Sentence, Map[String, String])]
@@ -277,7 +285,7 @@ object Conll {
       } else if (i > subtokEnd) {
         val elems = line.split("\t").toBuffer
         if (!elems.head.contains("-")) {
-          addConllULine(cur, elems.toSeq, i, columnNames)
+          addConllULine(cur, elems.toSeq, i, columnNames, hasPredicateArgs)
         } else if (mergeSubtokens) {
           // Merge the subtoken range into one token, joining fields with "|"
           val Array(startS, endS) = elems.head.split("-", 2)
@@ -288,7 +296,7 @@ object Conll {
               if (f < se.length && se(f) != "_") Some(se(f)) else None
             }.mkString("|")
           }
-          addConllULine(cur, combined.toSeq, i, columnNames)
+          addConllULine(cur, combined.toSeq, i, columnNames, hasPredicateArgs)
         }
         // without mergeSubtokens, range lines are skipped (word lines follow)
       }
@@ -296,11 +304,14 @@ object Conll {
     }
     if (cur.tokens.nonEmpty) sentences += ((cur, curMeta.toMap))
     if (sentences.nonEmpty) docs += sentences.toSeq
-    docs.toSeq
+    // `separate_sentences_by_doc` (io/conll.py:1082, 1170): every sentence
+    // becomes its own document, ignoring `# newdoc id` boundaries.
+    if (separateSentencesByDoc) docs.toSeq.flatten.map(Seq(_))
+    else docs.toSeq
   }
 
   private def addConllULine(cur: Sentence, elemsIn: Seq[String], lineNum: Int,
-      columnNames: Seq[String]): Unit = {
+      columnNames: Seq[String], hasPredicateArgs: Boolean = false): Unit = {
     var elems = elemsIn
     if (elems.length < 2 + columnNames.length)
       elems = elems ++ Seq.fill(2 + columnNames.length - elems.length)("_")
@@ -310,6 +321,14 @@ object Conll {
     cur.tokens += token
     cur.lineNums += lineNum
     cur.addTags(rawTags, lineNum, isConllU = true)
+    if (hasPredicateArgs) {
+      // CoNLL-09: fields beyond the standard layout are the predicate
+      // sense column plus one argument column per predicate in the
+      // sentence (io/conll.py:292-306); '_' → null like other tags.
+      val extras = elemsIn.drop(2 + columnNames.length)
+      cur.predicates += extras.headOption.filter(_ != "_").orNull
+      cur.predArgs += extras.drop(1).map(v => if (v == "_") null else v)
+    }
   }
 
   /**
@@ -324,23 +343,35 @@ object Conll {
       iobColumns: Seq[Boolean] = Nil,
       mergeSubtokens: Boolean = false,
       metadataFields: Map[String, String] = defaultEwtMetadata,
-      numericCols: Seq[String] = Seq("head", "line_num")): DataFrame = {
+      numericCols: Seq[String] = Seq("head", "line_num"),
+      hasPredicateArgs: Boolean = false,
+      separateSentencesByDoc: Boolean = false): DataFrame = {
     val metaCols = metaColsFor(columnNames, iobColumns)
     val extraCols = metadataFields.values.toSeq.sorted
+    val predFields =
+      if (hasPredicateArgs) Seq(StructField("predicate", StringType),
+        StructField("pred_args", ArrayType(StringType)))
+      else Nil
     val schema = StructType(tokensSchema(metaCols).fields ++
-      extraCols.map(c => StructField(c, StringType)))
+      extraCols.map(c => StructField(c, StringType)) ++ predFields)
     val cn = columnNames; val iobc = iobColumns; val ms = mergeSubtokens
-    val mf = metadataFields
+    val mf = metadataFields; val hpa = hasPredicateArgs; val ssd = separateSentencesByDoc
     val rdd = spark.sparkContext.wholeTextFiles(path).flatMap { case (file, content) =>
-      parseConllU(content, cn, iobc, ms, mf).zipWithIndex.flatMap { case (doc, docNum) =>
-        // token rows from the sentence data, then append per-sentence metadata
-        val rows = docToRows(file, docNum, doc.map(_._1), metaCols,
-          spaceBeforePunct = false)
-        // sentence index per token, to look up metadata
-        val sentMeta = doc.flatMap { case (s, m) => Seq.fill(s.tokens.length)(m) }
-        rows.zip(sentMeta).map { case (r, m) =>
-          Row.fromSeq(r.toSeq ++ extraCols.map(c => m.getOrElse(c, null)))
-        }
+      parseConllU(content, cn, iobc, ms, mf, hpa, ssd).zipWithIndex.flatMap {
+        case (doc, docNum) =>
+          // token rows from the sentence data, then append per-sentence metadata
+          val rows = docToRows(file, docNum, doc.map(_._1), metaCols,
+            spaceBeforePunct = false)
+          // sentence index per token, to look up metadata
+          val sentMeta = doc.flatMap { case (s, m) => Seq.fill(s.tokens.length)(m) }
+          val predVals: Seq[Seq[Any]] =
+            if (!hpa) rows.map(_ => Nil)
+            else doc.flatMap { case (s, _) =>
+              s.predicates.indices.map(i => Seq(s.predicates(i), s.predArgs(i)))
+            }
+          rows.lazyZip(sentMeta).lazyZip(predVals).map { case (r, m, p) =>
+            Row.fromSeq(r.toSeq ++ extraCols.map(c => m.getOrElse(c, null)) ++ p)
+          }
       }
     }
     var df = spark.createDataFrame(rdd, schema)

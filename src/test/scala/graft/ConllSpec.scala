@@ -100,4 +100,39 @@ class ConllSpec extends GraftSuite {
     assert(sid.toSeq == Seq(
       "weblog-blogspot.com_nominations_20041117172713_ENG_20041117_172713-0001"))
   }
+
+  test("conll_u predicate-args mode (CoNLL-09, io/conll.py:292-306)") {
+    val u = Conll.conllU(spark,
+      "/root/reference/test_data/io/test_conll/conll_09_test1.conllu",
+      hasPredicateArgs = true)
+    // sentence 2, token 'fall': fill-pred flag in deps, sense in misc,
+    // no entry in the predicate column
+    val fall = u.filter(col("text") === "fall" && col("deps") === "Y").head()
+    assert(fall.getAs[String]("misc") == "fall.01")
+    assert(fall.getAs[String]("predicate") == null)
+    // 'Exchange' carries A1 in the first extra (predicate) column
+    val exch = u.filter(col("text") === "Exchange").head()
+    assert(exch.getAs[String]("predicate") == "A1")
+    assert(exch.getSeq[String](exch.fieldIndex("pred_args")).length == 4)
+    // first sentence has no extra fields → empty args
+    val no = u.filter(col("text") === "Monday").head()
+    assert(no.getAs[String]("predicate") == null)
+    assert(no.getSeq[String](no.fieldIndex("pred_args")).isEmpty)
+  }
+
+  test("conll_u separate_sentences_by_doc (io/conll.py:1082)") {
+    val whole = Conll.conllU(spark,
+      "/root/reference/test_data/io/test_conll/conll_u_test1.txt")
+    val perSent = Conll.conllU(spark,
+      "/root/reference/test_data/io/test_conll/conll_u_test1.txt",
+      separateSentencesByDoc = true)
+    val nSent = whole.select(col("doc_id"), col("sentence")("begin_tok"))
+      .distinct().count()
+    assert(perSent.select("doc_id").distinct().count() == nSent)
+    assert(perSent.count() == whole.count())
+    // every per-sentence doc starts its tokens and offsets at 0
+    assert(perSent.filter(col("token_id") === 0).count() == nSent)
+    assert(perSent.filter(col("token_id") === 0 &&
+      col("span")("begin") =!= 0).count() == 0)
+  }
 }
