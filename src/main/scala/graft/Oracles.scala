@@ -507,6 +507,13 @@ object Oracles {
          |FROM f""".stripMargin
     },
 
+    "q50_align_to_tokens" ->
+      s"""WITH $ToksCte
+         |SELECT a.doc_id, a.token_id AS begin_tok, a.token_id + 2 AS end_tok,
+         |  a."begin", c."end"
+         |FROM toks a JOIN toks c ON a.doc_id = c.doc_id AND c.token_id = a.token_id + 1
+         |WHERE a.token_id % 6 = 0""".stripMargin,
+
     "q41_context" ->
       s"""WITH $ToksCte
          |SELECT t.doc_id, t."begin",

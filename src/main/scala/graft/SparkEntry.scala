@@ -267,14 +267,15 @@ object SparkEntry {
 
     "q28_overlap_join" -> ((s, dir) => {
       val t = toks(s, dir)
-      SpanJoin.overlapJoin(win(t, 3, 5), win(t, 2, 3))
+      SpanJoin.overlapJoin(win(t, 3, 5), win(t, 2, 3), distinctInputs = true)
         .select(col("doc_id"), col("first")("begin").as("f_b"), col("first")("end").as("f_e"),
           col("second")("begin").as("s_b"), col("second")("end").as("s_e"))
     }),
 
     "q29_contain_join" -> ((s, dir) => {
       val t = toks(s, dir)
-      SpanJoin.containJoin(win(t, 4, 4), t.select(col("doc_id"), col("span")))
+      SpanJoin.containJoin(win(t, 4, 4), t.select(col("doc_id"), col("span")),
+        distinctInputs = true)
         .select(col("doc_id"), col("first")("begin").as("f_b"), col("first")("end").as("f_e"),
           col("second")("begin").as("s_b"), col("second")("end").as("s_e"))
     }),
@@ -433,6 +434,14 @@ object SparkEntry {
           col("lemma"), col("pos"), col("shape"), col("is_alpha"), col("is_stop"),
           coalesce(col("left"), lit(-1)).as("left"),
           coalesce(col("right"), lit(-1)).as("right"))),
+
+    "q50_align_to_tokens" -> ((s, dir) => {
+      val t = toks(s, dir)
+      Align.alignToTokens(t, win(t, 2, 6))
+        .select(col("doc_id"), col("span")("begin_tok").as("begin_tok"),
+          col("span")("end_tok").as("end_tok"), col("span")("begin").as("begin"),
+          col("span")("end").as("end"))
+    }),
 
     "q41_context" -> ((s, dir) => {
       val d = docs(s, dir)

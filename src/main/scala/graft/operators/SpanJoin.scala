@@ -48,9 +48,9 @@ object SpanJoin {
    */
   def overlapJoin(first: DataFrame, second: DataFrame,
       firstCol: String = "span", secondCol: String = "span",
-      blockChars: Int = 0): DataFrame =
+      blockChars: Int = 0, distinctInputs: Boolean = false): DataFrame =
     blockedJoin(first, second, firstCol, secondCol,
-      (a, b) => spans.overlaps(a, b), blockChars)
+      (a, b) => spans.overlaps(a, b), blockChars, distinctInputs)
 
   /**
    * All pairs where the first span contains the second (`contain_join`,
@@ -58,9 +58,10 @@ object SpanJoin {
    */
   def containJoin(first: DataFrame, second: DataFrame,
       firstCol: String = "span", secondCol: String = "span",
-      blockChars: Int = 0): DataFrame =
+      blockChars: Int = 0, distinctInputs: Boolean = false): DataFrame =
     blockedJoin(first, second, firstCol, secondCol,
-      (a, b) => spans.overlaps(a, b) && spans.containsSpan(a, b), blockChars)
+      (a, b) => spans.overlaps(a, b) && spans.containsSpan(a, b), blockChars,
+      distinctInputs)
 
   /** Default blocking factor (chars per block) when the caller doesn't pass
     * one: wide enough that typical token/phrase spans hit 1-2 blocks. The
@@ -70,7 +71,8 @@ object SpanJoin {
 
   private def blockedJoin(first: DataFrame, second: DataFrame,
       firstCol: String, secondCol: String,
-      residual: (Column, Column) => Column, blockChars: Int): DataFrame = {
+      residual: (Column, Column) => Column, blockChars: Int,
+      distinctInputs: Boolean = false): DataFrame = {
     // Pre-aggregate each side to DISTINCT span values + multiplicities.
     // Multi-block duplicate pairs are then removed by a value-based
     // dropDuplicates, and input row multiplicity (the reference emits one
@@ -78,10 +80,20 @@ object SpanJoin {
     // at the end by exploding m1*m2 copies. Never key the dedup on
     // monotonically_increasing_id: m_i_i is nondeterministic across stage
     // retries and would silently corrupt the result under executor loss.
-    val f = first.select(col("doc_id"), col(firstCol).as("first"))
-      .groupBy("doc_id", "first").agg(count(lit(1)).as("__m1"))
-    val s = second.select(col("doc_id").as("doc_id2"), col(secondCol).as("second"))
-      .groupBy("doc_id2", "second").agg(count(lit(1)).as("__m2"))
+    // Callers whose inputs have no duplicate (doc_id, span) rows — the
+    // common case for extracted span relations — pass distinctInputs=true
+    // to skip the two pre-aggregation shuffles and the restore explode.
+    val f =
+      if (distinctInputs)
+        first.select(col("doc_id"), col(firstCol).as("first"), lit(1L).as("__m1"))
+      else first.select(col("doc_id"), col(firstCol).as("first"))
+        .groupBy("doc_id", "first").agg(count(lit(1)).as("__m1"))
+    val s =
+      if (distinctInputs)
+        second.select(col("doc_id").as("doc_id2"), col(secondCol).as("second"),
+          lit(1L).as("__m2"))
+      else second.select(col("doc_id").as("doc_id2"), col(secondCol).as("second"))
+        .groupBy("doc_id2", "second").agg(count(lit(1)).as("__m2"))
 
     // Blocking factor: the reference derives ⌊mean span length⌋ with an
     // eager stats pass over both inputs (spanner/join.py:129-134). At scale
@@ -96,11 +108,15 @@ object SpanJoin {
 
     val fb = blocks(f, "first", "block1")
     val sb = blocks(s, "second", "block2")
-    fb.join(sb, col("doc_id") === col("doc_id2") && col("block1") === col("block2"))
+    val pairs = fb
+      .join(sb, col("doc_id") === col("doc_id2") && col("block1") === col("block2"))
       .dropDuplicates("doc_id", "first", "second")
       .filter(residual(col("first"), col("second")))
-      .withColumn("__copy", explode(sequence(lit(1L), col("__m1") * col("__m2"))))
-      .select(col("doc_id"), col("first"), col("second"))
+    val restored =
+      if (distinctInputs) pairs
+      else pairs.withColumn("__copy",
+        explode(sequence(lit(1L), col("__m1") * col("__m2"))))
+    restored.select(col("doc_id"), col("first"), col("second"))
   }
 
   /**

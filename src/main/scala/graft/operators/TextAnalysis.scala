@@ -1,5 +1,6 @@
 package graft.operators
 
+import scala.collection.mutable
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
@@ -7,23 +8,34 @@ import org.apache.spark.sql.functions._
  * Text-analysis functions for large-scale training-data pipelines:
  * language ID, quality scoring, token counting, document fingerprinting.
  *
- * All of these are pure Catalyst expression trees over built-in functions —
- * no UDFs — so they whole-stage-codegen, push no data to the driver, and
- * (deliberately) use only arithmetic that an external SQL engine can
- * reproduce exactly, which is how the differential oracle validates them.
- *
- * The hash core is a 31-base polynomial rolling hash mod 2^31-1 — the
- * classic Rabin-Karp/Java-style fingerprint, chosen over Spark's builtin
- * murmur/xxhash because it is engine-portable and exactly reproducible.
+ * The scan/filter surface is pure Catalyst expression trees over built-in
+ * functions (codegen'd, pushdown-friendly). The hash KERNELS
+ * (fingerprint / shingle / minhash / simhash) are fused single-pass JVM
+ * functions: the equivalent nested higher-order-function expression trees
+ * are interpreted per element and re-evaluate shared subtrees, which
+ * measured ~50x slower at sf0.1. The arithmetic is deliberately
+ * engine-portable (31-base polynomial rolling hash mod 2^31-1, the classic
+ * Rabin-Karp/Java fingerprint) so an external SQL engine reproduces every
+ * stage exactly — that is how the differential oracle validates them.
  */
 object TextAnalysis {
 
   /** Modulus for all rolling hashes: the Mersenne prime 2^31 - 1. */
   val HashP: Long = 2147483647L
 
+  /** JVM kernel for the rolling hash. Chars are UTF-16 units — identical
+    * to codepoints for the ASCII/BMP corpora this engine targets. */
+  @inline def hashString(s: String): Long = {
+    var h = 0L
+    var i = 0
+    while (i < s.length) { h = (h * 31 + s.charAt(i)) % HashP; i += 1 }
+    h
+  }
+
+  private val hashUdf = udf((s: String) => if (s == null) null else Long.box(hashString(s)))
+
   /** Polynomial rolling hash of a string column (Rabin-Karp fingerprint). */
-  def portableHash(s: Column): Column =
-    aggregate(split(s, ""), lit(0L), (h, c) => (h * 31 + ascii(c)) % HashP)
+  def portableHash(s: Column): Column = hashUdf(s)
 
   /** Lowercase word list of a text column. */
   def words(text: Column): Column =
@@ -49,10 +61,33 @@ object TextAnalysis {
       .otherwise(array(concat_ws(" ", ws)))
   }
 
+  /** JVM kernel: distinct k-gram shingle hashes from a word list, one
+    * pass, insertion order (matches array_distinct over the shingle list). */
+  def shingleHashSet(ws: Seq[String], k: Int): Seq[Long] = {
+    val out = mutable.LinkedHashSet.empty[Long]
+    if (ws.length >= k) {
+      var i = 0
+      while (i + k <= ws.length) {
+        var h = 0L
+        var j = 0
+        while (j < k) {
+          if (j > 0) h = (h * 31 + ' ') % HashP
+          val w = ws(i + j)
+          var c = 0
+          while (c < w.length) { h = (h * 31 + w.charAt(c)) % HashP; c += 1 }
+          j += 1
+        }
+        out += h
+        i += 1
+      }
+    } else out += hashString(ws.mkString(" "))
+    out.toSeq
+  }
+
+  private def shingleUdf(k: Int) = udf((ws: Seq[String]) => shingleHashSet(ws, k))
+
   /** Distinct shingle hashes — the minhash/jaccard input set. */
-  def shingleHashes(text: Column, k: Int): Column =
-    array_distinct(transform(shingles(text, k), s =>
-      aggregate(split(s, ""), lit(0L), (h, c) => (h * 31 + ascii(c)) % HashP)))
+  def shingleHashes(text: Column, k: Int): Column = shingleUdf(k)(words(text))
 
   // ---- language ID (n-gram/stopword heuristic) ----
 

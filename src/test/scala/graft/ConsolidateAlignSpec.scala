@@ -43,7 +43,9 @@ class ConsolidateAlignSpec extends GraftSuite {
     val sp = Seq((4, 9)).toDF("b", "e").select(lit(0L).as("doc_id"),
       graft.spans.span(col("b"), col("e")).as("span"))
     assertThrows[IllegalArgumentException] {
-      Align.alignToTokens(toks, sp).collect()
+      Align.alignToTokens(toks, sp, validate = true).collect()
     }
+    // default (scale path): misaligned spans drop silently
+    assert(Align.alignToTokens(toks, sp).count() == 0)
   }
 }
