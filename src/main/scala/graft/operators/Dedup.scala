@@ -196,17 +196,28 @@ object Dedup {
    * Sign-LSH bucket keys for an embedding: the sign pattern of `nPlanes`
    * pseudo-random hyperplane projections, as one long. Hyperplane
    * coefficients are a deterministic ±1 pattern derived from (plane, dim)
-   * parity — no RNG, reproducible everywhere.
+   * parity — no RNG, reproducible everywhere. Fused JVM kernel with the
+   * same left-to-right double fold as the expression form / SQL oracle.
    */
   def signBucket(vec: Column, nPlanes: Int = 8): Column = {
-    val projections = (0 until nPlanes).map { p =>
-      // coefficient for dim j: +1 if (j*(p+3) + p) mod 4 < 2 else -1
-      val proj = aggregate(zip_with(vec, sequence(lit(0), size(vec) - 1),
-        (x, j) => when((j * (p + 3) + p) % 4 < 2, x).otherwise(-x)),
-        lit(0.0), (acc, x) => acc + x)
-      when(proj > 0, pow(lit(2.0), p).cast("long")).otherwise(0L)
-    }
-    projections.reduce((a, b) => a + b)
+    val np = nPlanes
+    val bucketUdf = udf((v: Seq[Double]) => {
+      var bucket = 0L
+      var p = 0
+      while (p < np) {
+        var proj = 0.0
+        var j = 0
+        while (j < v.length) {
+          // coefficient for dim j: +1 if (j*(p+3) + p) mod 4 < 2 else -1
+          proj += (if ((j * (p + 3) + p) % 4 < 2) v(j) else -v(j))
+          j += 1
+        }
+        if (proj > 0) bucket |= 1L << p
+        p += 1
+      }
+      bucket
+    })
+    bucketUdf(vec)
   }
 
   /**

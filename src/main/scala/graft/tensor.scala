@@ -34,11 +34,26 @@ object tensor {
 
   def norm2(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity; 0 when either vector has zero norm. */
-  def cosine(a: Column, b: Column): Column = {
-    val d = norm2(a) * norm2(b)
-    when(d > 0, dot(a, b) / d).otherwise(lit(0.0))
-  }
+  /**
+   * Cosine similarity; 0 when either vector has zero norm. Fused JVM
+   * kernel with the same left-to-right double fold as the expression form
+   * (and as the SQL oracle's list_reduce), so results are bit-identical;
+   * the interpreted zip_with/aggregate tree was the q17-q19 hotspot.
+   * Float-array inputs are cast to double (exact) before the fold.
+   */
+  def cosine(a: Column, b: Column): Column = cosineUdf(a, b)
+
+  private val cosineUdf = udf((a: Seq[Double], b: Seq[Double]) => {
+    if (a == null || b == null) 0.0
+    else {
+      var dab = 0.0; var daa = 0.0; var dbb = 0.0
+      var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { dab += a(i) * b(i); daa += a(i) * a(i); dbb += b(i) * b(i); i += 1 }
+      val d = math.sqrt(daa) * math.sqrt(dbb)
+      if (d > 0) dab / d else 0.0
+    }
+  })
 
   // ---- axis-0 (cross-row) reductions (reference: array/tensor.py:618-630) ----
 
