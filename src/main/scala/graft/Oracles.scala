@@ -149,6 +149,11 @@ object Oracles {
         |  sum(CASE WHEN p IS NULL OR t - p > 1800000000000 THEN 1 ELSE 0 END) AS n_sessions
         |FROM x GROUP BY user_id""".stripMargin,
 
+    "q51_stream_hourly" ->
+      """SELECT epoch_ms(date_trunc('hour', ts)) AS hour_ms, event_type,
+        |  count(*) AS n, sum(value) AS sum_value
+        |FROM events GROUP BY hour_ms, event_type""".stripMargin,
+
     "q40_json_props" ->
       "SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k FROM events",
 

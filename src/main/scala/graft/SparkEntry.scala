@@ -125,6 +125,13 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_events"), sum("__new").as("n_sessions"))
     }),
 
+    // Same code path as the streaming job (EventStreams.hourlyTypeCounts):
+    // watermark is a no-op in batch, the windowed agg plan is identical.
+    "q51_stream_hourly" -> ((s, dir) =>
+      streaming.EventStreams.hourlyTypeCounts(events(s, dir))
+        .select(unix_millis(col("hour_start")).as("hour_ms"), col("event_type"),
+          col("n"), col("sum_value"))),
+
     "q40_json_props" -> ((s, dir) =>
       events(s, dir).select(col("event_id"),
         from_json(col("props"), new StructType().add("k", IntegerType))("k").as("k"))),

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.EventStreams
+
+/**
+ * Structured Streaming behaviors driven through MemoryStream — watermarked
+ * windowed aggregation and stateful sessionization (SURVEY §2.12,
+ * green-field: the reference has no streaming surface).
+ */
+class StreamingSpec extends GraftSuite {
+
+  private def us(minutes: Long): Long = minutes * 60L * 1000000L
+  private def ns(minutes: Long): Long = us(minutes) * 1000L
+
+  test("hourlyTypeCounts is the same plan in batch mode") {
+    import spark.implicits._
+    val batch = Seq((ns(10), "click", 1.0), (ns(20), "click", 2.0), (ns(70), "view", 3.0))
+      .toDF("ts", "event_type", "value")
+    val r = EventStreams.hourlyTypeCounts(batch)
+      .select("event_type", "n", "sum_value").collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getDouble(2))).sortBy(_._1)
+    assert(r.toSeq == Seq(("click", 2L, 3.0), ("view", 1L, 3.0)))
+  }
+
+  test("streaming windowed counts with watermark (update via MemoryStream)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Double)]
+    val df = mem.toDF.toDF("ts", "event_type", "value")
+    val q = EventStreams.hourlyTypeCounts(df).writeStream
+      .format("memory").queryName("hourly").outputMode("complete").start()
+    try {
+      mem.addData((ns(5), "click", 1.0), (ns(59), "click", 4.0), (ns(65), "view", 2.0))
+      q.processAllAvailable()
+      val rows = spark.table("hourly").select("event_type", "n").collect()
+        .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+      assert(rows.toSeq == Seq(("click", 2L), ("view", 1L)))
+    } finally q.stop()
+  }
+
+  test("sessionize: gap closes sessions, watermark flushes the tail") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, String, Double)]
+    val df = mem.toDF.toDF("ts", "user_id", "event_type", "value")
+    val q = EventStreams.sessionize(df, gapMinutes = 30).writeStream
+      .format("memory").queryName("sessions").outputMode("append").start()
+    try {
+      // user 1: events at 1,10 min (one session), then 100 min (new session
+      // → closes the first); user 2: single event at 5 min. Events start at
+      // minute 1 — a timestamp equal to the initial watermark (0) counts as
+      // late and is dropped by the stateful operator.
+      mem.addData((ns(1), 1L, "a", 0.0), (ns(10), 1L, "a", 0.0), (ns(5), 2L, "a", 0.0))
+      q.processAllAvailable()
+      mem.addData((ns(100), 1L, "a", 0.0))
+      q.processAllAvailable()
+      val afterGap = spark.table("sessions").as[EventStreams.Session].collect()
+      assert(afterGap.exists(s => s.user_id == 1 && s.start_us == us(1) &&
+        s.end_us == us(10) && s.n_events == 2))
+      // push the watermark far ahead → open sessions time out and flush
+      mem.addData((ns(1000), 3L, "a", 0.0))
+      q.processAllAvailable()
+      mem.addData((ns(1001), 3L, "a", 0.0))
+      q.processAllAvailable()
+      val all = spark.table("sessions").as[EventStreams.Session].collect()
+      assert(all.exists(s => s.user_id == 2 && s.n_events == 1))
+      assert(all.exists(s => s.user_id == 1 && s.start_us == us(100)))
+    } finally q.stop()
+  }
+}
