@@ -206,6 +206,21 @@ object Oracles {
 
     // ---- dedup / similarity ----
 
+    "q53_conll_roundtrip" ->
+      s"""WITH $ToksCte
+         |SELECT doc_id AS doc_num, token_id + 1 AS token_id, "begin" + 11 AS "begin",
+         |  "end" + 11 AS "end", text,
+         |  CASE WHEN text = 'key' THEN 'B' ELSE 'O' END AS ent_iob
+         |FROM toks
+         |UNION ALL
+         |SELECT doc_id, 0, 0, 10, '-DOCSTART-', 'O' FROM documents""".stripMargin,
+
+    "q52_repetition" ->
+      s"""WITH $ShingleCte
+         |SELECT s.doc_id, round(1.0 - CAST(len(s.h) AS DOUBLE) /
+         |  greatest(len(w.w) - 2, 1), 4) AS repetition
+         |FROM hs s JOIN ws0 w ON s.doc_id = w.doc_id""".stripMargin,
+
     "q12_exact_dup" ->
       """WITH d AS (SELECT doc_id, array_to_string((string_split(text, ' '))[1:3], ' ') AS k3 FROM documents),
         |g AS (SELECT k3, min(doc_id) AS keep_id, count(*) AS c FROM d GROUP BY k3)

@@ -165,6 +165,38 @@ object SparkEntry {
 
     // ---- dedup / similarity ----
 
+    // Documents serialized to CoNLL-2003 text (one synthesized corpus file,
+    // sentence break every 10 tokens, B-KEY on 'key'), parsed back through
+    // the reader. All separators are 1 char in both representations, so
+    // parsed offsets = original offsets + len("-DOCSTART-\n") = +11.
+    "q53_conll_roundtrip" -> ((s, dir) => {
+      val dirP = java.nio.file.Files.createTempDirectory("graft_conll")
+      val path = dirP.resolve("corpus.txt")
+      val all = docs(s, dir).select("doc_id", "text").orderBy("doc_id").collect()
+      val sb = new StringBuilder
+      all.foreach { r =>
+        sb.append("-DOCSTART- O\n\n")
+        val words = r.getString(1).split(" ")
+        words.zipWithIndex.foreach { case (w, i) =>
+          sb.append(w).append(if (w == "key") " B-KEY\n" else " O\n")
+          if (i % 10 == 9) sb.append("\n")
+        }
+        if (words.length % 10 != 0) sb.append("\n")
+      }
+      java.nio.file.Files.writeString(path, sb.toString)
+      sources.Conll.conll2003(s, path.toString, Seq("ent"), Seq(true))
+        .select(col("doc_num"), col("token_id"), col("span")("begin").as("begin"),
+          col("span")("end").as("end"), col("text"), col("ent_iob"))
+    }),
+
+    "q52_repetition" -> ((s, dir) => {
+      val ws = TextAnalysis.words(col("text"))
+      val total = greatest(size(ws) - 2, lit(1))
+      docs(s, dir).select(col("doc_id"),
+        round(lit(1.0) - size(TextAnalysis.shingleHashes(col("text"), 3))
+          .cast("double") / total, 4).as("repetition"))
+    }),
+
     "q12_exact_dup" -> ((s, dir) =>
       Dedup.exactDupPairs(docs(s, dir).select(col("doc_id"),
         concat_ws(" ", slice(split(col("text"), " "), 1, 3)).as("text")))),
