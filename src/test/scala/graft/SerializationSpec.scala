@@ -26,8 +26,9 @@ class SerializationSpec extends GraftSuite {
     df.write.mode("overwrite").parquet(s"$dir/t")
     val back = spark.read.parquet(s"$dir/t")
     // parquet reads everything back nullable; names and types must match
-    assert(back.schema.fields.map(f => (f.name, f.dataType.sql)).toSeq ==
-      df.schema.fields.map(f => (f.name, f.dataType.sql)).toSeq)
+    def shape(s: org.apache.spark.sql.types.StructType) =
+      s.fields.map(f => (f.name, f.dataType.sql.replace(" NOT NULL", ""))).toSeq
+    assert(shape(back.schema) == shape(df.schema))
     val a = df.orderBy("doc_id").collect().map(_.toString).toSeq
     val b = back.orderBy("doc_id").collect().map(_.toString).toSeq
     assert(a == b)
