@@ -32,10 +32,10 @@ object TextAnalysis {
     h
   }
 
-  private val hashUdf = udf((s: String) => if (s == null) null else Long.box(hashString(s)))
-
-  /** Polynomial rolling hash of a string column (Rabin-Karp fingerprint). */
-  def portableHash(s: Column): Column = hashUdf(s)
+  /** Polynomial rolling hash of a string column (Rabin-Karp fingerprint).
+    * A native codegen'd Catalyst expression — stays inside whole-stage
+    * codegen, folds UTF-8 bytes in place (== the char fold for ASCII). */
+  def portableHash(s: Column): Column = org.apache.spark.sql.graft.PortableHash(s)
 
   /** Lowercase word list of a text column. */
   def words(text: Column): Column =
