@@ -253,6 +253,32 @@ object Oracles {
          |SELECT id_a, id_b, bit_count(xor(fa, fb)) AS dist FROM cand
          |WHERE bit_count(xor(fa, fb)) <= 3""".stripMargin,
 
+    "q54_simhash_wide" -> {
+      // mirror of simhashWideDupPairs(maxDist=3, families=2): chunk layout
+      // computed with the same arithmetic as the operator
+      val families = 2; val maxDist = 3
+      val totalBits = families * 31; val chunks = maxDist + 1
+      val chunkSql = (0 until chunks).map { c =>
+        val lo = c * totalBits / chunks
+        val hi = (c + 1) * totalBits / chunks
+        val fam = lo / 31; val famLo = lo % 31
+        val effWidth = math.min(hi - lo, 31 - famLo)
+        s"((fps[${fam + 1}] >> $famLo) & ${(1L << effWidth) - 1})"
+      }.mkString(", ")
+      s"""WITH wh AS (SELECT doc_id, list_transform($Words, w -> ${H("w")}) AS h FROM documents),
+         |fps AS (SELECT doc_id, list_transform(generate_series(0, ${families - 1}), fam ->
+         |    CAST(list_sum(list_transform(generate_series(0, 30), i ->
+         |      CASE WHEN 2*len(list_filter(h, x ->
+         |          ((((x*(2*fam + 3) + 10007*(fam + 1)) % 2147483647) >> i) & 1) = 1)) - len(h) > 0
+         |        THEN CAST(power(2.0, i) AS BIGINT) ELSE 0 END)) AS BIGINT)) AS fps FROM wh),
+         |ch AS (SELECT doc_id, fps, generate_subscripts(cs, 1) - 1 AS chunk, unnest(cs) AS val
+         |  FROM (SELECT doc_id, fps, [$chunkSql] AS cs FROM fps)),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, a.fps AS fa, b2.doc_id AS id_b, b2.fps AS fb
+         |  FROM ch a JOIN ch b2 ON a.chunk = b2.chunk AND a.val = b2.val AND a.doc_id < b2.doc_id)
+         |SELECT id_a, id_b, bit_count(xor(fa[1], fb[1])) + bit_count(xor(fa[2], fb[2])) AS dist
+         |FROM cand WHERE bit_count(xor(fa[1], fb[1])) + bit_count(xor(fa[2], fb[2])) <= $maxDist""".stripMargin
+    },
+
     "q17_embed_pairs" ->
       s"""WITH $EmbCte,
          |bk AS (SELECT id, ${bucket("v")} AS bucket FROM ed),

@@ -215,6 +215,9 @@ object SparkEntry {
     "q16_simhash_pairs" -> ((s, dir) =>
       Dedup.simhashDupPairs(docs(s, dir), maxDist = 3)),
 
+    "q54_simhash_wide" -> ((s, dir) =>
+      Dedup.simhashWideDupPairs(docs(s, dir), maxDist = 3, families = 2)),
+
     "q17_embed_pairs" -> ((s, dir) =>
       Dedup.embeddingDupPairs(embedsD(s, dir), tau = 0.3)),
 

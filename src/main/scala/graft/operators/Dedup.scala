@@ -163,11 +163,87 @@ object Dedup {
   }
 
   /**
+   * Wide SimHash: `families` independent 31-bit fingerprints concatenated
+   * (family i uses the affine word-hash (h*(2i+3) + 10007(i+1)) mod P —
+   * same family construction as minhash). The 32-bit default's chunk
+   * buckets grow linearly with corpus size; widening the fingerprint is
+   * the scale lever that keeps bucket sizes (and candidate volume)
+   * sub-quadratic at high SF. Output: array<long> of per-family
+   * fingerprints, each < 2^31.
+   */
+  def simhashWide(text: Column, families: Int = 2): Column = {
+    val params = hashParams(families).toArray
+    val fpUdf = udf((ws: Seq[String]) => {
+      params.map { case (a, b) =>
+        val votes = new Array[Long](31)
+        ws.foreach { w =>
+          val h = (TextAnalysis.hashString(w) * a + b) % HashP
+          var i = 0
+          while (i < 31) {
+            votes(i) += (if (((h >> i) & 1L) == 1L) 1L else -1L)
+            i += 1
+          }
+        }
+        var fp = 0L
+        var i = 0
+        while (i < 31) { if (votes(i) > 0) fp |= 1L << i; i += 1 }
+        fp
+      }.toSeq
+    })
+    fpUdf(TextAnalysis.words(text))
+  }
+
+  /**
+   * Near-dup pairs over the wide fingerprint: total width = families*31
+   * bits, split into `maxDist+1` equal-ish chunks (each a slice of one
+   * family's bits), equi-join on (chunk, value), popcount residual over
+   * the concatenated distance. With families=2 and maxDist=3 each chunk
+   * key has ~15-16 bits — 256x smaller buckets than the 32-bit variant.
+   */
+  def simhashWideDupPairs(docs: DataFrame, maxDist: Int = 3, families: Int = 2,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val totalBits = families * 31
+    val chunks = maxDist + 1
+    require(chunks <= totalBits, "more chunks than bits")
+    val withFp = docs.select(col(idCol).as("id"),
+      simhashWide(col(textCol), families).as("fps"))
+    // chunk c covers global bits [c*totalBits/chunks, (c+1)*totalBits/chunks)
+    val chunkCols = (0 until chunks).map { c =>
+      val lo = c * totalBits / chunks
+      val hi = (c + 1) * totalBits / chunks
+      val fam = lo / 31
+      val famLo = lo % 31
+      val width = hi - lo
+      // a chunk never crosses a family boundary when chunks % families == 0;
+      // otherwise take the in-family remainder (still a valid LSH band)
+      val effWidth = math.min(width, 31 - famLo)
+      shiftright(element_at(col("fps"), fam + 1), famLo)
+        .bitwiseAND((1L << effWidth) - 1L)
+    }
+    val banded = withFp.select(col("id"), col("fps"),
+      posexplode(array(chunkCols: _*)).as(Seq("chunk", "val")))
+    val a = banded.select(col("chunk"), col("val"), col("id").as("id_a"),
+      col("fps").as("fps_a"))
+    val b = banded.select(col("chunk").as("chunk_b"), col("val").as("val_b"),
+      col("id").as("id_b"), col("fps").as("fps_b"))
+    val dist = (1 to families).map(i =>
+      bit_count(element_at(col("fps_a"), i).bitwiseXOR(element_at(col("fps_b"), i))))
+      .reduce(_ + _)
+    a.join(b, col("chunk") === col("chunk_b") && col("val") === col("val_b") &&
+        col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("dist", dist)
+      .filter(col("dist") <= maxDist)
+      .select("id_a", "id_b", "dist")
+  }
+
+  /**
    * SimHash near-dup pairs within Hamming distance `maxDist` using the
    * banding trick: split the 32-bit fingerprint into `maxDist+1` chunks —
    * two fingerprints within distance d agree exactly on ≥1 chunk — then
    * verify with a popcount residual. Equi-join on (chunk index, chunk
-   * value); no all-pairs comparison.
+   * value); no all-pairs comparison. See [[simhashWideDupPairs]] for the
+   * high-SF variant with corpus-size-independent bucket densities.
    */
   def simhashDupPairs(docs: DataFrame, maxDist: Int = 3,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
