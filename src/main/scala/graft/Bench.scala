@@ -17,6 +17,14 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warm the JVM/codegen/parquet paths once so the alphabetically-first
+    // query doesn't absorb session startup in its measurement.
+    try {
+      spark.range(100000).selectExpr("sum(id)").write.format("noop")
+        .mode("overwrite").save()
+      spark.read.parquet(s"$sfDir/region.parquet").write.format("noop")
+        .mode("overwrite").save()
+    } catch { case _: Throwable => }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()

@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/**
+ * SparkSessionExtensions entry point: registers the engine's native
+ * Catalyst expressions as SQL functions, so SQL-surface users get them
+ * without the Scala DSL:
+ *
+ * {{{
+ *   SparkSession.builder().withExtensions(new GraftExtensions).getOrCreate()
+ *   spark.sql("SELECT portable_hash(text) FROM documents")
+ * }}}
+ *
+ * (Also usable via spark.sql.extensions=graft.GraftExtensions.)
+ */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("portable_hash"),
+      new ExpressionInfo(classOf[org.apache.spark.sql.graft.PortableHash].getName,
+        "portable_hash"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "portable_hash takes exactly one argument")
+        org.apache.spark.sql.graft.PortableHash(children.head)
+      }))
+  }
+}

@@ -19,6 +19,12 @@ class ExpressionSpec extends GraftSuite {
     assert(got(0) == 96354L)
   }
 
+  test("portable_hash is registered as a SQL function via GraftExtensions") {
+    val r = spark.sql("SELECT portable_hash('abc') AS h").head().getLong(0)
+    assert(r == 96354L)
+    assert(spark.sql("SELECT portable_hash(NULL) AS h").head().isNullAt(0))
+  }
+
   test("PortableHash participates in whole-stage codegen") {
     // non-foldable source so the projection actually goes through codegen
     val df = spark.range(3)
