@@ -106,6 +106,13 @@ object SparkEntry {
         .agg(countDistinct("o_orderkey").as("n_orders"),
           sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))),
 
+    "q55_rollup" -> ((s, dir) =>
+      lineitem(s, dir).rollup("l_returnflag", "l_linestatus")
+        .agg(sum("l_quantity").as("sum_qty"), count(lit(1)).as("n"))
+        .select(coalesce(col("l_returnflag"), lit("(all)")).as("rf"),
+          coalesce(col("l_linestatus"), lit("(all)")).as("ls"),
+          col("sum_qty"), col("n"))),
+
     "q03_top_orders" -> ((s, dir) =>
       orders(s, dir).orderBy(col("o_totalprice").desc, col("o_orderkey"))
         .limit(10).select("o_orderkey", "o_totalprice")),
