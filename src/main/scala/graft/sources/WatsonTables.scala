@@ -127,8 +127,11 @@ object WatsonTables {
       .groupBy(col("doc_id"), col("table_idx"),
         col("row_index_begin").as("row_idx"), rowKey)
       .pivot("__ck")
-      .agg(array_join(transform(sort_array(collect_list(col("__v"))), x => x("v")),
-        concatWith))
+      // empty pivot groups must be NULL (pandas pivot_table's NaN), not
+      // the ''-join of an empty list
+      .agg(when(count(lit(1)) > 0,
+        array_join(transform(sort_array(collect_list(col("__v"))), x => x("v")),
+          concatWith)))
   }
 
   /** Strip currency/grouping chars and cast to double — the reference's
