@@ -24,6 +24,21 @@ class PipelineOpsSpec extends GraftSuite {
     assert(r.getAs[scala.collection.Seq[Long]]("dup_ids").toSeq == Seq(3L))
   }
 
+  test("exact dedup pairs (scale-safe shape) matches groups") {
+    import spark.implicits._
+    val p = Dedup.exactDupPairs(docs).as[(Long, Long)].collect().toSet
+    assert(p == Set((0L, 3L)))
+  }
+
+  test("wide simhash: identical docs distance 0, fewer noise pairs than 32-bit") {
+    import spark.implicits._
+    val wide = Dedup.simhashWideDupPairs(docs, maxDist = 3, families = 2)
+      .select("id_a", "id_b", "dist").as[(Long, Long, Int)].collect()
+    assert(wide.exists(x => x._1 == 0L && x._2 == 3L && x._3 == 0)) // exact dup
+    val narrow = Dedup.simhashDupPairs(docs, maxDist = 3).count()
+    assert(wide.length <= narrow)
+  }
+
   test("minhash LSH finds near and exact duplicates, not unrelated docs") {
     val pairs = Dedup.minhashDupPairs(docs, threshold = 0.5)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
