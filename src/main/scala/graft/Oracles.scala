@@ -313,6 +313,28 @@ object Oracles {
          |  (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rn FROM scored)
          |WHERE rn <= 10""".stripMargin,
 
+    "q56_ann_ivf" ->
+      s"""WITH $EmbCte,
+         |f AS (SELECT label, generate_subscripts(embedding, 1) - 1 AS dim,
+         |    CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+         |cen AS (SELECT label AS cell_id, list(round(m, 6) ORDER BY dim) AS centroid FROM
+         |  (SELECT label, dim, sum(x) / count(*) AS m FROM f GROUP BY label, dim)
+         |  GROUP BY label),
+         |asg AS (SELECT id AS vec_id, v AS cv, cell_id FROM
+         |  (SELECT e.id, e.v, c.cell_id, row_number() OVER (PARTITION BY e.id
+         |     ORDER BY ${cos("e.v", "c.centroid")} DESC, c.cell_id) AS rn
+         |   FROM ed e CROSS JOIN cen c) WHERE rn = 1),
+         |pr AS (SELECT id AS query_id, v AS qv, cell_id FROM
+         |  (SELECT e.id, e.v, c.cell_id, row_number() OVER (PARTITION BY e.id
+         |     ORDER BY ${cos("e.v", "c.centroid")} DESC, c.cell_id) AS rn
+         |   FROM ed e CROSS JOIN cen c WHERE e.id < 5) WHERE rn <= 2),
+         |scored AS (SELECT p.query_id, a.vec_id, round(${cos("p.qv", "a.cv")}, 6) AS cos
+         |  FROM pr p JOIN asg a USING (cell_id))
+         |SELECT query_id, vec_id, cos, rn AS rank FROM
+         |  (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rn
+         |   FROM scored)
+         |WHERE rn <= 10""".stripMargin,
+
     "q20_embed_agg" ->
       """WITH f AS (SELECT label, generate_subscripts(embedding, 1) - 1 AS dim,
         |    CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings)

@@ -240,6 +240,15 @@ object SparkEntry {
       Similarity.lshTopK(e, q, k = 10)
     }),
 
+    "q56_ann_ivf" -> ((s, dir) => {
+      val e = embedsD(s, dir)
+      val q = e.filter(col("vec_id") < 5).select(col("vec_id").as("query_id"), col("embedding"))
+      // centroids from the raw float vectors (sumVec input type); corpus
+      // and queries in double for bit-exact cosine parity with the oracle
+      Similarity.ivfTopK(e, q, Similarity.labelCentroids(embeds(s, dir)),
+        nprobe = 2, k = 10)
+    }),
+
     "q20_embed_agg" -> ((s, dir) =>
       embeds(s, dir).groupBy("label")
         .agg(tensor.sumVec(col("embedding")).as("sv"), count(lit(1)).as("n"))

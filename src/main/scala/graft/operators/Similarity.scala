@@ -36,6 +36,52 @@ object Similarity {
   }
 
   /**
+   * Deterministic coarse quantizer for [[ivfTopK]]: one centroid per value
+   * of `cellCol` (mean vector, rounded to 6dp so the value is independent
+   * of aggregation order). A production IVF trains k-means centroids; the
+   * index/probe/re-rank machinery below is identical either way.
+   */
+  def labelCentroids(embeddings: DataFrame, vecCol: String = "embedding",
+      cellCol: String = "label"): DataFrame =
+    embeddings.groupBy(col(cellCol).as("cell_id"))
+      .agg(tensor.sumVec(col(vecCol)).as("sv"), count(lit(1)).as("n"))
+      .select(col("cell_id"), transform(col("sv"), x => round(x / col("n"), 6)).as("centroid"))
+
+  /**
+   * IVF-style ANN: assign every corpus vector to its nearest centroid
+   * (broadcast — centroid count is small by construction), probe the
+   * query's `nprobe` nearest cells, exact cosine re-rank inside the
+   * candidate cells. Work per query is ~nprobe/ncells of the corpus — the
+   * inverted-file scale path; recall < 1 when the true neighbor lives in
+   * an unprobed cell.
+   */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
+      nprobe: Int = 2, k: Int = 10, idCol: String = "vec_id",
+      vecCol: String = "embedding", queryIdCol: String = "query_id"): DataFrame = {
+    val cb = broadcast(centroids.select(col("cell_id"), col("centroid")))
+    val wAssign = Window.partitionBy(idCol).orderBy(col("ccos").desc, col("cell_id"))
+    val assigned = corpus.select(col(idCol), col(vecCol).as("c_vec"))
+      .crossJoin(cb)
+      .withColumn("ccos", tensor.cosine(col("c_vec"), col("centroid")))
+      .withColumn("__rn", row_number().over(wAssign))
+      .filter(col("__rn") === 1)
+      .select(col(idCol), col("c_vec"), col("cell_id"))
+    val wProbe = Window.partitionBy(queryIdCol).orderBy(col("qcos").desc, col("cell_id"))
+    val probes = queries.select(col(queryIdCol), col(vecCol).as("q_vec"))
+      .crossJoin(cb)
+      .withColumn("qcos", tensor.cosine(col("q_vec"), col("centroid")))
+      .withColumn("__rn", row_number().over(wProbe))
+      .filter(col("__rn") <= nprobe)
+      .select(col(queryIdCol), col("q_vec"), col("cell_id"))
+    val wRank = Window.partitionBy(queryIdCol).orderBy(col("cos").desc, col(idCol))
+    probes.join(assigned, "cell_id")
+      .withColumn("cos", round(tensor.cosine(col("q_vec"), col("c_vec")), 6))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= k)
+      .select(col(queryIdCol), col(idCol), col("cos"), col("rank"))
+  }
+
+  /**
    * Approximate top-k via sign-LSH: candidates share the query's bucket or
    * any single-bit-flip neighbor; exact cosine re-rank inside candidates.
    * Recall < 1 by construction; the scale path when queries are many.
