@@ -24,9 +24,21 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.reset_index(drop=True)
 
 
+STRICT = False  # exact stringified compare (mimics the driver's value hash)
+
+
 def values_equal(a, b) -> bool:
     if a is None and b is None:
         return True
+    if STRICT:
+        if isinstance(a, (list, tuple)) or isinstance(b, (list, tuple)):
+            a, b = list(a), list(b)
+            return len(a) == len(b) and all(values_equal(x, y) for x, y in zip(a, b))
+        fa = float(a) if isinstance(a, float) else None
+        fb = float(b) if isinstance(b, float) else None
+        if fa is not None and fb is not None and math.isnan(fa) and math.isnan(fb):
+            return True
+        return str(a) == str(b)
     if isinstance(a, float) or isinstance(b, float):
         try:
             fa, fb = float(a), float(b)
@@ -93,4 +105,6 @@ def main(sf_dir: str, out_dir: str) -> int:
 
 
 if __name__ == "__main__":
+    if len(sys.argv) > 3 and sys.argv[3] == "--strict":
+        STRICT = True
     sys.exit(main(sys.argv[1], sys.argv[2]))

@@ -29,13 +29,16 @@ object Oracles {
   /** Tokens relation with char offsets: doc_id, token_id, "begin", "end",
     * text. Prefix-sum of (len+1) reproduces the tokenizer's offsets because
     * the corpus is single-space-separated words. */
+  // NB: the window SUM must be cast to BIGINT — DuckDB integer SUM yields
+  // HUGEINT, which pandas renders as float64 ("7.0" vs Spark's "7") and the
+  // driver's value hash then mismatches even though the numbers are equal.
   val ToksCte: String =
     """t0 AS (SELECT doc_id, generate_subscripts(ws, 1) - 1 AS token_id, unnest(ws) AS text
       |       FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
       |toks AS (SELECT doc_id, token_id, text, b AS "begin", b + len(text) AS "end"
       |       FROM (SELECT doc_id, token_id, text,
-      |               coalesce(sum(len(text) + 1) OVER (PARTITION BY doc_id ORDER BY token_id
-      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS b
+      |               CAST(coalesce(sum(len(text) + 1) OVER (PARTITION BY doc_id ORDER BY token_id
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS b
       |             FROM t0))""".stripMargin
 
   /** Synthetic-IOB entity segments over toks (mirror of the q31 tagging rule
@@ -128,9 +131,14 @@ object Oracles {
         |  sum(l_extendedprice) AS sum_price, avg(l_discount) AS avg_disc, count(*) AS n
         |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
 
+    // Exact integer-cents arithmetic (prices/discounts are 2-decimal values):
+    // the BIGINT sum is order-independent, so Spark's shuffle-order double
+    // sum and DuckDB's sequential sum cannot drift apart; one identical
+    // final division yields a bit-exact double on both engines.
     "q02_priority_revenue" ->
       """SELECT o_orderpriority, count(DISTINCT o_orderkey) AS n_orders,
-        |  sum(l_extendedprice * (1 - l_discount)) AS revenue
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |      * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) / 10000.0 AS revenue
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |GROUP BY o_orderpriority""".stripMargin,
 
@@ -151,7 +159,7 @@ object Oracles {
       """WITH x AS (SELECT user_id, epoch_ns(ts) AS t,
         |    lag(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS p FROM events)
         |SELECT user_id, count(*) AS n_events,
-        |  sum(CASE WHEN p IS NULL OR t - p > 1800000000000 THEN 1 ELSE 0 END) AS n_sessions
+        |  CAST(sum(CASE WHEN p IS NULL OR t - p > 1800000000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
         |FROM x GROUP BY user_id""".stripMargin,
 
     "q51_stream_hourly" ->
@@ -216,9 +224,10 @@ object Oracles {
          |SELECT doc_id AS doc_num, token_id + 1 AS token_id, "begin" + 11 AS "begin",
          |  "end" + 11 AS "end", text,
          |  CASE WHEN text = 'key' THEN 'B' ELSE 'O' END AS ent_iob
-         |FROM toks
+         |FROM toks WHERE doc_id < ${SparkEntry.ConllRoundtripCap}
          |UNION ALL
-         |SELECT doc_id, 0, 0, 10, '-DOCSTART-', 'O' FROM documents""".stripMargin,
+         |SELECT doc_id, 0, 0, 10, '-DOCSTART-', 'O' FROM documents
+         |WHERE doc_id < ${SparkEntry.ConllRoundtripCap}""".stripMargin,
 
     "q52_repetition" ->
       s"""WITH $ShingleCte
@@ -267,8 +276,11 @@ object Oracles {
         val lo = c * totalBits / chunks
         val hi = (c + 1) * totalBits / chunks
         val fam = lo / 31; val famLo = lo % 31
-        val effWidth = math.min(hi - lo, 31 - famLo)
-        s"((fps[${fam + 1}] >> $famLo) & ${(1L << effWidth) - 1})"
+        val loBits = math.min(hi - lo, 31 - famLo)
+        val low = s"((fps[${fam + 1}] >> $famLo) & ${(1L << loBits) - 1})"
+        val hiBits = (hi - lo) - loBits
+        if (hiBits == 0) low
+        else s"($low | ((fps[${fam + 2}] & ${(1L << hiBits) - 1}) << $loBits))"
       }.mkString(", ")
       s"""WITH wh AS (SELECT doc_id, list_transform($Words, w -> ${H("w")}) AS h FROM documents),
          |fps AS (SELECT doc_id, list_transform(generate_series(0, ${families - 1}), fam ->
@@ -500,7 +512,7 @@ object Oracles {
          |u AS (SELECT *, TRUE AS ig, 0 AS c FROM eb
          |  UNION ALL SELECT *, FALSE, 1 FROM eb
          |  UNION ALL SELECT *, FALSE, 1 FROM kk)
-         |SELECT doc_id, begin_tok, end_tok, ent_type, sum(c) AS n_models, bool_or(ig) AS in_gold
+         |SELECT doc_id, begin_tok, end_tok, ent_type, CAST(sum(c) AS BIGINT) AS n_models, bool_or(ig) AS in_gold
          |FROM u GROUP BY doc_id, begin_tok, end_tok, ent_type""".stripMargin,
 
     // window arithmetic mirror of Bert.seqToWindows with overlap=2,

@@ -66,6 +66,11 @@ object SparkEntry {
       .select(col("doc_id"), S.span(col("b"), col("e")).as("span"))
   }
 
+  /** q53's deterministic bound on driver-side corpus materialization
+    * (mirrored in the oracle SQL): SF-independent, so the roundtrip query
+    * collects at most this many documents at any scale factor. */
+  val ConllRoundtripCap = 400
+
   /** Synthetic IOB tagging rule shared by q31/q32/q34: 'key' begins an
     * entity (type K), following 'value' tokens continue it. */
   private def tagged(t: DataFrame): DataFrame = t
@@ -100,11 +105,17 @@ object SparkEntry {
         .agg(sum("l_quantity").as("sum_qty"), sum("l_extendedprice").as("sum_price"),
           avg("l_discount").as("avg_disc"), count(lit(1)).as("n"))),
 
+    // Revenue in exact integer cents (prices/discounts carry 2 decimals):
+    // an order-independent BIGINT sum, divided once at the end, is
+    // bit-identical between Spark's shuffle-order aggregation and the
+    // oracle's sequential sum — a double sum would drift in the last bits.
     "q02_priority_revenue" -> ((s, dir) =>
       orders(s, dir).join(lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
         .groupBy("o_orderpriority")
         .agg(countDistinct("o_orderkey").as("n_orders"),
-          sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))),
+          (sum(round(col("l_extendedprice") * 100).cast("long")
+            * (lit(100L) - round(col("l_discount") * 100).cast("long"))) / 10000.0)
+            .as("revenue"))),
 
     "q55_rollup" -> ((s, dir) =>
       lineitem(s, dir).rollup("l_returnflag", "l_linestatus")
@@ -176,10 +187,16 @@ object SparkEntry {
     // sentence break every 10 tokens, B-KEY on 'key'), parsed back through
     // the reader. All separators are 1 char in both representations, so
     // parsed offsets = original offsets + len("-DOCSTART-\n") = +11.
+    // EXCEPTION to the lazy-plan contract: the CoNLL writer targets one
+    // local text file, so this query materializes the corpus on the driver
+    // — bounded by a deterministic doc_id cap (mirrored in the oracle) so
+    // it cannot OOM at higher SFs, with the temp dir removed on JVM exit.
     "q53_conll_roundtrip" -> ((s, dir) => {
       val dirP = java.nio.file.Files.createTempDirectory("graft_conll")
       val path = dirP.resolve("corpus.txt")
-      val all = docs(s, dir).select("doc_id", "text").orderBy("doc_id").collect()
+      dirP.toFile.deleteOnExit(); path.toFile.deleteOnExit()
+      val all = docs(s, dir).select("doc_id", "text")
+        .filter(col("doc_id") < ConllRoundtripCap).orderBy("doc_id").collect()
       val sb = new StringBuilder
       all.foreach { r =>
         sb.append("-DOCSTART- O\n\n")
@@ -495,7 +512,9 @@ object SparkEntry {
 
     "q50_align_to_tokens" -> ((s, dir) => {
       val t = toks(s, dir)
-      Align.alignToTokens(t, win(t, 2, 6))
+      // validate=false: the windows align by construction; skipping the
+      // reference's eager validation pass keeps the query one job
+      Align.alignToTokens(t, win(t, 2, 6), validate = false)
         .select(col("doc_id"), col("span")("begin_tok").as("begin_tok"),
           col("span")("end_tok").as("end_tok"), col("span")("begin").as("begin"),
           col("span")("end").as("end"))

@@ -21,15 +21,15 @@ object Align {
   /**
    * @param tokens   standard tokens relation (doc_id, token_id, span)
    * @param spansDf  relation with doc_id and a char-span column `on`
-   * @param validate when true, throw if any span fails to align (matches the
-   *                 reference's ValueError). This is an EXTRA eager pass over
-   *                 the join — at scale the default (false) is the right
-   *                 path: misaligned spans drop, and callers who need the
-   *                 reference's strictness opt in where the corpus is small.
+   * @param validate when true (the DEFAULT, matching the reference's
+   *                 ValueError semantics), throw if any span fails to align.
+   *                 This is an EXTRA eager pass over the join — scale-
+   *                 sensitive callers opt out with `validate = false`, which
+   *                 silently drops misaligned spans (documented contract).
    * @return `spansDf` with `on` replaced by a token-span struct
    */
   def alignToTokens(tokens: DataFrame, spansDf: DataFrame, on: String = "span",
-      validate: Boolean = false): DataFrame = {
+      validate: Boolean = true): DataFrame = {
     val toks = tokens.filter(col("span")("begin") < col("span")("end"))
     val beginToks = toks.select(col("doc_id").as("b_doc_id"),
       col("token_id").as("begin_tok"), col("span")("begin").as("b_off"))

@@ -73,12 +73,12 @@ object Dedup {
    */
   def minhashSignature(text: Column, k: Int = 16, shingleK: Int = 3): Column = {
     val params = hashParams(k).toArray
-    val sigUdf = udf((hs: Seq[Long]) =>
+    val sigUdf = udf((hs: Seq[Long]) => Option(hs).map(_ => // null in → null out
       params.map { case (a, b) =>
         var m = Long.MaxValue
         hs.foreach { h => val v = (h * a + b) % HashP; if (v < m) m = v }
         m
-      }.toSeq)
+      }.toSeq))
     sigUdf(shingleHashes(text, shingleK))
   }
 
@@ -144,7 +144,7 @@ object Dedup {
    * equivalent expression tree does 32 interpreted array ops per word.
    */
   def simhash(text: Column): Column = {
-    val fpUdf = udf((ws: Seq[String]) => {
+    val fpUdf = udf((ws: Seq[String]) => Option(ws).map { ws => // null in → null out
       val votes = new Array[Long](32)
       ws.foreach { w =>
         val h = TextAnalysis.hashString(w)
@@ -173,7 +173,7 @@ object Dedup {
    */
   def simhashWide(text: Column, families: Int = 2): Column = {
     val params = hashParams(families).toArray
-    val fpUdf = udf((ws: Seq[String]) => {
+    val fpUdf = udf((ws: Seq[String]) => Option(ws).map { ws => // null in → null out
       params.map { case (a, b) =>
         val votes = new Array[Long](31)
         ws.foreach { w =>
@@ -207,18 +207,23 @@ object Dedup {
     require(chunks <= totalBits, "more chunks than bits")
     val withFp = docs.select(col(idCol).as("id"),
       simhashWide(col(textCol), families).as("fps"))
-    // chunk c covers global bits [c*totalBits/chunks, (c+1)*totalBits/chunks)
+    // chunk c covers global bits [c*totalBits/chunks, (c+1)*totalBits/chunks);
+    // a chunk crossing a family boundary stitches the two families' bit
+    // slices together, so every fingerprint bit lands in exactly one chunk
+    // key for ANY (maxDist, families) — uncovered bits would silently
+    // inflate candidate volume
     val chunkCols = (0 until chunks).map { c =>
       val lo = c * totalBits / chunks
       val hi = (c + 1) * totalBits / chunks
       val fam = lo / 31
       val famLo = lo % 31
-      val width = hi - lo
-      // a chunk never crosses a family boundary when chunks % families == 0;
-      // otherwise take the in-family remainder (still a valid LSH band)
-      val effWidth = math.min(width, 31 - famLo)
-      shiftright(element_at(col("fps"), fam + 1), famLo)
-        .bitwiseAND((1L << effWidth) - 1L)
+      val loBits = math.min(hi - lo, 31 - famLo)
+      val low = shiftright(element_at(col("fps"), fam + 1), famLo)
+        .bitwiseAND((1L << loBits) - 1L)
+      val hiBits = (hi - lo) - loBits
+      if (hiBits == 0) low
+      else low.bitwiseOR(shiftleft(
+        element_at(col("fps"), fam + 2).bitwiseAND((1L << hiBits) - 1L), loBits))
     }
     val banded = withFp.select(col("id"), col("fps"),
       posexplode(array(chunkCols: _*)).as(Seq("chunk", "val")))
@@ -277,7 +282,7 @@ object Dedup {
    */
   def signBucket(vec: Column, nPlanes: Int = 8): Column = {
     val np = nPlanes
-    val bucketUdf = udf((v: Seq[Double]) => {
+    val bucketUdf = udf((v: Seq[Double]) => Option(v).map { v => // null in → null out
       var bucket = 0L
       var p = 0
       while (p < np) {

@@ -84,7 +84,10 @@ object TextAnalysis {
     out.toSeq
   }
 
-  private def shingleUdf(k: Int) = udf((ws: Seq[String]) => shingleHashSet(ws, k))
+  // null text propagates as null (not NPE) — same contract as the
+  // expression-tree form this kernel replaced
+  private def shingleUdf(k: Int) =
+    udf((ws: Seq[String]) => Option(ws).map(shingleHashSet(_, k)))
 
   /** Distinct shingle hashes — the minhash/jaccard input set. */
   def shingleHashes(text: Column, k: Int): Column = shingleUdf(k)(words(text))

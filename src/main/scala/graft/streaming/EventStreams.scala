@@ -57,6 +57,12 @@ object EventStreams {
     val spark = events.sparkSession
     import spark.implicits._
     val gapUs = gapMinutes * 60L * 1000000L
+    // In batch mode flatMapGroupsWithState runs each group exactly once and
+    // timeouts never fire, so state left behind at end-of-group would be
+    // silently dropped — flush the final open session inline instead.
+    // (In streaming the group iterator is per-trigger, so there the open
+    // session must stay in state and flush via the event-time timeout.)
+    val isBatch = !events.isStreaming
     // the watermarked column must survive into the grouped projection for
     // event-time timeouts to resolve
     val typed = withEventTime(events)
@@ -90,9 +96,12 @@ object EventStreams {
             }
           }
           cur.foreach { s =>
-            state.update(s)
-            // flush when no event lands within the gap (event-time clock)
-            state.setTimeoutTimestamp(s.endUs / 1000 + gapMinutes * 60L * 1000L)
+            if (isBatch) closed += Session(user, s.startUs, s.endUs, s.n)
+            else {
+              state.update(s)
+              // flush when no event lands within the gap (event-time clock)
+              state.setTimeoutTimestamp(s.endUs / 1000 + gapMinutes * 60L * 1000L)
+            }
           }
           closed.iterator
         }

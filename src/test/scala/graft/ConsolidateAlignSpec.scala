@@ -42,10 +42,11 @@ class ConsolidateAlignSpec extends GraftSuite {
     val toks = Tokenize.tokens(docs)
     val sp = Seq((4, 9)).toDF("b", "e").select(lit(0L).as("doc_id"),
       graft.spans.span(col("b"), col("e")).as("span"))
+    // default matches the reference's ValueError
     assertThrows[IllegalArgumentException] {
-      Align.alignToTokens(toks, sp, validate = true).collect()
+      Align.alignToTokens(toks, sp).collect()
     }
-    // default (scale path): misaligned spans drop silently
-    assert(Align.alignToTokens(toks, sp).count() == 0)
+    // scale path opt-out: misaligned spans drop silently
+    assert(Align.alignToTokens(toks, sp, validate = false).count() == 0)
   }
 }
