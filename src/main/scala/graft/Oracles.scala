@@ -229,6 +229,66 @@ object Oracles {
          |SELECT doc_id, 0, 0, 10, '-DOCSTART-', 'O' FROM documents
          |WHERE doc_id < ${SparkEntry.ConllRoundtripCap}""".stripMargin,
 
+    // Mirror of the q57 synthesis + reader: 8-token sentences, head =
+    // sentence-begin token (null for the root), offsets = original text
+    // offsets (1-char separators on both sides of the roundtrip).
+    "q57_conllu_roundtrip" ->
+      s"""WITH $ToksCte
+         |SELECT doc_id AS doc_num, token_id, "begin", "end", text,
+         |  regexp_replace(text, 's+$$', '') AS lemma, 'NOUN' AS upostag,
+         |  CASE WHEN token_id % 8 = 0 THEN NULL
+         |       ELSE CAST((token_id // 8) * 8 AS INT) END AS head,
+         |  's' || doc_id || '-' || CAST(token_id // 8 AS VARCHAR) AS sentence_id,
+         |  'd' || doc_id AS doc_meta,
+         |  CAST((token_id // 8) * 8 AS INT) AS sent_bt,
+         |  CAST(least((token_id // 8) * 8 + 8, cnt) AS INT) AS sent_et
+         |FROM (SELECT *, count(*) OVER (PARTITION BY doc_id) AS cnt FROM toks)
+         |WHERE doc_id < ${SparkEntry.ConllRoundtripCap}""".stripMargin,
+
+    // Mirror of q58: corpus token stream (incl. -DOCSTART- rows), output
+    // tags I-KEY on 'key', IOB2 correction = B at sentence starts
+    // (word index % 10 == 0) or after a non-key token.
+    "q58_conll_output" ->
+      s"""WITH $ToksCte,
+         |lg AS (SELECT doc_id, token_id, text,
+         |    lag(text) OVER (PARTITION BY doc_id ORDER BY token_id) AS ptext
+         |  FROM toks WHERE doc_id < ${SparkEntry.ConllRoundtripCap})
+         |SELECT doc_id AS doc_num, token_id + 1 AS token_id,
+         |  CASE WHEN text = 'key' THEN
+         |    (CASE WHEN token_id % 10 = 0 OR ptext IS DISTINCT FROM 'key'
+         |          THEN 'B' ELSE 'I' END)
+         |  ELSE 'O' END AS ent_iob,
+         |  CASE WHEN text = 'key' THEN 'KEY' ELSE '' END AS ent_type
+         |FROM lg
+         |UNION ALL
+         |SELECT doc_id, 0, 'O', '' FROM documents
+         |WHERE doc_id < ${SparkEntry.ConllRoundtripCap}""".stripMargin,
+
+    // Mirror of q60: stub wordpiece pieces (4-char chunks per word, CLS=101
+    // first / SEP=102 last), input_id = 1000 + hash(piece) mod 29522,
+    // stitched stub-model output code = (input_id*31 + d) mod 997.
+    "q60_bert_embed" ->
+      s"""WITH $ToksCte,
+         |pc AS (SELECT doc_id, token_id AS wtid, "begin", "end",
+         |    unnest(generate_series(0, CAST(ceil(("end" - "begin")/4.0) - 1 AS BIGINT))) AS i
+         |  FROM toks),
+         |ps AS (SELECT doc_id, wtid, i, "begin" + i*4 AS pb,
+         |    least("begin" + (i+1)*4, "end") AS pe FROM pc),
+         |pt AS (SELECT p.doc_id, p.wtid, p.i, p.pb, p.pe,
+         |    substr(d.text, CAST(p.pb + 1 AS BIGINT), CAST(p.pe - p.pb AS BIGINT)) AS piece
+         |  FROM ps p JOIN documents d ON p.doc_id = d.doc_id),
+         |pi AS (SELECT doc_id, pb, pe, 1000 + (${H("piece")}) % 29522 AS input_id,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY wtid, i) AS token_id FROM pt),
+         |allt AS (
+         |  SELECT doc_id, token_id, input_id, pb AS "begin", pe AS "end" FROM pi
+         |  UNION ALL SELECT doc_id, 0, 101, 0, 0 FROM documents
+         |  UNION ALL SELECT d.doc_id, n.np + 1, 102, len(d.text), len(d.text)
+         |    FROM documents d JOIN (SELECT doc_id, count(*) AS np FROM pi GROUP BY doc_id) n
+         |    ON d.doc_id = n.doc_id)
+         |SELECT doc_id, token_id, input_id, "begin", "end", dims.d,
+         |  (input_id*31 + dims.d) % 997 AS ecode
+         |FROM allt CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS d) dims""".stripMargin,
+
     "q52_repetition" ->
       s"""WITH $ShingleCte
          |SELECT s.doc_id, round(1.0 - CAST(len(s.h) AS DOUBLE) /
@@ -301,7 +361,7 @@ object Oracles {
          |bk AS (SELECT id, ${bucket("v")} AS bucket FROM ed),
          |pr AS (SELECT id, $ProbeExpr FROM bk),
          |cand AS (SELECT DISTINCT a.id AS id_a, b2.id AS id_b FROM pr a
-         |  JOIN pr b2 ON a.pb = b2.pb AND a.id < b2.id)
+         |  JOIN bk b2 ON a.pb = b2.bucket AND a.id < b2.id)
          |SELECT * FROM (SELECT id_a, id_b, round(${cos("x.v", "y.v")}, 4) AS cos
          |  FROM cand JOIN ed x ON x.id = cand.id_a JOIN ed y ON y.id = cand.id_b)
          |WHERE cos >= 0.3""".stripMargin,
@@ -558,6 +618,19 @@ object Oracles {
       s"""WITH $ToksCte
          |SELECT doc_id, 'Word' AS type, 'key' AS text, "begin", "end", 0.5 AS confidence
          |FROM toks WHERE text = 'key'""".stripMargin,
+
+    "q61_watson_frames" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3)
+        |SELECT doc_id, ws[1] AS kw_text, 0.9 AS kw_relevance, 0.5 AS emotion_joy,
+        |  CAST(1 AS BIGINT) AS kw_count,
+        |  'nextTo' AS rel_type, 0.8 AS score,
+        |  0 AS a0_b, len(ws[1]) AS a0_e,
+        |  len(ws[1]) + 1 AS a1_b, len(ws[1]) + 1 + len(ws[2]) AS a1_e,
+        |  ws[1] AS arg0_text, ws[2] AS arg1_text,
+        |  ws[1] AS subject_text, ws[3] AS object_text, ws[2] AS action_verb_text,
+        |  regexp_replace(ws[2], 's+$', '') AS action_normalized
+        |FROM w""".stripMargin,
 
     "q46_make_span_entities" ->
       s"""WITH $ToksCte

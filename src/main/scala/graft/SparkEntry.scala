@@ -213,6 +213,86 @@ object SparkEntry {
           col("span")("end").as("end"), col("text"), col("ent_iob"))
     }),
 
+    // CoNLL-U roundtrip: documents serialized to CoNLL-U (8-token
+    // sentences, `# newdoc id` / `# sent_id` metadata, lemma/upostag/head
+    // fields), parsed back through the reader. Sentence separators are one
+    // char in both representations, so parsed offsets == original offsets.
+    // Same bounded-driver-materialization exception as q53.
+    "q57_conllu_roundtrip" -> ((s, dir) => {
+      val dirP = java.nio.file.Files.createTempDirectory("graft_conllu")
+      val path = dirP.resolve("corpus.conllu")
+      dirP.toFile.deleteOnExit(); path.toFile.deleteOnExit()
+      val all = docs(s, dir).select("doc_id", "text")
+        .filter(col("doc_id") < ConllRoundtripCap).orderBy("doc_id").collect()
+      val sb = new StringBuilder
+      all.foreach { r =>
+        val docId = r.getLong(0)
+        sb.append(s"# newdoc id = d$docId\n")
+        r.getString(1).split(" ").grouped(8).zipWithIndex.foreach { case (sent, si) =>
+          sb.append(s"# sent_id = s$docId-$si\n")
+          sent.zipWithIndex.foreach { case (w, i) =>
+            val head = if (i == 0) "0" else "1" // root, else the sentence head
+            sb.append(s"${i + 1}\t$w\t${w.replaceAll("s+$", "")}\tNOUN\t_\t_\t$head\t_\t_\t_\n")
+          }
+          sb.append("\n")
+        }
+      }
+      java.nio.file.Files.writeString(path, sb.toString)
+      sources.Conll.conllU(s, path.toString)
+        .select(col("doc_num"), col("token_id"),
+          col("span")("begin").as("begin"), col("span")("end").as("end"),
+          col("text"), col("lemma"), col("upostag"), col("head"),
+          col("sentence_id"), col("doc").as("doc_meta"),
+          col("sentence")("begin_tok").as("sent_bt"),
+          col("sentence")("end_tok").as("sent_et"))
+    }),
+
+    // CoNLL-2003 model-output alignment: a tags-only output file (I-KEY on
+    // 'key') joined back to corpus tokens by global position, then
+    // IOB1→IOB2-corrected. Exercises conll2003Output's broadcast prefix-sum
+    // offset plan (no global window). Same bounded-collect exception.
+    "q58_conll_output" -> ((s, dir) => {
+      val dirP = java.nio.file.Files.createTempDirectory("graft_conllo")
+      val corpus = dirP.resolve("corpus.txt")
+      val tags = dirP.resolve("tags.txt")
+      Seq(dirP, corpus, tags).foreach(_.toFile.deleteOnExit())
+      val all = docs(s, dir).select("doc_id", "text")
+        .filter(col("doc_id") < ConllRoundtripCap).orderBy("doc_id").collect()
+      val sbC = new StringBuilder
+      val sbT = new StringBuilder
+      all.foreach { r =>
+        sbC.append("-DOCSTART- O\n\n"); sbT.append("O\n")
+        val words = r.getString(1).split(" ")
+        words.zipWithIndex.foreach { case (w, i) =>
+          sbC.append(w).append(" O\n")
+          sbT.append(if (w == "key") "I-KEY\n" else "O\n")
+          if (i % 10 == 9) sbC.append("\n")
+        }
+        if (words.length % 10 != 0) sbC.append("\n")
+      }
+      java.nio.file.Files.writeString(corpus, sbC.toString)
+      java.nio.file.Files.writeString(tags, sbT.toString)
+      val corpusToks = sources.Conll.conll2003(s, corpus.toString, Seq("ent"), Seq(true))
+      sources.Conll.conll2003Output(s, corpusToks, tags.toString, "ent")
+        .select(col("doc_num"), col("token_id"), col("ent_iob"),
+          coalesce(col("ent_type"), lit("")).as("ent_type"))
+    }),
+
+    // Full BERT path: stub wordpiece tokenizer → overlapping windows →
+    // stub model → stitch back to one vector per token. The stub model's
+    // output depends only on (input_id, dim), so a correct stitch yields
+    // exactly ecode = (input_id*31 + d) mod 997 for EVERY token — any
+    // window/stitch misalignment surfaces as a value mismatch.
+    "q60_bert_embed" -> ((s, dir) => {
+      val emb = Bert.addEmbeddings(Bert.makeBertTokens(docs(s, dir)), Bert.stubModel(8))
+      emb.select(col("doc_id"), col("token_id"), col("input_id"),
+          col("span")("begin").as("begin"), col("span")("end").as("end"),
+          posexplode(col("embedding")).as(Seq("d", "e")))
+        .select(col("doc_id"), col("token_id"), col("input_id"),
+          col("begin"), col("end"), col("d"),
+          round(col("e").cast("double") * 997).cast("long").as("ecode"))
+    }),
+
     "q52_repetition" -> ((s, dir) => {
       val ws = TextAnalysis.words(col("text"))
       val total = greatest(size(ws) - 2, lit(1))
@@ -477,6 +557,47 @@ object SparkEntry {
       sources.WatsonNlu.entityMentions(responses)
         .select(col("doc_id"), col("type"), col("text"),
           col("span")("begin").as("begin"), col("span")("end").as("end"), col("confidence"))
+    }),
+
+    // The remaining NLU frames — keywords, relations, semantic_roles — over
+    // synthesized responses built from each document's first three words,
+    // joined to one wide row per doc so all three parse paths are
+    // oracle-checked in one declared query.
+    "q61_watson_frames" -> ((s, dir) => {
+      val d = docs(s, dir).filter(size(split(col("text"), " ")) >= 3)
+      val ws = split(col("text"), " ")
+      val w0 = element_at(ws, 1); val w1 = element_at(ws, 2); val w2 = element_at(ws, 3)
+      val b1 = length(w0) + 1
+      val e1 = b1 + length(w1)
+      val json = concat(
+        lit("{\"keywords\":[{\"text\":\""), w0,
+        lit("\",\"sentiment\":{\"score\":0.25,\"label\":\"positive\"},\"relevance\":0.9,"),
+        lit("\"emotion\":{\"sadness\":0.1,\"joy\":0.5,\"fear\":0.1,\"disgust\":0.1,\"anger\":0.2},\"count\":1}],"),
+        lit("\"relations\":[{\"type\":\"nextTo\",\"sentence\":\""), w0, lit(" "), w1,
+        lit("\",\"score\":0.8,\"arguments\":["),
+        lit("{\"text\":\""), w0, lit("\",\"location\":[0,"), length(w0),
+        lit("],\"entities\":[{\"type\":\"W\",\"text\":\""), w0, lit("\"}]},"),
+        lit("{\"text\":\""), w1, lit("\",\"location\":["), b1, lit(","), e1,
+        lit("],\"entities\":[{\"type\":\"W\",\"text\":\""), w1, lit("\"}]}]}],"),
+        lit("\"semantic_roles\":[{\"subject\":{\"text\":\""), w0,
+        lit("\"},\"sentence\":\""), w0, lit(" "), w1,
+        lit("\",\"object\":{\"text\":\""), w2,
+        lit("\"},\"action\":{\"verb\":{\"text\":\""), w1,
+        lit("\",\"tense\":\"present\"},\"text\":\""), w1,
+        lit("\",\"normalized\":\""), regexp_replace(w1, "s+$", ""), lit("\"}}]}"))
+      val responses = d.select(col("doc_id"), json.as("response"))
+      val kw = sources.WatsonNlu.keywords(responses).select(col("doc_id"),
+        col("text").as("kw_text"), col("relevance").as("kw_relevance"),
+        col("emotion_joy"), col("count").as("kw_count"))
+      val rel = sources.WatsonNlu.relations(responses).select(col("doc_id"),
+        col("type").as("rel_type"), col("score"),
+        col("arg0_span")("begin").as("a0_b"), col("arg0_span")("end").as("a0_e"),
+        col("arg1_span")("begin").as("a1_b"), col("arg1_span")("end").as("a1_e"),
+        col("arg0_text"), col("arg1_text"))
+      val sr = sources.WatsonNlu.semanticRoles(responses).select(col("doc_id"),
+        col("subject_text"), col("object_text"), col("action_verb_text"),
+        col("action_normalized"))
+      kw.join(rel, "doc_id").join(sr, "doc_id")
     }),
 
     "q46_make_span_entities" -> ((s, dir) => {

@@ -234,11 +234,14 @@ object Dedup {
     val dist = (1 to families).map(i =>
       bit_count(element_at(col("fps_a"), i).bitwiseXOR(element_at(col("fps_b"), i))))
       .reduce(_ + _)
+    // popcount residual BEFORE the pair dedup: candidates that fail the
+    // distance check vastly outnumber true pairs, so filtering first keeps
+    // the dropDuplicates shuffle at result-set size
     a.join(b, col("chunk") === col("chunk_b") && col("val") === col("val_b") &&
         col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b")
       .withColumn("dist", dist)
       .filter(col("dist") <= maxDist)
+      .dropDuplicates("id_a", "id_b")
       .select("id_a", "id_b", "dist")
   }
 
@@ -263,11 +266,12 @@ object Dedup {
     val a = banded.select(col("chunk"), col("val"), col("id").as("id_a"), col("fp").as("fp_a"))
     val b = banded.select(col("chunk").as("chunk_b"), col("val").as("val_b"),
       col("id").as("id_b"), col("fp").as("fp_b"))
+    // popcount residual before the dedup — see simhashWideDupPairs
     a.join(b, col("chunk") === col("chunk_b") && col("val") === col("val_b") &&
         col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b")
       .withColumn("dist", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))))
       .filter(col("dist") <= maxDist)
+      .dropDuplicates("id_a", "id_b")
       .select("id_a", "id_b", "dist")
   }
 
@@ -303,8 +307,9 @@ object Dedup {
 
   /**
    * Embedding near-duplicate pairs: bucket by sign-LSH, exact cosine inside
-   * buckets, keep pairs with cosine >= `tau`. For recall, also joins on
-   * buckets differing in one bit (probing) when `probe = true`.
+   * buckets, keep pairs with cosine >= `tau`. For recall, the probe side
+   * also visits the buckets differing in one bit (`probe = true`), which
+   * finds every pair within bucket Hamming distance 1.
    */
   def embeddingDupPairs(embeddings: DataFrame, tau: Double = 0.95,
       nPlanes: Int = 8, probe: Boolean = true,
@@ -314,13 +319,17 @@ object Dedup {
     // (id, vector) relation once for the exact-cosine verify.
     val withV = embeddings.select(col(idCol).as("id"), col(vecCol).as("v"))
     val withB = withV.select(col("id"), signBucket(col("v"), nPlanes).as("bucket"))
-    // multi-probe: each vector also lands in the nPlanes single-bit-flip buckets
+    // multi-probe: each vector also probes the nPlanes single-bit-flip
+    // buckets. ONE-SIDED: probed rows join the unprobed bucket relation —
+    // bucket Hamming distance is symmetric, so probing one side already
+    // finds every pair within distance 1, with (nPlanes+1)·N × N join keys
+    // instead of (nPlanes+1)²·N² and far fewer duplicate candidates.
     val probed = if (!probe) withB.withColumn("pbucket", col("bucket"))
       else withB.select(col("id"), explode(array(
         (col("bucket") +: (0 until nPlanes).map(p =>
           col("bucket").bitwiseXOR(lit(1L << p)))): _*)).as("pbucket"))
     val a = probed.select(col("pbucket"), col("id").as("id_a"))
-    val b = probed.select(col("pbucket").as("pb2"), col("id").as("id_b"))
+    val b = withB.select(col("bucket").as("pb2"), col("id").as("id_b"))
     val candidates = a.join(b, col("pbucket") === col("pb2") && col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")

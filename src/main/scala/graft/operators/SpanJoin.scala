@@ -108,10 +108,14 @@ object SpanJoin {
 
     val fb = blocks(f, "first", "block1")
     val sb = blocks(s, "second", "block2")
+    // residual filter BEFORE the dedup: the filter is a cheap codegen'd
+    // expression on the joined row, and false candidates vastly outnumber
+    // true pairs — filtering first shrinks the dropDuplicates shuffle to
+    // the (much smaller) result set
     val pairs = fb
       .join(sb, col("doc_id") === col("doc_id2") && col("block1") === col("block2"))
-      .dropDuplicates("doc_id", "first", "second")
       .filter(residual(col("first"), col("second")))
+      .dropDuplicates("doc_id", "first", "second")
     val restored =
       if (distinctInputs) pairs
       else pairs.withColumn("__copy",

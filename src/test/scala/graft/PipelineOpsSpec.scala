@@ -128,4 +128,21 @@ class PipelineOpsSpec extends GraftSuite {
     assert(frames.select("media_id").distinct().count() ==
       media.filter(col("kind") === "video").count())
   }
+
+  test("fused kernels propagate null input instead of throwing") {
+    val withNull = (docsData :+ (9L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val r = withNull.select(col("doc_id"),
+      TextAnalysis.shingleHashes(col("text"), 3).as("sh"),
+      Dedup.minhashSignature(col("text"), 8, 3).as("sig"),
+      Dedup.simhash(col("text")).as("fp"),
+      Dedup.simhashWide(col("text"), 2).as("fps"),
+      TextAnalysis.langId(col("text")).as("lang"))
+      .filter(col("doc_id") === 9L).head
+    assert((1 to 5).forall(r.isNullAt))
+    val vecs = Seq((0L, Seq(1.0, 0.0)), (1L, null.asInstanceOf[Seq[Double]]))
+      .toDF("vec_id", "embedding")
+    val b = vecs.select(Dedup.signBucket(col("embedding"), 4).as("b")).collect()
+    assert(b.count(_.isNullAt(0)) == 1)
+  }
 }

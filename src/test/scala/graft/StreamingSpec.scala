@@ -69,4 +69,19 @@ class StreamingSpec extends GraftSuite {
       assert(all.exists(s => s.user_id == 1 && s.start_us == us(100)))
     } finally q.stop()
   }
+
+  test("sessionize in batch mode emits the final open session") {
+    import spark.implicits._
+    // timeouts never fire in batch — the end-of-group flush must cover the
+    // still-open sessions or they'd be silently dropped
+    val batch = Seq((ns(1), 1L, "a", 0.0), (ns(10), 1L, "a", 0.0),
+      (ns(100), 1L, "a", 0.0), (ns(5), 2L, "a", 0.0))
+      .toDF("ts", "user_id", "event_type", "value")
+    val s = EventStreams.sessionize(batch, gapMinutes = 30).collect()
+    assert(s.length == 3)
+    assert(s.exists(x => x.user_id == 1 && x.start_us == us(1) &&
+      x.end_us == us(10) && x.n_events == 2))
+    assert(s.exists(x => x.user_id == 1 && x.start_us == us(100) && x.n_events == 1))
+    assert(s.exists(x => x.user_id == 2 && x.n_events == 1))
+  }
 }
