@@ -79,52 +79,48 @@ object Extract {
    * (`extract_dict`, reference: spanner/extract.py:112-193).
    *
    * The dictionary is tokenized/normalized (`toks: array<string>`, `n`
-   * tokens) and broadcast; matching is the reference's iterated equi-join:
-   * match token 0 densely, then for each length L extend survivors by
-   * joining token `begin+L`. The loop unrolls at plan-build time to the max
-   * entry length, so the whole match is one Catalyst plan of L broadcast
-   * joins — no driver-side iteration over data.
+   * tokens) and broadcast. The reference iterates equi-joins (match token 0,
+   * then for each length L extend survivors by joining token `begin+L`) —
+   * which re-shuffles and re-scans the token relation once per length. Here
+   * the lookahead is ONE window pass: `lead(normalized_text, i)` /
+   * `lead(span.end, i)` materialize each candidate's next `maxLen-1` tokens
+   * in place, then a single broadcast join + per-length residual comparison
+   * completes every match. One shuffle on doc_id, one scan, no re-joins —
+   * the equivalent of the reference's candidate semantics (multi-length
+   * entries sharing a first token all match, like its per-length loop).
    *
    * `tokens` must include `normalized_text` (see Tokenize.normalizedTokens)
    * and must come from the same tokenizer as the dictionary.
    *
-   * Output: doc_id, span struct<begin_tok,end_tok,begin,end>, match text.
+   * Output: doc_id, span struct<begin_tok,end_tok,begin,end>.
    */
   def extractDict(docs: DataFrame, tokens: DataFrame, dict: DataFrame): DataFrame = {
     val maxLen = dict.agg(max(size(col("toks")))).head.getInt(0)
-    val toks = tokens.select(col("doc_id"), col("token_id"),
-      col("normalized_text"), col("span"))
-
-    // State: one row per partial match (doc_id, begin_tok, b, lastEnd, toks, n)
-    var matches = toks.join(broadcast(dict), col("normalized_text") === col("toks")(0))
-      .select(col("doc_id"), col("token_id").as("begin_tok"),
-        col("span")("begin").as("b"), col("span")("end").as("e"),
-        col("toks"), col("n"))
-
-    var completed: DataFrame = null
-    for (l <- 1 to maxLen) {
-      val done = matches.filter(col("n") === l)
-        .select(col("doc_id"), col("begin_tok"),
-          (col("begin_tok") + l).as("end_tok"), col("b"), col("e"))
-      completed = if (completed == null) done else completed.unionByName(done)
-      if (l < maxLen) {
-        val next = toks.select(col("doc_id").as("n_doc_id"),
-          col("token_id").as("n_tok"), col("normalized_text").as("n_text"),
-          col("span")("end").as("n_e"))
-        matches = matches.filter(col("n") > l)
-          .join(next, col("doc_id") === col("n_doc_id") &&
-            col("n_tok") === col("begin_tok") + l &&
-            col("n_text") === col("toks")(l))
-          .select(col("doc_id"), col("begin_tok"), col("b"),
-            col("n_e").as("e"), col("toks"), col("n"))
-      }
+    val w = Window.partitionBy("doc_id").orderBy("token_id")
+    val lookahead =
+      (1 until maxLen).map(i => lead(col("normalized_text"), i).over(w).as(s"__t$i")) ++
+      (1 until maxLen).map(i => lead(col("span")("end"), i).over(w).as(s"__e$i"))
+    val base = tokens.select(
+      Seq(col("doc_id"), col("token_id"), col("normalized_text"), col("span")) ++
+        lookahead: _*)
+    // Residual: entry length n matches iff tokens 1..n-1 equal the entry's;
+    // the matched span's end is the (n-1)-th lookahead end (null lookaheads
+    // — entry runs past the document — fail the equality and yield null).
+    val endForLen = (2 to maxLen).foldLeft(
+      when(col("n") === 1, col("span")("end"))) { case (acc, l) =>
+      acc.when(col("n") === l &&
+        (1 until l).map(i => col(s"__t$i") === col("toks")(i)).reduce(_ && _),
+        col(s"__e${l - 1}"))
     }
     // No global orderBy here: the reference sorts its output
     // (spanner/extract.py:192-193) but a total sort is the caller's choice —
     // at scale it is an all-to-one exchange most pipelines don't need.
-    completed
+    base.join(broadcast(dict), col("normalized_text") === col("toks")(0))
+      .withColumn("__end", endForLen)
+      .filter(col("__end").isNotNull)
       .select(col("doc_id"),
-        spans.tokenSpan(col("begin_tok"), col("end_tok"), col("b"), col("e")).as("span"))
+        spans.tokenSpan(col("token_id"), col("token_id") + col("n"),
+          col("span")("begin"), col("__end")).as("span"))
   }
 
   /**
