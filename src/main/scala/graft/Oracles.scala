@@ -167,6 +167,18 @@ object Oracles {
         |  count(*) AS n, sum(value) AS sum_value
         |FROM events GROUP BY hour_ms, event_type""".stripMargin,
 
+    // Gaps-and-islands mirror of EventStreams.sessionize(gap = 30 min):
+    // a new session starts when the previous event is over gapUs away.
+    "q62_sessionize" ->
+      """WITH x AS (SELECT user_id, epoch_ns(ts) // 1000 AS t FROM events),
+        |f AS (SELECT user_id, t,
+        |    CASE WHEN p IS NULL OR t - p > 1800000000 THEN 1 ELSE 0 END AS brk
+        |  FROM (SELECT user_id, t, lag(t) OVER (PARTITION BY user_id ORDER BY t) AS p FROM x)),
+        |g AS (SELECT user_id, t,
+        |    CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY t) AS BIGINT) AS sid FROM f)
+        |SELECT user_id, min(t) AS start_us, max(t) AS end_us, count(*) AS n_events
+        |FROM g GROUP BY user_id, sid""".stripMargin,
+
     "q40_json_props" ->
       "SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k FROM events",
 

@@ -150,6 +150,13 @@ object SparkEntry {
         .select(unix_millis(col("hour_start")).as("hour_ms"), col("event_type"),
           col("n"), col("sum_value"))),
 
+    // The stateful sessionization operator itself (flatMapGroupsWithState),
+    // run on its batch path — the oracle reproduces it with SQL
+    // gaps-and-islands sessionization, so the custom-state logic (gap
+    // merge, session close, end-of-group flush) is differentially checked.
+    "q62_sessionize" -> ((s, dir) =>
+      streaming.EventStreams.sessionize(events(s, dir), gapMinutes = 30).toDF()),
+
     "q40_json_props" -> ((s, dir) =>
       events(s, dir).select(col("event_id"),
         from_json(col("props"), new StructType().add("k", IntegerType))("k").as("k"))),

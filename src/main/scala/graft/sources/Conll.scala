@@ -212,21 +212,30 @@ object Conll {
     val tagsDf = spark.createDataFrame(lines, StructType(Seq(
       StructField("__pos", LongType), StructField(s"${name}_iob", StringType),
       StructField(s"${name}_type", StringType))))
-    // Global token position = per-document offset + token_id. The offsets
-    // come from a prefix sum over the per-(fold, doc_num) token COUNTS —
-    // one row per document, thousands of rows, not the token stream — so
-    // no partition ever sees more than the (tiny) document directory. The
-    // naive alternative (row_number over an unpartitioned window ordered
-    // by fold/doc/token) funnels the whole corpus through one task.
+    // Global token position = per-document offset + token_id, via a
+    // TWO-LEVEL prefix sum over per-(fold, doc_num) token counts: the
+    // within-fold document prefix sum is a window PARTITIONED BY fold
+    // (distributed — each file's document directory stays in one task),
+    // and only the per-FOLD totals go through a global-order window, i.e.
+    // one row per input file. No stage ever funnels the corpus-wide
+    // document directory — let alone the token stream — through one task.
     // Fold ordering matches wholeTextFiles' path order (alphabetical),
     // which is also how the tag lines were numbered.
-    val docDirW = org.apache.spark.sql.expressions.Window
-      .orderBy("fold", "doc_num")
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    val offsets = corpusTokens.groupBy("fold", "doc_num")
+    import org.apache.spark.sql.expressions.Window
+    val docW = Window.partitionBy("fold").orderBy("doc_num")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val foldW = Window.orderBy("fold")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val counts = corpusTokens.groupBy("fold", "doc_num")
       .agg(count(lit(1)).as("__n"))
-      .withColumn("__off", coalesce(sum("__n").over(docDirW), lit(0L)))
-      .drop("__n")
+    val foldOffsets = counts.groupBy("fold").agg(sum("__n").as("__ft"))
+      .withColumn("__fold_off", coalesce(sum("__ft").over(foldW), lit(0L)))
+      .drop("__ft")
+    val offsets = counts
+      .withColumn("__doc_off", coalesce(sum("__n").over(docW), lit(0L)))
+      .join(broadcast(foldOffsets), Seq("fold"))
+      .withColumn("__off", col("__doc_off") + col("__fold_off"))
+      .select("fold", "doc_num", "__off")
     val base = corpusTokens
       .drop(s"${name}_iob", s"${name}_type")
       .join(broadcast(offsets), Seq("fold", "doc_num"))
