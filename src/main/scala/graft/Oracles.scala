@@ -607,6 +607,13 @@ object Oracles {
         |  unnest(generate_series(0, CAST(n_chars*10 - 1 AS BIGINT), 500)) AS frame_ms
         |FROM documents WHERE doc_id % 3 = 2 AND n_chars*10 > 0""".stripMargin,
 
+    "q63_audio_chunks" ->
+      """SELECT doc_id AS media_id, doc_id, CAST(i AS INT) AS chunk_idx,
+        |  s AS start_ms, s + 1000 AS end_ms
+        |FROM (SELECT doc_id, generate_subscripts(ss, 1) - 1 AS i, unnest(ss) AS s
+        |  FROM (SELECT doc_id, generate_series(0, n_chars*10 - 1000, 500) AS ss
+        |        FROM documents WHERE doc_id % 3 = 1 AND n_chars*10 >= 1000))""".stripMargin,
+
     "q43_media_features" -> {
       // unrolled LCG chain of Multimodal.DecodeStub.decodeImage, seeded by
       // the rolling hash of the first 64 bytes (= chars: text is ASCII)

@@ -520,6 +520,10 @@ object SparkEntry {
     "q39_media_frames" -> ((s, dir) =>
       Multimodal.sampleVideoFrames(Multimodal.syntheticMedia(docs(s, dir)), everyMs = 500)),
 
+    "q63_audio_chunks" -> ((s, dir) =>
+      Multimodal.chunkAudio(Multimodal.syntheticMedia(docs(s, dir)),
+        windowMs = 1000, hopMs = 500)),
+
     "q43_media_features" -> ((s, dir) =>
       Multimodal.extractImageFeatures(Multimodal.syntheticMedia(docs(s, dir)))
         .select(col("media_id"), posexplode(col("features")).as(Seq("i", "f")))

@@ -82,6 +82,20 @@ object Multimodal {
           .as("frame_ms"))
   }
 
+  /**
+   * Fixed-window chunking for audio rows — the standard front end for
+   * feature extraction (MFCC/fbank) or ASR batching: one output row per
+   * (window of `windowMs`, hopped by `hopMs`) that fits entirely inside
+   * the clip. Narrow generate — no shuffle; the (stubbed) sample decode
+   * happens downstream per chunk, exactly like extractImageFeatures.
+   */
+  def chunkAudio(media: DataFrame, windowMs: Int = 1000, hopMs: Int = 500): DataFrame =
+    media.filter(col("kind") === "audio" && col("meta")("duration_ms") >= windowMs)
+      .select(col("media_id"), col("doc_id"),
+        posexplode(sequence(lit(0), col("meta")("duration_ms") - windowMs, lit(hopMs)))
+          .as(Seq("chunk_idx", "start_ms")))
+      .withColumn("end_ms", col("start_ms") + windowMs)
+
   /** Synthesize a deterministic media relation from the documents table —
     * test/bench input standing in for real binary payloads. */
   def syntheticMedia(docs: DataFrame): DataFrame = {

@@ -127,6 +127,12 @@ class PipelineOpsSpec extends GraftSuite {
     assert(frames.count() > 0)
     assert(frames.select("media_id").distinct().count() ==
       media.filter(col("kind") === "video").count())
+    // audio chunks: every window fits inside its clip, hop spacing exact
+    val chunks = Multimodal.chunkAudio(media, windowMs = 200, hopMs = 100)
+      .join(media.select(col("media_id"), col("meta")("duration_ms").as("dur")), "media_id")
+    assert(chunks.count() > 0)
+    assert(chunks.filter(col("end_ms") > col("dur")).count() == 0)
+    assert(chunks.filter(col("start_ms") =!= col("chunk_idx") * 100).count() == 0)
   }
 
   test("fused kernels propagate null input instead of throwing") {
