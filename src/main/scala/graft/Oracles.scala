@@ -668,6 +668,14 @@ object Oracles {
         |  string_agg(CASE WHEN ck = 'R' THEN v END, ' | ' ORDER BY b, v) AS "R"
         |FROM c GROUP BY doc_id, table_idx, row_idx, row_key""".stripMargin,
 
+    "q64_watson_tables_parse" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 4)
+        |SELECT doc_id, 0 AS table_idx, 0 AS row_idx, 'R0' AS row_key,
+        |  ws[1] AS "C0", ws[2] AS "C1" FROM w
+        |UNION ALL
+        |SELECT doc_id, 0, 1, 'R1', ws[3], ws[4] FROM w""".stripMargin,
+
     "q49_spacy_features" -> {
       val stops = sqlList(operators.TextAnalysis.StopwordsEn)
       s"""WITH $ToksCte,

@@ -634,6 +634,27 @@ object SparkEntry {
       sources.WatsonTables.makeTable(cells)
     }),
 
+    // Watson Tables end-to-end: synthesized table-understanding JSON (one
+    // 2x2 table per document, headered cells carrying the doc's first four
+    // words) → from_json body-cells relation → all-tables pivot
+    // reconstruction. Covers the parse path q48 skips.
+    "q64_watson_tables_parse" -> ((s, dir) => {
+      val d = docs(s, dir).filter(size(split(col("text"), " ")) >= 4)
+      val ws = split(col("text"), " ")
+      def cell(r: Int, c: Int, w: Column) = concat(
+        lit("{\"text\":\""), w,
+        lit(s"""","location":{"begin":${r * 10 + c},"end":${r * 10 + c + 1}},"""),
+        lit(s""""row_index_begin":$r,"row_index_end":${r + 1},"""),
+        lit(s""""column_index_begin":$c,"column_index_end":${c + 1},"""),
+        lit(s""""row_header_texts":["R$r"],"column_header_texts":["C$c"]}"""))
+      val json = concat(lit("{\"tables\":[{\"body_cells\":["),
+        cell(0, 0, element_at(ws, 1)), lit(","), cell(0, 1, element_at(ws, 2)), lit(","),
+        cell(1, 0, element_at(ws, 3)), lit(","), cell(1, 1, element_at(ws, 4)),
+        lit("]}]}"))
+      sources.WatsonTables.makeTable(
+        sources.WatsonTables.bodyCells(d.select(col("doc_id"), json.as("response"))))
+    }),
+
     "q49_spacy_features" -> ((s, dir) =>
       sources.Spacy.makeTokensAndFeatures(docs(s, dir), addLeftAndRight = true)
         .select(col("doc_id"), col("token_id"),
