@@ -509,6 +509,14 @@ object Oracles {
          |  AND ((w4.b = t."begin" AND w4.e = t."end") OR NOT (t."begin" >= w4.e OR t."end" <= w4.b))
          |  AND t."begin" >= w4.b AND t."end" <= w4.e""".stripMargin,
 
+    "q65_set_ops" ->
+      s"""WITH $ToksCte,
+         |a AS (SELECT DISTINCT doc_id, text FROM toks WHERE text LIKE 's%'),
+         |b AS (SELECT DISTINCT doc_id, text FROM toks WHERE len(text) > 4)
+         |SELECT doc_id, text, 'both' AS op FROM (SELECT * FROM a INTERSECT SELECT * FROM b)
+         |UNION ALL
+         |SELECT doc_id, text, 'only_s' AS op FROM (SELECT * FROM a EXCEPT SELECT * FROM b)""".stripMargin,
+
     "q30_span_sum" ->
       s"""WITH $ToksCte
          |SELECT doc_id, min("begin") AS "begin", max("end") AS "end", count(*) AS n

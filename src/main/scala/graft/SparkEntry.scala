@@ -442,6 +442,17 @@ object SparkEntry {
           col("second")("begin").as("s_b"), col("second")("end").as("s_e"))
     }),
 
+    // Set-operation surface (SURVEY §2.10): INTERSECT/EXCEPT over token
+    // value sets — native Spark, declared so the oracle pins the hash-based
+    // distinct semantics.
+    "q65_set_ops" -> ((s, dir) => {
+      val t = toks(s, dir)
+      val a = t.filter(col("text").startsWith("s")).select("doc_id", "text")
+      val b = t.filter(length(col("text")) > 4).select("doc_id", "text")
+      a.intersect(b).withColumn("op", lit("both"))
+        .unionByName(a.except(b).withColumn("op", lit("only_s")))
+    }),
+
     "q30_span_sum" -> ((s, dir) =>
       toks(s, dir).filter(col("text").startsWith("s"))
         .groupBy("doc_id")
