@@ -35,25 +35,20 @@ object tensor {
   def norm2(a: Column): Column = sqrt(dot(a, a))
 
   /**
-   * Cosine similarity; 0 when either vector has zero norm. Fused JVM
-   * kernel with the same left-to-right double fold as the expression form
-   * (and as the SQL oracle's list_reduce), so results are bit-identical;
-   * the interpreted zip_with/aggregate tree was the q17-q19 hotspot.
-   * Float-array inputs are cast to double (exact) before the fold.
+   * Cosine similarity; 0 when either vector has zero norm or is null.
+   * A native codegen'd Catalyst expression (see
+   * expressions/CosineSim.scala): reads unsafe array data in place inside
+   * whole-stage codegen — no Seq boxing, no UDF closure call per row —
+   * with the same left-to-right double fold as the SQL oracle's
+   * list_reduce, so results are bit-identical. (History: the interpreted
+   * zip_with/aggregate tree was the q17-q19 hotspot; a fused Scala UDF
+   * fixed that, and the native expression removes the remaining
+   * boxing/closure overhead.) Float-array inputs are cast to double
+   * (exact) here — a no-op for already-double arrays.
    */
-  def cosine(a: Column, b: Column): Column = cosineUdf(a, b)
-
-  private val cosineUdf = udf((a: Seq[Double], b: Seq[Double]) => {
-    if (a == null || b == null) 0.0
-    else {
-      var dab = 0.0; var daa = 0.0; var dbb = 0.0
-      var i = 0
-      val n = math.min(a.length, b.length)
-      while (i < n) { dab += a(i) * b(i); daa += a(i) * a(i); dbb += b(i) * b(i); i += 1 }
-      val d = math.sqrt(daa) * math.sqrt(dbb)
-      if (d > 0) dab / d else 0.0
-    }
-  })
+  def cosine(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.CosineSim(
+      a.cast("array<double>"), b.cast("array<double>"))
 
   // ---- axis-0 (cross-row) reductions (reference: array/tensor.py:618-630) ----
 

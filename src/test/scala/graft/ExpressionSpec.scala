@@ -25,6 +25,32 @@ class ExpressionSpec extends GraftSuite {
     assert(spark.sql("SELECT portable_hash(NULL) AS h").head().isNullAt(0))
   }
 
+  test("CosineSim: values, null→0.0 contract, codegen participation") {
+    import spark.implicits._
+    import org.apache.spark.sql.graft.CosineSim
+    val df = Seq(
+      (Seq(1.0, 2.0), Seq(1.0, 2.0)),   // identical → 1.0
+      (Seq(1.0, 0.0), Seq(0.0, 1.0)),   // orthogonal → 0.0
+      (Seq(0.0, 0.0), Seq(1.0, 1.0)),   // zero norm → 0.0
+      (null, Seq(1.0, 1.0))             // null → 0.0, not null
+    ).toDF("a", "b")
+    val got = df.select(CosineSim(col("a"), col("b")).as("c"))
+      .collect().map(_.getDouble(0))
+    assert(math.abs(got(0) - 1.0) < 1e-12 && got(1) == 0.0 &&
+      got(2) == 0.0 && got(3) == 0.0)
+    // codegen path over a non-foldable source, vs the manual fold
+    val dfc = spark.range(3).select(col("id"),
+      CosineSim(array(col("id").cast("double"), lit(2.0)),
+        array(lit(3.0), lit(4.0))).as("c"))
+    val codegenNode = dfc.queryExecution.executedPlan.find(
+      _.isInstanceOf[org.apache.spark.sql.execution.WholeStageCodegenExec])
+    assert(codegenNode.isDefined)
+    val m = dfc.collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    def manual(x: Double) =
+      (x * 3 + 2 * 4) / (math.sqrt(x * x + 4) * math.sqrt(9 + 16))
+    assert(m(0L) == manual(0) && m(2L) == manual(2))
+  }
+
   test("PortableHash participates in whole-stage codegen") {
     // non-foldable source so the projection actually goes through codegen
     val df = spark.range(3)
