@@ -26,5 +26,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 1, "portable_hash takes exactly one argument")
         org.apache.spark.sql.graft.PortableHash(children.head)
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[org.apache.spark.sql.graft.CosineSim].getName,
+        "cosine_sim"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "cosine_sim takes exactly two arguments")
+        org.apache.spark.sql.graft.CosineSim(children.head, children(1))
+      }))
   }
 }

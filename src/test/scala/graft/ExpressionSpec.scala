@@ -25,6 +25,13 @@ class ExpressionSpec extends GraftSuite {
     assert(spark.sql("SELECT portable_hash(NULL) AS h").head().isNullAt(0))
   }
 
+  test("cosine_sim is registered as a SQL function via GraftExtensions") {
+    val r = spark.sql(
+      "SELECT cosine_sim(array(1.0d, 2.0d), array(1.0d, 2.0d)) AS c")
+      .head().getDouble(0)
+    assert(math.abs(r - 1.0) < 1e-12)
+  }
+
   test("CosineSim: values, null→0.0 contract, codegen participation") {
     import spark.implicits._
     import org.apache.spark.sql.graft.CosineSim
