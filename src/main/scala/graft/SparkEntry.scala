@@ -642,7 +642,9 @@ object SparkEntry {
         col("l_linenumber").as("column_index_begin"),
         (col("l_orderkey") * 10 + col("l_linenumber")).as("begin"),
         floor(col("l_quantity")).cast("int").cast("string").as("text"))
-      sources.WatsonTables.makeTable(cells)
+      // explicit column keys (the TPC-H returnflag domain): skips the
+      // pivot-value inference scan
+      sources.WatsonTables.makeTable(cells, columnKeys = Seq("A", "N", "R"))
     }),
 
     // Watson Tables end-to-end: synthesized table-understanding JSON (one
@@ -663,7 +665,8 @@ object SparkEntry {
         cell(1, 0, element_at(ws, 3)), lit(","), cell(1, 1, element_at(ws, 4)),
         lit("]}]}"))
       sources.WatsonTables.makeTable(
-        sources.WatsonTables.bodyCells(d.select(col("doc_id"), json.as("response"))))
+        sources.WatsonTables.bodyCells(d.select(col("doc_id"), json.as("response"))),
+        columnKeys = Seq("C0", "C1"))
     }),
 
     "q49_spacy_features" -> ((s, dir) =>

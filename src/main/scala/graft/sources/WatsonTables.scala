@@ -116,17 +116,23 @@ object WatsonTables {
    * (reference pivot aggfunc, tables.py:589).
    */
   def makeTable(bodyCells: DataFrame, valueCol: String = "text",
-      concatWith: String = " | "): DataFrame = {
+      concatWith: String = " | ", columnKeys: Seq[String] = Nil): DataFrame = {
     val rowKey = when(col("row_header_texts") =!= "", col("row_header_texts"))
       .otherwise(col("row_index_begin").cast("string")).as("row_key")
     val colKey = when(col("column_header_texts") =!= "", col("column_header_texts"))
       .otherwise(col("column_index_begin").cast("string"))
-    bodyCells
+    val grouped = bodyCells
       .withColumn("__ck", colKey)
       .withColumn("__v", struct(col("begin"), col(valueCol).as("v")))
       .groupBy(col("doc_id"), col("table_idx"),
         col("row_index_begin").as("row_idx"), rowKey)
-      .pivot("__ck")
+    // Explicit columnKeys skip pivot's hidden distinct-values job — a full
+    // extra scan of the cells relation that callers with a known header
+    // domain (or a cached sample) shouldn't pay at scale.
+    val pivoted =
+      if (columnKeys.nonEmpty) grouped.pivot("__ck", columnKeys)
+      else grouped.pivot("__ck")
+    pivoted
       // empty pivot groups must be NULL (pandas pivot_table's NaN), not
       // the ''-join of an empty list
       .agg(when(count(lit(1)) > 0,

@@ -74,6 +74,20 @@ class ExtractSpec extends GraftSuite {
     assert(r.toSeq.sorted == Seq((0, 16), (11, 16), (17, 22), (23, 44), (45, 64), (65, 84)))
   }
 
+  test("extract_dict window-lookahead edge cases") {
+    // entries sharing a first token at several lengths; entry running past
+    // the end of the document must not match (lead() nulls fail equality)
+    val d = Seq((0L, "key agg")).toDF("doc_id", "text")
+    val t = graft.operators.Tokenize.normalizedTokens(d)
+    val dict = Extract.createDict(
+      Seq("key", "key agg", "key agg overflow").toDF("entry"))
+    val r = Extract.extractDict(d, t, dict)
+      .select(col("span")("begin_tok"), col("span")("end_tok"),
+        col("span")("begin"), col("span")("end"))
+      .collect().map(x => (x.getInt(0), x.getInt(1), x.getInt(2), x.getInt(3)))
+    assert(r.toSeq.sorted == Seq((0, 1, 0, 3), (0, 2, 0, 7)))
+  }
+
   test("extract_split goldens (test_extract.py:182-246)") {
     val doc = "This is a test. This is also a test."
     val d = Seq((0L, doc)).toDF("doc_id", "text")
