@@ -615,6 +615,12 @@ object Oracles {
         |  unnest(generate_series(0, CAST(n_chars*10 - 1 AS BIGINT), 500)) AS frame_ms
         |FROM documents WHERE doc_id % 3 = 2 AND n_chars*10 > 0""".stripMargin,
 
+    "q66_media_resize" ->
+      s"""SELECT doc_id AS media_id, 8 AS width, 8 AS height,
+         |  least(len(substr(text, 1, 64)), 32) AS n_bytes,
+         |  ${H("substr(text, 1, 32)")} AS fp
+         |FROM documents WHERE doc_id % 3 = 0""".stripMargin,
+
     "q63_audio_chunks" ->
       """SELECT doc_id AS media_id, doc_id, CAST(i AS INT) AS chunk_idx,
         |  s AS start_ms, s + 1000 AS end_ms

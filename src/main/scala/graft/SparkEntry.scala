@@ -531,6 +531,16 @@ object SparkEntry {
     "q39_media_frames" -> ((s, dir) =>
       Multimodal.sampleVideoFrames(Multimodal.syntheticMedia(docs(s, dir)), everyMs = 500)),
 
+    // Resize host end-to-end: the stub crop is exact (first 32 bytes of
+    // the UTF-8 payload = first 32 chars of the doc text), so byte length
+    // and content hash are oracle-stated directly.
+    "q66_media_resize" -> ((s, dir) =>
+      Multimodal.resizeImages(Multimodal.syntheticMedia(docs(s, dir)), 8, 8)
+        .select(col("media_id"), col("meta")("width").as("width"),
+          col("meta")("height").as("height"),
+          length(col("bytes")).as("n_bytes"),
+          TextAnalysis.portableHash(decode(col("bytes"), "UTF-8")).as("fp"))),
+
     "q63_audio_chunks" -> ((s, dir) =>
       Multimodal.chunkAudio(Multimodal.syntheticMedia(docs(s, dir)),
         windowMs = 1000, hopMs = 500)),

@@ -39,6 +39,12 @@ object Multimodal {
     /** STUB — frame timestamps a real demuxer would return. */
     def sampleFrames(durationMs: Int, everyMs: Int): Seq[Int] =
       (0 until durationMs by everyMs).toSeq
+
+    /** STUB — stands in for a real decode→scale→re-encode (PIL.resize /
+      * javacv). Deterministic crop to 32 bytes so tests and the oracle can
+      * state the output exactly; a real codec keeps this signature. */
+    def resizeImage(bytes: Array[Byte], w: Int, h: Int): Array[Byte] =
+      bytes.take(math.min(bytes.length, 32))
   }
 
   /**
@@ -80,6 +86,29 @@ object Multimodal {
       .select(col("media_id"), col("doc_id"),
         explode(sequence(lit(0), col("meta")("duration_ms") - 1, lit(everyMs)))
           .as("frame_ms"))
+  }
+
+  /**
+   * Resize every image row to (w, h): the binary column is transformed in
+   * a batched mapPartitions (same host shape as extractImageFeatures — one
+   * codec instance per partition), and the metadata struct is updated to
+   * the new dimensions. Narrow map — no shuffle.
+   */
+  def resizeImages(media: DataFrame, w: Int, h: Int): DataFrame = {
+    val images = media.filter(col("kind") === "image")
+    val mid = images.schema.fieldIndex("media_id")
+    val did = images.schema.fieldIndex("doc_id")
+    val kid = images.schema.fieldIndex("kind")
+    val bid = images.schema.fieldIndex("bytes")
+    val metaIdx = images.schema.fieldIndex("meta")
+    images.toDF.mapPartitions { rows =>
+      rows.map { r =>
+        val resized = DecodeStub.resizeImage(r.getAs[Array[Byte]](bid), w, h)
+        val oldMeta = r.getStruct(metaIdx)
+        Row(r.getLong(mid), r.getLong(did), r.getString(kid), resized,
+          Row(w, h, oldMeta.get(2), oldMeta.get(3)))
+      }
+    }(Encoders.row(mediaSchema))
   }
 
   /**

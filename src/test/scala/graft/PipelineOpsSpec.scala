@@ -127,6 +127,12 @@ class PipelineOpsSpec extends GraftSuite {
     assert(frames.count() > 0)
     assert(frames.select("media_id").distinct().count() ==
       media.filter(col("kind") === "video").count())
+    // resize: image rows only, meta updated, bytes cropped by the stub
+    val resized = Multimodal.resizeImages(media, 8, 8)
+    assert(resized.count() == media.filter(col("kind") === "image").count())
+    val rr = resized.head
+    assert(rr.getStruct(4).getInt(0) == 8 && rr.getStruct(4).getInt(1) == 8)
+    assert(rr.getAs[Array[Byte]]("bytes").length <= 32)
     // audio chunks: every window fits inside its clip, hop spacing exact
     val chunks = Multimodal.chunkAudio(media, windowMs = 200, hopMs = 100)
       .join(media.select(col("media_id"), col("meta")("duration_ms").as("dur")), "media_id")
