@@ -36,21 +36,15 @@ object Tokenize {
     buf.toSeq
   }
 
-  private val tokenizeUdf =
-    udf((text: String) => tokenOffsets(text).map { case (b, e) => graft.types.Span(b, e) })
-
   /**
    * Tokenize a documents relation into the standard tokens relation.
-   * `make_tokens` parity (reference: io/spacy.py:75-90).
+   * `make_tokens` parity (reference: io/spacy.py:75-90). One native
+   * Generator pass per document (see expressions/TokenizeGenerator.scala):
+   * no UDF boxing, no per-token re-substring of the document.
    */
-  def tokens(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    docs
-      .select(col(idCol).as("doc_id"), col(textCol).as("__text"),
-        posexplode(tokenizeUdf(col(textCol))).as(Seq("token_id", "span")))
-      .select(col("doc_id"), col("token_id"),
-        col("span"),
-        graft.spans.coveredText(col("__text"), col("span")).as("text"))
-  }
+  def tokens(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      org.apache.spark.sql.graft.TokenizeGenerator(col(textCol)))
 
   /** Tokens + normalized (lowercase) text — the dictionary-matching key. */
   def normalizedTokens(docs: DataFrame, textCol: String = "text",
