@@ -34,5 +34,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 2, "cosine_sim takes exactly two arguments")
         org.apache.spark.sql.graft.CosineSim(children.head, children(1))
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("tokenize"),
+      new ExpressionInfo(classOf[org.apache.spark.sql.graft.TokenizeGenerator].getName,
+        "tokenize"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "tokenize takes exactly one argument")
+        org.apache.spark.sql.graft.TokenizeGenerator(children.head)
+      }))
   }
 }

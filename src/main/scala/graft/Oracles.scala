@@ -307,6 +307,11 @@ object Oracles {
          |  greatest(len(w.w) - 2, 1), 4) AS repetition
          |FROM hs s JOIN ws0 w ON s.doc_id = w.doc_id""".stripMargin,
 
+    "q67_vocab" ->
+      s"""SELECT word, count(*) AS n, count(DISTINCT doc_id) AS nd
+         |FROM (SELECT doc_id, unnest($Words) AS word FROM documents)
+         |GROUP BY word ORDER BY n DESC, word LIMIT 50""".stripMargin,
+
     "q12_exact_dup" ->
       """WITH d AS (SELECT doc_id, array_to_string((string_split(text, ' '))[1:3], ' ') AS k3 FROM documents),
         |g AS (SELECT k3, min(doc_id) AS keep_id, count(*) AS c FROM d GROUP BY k3)

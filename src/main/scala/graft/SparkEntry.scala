@@ -308,6 +308,12 @@ object SparkEntry {
           .cast("double") / total, 4).as("repetition"))
     }),
 
+    // Vocabulary building: term + document frequencies, top 50 by count
+    // with a deterministic tie-break — the IDF front end of a pipeline.
+    "q67_vocab" -> ((s, dir) =>
+      TextAnalysis.vocabulary(docs(s, dir))
+        .orderBy(col("n").desc, col("word")).limit(50)),
+
     "q12_exact_dup" -> ((s, dir) =>
       Dedup.exactDupPairs(docs(s, dir).select(col("doc_id"),
         concat_ws(" ", slice(split(col("text"), " "), 1, 3)).as("text")))),

@@ -184,4 +184,19 @@ object TextAnalysis {
 
   /** Whole-document fingerprint: rolling hash of the full text. */
   def fingerprint(text: Column): Column = portableHash(text)
+
+  /**
+   * Corpus vocabulary with term and document frequencies — the
+   * vocabulary-building / IDF front end of a training-data pipeline.
+   * One explode + one aggregation (map-side partial counts), shuffle
+   * keyed by term: at 100 TB the only caveat is head-word skew, which
+   * partial aggregation absorbs (each mapper pre-counts its split).
+   * Output: word, n (term frequency), nd (document frequency).
+   */
+  def vocabulary(docs: org.apache.spark.sql.DataFrame,
+      textCol: String = "text", idCol: String = "doc_id"): org.apache.spark.sql.DataFrame =
+    docs.select(org.apache.spark.sql.functions.col(idCol).as("doc_id"),
+        explode(words(org.apache.spark.sql.functions.col(textCol))).as("word"))
+      .groupBy("word")
+      .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("nd"))
 }

@@ -25,6 +25,17 @@ class ExpressionSpec extends GraftSuite {
     assert(spark.sql("SELECT portable_hash(NULL) AS h").head().isNullAt(0))
   }
 
+  test("tokenize is registered as a SQL generator via GraftExtensions") {
+    val rows = spark.sql(
+      "SELECT tokenize('In AD 932, King Arthur') AS (token_id, span, text)")
+      .collect().map(r => (r.getInt(0), r.getStruct(1).getInt(0),
+        r.getStruct(1).getInt(1), r.getString(2)))
+    assert(rows.length == 6) // In AD 932 , King Arthur → ',' its own token
+    assert(rows(0) == (0, 0, 2, "In"))
+    assert(rows(3) == (3, 9, 10, ","))
+    assert(rows(5) == (5, 16, 22, "Arthur"))
+  }
+
   test("cosine_sim is registered as a SQL function via GraftExtensions") {
     val r = spark.sql(
       "SELECT cosine_sim(array(1.0d, 2.0d), array(1.0d, 2.0d)) AS c")
