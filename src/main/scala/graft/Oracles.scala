@@ -446,6 +446,12 @@ object Oracles {
         |FROM st JOIN mn ON st.label = mn.label AND st.dim = mn.dim
         |  JOIN mx ON st.label = mx.label AND st.dim = mx.dim""".stripMargin,
 
+    "q68_embed_median" ->
+      """SELECT label, dim, median(x) AS med, count(*) AS n
+        |FROM (SELECT label, generate_subscripts(embedding, 1) - 1 AS dim,
+        |        CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings)
+        |GROUP BY label, dim""".stripMargin,
+
     "q21_vec_ops" ->
       s"""WITH $EmbCte
          |SELECT id AS vec_id, sqrt(${dot("v", "v")}) AS nrm,

@@ -385,6 +385,15 @@ object SparkEntry {
           col("z")("anyv").as("any_pos"), col("z")("allv").as("all_ok"))
     }),
 
+    // Median is order-independent (exact sort + midpoint interpolation on
+    // both engines), unlike prod — the remaining axis-0 reduction that can
+    // be differentially checked.
+    "q68_embed_median" -> ((s, dir) =>
+      embeds(s, dir)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
+        .groupBy("label", "dim")
+        .agg(median(col("x").cast("double")).as("med"), count(lit(1)).as("n"))),
+
     "q21_vec_ops" -> ((s, dir) =>
       embedsD(s, dir).select(col("vec_id"),
         tensor.norm2(col("embedding")).as("nrm"),

@@ -36,6 +36,23 @@ class ExpressionSpec extends GraftSuite {
     assert(rows(5) == (5, 16, 22, "Arthur"))
   }
 
+  test("TokenizeGenerator matches tokenOffsets on punctuation and non-ASCII") {
+    import spark.implicits._
+    val texts = Seq("café, naïve! x(y)z", "a  b\t\nc", "", "...", "日本語 テスト")
+    val got = texts.toDF("t")
+      .select(col("t"), org.apache.spark.sql.graft.TokenizeGenerator(col("t")))
+      .collect()
+      .groupBy(_.getString(0))
+      .view.mapValues(_.sortBy(_.getInt(1))
+        .map(r => (r.getStruct(2).getInt(0), r.getStruct(2).getInt(1), r.getString(3)))
+        .toSeq).toMap
+    texts.filter(_.nonEmpty).foreach { t =>
+      val expect = graft.operators.Tokenize.tokenOffsets(t)
+        .map { case (b, e) => (b, e, t.substring(b, e)) }
+      assert(got.getOrElse(t, Seq.empty) == expect, s"for '$t'")
+    }
+  }
+
   test("cosine_sim is registered as a SQL function via GraftExtensions") {
     val r = spark.sql(
       "SELECT cosine_sim(array(1.0d, 2.0d), array(1.0d, 2.0d)) AS c")
