@@ -215,6 +215,26 @@ object Oracles {
          |  + (CASE WHEN en > 0.05 THEN 1.0 ELSE 0.7 END)*0.2, 4) AS quality FROM c""".stripMargin
     },
 
+    // Same quality arithmetic as q08, keyed by content hash; DISTINCT
+    // mirrors the batch-path dedup (quality is a function of the text, so
+    // (text_key, quality) is deterministic even though surviving ROWS are
+    // per-key arbitrary).
+    "q69_stream_clean" -> {
+      val en = ratio(operators.TextAnalysis.StopwordsEn)
+      s"""WITH x AS (SELECT doc_id, text, $Words AS ws FROM documents),
+         |c AS (SELECT doc_id, text,
+         |  least(CAST(len(ws) AS DOUBLE) / 200.0, 1.0) AS lc,
+         |  greatest(0.0, 1.0 - (CASE WHEN len(text) > 0
+         |    THEN CAST(len(regexp_replace(text, '[^!-/:-@\\[-`{-~]', '', 'g')) AS DOUBLE) / len(text)
+         |    ELSE 0.0 END) * 5) AS pp,
+         |  CASE WHEN len(ws) > 0 THEN CAST(list_sum(list_transform(ws, w -> len(w))) AS DOUBLE) / len(ws)
+         |       ELSE 0.0 END AS mwl,
+         |  $en AS en FROM x),
+         |q AS (SELECT text, round(lc*0.4 + pp*0.2 + (CASE WHEN mwl >= 2 AND mwl <= 12 THEN 1.0 ELSE 0.5 END)*0.2
+         |  + (CASE WHEN en > 0.05 THEN 1.0 ELSE 0.7 END)*0.2, 4) AS quality FROM c)
+         |SELECT DISTINCT md5(text) AS text_key, quality FROM q WHERE quality >= 0.5""".stripMargin
+    },
+
     "q09_fingerprint" ->
       s"SELECT doc_id, ${H("text")} AS fp FROM documents",
 

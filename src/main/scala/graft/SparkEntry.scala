@@ -310,6 +310,13 @@ object SparkEntry {
 
     // Vocabulary building: term + document frequencies, top 50 by count
     // with a deterministic tie-break — the IDF front end of a pipeline.
+    // Streaming ingest-cleaning on its batch path: the surviving rows of a
+    // quality filter + content dedup are per-key arbitrary, so the
+    // deterministic declared output is the surviving KEY set.
+    "q69_stream_clean" -> ((s, dir) =>
+      streaming.DocumentStreams.cleanDocs(docs(s, dir), minQuality = 0.5)
+        .select("text_key", "quality")),
+
     "q67_vocab" -> ((s, dir) =>
       TextAnalysis.vocabulary(docs(s, dir))
         .orderBy(col("n").desc, col("word")).limit(50)),

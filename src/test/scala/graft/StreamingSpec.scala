@@ -70,6 +70,33 @@ class StreamingSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("cleanDocs: streaming dedup within watermark + quality filter") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val good = "the quick brown fox jumps over the lazy dog and it was a fine day " * 4
+    val df = mem.toDF.toDF("ts", "text")
+      .withColumn("event_time", timestamp_micros(col("ts") / 1000 cast "long"))
+    val q = graft.streaming.DocumentStreams
+      .cleanDocs(df, minQuality = 0.3, watermark = Some("10 minutes"))
+      .select("text_key").writeStream
+      .format("memory").queryName("cleaned").outputMode("append").start()
+    try {
+      mem.addData((ns(1), good), (ns(2), good), (ns(3), "!!! ###"))
+      q.processAllAvailable()
+      // duplicate within the watermark dropped; junk quality-filtered
+      assert(spark.table("cleaned").count() == 1)
+    } finally q.stop()
+  }
+
+  test("cleanDocs batch path dedupes globally") {
+    import spark.implicits._
+    val good = "the quick brown fox jumps over the lazy dog and it was a fine day " * 4
+    val batch = Seq(good, good, "!!! ###").toDF("text")
+    val r = graft.streaming.DocumentStreams.cleanDocs(batch, minQuality = 0.3)
+    assert(r.count() == 1)
+  }
+
   test("sessionize in batch mode emits the final open session") {
     import spark.implicits._
     // timeouts never fire in batch — the end-of-group flush must cover the
