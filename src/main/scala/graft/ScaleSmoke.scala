@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators._
+
+/**
+ * Scale-regression smoke: times the core operator families at 1x and 10x
+ * the bench scale factor (the 10x corpus is tiled from sf0.1 with
+ * deterministic per-copy doc_id/text perturbation, written once to
+ * /tmp/graft_scale10) and prints the wall-second ratio per operator.
+ *
+ * The interesting signal is the RATIO: a linear operator shows ~10x (or
+ * less, when fixed overheads amortize); a super-linear ratio flags a plan
+ * that would not survive the next 100x. Output-quadratic detectors
+ * (near-dup pair listing) are measured through their candidate-generation
+ * stage, which is the part that must stay linear — their output is
+ * inherently quadratic in cluster sizes.
+ */
+object ScaleSmoke {
+
+  private def timed(f: => Long): (Double, Long) = {
+    val t0 = System.nanoTime()
+    val n = f
+    ((System.nanoTime() - t0) / 1e9, n)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val bigDir = "/tmp/graft_scale10"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val docs1 = spark.read.parquet(s"$sfDir/documents.parquet")
+    val emb1 = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val nDocs = docs1.count()
+
+    // Tile 10 copies: new ids, text rotated by a per-copy word offset so
+    // copies are near- but not exact duplicates (realistic dedup load).
+    if (!new java.io.File(s"$bigDir/documents.parquet").exists()) {
+      val copies = (0 until 10).map { c =>
+        docs1.select((col("doc_id") + lit(c.toLong) * 1000000L).as("doc_id"),
+          concat_ws(" ",
+            slice(split(col("text"), " "), c + 1, 100000),
+            slice(split(col("text"), " "), 1, c)).as("text"),
+          col("lang"), col("source"), col("n_chars"))
+      }
+      copies.reduce(_ unionByName _).repartition(32)
+        .write.mode("overwrite").parquet(s"$bigDir/documents.parquet")
+      val ecopies = (0 until 10).map { c =>
+        emb1.select((col("vec_id") + lit(c.toLong) * 1000000L).as("vec_id"),
+          col("embedding"), col("label"))
+      }
+      ecopies.reduce(_ unionByName _).repartition(32)
+        .write.mode("overwrite").parquet(s"$bigDir/embeddings.parquet")
+    }
+    val docs10 = spark.read.parquet(s"$bigDir/documents.parquet")
+    val emb10 = spark.read.parquet(s"$bigDir/embeddings.parquet")
+
+    def embD(e: DataFrame) = e.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("embedding"), col("label"))
+
+    val ops: Seq[(String, DataFrame => Long, DataFrame => Long)] = Seq(
+      ("tokenize", d => Tokenize.normalizedTokens(d).count(), null),
+      ("extract_regex", d => Extract.extractRegex(d, "\\bs[a-z0-9]*").count(), null),
+      ("vocabulary", d => TextAnalysis.vocabulary(d).count(), null),
+      ("minhash_bands", d => d.select(col("doc_id"),
+        posexplode(Dedup.lshBandKeys(Dedup.minhashSignature(col("text"), 8, 3), 8, 4))
+          .as(Seq("band", "key")))
+        .groupBy("band", "key").count().count(), null),
+      ("simhash_wide_chunks", d => d.select(col("doc_id"),
+        Dedup.simhashWide(col("text"), 2).as("fps")).count(), null),
+      ("exact_dup_pairs", d => Dedup.exactDupPairs(d).count(), null),
+      ("iob_spans", d => Iob.iobToSpans(
+        Tokenize.normalizedTokens(d)
+          .withColumn("ent_iob", when(col("text") === "key", "B").otherwise("O"))
+          .withColumn("ent_type", when(col("text") === "key", lit("K")))).count(), null))
+
+    val results = scala.collection.mutable.ArrayBuffer.empty[String]
+    ops.foreach { case (name, f, _) =>
+      f(docs1) // warmup: JIT + codegen cache, excluded from timings
+      val (t1, n1) = timed(f(docs1))
+      val (t10, n10) = timed(f(docs10))
+      results += f"""{"op":"$name","sec_1x":$t1%.2f,"sec_10x":$t10%.2f,"ratio":${t10 / t1}%.2f,"rows_1x":$n1,"rows_10x":$n10}"""
+    }
+    // ANN with a fixed query set: candidate volume grows linearly with the
+    // corpus, output is fixed k per query
+    def lsh(e: DataFrame): Long = {
+      val ed = embD(e)
+      val q = ed.filter(col("vec_id") < 5).select(col("vec_id").as("query_id"), col("embedding"))
+      Similarity.lshTopK(ed, q, k = 10).count()
+    }
+    lsh(emb1) // warmup
+    val (ta, na) = timed(lsh(emb1))
+    val (tb, nb) = timed(lsh(emb10))
+    results += f"""{"op":"ann_lsh_topk","sec_1x":$ta%.2f,"sec_10x":$tb%.2f,"ratio":${tb / ta}%.2f,"rows_1x":$na,"rows_10x":$nb}"""
+
+    println(s"""{"scale_smoke":[${results.mkString(",")}],"docs_1x":$nDocs}""")
+    spark.stop()
+  }
+}
