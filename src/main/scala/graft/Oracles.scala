@@ -492,6 +492,27 @@ object Oracles {
          |FROM toks t1 JOIN toks t2 ON t1.doc_id = t2.doc_id AND t2.token_id = t1.token_id + 1
          |WHERE t1.text = 'key'""".stripMargin,
 
+    // Flagship pipeline mirror: longest dictionary match per begin token
+    // (see the q70 comment in SparkEntry for why this equals the greedy
+    // left-to-right consolidate on this dictionary).
+    "q70_flagship" ->
+      s"""WITH $ToksCte,
+         |cand AS (
+         |  SELECT t1.doc_id, t1.token_id, t1."begin" AS b,
+         |    CASE WHEN t1.text = 'the' AND t2.text = 'spark' AND t3.text = 'join' THEN 3
+         |         WHEN t1.text = 'key' AND t2.text = 'agg' THEN 2
+         |         WHEN t1.text = 'slow' AND t2.text = 'fast' THEN 2
+         |         WHEN t1.text = 'key' THEN 1 END AS ln
+         |  FROM toks t1
+         |  LEFT JOIN toks t2 ON t1.doc_id = t2.doc_id AND t2.token_id = t1.token_id + 1
+         |  LEFT JOIN toks t3 ON t1.doc_id = t3.doc_id AND t3.token_id = t1.token_id + 2),
+         |k AS (SELECT c.doc_id, c.b, e."end" AS e FROM cand c JOIN toks e
+         |      ON e.doc_id = c.doc_id AND e.token_id = c.token_id + c.ln - 1
+         |      WHERE c.ln IS NOT NULL)
+         |SELECT k.doc_id, k.b AS "begin", k.e AS "end",
+         |  substr(d.text, CAST(k.b + 1 AS BIGINT), CAST(k.e - k.b AS BIGINT)) AS match
+         |FROM k JOIN documents d ON k.doc_id = d.doc_id""".stripMargin,
+
     "q25_extract_dict" ->
       s"""WITH $ToksCte
          |SELECT doc_id, token_id AS begin_tok, token_id + 1 AS end_tok, "begin", "end"

@@ -423,6 +423,24 @@ object SparkEntry {
           col("span")("end_tok").as("end_tok"), col("span")("begin").as("begin"),
           col("span")("end").as("end"), col("match"))),
 
+    // The flagship spanner pipeline (same shape as `entry`): dictionary
+    // extraction → left-to-right consolidate → covered text. With this
+    // dictionary no inner token of a multi-token entry can begin another
+    // match, so the greedy walk provably reduces to longest-match-per-
+    // begin — which is what makes the sequential consolidate semantics
+    // SQL-expressible for the oracle.
+    "q70_flagship" -> ((s, dir) => {
+      import s.implicits._
+      val d = docs(s, dir)
+      val dict = Extract.createDict(
+        Seq("key", "key agg", "slow fast", "the spark join").toDF("entry"))
+      Consolidate.consolidate(Extract.extractDict(d, toks(s, dir), dict), "span")
+        .join(d.select(col("doc_id"), col("text").as("__t")), "doc_id")
+        .select(col("doc_id"), col("span")("begin").as("begin"),
+          col("span")("end").as("end"),
+          S.coveredText(col("__t"), col("span")).as("match"))
+    }),
+
     "q25_extract_dict" -> ((s, dir) => {
       import s.implicits._
       val dict = Extract.createDict(
