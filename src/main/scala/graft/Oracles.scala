@@ -136,11 +136,14 @@ object Oracles {
     // sum and DuckDB's sequential sum cannot drift apart; one identical
     // final division yields a bit-exact double on both engines.
     "q02_priority_revenue" ->
-      """SELECT o_orderpriority, count(DISTINCT o_orderkey) AS n_orders,
-        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
-        |      * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) / 10000.0 AS revenue
-        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-        |GROUP BY o_orderpriority""".stripMargin,
+      """WITH rev AS (
+        |  SELECT o_orderpriority,
+        |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |        * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) / 10000.0 AS revenue
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |  GROUP BY o_orderpriority),
+        |cnt AS (SELECT o_orderpriority, count(*) AS n_orders FROM orders GROUP BY o_orderpriority)
+        |SELECT o_orderpriority, revenue, n_orders FROM rev JOIN cnt USING (o_orderpriority)""".stripMargin,
 
     "q55_rollup" ->
       """SELECT coalesce(l_returnflag, '(all)') AS rf, coalesce(l_linestatus, '(all)') AS ls,

@@ -109,13 +109,20 @@ object SparkEntry {
     // an order-independent BIGINT sum, divided once at the end, is
     // bit-identical between Spark's shuffle-order aggregation and the
     // oracle's sequential sum — a double sum would drift in the last bits.
-    "q02_priority_revenue" -> ((s, dir) =>
-      orders(s, dir).join(lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
+    // n_orders comes from a separate cheap aggregate over the orders side
+    // (every order has lineitems) instead of a countDistinct expand
+    // through the join — the same decorrelation a 100 TB plan wants.
+    "q02_priority_revenue" -> ((s, dir) => {
+      val rev = orders(s, dir)
+        .join(lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
         .groupBy("o_orderpriority")
-        .agg(countDistinct("o_orderkey").as("n_orders"),
-          (sum(round(col("l_extendedprice") * 100).cast("long")
-            * (lit(100L) - round(col("l_discount") * 100).cast("long"))) / 10000.0)
-            .as("revenue"))),
+        .agg((sum(round(col("l_extendedprice") * 100).cast("long")
+          * (lit(100L) - round(col("l_discount") * 100).cast("long"))) / 10000.0)
+          .as("revenue"))
+      val cnt = orders(s, dir).groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"))
+      rev.join(cnt, "o_orderpriority")
+    }),
 
     "q55_rollup" -> ((s, dir) =>
       lineitem(s, dir).rollup("l_returnflag", "l_linestatus")
