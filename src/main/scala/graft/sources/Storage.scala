@@ -1,0 +1,34 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/**
+ * Bucketed-storage helpers — the co-location lever for 100 TB pipelines.
+ *
+ * Every span operator keys its shuffles by `doc_id` (tokens ⋈ spans,
+ * window functions, per-document aggregation). Writing the hot relations
+ * bucketed by `doc_id` moves that shuffle from every query to the write:
+ * Catalyst recognizes matching bucket specs and plans same-key joins and
+ * aggregations with NO Exchange on the bucketed side(s). At 1000
+ * executors that is the difference between an all-to-all of the token
+ * stream per query and none.
+ */
+object Storage {
+
+  /**
+   * Persist `df` as a bucketed+sorted table. Joins/groupBys on
+   * `bucketCol` between tables written with the same spec are
+   * exchange-free.
+   */
+  def writeBucketed(df: DataFrame, table: String, path: String,
+      bucketCol: String = "doc_id", buckets: Int = 32): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .option("path", path)
+      .bucketBy(buckets, bucketCol)
+      .sortBy(bucketCol)
+      .format("parquet")
+      .saveAsTable(table)
+
+  def readTable(spark: SparkSession, table: String): DataFrame =
+    spark.table(table)
+}
