@@ -32,4 +32,22 @@ class StorageSpec extends GraftSuite {
       spark.sql("DROP TABLE IF EXISTS docs_bucketed")
     }
   }
+
+  test("saltedJoin is row-identical to the plain join under a hot key") {
+    // 0L is a hot key: 100 rows against 3 for key 1
+    val large = ((1 to 100).map(i => (0L, s"v$i")) ++ Seq((1L, "a"), (1L, "b"), (1L, "c")))
+      .toDF("doc_id", "payload")
+    val small = Seq((0L, "zero"), (1L, "one"), (2L, "unused")).toDF("doc_id", "name")
+    val plain = large.join(small, "doc_id")
+      .collect().map(_.toString).sorted.toSeq
+    val salted = graft.operators.Skew.saltedJoin(large, small, "doc_id", saltN = 8)
+      .select("doc_id", "payload", "name")
+      .collect().map(_.toString).sorted.toSeq
+    assert(salted == plain)
+    // the salt actually spreads the hot key's rows
+    val spread = large.withColumn("__salt",
+      pmod(hash(col("payload")), lit(8)))
+      .filter(col("doc_id") === 0L).select("__salt").distinct().count()
+    assert(spread > 1)
+  }
 }
