@@ -54,7 +54,7 @@ object Align {
 
     val keep = spansDf.columns.filter(_ != on).map(col)
     joined.filter(col("begin_tok").isNotNull && col("end_tok").isNotNull)
-      .select(keep :+ spans.tokenSpan(col("begin_tok"), col("end_tok"),
+      .select(keep.toIndexedSeq :+ spans.tokenSpan(col("begin_tok"), col("end_tok"),
         col(on)("begin"), col(on)("end")).as(on): _*)
   }
 }

@@ -95,7 +95,7 @@ object Extract {
    * Output: doc_id, span struct<begin_tok,end_tok,begin,end>.
    */
   def extractDict(docs: DataFrame, tokens: DataFrame, dict: DataFrame): DataFrame = {
-    val maxLen = dict.agg(max(size(col("toks")))).head.getInt(0)
+    val maxLen = dict.agg(max(size(col("toks")))).head().getInt(0)
     val w = Window.partitionBy("doc_id").orderBy("token_id")
     val lookahead =
       (1 until maxLen).map(i => lead(col("normalized_text"), i).over(w).as(s"__t$i")) ++

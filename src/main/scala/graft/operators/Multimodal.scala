@@ -60,7 +60,7 @@ object Multimodal {
     val mid = media.schema.fieldIndex("media_id")
     val bid = media.schema.fieldIndex("bytes")
     val metaIdx = media.schema.fieldIndex("meta")
-    val out = media.toDF.mapPartitions { rows =>
+    val out = media.toDF().mapPartitions { rows =>
       // per-partition decoder init happens here (stubbed)
       rows.grouped(batchSize).flatMap { batch =>
         batch.map { r =>
@@ -101,7 +101,7 @@ object Multimodal {
     val kid = images.schema.fieldIndex("kind")
     val bid = images.schema.fieldIndex("bytes")
     val metaIdx = images.schema.fieldIndex("meta")
-    images.toDF.mapPartitions { rows =>
+    images.toDF().mapPartitions { rows =>
       rows.map { r =>
         val resized = DecodeStub.resizeImage(r.getAs[Array[Byte]](bid), w, h)
         val oldMeta = r.getStruct(metaIdx)
