@@ -56,13 +56,14 @@ object SparkEntry {
       S.tokenSpan(col("token_id"), col("token_id") + 1,
         col("span")("begin"), col("span")("end")).as("span"))
 
-  /** n-token char-span windows anchored at token_id % mod == 0. */
+  /** n-token char-span windows anchored at token_id % mod == 0. One
+    * lead() window pass over the tokens — the self-join alternative
+    * re-derives (re-tokenizes) the token relation once per join side. */
   private def win(t: DataFrame, n: Int, mod: Int): DataFrame = {
-    val a = t.select(col("doc_id"), col("token_id"), col("span")("begin").as("b"))
-      .filter(col("token_id") % mod === 0)
-    val c = t.select(col("doc_id").as("doc_id2"), col("token_id").as("tid2"),
-      col("span")("end").as("e"))
-    a.join(c, col("doc_id") === col("doc_id2") && col("tid2") === col("token_id") + (n - 1))
+    val w = Window.partitionBy("doc_id").orderBy("token_id")
+    t.select(col("doc_id"), col("token_id"), col("span")("begin").as("b"),
+        lead(col("span")("end"), n - 1).over(w).as("e"))
+      .filter(col("token_id") % mod === 0 && col("e").isNotNull)
       .select(col("doc_id"), S.span(col("b"), col("e")).as("span"))
   }
 
