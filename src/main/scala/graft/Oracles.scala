@@ -182,6 +182,12 @@ object Oracles {
         |SELECT user_id, min(t) AS start_us, max(t) AS end_us, count(*) AS n_events
         |FROM g GROUP BY user_id, sid""".stripMargin,
 
+    "q71_value_quantiles" ->
+      """SELECT event_type, n, generate_subscripts(qs, 1) - 1 AS q_idx,
+        |  round(unnest(qs), 6) AS q
+        |FROM (SELECT event_type, quantile_cont(value, [0.25, 0.5, 0.75]) AS qs,
+        |        count(*) AS n FROM events GROUP BY event_type)""".stripMargin,
+
     "q40_json_props" ->
       "SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k FROM events",
 

@@ -165,6 +165,17 @@ object SparkEntry {
     "q62_sessionize" -> ((s, dir) =>
       streaming.EventStreams.sessionize(events(s, dir), gapMinutes = 30).toDF()),
 
+    // Exact quantiles (sort + linear interpolation — order-independent,
+    // hence cross-engine hash-exact, unlike approx sketches): the
+    // distribution-analysis surface a quality-scoring pipeline needs.
+    "q71_value_quantiles" -> ((s, dir) =>
+      events(s, dir).groupBy("event_type")
+        .agg(percentile(col("value"), array(lit(0.25), lit(0.5), lit(0.75))).as("qs"),
+          count(lit(1)).as("n"))
+        .select(col("event_type"), col("n"),
+          posexplode(col("qs")).as(Seq("q_idx", "q")))
+        .select(col("event_type"), col("n"), col("q_idx"), round(col("q"), 6).as("q"))),
+
     "q40_json_props" -> ((s, dir) =>
       events(s, dir).select(col("event_id"),
         from_json(col("props"), new StructType().add("k", IntegerType))("k").as("k"))),
