@@ -361,6 +361,42 @@ object Oracles {
          |  FROM cand JOIN hs x ON x.doc_id = cand.id_a JOIN hs y ON y.doc_id = cand.id_b)
          |WHERE jaccard >= 0.7""".stripMargin,
 
+    // Connected components over the q14 pair graph: min reachable id per
+    // node via a recursive CTE (UNION dedups, so the fixpoint terminates).
+    "q72_dup_clusters" ->
+      s"""WITH RECURSIVE $MinhashCte,
+         |bnd AS (SELECT doc_id, generate_subscripts(keys, 1) - 1 AS band, unnest(keys) AS key FROM bk),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b FROM bnd a
+         |  JOIN bnd b2 ON a.band = b2.band AND a.key = b2.key AND a.doc_id < b2.doc_id),
+         |pr AS (SELECT id_a, id_b FROM (SELECT id_a, id_b,
+         |    CAST(len(list_intersect(x.h, y.h)) AS DOUBLE) / len(list_distinct(list_concat(x.h, y.h))) AS j
+         |  FROM cand JOIN hs x ON x.doc_id = cand.id_a JOIN hs y ON y.doc_id = cand.id_b)
+         |  WHERE round(j, 4) >= 0.7),
+         |e AS (SELECT id_a AS a, id_b AS b FROM pr UNION SELECT id_b, id_a FROM pr),
+         |reach AS (SELECT a AS n, a AS r FROM e
+         |  UNION SELECT e.b, reach.r FROM reach JOIN e ON e.a = reach.n)
+         |SELECT n AS doc_id, min(r) AS cluster_id FROM reach GROUP BY n""".stripMargin,
+
+    "q73_hash_split" ->
+      s"""SELECT doc_id, CASE
+         |  WHEN ${H("CAST(doc_id AS VARCHAR) || ':split'")} % 10000 < 9000 THEN 'train'
+         |  WHEN ${H("CAST(doc_id AS VARCHAR) || ':split'")} % 10000 < 9500 THEN 'val'
+         |  ELSE 'test' END AS split
+         |FROM documents""".stripMargin,
+
+    "q74_tfidf" ->
+      s"""WITH terms AS (SELECT doc_id, unnest($Words) AS word FROM documents),
+         |tf AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf FROM terms GROUP BY doc_id, word),
+         |df AS (SELECT word, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM terms GROUP BY word),
+         |n AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+         |scored AS (SELECT doc_id, word, tf, df,
+         |    round(tf * ln(CAST(n.n AS DOUBLE) / df), 4) AS score
+         |  FROM tf JOIN df USING (word) CROSS JOIN n)
+         |SELECT doc_id, rank, word, tf, df, score FROM
+         |  (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+         |     ORDER BY score DESC, word) AS INTEGER) AS rank FROM scored)
+         |WHERE rank <= 3""".stripMargin,
+
     "q15_simhash" ->
       s"WITH $SimhashCte SELECT doc_id, f AS fp FROM fp",
 

@@ -340,6 +340,15 @@ object SparkEntry {
       TextAnalysis.vocabulary(docs(s, dir))
         .orderBy(col("n").desc, col("word")).limit(50)),
 
+    // Deterministic hash-bucketed train/val/test assignment — stable
+    // across runs/partitionings, shuffle-free (pure codegen'd projection).
+    "q73_hash_split" -> ((s, dir) =>
+      TextAnalysis.hashSplit(docs(s, dir)).select("doc_id", "split")),
+
+    // Salient terms: top-3 TF-IDF words per document.
+    "q74_tfidf" -> ((s, dir) =>
+      TextAnalysis.tfIdfTopTerms(docs(s, dir), k = 3)),
+
     "q12_exact_dup" -> ((s, dir) =>
       Dedup.exactDupPairs(docs(s, dir).select(col("doc_id"),
         concat_ws(" ", slice(split(col("text"), " "), 1, 3)).as("text")))),
@@ -351,6 +360,13 @@ object SparkEntry {
 
     "q14_minhash_pairs" -> ((s, dir) =>
       Dedup.minhashDupPairs(docs(s, dir), threshold = 0.7, k = 8, bands = 4, shingleK = 3)),
+
+    // Pair → cluster resolution: connected components (min-label
+    // propagation) over the minhash near-dup pairs. The oracle reproduces
+    // it with a recursive CTE (min reachable id per node).
+    "q72_dup_clusters" -> ((s, dir) =>
+      Dedup.dupClusters(
+        Dedup.minhashDupPairs(docs(s, dir), threshold = 0.7, k = 8, bands = 4, shingleK = 3))),
 
     "q15_simhash" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"), Dedup.simhash(col("text")).as("fp"))),
@@ -561,9 +577,13 @@ object SparkEntry {
     "q36_lemmatize" -> ((s, dir) => {
       val t = toks(s, dir)
       val features = t.withColumn("lemma", regexp_replace(col("text"), "s+$", ""))
-      val spans2 = t.filter(col("token_id") % 4 === 0)
-        .join(t.select(col("doc_id").as("d2"), col("token_id").as("tid2")),
-          col("d2") === col("doc_id") && col("tid2") === col("token_id") + 1)
+      // 2-token spans at every 4th token where a next token exists: one
+      // lead() pass instead of a token self-join (which re-derives — i.e.
+      // re-tokenizes — the token relation for the probe side).
+      val w = Window.partitionBy("doc_id").orderBy("token_id")
+      val spans2 = t
+        .withColumn("__next", lead(col("token_id"), 1).over(w))
+        .filter(col("token_id") % 4 === 0 && col("__next").isNotNull)
         .select(col("doc_id"),
           S.tokenSpan(col("token_id"), col("token_id") + 2, lit(0), lit(0)).as("span"))
       Project.lemmatize(spans2, features)

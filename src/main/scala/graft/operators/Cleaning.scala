@@ -68,6 +68,6 @@ object Cleaning {
    * single DataFrames with doc ids, so this is a tagged unionByName.
    */
   def combineFolds(folds: Seq[(String, DataFrame)]): DataFrame =
-    folds.map { case (name, df) => df.select(lit(name).as("fold") +: df.columns.map(col): _*) }
+    folds.map { case (name, df) => df.select((lit(name).as("fold") +: df.columns.toIndexedSeq.map(col)): _*) }
       .reduce(_ unionByName _)
 }

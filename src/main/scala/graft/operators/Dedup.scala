@@ -340,4 +340,54 @@ object Dedup {
       .filter(col("cos") >= tau)
       .select("id_a", "id_b", "cos")
   }
+
+  // ---- pair → cluster resolution (connected components) ----
+
+  /**
+   * Resolve near-duplicate PAIRS into duplicate CLUSTERS: every doc in a
+   * connected component of the pair graph gets `cluster_id` = the smallest
+   * doc id reachable from it. This is the step that turns a pair detector
+   * into a dedup policy — "keep the cluster's canonical doc, drop the
+   * rest" — and pairs alone can't express it (A~B, B~C must collapse to
+   * one cluster even though A~C was never emitted).
+   *
+   * Algorithm: min-label propagation (the hash-to-min scheme of Rastogi et
+   * al., "Finding Connected Components in MapReduce in Logarithmic Rounds").
+   * Every node starts labeled with itself; each round takes the min label
+   * over its closed neighborhood; fixpoint = components. Rounds needed =
+   * graph diameter, and near-dup graphs are shallow (stars/cliques around
+   * boilerplate), so this converges in a handful of rounds. Scale shape:
+   *  - each round is ONE shuffle (edge-label equi-join + groupBy-min),
+   *    with narrow (long, long) rows — no vertex/edge state on the driver;
+   *  - `localCheckpoint` after each round truncates lineage so the plan
+   *    does not grow with rounds (mandatory for iterative jobs, or round N
+   *    re-executes rounds 1..N-1 under recomputation);
+   *  - convergence is probed with `sum(label)`: labels only ever decrease,
+   *    so an unchanged sum IS the fixpoint — one cheap action per round
+   *    instead of a change-count join.
+   */
+  def dupClusters(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
+      maxRounds: Int = 20): DataFrame = {
+    val edges = pairs.select(col(idA).cast("long").as("a"), col(idB).cast("long").as("b"))
+    val sym = edges.union(edges.select(col("b").as("a"), col("a").as("b")))
+      .localCheckpoint()
+    var labels = sym.select(col("a").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint()
+    var prevSum = labels.agg(sum("label")).head().getLong(0)
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      val nbrMin = sym.join(labels, sym("b") === labels("node"))
+        .groupBy(sym("a").as("node")).agg(min("label").as("nl"))
+      labels = labels.join(nbrMin, Seq("node"), "left")
+        .select(col("node"), least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
+        .localCheckpoint()
+      val s = labels.agg(sum("label")).head().getLong(0)
+      converged = s == prevSum
+      prevSum = s
+      round += 1
+    }
+    labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
+  }
 }

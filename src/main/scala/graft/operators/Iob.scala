@@ -106,12 +106,20 @@ object Iob {
    * inner join on (doc, span, type).
    */
   def prfScores(predicted: DataFrame, gold: DataFrame): DataFrame = {
-    val tp = predicted.join(gold, Seq("doc_id", "span", "ent_type"))
-      .groupBy("doc_id").agg(count(lit(1)).as("tp"))
-    val np = predicted.groupBy("doc_id").agg(count(lit(1)).as("n_pred"))
-    val ng = gold.groupBy("doc_id").agg(count(lit(1)).as("n_gold"))
-    np.join(ng, Seq("doc_id"), "full")
-      .join(tp, Seq("doc_id"), "left")
+    // ONE scan per input (the naive tp/np/ng formulation instantiates the
+    // predicted and gold subtrees twice each — expensive when they are
+    // derived relations, e.g. a window+groupBy over a tokenized corpus):
+    // gold collapses to per-(doc, span, type) counts `g`; the multiset
+    // inner-join TP count is then sum(__gc) over matching pred rows, and
+    // n_pred stays exact because the join key is unique in `g` (no
+    // fan-out). n_gold reuses the same `g` subtree — its shuffle is
+    // deduplicated by Spark's ReuseExchange, so gold is read once.
+    val g = gold.groupBy("doc_id", "span", "ent_type").agg(count(lit(1)).as("__gc"))
+    val perDoc = predicted.join(g, Seq("doc_id", "span", "ent_type"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_pred"), sum(coalesce(col("__gc"), lit(0L))).as("tp"))
+    val ng = g.groupBy("doc_id").agg(sum("__gc").as("n_gold"))
+    perDoc.join(ng, Seq("doc_id"), "full")
       .na.fill(0, Seq("tp", "n_pred", "n_gold"))
       .withColumn("precision", when(col("n_pred") > 0, col("tp") / col("n_pred")).otherwise(lit(0.0)))
       .withColumn("recall", when(col("n_gold") > 0, col("tp") / col("n_gold")).otherwise(lit(0.0)))

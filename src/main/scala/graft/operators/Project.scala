@@ -28,7 +28,7 @@ object Project {
     spansDf
       .join(toks, col("doc_id") === col("t_doc_id") &&
         col("t_tok") >= col(on)("begin_tok") && col("t_tok") < col(on)("end_tok"))
-      .groupBy(spansDf.columns.map(col): _*)
+      .groupBy(spansDf.columns.toIndexedSeq.map(col): _*)
       .agg(array_join(transform(
         array_sort(collect_list(struct(col("t_tok"), col("t_lemma").as("l")))),
         x => x("l")), " ").as("lemmas"))

@@ -27,7 +27,7 @@ object Skew {
   def saltedJoin(large: DataFrame, small: DataFrame, key: String,
       saltN: Int = 16): DataFrame = {
     require(saltN > 0, "saltN must be positive")
-    val nonKey = large.columns.filter(_ != key).map(col)
+    val nonKey = large.columns.toIndexedSeq.filter(_ != key).map(col)
     // deterministic salt: hash of the row's other columns — identical
     // inputs co-locate, but hot KEYS still spread (their rows differ)
     val salted = large.withColumn("__salt", pmod(hash(nonKey: _*), lit(saltN)))

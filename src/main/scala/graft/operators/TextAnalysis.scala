@@ -199,4 +199,60 @@ object TextAnalysis {
         explode(words(org.apache.spark.sql.functions.col(textCol))).as("word"))
       .groupBy("word")
       .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("nd"))
+
+  /**
+   * Deterministic train/validation/test assignment by hashing the doc id:
+   * bucket = portable_hash(id || ':' || salt) mod 10000, mapped onto the
+   * cumulative weight ranges. Hash-based (not `randomSplit`) because a
+   * training-corpus split must be STABLE — reproducible across runs,
+   * cluster sizes, and partitionings, and unchanged for existing docs when
+   * the corpus grows. Pure codegen'd expression: no shuffle at all, and
+   * the assignment can be re-derived (or pushed into a filter) anywhere
+   * downstream instead of persisting a split table.
+   *
+   * @param weights (split_name, weight) in assignment order; weights are
+   *                normalized over their sum.
+   */
+  def hashSplit(docs: org.apache.spark.sql.DataFrame,
+      weights: Seq[(String, Double)] = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05),
+      idCol: String = "doc_id", salt: String = "split"): org.apache.spark.sql.DataFrame = {
+    require(weights.nonEmpty && weights.forall(_._2 > 0), "weights must be positive")
+    val total = weights.map(_._2).sum
+    val bounds = weights.scanLeft(0L) { case (acc, (_, w)) =>
+      acc + math.round(w / total * 10000)
+    }.tail
+    val bucket = pmod(portableHash(
+      concat(col(idCol).cast("string"), lit(":" + salt))), lit(10000L))
+    val assign = weights.map(_._1).zip(bounds).init
+      .foldRight(lit(weights.last._1): Column) { case ((name, hi), elseCol) =>
+        when(bucket < hi, name).otherwise(elseCol)
+      }
+    docs.withColumn("split", assign)
+  }
+
+  /**
+   * Top-`k` TF-IDF terms per document: tf = in-doc term count, idf =
+   * ln(N / df) with df = number of docs containing the term. The classic
+   * salient-term extractor / keyword front end. Scale shape: one explode +
+   * two aggregations; the (word, df) relation is vocabulary-sized, so its
+   * join back onto per-doc term counts broadcasts for natural-language
+   * vocabularies even when the corpus itself is 100 TB. Scores are rounded
+   * to 4 decimals (with the term as tie-break) so rankings are
+   * reproducible across engines.
+   */
+  def tfIdfTopTerms(docs: org.apache.spark.sql.DataFrame, k: Int = 3,
+      textCol: String = "text", idCol: String = "doc_id"): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val terms = docs.select(col(idCol).as("doc_id"),
+        explode(words(col(textCol))).as("word"))
+    val tf = terms.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val df = terms.groupBy("word").agg(countDistinct(col("doc_id")).as("df"))
+    val n = docs.select(col(idCol)).distinct().count()
+    val scored = tf.join(broadcast(df), "word")
+      .withColumn("score", round(col("tf") * log(lit(n.toDouble) / col("df")), 4))
+    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("word"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("doc_id", "rank", "word", "tf", "df", "score")
+  }
 }

@@ -141,6 +141,50 @@ class PipelineOpsSpec extends GraftSuite {
     assert(chunks.filter(col("start_ms") =!= col("chunk_idx") * 100).count() == 0)
   }
 
+  test("dupClusters: transitive pairs collapse to one component, min id wins") {
+    // chain 1-2, 2-3, plus isolated pair 10-11: A~B~C must share a cluster
+    // even though (1,3) was never emitted as a pair.
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val got = Dedup.dupClusters(pairs).as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L)))
+    // a longer path exercises multiple propagation rounds
+    val chain = (0L until 9L).map(i => (i + 1, i)).toDF("id_a", "id_b")
+    val roots = Dedup.dupClusters(chain).select("cluster_id").distinct().collect()
+    assert(roots.map(_.getLong(0)).toSeq == Seq(0L))
+  }
+
+  test("hashSplit: deterministic, exhaustive, weight-proportional") {
+    val many = (0L until 2000L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val s1 = TextAnalysis.hashSplit(many).select("doc_id", "split")
+      .as[(Long, String)].collect().toMap
+    val s2 = TextAnalysis.hashSplit(many).select("doc_id", "split")
+      .as[(Long, String)].collect().toMap
+    assert(s1 == s2) // stable across runs
+    val counts = s1.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(counts.keySet == Set("train", "val", "test"))
+    assert(counts("train") > 1600 && counts("train") < 1990) // ~90%
+    // growing the corpus never reassigns existing docs
+    val grown = (0L until 3000L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val s3 = TextAnalysis.hashSplit(grown).select("doc_id", "split")
+      .as[(Long, String)].collect().toMap
+    assert(s1.forall { case (id, sp) => s3(id) == sp })
+  }
+
+  test("tfIdfTopTerms: corpus-wide words score 0, distinctive words rank first") {
+    val out = TextAnalysis.tfIdfTopTerms(docs, k = 2)
+    val rows = out.as[(Long, Int, String, Long, Long, Double)].collect()
+    assert(rows.count(_._1 == 2L) == 2) // k rows per doc
+    // 'the' appears in 3 of 5 docs; doc 2's top term must be one of its
+    // distinctive words (df == 1 → idf = ln 5), never a shared word
+    val top2 = rows.filter(r => r._1 == 2L && r._2 == 1).head
+    assert(top2._5 == 1L && top2._6 > 1.6)
+    // df == N ⇒ score exactly 0 (ln 1): check on a corpus where 'x' is everywhere
+    val all = Seq((0L, "x alpha"), (1L, "x beta")).toDF("doc_id", "text")
+    val z = TextAnalysis.tfIdfTopTerms(all, k = 2)
+      .filter(col("word") === "x").select("score").as[Double].collect()
+    assert(z.forall(_ == 0.0))
+  }
+
   test("fused kernels propagate null input instead of throwing") {
     val withNull = (docsData :+ (9L, null.asInstanceOf[String]))
       .toDF("doc_id", "text")
