@@ -42,5 +42,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 1, "tokenize takes exactly one argument")
         org.apache.spark.sql.graft.TokenizeGenerator(children.head)
       }))
+    // auto-rewrite naive span-overlap theta-joins into blocked equi-joins
+    ext.injectOptimizerRule(_ => graft.plans.SpanJoinRewrite)
   }
 }

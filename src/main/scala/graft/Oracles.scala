@@ -377,6 +377,21 @@ object Oracles {
          |  UNION SELECT e.b, reach.r FROM reach JOIN e ON e.a = reach.n)
          |SELECT n AS doc_id, min(r) AS cluster_id FROM reach GROUP BY n""".stripMargin,
 
+    "q76_dedup_survivors" ->
+      s"""WITH RECURSIVE $MinhashCte,
+         |bnd AS (SELECT doc_id, generate_subscripts(keys, 1) - 1 AS band, unnest(keys) AS key FROM bk),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b FROM bnd a
+         |  JOIN bnd b2 ON a.band = b2.band AND a.key = b2.key AND a.doc_id < b2.doc_id),
+         |pr AS (SELECT id_a, id_b FROM (SELECT id_a, id_b,
+         |    CAST(len(list_intersect(x.h, y.h)) AS DOUBLE) / len(list_distinct(list_concat(x.h, y.h))) AS j
+         |  FROM cand JOIN hs x ON x.doc_id = cand.id_a JOIN hs y ON y.doc_id = cand.id_b)
+         |  WHERE round(j, 4) >= 0.7),
+         |e AS (SELECT id_a AS a, id_b AS b FROM pr UNION SELECT id_b, id_a FROM pr),
+         |reach AS (SELECT a AS n, a AS r FROM e
+         |  UNION SELECT e.b, reach.r FROM reach JOIN e ON e.a = reach.n),
+         |losers AS (SELECT n FROM reach GROUP BY n HAVING n <> min(r))
+         |SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT n FROM losers)""".stripMargin,
+
     "q73_hash_split" ->
       s"""SELECT doc_id, CASE
          |  WHEN ${H("CAST(doc_id AS VARCHAR) || ':split'")} % 10000 < 9000 THEN 'train'
@@ -594,6 +609,18 @@ object Oracles {
          |w2 AS (SELECT a.doc_id, a."begin" AS b, c."end" AS e FROM toks a
          |  JOIN toks c ON a.doc_id = c.doc_id AND c.token_id = a.token_id + 1 WHERE a.token_id % 3 = 0)
          |SELECT DISTINCT w3.doc_id, w3.b AS f_b, w3.e AS f_e, w2.b AS s_b, w2.e AS s_e
+         |FROM w3 JOIN w2 ON w3.doc_id = w2.doc_id
+         |  AND ((w3.b = w2.b AND w3.e = w2.e) OR NOT (w2.b >= w3.e OR w2.e <= w3.b))""".stripMargin,
+
+    // identical relation to q28 (the naive-join query the optimizer rule
+    // rewrites; win() inputs are duplicate-free so DISTINCT is a no-op)
+    "q75_overlap_rule" ->
+      s"""WITH $ToksCte,
+         |w3 AS (SELECT a.doc_id, a."begin" AS b, c."end" AS e FROM toks a
+         |  JOIN toks c ON a.doc_id = c.doc_id AND c.token_id = a.token_id + 2 WHERE a.token_id % 5 = 0),
+         |w2 AS (SELECT a.doc_id, a."begin" AS b, c."end" AS e FROM toks a
+         |  JOIN toks c ON a.doc_id = c.doc_id AND c.token_id = a.token_id + 1 WHERE a.token_id % 3 = 0)
+         |SELECT w3.doc_id, w3.b AS f_b, w3.e AS f_e, w2.b AS s_b, w2.e AS s_e
          |FROM w3 JOIN w2 ON w3.doc_id = w2.doc_id
          |  AND ((w3.b = w2.b AND w3.e = w2.e) OR NOT (w2.b >= w3.e OR w2.e <= w3.b))""".stripMargin,
 

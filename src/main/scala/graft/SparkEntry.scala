@@ -368,6 +368,15 @@ object SparkEntry {
       Dedup.dupClusters(
         Dedup.minhashDupPairs(docs(s, dir), threshold = 0.7, k = 8, bands = 4, shingleK = 3))),
 
+    // The complete dedup policy: corpus minus non-canonical cluster
+    // members (each near-dup cluster keeps its smallest doc id).
+    "q76_dedup_survivors" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.dropNearDuplicates(d,
+        Dedup.minhashDupPairs(d, threshold = 0.7, k = 8, bands = 4, shingleK = 3))
+        .select("doc_id")
+    }),
+
     "q15_simhash" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"), Dedup.simhash(col("text")).as("fp"))),
 
@@ -505,6 +514,20 @@ object SparkEntry {
     "q28_overlap_join" -> ((s, dir) => {
       val t = toks(s, dir)
       SpanJoin.overlapJoin(win(t, 3, 5), win(t, 2, 3), distinctInputs = true)
+        .select(col("doc_id"), col("first")("begin").as("f_b"), col("first")("end").as("f_e"),
+          col("second")("begin").as("s_b"), col("second")("end").as("s_e"))
+    }),
+
+    // Same relation as q28 but written as the NAIVE declarative join —
+    // the SpanJoinRewrite optimizer rule (GraftExtensions) turns it into
+    // the blocked equi-join automatically, so a green row here
+    // differentially validates the rewrite end-to-end.
+    "q75_overlap_rule" -> ((s, dir) => {
+      val t = toks(s, dir)
+      val f = win(t, 3, 5).select(col("doc_id"), col("span").as("first"))
+      val sec = win(t, 2, 3).select(col("doc_id").as("d2"), col("span").as("second"))
+      f.join(sec, col("doc_id") === col("d2") &&
+          S.overlaps(col("first"), col("second")))
         .select(col("doc_id"), col("first")("begin").as("f_b"), col("first")("end").as("f_e"),
           col("second")("begin").as("s_b"), col("second")("end").as("s_e"))
     }),

@@ -390,4 +390,20 @@ object Dedup {
     }
     labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
   }
+
+  /**
+   * The dedup POLICY end-to-end: given near-dup pairs, resolve clusters
+   * and anti-join the corpus against the non-canonical members — each
+   * cluster keeps exactly its smallest doc id, docs in no cluster pass
+   * through. The anti-join broadcasts when the duplicate set is small
+   * relative to the corpus (the common case), so the corpus itself is
+   * never shuffled.
+   */
+  def dropNearDuplicates(docs: DataFrame, pairs: DataFrame,
+      idCol: String = "doc_id"): DataFrame = {
+    val losers = dupClusters(pairs)
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id").as(idCol))
+    docs.join(losers, Seq(idCol), "left_anti")
+  }
 }

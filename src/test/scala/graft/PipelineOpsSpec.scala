@@ -153,6 +153,13 @@ class PipelineOpsSpec extends GraftSuite {
     assert(roots.map(_.getLong(0)).toSeq == Seq(0L))
   }
 
+  test("dropNearDuplicates keeps cluster minimum and untouched docs") {
+    val pairs = Seq((0L, 1L), (1L, 3L)).toDF("id_a", "id_b")
+    val kept = Dedup.dropNearDuplicates(docs, pairs).select("doc_id")
+      .as[Long].collect().toSet
+    assert(kept == Set(0L, 2L, 4L)) // 1 and 3 fold into cluster 0
+  }
+
   test("hashSplit: deterministic, exhaustive, weight-proportional") {
     val many = (0L until 2000L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
     val s1 = TextAnalysis.hashSplit(many).select("doc_id", "split")
