@@ -513,7 +513,7 @@ object SparkEntry {
 
     "q28_overlap_join" -> ((s, dir) => {
       val t = toks(s, dir)
-      SpanJoin.overlapJoin(win(t, 3, 5), win(t, 2, 3), distinctInputs = true)
+      SpanJoin.overlapJoin(win(t, 3, 5), win(t, 2, 3))
         .select(col("doc_id"), col("first")("begin").as("f_b"), col("first")("end").as("f_e"),
           col("second")("begin").as("s_b"), col("second")("end").as("s_e"))
     }),
@@ -534,8 +534,7 @@ object SparkEntry {
 
     "q29_contain_join" -> ((s, dir) => {
       val t = toks(s, dir)
-      SpanJoin.containJoin(win(t, 4, 4), t.select(col("doc_id"), col("span")),
-        distinctInputs = true)
+      SpanJoin.containJoin(win(t, 4, 4), t.select(col("doc_id"), col("span")))
         .select(col("doc_id"), col("first")("begin").as("f_b"), col("first")("end").as("f_e"),
           col("second")("begin").as("s_b"), col("second")("end").as("s_e"))
     }),

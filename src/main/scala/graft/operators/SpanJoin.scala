@@ -43,14 +43,13 @@ object SpanJoin {
    * spanner/join.py:88-171). Blocking factor = ⌊mean span length⌋ over both
    * inputs (join.py:129-134, computed with one cheap agg action); each span
    * emits one row per covered block (explode of a sequence — no UDF);
-   * equi-join on `(doc_id, block)`; exact `overlaps` residual filter;
-   * duplicate pairs from multi-block spans removed by row-key dedup.
+   * equi-join on `(doc_id, block)`; exact `overlaps` residual filter.
    */
   def overlapJoin(first: DataFrame, second: DataFrame,
       firstCol: String = "span", secondCol: String = "span",
-      blockChars: Int = 0, distinctInputs: Boolean = false): DataFrame =
+      blockChars: Int = 0): DataFrame =
     blockedJoin(first, second, firstCol, secondCol,
-      (a, b) => spans.overlaps(a, b), blockChars, distinctInputs)
+      (a, b) => spans.overlaps(a, b), blockChars)
 
   /**
    * All pairs where the first span contains the second (`contain_join`,
@@ -58,69 +57,54 @@ object SpanJoin {
    */
   def containJoin(first: DataFrame, second: DataFrame,
       firstCol: String = "span", secondCol: String = "span",
-      blockChars: Int = 0, distinctInputs: Boolean = false): DataFrame =
+      blockChars: Int = 0): DataFrame =
     blockedJoin(first, second, firstCol, secondCol,
-      (a, b) => spans.overlaps(a, b) && spans.containsSpan(a, b), blockChars,
-      distinctInputs)
+      (a, b) => spans.overlaps(a, b) && spans.containsSpan(a, b), blockChars)
 
   /** Default blocking factor (chars per block) when the caller doesn't pass
     * one: wide enough that typical token/phrase spans hit 1-2 blocks. The
-    * result is identical for any factor (dedup + exact residual filter);
-    * only the candidate-pair count changes. */
+    * result is identical for any factor (exact residual filter +
+    * first-shared-block emission); only the candidate-pair count changes. */
   val DefaultBlockChars = 32
 
   private def blockedJoin(first: DataFrame, second: DataFrame,
       firstCol: String, secondCol: String,
-      residual: (Column, Column) => Column, blockChars: Int,
-      distinctInputs: Boolean = false): DataFrame = {
-    // Pre-aggregate each side to DISTINCT span values + multiplicities.
-    // Multi-block duplicate pairs are then removed by a value-based
-    // dropDuplicates, and input row multiplicity (the reference emits one
-    // output pair per input ROW pair, spanner/join.py:155-158) is restored
-    // at the end by exploding m1*m2 copies. Never key the dedup on
-    // monotonically_increasing_id: m_i_i is nondeterministic across stage
-    // retries and would silently corrupt the result under executor loss.
-    // Callers whose inputs have no duplicate (doc_id, span) rows — the
-    // common case for extracted span relations — pass distinctInputs=true
-    // to skip the two pre-aggregation shuffles and the restore explode.
-    val f =
-      if (distinctInputs)
-        first.select(col("doc_id"), col(firstCol).as("first"), lit(1L).as("__m1"))
-      else first.select(col("doc_id"), col(firstCol).as("first"))
-        .groupBy("doc_id", "first").agg(count(lit(1)).as("__m1"))
-    val s =
-      if (distinctInputs)
-        second.select(col("doc_id").as("doc_id2"), col(secondCol).as("second"),
-          lit(1L).as("__m2"))
-      else second.select(col("doc_id").as("doc_id2"), col(secondCol).as("second"))
-        .groupBy("doc_id2", "second").agg(count(lit(1)).as("__m2"))
-
+      residual: (Column, Column) => Column, blockChars: Int): DataFrame = {
+    // Multi-block pairs match once per shared block, so the join requires
+    // the block to be the pair's FIRST shared one:
+    // blk == greatest(first.begin, second.begin) div B, which every
+    // overlapping pair has (overlap bounds both begins below both ends)
+    // and has exactly once. That makes the join emit exactly one row per
+    // input ROW pair — the reference's multiplicity (spanner/join.py:
+    // 155-158) — with NO dedup pass at all. The earlier shape here
+    // (pre-aggregate to distinct values + dropDuplicates + multiplicity
+    // restore) spent three extra shuffles on the same result; never key
+    // such a dedup on monotonically_increasing_id either, which is
+    // nondeterministic across stage retries.
+    //
     // Blocking factor: the reference derives ⌊mean span length⌋ with an
     // eager stats pass over both inputs (spanner/join.py:129-134). At scale
     // that is 2x input I/O per join call, so the default here is a fixed
     // factor; callers holding better stats (or a cached sample) pass their
     // own `blockChars`. Correctness never depends on the factor.
     val b = if (blockChars > 0) blockChars.toLong else DefaultBlockChars.toLong
+    val f = first.select(col("doc_id"), col(firstCol).as("first"))
+    val s = second.select(col("doc_id").as("doc_id2"), col(secondCol).as("second"))
 
     def blocks(df: DataFrame, c: String, blockName: String) = df.withColumn(blockName,
       explode(sequence(floor(col(c)("begin") / b).cast("long"),
         floor(col(c)("end") / b).cast("long"))))
 
-    val fb = blocks(f, "first", "block1")
-    val sb = blocks(s, "second", "block2")
-    // residual filter BEFORE the dedup: the filter is a cheap codegen'd
-    // expression on the joined row, and false candidates vastly outnumber
-    // true pairs — filtering first shrinks the dropDuplicates shuffle to
-    // the (much smaller) result set
-    val pairs = fb
-      .join(sb, col("doc_id") === col("doc_id2") && col("block1") === col("block2"))
-      .filter(residual(col("first"), col("second")))
-      .dropDuplicates("doc_id", "first", "second")
-    val restored =
-      if (distinctInputs) pairs
-      else pairs.withColumn("__copy",
-        explode(sequence(lit(1L), col("__m1") * col("__m2"))))
-    restored.select(col("doc_id"), col("first"), col("second"))
+    // the __graft_blk prefix tells the SpanJoinRewrite optimizer rule this
+    // join is ALREADY blocked — without it, the rule would see the overlap
+    // residual pushed into the join condition and block it a second time
+    val fb = blocks(f, "first", "__graft_blk1")
+    val sb = blocks(s, "second", "__graft_blk2")
+    fb.join(sb, col("doc_id") === col("doc_id2") && col("__graft_blk1") === col("__graft_blk2"))
+      .filter(residual(col("first"), col("second")) &&
+        col("__graft_blk1") === floor(
+          greatest(col("first")("begin"), col("second")("begin")) / b).cast("long"))
+      .select(col("doc_id"), col("first"), col("second"))
   }
 
   /**
