@@ -10,9 +10,11 @@ object PlanAudit {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
     val names = if (args.length > 1) args.drop(1).toSeq
       else Seq("q01_lineitem_agg", "q22_tokens", "q24_extract_regex_tok",
-        "q28_overlap_join", "q14_minhash_pairs", "q18_ann_brute", "q31_iob_to_spans")
+        "q28_overlap_join", "q75_overlap_rule", "q14_minhash_pairs",
+        "q18_ann_brute", "q31_iob_to_spans", "q73_hash_split")
     val spark = SparkSession.builder()
       .master("local[4]")
+      .withExtensions(new GraftExtensions)
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
