@@ -81,7 +81,26 @@ object ScaleSmoke {
       ("iob_spans", d => Iob.iobToSpans(
         Tokenize.normalizedTokens(d)
           .withColumn("ent_iob", when(col("text") === "key", "B").otherwise("O"))
-          .withColumn("ent_type", when(col("text") === "key", lit("K")))).count(), null))
+          .withColumn("ent_type", when(col("text") === "key", lit("K")))).count(), null),
+      // blocked span join: output grows ~linearly (overlaps are local to a
+      // document; doc count scales, per-doc span density does not)
+      ("overlap_join", d => {
+        val t = Tokenize.normalizedTokens(d)
+        def w(n: Int, mod: Int) = {
+          val win = org.apache.spark.sql.expressions.Window
+            .partitionBy("doc_id").orderBy("token_id")
+          t.select(col("doc_id"), col("token_id"), col("span")("begin").as("b"),
+              lead(col("span")("end"), n - 1).over(win).as("e"))
+            .filter(col("token_id") % mod === 0 && col("e").isNotNull)
+            .select(col("doc_id"), spans.span(col("b"), col("e")).as("span"))
+        }
+        SpanJoin.overlapJoin(w(3, 5), w(2, 3)).count()
+      }, null),
+      // cluster resolution over near-dup pairs: rounds track graph
+      // diameter (star-shaped dup clusters), per-round work is linear
+      ("dup_clusters", d => Dedup.dupClusters(
+        Dedup.minhashDupPairs(d, threshold = 0.7, k = 8, bands = 4, shingleK = 3))
+        .count(), null))
 
     val results = scala.collection.mutable.ArrayBuffer.empty[String]
     ops.foreach { case (name, f, _) =>
