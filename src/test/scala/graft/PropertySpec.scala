@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop}
+import org.scalacheck.Test.{check, Parameters}
+import graft.operators.{Dedup, SpanJoin}
+
+/** Property-based checks for the algorithmically subtle pieces: randomized
+  * inputs compared against brute-force references. Fixed seeds via
+  * scalacheck's deterministic default; failures print the shrunken case. */
+class PropertySpec extends GraftSuite {
+  import spark.implicits._
+
+  private def passed(p: Prop): Unit = {
+    val r = check(Parameters.default.withMinSuccessfulTests(30), p)
+    assert(r.passed, r.status.toString)
+  }
+
+  test("blocked overlap join == brute-force overlap filter on random spans") {
+    val genSpans = Gen.listOfN(25, for {
+      doc <- Gen.choose(0L, 3L)
+      b <- Gen.choose(0, 120)
+      len <- Gen.choose(0, 40)
+    } yield (doc, b, b + len))
+    passed(Prop.forAll(genSpans, genSpans) { (ls, rs) =>
+      val l = ls.toDF("doc_id", "b", "e")
+        .select(col("doc_id"), spans.span(col("b"), col("e")).as("span"))
+      val r = rs.toDF("doc_id", "b", "e")
+        .select(col("doc_id"), spans.span(col("b"), col("e")).as("span"))
+      val got = SpanJoin.overlapJoin(l, r)
+        .select(col("doc_id"), col("first")("begin"), col("first")("end"),
+          col("second")("begin"), col("second")("end"))
+        .collect().map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
+      // brute force on the driver: every row pair, reference overlap rule
+      def overlaps(a: (Long, Int, Int), c: (Long, Int, Int)): Boolean =
+        a._1 == c._1 && ((a._2 == c._2 && a._3 == c._3) || !(c._2 >= a._3 || c._3 <= a._2))
+      val want = (for {
+        a <- ls; c <- rs if overlaps(a, c)
+      } yield Seq[Any](a._1, a._2, a._3, c._2, c._3))
+        .groupBy(identity).view.mapValues(_.length).toMap
+      got == want
+    })
+  }
+
+  test("dupClusters == brute-force union-find on random pair graphs") {
+    val genEdges = Gen.listOfN(20, for {
+      a <- Gen.choose(0L, 14L); b <- Gen.choose(0L, 14L) if a != b
+    } yield (a, b))
+    passed(Prop.forAll(genEdges) { es =>
+      es.isEmpty || {
+        val got = Dedup.dupClusters(es.toDF("id_a", "id_b"))
+          .as[(Long, Long)].collect().toMap
+        // driver-side union-find
+        val parent = scala.collection.mutable.Map.empty[Long, Long]
+        def find(x: Long): Long = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        es.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val nodes = es.flatMap(e => Seq(e._1, e._2)).distinct
+        // canonical root = min member of the component
+        val comp = nodes.groupBy(find)
+        val want = comp.values.flatMap { ms => val m = ms.min; ms.map(_ -> m) }.toMap
+        got == want
+      }
+    })
+  }
+
+  test("hashSplit covers every row with exactly one label for random weights") {
+    val genW = Gen.listOfN(3, Gen.choose(1, 10))
+    passed(Prop.forAll(genW) { ws =>
+      val weights = ws.zipWithIndex.map { case (w, i) => (s"s$i", w.toDouble) }
+      val d = (0L until 300L).map(i => (i, "x")).toDF("doc_id", "text")
+      val out = graft.operators.TextAnalysis.hashSplit(d, weights)
+        .groupBy("split").count().as[(String, Long)].collect().toMap
+      out.values.sum == 300L && out.keySet.subsetOf(weights.map(_._1).toSet)
+    })
+  }
+}
