@@ -380,9 +380,12 @@ object Dedup {
     while (!converged && round < maxRounds) {
       val nbrMin = sym.join(labels, sym("b") === labels("node"))
         .groupBy(sym("a").as("node")).agg(min("label").as("nl"))
+      // lazy checkpoint: the convergence probe right below is the round's
+      // only action, so it materializes the checkpoint in the same job
+      // (eager would spend a second job per round on materialization)
       labels = labels.join(nbrMin, Seq("node"), "left")
         .select(col("node"), least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       val s = labels.agg(sum("label")).head().getLong(0)
       converged = s == prevSum
       prevSum = s
