@@ -65,27 +65,31 @@ object Oracles {
     s"CASE WHEN len(ws) > 0 THEN CAST(len(list_filter(ws, w -> " +
       s"list_contains(${sqlList(stops)}, w))) AS DOUBLE) / len(ws) ELSE 0.0 END"
 
-  /** Distinct 3-gram shingle hashes CTE chain over documents → `hs(doc_id, h)`.
+  /** Distinct 3-gram shingle hashes CTE chain over `src` → `hs(doc_id, h)`.
     * Mirror of TextAnalysis.shingleHashes(text, 3). */
-  val ShingleCte: String =
-    s"""ws0 AS (SELECT doc_id, $Words AS w FROM documents),
+  def shingleCte(src: String): String =
+    s"""ws0 AS (SELECT doc_id, $Words AS w FROM $src),
        |sh0 AS (SELECT doc_id, CASE WHEN len(w) >= 3
        |          THEN list_transform(generate_series(0, len(w) - 3),
        |                 i -> array_to_string(list_slice(w, i + 1, i + 3), ' '))
        |          ELSE [array_to_string(w, ' ')] END AS s FROM ws0),
        |hs AS (SELECT doc_id, list_distinct(list_transform(s, t -> ${H("t")})) AS h FROM sh0)""".stripMargin
 
-  /** MinHash signature (k=8) + LSH band keys (bands=4, rows=2) CTE chain →
-    * `bk(doc_id, keys)`. Mirrors Dedup.minhashSignature / lshBandKeys with
-    * hashParams a=2i+3, b=10007(i+1). */
-  val MinhashCte: String =
-    s"""$ShingleCte,
+  val ShingleCte: String = shingleCte("documents")
+
+  /** MinHash signature (k=8) + LSH band keys (bands=4, rows=2) CTE chain
+    * over `src` → `bk(doc_id, keys)`. Mirrors Dedup.minhashSignature /
+    * lshBandKeys with hashParams a=2i+3, b=10007(i+1). */
+  def minhashCte(src: String): String =
+    s"""${shingleCte(src)},
        |sg AS (SELECT doc_id, list_transform(generate_series(0, 7), i ->
        |         list_min(list_transform(h, x -> (x*(2*i + 3) + 10007*(i + 1)) % 2147483647))) AS sig
        |       FROM hs),
        |bk AS (SELECT doc_id, list_transform(generate_series(0, 3), bb ->
        |         list_reduce(list_prepend(CAST(bb AS BIGINT), list_slice(sig, bb*2 + 1, bb*2 + 2)),
        |           (u, v) -> (u*31 + v) % 2147483647)) AS keys FROM sg)""".stripMargin
+
+  val MinhashCte: String = minhashCte("documents")
 
   /** SimHash fingerprint CTE chain → `fp(doc_id, f)`. Mirror of Dedup.simhash. */
   val SimhashCte: String =
@@ -391,6 +395,43 @@ object Oracles {
          |  UNION SELECT e.b, reach.r FROM reach JOIN e ON e.a = reach.n),
          |losers AS (SELECT n FROM reach GROUP BY n HAVING n <> min(r))
          |SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT n FROM losers)""".stripMargin,
+
+    // q08's quality filter feeding the q76 dedup chain (minhash CTEs over
+    // the FILTERED relation) with the q73 split assignment on survivors
+    "q77_training_corpus" -> {
+      val en = ratio(operators.TextAnalysis.StopwordsEn)
+      val h = H("CAST(doc_id AS VARCHAR) || ':split'")
+      s"""WITH RECURSIVE
+         |q0 AS (SELECT doc_id, text, $Words AS ws FROM documents),
+         |qc AS (SELECT doc_id, text,
+         |  least(CAST(len(ws) AS DOUBLE) / 200.0, 1.0) AS lc,
+         |  greatest(0.0, 1.0 - (CASE WHEN len(text) > 0
+         |    THEN CAST(len(regexp_replace(text, '[^!-/:-@\\[-`{-~]', '', 'g')) AS DOUBLE) / len(text)
+         |    ELSE 0.0 END) * 5) AS pp,
+         |  CASE WHEN len(ws) > 0 THEN CAST(list_sum(list_transform(ws, w -> len(w))) AS DOUBLE) / len(ws)
+         |       ELSE 0.0 END AS mwl,
+         |  $en AS en FROM q0),
+         |keptd AS (SELECT doc_id, text FROM qc
+         |  WHERE round(lc*0.4 + pp*0.2 + (CASE WHEN mwl >= 2 AND mwl <= 12 THEN 1.0 ELSE 0.5 END)*0.2
+         |    + (CASE WHEN en > 0.05 THEN 1.0 ELSE 0.7 END)*0.2, 4) >= 0.62),
+         |${minhashCte("keptd")},
+         |bnd AS (SELECT doc_id, generate_subscripts(keys, 1) - 1 AS band, unnest(keys) AS key FROM bk),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b FROM bnd a
+         |  JOIN bnd b2 ON a.band = b2.band AND a.key = b2.key AND a.doc_id < b2.doc_id),
+         |pr AS (SELECT id_a, id_b FROM (SELECT id_a, id_b,
+         |    CAST(len(list_intersect(x.h, y.h)) AS DOUBLE) / len(list_distinct(list_concat(x.h, y.h))) AS j
+         |  FROM cand JOIN hs x ON x.doc_id = cand.id_a JOIN hs y ON y.doc_id = cand.id_b)
+         |  WHERE round(j, 4) >= 0.7),
+         |e AS (SELECT id_a AS a, id_b AS b FROM pr UNION SELECT id_b, id_a FROM pr),
+         |reach AS (SELECT a AS n, a AS r FROM e
+         |  UNION SELECT e.b, reach.r FROM reach JOIN e ON e.a = reach.n),
+         |losers AS (SELECT n FROM reach GROUP BY n HAVING n <> min(r))
+         |SELECT doc_id, CASE
+         |  WHEN $h % 10000 < 9000 THEN 'train'
+         |  WHEN $h % 10000 < 9500 THEN 'val'
+         |  ELSE 'test' END AS split
+         |FROM keptd WHERE doc_id NOT IN (SELECT n FROM losers)""".stripMargin
+    },
 
     "q73_hash_split" ->
       s"""SELECT doc_id, CASE

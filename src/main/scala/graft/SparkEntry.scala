@@ -377,6 +377,20 @@ object SparkEntry {
         .select("doc_id")
     }),
 
+    // The full training-corpus preparation pipeline in ONE plan: quality
+    // filter → minhash near-dup removal (pairs → clusters → survivors) →
+    // deterministic train/val/test assignment. Composes q08 + q14 + q72 +
+    // q76 + q73 end-to-end, which is how these operators are actually
+    // used — and proves the composition stays oracle-exact.
+    "q77_training_corpus" -> ((s, dir) => {
+      val kept = docs(s, dir)
+        .filter(TextAnalysis.qualityScore(col("text")) >= 0.62)
+      val pairs = Dedup.minhashDupPairs(kept, threshold = 0.7, k = 8, bands = 4,
+        shingleK = 3)
+      TextAnalysis.hashSplit(Dedup.dropNearDuplicates(kept, pairs))
+        .select("doc_id", "split")
+    }),
+
     "q15_simhash" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"), Dedup.simhash(col("text")).as("fp"))),
 
