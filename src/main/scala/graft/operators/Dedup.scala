@@ -374,7 +374,13 @@ object Dedup {
     var labels = sym.select(col("a").as("node")).distinct()
       .withColumn("label", col("node"))
       .localCheckpoint()
-    var prevSum = labels.agg(sum("label")).head().getLong(0)
+    // sum over zero rows is NULL, not 0 — read null-safely so an empty
+    // pair set converges (to the empty cluster frame) instead of NPE-ing
+    def labelSum(df: DataFrame): Long = {
+      val r = df.agg(sum("label")).head()
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    }
+    var prevSum = labelSum(labels)
     var round = 0
     var converged = false
     while (!converged && round < maxRounds) {
@@ -386,7 +392,7 @@ object Dedup {
       labels = labels.join(nbrMin, Seq("node"), "left")
         .select(col("node"), least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
         .localCheckpoint(false)
-      val s = labels.agg(sum("label")).head().getLong(0)
+      val s = labelSum(labels)
       converged = s == prevSum
       prevSum = s
       round += 1

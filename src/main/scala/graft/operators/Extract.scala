@@ -99,16 +99,25 @@ object Extract {
     val w = Window.partitionBy("doc_id").orderBy("token_id")
     val lookahead =
       (1 until maxLen).map(i => lead(col("normalized_text"), i).over(w).as(s"__t$i")) ++
-      (1 until maxLen).map(i => lead(col("span")("end"), i).over(w).as(s"__e$i"))
+      (1 until maxLen).map(i => lead(col("span")("end"), i).over(w).as(s"__e$i")) ++
+      (1 until maxLen).map(i => lead(col("token_id"), i).over(w).as(s"__id$i"))
     val base = tokens.select(
       Seq(col("doc_id"), col("token_id"), col("normalized_text"), col("span")) ++
         lookahead: _*)
     // Residual: entry length n matches iff tokens 1..n-1 equal the entry's;
     // the matched span's end is the (n-1)-th lookahead end (null lookaheads
     // — entry runs past the document — fail the equality and yield null).
+    // The reference extends matches by token-id arithmetic (n_tok ==
+    // begin_tok + l, spanner/extract.py:169-182), so matches never cross
+    // token-id gaps (e.g. a pre-filtered token relation). lead() alone
+    // would match the next PHYSICAL row; requiring the last lookahead id
+    // to equal token_id + (l-1) restores the gap-free semantics — ids are
+    // strictly increasing in window order, so one endpoint check forces
+    // all l ids to be consecutive.
     val endForLen = (2 to maxLen).foldLeft(
       when(col("n") === 1, col("span")("end"))) { case (acc, l) =>
       acc.when(col("n") === l &&
+        col(s"__id${l - 1}") === col("token_id") + (l - 1) &&
         (1 until l).map(i => col(s"__t$i") === col("toks")(i)).reduce(_ && _),
         col(s"__e${l - 1}"))
     }

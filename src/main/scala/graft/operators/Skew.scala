@@ -27,7 +27,13 @@ object Skew {
   def saltedJoin(large: DataFrame, small: DataFrame, key: String,
       saltN: Int = 16): DataFrame = {
     require(saltN > 0, "saltN must be positive")
+    require(!large.columns.contains("__salt") && !small.columns.contains("__salt"),
+      "saltedJoin reserves the __salt column name; rename the existing column first")
     val nonKey = large.columns.toIndexedSeq.filter(_ != key).map(col)
+    require(nonKey.nonEmpty,
+      s"saltedJoin needs at least one non-key column on the large side to derive a " +
+        s"deterministic salt; '$key' is its only column (salting pure keys cannot " +
+        s"spread a hot key's identical rows)")
     // deterministic salt: hash of the row's other columns — identical
     // inputs co-locate, but hot KEYS still spread (their rows differ)
     val salted = large.withColumn("__salt", pmod(hash(nonKey: _*), lit(saltN)))

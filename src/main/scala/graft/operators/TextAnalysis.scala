@@ -139,7 +139,7 @@ object TextAnalysis {
       else if (rDe >= rFr && rDe > 0.05) "de"
       else if (rFr > 0.05) "fr"
       else "und"
-    })
+    }.getOrElse("und")) // null text → "und", same as the expression form
     kernel(words(text))
   }
 

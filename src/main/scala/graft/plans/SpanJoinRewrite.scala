@@ -111,7 +111,16 @@ object SpanJoinRewrite extends Rule[LogicalPlan] {
               // timeZoneId must be set by hand: the analyzer's ResolveTimeZone
               // already ran, and a TimeZoneAwareExpression without it is
               // unresolved (plan validation rejects the rewrite)
-              val gen = Explode(new Sequence(div(begin), div(end),
+              // Least/Greatest: Sequence with step 1 throws on start > stop,
+              // so a malformed span (begin > end) — or a non-span predicate
+              // that happens to match the overlap shape — would turn a
+              // query that ran fine without the rule into a runtime error.
+              // Widening to [min,max] is safe: the full original predicate
+              // stays as the residual, and the first-shared-block condition
+              // below still lands in both widened ranges exactly once for
+              // every pair the naive join emits.
+              val gen = Explode(new Sequence(
+                div(Least(Seq(begin, end))), div(Greatest(Seq(begin, end))),
                 Some(Literal(1L, LongType)),
                 Some(SQLConf.get.sessionLocalTimeZone)))
               (Generate(gen, unrequiredChildIndex = Nil, outer = false,

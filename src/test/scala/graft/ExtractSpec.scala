@@ -88,6 +88,21 @@ class ExtractSpec extends GraftSuite {
     assert(r.toSeq.sorted == Seq((0, 1, 0, 3), (0, 2, 0, 7)))
   }
 
+  test("extract_dict never matches across token_id gaps (filtered tokens)") {
+    // The reference extends matches by token-id arithmetic
+    // (spanner/extract.py:169-182), so a multi-token entry cannot bridge a
+    // removed token. Drop the middle token of "key noise agg" and require
+    // that "key agg" does NOT match even though the rows are now adjacent.
+    val d = Seq((0L, "key noise agg")).toDF("doc_id", "text")
+    val t = graft.operators.Tokenize.normalizedTokens(d)
+      .filter(col("normalized_text") =!= "noise")
+    val dict = Extract.createDict(Seq("key", "key agg").toDF("entry"))
+    val r = Extract.extractDict(d, t, dict)
+      .select(col("span")("begin_tok"), col("span")("end_tok"))
+      .collect().map(x => (x.getInt(0), x.getInt(1)))
+    assert(r.toSeq == Seq((0, 1))) // only the single-token "key" match
+  }
+
   test("extract_split goldens (test_extract.py:182-246)") {
     val doc = "This is a test. This is also a test."
     val d = Seq((0L, doc)).toDF("doc_id", "text")

@@ -160,6 +160,14 @@ class PipelineOpsSpec extends GraftSuite {
     assert(kept == Set(0L, 2L, 4L)) // 1 and 3 fold into cluster 0
   }
 
+  test("dupClusters / dropNearDuplicates: empty pair set passes every doc through") {
+    val noPairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Dedup.dupClusters(noPairs).count() == 0)
+    val kept = Dedup.dropNearDuplicates(docs, noPairs).select("doc_id")
+      .as[Long].collect().toSet
+    assert(kept == docs.select("doc_id").as[Long].collect().toSet)
+  }
+
   test("hashSplit: deterministic, exhaustive, weight-proportional") {
     val many = (0L until 2000L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
     val s1 = TextAnalysis.hashSplit(many).select("doc_id", "split")
@@ -202,7 +210,10 @@ class PipelineOpsSpec extends GraftSuite {
       Dedup.simhashWide(col("text"), 2).as("fps"),
       TextAnalysis.langId(col("text")).as("lang"))
       .filter(col("doc_id") === 9L).head
-    assert((1 to 5).forall(r.isNullAt))
+    assert((1 to 4).forall(r.isNullAt))
+    // langId yields "und" for null text — the oracle's CASE falls through
+    // to ELSE 'und' on null ratios, and the kernel must agree
+    assert(r.getString(5) == "und")
     val vecs = Seq((0L, Seq(1.0, 0.0)), (1L, null.asInstanceOf[Seq[Double]]))
       .toDF("vec_id", "embedding")
     val b = vecs.select(Dedup.signBucket(col("embedding"), 4).as("b")).collect()

@@ -47,7 +47,7 @@ class PropertySpec extends GraftSuite {
       a <- Gen.choose(0L, 14L); b <- Gen.choose(0L, 14L) if a != b
     } yield (a, b))
     passed(Prop.forAll(genEdges) { es =>
-      es.isEmpty || {
+      {
         val got = Dedup.dupClusters(es.toDF("id_a", "id_b"))
           .as[(Long, Long)].collect().toMap
         // driver-side union-find

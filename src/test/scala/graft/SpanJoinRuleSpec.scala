@@ -75,6 +75,25 @@ class SpanJoinRuleSpec extends GraftSuite {
     assert(n == expect)
   }
 
+  test("malformed spans (begin > end) run and match the unrewritten join") {
+    // Sequence(start, stop, 1) throws on start > stop; the rewrite widens
+    // its block bounds with least/greatest so a begin>end row degrades to
+    // a candidate the residual filter judges — never a runtime error.
+    val badL = spanDf(Seq((0L, 10, 5), (0L, 0, 10), (0L, 10, 5)))
+    val badR = spanDf(Seq((0L, 10, 5), (0L, 4, 12), (0L, 200, 100)))
+    def q = badL.as("f").join(badR.as("s"),
+      col("f.doc_id") === col("s.doc_id") &&
+        spans.overlaps(col("f.span"), col("s.span")))
+      .select(col("f.doc_id"), col("f.span").as("first"), col("s.span").as("second"))
+    val withRule = canon(q)
+    assert(q.queryExecution.optimizedPlan.toString.contains("__graft_blk"))
+    spark.conf.set(SpanJoinRewrite.EnabledConf, "false")
+    val without = try canon(q)
+    finally spark.conf.set(SpanJoinRewrite.EnabledConf, "true")
+    assert(withRule == without)
+    assert(withRule.nonEmpty) // identical malformed spans still pair up
+  }
+
   test("joins without the overlap shape are untouched") {
     val plain = lhs.as("f").join(rhs.as("s"), col("f.doc_id") === col("s.doc_id"))
     assert(!plain.queryExecution.optimizedPlan.toString.contains("__graft_blk"))

@@ -50,4 +50,21 @@ class StorageSpec extends GraftSuite {
       .filter(col("doc_id") === 0L).select("__salt").distinct().count()
     assert(spread > 1)
   }
+
+  test("saltedJoin rejects key-only large side and reserved __salt columns") {
+    val small = Seq((0L, "zero")).toDF("doc_id", "name")
+    // key-only large side: zero-arg hash() would fail analysis — and a salt
+    // derived from nothing cannot spread identical rows anyway
+    val keyOnly = Seq(0L, 0L, 1L).toDF("doc_id")
+    val e1 = intercept[IllegalArgumentException] {
+      graft.operators.Skew.saltedJoin(keyOnly, small, "doc_id")
+    }
+    assert(e1.getMessage.contains("non-key column"))
+    // pre-existing __salt on either input would silently collide
+    val tainted = Seq((0L, "x", 3)).toDF("doc_id", "payload", "__salt")
+    val e2 = intercept[IllegalArgumentException] {
+      graft.operators.Skew.saltedJoin(tainted, small, "doc_id")
+    }
+    assert(e2.getMessage.contains("__salt"))
+  }
 }
