@@ -31,34 +31,54 @@ object Bench {
     // regressions on byte-identical plans). The min across passes is the
     // best estimate of the plan's intrinsic cost. A wall-clock deadline
     // caps extra passes so a genuinely slow host still finishes pass 1
-    // and reports, instead of timing out with no artifact.
-    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt.max(1)
-    val deadlineSec = sys.env.getOrElse("SPARK_GRAFT_DEADLINE_SEC", "300").toDouble
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    // and reports, instead of timing out with no artifact. Malformed env
+    // values fall back to the defaults (a bad knob must not kill the
+    // artifact this machinery exists to protect).
+    val reps = scala.util.Try(sys.env("SPARK_GRAFT_REPS").toInt).getOrElse(3).max(1)
+    val deadlineSec =
+      scala.util.Try(sys.env("SPARK_GRAFT_DEADLINE_SEC").toDouble).getOrElse(300.0)
+    val queries = SparkEntry.queries
+    val names = queries.keys.toSeq.sorted
     val best = scala.collection.mutable.Map.empty[String, Double]
+    val failed = scala.collection.mutable.SortedSet.empty[String]
     val benchT0 = System.nanoTime()
     def elapsed: Double = (System.nanoTime() - benchT0) / 1e9
     var pass = 1
     var ran = 0
-    while (pass <= reps && (pass == 1 || elapsed < deadlineSec)) {
-      for (name <- names) {
-        val fn = SparkEntry.queries(name)
-        val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+    var deadlineHit = false
+    while (pass <= reps && !deadlineHit && (pass == 1 || elapsed < deadlineSec)) {
+      for (name <- names if !deadlineHit) {
+        // Pass 1 always runs every query (so each gets at least one
+        // measurement); later passes stop mid-pass at the deadline — the
+        // per-query min stays valid, a pass is not a unit of measurement.
+        if (pass > 1 && elapsed >= deadlineSec) deadlineHit = true
+        else {
+          val t0 = System.nanoTime()
+          // A failed run must not feed best(name): a 0.1s exception would
+          // otherwise read as the query's best time and mask the failure.
+          val ok =
+            try { queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+            catch { case e: Throwable =>
+              System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
+            }
+          val sec = (System.nanoTime() - t0) / 1e9
+          if (ok) {
+            best(name) = math.min(best.getOrElse(name, Double.MaxValue), sec)
+            System.err.println(f"[bench] pass $pass $name%-24s $sec%8.2f s (best ${best(name)}%.2f)")
+          } else failed += name
         }
-        val sec = (System.nanoTime() - t0) / 1e9
-        best(name) = math.min(best.getOrElse(name, Double.MaxValue), sec)
-        System.err.println(f"[bench] pass $pass $name%-24s $sec%8.2f s (best ${best(name)}%.2f)")
       }
-      ran = pass
+      if (!deadlineHit) ran = pass
       pass += 1
     }
-    val qs = names.map { k => "\"" + k + "\":" + best(k) }
+    // Queries that never succeeded are reported in "failed", not as times.
+    val okNames = names.filter(best.contains)
+    val qs = okNames.map { k => "\"" + k + "\":" + best(k) }
       .mkString("{", ",", "}")
-    val total = if (names.nonEmpty) names.map(best).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$ran}""")
+    val failedJson = failed.filterNot(best.contains)
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = if (okNames.nonEmpty) okNames.map(best).sum else 0.0
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir","passes":$ran}""")
     spark.stop()
   }
 }

@@ -59,12 +59,21 @@ object Similarity {
       nprobe: Int = 2, k: Int = 10, idCol: String = "vec_id",
       vecCol: String = "embedding", queryIdCol: String = "query_id"): DataFrame = {
     val cb = broadcast(centroids.select(col("cell_id"), col("centroid")))
-    val wAssign = Window.partitionBy(idCol).orderBy(col("ccos").desc, col("cell_id"))
+    // Cell assignment as a partial-aggregatable min_by, NOT a row_number
+    // window: the window form sort-shuffles the corpus ×C with the full
+    // vector riding in every frame row — the 100 TB killer. Here the
+    // broadcast crossJoin is narrow, map-side partial aggregation collapses
+    // the ×C expansion back to one row per vector BEFORE the exchange, and
+    // the one shuffle carries each corpus row exactly once. first(c_vec) is
+    // deterministic (the vector is constant within its group). Tie-break
+    // matches the old window ordering: max cosine, then smallest cell_id —
+    // min over the lexicographic struct (-ccos, cell_id).
     val assigned = corpus.select(col(idCol), col(vecCol).as("c_vec"))
       .crossJoin(cb)
       .withColumn("ccos", tensor.cosine(col("c_vec"), col("centroid")))
-      .withColumn("__rn", row_number().over(wAssign))
-      .filter(col("__rn") === 1)
+      .groupBy(col(idCol))
+      .agg(first(col("c_vec")).as("c_vec"),
+        min_by(col("cell_id"), struct((-col("ccos")).as("nc"), col("cell_id"))).as("cell_id"))
       .select(col(idCol), col("c_vec"), col("cell_id"))
     val wProbe = Window.partitionBy(queryIdCol).orderBy(col("qcos").desc, col("cell_id"))
     val probes = queries.select(col(queryIdCol), col(vecCol).as("q_vec"))
@@ -74,7 +83,11 @@ object Similarity {
       .filter(col("__rn") <= nprobe)
       .select(col(queryIdCol), col("q_vec"), col("cell_id"))
     val wRank = Window.partitionBy(queryIdCol).orderBy(col("cos").desc, col(idCol))
-    probes.join(assigned, "cell_id")
+    // probes = queries × nprobe is small by assumption — broadcast it so
+    // the corpus-side candidates never shuffle on cell_id; the only
+    // exchange touching corpus-width rows stays the one-row-per-vector
+    // assignment aggregate above.
+    assigned.join(broadcast(probes), "cell_id")
       .withColumn("cos", round(tensor.cosine(col("q_vec"), col("c_vec")), 6))
       .withColumn("rank", row_number().over(wRank))
       .filter(col("rank") <= k)

@@ -239,6 +239,10 @@ object TextAnalysis {
    * vocabularies even when the corpus itself is 100 TB. Scores are rounded
    * to 4 decimals (with the term as tie-break) so rankings are
    * reproducible across engines.
+   *
+   * The corpus size N is folded into the plan as a broadcast 1-row
+   * aggregate (scalar-subquery shape) — no driver-side count at
+   * plan-build time, so one invocation is exactly one job.
    */
   def tfIdfTopTerms(docs: org.apache.spark.sql.DataFrame, k: Int = 3,
       textCol: String = "text", idCol: String = "doc_id"): org.apache.spark.sql.DataFrame = {
@@ -247,9 +251,10 @@ object TextAnalysis {
         explode(words(col(textCol))).as("word"))
     val tf = terms.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
     val df = terms.groupBy("word").agg(countDistinct(col("doc_id")).as("df"))
-    val n = docs.select(col(idCol)).distinct().count()
+    val n = docs.agg(countDistinct(col(idCol)).cast("double").as("__n"))
     val scored = tf.join(broadcast(df), "word")
-      .withColumn("score", round(col("tf") * log(lit(n.toDouble) / col("df")), 4))
+      .crossJoin(broadcast(n))
+      .withColumn("score", round(col("tf") * log(col("__n") / col("df")), 4))
     val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("word"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

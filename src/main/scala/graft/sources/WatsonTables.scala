@@ -15,11 +15,13 @@ import org.apache.spark.sql.types._
  * groupBy().pivot() — reconstructing millions of small extracted tables
  * across a corpus is the 100 TB use case, not one table at a time.
  *
- * Deviations from the reference, documented:
- *  - pivot column order is Spark's sorted-distinct order, not the
- *    original column_index order (the reference re-sorts with
- *    `sort_headers`, tables.py:617-633; per-table column order cannot be
- *    expressed in a shared wide schema);
+ * Column order follows the reference's `sort_headers` (tables.py:617-633):
+ * inferred pivot columns are ordered by each key's minimum column_index
+ * across the relation (ties by key) — the per-table order when tables
+ * share a header domain, and a stable global order otherwise. Callers can
+ * pass explicit `columnKeys` to pin any order and skip the inference scan.
+ *
+ * Deviation from the reference, documented:
  *  - numeric conversion is an explicit opt-in column list (or the
  *    `inferNumericCols` helper, one small agg action) rather than the
  *    reference's implicit per-call inference (tables.py:209-302).
@@ -126,12 +128,20 @@ object WatsonTables {
       .withColumn("__v", struct(col("begin"), col(valueCol).as("v")))
       .groupBy(col("doc_id"), col("table_idx"),
         col("row_index_begin").as("row_idx"), rowKey)
-    // Explicit columnKeys skip pivot's hidden distinct-values job — a full
-    // extra scan of the cells relation that callers with a known header
-    // domain (or a cached sample) shouldn't pay at scale.
-    val pivoted =
-      if (columnKeys.nonEmpty) grouped.pivot("__ck", columnKeys)
-      else grouped.pivot("__ck")
+    // Explicit columnKeys skip the key-inference job — a full extra scan
+    // of the cells relation that callers with a known header domain (or a
+    // cached sample) shouldn't pay at scale. When keys are inferred, the
+    // inference replaces pivot's hidden sorted-distinct job with an
+    // equal-cost aggregate that orders keys by min column_index — the
+    // reference's `sort_headers` order (tables.py:617-633).
+    val keys =
+      if (columnKeys.nonEmpty) columnKeys
+      else bodyCells
+        .groupBy(colKey.as("__ck"))
+        .agg(min(col("column_index_begin")).as("__ci"))
+        .orderBy(col("__ci"), col("__ck"))
+        .collect().map(_.getString(0)).toSeq
+    val pivoted = grouped.pivot("__ck", keys)
     pivoted
       // empty pivot groups must be NULL (pandas pivot_table's NaN), not
       // the ''-join of an empty list

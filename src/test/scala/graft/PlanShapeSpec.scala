@@ -31,6 +31,34 @@ class PlanShapeSpec extends GraftSuite {
       s"expected the gold aggregation exchange to be reused, got:\n$finalPlan")
   }
 
+  test("ivfTopK: no Window/Sort exchange carries the corpus vector column") {
+    val corpus = (0L until 60L).map(i => (i, Array.tabulate(4)(d => ((i + d) % 7).toDouble), (i % 3).toInt))
+      .toDF("vec_id", "embedding", "label")
+    val queries = corpus.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val out = operators.Similarity.ivfTopK(corpus, queries,
+      operators.Similarity.labelCentroids(corpus), nprobe = 2, k = 5)
+    out.collect() // finalize the adaptive plan
+    // deep traversal that descends into AQE wrapper + query stages
+    def allNodes(p: org.apache.spark.sql.execution.SparkPlan):
+        Seq[org.apache.spark.sql.execution.SparkPlan] = {
+      val inner = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          Seq(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+        case _ => Nil
+      }
+      p +: (p.children ++ inner).flatMap(allNodes)
+    }
+    val nodes = allNodes(out.queryExecution.executedPlan)
+    // the corpus→cell assignment must be an aggregate, not a row_number
+    // window dragging the vector through a sort-shuffle
+    val windows = nodes.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(windows.nonEmpty && windows.forall(w => !w.output.exists(_.name == "c_vec")),
+      s"a Window carries the corpus vector:\n${out.queryExecution.executedPlan}")
+  }
+
   test("dupClusters rounds scale with diameter, not input size") {
     // a star graph (hub 0) converges in ONE propagation round regardless of
     // spoke count — the shape near-dup clusters actually have

@@ -64,6 +64,23 @@ class WatsonTablesSpec extends GraftSuite {
     assert(table.columns.contains("Three months ended setptember 30 | 2005"))
   }
 
+  test("inferred pivot columns follow sort_headers order (tables.py:617-633)") {
+    val cells = WatsonTables.bodyCells(responseDf("20-populous-countries"))
+    val table = WatsonTables.makeTable(cells)
+    val expected = cells
+      .groupBy(col("column_header_texts").as("k"))
+      .agg(min("column_index_begin").as("ci"))
+      .orderBy(col("ci"), col("k"))
+      .collect().map(_.getString(0)).toSeq
+    val pivotCols = table.columns.filterNot(
+      Set("doc_id", "table_idx", "row_idx", "row_key")).toSeq
+    assert(pivotCols == expected,
+      s"pivot columns not in column_index order: $pivotCols vs $expected")
+    // index order differs from the lexicographic order the old code used,
+    // so this asserts the reference ordering, not an accident
+    assert(pivotCols != pivotCols.sorted)
+  }
+
   test("numeric conversion on explicit columns (tables.py:209-302)") {
     val cells = WatsonTables.bodyCells(responseDf("20-populous-countries"))
     val table = WatsonTables.convertNumericCols(WatsonTables.makeTable(cells),
