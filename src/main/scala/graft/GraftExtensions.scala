@@ -42,6 +42,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 1, "tokenize takes exactly one argument")
         org.apache.spark.sql.graft.TokenizeGenerator(children.head)
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("regex_matches"),
+      new ExpressionInfo(classOf[org.apache.spark.sql.graft.RegexMatchGenerator].getName,
+        "regex_matches"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "regex_matches takes (text, pattern)")
+        org.apache.spark.sql.graft.RegexMatchGenerator(children.head, children(1))
+      }))
     // auto-rewrite naive span-overlap theta-joins into blocked equi-joins
     ext.injectOptimizerRule(_ => graft.plans.SpanJoinRewrite)
   }

@@ -15,26 +15,15 @@ object Extract {
   /**
    * All non-overlapping regex matches over document text
    * (`extract_regex`, reference: spanner/extract.py:240-261).
-   * Narrow generate per document row — no shuffle.
+   * One native-Generator pass per document row (span AND matched text in
+   * one emit — no UDF, no encoder round trip, no re-substring), narrow —
+   * no shuffle. Also registered as the SQL generator `regex_matches`.
    * Output: doc_id, span, match (covered text).
    */
   def extractRegex(docs: DataFrame, pattern: String,
-      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val p = pattern
-    val finditer = udf((text: String) => {
-      if (text == null) Seq.empty[graft.types.Span]
-      else {
-        val m = java.util.regex.Pattern.compile(p).matcher(text)
-        val buf = scala.collection.mutable.ArrayBuffer.empty[graft.types.Span]
-        while (m.find()) buf += graft.types.Span(m.start, m.end)
-        buf.toSeq
-      }
-    })
-    docs.select(col(idCol).as("doc_id"), col(textCol).as("__text"),
-        explode(finditer(col(textCol))).as("span"))
-      .select(col("doc_id"), col("span"),
-        spans.coveredText(col("__text"), col("span")).as("match"))
-  }
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      org.apache.spark.sql.graft.RegexMatchGenerator(col(textCol), pattern))
 
   /**
    * All (possibly overlapping) regex matches that start and end on token

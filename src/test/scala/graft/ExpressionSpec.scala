@@ -53,6 +53,41 @@ class ExpressionSpec extends GraftSuite {
     }
   }
 
+  test("RegexMatchGenerator: spans + matches, nulls, no-match, unicode offsets") {
+    import spark.implicits._
+    import org.apache.spark.sql.graft.RegexMatchGenerator
+    val df = Seq((0L, "ab12cd345"), (1L, null), (2L, "xyz"), (3L, "é9"))
+      .toDF("doc_id", "t")
+    val got = df.select(col("doc_id"), RegexMatchGenerator(col("t"), "\\d+"))
+      .collect()
+      .map(r => (r.getLong(0), r.getStruct(1).getInt(0), r.getStruct(1).getInt(1),
+        r.getString(2))).toSeq.sorted
+    // null text and no-match rows vanish (generator semantics); offsets are
+    // CHAR offsets — 'é' counts as one position
+    assert(got == Seq((0L, 2, 4, "12"), (0L, 6, 9, "345"), (3L, 1, 2, "9")))
+  }
+
+  test("regex_matches is registered as a SQL generator via GraftExtensions") {
+    val rows = spark.sql(
+      "SELECT regex_matches('one two three', '\\\\bt[a-z]+') AS (span, match)")
+      .collect().map(r => (r.getStruct(0).getInt(0), r.getStruct(0).getInt(1),
+        r.getString(1))).toSeq
+    assert(rows == Seq((4, 7, "two"), (8, 13, "three")))
+  }
+
+  test("extractRegex keeps the projection inside whole-stage codegen spans") {
+    import spark.implicits._
+    val docs = Seq((0L, "spark scan sort")).toDF("doc_id", "text")
+    val out = operators.Extract.extractRegex(docs, "\\bs[a-z]*")
+    val plan = out.queryExecution.executedPlan.toString
+    // Generate node present, no BatchEvalPython/ScalaUDF in the plan
+    assert(plan.contains("Generate") && !plan.contains("UDF"),
+      s"expected native generate plan, got:\n$plan")
+    val got = out.collect().map(r =>
+      (r.getStruct(1).getInt(0), r.getStruct(1).getInt(1), r.getString(2))).toSeq
+    assert(got == Seq((0, 5, "spark"), (6, 10, "scan"), (11, 15, "sort")))
+  }
+
   test("cosine_sim is registered as a SQL function via GraftExtensions") {
     val r = spark.sql(
       "SELECT cosine_sim(array(1.0d, 2.0d), array(1.0d, 2.0d)) AS c")
