@@ -67,9 +67,10 @@ object SparkEntry {
       .select(col("doc_id"), S.span(col("b"), col("e")).as("span"))
   }
 
-  /** q53's deterministic bound on driver-side corpus materialization
-    * (mirrored in the oracle SQL): SF-independent, so the roundtrip query
-    * collects at most this many documents at any scale factor. */
+  /** Deterministic doc_id bound for the CoNLL roundtrip queries
+    * (mirrored in the oracle SQL): keeps the synthesized corpus — and so
+    * the query output — identical at every scale factor. The export path
+    * itself is fully distributed (Conll.write2003/writeU). */
   val ConllRoundtripCap = 400
 
   /** Synthetic IOB tagging rule shared by q31/q32/q34: 'key' begins an
@@ -209,32 +210,31 @@ object SparkEntry {
 
     // ---- dedup / similarity ----
 
-    // Documents serialized to CoNLL-2003 text (one synthesized corpus file,
+    // Documents serialized to CoNLL-2003 text (single synthesized fold,
     // sentence break every 10 tokens, B-KEY on 'key'), parsed back through
     // the reader. All separators are 1 char in both representations, so
     // parsed offsets = original offsets + len("-DOCSTART-\n") = +11.
-    // EXCEPTION to the lazy-plan contract: the CoNLL writer targets one
-    // local text file, so this query materializes the corpus on the driver
-    // — bounded by a deterministic doc_id cap (mirrored in the oracle) so
-    // it cannot OOM at higher SFs, with the temp dir removed on JVM exit.
+    // The corpus is synthesized as a Spark plan (posexplode over the
+    // documents table) and exported via the DISTRIBUTED writer
+    // (Conll.write2003) — no driver materialization anywhere; the doc_id
+    // cap only keeps the output deterministic across SFs (mirrored in the
+    // oracle).
     "q53_conll_roundtrip" -> ((s, dir) => {
-      val dirP = java.nio.file.Files.createTempDirectory("graft_conll")
-      val path = dirP.resolve("corpus.txt")
-      dirP.toFile.deleteOnExit(); path.toFile.deleteOnExit()
-      val all = docs(s, dir).select("doc_id", "text")
-        .filter(col("doc_id") < ConllRoundtripCap).orderBy("doc_id").collect()
-      val sb = new StringBuilder
-      all.foreach { r =>
-        sb.append("-DOCSTART- O\n\n")
-        val words = r.getString(1).split(" ")
-        words.zipWithIndex.foreach { case (w, i) =>
-          sb.append(w).append(if (w == "key") " B-KEY\n" else " O\n")
-          if (i % 10 == 9) sb.append("\n")
-        }
-        if (words.length % 10 != 0) sb.append("\n")
-      }
-      java.nio.file.Files.writeString(path, sb.toString)
-      sources.Conll.conll2003(s, path.toString, Seq("ent"), Seq(true))
+      val out = java.nio.file.Files.createTempDirectory("graft_conll")
+      out.toFile.deleteOnExit()
+      val t = docs(s, dir).filter(col("doc_id") < ConllRoundtripCap)
+        .select(col("doc_id"), size(split(col("text"), " ")).as("n"),
+          posexplode(split(col("text"), " ")).as(Seq("token_id", "text")))
+      val bt = col("token_id") - (col("token_id") % 10)
+      val rel = t.select(lit("f0").as("fold"),
+        col("doc_id").cast("int").as("doc_num"), col("token_id"), col("text"),
+        struct(bt.cast("int").as("begin_tok"),
+          least(bt + 10, col("n")).cast("int").as("end_tok")).as("sentence"),
+        when(col("text") === "key", "B").otherwise("O").as("ent_iob"),
+        when(col("text") === "key", "KEY").as("ent_type"))
+      sources.Conll.write2003(rel, out.toString, Seq("ent"), Seq(true))
+      sources.Conll.conll2003(s, sources.Conll.writtenFilesGlob(out.toString),
+          Seq("ent"), Seq(true))
         .select(col("doc_num"), col("token_id"), col("span")("begin").as("begin"),
           col("span")("end").as("end"), col("text"), col("ent_iob"))
     }),
@@ -243,28 +243,29 @@ object SparkEntry {
     // sentences, `# newdoc id` / `# sent_id` metadata, lemma/upostag/head
     // fields), parsed back through the reader. Sentence separators are one
     // char in both representations, so parsed offsets == original offsets.
-    // Same bounded-driver-materialization exception as q53.
+    // Synthesized as a plan and exported via the distributed Conll.writeU
+    // — no driver materialization (cap mirrors the oracle, as in q53).
     "q57_conllu_roundtrip" -> ((s, dir) => {
-      val dirP = java.nio.file.Files.createTempDirectory("graft_conllu")
-      val path = dirP.resolve("corpus.conllu")
-      dirP.toFile.deleteOnExit(); path.toFile.deleteOnExit()
-      val all = docs(s, dir).select("doc_id", "text")
-        .filter(col("doc_id") < ConllRoundtripCap).orderBy("doc_id").collect()
-      val sb = new StringBuilder
-      all.foreach { r =>
-        val docId = r.getLong(0)
-        sb.append(s"# newdoc id = d$docId\n")
-        r.getString(1).split(" ").grouped(8).zipWithIndex.foreach { case (sent, si) =>
-          sb.append(s"# sent_id = s$docId-$si\n")
-          sent.zipWithIndex.foreach { case (w, i) =>
-            val head = if (i == 0) "0" else "1" // root, else the sentence head
-            sb.append(s"${i + 1}\t$w\t${w.replaceAll("s+$", "")}\tNOUN\t_\t_\t$head\t_\t_\t_\n")
-          }
-          sb.append("\n")
-        }
-      }
-      java.nio.file.Files.writeString(path, sb.toString)
-      sources.Conll.conllU(s, path.toString)
+      val out = java.nio.file.Files.createTempDirectory("graft_conllu")
+      out.toFile.deleteOnExit()
+      val t = docs(s, dir).filter(col("doc_id") < ConllRoundtripCap)
+        .select(col("doc_id"), size(split(col("text"), " ")).as("n"),
+          posexplode(split(col("text"), " ")).as(Seq("token_id", "text")))
+      val bt = col("token_id") - (col("token_id") % 8)
+      val rel = t.select(lit("f0").as("fold"),
+        col("doc_id").cast("int").as("doc_num"), col("token_id"), col("text"),
+        struct(bt.cast("int").as("begin_tok"),
+          least(bt + 8, col("n")).cast("int").as("end_tok")).as("sentence"),
+        regexp_replace(col("text"), "s+$", "").as("lemma"),
+        lit("NOUN").as("upostag"),
+        // head: root at each sentence start, else the sentence's first token
+        when(col("token_id") % 8 === 0, lit(null).cast("int"))
+          .otherwise(bt.cast("int")).as("head"),
+        concat(lit("s"), col("doc_id"), lit("-"),
+          (bt / 8).cast("int").cast("string")).as("sentence_id"),
+        concat(lit("d"), col("doc_id")).as("doc"))
+      sources.Conll.writeU(rel, out.toString)
+      sources.Conll.conllU(s, sources.Conll.writtenFilesGlob(out.toString))
         .select(col("doc_num"), col("token_id"),
           col("span")("begin").as("begin"), col("span")("end").as("end"),
           col("text"), col("lemma"), col("upostag"), col("head"),
@@ -276,30 +277,34 @@ object SparkEntry {
     // CoNLL-2003 model-output alignment: a tags-only output file (I-KEY on
     // 'key') joined back to corpus tokens by global position, then
     // IOB1→IOB2-corrected. Exercises conll2003Output's broadcast prefix-sum
-    // offset plan (no global window). Same bounded-collect exception.
+    // offset plan (no global window). Corpus exported via the distributed
+    // write2003; the tags file via the same ordered-lines sink (one tag
+    // per corpus token incl. the -DOCSTART- rows) — no driver collect.
     "q58_conll_output" -> ((s, dir) => {
-      val dirP = java.nio.file.Files.createTempDirectory("graft_conllo")
-      val corpus = dirP.resolve("corpus.txt")
-      val tags = dirP.resolve("tags.txt")
-      Seq(dirP, corpus, tags).foreach(_.toFile.deleteOnExit())
-      val all = docs(s, dir).select("doc_id", "text")
-        .filter(col("doc_id") < ConllRoundtripCap).orderBy("doc_id").collect()
-      val sbC = new StringBuilder
-      val sbT = new StringBuilder
-      all.foreach { r =>
-        sbC.append("-DOCSTART- O\n\n"); sbT.append("O\n")
-        val words = r.getString(1).split(" ")
-        words.zipWithIndex.foreach { case (w, i) =>
-          sbC.append(w).append(" O\n")
-          sbT.append(if (w == "key") "I-KEY\n" else "O\n")
-          if (i % 10 == 9) sbC.append("\n")
-        }
-        if (words.length % 10 != 0) sbC.append("\n")
-      }
-      java.nio.file.Files.writeString(corpus, sbC.toString)
-      java.nio.file.Files.writeString(tags, sbT.toString)
-      val corpusToks = sources.Conll.conll2003(s, corpus.toString, Seq("ent"), Seq(true))
-      sources.Conll.conll2003Output(s, corpusToks, tags.toString, "ent")
+      val outC = java.nio.file.Files.createTempDirectory("graft_conllo_c")
+      val outT = java.nio.file.Files.createTempDirectory("graft_conllo_t")
+      Seq(outC, outT).foreach(_.toFile.deleteOnExit())
+      val t = docs(s, dir).filter(col("doc_id") < ConllRoundtripCap)
+        .select(col("doc_id"), size(split(col("text"), " ")).as("n"),
+          posexplode(split(col("text"), " ")).as(Seq("token_id", "text")))
+      val bt = col("token_id") - (col("token_id") % 10)
+      val rel = t.select(lit("f0").as("fold"),
+        col("doc_id").cast("int").as("doc_num"), col("token_id"), col("text"),
+        struct(bt.cast("int").as("begin_tok"),
+          least(bt + 10, col("n")).cast("int").as("end_tok")).as("sentence"),
+        lit("O").as("ent_iob"), lit(null).cast("string").as("ent_type"))
+      sources.Conll.write2003(rel, outC.toString, Seq("ent"), Seq(true))
+      val docTags = rel.select(col("fold"), col("doc_num")).distinct()
+        .select(col("fold"), col("doc_num"), lit(-2).as("pos"),
+          lit(0).as("sub"), lit("O").as("line"))
+      val tokTags = rel.select(col("fold"), col("doc_num"),
+        col("token_id").as("pos"), lit(0).as("sub"),
+        when(col("text") === "key", "I-KEY").otherwise("O").as("line"))
+      sources.Conll.writeLines(docTags.unionByName(tokTags), outT.toString)
+      val corpusToks = sources.Conll.conll2003(s,
+        sources.Conll.writtenFilesGlob(outC.toString), Seq("ent"), Seq(true))
+      sources.Conll.conll2003Output(s, corpusToks,
+          sources.Conll.writtenFilesGlob(outT.toString), "ent")
         .select(col("doc_num"), col("token_id"), col("ent_iob"),
           coalesce(col("ent_type"), lit("")).as("ent_type"))
     }),

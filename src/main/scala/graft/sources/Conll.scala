@@ -1,7 +1,7 @@
 package graft.sources
 
 import scala.collection.mutable
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.operators.Iob
@@ -393,6 +393,144 @@ object Conll {
     }
     numericCols.filter(c => df.columns.contains(c) && c != "head")
       .foldLeft(df)((d, c) => d.withColumn(c, col(c).cast("long")))
+  }
+
+  // ------------------------------------------------------------------
+  // Distributed writers — the inverse of the readers. The reference's
+  // own guidance is to write tagged corpora back out as CoNLL files
+  // (io/conll.py:320-323); it does so with driver-side Python loops. Here
+  // the export is a Spark plan end to end: every token becomes one output
+  // LINE row keyed by (fold, doc_num, pos, sub); lines stream through a
+  // partitioned text sink with one directory per fold, so the unit of
+  // write parallelism equals the readers' unit of read parallelism (the
+  // fold/file) and no stage ever materializes a document — let alone the
+  // corpus — in memory.
+  // ------------------------------------------------------------------
+
+  /** IOB pair back to its file form: "B-KEY" / "I-KEY" / "O". */
+  private def iobTag(name: String): Column =
+    when(col(s"${name}_iob").isNull || col(s"${name}_iob") === "O", lit("O"))
+      .otherwise(concat(col(s"${name}_iob"), lit("-"),
+        coalesce(col(s"${name}_type"), lit(""))))
+
+  /**
+   * Generic ordered-text sink shared by the format writers (public: it is
+   * also the scale-safe way to export tags-only files for
+   * `conll2003Output`). Input columns: fold string, doc_num int,
+   * pos int, sub int, line string. Each fold's lines land in one task
+   * (hash repartition on fold), are sorted there by
+   * (doc_num, pos, sub, line), and stream to `path/fold=<v>/part-*.txt`.
+   * Parallelism = number of folds; memory = one line at a time.
+   */
+  def writeLines(lines: DataFrame, path: String): Unit =
+    lines.repartition(col("fold"))
+      .sortWithinPartitions("fold", "doc_num", "pos", "sub", "line")
+      .select(col("fold"), col("line"))
+      .write.mode("overwrite").partitionBy("fold").text(path)
+
+  /** Glob matching the files `writeLines` produces under `path`. */
+  def writtenFilesGlob(path: String): String = s"$path/fold=*/part-*"
+
+  /**
+   * Serialize a token relation to CoNLL-2003 text — the distributed
+   * inverse of [[conll2003]] (format per reference io/conll.py:315-377).
+   * Expects the readers' standard columns: fold, doc_num, token_id, text,
+   * sentence (struct with begin_tok/end_tok), plus one column per
+   * non-IOB field and `name_iob`/`name_type` per IOB field. When
+   * `docstart` is set, each document is prefixed with a `-DOCSTART-`
+   * header sentence (tags: "O" for IOB fields, "-X-" otherwise — the
+   * reader maps "-X-" in IOB position back to O).
+   */
+  def write2003(tokens: DataFrame, path: String,
+      columnNames: Seq[String] = Seq("pos", "phrase", "ent"),
+      iobColumns: Seq[Boolean] = Seq(false, true, true),
+      docstart: Boolean = true): Unit = {
+    val tagCols: Seq[Column] = columnNames.zipWithIndex.map { case (n, i) =>
+      if (i < iobColumns.length && iobColumns(i)) iobTag(n)
+      else coalesce(col(n).cast("string"), lit("-X-"))
+    }
+    val key = Seq(col("fold"), col("doc_num"))
+    val tokenLines = tokens.select(key ++ Seq(
+      col("token_id").as("pos"), lit(0).as("sub"),
+      concat_ws(" ", (col("text") +: tagCols): _*).as("line")): _*)
+    // Blank line after the last token of every sentence. This terminates
+    // each document too — required: the parser only flushes a finished
+    // sentence on a blank line before the next -DOCSTART-.
+    val sentBlanks = tokens
+      .select(key :+ col("sentence")("end_tok").as("et"): _*).distinct()
+      .select(key ++ Seq((col("et") - 1).as("pos"), lit(1).as("sub"),
+        lit("").as("line")): _*)
+    val body = tokenLines.unionByName(sentBlanks)
+    val all = if (!docstart) body else {
+      val headerTags = columnNames.indices.map(i =>
+        if (i < iobColumns.length && iobColumns(i)) "O" else "-X-")
+      val headerLine = ("-DOCSTART-" +: headerTags).mkString(" ")
+      val docsKeys = tokens.select(key: _*).distinct()
+      val header = docsKeys.select(key ++ Seq(lit(-2).as("pos"),
+          lit(0).as("sub"), lit(headerLine).as("line")): _*)
+        .unionByName(docsKeys.select(key ++ Seq(lit(-1).as("pos"),
+          lit(0).as("sub"), lit("").as("line")): _*))
+      body.unionByName(header)
+    }
+    writeLines(all, path)
+  }
+
+  /**
+   * Serialize a token relation to CoNLL-U text — the distributed inverse
+   * of [[conllU]] (format per reference io/conll.py:380-505). Field
+   * values: nulls render as `_`; `head` is re-pointed from
+   * document-relative 0-based token ids back to sentence-relative 1-based
+   * (null root → `0`), the exact inverse of the reader's mapping.
+   * Metadata columns (reader names, from `metadataFields` values) are
+   * emitted as `#` comments: the column mapped from `newdoc id` once per
+   * document (it defines document boundaries), all others once per
+   * sentence when non-null (a value that spanned sentences in the source
+   * file is re-stated per sentence — byte-different, but reads back to
+   * the identical relation).
+   */
+  def writeU(tokens: DataFrame, path: String,
+      columnNames: Seq[String] = defaultConllUFields,
+      iobColumns: Seq[Boolean] = Nil,
+      metadataFields: Map[String, String] = defaultEwtMetadata): Unit = {
+    val present = tokens.columns.toSet
+    val key = Seq(col("fold"), col("doc_num"))
+    val fieldCols: Seq[Column] = columnNames.zipWithIndex.map { case (n, i) =>
+      if (i < iobColumns.length && iobColumns(i))
+        when(col(s"${n}_iob").isNull, lit("_")).otherwise(iobTag(n))
+      else if (n == "head")
+        coalesce((col("head") - col("sentence")("begin_tok") + 1).cast("string"), lit("0"))
+      else if (present(n)) coalesce(col(n).cast("string"), lit("_"))
+      else lit("_")
+    }
+    val idx = (col("token_id") - col("sentence")("begin_tok") + 1).cast("string")
+    val tokenLines = tokens.select(key ++ Seq(
+      col("token_id").as("pos"), lit(0).as("sub"),
+      concat_ws("\t", (idx +: coalesce(col("text"), lit("_")) +: fieldCols): _*)
+        .as("line")): _*)
+    val sentBlanks = tokens
+      .select(key :+ col("sentence")("end_tok").as("et"): _*).distinct()
+      .select(key ++ Seq((col("et") - 1).as("pos"), lit(1).as("sub"),
+        lit("").as("line")): _*)
+    var all = tokenLines.unionByName(sentBlanks)
+    metadataFields.foreach { case (tag, colName) =>
+      if (present(colName)) {
+        if (tag == "newdoc id") {
+          all = all.unionByName(tokens
+            .select(key :+ col(colName).as("v"): _*)
+            .filter(col("v").isNotNull).distinct()
+            .select(key ++ Seq(lit(-1).as("pos"), lit(0).as("sub"),
+              concat(lit(s"# $tag = "), col("v")).as("line")): _*))
+        } else {
+          all = all.unionByName(tokens
+            .select(key ++ Seq(col("sentence")("begin_tok").as("bt"),
+              col(colName).as("v")): _*)
+            .filter(col("v").isNotNull).distinct()
+            .select(key ++ Seq(col("bt").as("pos"), lit(-1).as("sub"),
+              concat(lit(s"# $tag = "), col("v")).as("line")): _*))
+        }
+      }
+    }
+    writeLines(all, path)
   }
 
   /**

@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.sources.Conll
+
+/** Distributed CoNLL writers: reference fixture → write → re-read must
+  * reproduce the exact token relation (the writers are the readers'
+  * inverse; the reference's own guidance is to write tagged corpora back
+  * out, io/conll.py:320-323). */
+class ConllWriterSpec extends GraftSuite {
+  import spark.implicits._
+
+  private def tmp(prefix: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(prefix)
+    d.toFile.deleteOnExit(); d.toString
+  }
+
+  private def key2003(df: DataFrame) =
+    df.select(col("doc_num"), col("token_id"),
+      col("span")("begin"), col("span")("end"), col("text"),
+      col("sentence")("begin_tok"), col("sentence")("end_tok"),
+      col("ent_iob"), col("ent_type"))
+      .collect().map(_.toSeq).toSet
+
+  test("write2003 round-trips the reference fixture relation") {
+    val toks = Conll.conll2003(spark,
+      "/root/reference/test_data/io/test_conll/conll03_test.txt",
+      columnNames = Seq("ent"), iobColumns = Seq(true))
+    val out = tmp("graft_w2003")
+    // The fixture relation already carries its -DOCSTART- separator as a
+    // token row, so the writer must not add headers of its own.
+    Conll.write2003(toks, out, Seq("ent"), Seq(true), docstart = false)
+    val back = Conll.conll2003(spark, Conll.writtenFilesGlob(out),
+      Seq("ent"), Seq(true))
+    assert(key2003(back) == key2003(toks))
+  }
+
+  test("write2003 docstart headers delimit documents on re-read") {
+    // Three docs without DOCSTART rows: the writer's headers are the only
+    // thing marking the boundaries.
+    val rel = Seq(
+      ("f0", 0, 0, "alpha", 0, 2, "B", "K"), ("f0", 0, 1, "beta", 0, 2, "I", "K"),
+      ("f0", 1, 0, "gamma", 0, 1, "O", null),
+      ("f0", 2, 0, "delta", 0, 2, "O", null), ("f0", 2, 1, "eps", 0, 2, "B", "K"))
+      .toDF("fold", "doc_num", "token_id", "text", "bt", "et", "ent_iob", "ent_type")
+      .withColumn("sentence", struct(col("bt").as("begin_tok"), col("et").as("end_tok")))
+    val out = tmp("graft_w2003h")
+    Conll.write2003(rel, out, Seq("ent"), Seq(true))
+    val back = Conll.conll2003(spark, Conll.writtenFilesGlob(out),
+      Seq("ent"), Seq(true))
+    assert(back.select("doc_num").distinct().count() == 3)
+    // each doc: token 0 is the header, original tokens follow in order
+    val d0 = back.filter(col("doc_num") === 0).orderBy("token_id")
+      .select("text", "ent_iob", "ent_type").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(d0.toSeq == Seq(("-DOCSTART-", "O", null),
+      ("alpha", "B", "K"), ("beta", "I", "K")))
+  }
+
+  test("writeU round-trips the reference CoNLL-U fixture relation") {
+    val u = Conll.conllU(spark,
+      "/root/reference/test_data/io/test_conll/conll_u_test1.txt")
+    val out = tmp("graft_wu")
+    Conll.writeU(u, out)
+    val back = Conll.conllU(spark, Conll.writtenFilesGlob(out))
+    def k(df: DataFrame) = df.select(col("doc_num"), col("token_id"),
+      col("span")("begin"), col("span")("end"), col("text"),
+      col("sentence")("begin_tok"), col("sentence")("end_tok"),
+      col("lemma"), col("upostag"), col("xpostag"), col("features"),
+      col("head"), col("deprel"), col("deps"), col("misc"),
+      col("sentence_id"), col("paragraph_id"), col("doc"))
+      .collect().map(_.toSeq).toSet
+    assert(k(back) == k(u))
+  }
+
+  test("writeLines lays out one directory per fold, lines in key order") {
+    val lines = Seq(
+      ("fa", 0, 0, 0, "a0"), ("fa", 1, 0, 0, "a1"),
+      ("fb", 0, 0, 0, "b0"), ("fb", 0, 1, 0, "b1"))
+      .toDF("fold", "doc_num", "pos", "sub", "line")
+    val out = tmp("graft_lines")
+    Conll.writeLines(lines, out)
+    val fa = spark.sparkContext.wholeTextFiles(s"$out/fold=fa/part-*").collect()
+    val fb = spark.sparkContext.wholeTextFiles(s"$out/fold=fb/part-*").collect()
+    assert(fa.length == 1 && fa.head._2 == "a0\na1\n")
+    assert(fb.length == 1 && fb.head._2 == "b0\nb1\n")
+  }
+}
