@@ -98,6 +98,35 @@ object Oracles {
        |         CASE WHEN 2*len(list_filter(h, x -> CAST(floor(x / power(2.0, i)) AS BIGINT) % 2 = 1)) - len(h) > 0
        |              THEN CAST(power(2.0, i) AS BIGINT) ELSE 0 END)) AS BIGINT) AS f FROM wh)""".stripMargin
 
+  /** Mirror of Dedup.simhashWideDupPairs(families, maxDist): chunk layout
+    * computed with the same arithmetic as the operator. */
+  def simhashWideOracle(families: Int, maxDist: Int): String = {
+    val totalBits = families * 31; val chunks = maxDist + 1
+    val chunkSql = (0 until chunks).map { c =>
+      val lo = c * totalBits / chunks
+      val hi = (c + 1) * totalBits / chunks
+      val fam = lo / 31; val famLo = lo % 31
+      val loBits = math.min(hi - lo, 31 - famLo)
+      val low = s"((fps[${fam + 1}] >> $famLo) & ${(1L << loBits) - 1})"
+      val hiBits = (hi - lo) - loBits
+      if (hiBits == 0) low
+      else s"($low | ((fps[${fam + 2}] & ${(1L << hiBits) - 1}) << $loBits))"
+    }.mkString(", ")
+    val dist = (1 to families).map(i => s"bit_count(xor(fa[$i], fb[$i]))").mkString(" + ")
+    s"""WITH wh AS (SELECT doc_id, list_transform($Words, w -> ${H("w")}) AS h FROM documents),
+       |fps AS (SELECT doc_id, list_transform(generate_series(0, ${families - 1}), fam ->
+       |    CAST(list_sum(list_transform(generate_series(0, 30), i ->
+       |      CASE WHEN 2*len(list_filter(h, x ->
+       |          ((((x*(2*fam + 3) + 10007*(fam + 1)) % 2147483647) >> i) & 1) = 1)) - len(h) > 0
+       |        THEN CAST(power(2.0, i) AS BIGINT) ELSE 0 END)) AS BIGINT)) AS fps FROM wh),
+       |ch AS (SELECT doc_id, fps, generate_subscripts(cs, 1) - 1 AS chunk, unnest(cs) AS val
+       |  FROM (SELECT doc_id, fps, [$chunkSql] AS cs FROM fps)),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, a.fps AS fa, b2.doc_id AS id_b, b2.fps AS fb
+       |  FROM ch a JOIN ch b2 ON a.chunk = b2.chunk AND a.val = b2.val AND a.doc_id < b2.doc_id)
+       |SELECT id_a, id_b, $dist AS dist
+       |FROM cand WHERE $dist <= $maxDist""".stripMargin
+  }
+
   /** Double-precision embedding vectors CTE → `ed(id, v)`. */
   val EmbCte: String =
     "ed AS (SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)"
@@ -456,43 +485,17 @@ object Oracles {
     "q15_simhash" ->
       s"WITH $SimhashCte SELECT doc_id, f AS fp FROM fp",
 
-    "q16_simhash_pairs" ->
-      s"""WITH $SimhashCte,
-         |ch AS (SELECT doc_id, f, generate_subscripts(cs, 1) - 1 AS chunk, unnest(cs) AS val
-         |  FROM (SELECT doc_id, f, list_transform(generate_series(0, 3), c2 -> (f >> (c2*8)) & 255) AS cs FROM fp)),
-         |cand AS (SELECT DISTINCT a.doc_id AS id_a, a.f AS fa, b2.doc_id AS id_b, b2.f AS fb
-         |  FROM ch a JOIN ch b2 ON a.chunk = b2.chunk AND a.val = b2.val AND a.doc_id < b2.doc_id)
-         |SELECT id_a, id_b, bit_count(xor(fa, fb)) AS dist FROM cand
-         |WHERE bit_count(xor(fa, fb)) <= 3""".stripMargin,
+    // q16 decision (round 7): the legacy 32-bit chunk-banding
+    // (Dedup.simhashDupPairs) is RETIRED from the declared surface — its
+    // bucket population grows with corpus size. q16 now runs the wide
+    // fingerprint at a different operating point (maxDist=2 → 3 chunks of
+    // ~21 bits) than q54 (maxDist=3 → 4 chunks of ~15 bits), so the two
+    // declared queries cover distinct precision/recall trade-offs of the
+    // one scale-safe shape. The legacy function stays in Dedup.scala as an
+    // undeclared comparison path.
+    "q16_simhash_pairs" -> simhashWideOracle(families = 2, maxDist = 2),
 
-    "q54_simhash_wide" -> {
-      // mirror of simhashWideDupPairs(maxDist=3, families=2): chunk layout
-      // computed with the same arithmetic as the operator
-      val families = 2; val maxDist = 3
-      val totalBits = families * 31; val chunks = maxDist + 1
-      val chunkSql = (0 until chunks).map { c =>
-        val lo = c * totalBits / chunks
-        val hi = (c + 1) * totalBits / chunks
-        val fam = lo / 31; val famLo = lo % 31
-        val loBits = math.min(hi - lo, 31 - famLo)
-        val low = s"((fps[${fam + 1}] >> $famLo) & ${(1L << loBits) - 1})"
-        val hiBits = (hi - lo) - loBits
-        if (hiBits == 0) low
-        else s"($low | ((fps[${fam + 2}] & ${(1L << hiBits) - 1}) << $loBits))"
-      }.mkString(", ")
-      s"""WITH wh AS (SELECT doc_id, list_transform($Words, w -> ${H("w")}) AS h FROM documents),
-         |fps AS (SELECT doc_id, list_transform(generate_series(0, ${families - 1}), fam ->
-         |    CAST(list_sum(list_transform(generate_series(0, 30), i ->
-         |      CASE WHEN 2*len(list_filter(h, x ->
-         |          ((((x*(2*fam + 3) + 10007*(fam + 1)) % 2147483647) >> i) & 1) = 1)) - len(h) > 0
-         |        THEN CAST(power(2.0, i) AS BIGINT) ELSE 0 END)) AS BIGINT)) AS fps FROM wh),
-         |ch AS (SELECT doc_id, fps, generate_subscripts(cs, 1) - 1 AS chunk, unnest(cs) AS val
-         |  FROM (SELECT doc_id, fps, [$chunkSql] AS cs FROM fps)),
-         |cand AS (SELECT DISTINCT a.doc_id AS id_a, a.fps AS fa, b2.doc_id AS id_b, b2.fps AS fb
-         |  FROM ch a JOIN ch b2 ON a.chunk = b2.chunk AND a.val = b2.val AND a.doc_id < b2.doc_id)
-         |SELECT id_a, id_b, bit_count(xor(fa[1], fb[1])) + bit_count(xor(fa[2], fb[2])) AS dist
-         |FROM cand WHERE bit_count(xor(fa[1], fb[1])) + bit_count(xor(fa[2], fb[2])) <= $maxDist""".stripMargin
-    },
+    "q54_simhash_wide" -> simhashWideOracle(families = 2, maxDist = 3),
 
     "q17_embed_pairs" ->
       s"""WITH $EmbCte,

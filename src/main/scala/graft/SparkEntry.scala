@@ -232,9 +232,10 @@ object SparkEntry {
           least(bt + 10, col("n")).cast("int").as("end_tok")).as("sentence"),
         when(col("text") === "key", "B").otherwise("O").as("ent_iob"),
         when(col("text") === "key", "KEY").as("ent_type"))
-      sources.Conll.write2003(rel, out.toString, Seq("ent"), Seq(true))
-      sources.Conll.conll2003(s, sources.Conll.writtenFilesGlob(out.toString),
-          Seq("ent"), Seq(true))
+      sources.Conll.write2003(rel, out.toString, Seq("ent"), Seq(true),
+        maxDocsPerFile = 64)
+      sources.Conll.refold(sources.Conll.conll2003(s,
+          sources.Conll.writtenFilesGlob(out.toString), Seq("ent"), Seq(true)))
         .select(col("doc_num"), col("token_id"), col("span")("begin").as("begin"),
           col("span")("end").as("end"), col("text"), col("ent_iob"))
     }),
@@ -264,8 +265,9 @@ object SparkEntry {
         concat(lit("s"), col("doc_id"), lit("-"),
           (bt / 8).cast("int").cast("string")).as("sentence_id"),
         concat(lit("d"), col("doc_id")).as("doc"))
-      sources.Conll.writeU(rel, out.toString)
-      sources.Conll.conllU(s, sources.Conll.writtenFilesGlob(out.toString))
+      sources.Conll.writeU(rel, out.toString, maxDocsPerFile = 64)
+      sources.Conll.refold(
+          sources.Conll.conllU(s, sources.Conll.writtenFilesGlob(out.toString)))
         .select(col("doc_num"), col("token_id"),
           col("span")("begin").as("begin"), col("span")("end").as("end"),
           col("text"), col("lemma"), col("upostag"), col("head"),
@@ -293,16 +295,18 @@ object SparkEntry {
         struct(bt.cast("int").as("begin_tok"),
           least(bt + 10, col("n")).cast("int").as("end_tok")).as("sentence"),
         lit("O").as("ent_iob"), lit(null).cast("string").as("ent_type"))
-      sources.Conll.write2003(rel, outC.toString, Seq("ent"), Seq(true))
+      sources.Conll.write2003(rel, outC.toString, Seq("ent"), Seq(true),
+        maxDocsPerFile = 64)
       val docTags = rel.select(col("fold"), col("doc_num")).distinct()
         .select(col("fold"), col("doc_num"), lit(-2).as("pos"),
           lit(0).as("sub"), lit("O").as("line"))
       val tokTags = rel.select(col("fold"), col("doc_num"),
         col("token_id").as("pos"), lit(0).as("sub"),
         when(col("text") === "key", "I-KEY").otherwise("O").as("line"))
-      sources.Conll.writeLines(docTags.unionByName(tokTags), outT.toString)
-      val corpusToks = sources.Conll.conll2003(s,
-        sources.Conll.writtenFilesGlob(outC.toString), Seq("ent"), Seq(true))
+      sources.Conll.writeLines(docTags.unionByName(tokTags), outT.toString,
+        maxDocsPerFile = 64)
+      val corpusToks = sources.Conll.refold(sources.Conll.conll2003(s,
+        sources.Conll.writtenFilesGlob(outC.toString), Seq("ent"), Seq(true)))
       sources.Conll.conll2003Output(s, corpusToks,
           sources.Conll.writtenFilesGlob(outT.toString), "ent")
         .select(col("doc_num"), col("token_id"), col("ent_iob"),
@@ -399,8 +403,12 @@ object SparkEntry {
     "q15_simhash" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"), Dedup.simhash(col("text")).as("fp"))),
 
+    // Round-7 decision: q16 re-pointed from the legacy 32-bit chunk-banded
+    // simhashDupPairs (bucket size grows with corpus — retired from the
+    // declared surface, kept in Dedup.scala as a comparison path) to the
+    // wide fingerprint at a tighter operating point than q54.
     "q16_simhash_pairs" -> ((s, dir) =>
-      Dedup.simhashDupPairs(docs(s, dir), maxDist = 3)),
+      Dedup.simhashWideDupPairs(docs(s, dir), maxDist = 2, families = 2)),
 
     "q54_simhash_wide" -> ((s, dir) =>
       Dedup.simhashWideDupPairs(docs(s, dir), maxDist = 3, families = 2)),

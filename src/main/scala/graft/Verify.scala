@@ -19,7 +19,12 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // Local-iteration filter (unset when the driver runs): only dump
+    // queries whose name matches the regex.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.r)
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.findFirstIn(name).isDefined) }
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -246,12 +246,19 @@ object Dedup {
   }
 
   /**
-   * SimHash near-dup pairs within Hamming distance `maxDist` using the
-   * banding trick: split the 32-bit fingerprint into `maxDist+1` chunks —
-   * two fingerprints within distance d agree exactly on ≥1 chunk — then
-   * verify with a popcount residual. Equi-join on (chunk index, chunk
-   * value); no all-pairs comparison. See [[simhashWideDupPairs]] for the
-   * high-SF variant with corpus-size-independent bucket densities.
+   * LEGACY (retired from the declared query surface, round 7): SimHash
+   * near-dup pairs within Hamming distance `maxDist` over the 32-bit
+   * fingerprint, split into `maxDist+1` chunks — two fingerprints within
+   * distance d agree exactly on ≥1 chunk — then a popcount residual.
+   * Equi-join on (chunk index, chunk value); no all-pairs comparison.
+   *
+   * Retirement rationale: with ≤8 bits per chunk the bucket population
+   * (and therefore candidate volume) grows linearly with corpus size —
+   * the one super-linear term left in the suite at round 6. The declared
+   * queries (q16, q54) now both use [[simhashWideDupPairs]], whose
+   * per-chunk key width scales with `families`, keeping buckets
+   * corpus-size-independent. This function stays as the documented
+   * comparison baseline for recall studies on small corpora.
    */
   def simhashDupPairs(docs: DataFrame, maxDist: Int = 3,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {

@@ -81,15 +81,24 @@ object Extract {
    * `tokens` must include `normalized_text` (see Tokenize.normalizedTokens)
    * and must come from the same tokenizer as the dictionary.
    *
+   * `maxLen`: upper bound on dictionary-entry token length. When omitted it
+   * is computed with one (dictionary-sized, bounded) job at plan-build time;
+   * callers building many plans over the same dictionary should pass it to
+   * keep plan construction action-free.
+   *
    * Output: doc_id, span struct<begin_tok,end_tok,begin,end>.
    */
-  def extractDict(docs: DataFrame, tokens: DataFrame, dict: DataFrame): DataFrame = {
-    val maxLen = dict.agg(max(size(col("toks")))).head().getInt(0)
+  def extractDict(docs: DataFrame, tokens: DataFrame, dict: DataFrame,
+      maxLen: Int = -1): DataFrame = {
+    require(maxLen != 0, "maxLen must be positive (or omitted to infer)")
+    val maxLen0 =
+      if (maxLen > 0) maxLen
+      else dict.agg(max(size(col("toks")))).head().getInt(0)
     val w = Window.partitionBy("doc_id").orderBy("token_id")
     val lookahead =
-      (1 until maxLen).map(i => lead(col("normalized_text"), i).over(w).as(s"__t$i")) ++
-      (1 until maxLen).map(i => lead(col("span")("end"), i).over(w).as(s"__e$i")) ++
-      (1 until maxLen).map(i => lead(col("token_id"), i).over(w).as(s"__id$i"))
+      (1 until maxLen0).map(i => lead(col("normalized_text"), i).over(w).as(s"__t$i")) ++
+      (1 until maxLen0).map(i => lead(col("span")("end"), i).over(w).as(s"__e$i")) ++
+      (1 until maxLen0).map(i => lead(col("token_id"), i).over(w).as(s"__id$i"))
     val base = tokens.select(
       Seq(col("doc_id"), col("token_id"), col("normalized_text"), col("span")) ++
         lookahead: _*)
@@ -103,7 +112,7 @@ object Extract {
     // to equal token_id + (l-1) restores the gap-free semantics — ids are
     // strictly increasing in window order, so one endpoint check forces
     // all l ids to be consecutive.
-    val endForLen = (2 to maxLen).foldLeft(
+    val endForLen = (2 to maxLen0).foldLeft(
       when(col("n") === 1, col("span")("end"))) { case (acc, l) =>
       acc.when(col("n") === l &&
         col(s"__id${l - 1}") === col("token_id") + (l - 1) &&

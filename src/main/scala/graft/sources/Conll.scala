@@ -61,7 +61,11 @@ object Conll {
         if (i < iobColumns.length && iobColumns(i)) {
           val (tag, ent): (String, String) =
             if (raw != null && (raw.startsWith("I-") || raw.startsWith("B-"))) {
-              val parts = raw.split("-", 2); (parts(0), parts(1))
+              // "B-"/"I-" with no entity type parses to a null type (not
+              // ""), making the writers' iobTag rendering an exact inverse
+              // for hand-built relations with null-typed B/I tags.
+              val parts = raw.split("-", 2)
+              (parts(0), if (parts(1).isEmpty) null else parts(1))
             } else if (raw == "O") ("O", null)
             else if (!isConllU && raw == "-X-") ("O", null)
             else throw new IllegalArgumentException(
@@ -400,11 +404,12 @@ object Conll {
   // own guidance is to write tagged corpora back out as CoNLL files
   // (io/conll.py:320-323); it does so with driver-side Python loops. Here
   // the export is a Spark plan end to end: every token becomes one output
-  // LINE row keyed by (fold, doc_num, pos, sub); lines stream through a
-  // partitioned text sink with one directory per fold, so the unit of
-  // write parallelism equals the readers' unit of read parallelism (the
-  // fold/file) and no stage ever materializes a document — let alone the
-  // corpus — in memory.
+  // LINE row keyed by (fold, doc_num, pos, sub); lines stream through an
+  // explicit per-partition writer producing one directory per fold and one
+  // ordered file per `maxDocsPerFile`-sized doc_num range, so write
+  // parallelism scales with corpus size even for single-fold corpora and
+  // no stage ever materializes a document — let alone the corpus — in
+  // memory. `refold` restores logical (fold, doc_num) keys on re-read.
   // ------------------------------------------------------------------
 
   /** IOB pair back to its file form: "B-KEY" / "I-KEY" / "O". */
@@ -417,19 +422,103 @@ object Conll {
    * Generic ordered-text sink shared by the format writers (public: it is
    * also the scale-safe way to export tags-only files for
    * `conll2003Output`). Input columns: fold string, doc_num int,
-   * pos int, sub int, line string. Each fold's lines land in one task
-   * (hash repartition on fold), are sorted there by
-   * (doc_num, pos, sub, line), and stream to `path/fold=<v>/part-*.txt`.
-   * Parallelism = number of folds; memory = one line at a time.
+   * pos int, sub int, line string.
+   *
+   * Each fold is range-split into buckets of `maxDocsPerFile` consecutive
+   * doc_nums; each (fold, bucket) becomes one ordered file
+   * `path/fold=<v>/part-NNNNN.txt` (zero-padded, so an alphabetical glob
+   * reads buckets — and therefore documents — back in doc_num order).
+   * Write parallelism is thus `ceil(docs/maxDocsPerFile)` PER FOLD, not
+   * one task per fold: a corpus delivered as a single giant fold still
+   * fans out. Line order inside a file is written explicitly by this
+   * function from a per-partition sort — no dependency on any sink's
+   * ordering behavior — and files appear atomically (temp file + rename),
+   * memory one line at a time.
    */
-  def writeLines(lines: DataFrame, path: String): Unit =
-    lines.repartition(col("fold"))
-      .sortWithinPartitions("fold", "doc_num", "pos", "sub", "line")
-      .select(col("fold"), col("line"))
-      .write.mode("overwrite").partitionBy("fold").text(path)
+  def writeLines(lines: DataFrame, path: String, maxDocsPerFile: Int = 500): Unit = {
+    require(maxDocsPerFile > 0, "maxDocsPerFile must be positive")
+    val spark = lines.sparkSession
+    val root = new org.apache.hadoop.fs.Path(path)
+    root.getFileSystem(spark.sessionState.newHadoopConf()).delete(root, true)
+    lines
+      .select(col("fold"),
+        (col("doc_num").cast("long") / maxDocsPerFile).cast("int").as("bucket"),
+        col("doc_num").cast("long").as("doc_num"), col("pos"), col("sub"), col("line"))
+      .repartition(col("fold"), col("bucket"))
+      .sortWithinPartitions("fold", "bucket", "doc_num", "pos", "sub", "line")
+      .foreachPartition { (it: Iterator[Row]) =>
+        val conf = new org.apache.hadoop.conf.Configuration()
+        var fs: org.apache.hadoop.fs.FileSystem = null
+        var cur: (String, Int) = null
+        var out: java.io.Writer = null
+        var tmpF: org.apache.hadoop.fs.Path = null
+        var dest: org.apache.hadoop.fs.Path = null
+        def closeFile(): Unit = if (out != null) {
+          out.close(); fs.delete(dest, false); fs.rename(tmpF, dest); out = null
+        }
+        it.foreach { r =>
+          val fold = r.getString(0); val b = r.getInt(1)
+          if (cur == null || cur != ((fold, b))) {
+            closeFile()
+            val dir = new org.apache.hadoop.fs.Path(root, "fold=" + escapePath(fold))
+            if (fs == null) fs = dir.getFileSystem(conf)
+            fs.mkdirs(dir)
+            dest = new org.apache.hadoop.fs.Path(dir, f"part-$b%05d.txt")
+            tmpF = new org.apache.hadoop.fs.Path(dir,
+              f".part-$b%05d.txt.${java.util.UUID.randomUUID()}.tmp")
+            out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+              fs.create(tmpF, true), java.nio.charset.StandardCharsets.UTF_8), 1 << 16)
+            cur = (fold, b)
+          }
+          out.write(r.getString(5)); out.write('\n')
+        }
+        closeFile()
+      }
+  }
+
+  /** Path-segment escaping for fold directory names — same scheme as
+    * Spark's dynamic-partition sink (so corpora written by older rounds'
+    * `partitionBy` layout stay readable). */
+  private[graft] def escapePath(s: String): String =
+    org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(s)
+  private[graft] def unescapePath(s: String): String =
+    org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.unescapePathName(s)
 
   /** Glob matching the files `writeLines` produces under `path`. */
   def writtenFilesGlob(path: String): String = s"$path/fold=*/part-*"
+
+  /**
+   * Re-key a token relation read back from a [[writeLines]] layout: the
+   * readers assign `fold` = file path and restart `doc_num` at 0 per file,
+   * so a fold that was range-split into several `part-NNNNN` files comes
+   * back as several pseudo-folds. This restores the logical keys: `fold`
+   * := the decoded `fold=<v>` directory segment, `doc_num` := the file's
+   * local doc_num plus the doc count of all earlier files of the same
+   * fold (files ordered by name — which [[writeLines]] guarantees is
+   * doc_num order), `doc_id` := xxhash64(fold, doc_num).
+   *
+   * Scale shape: the prefix sum runs over ONE ROW PER FILE (a window over
+   * the file-level aggregate, same pattern as `conll2003Output`'s
+   * alignment), then broadcast-joins back to the token relation — no
+   * global shuffle of tokens.
+   */
+  def refold(tokens: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val foldEnc = regexp_extract(col("file"), "fold=([^/]+)/[^/]*$", 1)
+    val perFile = tokens.groupBy(col("fold").as("file"))
+      .agg((max("doc_num") + 1).as("__cnt"))
+      .withColumn("__fold_enc", foldEnc)
+    val w = Window.partitionBy("__fold_enc").orderBy("file")
+    val offsets = perFile
+      .withColumn("__offset", sum("__cnt").over(w) - col("__cnt"))
+      .select(col("file"), col("__fold_enc"), col("__offset"))
+    val unescapeUdf = udf((s: String) => unescapePath(s))
+    tokens.join(broadcast(offsets), tokens("fold") === offsets("file"))
+      .withColumn("fold", unescapeUdf(col("__fold_enc")))
+      .withColumn("doc_num", (col("doc_num") + col("__offset")).cast("int"))
+      .withColumn("doc_id", xxhash64(col("fold"), col("doc_num")))
+      .drop("file", "__fold_enc", "__offset")
+  }
 
   /**
    * Serialize a token relation to CoNLL-2003 text — the distributed
@@ -444,7 +533,7 @@ object Conll {
   def write2003(tokens: DataFrame, path: String,
       columnNames: Seq[String] = Seq("pos", "phrase", "ent"),
       iobColumns: Seq[Boolean] = Seq(false, true, true),
-      docstart: Boolean = true): Unit = {
+      docstart: Boolean = true, maxDocsPerFile: Int = 500): Unit = {
     val tagCols: Seq[Column] = columnNames.zipWithIndex.map { case (n, i) =>
       if (i < iobColumns.length && iobColumns(i)) iobTag(n)
       else coalesce(col(n).cast("string"), lit("-X-"))
@@ -472,7 +561,7 @@ object Conll {
           lit(0).as("sub"), lit("").as("line")): _*))
       body.unionByName(header)
     }
-    writeLines(all, path)
+    writeLines(all, path, maxDocsPerFile)
   }
 
   /**
@@ -491,15 +580,23 @@ object Conll {
   def writeU(tokens: DataFrame, path: String,
       columnNames: Seq[String] = defaultConllUFields,
       iobColumns: Seq[Boolean] = Nil,
-      metadataFields: Map[String, String] = defaultEwtMetadata): Unit = {
+      metadataFields: Map[String, String] = defaultEwtMetadata,
+      maxDocsPerFile: Int = 500): Unit = {
     val present = tokens.columns.toSet
     val key = Seq(col("fold"), col("doc_num"))
+    // Like every other field, head and IOB columns named in `columnNames`
+    // but absent from the relation render as the format's missing value
+    // ('0' root for head, '_' otherwise) instead of failing analysis.
     val fieldCols: Seq[Column] = columnNames.zipWithIndex.map { case (n, i) =>
-      if (i < iobColumns.length && iobColumns(i))
-        when(col(s"${n}_iob").isNull, lit("_")).otherwise(iobTag(n))
-      else if (n == "head")
-        coalesce((col("head") - col("sentence")("begin_tok") + 1).cast("string"), lit("0"))
-      else if (present(n)) coalesce(col(n).cast("string"), lit("_"))
+      if (i < iobColumns.length && iobColumns(i)) {
+        if (present(s"${n}_iob"))
+          when(col(s"${n}_iob").isNull, lit("_")).otherwise(iobTag(n))
+        else lit("_")
+      } else if (n == "head") {
+        if (present("head"))
+          coalesce((col("head") - col("sentence")("begin_tok") + 1).cast("string"), lit("0"))
+        else lit("0")
+      } else if (present(n)) coalesce(col(n).cast("string"), lit("_"))
       else lit("_")
     }
     val idx = (col("token_id") - col("sentence")("begin_tok") + 1).cast("string")
@@ -530,7 +627,7 @@ object Conll {
         }
       }
     }
-    writeLines(all, path)
+    writeLines(all, path, maxDocsPerFile)
   }
 
   /**

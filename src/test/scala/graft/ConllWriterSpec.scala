@@ -74,6 +74,65 @@ class ConllWriterSpec extends GraftSuite {
     assert(k(back) == k(u))
   }
 
+  test("write2003 multi-file folds + refold round-trip the exact relation") {
+    // 5 docs, maxDocsPerFile=2 → 3 ordered part files in one fold; refold
+    // must restore the logical (fold, doc_num) keys across the file split.
+    val rel = (0 until 5).flatMap { d =>
+      Seq(("f0", d, 0, s"tok${d}a", 0, 2, "B", "K"),
+        ("f0", d, 1, s"tok${d}b", 0, 2, "I", "K"))
+    }.toDF("fold", "doc_num", "token_id", "text", "bt", "et", "ent_iob", "ent_type")
+      .withColumn("sentence", struct(col("bt").as("begin_tok"), col("et").as("end_tok")))
+    val out = tmp("graft_w2003m")
+    Conll.write2003(rel, out, Seq("ent"), Seq(true), maxDocsPerFile = 2)
+    val files = new java.io.File(s"$out/fold=f0").listFiles()
+      .map(_.getName).filter(_.startsWith("part-")).sorted
+    assert(files.toSeq == Seq("part-00000.txt", "part-00001.txt", "part-00002.txt"))
+    val back = Conll.refold(Conll.conll2003(spark, Conll.writtenFilesGlob(out),
+      Seq("ent"), Seq(true)))
+    assert(back.select("fold").distinct().collect().map(_.getString(0)).toSeq == Seq("f0"))
+    // doc 0..4 in order; each doc = header token + 2 original tokens
+    val byDoc = back.filter(col("text").startsWith("tok"))
+      .select(col("doc_num"), col("text"), col("ent_iob"), col("ent_type"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3)))
+      .toSet
+    assert(byDoc == (0 until 5).flatMap { d =>
+      Seq((d, s"tok${d}a", "B", "K"), (d, s"tok${d}b", "I", "K"))
+    }.toSet)
+    // doc_id is the canonical hash of the RESTORED keys
+    val ids = back.select("doc_num", "doc_id").distinct().collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toMap
+    val expected = back.sparkSession.range(5)
+      .select(col("id").cast("int").as("doc_num"),
+        xxhash64(lit("f0"), col("id").cast("int")).as("h"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    assert(ids == expected)
+  }
+
+  test("null-typed B/I tags round-trip exactly (empty type reads back null)") {
+    val rel = Seq(("f0", 0, 0, "alpha", 0, 1, "B", null.asInstanceOf[String]))
+      .toDF("fold", "doc_num", "token_id", "text", "bt", "et", "ent_iob", "ent_type")
+      .withColumn("sentence", struct(col("bt").as("begin_tok"), col("et").as("end_tok")))
+    val out = tmp("graft_w2003n")
+    Conll.write2003(rel, out, Seq("ent"), Seq(true), docstart = false)
+    val back = Conll.conll2003(spark, Conll.writtenFilesGlob(out), Seq("ent"), Seq(true))
+    val r = back.select("text", "ent_iob", "ent_type").collect().head
+    assert(r.getString(0) == "alpha" && r.getString(1) == "B" && r.isNullAt(2))
+  }
+
+  test("writeU renders absent head/IOB columns as missing values, not errors") {
+    val rel = Seq(("f0", 0, 0, "alpha", 0, 1), ("f0", 0, 1, "beta", 0, 1))
+      .toDF("fold", "doc_num", "token_id", "text", "bt", "et")
+      .withColumn("sentence", struct(col("bt").as("begin_tok"), col("et").as("end_tok")))
+    val out = tmp("graft_wu_absent")
+    // columnNames includes head + an IOB field; the relation has neither.
+    Conll.writeU(rel, out, columnNames = Seq("lemma", "head", "ent"),
+      iobColumns = Seq(false, false, true), metadataFields = Map.empty)
+    val content = spark.sparkContext
+      .wholeTextFiles(Conll.writtenFilesGlob(out)).collect().head._2
+    val fields = content.split("\n").head.split("\t")
+    assert(fields.toSeq == Seq("1", "alpha", "_", "0", "_"))
+  }
+
   test("writeLines lays out one directory per fold, lines in key order") {
     val lines = Seq(
       ("fa", 0, 0, 0, "a0"), ("fa", 1, 0, 0, "a1"),
