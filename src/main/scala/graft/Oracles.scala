@@ -363,6 +363,46 @@ object Oracles {
          |  (input_id*31 + dims.d) % 997 AS ecode
          |FROM allt CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS d) dims""".stripMargin,
 
+    // Real WordPiece (greedy longest-match-first) replayed in SQL: the
+    // greedy loop is unrolled to a bounded stage chain (corpus words are
+    // <= 8 chars, so <= 8 pieces; every letter is in the mini vocab, so no
+    // [UNK] path). Stage k: the longest vocab piece matching the word
+    // remainder at `start` (argmax via row_number over match length),
+    // emitting one piece and advancing `start`.
+    "q78_wordpiece" -> {
+      val vocabVals = graft.operators.WordPiece.MiniVocab
+        .filterNot(_._1.startsWith("["))
+        .map { case (p, id) =>
+          val cont = p.startsWith("##")
+          val np = if (cont) p.substring(2) else p
+          s"('$np', $cont, $id)"
+        }.mkString(", ")
+      val maxPieces = 8
+      val stages = (0 until maxPieces).map { k =>
+        s"""c$k AS (SELECT t.doc_id, t.token_id, t.word, t.wb, t.start, v.id, len(v.np) AS plen
+           |  FROM s$k t JOIN vocab v ON v.iscont = (t.start > 0)
+           |    AND substr(t.word, t.start + 1, len(v.np)) = v.np),
+           |p$k AS (SELECT * FROM (SELECT *, row_number() OVER (
+           |    PARTITION BY doc_id, token_id ORDER BY plen DESC) AS rn FROM c$k) WHERE rn = 1),
+           |s${k + 1} AS (SELECT doc_id, token_id, word, wb, start + plen AS start
+           |  FROM p$k WHERE start + plen < len(word))""".stripMargin
+      }.mkString(",\n")
+      val unions = (0 until maxPieces).map(k => s"SELECT * FROM p$k").mkString(" UNION ALL ")
+      s"""WITH $ToksCte,
+         |vocab(np, iscont, id) AS (VALUES $vocabVals),
+         |s0 AS (SELECT doc_id, token_id, text AS word, "begin" AS wb, 0 AS start FROM toks),
+         |$stages,
+         |pieces AS (SELECT doc_id, token_id, start, wb + start AS b,
+         |    wb + start + plen AS e, id FROM ($unions)),
+         |ordered AS (SELECT doc_id, row_number() OVER (PARTITION BY doc_id
+         |    ORDER BY token_id, start) AS tid, b, e, id FROM pieces),
+         |sep AS (SELECT doc_id, max(tid) + 1 AS tid, max(e) AS me FROM ordered GROUP BY doc_id)
+         |SELECT doc_id, CAST(tid AS INTEGER) AS token_id, b AS "begin", e AS "end",
+         |  CAST(id AS BIGINT) AS input_id, 0 AS special FROM ordered
+         |UNION ALL SELECT doc_id, 0, 0, 0, 101, 1 FROM documents
+         |UNION ALL SELECT doc_id, CAST(tid AS INTEGER), me, me, 102, 1 FROM sep""".stripMargin
+    },
+
     "q52_repetition" ->
       s"""WITH $ShingleCte
          |SELECT s.doc_id, round(1.0 - CAST(len(s.h) AS DOUBLE) /

@@ -328,6 +328,16 @@ object SparkEntry {
           round(col("e").cast("double") * 997).cast("long").as("ecode"))
     }),
 
+    // REAL BERT tokenizer (WordPiece.Tokenizer — HF BasicTokenizer +
+    // greedy wordpiece with original-text offsets) through the same
+    // distributed host as q60's stub, over the deterministic mini
+    // vocabulary. The oracle replays greedy longest-match-first in SQL.
+    "q78_wordpiece" -> ((s, dir) =>
+      Bert.makeBertTokens(docs(s, dir), WordPiece.miniVocabTokenizer)
+        .select(col("doc_id"), col("token_id"),
+          col("span")("begin").as("begin"), col("span")("end").as("end"),
+          col("input_id"), col("special_tokens_mask").cast("int").as("special"))),
+
     "q52_repetition" -> ((s, dir) => {
       val ws = TextAnalysis.words(col("text"))
       val total = greatest(size(ws) - 2, lit(1))
