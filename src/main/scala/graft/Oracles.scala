@@ -616,6 +616,24 @@ object Oracles {
         |        CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings)
         |GROUP BY label, dim""".stripMargin,
 
+    // Mirror of q79: the engine's axis folds are sequential left folds in
+    // vec_id (axis 0) / dimension (axis 1) order, so ordered list_reduce
+    // reproduces them bit-for-bit before the final round.
+    "q79_nd_tensor" ->
+      """WITH e AS (SELECT label, vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+        |    CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+        |a0 AS (SELECT label, d AS idx,
+        |    list_reduce(list_prepend(0.0, list(x ORDER BY vec_id)), (a, b) -> a + b) AS v
+        |  FROM e GROUP BY label, d),
+        |a1 AS (SELECT label, vec_id,
+        |    list_reduce(list_prepend(0.0, list(x ORDER BY d)), (a, b) -> a + b) AS v
+        |  FROM e GROUP BY label, vec_id),
+        |a1r AS (SELECT label, row_number() OVER (PARTITION BY label ORDER BY vec_id) - 1 AS idx, v
+        |  FROM a1)
+        |SELECT label, 'axis0' AS axis, CAST(idx AS INTEGER) AS idx, round(v, 6) AS value FROM a0
+        |UNION ALL
+        |SELECT label, 'axis1', CAST(idx AS INTEGER), round(v, 6) FROM a1r""".stripMargin,
+
     "q21_vec_ops" ->
       s"""WITH $EmbCte
          |SELECT id AS vec_id, sqrt(${dot("v", "v")}) AS nrm,

@@ -482,6 +482,23 @@ object SparkEntry {
         .groupBy("label", "dim")
         .agg(median(col("x").cast("double")).as("med"), count(lit(1)).as("n"))),
 
+    // N-d tensor surface: pack each label's vectors into ONE [n, 8]
+    // row-major tensor (ordered by vec_id), then reduce it along both
+    // axes via stride walks over the flat data. Any packing / stride /
+    // shape error shifts elements between folds and breaks the hash; the
+    // folds are sequential, so the oracle's ordered list_reduce is
+    // bit-identical.
+    "q79_nd_tensor" -> ((s, dir) => {
+      val t = embedsD(s, dir).groupBy("label")
+        .agg(tensor.pack2d(col("vec_id"), col("embedding")).as("t"))
+      val a0 = t.select(col("label"), lit("axis0").as("axis"),
+        posexplode(tensor.ndSumAxis0(col("t"))).as(Seq("idx", "v")))
+      val a1 = t.select(col("label"), lit("axis1").as("axis"),
+        posexplode(tensor.ndSumAxis1(col("t"))).as(Seq("idx", "v")))
+      a0.unionByName(a1).select(col("label"), col("axis"), col("idx"),
+        round(col("v"), 6).as("value"))
+    }),
+
     "q21_vec_ops" -> ((s, dir) =>
       embedsD(s, dir).select(col("vec_id"),
         tensor.norm2(col("embedding")).as("nrm"),

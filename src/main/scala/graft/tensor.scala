@@ -187,4 +187,85 @@ object tensor {
   def vecLe(a: Column, b: Column): Column = zip_with(a, b, (x, y) => x <= y)
   def vecGt(a: Column, b: Column): Column = zip_with(a, b, (x, y) => x > y)
   def vecGe(a: Column, b: Column): Column = zip_with(a, b, (x, y) => x >= y)
+
+  // ---- N-dimensional tensors (reference: array/tensor.py:282-316) ----
+  //
+  // The reference's TensorArray holds an ndarray per row; here an N-d
+  // tensor is a struct<data: array<double>, shape: array<int>> — flat
+  // row-major data plus explicit shape, the same layout numpy uses
+  // internally. Everything below is pure higher-order-function expression
+  // trees (codegen'd, no UDF): reshape is metadata-only, slicing is
+  // stride arithmetic, and axis reductions are sequential left folds —
+  // deterministic element order, so a SQL oracle's list_reduce replays
+  // them bit-identically. Row-level values stay bounded (one document's /
+  // one group's tensor), matching the reference's per-cell ndarrays.
+
+  /** Construct a tensor struct from flat row-major data + shape. */
+  def ndTensor(data: Column, shape: Column): Column =
+    struct(data.cast("array<double>").as("data"), shape.cast("array<int>").as("shape"))
+
+  /** Number of elements a shape implies. */
+  private def numel(shape: Column): Column =
+    aggregate(shape, lit(1), (acc, d) => acc * d)
+
+  /**
+   * Reshape: same flat data, new shape; null when the element counts
+   * disagree (NA semantics, like every other malformed-span/tensor op).
+   */
+  def reshape(t: Column, newShape: Column): Column =
+    when(numel(newShape) === size(t("data")),
+      ndTensor(t("data"), newShape))
+
+  /**
+   * Slice along axis 0: tensor `t[i]` with shape = shape[1:]. A 1-D
+   * tensor slices to a scalar-shaped ([] shape) single-element tensor.
+   * Null when the index is out of range.
+   */
+  def ndSlice(t: Column, i: Column): Column = {
+    // NB: slice length must stay clear of Int.MaxValue — Spark's Slice
+    // computes start+length and overflows silently to an empty array.
+    val innerShape = slice(t("shape"), lit(2), greatest(size(t("shape")) - 1, lit(1)))
+    val stride = numel(innerShape)
+    when(i >= 0 && i < element_at(t("shape"), 1),
+      ndTensor(slice(t("data"), i * stride + 1, stride), innerShape))
+  }
+
+  /** Scalar element at a 2-D index (row-major). */
+  def ndGet2d(t: Column, r: Column, c: Column): Column =
+    element_at(t("data"), (r * element_at(t("shape"), 2) + c + 1).cast("int"))
+
+  /**
+   * Axis-0 sum of a 2-D tensor [n, m] → length-m vector: for each column
+   * c, a sequential fold over rows 0..n-1 (row-major stride walk).
+   */
+  def ndSumAxis0(t: Column): Column = {
+    val n = element_at(t("shape"), 1)
+    val m = element_at(t("shape"), 2)
+    transform(sequence(lit(0), m - 1), c =>
+      aggregate(sequence(lit(0), n - 1), lit(0.0),
+        (acc, r) => acc + element_at(t("data"), (r * m + c + 1).cast("int"))))
+  }
+
+  /** Axis-1 sum of a 2-D tensor [n, m] → length-n vector (per-row fold). */
+  def ndSumAxis1(t: Column): Column = {
+    val n = element_at(t("shape"), 1)
+    val m = element_at(t("shape"), 2)
+    transform(sequence(lit(0), n - 1), r =>
+      aggregate(sequence(lit(0), m - 1), lit(0.0),
+        (acc, c) => acc + element_at(t("data"), (r * m + c + 1).cast("int"))))
+  }
+
+  /**
+   * Aggregate a group of (key, vector) rows into ONE 2-D tensor
+   * [n_rows, dim], rows ordered by key — how a document's per-token BERT
+   * window outputs pack into the reference's [tokens × dims] TensorArray
+   * cell. Use inside `groupBy(...).agg(...)`; group size is bounded by
+   * the entity (document), exactly like the reference's per-cell ndarray.
+   */
+  def pack2d(key: Column, vec: Column): Column = {
+    val lst = sort_array(collect_list(struct(key.as("k"),
+      vec.cast("array<double>").as("v"))))
+    ndTensor(flatten(transform(lst, x => x("v"))),
+      array(size(lst), coalesce(size(element_at(lst, 1)("v")), lit(0))))
+  }
 }
