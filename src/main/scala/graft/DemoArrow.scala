@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.sources.ArrowInterop
+
+/** Interchange demo: extract spans from the sf0.001 corpus, export them as
+  * Feather V2 with the reference's Arrow extension tags, re-read, and print
+  * both schemas. `args(0)` overrides the output dir (default /tmp). A pandas
+  * user points `pyarrow.ipc.open_file` / `pd.read_feather` at the same file. */
+object DemoArrow {
+  def main(args: Array[String]): Unit = {
+    val out = args.headOption.getOrElse("/tmp/graft_arrow_demo")
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", 4)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val spans = operators.Extract.extractRegex(docs, "s[a-z]+")
+      .join(docs.select(col("doc_id"), col("text").as("target_text")), "doc_id")
+      .select(col("doc_id"), col("span"), col("target_text"), col("match"))
+    ArrowInterop.writeFeather(spans.repartition(2), out, Map("span" -> "target_text"))
+    val back = ArrowInterop.readFeather(spark, s"$out/part-*.feather")
+    println(s"[demo-arrow] wrote ${new java.io.File(out).list().length} files to $out")
+    back.printSchema()
+    println(s"[demo-arrow] rows=${back.count()}")
+    back.orderBy("doc_id", "span.begin").show(5, truncate = false)
+    spark.stop()
+  }
+}

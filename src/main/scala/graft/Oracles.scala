@@ -647,6 +647,12 @@ object Oracles {
     "q23_extract_regex" ->
       s"""WITH $ToksCte SELECT doc_id, "begin", "end", text AS match FROM toks WHERE text LIKE 's%'""",
 
+    // q80 = q23 pushed through the Feather extension round trip; `covered`
+    // re-substrings the round-tripped text, so it must equal `match`.
+    "q80_arrow_roundtrip" ->
+      s"""WITH $ToksCte SELECT doc_id, "begin", "end", text AS match, text AS covered
+         |FROM toks WHERE text LIKE 's%'""".stripMargin,
+
     "q24_extract_regex_tok" ->
       s"""WITH $ToksCte
          |SELECT t1.doc_id, t1.token_id AS begin_tok, t1.token_id + 2 AS end_tok,

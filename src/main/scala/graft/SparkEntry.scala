@@ -515,6 +515,26 @@ object SparkEntry {
         .select(col("doc_id"), col("span")("begin").as("begin"),
           col("span")("end").as("end"), col("match"))),
 
+    // Arrow interchange: the q23 span relation exported as Feather V2 with
+    // the reference's TextExtensionsSpan extension tag (dictionary-encoded
+    // target text) and re-read. `covered` re-substrings the ROUND-TRIPPED
+    // target text with the ROUND-TRIPPED offsets — equal to `match` only
+    // if spans, dictionary and text all survived the interchange.
+    "q80_arrow_roundtrip" -> ((s, dir) => {
+      val out = java.nio.file.Files.createTempDirectory("graft_arrow")
+      out.toFile.deleteOnExit()
+      val d = docs(s, dir)
+      val spans = Extract.extractRegex(d, "\\bs[a-z0-9]*")
+        .join(d.select(col("doc_id"), col("text").as("target_text")), "doc_id")
+        .select(col("doc_id"), col("span"), col("target_text"), col("match"))
+      sources.ArrowInterop.writeFeather(spans, out.toString, Map("span" -> "target_text"))
+      sources.ArrowInterop.readFeather(s, s"$out/part-*.feather")
+        .select(col("doc_id"), col("span")("begin").as("begin"),
+          col("span")("end").as("end"), col("match"),
+          expr("substring(span_target_text, span.begin + 1, span.end - span.begin)")
+            .as("covered"))
+    }),
+
     "q24_extract_regex_tok" -> ((s, dir) =>
       Extract.extractRegexTok(docs(s, dir), toks(s, dir), "key [a-z0-9]+", 2, 2)
         .select(col("doc_id"), col("span")("begin_tok").as("begin_tok"),

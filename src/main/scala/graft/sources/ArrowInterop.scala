@@ -1,0 +1,378 @@
+package graft.sources
+
+import scala.collection.JavaConverters._
+import scala.collection.mutable
+import org.apache.arrow.memory.RootAllocator
+import org.apache.arrow.vector._
+import org.apache.arrow.vector.complex.{ListVector, StructVector}
+import org.apache.arrow.vector.dictionary.{Dictionary, DictionaryProvider}
+import org.apache.arrow.vector.ipc.{ArrowFileReader, ArrowFileWriter}
+import org.apache.arrow.vector.types.FloatingPointPrecision
+import org.apache.arrow.vector.types.pojo.{ArrowType, DictionaryEncoding, Field, FieldType, Schema}
+import org.apache.arrow.vector.util.ByteArrayReadableSeekableByteChannel
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/**
+ * Arrow IPC (Feather V2) interchange with the reference's pandas
+ * extension types (reference: array/arrow_conversion.py).
+ *
+ * The reference serializes spans as an Arrow extension type named
+ * `TextExtensionsSpan` whose storage is
+ * `struct<span_begins: int, span_ends: int, target_text: dictionary<string>>`
+ * (arrow_conversion.py:46-81, 121-148) and tensors as `TextExtensionsTensor`
+ * whose storage is `list<primitive>` with the element shape JSON-encoded in
+ * the extension metadata (arrow_conversion.py:304-336). This writer emits
+ * exactly those storage layouts with the standard
+ * `ARROW:extension:name` / `ARROW:extension:metadata` field tags, so a
+ * pandas user reading the file with the reference package installed gets
+ * `SpanArray` / `TensorArray` columns back; without it, pyarrow still
+ * surfaces the tagged storage. The reader accepts the same tags (from this
+ * writer or from files the reference wrote via feather).
+ *
+ * Scale shape: the writer is a narrow `foreachPartition` — one
+ * `part-NNNNN.feather` per task, dictionary built per file from that
+ * partition's documents (bounded), batches of `BatchRows`. The reader
+ * parallelizes over files and streams record batches. Neither funnels the
+ * relation through the driver; the driver only reads one file's SCHEMA.
+ */
+object ArrowInterop {
+
+  private val ExtName = "ARROW:extension:name"
+  private val ExtMeta = "ARROW:extension:metadata"
+  val SpanExt = "TextExtensionsSpan"
+  val TensorExt = "TextExtensionsTensor"
+  private val BatchRows = 8192
+
+  // ---------------------------------------------------------------- write
+
+  /**
+   * Write `df` as Feather V2 files `path/part-NNNNN.feather` (one per
+   * partition). `spanCols` maps a span struct column (begin/end ints) to
+   * the string column holding its target text; the pair is folded into
+   * one `TextExtensionsSpan` extension column with dictionary-encoded
+   * text. Numeric-array columns become `TextExtensionsTensor` (element
+   * shape = first row's length). Supported scalars: int, long, float,
+   * double, string, boolean.
+   */
+  def writeFeather(df: DataFrame, path: String,
+      spanCols: Map[String, String] = Map.empty): Unit = {
+    val spark = df.sparkSession
+    val root = new org.apache.hadoop.fs.Path(path)
+    root.getFileSystem(spark.sessionState.newHadoopConf()).delete(root, true)
+    val schema = df.schema
+    val textOf = spanCols // span col -> text col
+    val textCols = spanCols.values.toSet
+    df.rdd.foreachPartition { it =>
+      // partition id from the task context — stable file naming
+      val pid = org.apache.spark.TaskContext.get().partitionId()
+      if (it.hasNext) writePartition(it, schema, textOf, textCols, root, pid)
+    }
+  }
+
+  private def writePartition(rows: Iterator[Row], schema: StructType,
+      textOf: Map[String, String], textCols: Set[String],
+      rootPath: org.apache.hadoop.fs.Path, pid: Int): Unit = {
+    val alloc = new RootAllocator()
+    try {
+      val conf = new org.apache.hadoop.conf.Configuration()
+      val fs = rootPath.getFileSystem(conf)
+      fs.mkdirs(rootPath)
+      val out = fs.create(new org.apache.hadoop.fs.Path(rootPath, f"part-$pid%05d.feather"), true)
+
+      // Buffer the partition (bounded: one task's split) so the per-file
+      // target-text dictionary can be built before the schema is written —
+      // the same order the reference builds its StringTable first.
+      val buf = rows.toArray
+      val dictValues = mutable.LinkedHashMap.empty[String, mutable.LinkedHashMap[String, Int]]
+      textOf.foreach { case (spanCol, textCol) =>
+        val m = mutable.LinkedHashMap.empty[String, Int]
+        val ti = schema.fieldIndex(textCol)
+        buf.foreach { r =>
+          if (!r.isNullAt(ti)) {
+            val t = r.getString(ti)
+            if (!m.contains(t)) m(t) = m.size
+          }
+        }
+        dictValues(spanCol) = m
+      }
+
+      // Field tree + dictionaries
+      val provider = new DictionaryProvider.MapDictionaryProvider()
+      val dictVecs = mutable.ArrayBuffer.empty[VarCharVector]
+      var dictId = 0L
+      val outFields = schema.fields.filterNot(f => textCols(f.name)).map { f =>
+        f.dataType match {
+          case st: StructType if textOf.contains(f.name) =>
+            val enc = new DictionaryEncoding(dictId, false, new ArrowType.Int(32, true))
+            val dictVec = new VarCharVector("target_text_values", alloc)
+            val values = dictValues(f.name)
+            dictVec.allocateNew(values.size)
+            values.keysIterator.zipWithIndex.foreach { case (s, i) =>
+              dictVec.setSafe(i, s.getBytes("UTF-8"))
+            }
+            dictVec.setValueCount(values.size)
+            dictVecs += dictVec
+            provider.put(new Dictionary(dictVec, enc))
+            dictId += 1
+            require(st.fieldNames.contains("begin") && st.fieldNames.contains("end"),
+              s"span column ${f.name} must be a struct with begin/end")
+            new Field(f.name,
+              new FieldType(true, ArrowType.Struct.INSTANCE, null,
+                Map(ExtName -> SpanExt, ExtMeta -> "").asJava),
+              Seq(
+                new Field("span_begins", FieldType.nullable(new ArrowType.Int(32, true)), null),
+                new Field("span_ends", FieldType.nullable(new ArrowType.Int(32, true)), null),
+                new Field("target_text", new FieldType(true, new ArrowType.Int(32, true), enc, null), null)
+              ).asJava)
+          case ArrayType(et, _) if et == FloatType || et == DoubleType =>
+            val ti = schema.fieldIndex(f.name)
+            val dim = buf.iterator.filterNot(_.isNullAt(ti))
+              .map(_.getSeq[Any](ti).length).nextOption().getOrElse(0)
+            val child = et match {
+              case FloatType => new Field("item",
+                FieldType.nullable(new ArrowType.FloatingPoint(FloatingPointPrecision.SINGLE)), null)
+              case _ => new Field("item",
+                FieldType.nullable(new ArrowType.FloatingPoint(FloatingPointPrecision.DOUBLE)), null)
+            }
+            new Field(f.name,
+              new FieldType(true, ArrowType.List.INSTANCE, null,
+                Map(ExtName -> TensorExt, ExtMeta -> s"[$dim]").asJava),
+              Seq(child).asJava)
+          case t => new Field(f.name, FieldType.nullable(scalarArrowType(t)), null)
+        }
+      }
+
+      val arrowSchema = new Schema(outFields.toSeq.asJava)
+      val vsr = VectorSchemaRoot.create(arrowSchema, alloc)
+      val writer = new ArrowFileWriter(vsr, provider,
+        java.nio.channels.Channels.newChannel(out))
+      writer.start()
+      var off = 0
+      while (off < buf.length) {
+        val n = math.min(BatchRows, buf.length - off)
+        vsr.allocateNew()
+        outFields.zip(vsr.getFieldVectors.asScala).foreach { case (fld, vec) =>
+          fillVector(vec, fld, schema, textOf, dictValues, buf, off, n)
+        }
+        vsr.setRowCount(n)
+        writer.writeBatch()
+        off += n
+      }
+      writer.end(); writer.close(); out.close()
+      vsr.close(); dictVecs.foreach(_.close())
+    } finally alloc.close()
+  }
+
+  private def scalarArrowType(t: DataType): ArrowType = t match {
+    case LongType => new ArrowType.Int(64, true)
+    case IntegerType => new ArrowType.Int(32, true)
+    case DoubleType => new ArrowType.FloatingPoint(FloatingPointPrecision.DOUBLE)
+    case FloatType => new ArrowType.FloatingPoint(FloatingPointPrecision.SINGLE)
+    case StringType => ArrowType.Utf8.INSTANCE
+    case BooleanType => ArrowType.Bool.INSTANCE
+    case other => throw new IllegalArgumentException(s"unsupported feather type $other")
+  }
+
+  private def fillVector(vec: FieldVector, fld: Field, schema: StructType,
+      textOf: Map[String, String],
+      dictValues: mutable.Map[String, mutable.LinkedHashMap[String, Int]],
+      buf: Array[Row], off: Int, n: Int): Unit = {
+    val name = fld.getName
+    val ci = schema.fieldIndex(name)
+    vec match {
+      case sv: StructVector =>
+        val begins = sv.getChild("span_begins").asInstanceOf[IntVector]
+        val ends = sv.getChild("span_ends").asInstanceOf[IntVector]
+        val tt = sv.getChild("target_text").asInstanceOf[IntVector]
+        val textIdx = schema.fieldIndex(textOf(name))
+        val dict = dictValues(name)
+        var i = 0
+        while (i < n) {
+          val r = buf(off + i)
+          if (r.isNullAt(ci)) sv.setNull(i)
+          else {
+            sv.setIndexDefined(i)
+            val s = r.getStruct(ci)
+            val bi = s.fieldIndex("begin"); val ei = s.fieldIndex("end")
+            if (s.isNullAt(bi)) begins.setNull(i) else begins.setSafe(i, s.getInt(bi))
+            if (s.isNullAt(ei)) ends.setNull(i) else ends.setSafe(i, s.getInt(ei))
+            if (r.isNullAt(textIdx)) tt.setNull(i)
+            else tt.setSafe(i, dict(r.getString(textIdx)))
+          }
+          i += 1
+        }
+        sv.setValueCount(n)
+      case lv: ListVector =>
+        val w = lv.getWriter
+        var i = 0
+        while (i < n) {
+          val r = buf(off + i)
+          w.setPosition(i)
+          if (!r.isNullAt(ci)) {
+            w.startList()
+            r.getSeq[Any](ci).foreach {
+              case f: Float => w.float4().writeFloat4(f)
+              case d: Double => w.float8().writeFloat8(d)
+              case other => throw new IllegalArgumentException(s"bad tensor elem $other")
+            }
+            w.endList()
+          }
+          i += 1
+        }
+        lv.setValueCount(n)
+      case v: BigIntVector =>
+        fillScalar(v.setNull, n, buf, off, ci)((i, r) => v.setSafe(i, r.getLong(ci)))
+      case v: IntVector =>
+        fillScalar(v.setNull, n, buf, off, ci)((i, r) => v.setSafe(i, r.getInt(ci)))
+      case v: Float8Vector =>
+        fillScalar(v.setNull, n, buf, off, ci)((i, r) => v.setSafe(i, r.getDouble(ci)))
+      case v: Float4Vector =>
+        fillScalar(v.setNull, n, buf, off, ci)((i, r) => v.setSafe(i, r.getFloat(ci)))
+      case v: VarCharVector =>
+        fillScalar(v.setNull, n, buf, off, ci)((i, r) =>
+          v.setSafe(i, r.getString(ci).getBytes("UTF-8")))
+      case v: BitVector =>
+        fillScalar(v.setNull, n, buf, off, ci)((i, r) =>
+          v.setSafe(i, if (r.getBoolean(ci)) 1 else 0))
+      case other => throw new IllegalArgumentException(s"unsupported vector $other")
+    }
+    vec.setValueCount(n)
+  }
+
+  private def fillScalar(setNull: Int => Unit, n: Int, buf: Array[Row],
+      off: Int, ci: Int)(set: (Int, Row) => Unit): Unit = {
+    var i = 0
+    while (i < n) {
+      val r = buf(off + i)
+      if (r.isNullAt(ci)) setNull(i) else set(i, r)
+      i += 1
+    }
+  }
+
+  // ----------------------------------------------------------------- read
+
+  /**
+   * Read Feather V2 files (glob) written by [[writeFeather]] — or by the
+   * reference via pandas `to_feather` with its extension arrays. Span
+   * extension columns come back as `<name>` struct<begin,end> plus
+   * `<name>_target_text` string (dictionary decoded); tensor extension
+   * columns as `array<float|double>`. One task per file.
+   */
+  def readFeather(spark: SparkSession, path: String): DataFrame = {
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val files = fs.globStatus(hPath).map(_.getPath.toString).sorted
+    require(files.nonEmpty, s"no feather files match $path")
+
+    // driver reads ONE schema; rows stream task-side
+    val (sparkSchema, _) = sparkSchemaOf(readAllBytes(files.head))
+    val rdd = spark.sparkContext.parallelize(files.toSeq, files.length)
+      .flatMap { f => decodeFile(readAllBytes(f)) }
+    spark.createDataFrame(rdd, sparkSchema)
+  }
+
+  private def readAllBytes(path: String): Array[Byte] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val len = fs.getFileStatus(p).getLen.toInt
+    val in = fs.open(p)
+    try { val b = new Array[Byte](len); in.readFully(0, b); b } finally in.close()
+  }
+
+  /** (spark schema, arrow schema) for one file's bytes. */
+  private def sparkSchemaOf(bytes: Array[Byte]): (StructType, Schema) = {
+    val alloc = new RootAllocator()
+    try {
+      val rd = new ArrowFileReader(new ByteArrayReadableSeekableByteChannel(bytes), alloc)
+      try {
+        val as = rd.getVectorSchemaRoot.getSchema
+        val fields = as.getFields.asScala.flatMap { f =>
+          val ext = Option(f.getMetadata.get(ExtName))
+          (ext, f.getType) match {
+            case (Some(SpanExt), _) => Seq(
+              StructField(f.getName, graft.types.spanType),
+              StructField(s"${f.getName}_target_text", StringType))
+            case (Some(TensorExt), _) | (None, _: ArrowType.List) =>
+              val et = f.getChildren.get(0).getType match {
+                case fp: ArrowType.FloatingPoint
+                  if fp.getPrecision == FloatingPointPrecision.SINGLE => FloatType
+                case _ => DoubleType
+              }
+              Seq(StructField(f.getName, ArrayType(et)))
+            case (_, t: ArrowType.Int) =>
+              Seq(StructField(f.getName, if (t.getBitWidth == 64) LongType else IntegerType))
+            case (_, fp: ArrowType.FloatingPoint) =>
+              Seq(StructField(f.getName,
+                if (fp.getPrecision == FloatingPointPrecision.SINGLE) FloatType else DoubleType))
+            case (_, _: ArrowType.Utf8) => Seq(StructField(f.getName, StringType))
+            case (_, _: ArrowType.Bool) => Seq(StructField(f.getName, BooleanType))
+            case (_, other) => throw new IllegalArgumentException(s"unsupported arrow type $other")
+          }
+        }
+        (StructType(fields.toSeq), as)
+      } finally rd.close()
+    } finally alloc.close()
+  }
+
+  private def decodeFile(bytes: Array[Byte]): Iterator[Row] = {
+    val alloc = new RootAllocator()
+    val rd = new ArrowFileReader(new ByteArrayReadableSeekableByteChannel(bytes), alloc)
+    val out = mutable.ArrayBuffer.empty[Row]
+    try {
+      val vsr = rd.getVectorSchemaRoot
+      while (rd.loadNextBatch()) {
+        val n = vsr.getRowCount
+        val cols: Seq[Int => Seq[Any]] = vsr.getSchema.getFields.asScala.toSeq
+          .zip(vsr.getFieldVectors.asScala).map { case (f, vec) =>
+            decoderFor(f, vec, rd)
+          }
+        var i = 0
+        while (i < n) {
+          out += Row.fromSeq(cols.flatMap(_.apply(i)))
+          i += 1
+        }
+      }
+    } finally { rd.close(); alloc.close() }
+    out.iterator
+  }
+
+  /** Per-row decoder; span extension fields expand to two output values. */
+  private def decoderFor(f: Field, vec: FieldVector,
+      dicts: DictionaryProvider): Int => Seq[Any] = {
+    Option(f.getMetadata.get(ExtName)) match {
+      case Some(SpanExt) =>
+        val sv = vec.asInstanceOf[StructVector]
+        val begins = sv.getChild("span_begins").asInstanceOf[IntVector]
+        val ends = sv.getChild("span_ends").asInstanceOf[IntVector]
+        val tt = sv.getChild("target_text").asInstanceOf[IntVector]
+        val encId = f.getChildren.asScala
+          .find(_.getName == "target_text").get.getDictionary.getId
+        val dict = dicts.lookup(encId).getVector.asInstanceOf[VarCharVector]
+        i => {
+          if (sv.isNull(i)) Seq(null, null)
+          else Seq(
+            Row(if (begins.isNull(i)) null else begins.get(i),
+              if (ends.isNull(i)) null else ends.get(i)),
+            if (tt.isNull(i)) null else new String(dict.get(tt.get(i)), "UTF-8"))
+        }
+      case _ => vec match {
+        case lv: ListVector => i => Seq(
+          if (lv.isNull(i)) null
+          else lv.getObject(i).asScala.toSeq.map {
+            case f: java.lang.Float => f.floatValue()
+            case d: java.lang.Double => d.doubleValue()
+            case x => x
+          })
+        case v: BigIntVector => i => Seq(if (v.isNull(i)) null else v.get(i))
+        case v: IntVector => i => Seq(if (v.isNull(i)) null else v.get(i))
+        case v: Float8Vector => i => Seq(if (v.isNull(i)) null else v.get(i))
+        case v: Float4Vector => i => Seq(if (v.isNull(i)) null else v.get(i))
+        case v: VarCharVector =>
+          i => Seq(if (v.isNull(i)) null else new String(v.get(i), "UTF-8"))
+        case v: BitVector => i => Seq(if (v.isNull(i)) null else v.get(i) == 1)
+        case other => throw new IllegalArgumentException(s"unsupported vector $other")
+      }
+    }
+  }
+}

@@ -41,6 +41,66 @@ class SerializationSpec extends GraftSuite {
     assert(nulls == 1)
   }
 
+  test("feather: span + tensor extension columns round-trip with tags") {
+    import spark.implicits._
+    import graft.sources.ArrowInterop
+    val dir = java.nio.file.Files.createTempDirectory("graft_feather").toString
+    val df = Seq(
+      (0L, 0, 3, "key agg row", Seq(1.0f, 2.5f)),
+      (1L, 4, 8, "slow fast", Seq(-3.0f, 0.25f)),
+      (2L, 0, 4, "slow fast", Seq(7.0f, -1.0f))) // repeated text → shared dict entry
+      .toDF("doc_id", "b", "e", "text", "vec")
+      .select(col("doc_id"), graft.spans.span(col("b"), col("e")).as("span"),
+        col("text"), col("vec"))
+    ArrowInterop.writeFeather(df.repartition(2), s"$dir/f",
+      spanCols = Map("span" -> "text"))
+    val back = ArrowInterop.readFeather(spark, s"$dir/f/part-*.feather")
+    // schema: span struct + decoded dictionary text + tensor array
+    assert(back.schema.fieldNames.toSeq ==
+      Seq("doc_id", "span", "span_target_text", "vec"))
+    val got = back.orderBy("doc_id").collect().map { r =>
+      (r.getLong(0), r.getStruct(1).getInt(0), r.getStruct(1).getInt(1),
+        r.getString(2), r.getSeq[Float](3))
+    }.toSeq
+    assert(got == Seq((0L, 0, 3, "key agg row", Seq(1.0f, 2.5f)),
+      (1L, 4, 8, "slow fast", Seq(-3.0f, 0.25f)),
+      (2L, 0, 4, "slow fast", Seq(7.0f, -1.0f))))
+  }
+
+  test("feather files carry the reference's extension tags on disk") {
+    import spark.implicits._
+    import graft.sources.ArrowInterop
+    import scala.collection.JavaConverters._
+    val dir = java.nio.file.Files.createTempDirectory("graft_feather2").toString
+    val df = Seq((0L, 1, 2, "t", Seq(0.5f))).toDF("doc_id", "b", "e", "text", "vec")
+      .select(col("doc_id"), graft.spans.span(col("b"), col("e")).as("span"),
+        col("text"), col("vec"))
+    ArrowInterop.writeFeather(df.coalesce(1), s"$dir/f", Map("span" -> "text"))
+    val f = new java.io.File(s"$dir/f").listFiles()
+      .filter(_.getName.endsWith(".feather")).head
+    val alloc = new org.apache.arrow.memory.RootAllocator()
+    val ch = java.nio.channels.FileChannel.open(f.toPath)
+    val rd = new org.apache.arrow.vector.ipc.ArrowFileReader(ch, alloc)
+    val fields = rd.getVectorSchemaRoot.getSchema.getFields.asScala
+      .map(fl => fl.getName -> fl.getMetadata.asScala.get("ARROW:extension:name")).toMap
+    rd.close(); ch.close(); alloc.close()
+    assert(fields("span").contains("TextExtensionsSpan"))
+    assert(fields("vec").contains("TextExtensionsTensor"))
+    assert(fields("doc_id").isEmpty)
+    // storage layout: span struct children named per the reference
+    val alloc2 = new org.apache.arrow.memory.RootAllocator()
+    val ch2 = java.nio.channels.FileChannel.open(f.toPath)
+    val rd2 = new org.apache.arrow.vector.ipc.ArrowFileReader(ch2, alloc2)
+    val spanField = rd2.getVectorSchemaRoot.getSchema.getFields.asScala
+      .find(_.getName == "span").get
+    val childNames = spanField.getChildren.asScala.map(_.getName).toSeq
+    val ttDict = spanField.getChildren.asScala
+      .find(_.getName == "target_text").get.getDictionary
+    rd2.close(); ch2.close(); alloc2.close()
+    assert(childNames == Seq("span_begins", "span_ends", "target_text"))
+    assert(ttDict != null) // dictionary-encoded target text
+  }
+
   test("tokens relation round-trips and re-joins with documents") {
     import spark.implicits._
     val docs = Seq((0L, "key agg row"), (1L, "slow fast")).toDF("doc_id", "text")
