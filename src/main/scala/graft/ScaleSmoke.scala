@@ -100,7 +100,24 @@ object ScaleSmoke {
       // diameter (star-shaped dup clusters), per-round work is linear
       ("dup_clusters", d => Dedup.dupClusters(
         Dedup.minhashDupPairs(d, threshold = 0.7, k = 8, bands = 4, shingleK = 3))
-        .count(), null))
+        .count(), null),
+      // distributed CoNLL export: explicit per-partition writer, one
+      // ordered file per 500-doc range — parallelism grows with corpus
+      // size even though everything is one fold
+      ("conll_write", d => {
+        val t = d.select(col("doc_id"),
+          size(split(col("text"), " ")).as("n"),
+          posexplode(split(col("text"), " ")).as(Seq("token_id", "text")))
+        val bt = col("token_id") - (col("token_id") % 10)
+        val rel = t.select(lit("f0").as("fold"),
+          (col("doc_id") % 100000000L).cast("int").as("doc_num"),
+          col("token_id"), col("text"),
+          struct(bt.cast("int").as("begin_tok"),
+            least(bt + 10, col("n")).cast("int").as("end_tok")).as("sentence"),
+          lit("O").as("ent_iob"), lit(null).cast("string").as("ent_type"))
+        sources.Conll.write2003(rel, "/tmp/graft_scale_conll", Seq("ent"), Seq(true))
+        new java.io.File("/tmp/graft_scale_conll/fold=f0").list().count(_.startsWith("part-"))
+      }, null))
 
     val results = scala.collection.mutable.ArrayBuffer.empty[String]
     ops.foreach { case (name, f, _) =>
@@ -120,6 +137,18 @@ object ScaleSmoke {
     val (ta, na) = timed(lsh(emb1))
     val (tb, nb) = timed(lsh(emb10))
     results += f"""{"op":"ann_lsh_topk","sec_1x":$ta%.2f,"sec_10x":$tb%.2f,"ratio":${tb / ta}%.2f,"rows_1x":$na,"rows_10x":$nb}"""
+
+    // IVF: the partial-aggregatable cell assignment is the corpus-width
+    // stage (one shuffle of one row per vector); probes are broadcast
+    def ivf(e: DataFrame): Long = {
+      val ed = embD(e)
+      val q = ed.filter(col("vec_id") < 5).select(col("vec_id").as("query_id"), col("embedding"))
+      Similarity.ivfTopK(ed, q, Similarity.labelCentroids(e), nprobe = 2, k = 10).count()
+    }
+    ivf(emb1) // warmup
+    val (tc, nc) = timed(ivf(emb1))
+    val (td, nd) = timed(ivf(emb10))
+    results += f"""{"op":"ann_ivf_topk","sec_1x":$tc%.2f,"sec_10x":$td%.2f,"ratio":${td / tc}%.2f,"rows_1x":$nc,"rows_10x":$nd}"""
 
     println(s"""{"scale_smoke":[${results.mkString(",")}],"docs_1x":$nDocs}""")
     spark.stop()
