@@ -621,7 +621,7 @@ object Oracles {
     // reproduces them bit-for-bit before the final round.
     "q79_nd_tensor" ->
       """WITH e AS (SELECT label, vec_id, generate_subscripts(embedding, 1) - 1 AS d,
-        |    CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+        |    CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings WHERE vec_id < 2000),
         |a0 AS (SELECT label, d AS idx,
         |    list_reduce(list_prepend(0.0, list(x ORDER BY vec_id)), (a, b) -> a + b) AS v
         |  FROM e GROUP BY label, d),

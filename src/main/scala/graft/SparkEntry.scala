@@ -487,9 +487,13 @@ object SparkEntry {
     // axes via stride walks over the flat data. Any packing / stride /
     // shape error shifts elements between folds and breaks the hash; the
     // folds are sequential, so the oracle's ordered list_reduce is
-    // bit-identical.
+    // bit-identical. The vec_id cap (mirrored in the oracle) bounds each
+    // packed tensor at EVERY scale factor — in production pack2d groups
+    // by a bounded entity (a document's BERT windows), never an unbounded
+    // corpus slice.
     "q79_nd_tensor" -> ((s, dir) => {
-      val t = embedsD(s, dir).groupBy("label")
+      val t = embedsD(s, dir).filter(col("vec_id") < 2000)
+        .groupBy("label")
         .agg(tensor.pack2d(col("vec_id"), col("embedding")).as("t"))
       val a0 = t.select(col("label"), lit("axis0").as("axis"),
         posexplode(tensor.ndSumAxis0(col("t"))).as(Seq("idx", "v")))
