@@ -291,6 +291,28 @@ object Oracles {
         |  round(CASE WHEN len(ws) > 0 THEN CAST(list_sum(list_transform(ws, w -> len(w))) AS DOUBLE) / len(ws) ELSE 0.0 END, 4) AS mean_wl
         |FROM x""".stripMargin,
 
+    // Mirror of Pii.scan over the q82 synthesized-PII corpus. Counts are
+    // taken on the pre-redaction text; redaction chains email → ssn →
+    // phone → ipv4 with 'g' (DuckDB replaces first-only by default).
+    "q82_pii_redact" ->
+      """WITH px AS (SELECT doc_id, text
+        |  || CASE WHEN doc_id % 5 = 0 THEN ' reach user' || CAST(doc_id AS VARCHAR) || '@mail.example.com now' ELSE '' END
+        |  || CASE WHEN doc_id % 7 = 0 THEN ' from 10.' || CAST(doc_id % 250 AS VARCHAR) || '.0.' || CAST(doc_id % 200 AS VARCHAR) || ' logged' ELSE '' END
+        |  || CASE WHEN doc_id % 11 = 0 THEN ' call 555-867-5309 or 555.867.5309' ELSE '' END
+        |  || CASE WHEN doc_id % 13 = 0 THEN ' id 123-45-6789 on file' ELSE '' END AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+        |  len(regexp_extract_all(text, '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b')) AS n_ssn,
+        |  len(regexp_extract_all(text, '\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b')) AS n_phone,
+        |  len(regexp_extract_all(text, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS n_ipv4,
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '<SSN>', 'g'),
+        |    '\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b', '<PHONE>', 'g'),
+        |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP4>', 'g') AS redacted
+        |FROM px""".stripMargin,
+
     // ---- dedup / similarity ----
 
     "q53_conll_roundtrip" ->
@@ -449,6 +471,23 @@ object Oracles {
          |reach AS (SELECT a AS n, a AS r FROM e
          |  UNION SELECT e.b, reach.r FROM reach JOIN e ON e.a = reach.n)
          |SELECT n AS doc_id, min(r) AS cluster_id FROM reach GROUP BY n""".stripMargin,
+
+    // Mirror of Dedup.duplicatedSpans(n=8, minDocs=2): positional 8-gram
+    // hashes → hashes in >=2 distinct docs → per-doc consecutive-position
+    // runs → maximal [begin_tok, end_tok) spans.
+    "q81_dup_spans" ->
+      s"""WITH ws0 AS (SELECT doc_id, $Words AS w FROM documents),
+         |gl AS (SELECT doc_id, list_transform(generate_series(0, len(w) - 8),
+         |         i -> ${H("array_to_string(list_slice(w, i + 1, i + 8), ' ')")}) AS hl FROM ws0),
+         |g AS (SELECT doc_id, generate_subscripts(hl, 1) - 1 AS pos, unnest(hl) AS h FROM gl),
+         |dup AS (SELECT h FROM g GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+         |hit AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (h)),
+         |brks AS (SELECT doc_id, pos, CASE WHEN pos = lag(pos)
+         |    OVER (PARTITION BY doc_id ORDER BY pos) + 1 THEN 0 ELSE 1 END AS brk FROM hit),
+         |runs AS (SELECT doc_id, pos, sum(brk)
+         |    OVER (PARTITION BY doc_id ORDER BY pos) AS run FROM brks)
+         |SELECT doc_id, min(pos) AS begin_tok, max(pos) + 8 AS end_tok
+         |FROM runs GROUP BY doc_id, run""".stripMargin,
 
     "q76_dedup_survivors" ->
       s"""WITH RECURSIVE $MinhashCte,

@@ -208,6 +208,24 @@ object SparkEntry {
         round(TextAnalysis.punctRatio(col("text")), 4).as("punct_r"),
         round(TextAnalysis.meanWordLen(col("text")), 4).as("mean_wl"))),
 
+    // PII detection + redaction. The corpus is synthetic word soup, so
+    // the query plants deterministic PII (emails / IPv4 / phone / SSN
+    // shapes keyed off doc_id, mirrored verbatim in the oracle) and then
+    // runs the real scan — counts per type plus the masked text.
+    "q82_pii_redact" -> ((s, dir) =>
+      Pii.scan(docs(s, dir).select(col("doc_id"), concat(col("text"),
+        when(col("doc_id") % 5 === 0, concat(lit(" reach user"),
+          col("doc_id").cast("string"), lit("@mail.example.com now")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 7 === 0, concat(lit(" from 10."),
+          (col("doc_id") % 250).cast("string"), lit(".0."),
+          (col("doc_id") % 200).cast("string"), lit(" logged")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 11 === 0,
+          lit(" call 555-867-5309 or 555.867.5309")).otherwise(lit("")),
+        when(col("doc_id") % 13 === 0,
+          lit(" id 123-45-6789 on file")).otherwise(lit(""))).as("text")))),
+
     // ---- dedup / similarity ----
 
     // Documents serialized to CoNLL-2003 text (single synthesized fold,
@@ -395,6 +413,12 @@ object SparkEntry {
         Dedup.minhashDupPairs(d, threshold = 0.7, k = 8, bands = 4, shingleK = 3))
         .select("doc_id")
     }),
+
+    // Substring-level dedup: maximal token ranges whose every 8-gram
+    // occurs in >= 2 distinct documents (Lee et al. 2022 shape, done as
+    // gram-hash groupBy + per-doc run sessionization, no suffix array).
+    "q81_dup_spans" -> ((s, dir) =>
+      Dedup.duplicatedSpans(docs(s, dir), n = 8, minDocs = 2)),
 
     // The full training-corpus preparation pipeline in ONE plan: quality
     // filter → minhash near-dup removal (pairs → clusters → survivors) →

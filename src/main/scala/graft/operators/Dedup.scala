@@ -422,4 +422,46 @@ object Dedup {
       .select(col("doc_id").as(idCol))
     docs.join(losers, Seq(idCol), "left_anti")
   }
+
+  // ---- duplicated-substring spans (exact substring dedup) ----
+
+  /**
+   * Maximal duplicated token ranges: for every document, the token spans
+   * `[begin_tok, end_tok)` whose every length-n word window also occurs
+   * in at least `minDocs - 1` OTHER documents — the substring-level
+   * complement of the document-level detectors above, in the spirit of
+   * suffix-array training-data dedup (Lee et al., "Deduplicating Training
+   * Data Makes Language Models Better", ACL 2022; reference guidance on
+   * corpus hygiene only — the reference itself has no substring dedup).
+   *
+   * Spark-first shape instead of a suffix array:
+   *   1. positional n-gram hashes per doc (narrow (doc, pos, h) rows);
+   *   2. one groupBy(h) marks hashes seen in >= minDocs distinct docs —
+   *      at 100 TB this survivor set is tiny relative to the gram stream,
+   *      and the re-join on h is a plain shuffle equi-join AQE can size;
+   *   3. per-doc window sessionization merges consecutive duplicated
+   *      positions into maximal runs (partitioned by doc — no global
+   *      ordering anywhere).
+   * Output: doc_id, begin_tok, end_tok (token indices into words(text),
+   * end exclusive, each span >= n tokens long).
+   */
+  def duplicatedSpans(docs: DataFrame, n: Int = 8, minDocs: Int = 2,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(n >= 1 && minDocs >= 2, "need n >= 1 and minDocs >= 2")
+    import org.apache.spark.sql.expressions.Window
+    val grams = docs.select(col(idCol).as("doc_id"),
+        posexplode(TextAnalysis.ngramHashes(col(textCol), n)).as(Seq("pos", "h")))
+    val dupHashes = grams.groupBy("h")
+      .agg(countDistinct("doc_id").as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select("h")
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    grams.join(dupHashes, "h")
+      .withColumn("brk",
+        when(col("pos") - lag("pos", 1).over(w) === 1, lit(0)).otherwise(lit(1)))
+      .withColumn("run", sum("brk").over(w))
+      .groupBy(col("doc_id"), col("run"))
+      .agg(min("pos").as("begin_tok"), (max("pos") + n).as("end_tok"))
+      .select("doc_id", "begin_tok", "end_tok")
+  }
 }

@@ -92,6 +92,35 @@ object TextAnalysis {
   /** Distinct shingle hashes — the minhash/jaccard input set. */
   def shingleHashes(text: Column, k: Int): Column = shingleUdf(k)(words(text))
 
+  /** JVM kernel: POSITIONAL n-gram hashes — one hash per start position,
+    * in order, duplicates kept (unlike [[shingleHashSet]], which
+    * deduplicates for set-similarity). Texts shorter than n grams yield
+    * an empty list: no window of length n exists, and returning a
+    * partial-text hash (the shingle fallback) would let two short texts
+    * "share" an n-gram they don't have. */
+  def ngramHashSeq(ws: Seq[String], n: Int): Seq[Long] = {
+    if (ws.length < n) Seq.empty
+    else (0 to ws.length - n).map { i =>
+      var h = 0L
+      var j = 0
+      while (j < n) {
+        if (j > 0) h = (h * 31 + ' ') % HashP
+        val w = ws(i + j)
+        var c = 0
+        while (c < w.length) { h = (h * 31 + w.charAt(c)) % HashP; c += 1 }
+        j += 1
+      }
+      h
+    }
+  }
+
+  private def ngramUdf(n: Int) =
+    udf((ws: Seq[String]) => Option(ws).map(ngramHashSeq(_, n)))
+
+  /** Ordered positional n-gram hashes of a text column (index i = hash of
+    * words i..i+n-1). Input to [[Dedup.duplicatedSpans]]. */
+  def ngramHashes(text: Column, n: Int): Column = ngramUdf(n)(words(text))
+
   // ---- language ID (n-gram/stopword heuristic) ----
 
   /** Tiny per-language stopword lists; ratio of stopwords decides. */

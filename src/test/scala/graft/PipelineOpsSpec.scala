@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Pii, Similarity, TextAnalysis}
 
 /** LLM-pipeline operator behavior: dedup detectors, ANN, text analysis,
   * tensor ops, multimodal plumbing. */
@@ -166,6 +166,50 @@ class PipelineOpsSpec extends GraftSuite {
     val kept = Dedup.dropNearDuplicates(docs, noPairs).select("doc_id")
       .as[Long].collect().toSet
     assert(kept == docs.select("doc_id").as[Long].collect().toSet)
+  }
+
+  test("duplicatedSpans: shared run found in both docs, maximal, unique text clean") {
+    val d = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta iota unique0 tail0"),
+      (1L, "prefix1 alpha beta gamma delta epsilon zeta eta theta iota unique1"),
+      (2L, "totally unrelated words about storage engines and columnar scans here")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.duplicatedSpans(d, n = 4, minDocs = 2)
+      .as[(Long, Int, Int)].collect().toSet
+    // docs 0 and 1 share the 9-word run "alpha..iota": positions 0..8 in
+    // doc 0, 1..9 in doc 1 — six 4-gram windows sessionize to ONE maximal
+    // span each; doc 2 shares nothing.
+    assert(spans == Set((0L, 0, 9), (1L, 1, 10)))
+  }
+
+  test("duplicatedSpans: within-doc repetition alone does not flag (minDocs=2)") {
+    val d = Seq(
+      (0L, "rep rep rep rep rep rep one two three four"),
+      (1L, "nothing shared with the other document at all whatsoever today")
+    ).toDF("doc_id", "text")
+    assert(Dedup.duplicatedSpans(d, n = 4, minDocs = 2).count() == 0)
+    // ...but the same repetition in two docs IS a duplicated span
+    val d2 = d.union(Seq((2L, "rep rep rep rep rep rep five six seven eight"))
+      .toDF("doc_id", "text"))
+    val spans = Dedup.duplicatedSpans(d2, n = 4, minDocs = 2)
+      .as[(Long, Int, Int)].collect().toSet
+    assert(spans == Set((0L, 0, 6), (2L, 0, 6)))
+  }
+
+  test("Pii.scan: counts per type and masks all occurrences") {
+    val d = Seq(
+      (0L, "mail a@b.co and c.d+x@e.org, ip 10.0.0.1, call 555-123-4567, ssn 123-45-6789"),
+      (1L, "clean text with a version number 1.2 and the year 2024 only")
+    ).toDF("doc_id", "text")
+    val r = Pii.scan(d).collect().sortBy(_.getLong(0))
+    assert(r(0).getAs[Int]("n_email") == 2)
+    assert(r(0).getAs[Int]("n_ipv4") == 1)
+    assert(r(0).getAs[Int]("n_phone") == 1)
+    assert(r(0).getAs[Int]("n_ssn") == 1)
+    val red = r(0).getAs[String]("redacted")
+    assert(red == "mail <EMAIL> and <EMAIL>, ip <IP4>, call <PHONE>, ssn <SSN>")
+    assert(r(1).toSeq.drop(1) == Seq(0, 0, 0, 0,
+      "clean text with a version number 1.2 and the year 2024 only"))
   }
 
   test("hashSplit: deterministic, exhaustive, weight-proportional") {
