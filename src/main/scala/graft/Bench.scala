@@ -38,7 +38,11 @@ object Bench {
     val deadlineSec =
       scala.util.Try(sys.env("SPARK_GRAFT_DEADLINE_SEC").toDouble).getOrElse(300.0)
     val queries = SparkEntry.queries
+    // Local-iteration filter (unset when the driver runs), same contract
+    // as Verify's: only bench queries whose name matches the regex.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.r)
     val names = queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.findFirstIn(n).isDefined))
     val best = scala.collection.mutable.Map.empty[String, Double]
     val failed = scala.collection.mutable.SortedSet.empty[String]
     val benchT0 = System.nanoTime()

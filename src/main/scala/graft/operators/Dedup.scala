@@ -372,12 +372,25 @@ object Dedup {
    *  - convergence is probed with `sum(label)`: labels only ever decrease,
    *    so an unchanged sum IS the fixpoint — one cheap action per round
    *    instead of a change-count join.
+   *
+   * HYBRID: iterative propagation is the 100 TB shape, but its cost floor
+   * is `diameter × (shuffle + action)` — overhead-dominated when the edge
+   * set is small, which near-dup graphs usually are AFTER candidate
+   * filtering (pairs ∝ true duplicates, not corpus size). The edge set is
+   * already materialized by the checkpoint, so one cheap count picks the
+   * plan at runtime (the AQE idea, applied where AQE can't see): at or
+   * under `localEdgeThreshold` edges (default 2M ≈ 32 MB of (long,long)
+   * rows — a fraction of one executor's task memory) the components are
+   * solved exactly in ONE task with union-find; above it, the loop runs.
+   * Both paths produce identical labels: union-by-min-root makes find()
+   * return the component minimum, the same fixpoint propagation reaches.
    */
   def dupClusters(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
-      maxRounds: Int = 20): DataFrame = {
+      maxRounds: Int = 20, localEdgeThreshold: Long = 1L << 21): DataFrame = {
     val edges = pairs.select(col(idA).cast("long").as("a"), col(idB).cast("long").as("b"))
     val sym = edges.union(edges.select(col("b").as("a"), col("a").as("b")))
       .localCheckpoint()
+    if (sym.count() <= localEdgeThreshold) return localUnionFind(sym)
     var labels = sym.select(col("a").as("node")).distinct()
       .withColumn("label", col("node"))
       .localCheckpoint()
@@ -405,6 +418,32 @@ object Dedup {
       round += 1
     }
     labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
+  }
+
+  /** Exact single-task components for small (post-threshold) edge sets:
+    * union-find with union-by-min-root, so every find() is the smallest
+    * reachable id — label-identical to the iterative fixpoint. */
+  private def localUnionFind(sym: DataFrame): DataFrame = {
+    val spark = sym.sparkSession
+    import spark.implicits._
+    sym.as[(Long, Long)].coalesce(1).mapPartitions { it =>
+      val parent = scala.collection.mutable.LongMap.empty[Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x
+        while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      it.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val ra = find(a); val rb = find(b)
+        if (ra != rb) {
+          if (ra < rb) parent(rb) = ra else parent(ra) = rb
+        }
+      }
+      parent.keys.toArray.iterator.map(n => (n, find(n)))
+    }.toDF("doc_id", "cluster_id")
   }
 
   /**

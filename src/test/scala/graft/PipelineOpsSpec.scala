@@ -153,6 +153,17 @@ class PipelineOpsSpec extends GraftSuite {
     assert(roots.map(_.getLong(0)).toSeq == Seq(0L))
   }
 
+  test("dupClusters: single-task and iterative paths produce identical labels") {
+    val edges = Seq((0L, 1L), (1L, 3L), (5L, 6L), (8L, 5L), (2L, 9L), (9L, 4L),
+      (4L, 7L)).toDF("id_a", "id_b")
+    val local = Dedup.dupClusters(edges).as[(Long, Long)].collect().toSet
+    val iter = Dedup.dupClusters(edges, localEdgeThreshold = 0)
+      .as[(Long, Long)].collect().toSet
+    assert(local == iter)
+    assert(local == Set((0L, 0L), (1L, 0L), (3L, 0L), (5L, 5L), (6L, 5L),
+      (8L, 5L), (2L, 2L), (9L, 2L), (4L, 2L), (7L, 2L)))
+  }
+
   test("dropNearDuplicates keeps cluster minimum and untouched docs") {
     val pairs = Seq((0L, 1L), (1L, 3L)).toDF("id_a", "id_b")
     val kept = Dedup.dropNearDuplicates(docs, pairs).select("doc_id")
