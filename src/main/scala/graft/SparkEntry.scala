@@ -253,7 +253,8 @@ object SparkEntry {
       sources.Conll.write2003(rel, out.toString, Seq("ent"), Seq(true),
         maxDocsPerFile = 64)
       sources.Conll.refold(sources.Conll.conll2003(s,
-          sources.Conll.writtenFilesGlob(out.toString), Seq("ent"), Seq(true)))
+          sources.Conll.writtenFilesGlob(out.toString), Seq("ent"), Seq(true)),
+          out.toString)
         .select(col("doc_num"), col("token_id"), col("span")("begin").as("begin"),
           col("span")("end").as("end"), col("text"), col("ent_iob"))
     }),
@@ -285,7 +286,8 @@ object SparkEntry {
         concat(lit("d"), col("doc_id")).as("doc"))
       sources.Conll.writeU(rel, out.toString, maxDocsPerFile = 64)
       sources.Conll.refold(
-          sources.Conll.conllU(s, sources.Conll.writtenFilesGlob(out.toString)))
+          sources.Conll.conllU(s, sources.Conll.writtenFilesGlob(out.toString)),
+          out.toString)
         .select(col("doc_num"), col("token_id"),
           col("span")("begin").as("begin"), col("span")("end").as("end"),
           col("text"), col("lemma"), col("upostag"), col("head"),
@@ -324,7 +326,8 @@ object SparkEntry {
       sources.Conll.writeLines(docTags.unionByName(tokTags), outT.toString,
         maxDocsPerFile = 64)
       val corpusToks = sources.Conll.refold(sources.Conll.conll2003(s,
-        sources.Conll.writtenFilesGlob(outC.toString), Seq("ent"), Seq(true)))
+        sources.Conll.writtenFilesGlob(outC.toString), Seq("ent"), Seq(true)),
+        outC.toString)
       sources.Conll.conll2003Output(s, corpusToks,
           sources.Conll.writtenFilesGlob(outT.toString), "ent")
         .select(col("doc_num"), col("token_id"), col("ent_iob"),

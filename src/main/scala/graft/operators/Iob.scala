@@ -70,34 +70,40 @@ object Iob {
 
   /**
    * Entity spans → per-token IOB2 tags (`spans_to_iob`, reference:
-   * io/conll.py:941-1021): join tokens to entities on token-range
-   * containment (shuffle on doc_id + range residual), tag `B` at the
-   * entity's first token, `I` inside, `O` elsewhere.
+   * io/conll.py:941-1021): tag `B` at the entity's first token, `I`
+   * inside, `O` elsewhere.
+   *
+   * Exactly one output row per token, like the reference: a token covered
+   * by several (overlapping, unconsolidated) entities keeps the smallest
+   * (begin_tok, end_tok, ent_type) — deterministic, no join fan-out.
+   * Each entity EXPLODES its token range (entities are short; the blowup
+   * is the covered tokens themselves), the winner per token is ONE
+   * partial-aggregatable min(struct), and tokens left-join the winners on
+   * (doc_id, token_id) — a hash-joinable key. This replaces a doc_id-only
+   * containment theta-join (candidates = tokens × entities per document,
+   * quadratic in doc length) followed by a per-token row_number window
+   * (a full extra sort-shuffle).
    *
    * `entities`: doc_id, span struct with begin_tok/end_tok, ent_type.
    * Output: `tokens` + ent_iob, ent_type.
    */
   def spansToIob(tokens: DataFrame, entities: DataFrame): DataFrame = {
-    val ents = entities.select(col("doc_id").as("e_doc_id"),
-      col("span")("begin_tok").as("e_begin"), col("span")("end_tok").as("e_end"),
-      col("ent_type").as("e_type"))
-    // Exactly one output row per token, like the reference: a token covered
-    // by several (overlapping, unconsolidated) entities keeps the one with
-    // the smallest (begin_tok, end_tok) — deterministic, no join fan-out.
-    val w = Window.partitionBy("doc_id", "token_id")
-      .orderBy(col("e_begin").asc_nulls_last, col("e_end").asc_nulls_last)
-    tokens.join(ents,
-        col("doc_id") === col("e_doc_id") &&
-          col("token_id") >= col("e_begin") && col("token_id") < col("e_end"),
+    val best = entities.select(col("doc_id").as("e_doc_id"),
+        col("span")("begin_tok").as("e_begin"), col("span")("end_tok").as("e_end"),
+        col("ent_type").as("e_type"))
+      .filter(col("e_end") > col("e_begin")) // empty spans cover no token
+      .withColumn("t_tok", explode(sequence(col("e_begin"), col("e_end") - 1)))
+      .groupBy(col("e_doc_id"), col("t_tok"))
+      .agg(min(struct(col("e_begin"), col("e_end"), col("e_type"))).as("e"))
+    tokens.join(best,
+        col("doc_id") === col("e_doc_id") && col("token_id") === col("t_tok"),
         "left")
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
       .withColumn("ent_iob",
-        when(col("token_id") === col("e_begin"), "B")
-          .when(col("e_begin").isNotNull, "I")
+        when(col("token_id") === col("e")("e_begin"), "B")
+          .when(col("e")("e_begin").isNotNull, "I")
           .otherwise("O"))
-      .withColumn("ent_type", col("e_type"))
-      .drop("e_doc_id", "e_begin", "e_end", "e_type", "__rn")
+      .withColumn("ent_type", col("e")("e_type"))
+      .drop("e_doc_id", "t_tok", "e")
   }
 
   /**

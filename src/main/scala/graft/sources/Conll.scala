@@ -434,6 +434,11 @@ object Conll {
    * function from a per-partition sort — no dependency on any sink's
    * ordering behavior — and files appear atomically (temp file + rename),
    * memory one line at a time.
+   *
+   * Each part file gets a hidden `.part-NNNNN.txt.docs` sidecar holding
+   * its document count: [[refold]] reads these (one tiny driver-side read
+   * per file) instead of re-parsing the whole corpus to rebuild per-file
+   * doc offsets. Readers skip dotfiles, so sidecars never pollute a scan.
    */
   def writeLines(lines: DataFrame, path: String, maxDocsPerFile: Int = 500): Unit = {
     require(maxDocsPerFile > 0, "maxDocsPerFile must be positive")
@@ -453,8 +458,15 @@ object Conll {
         var out: java.io.Writer = null
         var tmpF: org.apache.hadoop.fs.Path = null
         var dest: org.apache.hadoop.fs.Path = null
+        var nDocs = 0L
+        var lastDoc = Long.MinValue
         def closeFile(): Unit = if (out != null) {
           out.close(); fs.delete(dest, false); fs.rename(tmpF, dest); out = null
+          val side = new org.apache.hadoop.fs.Path(dest.getParent,
+            "." + dest.getName + ".docs")
+          val so = fs.create(side, true)
+          so.write(nDocs.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          so.close()
         }
         it.foreach { r =>
           val fold = r.getString(0); val b = r.getInt(1)
@@ -469,7 +481,11 @@ object Conll {
             out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
               fs.create(tmpF, true), java.nio.charset.StandardCharsets.UTF_8), 1 << 16)
             cur = (fold, b)
+            nDocs = 0L
+            lastDoc = Long.MinValue
           }
+          val d = r.getLong(2)
+          if (d != lastDoc) { nDocs += 1; lastDoc = d }
           out.write(r.getString(5)); out.write('\n')
         }
         closeFile()
@@ -500,7 +516,11 @@ object Conll {
    * Scale shape: the prefix sum runs over ONE ROW PER FILE (a window over
    * the file-level aggregate, same pattern as `conll2003Output`'s
    * alignment), then broadcast-joins back to the token relation — no
-   * global shuffle of tokens.
+   * global shuffle of tokens. NOTE this form re-executes the reader
+   * subtree once to build the per-file counts (the broadcast subquery is
+   * a second parse of the corpus); when the corpus was produced by
+   * [[writeLines]], prefer the `(tokens, root)` overload, which gets the
+   * counts from the writer's sidecars and scans the corpus ONCE.
    */
   def refold(tokens: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -509,16 +529,68 @@ object Conll {
       .agg((max("doc_num") + 1).as("__cnt"))
       .withColumn("__fold_enc", foldEnc)
     val w = Window.partitionBy("__fold_enc").orderBy("file")
+    val unescapeUdf = udf((s: String) => unescapePath(s))
     val offsets = perFile
       .withColumn("__offset", sum("__cnt").over(w) - col("__cnt"))
-      .select(col("file"), col("__fold_enc"), col("__offset"))
-    val unescapeUdf = udf((s: String) => unescapePath(s))
-    tokens.join(broadcast(offsets), tokens("fold") === offsets("file"))
-      .withColumn("fold", unescapeUdf(col("__fold_enc")))
+      // decode on the one-row-per-file relation, not per token
+      .select(col("file"), unescapeUdf(col("__fold_enc")).as("__fold"),
+        col("__offset"))
+    rekey(tokens, broadcast(offsets), tokens("fold") === offsets("file"),
+      Seq("file"))
+  }
+
+  /**
+   * [[refold]] using the doc-count sidecars [[writeLines]] leaves next to
+   * each part file: the per-file offsets are assembled on the driver from
+   * one tiny read per file (IO proportional to the file COUNT — the same
+   * order every scan's planning pays to list the files) and broadcast, so
+   * the corpus itself is parsed exactly once. Falls back to the
+   * aggregate-based overload when no sidecars exist (a corpus produced by
+   * some other writer).
+   */
+  def refold(tokens: DataFrame, root: String): DataFrame = {
+    val spark = tokens.sparkSession
+    val rootP = new org.apache.hadoop.fs.Path(root)
+    val fs = rootP.getFileSystem(spark.sessionState.newHadoopConf())
+    val side = fs.globStatus(
+      new org.apache.hadoop.fs.Path(rootP, "fold=*/.part-*.txt.docs"))
+    if (side == null || side.isEmpty) return refold(tokens)
+    val counts = side.toSeq.map { st =>
+      val p = st.getPath
+      val foldEnc = p.getParent.getName.stripPrefix("fold=")
+      val fileName = p.getName.stripPrefix(".").stripSuffix(".docs")
+      val in = fs.open(p)
+      val n =
+        try new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+        finally in.close()
+      (foldEnc, fileName, n)
+    }
+    val offsets = counts.groupBy(_._1).toSeq.flatMap { case (fe, xs) =>
+      var acc = 0L
+      xs.sortBy(_._2).map { case (_, fn, n) =>
+        val off = acc; acc += n
+        (s"fold=$fe/$fn", unescapePath(fe), off)
+      }
+    }
+    import spark.implicits._
+    val offDf = broadcast(offsets.toDF("__key", "__fold", "__offset"))
+    // the reader's fold values are full file paths; match on the
+    // scheme-independent `fold=<enc>/<name>` suffix
+    rekey(tokens, offDf,
+      regexp_extract(tokens("fold"), "fold=[^/]+/[^/]*$", 0) === offDf("__key"),
+      Seq("__key"))
+  }
+
+  /** Shared tail of the refold overloads: join the per-file offset
+    * relation, restore logical (fold, doc_num, doc_id). */
+  private def rekey(tokens: DataFrame, offsets: DataFrame, cond: Column,
+      dropCols: Seq[String]): DataFrame =
+    tokens.join(offsets, cond)
+      .withColumn("fold", col("__fold"))
       .withColumn("doc_num", (col("doc_num") + col("__offset")).cast("int"))
       .withColumn("doc_id", xxhash64(col("fold"), col("doc_num")))
-      .drop("file", "__fold_enc", "__offset")
-  }
+      .drop(dropCols ++ Seq("__fold", "__offset"): _*)
 
   /**
    * Serialize a token relation to CoNLL-2003 text — the distributed
@@ -538,29 +610,32 @@ object Conll {
       if (i < iobColumns.length && iobColumns(i)) iobTag(n)
       else coalesce(col(n).cast("string"), lit("-X-"))
     }
-    val key = Seq(col("fold"), col("doc_num"))
-    val tokenLines = tokens.select(key ++ Seq(
-      col("token_id").as("pos"), lit(0).as("sub"),
-      concat_ws(" ", (col("text") +: tagCols): _*).as("line")): _*)
-    // Blank line after the last token of every sentence. This terminates
-    // each document too — required: the parser only flushes a finished
-    // sentence on a blank line before the next -DOCSTART-.
-    val sentBlanks = tokens
-      .select(key :+ col("sentence")("end_tok").as("et"): _*).distinct()
-      .select(key ++ Seq((col("et") - 1).as("pos"), lit(1).as("sub"),
-        lit("").as("line")): _*)
-    val body = tokenLines.unionByName(sentBlanks)
-    val all = if (!docstart) body else {
-      val headerTags = columnNames.indices.map(i =>
-        if (i < iobColumns.length && iobColumns(i)) "O" else "-X-")
-      val headerLine = ("-DOCSTART-" +: headerTags).mkString(" ")
-      val docsKeys = tokens.select(key: _*).distinct()
-      val header = docsKeys.select(key ++ Seq(lit(-2).as("pos"),
-          lit(0).as("sub"), lit(headerLine).as("line")): _*)
-        .unionByName(docsKeys.select(key ++ Seq(lit(-1).as("pos"),
-          lit(0).as("sub"), lit("").as("line")): _*))
-      body.unionByName(header)
-    }
+    // Every output line is decidable from ONE token row: the token line
+    // itself; a blank after the last token of each sentence (this also
+    // terminates the document — required: the parser only flushes a
+    // finished sentence on a blank line before the next -DOCSTART-); the
+    // -DOCSTART- header + its blank at the document's first token. One
+    // conditional explode per token = ONE scan of the relation, replacing
+    // a 3-way union whose sentence/document key sides each re-derived the
+    // corpus through their own distinct() shuffle.
+    def ln(pos: Column, sub: Int, line: Column) =
+      struct(pos.cast("int").as("pos"), lit(sub).as("sub"), line.as("line"))
+    val tokenLine = concat_ws(" ", (col("text") +: tagCols): _*)
+    val isLastOfSent = col("token_id") === col("sentence")("end_tok") - 1
+    val isDocStart = col("token_id") === 0
+    val headerTags = columnNames.indices.map(i =>
+      if (i < iobColumns.length && iobColumns(i)) "O" else "-X-")
+    val headerLine = ("-DOCSTART-" +: headerTags).mkString(" ")
+    val pieces = Seq(
+      ln(col("token_id"), 0, tokenLine),
+      when(isLastOfSent, ln(col("token_id"), 1, lit("")))) ++
+      (if (docstart) Seq(
+        when(isDocStart, ln(lit(-2), 0, lit(headerLine))),
+        when(isDocStart, ln(lit(-1), 0, lit("")))) else Nil)
+    val all = tokens.select(col("fold"), col("doc_num"),
+        explode(filter(array(pieces: _*), p => p.isNotNull)).as("p"))
+      .select(col("fold"), col("doc_num"), col("p")("pos").as("pos"),
+        col("p")("sub").as("sub"), col("p")("line").as("line"))
     writeLines(all, path, maxDocsPerFile)
   }
 
@@ -600,33 +675,36 @@ object Conll {
       else lit("_")
     }
     val idx = (col("token_id") - col("sentence")("begin_tok") + 1).cast("string")
-    val tokenLines = tokens.select(key ++ Seq(
-      col("token_id").as("pos"), lit(0).as("sub"),
-      concat_ws("\t", (idx +: coalesce(col("text"), lit("_")) +: fieldCols): _*)
-        .as("line")): _*)
-    val sentBlanks = tokens
-      .select(key :+ col("sentence")("end_tok").as("et"): _*).distinct()
-      .select(key ++ Seq((col("et") - 1).as("pos"), lit(1).as("sub"),
-        lit("").as("line")): _*)
-    var all = tokenLines.unionByName(sentBlanks)
-    metadataFields.foreach { case (tag, colName) =>
-      if (present(colName)) {
-        if (tag == "newdoc id") {
-          all = all.unionByName(tokens
-            .select(key :+ col(colName).as("v"): _*)
-            .filter(col("v").isNotNull).distinct()
-            .select(key ++ Seq(lit(-1).as("pos"), lit(0).as("sub"),
-              concat(lit(s"# $tag = "), col("v")).as("line")): _*))
-        } else {
-          all = all.unionByName(tokens
-            .select(key ++ Seq(col("sentence")("begin_tok").as("bt"),
-              col(colName).as("v")): _*)
-            .filter(col("v").isNotNull).distinct()
-            .select(key ++ Seq(col("bt").as("pos"), lit(-1).as("sub"),
-              concat(lit(s"# $tag = "), col("v")).as("line")): _*))
-        }
-      }
+    // Single-pass assembly (same rationale as write2003): every line kind
+    // is decidable from one token row — the token line; the blank after
+    // each sentence's last token; `# newdoc id` at the document's first
+    // token; per-sentence `# tag` comments at each sentence's first token.
+    // Precondition (holds for every reader-shaped relation): metadata
+    // values are constant within their scope (document / sentence).
+    def ln(pos: Column, sub: Int, line: Column) =
+      struct(pos.cast("int").as("pos"), lit(sub).as("sub"), line.as("line"))
+    val isLastOfSent = col("token_id") === col("sentence")("end_tok") - 1
+    val isFirstOfSent = col("token_id") === col("sentence")("begin_tok")
+    val isDocStart = col("token_id") === 0
+    val tokenPieces = Seq(
+      ln(col("token_id"), 0,
+        concat_ws("\t", (idx +: coalesce(col("text"), lit("_")) +: fieldCols): _*)),
+      when(isLastOfSent, ln(col("token_id"), 1, lit(""))))
+    val metaPieces = metadataFields.toSeq.flatMap { case (tag, colName) =>
+      if (!present(colName)) Nil
+      else if (tag == "newdoc id") Seq(
+        when(isDocStart && col(colName).isNotNull,
+          ln(lit(-1), 0, concat(lit(s"# $tag = "), col(colName)))))
+      else Seq(
+        when(isFirstOfSent && col(colName).isNotNull,
+          ln(col("sentence")("begin_tok"), -1,
+            concat(lit(s"# $tag = "), col(colName)))))
     }
+    val all = tokens.select(col("fold"), col("doc_num"),
+        explode(filter(array(tokenPieces ++ metaPieces: _*),
+          p => p.isNotNull)).as("p"))
+      .select(col("fold"), col("doc_num"), col("p")("pos").as("pos"),
+        col("p")("sub").as("sub"), col("p")("line").as("line"))
     writeLines(all, path, maxDocsPerFile)
   }
 
