@@ -101,6 +101,17 @@ object ScaleSmoke {
       ("dup_clusters", d => Dedup.dupClusters(
         Dedup.minhashDupPairs(d, threshold = 0.7, k = 8, bands = 4, shingleK = 3))
         .count(), null),
+      // same graph, iterative path FORCED (threshold 0): the 100 TB shape
+      // whose per-round cost must stay linear even when the hybrid would
+      // normally pick single-task union-find
+      ("dup_clusters_iterative", d => Dedup.dupClusters(
+        Dedup.minhashDupPairs(d, threshold = 0.7, k = 8, bands = 4, shingleK = 3),
+        localEdgeThreshold = 0).count(), null),
+      // substring-level dedup: gram-hash groupBy + per-doc sessionization;
+      // candidate stream is one row per token position
+      ("duplicated_spans", d => Dedup.duplicatedSpans(d, n = 8).count(), null),
+      // PII scan: shuffle-free codegen'd projection — pure scan scaling
+      ("pii_scan", d => Pii.scan(d).filter(col("n_email") > 0).count(), null),
       // distributed CoNLL export: explicit per-partition writer, one
       // ordered file per 500-doc range — parallelism grows with corpus
       // size even though everything is one fold
