@@ -489,6 +489,42 @@ object Oracles {
          |SELECT doc_id, min(pos) AS begin_tok, max(pos) + 8 AS end_tok
          |FROM runs GROUP BY doc_id, run""".stripMargin,
 
+    // Mirror of Dedup.contaminatedDocs(n=8) with benchmark = src0 docs:
+    // distinct 8-gram hashes per side, inner join, count per doc.
+    "q83_decontaminate" ->
+      s"""WITH ws0 AS (SELECT doc_id, source, $Words AS w FROM documents),
+         |gl AS (SELECT doc_id, source, list_distinct(list_transform(generate_series(0, len(w) - 8),
+         |         i -> ${H("array_to_string(list_slice(w, i + 1, i + 8), ' ')")})) AS hl FROM ws0),
+         |g AS (SELECT doc_id, source, unnest(hl) AS h FROM gl),
+         |bg AS (SELECT DISTINCT h FROM g WHERE source = 'src0')
+         |SELECT doc_id, count(*) AS n_shared FROM g JOIN bg USING (h)
+         |GROUP BY doc_id""".stripMargin,
+
+    // Mirror of Dedup.stripSpans over Dedup.duplicatedSpans(n=8): the q81
+    // span chain → covered positions → anti-join words → reassemble.
+    "q84_strip_dup_spans" ->
+      s"""WITH ws0 AS (SELECT doc_id, $Words AS w FROM documents),
+         |gl AS (SELECT doc_id, list_transform(generate_series(0, len(w) - 8),
+         |         i -> ${H("array_to_string(list_slice(w, i + 1, i + 8), ' ')")}) AS hl FROM ws0),
+         |g AS (SELECT doc_id, generate_subscripts(hl, 1) - 1 AS pos, unnest(hl) AS h FROM gl),
+         |dup AS (SELECT h FROM g GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+         |hit AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (h)),
+         |brks AS (SELECT doc_id, pos, CASE WHEN pos = lag(pos)
+         |    OVER (PARTITION BY doc_id ORDER BY pos) + 1 THEN 0 ELSE 1 END AS brk FROM hit),
+         |runs AS (SELECT doc_id, pos, sum(brk)
+         |    OVER (PARTITION BY doc_id ORDER BY pos) AS run FROM brks),
+         |sp AS (SELECT doc_id, min(pos) AS bt, max(pos) + 8 AS et FROM runs GROUP BY doc_id, run),
+         |cov AS (SELECT DISTINCT doc_id, unnest(generate_series(bt, et - 1)) AS pos FROM sp),
+         |wrd AS (SELECT doc_id, generate_subscripts(w, 1) - 1 AS pos, unnest(w) AS word FROM ws0),
+         |kept AS (SELECT wrd.doc_id, wrd.pos, wrd.word FROM wrd
+         |  LEFT JOIN cov ON wrd.doc_id = cov.doc_id AND wrd.pos = cov.pos
+         |  WHERE cov.pos IS NULL),
+         |agg AS (SELECT doc_id, string_agg(word, ' ' ORDER BY pos) AS clean_text,
+         |    count(*) AS n_kept FROM kept GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(agg.clean_text, '') AS clean_text,
+         |  coalesce(agg.n_kept, 0) AS n_kept
+         |FROM documents d LEFT JOIN agg USING (doc_id)""".stripMargin,
+
     "q76_dedup_survivors" ->
       s"""WITH RECURSIVE $MinhashCte,
          |bnd AS (SELECT doc_id, generate_subscripts(keys, 1) - 1 AS band, unnest(keys) AS key FROM bk),

@@ -423,6 +423,22 @@ object SparkEntry {
     "q81_dup_spans" -> ((s, dir) =>
       Dedup.duplicatedSpans(docs(s, dir), n = 8, minDocs = 2)),
 
+    // Eval-set decontamination: distinct shared 8-grams per doc against
+    // the src0 slice of the corpus standing in as the benchmark.
+    "q83_decontaminate" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.contaminatedDocs(d, d.filter(col("source") === "src0"), n = 8)
+    }),
+
+    // Substring-dedup POLICY: cut every duplicated 8-gram run out of every
+    // document, keep the corpus total (empty text where everything was
+    // duplicated). Detector (q81) and policy in one lazy plan.
+    "q84_strip_dup_spans" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.stripSpans(d, Dedup.duplicatedSpans(d, n = 8, minDocs = 2))
+        .select("doc_id", "clean_text", "n_kept")
+    }),
+
     // The full training-corpus preparation pipeline in ONE plan: quality
     // filter → minhash near-dup removal (pairs → clusters → survivors) →
     // deterministic train/val/test assignment. Composes q08 + q14 + q72 +

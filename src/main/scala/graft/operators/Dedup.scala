@@ -503,4 +503,62 @@ object Dedup {
       .agg(min("pos").as("begin_tok"), (max("pos") + n).as("end_tok"))
       .select("doc_id", "begin_tok", "end_tok")
   }
+
+  /**
+   * The POLICY side of substring dedup (Lee et al. 2022 cut the duplicated
+   * text out of the corpus): rebuild each document's text from its word
+   * sequence minus the tokens covered by `spansDf` ([begin_tok, end_tok)
+   * ranges, e.g. [[duplicatedSpans]] output — pre-filter it to implement
+   * keep-one-copy policies). Narrow shapes throughout: ranges explode to
+   * (doc, pos) rows, removal is a hash anti-join on (doc_id, pos), text
+   * reassembles in one aggregate with order restored by `array_sort` over
+   * (pos, word) structs. Documents whose every token was cut — and docs
+   * with no tokens at all — survive with empty text (corpus totality:
+   * dropping them is a separate filter decision).
+   * Output: all `docs` columns except `textCol`, plus clean_text, n_kept.
+   */
+  def stripSpans(docs: DataFrame, spansDf: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val covered = spansDf
+      .filter(col("end_tok") > col("begin_tok"))
+      .select(col("doc_id"),
+        explode(sequence(col("begin_tok"), col("end_tok") - 1)).as("pos"))
+      .distinct()
+    val kept = docs.select(col(idCol).as("doc_id"),
+        posexplode(TextAnalysis.words(col(textCol))).as(Seq("pos", "w")))
+      .join(covered, Seq("doc_id", "pos"), "left_anti")
+      .groupBy("doc_id")
+      .agg(array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("w").as("w")))),
+          x => x("w")), " ").as("clean_text"),
+        count(lit(1)).as("n_kept"))
+    docs.drop(textCol).withColumnRenamed(idCol, "doc_id")
+      .join(kept, Seq("doc_id"), "left")
+      .withColumn("clean_text", coalesce(col("clean_text"), lit("")))
+      .withColumn("n_kept", coalesce(col("n_kept"), lit(0L)))
+  }
+
+  /**
+   * Eval-set decontamination: per corpus document, the number of distinct
+   * word n-grams it shares with a benchmark relation (0-row absence =
+   * clean; join `left_anti` on the output to drop contaminated docs).
+   * The standard pre-training hygiene sweep (e.g. GPT-3 appendix C /
+   * Dolma's decontamination stage; green-field — no reference
+   * counterpart). Benchmark grams are deduplicated then BROADCAST:
+   * eval sets are tiny next to a training corpus, so the corpus-side
+   * gram stream joins map-side without shuffling.
+   */
+  def contaminatedDocs(docs: DataFrame, benchmark: DataFrame, n: Int = 8,
+      idCol: String = "doc_id", textCol: String = "text",
+      benchTextCol: String = "text"): DataFrame = {
+    val bGrams = benchmark.select(
+        explode(array_distinct(TextAnalysis.ngramHashes(col(benchTextCol), n)))
+          .as("h"))
+      .distinct()
+    docs.select(col(idCol).as("doc_id"),
+        explode(array_distinct(TextAnalysis.ngramHashes(col(textCol), n))).as("h"))
+      .join(broadcast(bGrams), "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shared"))
+  }
 }

@@ -207,6 +207,33 @@ class PipelineOpsSpec extends GraftSuite {
     assert(spans == Set((0L, 0, 6), (2L, 0, 6)))
   }
 
+  test("stripSpans removes covered tokens, keeps fully-cut and untouched docs") {
+    val d = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta"),
+      (1L, "untouched words here today friends"),
+      (2L, "gone gone gone gone")
+    ).toDF("doc_id", "text")
+    val spans = Seq((0L, 1, 3), (2L, 0, 4)).toDF("doc_id", "begin_tok", "end_tok")
+    val r = Dedup.stripSpans(d, spans).select("doc_id", "clean_text", "n_kept")
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    assert(r(0) == ((0L, "alpha delta epsilon zeta", 4L)))
+    assert(r(1) == ((1L, "untouched words here today friends", 5L)))
+    assert(r(2) == ((2L, "", 0L))) // fully cut, still present
+  }
+
+  test("contaminatedDocs counts distinct shared n-grams against the benchmark") {
+    val corpus = Seq(
+      (0L, "the quick brown fox jumps high"),
+      (1L, "totally clean document with no overlap at all"),
+      (2L, "again the quick brown fox jumps high again")
+    ).toDF("doc_id", "text")
+    val bench = Seq(Tuple1("benchmark says the quick brown fox jumps")).toDF("text")
+    val r = Dedup.contaminatedDocs(corpus, bench, n = 4)
+      .as[(Long, Long)].collect().toMap
+    // doc 0 shares "the quick brown fox" and "quick brown fox jumps"
+    assert(r == Map(0L -> 2L, 2L -> 2L)) // doc 1 absent = clean
+  }
+
   test("Pii.scan: counts per type and masks all occurrences") {
     val d = Seq(
       (0L, "mail a@b.co and c.d+x@e.org, ip 10.0.0.1, call 555-123-4567, ssn 123-45-6789"),
