@@ -198,6 +198,16 @@ object Oracles {
         |  CAST(sum(CASE WHEN p IS NULL OR t - p > 1800000000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
         |FROM x GROUP BY user_id""".stripMargin,
 
+    // Mirror of EventStreams.correlatedPairs(click, purchase, 360 min):
+    // interval self-join at micro precision (the engine's event_time unit).
+    "q85_stream_join" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_ns(ts) // 1000 AS us FROM events)
+        |SELECT a.user_id, a.event_id AS a_id, b.event_id AS b_id,
+        |  b.us - a.us AS lag_us
+        |FROM e a JOIN e b ON a.user_id = b.user_id
+        |  AND a.event_type = 'click' AND b.event_type = 'purchase'
+        |  AND b.us > a.us AND b.us <= a.us + 21600000000""".stripMargin,
+
     "q51_stream_hourly" ->
       """SELECT epoch_ms(date_trunc('hour', ts)) AS hour_ms, event_type,
         |  count(*) AS n, sum(value) AS sum_value

@@ -152,6 +152,12 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_events"), sum("__new").as("n_sessions"))
     }),
 
+    // Stream-stream interval join on its batch path (same plan; watermarks
+    // are no-ops in batch): click → purchase by the same user within 6 h.
+    "q85_stream_join" -> ((s, dir) =>
+      streaming.EventStreams.correlatedPairs(events(s, dir),
+        "click", "purchase", withinMinutes = 360)),
+
     // Same code path as the streaming job (EventStreams.hourlyTypeCounts):
     // watermark is a no-op in batch, the windowed agg plan is identical.
     "q51_stream_hourly" -> ((s, dir) =>

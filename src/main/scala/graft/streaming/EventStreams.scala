@@ -37,6 +37,31 @@ object EventStreams {
       .select(col("window.start").as("hour_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /**
+   * Stream-stream INTERVAL JOIN: every `typeA` event followed by a
+   * `typeB` event of the same user within `withinMinutes`. Both sides
+   * carry watermarks and the join condition bounds event-time in both
+   * directions, so in streaming mode Spark can expire join state on both
+   * sides (an unbounded condition would accumulate state forever); in
+   * batch the same plan is an ordinary interval self-join. Timestamps
+   * compare at micro precision (the engine's event_time unit).
+   * Output: user_id, a_id, b_id, lag_us.
+   */
+  def correlatedPairs(events: DataFrame, typeA: String, typeB: String,
+      withinMinutes: Int = 360, watermark: String = "1 hour"): DataFrame = {
+    def side(t: String, p: String) =
+      withEventTime(events).filter(col("event_type") === t)
+        .withWatermark("event_time", watermark)
+        .select(col("user_id").as(s"${p}_user"), col("event_id").as(s"${p}_id"),
+          col("event_time").as(s"${p}_time"))
+    side(typeA, "a").join(side(typeB, "b"),
+        col("a_user") === col("b_user") &&
+          col("b_time") > col("a_time") &&
+          col("b_time") <= col("a_time") + expr(s"INTERVAL $withinMinutes MINUTES"))
+      .select(col("a_user").as("user_id"), col("a_id"), col("b_id"),
+        (unix_micros(col("b_time")) - unix_micros(col("a_time"))).as("lag_us"))
+  }
+
   /** One user session: closed when `gap` passes with no events. */
   case class Session(user_id: Long, start_us: Long, end_us: Long, n_events: Long)
 

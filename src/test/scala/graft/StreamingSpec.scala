@@ -97,6 +97,39 @@ class StreamingSpec extends GraftSuite {
     assert(r.count() == 1)
   }
 
+  test("correlatedPairs: stream-stream interval join emits in-window pairs only") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Long, String)]
+    val df = mem.toDF.toDF("event_id", "ts", "user_id", "event_type")
+    val q = EventStreams.correlatedPairs(df, "click", "purchase",
+        withinMinutes = 30, watermark = "10 minutes")
+      .writeStream.format("memory").queryName("pairs").outputMode("append").start()
+    try {
+      // user 1: click at 1 min, purchases at 10 min (in window) and
+      // 50 min (out of window); user 2: purchase with no prior click
+      mem.addData((100L, ns(1), 1L, "click"), (101L, ns(10), 1L, "purchase"),
+        (102L, ns(50), 1L, "purchase"), (103L, ns(5), 2L, "purchase"))
+      q.processAllAvailable()
+      // advance the watermark past every join bound so results finalize
+      mem.addData((104L, ns(500), 3L, "view"))
+      q.processAllAvailable()
+      val rows = spark.table("pairs").select("user_id", "a_id", "b_id", "lag_us")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(rows == Set((1L, 100L, 101L, us(9))))
+    } finally q.stop()
+  }
+
+  test("correlatedPairs batch path: same plan, interval self-join") {
+    import spark.implicits._
+    val batch = Seq((100L, ns(1), 1L, "click"), (101L, ns(10), 1L, "purchase"),
+      (102L, ns(50), 1L, "purchase"), (103L, ns(5), 2L, "purchase"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val r = EventStreams.correlatedPairs(batch, "click", "purchase", 30)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(r == Set((1L, 100L, 101L, us(9))))
+  }
+
   test("sessionize in batch mode emits the final open session") {
     import spark.implicits._
     // timeouts never fire in batch — the end-of-group flush must cover the
