@@ -499,6 +499,70 @@ object Oracles {
          |SELECT doc_id, min(pos) AS begin_tok, max(pos) + 8 AS end_tok
          |FROM runs GROUP BY doc_id, run""".stripMargin,
 
+    // Mirror of TextAnalysis.bigramLogProb: corpus bigram/unigram counts
+    // on the portable gram hashes, ln(c2/c1) per position, position-
+    // ordered fold for the per-doc mean.
+    "q86_bigram_lm" ->
+      s"""WITH ws0 AS (SELECT doc_id, $Words AS w FROM documents),
+         |u AS (SELECT doc_id, generate_subscripts(ul, 1) - 1 AS pos, unnest(ul) AS h1
+         |  FROM (SELECT doc_id, list_transform(w, x -> ${H("x")}) AS ul FROM ws0)),
+         |b AS (SELECT doc_id, generate_subscripts(bl, 1) - 1 AS pos, unnest(bl) AS h2
+         |  FROM (SELECT doc_id, list_transform(generate_series(0, len(w) - 2),
+         |    i -> ${H("array_to_string(list_slice(w, i + 1, i + 2), ' ')")}) AS bl FROM ws0)),
+         |uc AS (SELECT h1, count(*) AS c1 FROM u GROUP BY h1),
+         |bc AS (SELECT h2, count(*) AS c2 FROM b GROUP BY h2),
+         |lp AS (SELECT b.doc_id, b.pos, ln(CAST(c2 AS DOUBLE) / c1) AS lp
+         |  FROM b JOIN u ON b.doc_id = u.doc_id AND b.pos = u.pos
+         |  JOIN bc USING (h2) JOIN uc USING (h1)),
+         |agg AS (SELECT doc_id, count(*) AS n_bigrams,
+         |    round(list_reduce(list_prepend(0.0, list(lp ORDER BY pos)),
+         |      (a, x) -> a + x) / count(*), 4) AS avg_lp
+         |  FROM lp GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(agg.n_bigrams, 0) AS n_bigrams, agg.avg_lp
+         |FROM documents d LEFT JOIN agg USING (doc_id)""".stripMargin,
+
+    // Mirror of the q87 corpus datasheet: same quality arithmetic as q08,
+    // folded as an exact integer sum before one final double division.
+    "q87_corpus_report" -> {
+      val en = ratio(operators.TextAnalysis.StopwordsEn)
+      s"""WITH x AS (SELECT doc_id, source, lang, text, $Words AS ws FROM documents),
+         |c AS (SELECT source, lang, len(ws) AS nw,
+         |  least(CAST(len(ws) AS DOUBLE) / 200.0, 1.0) AS lc,
+         |  greatest(0.0, 1.0 - (CASE WHEN len(text) > 0
+         |    THEN CAST(len(regexp_replace(text, '[^!-/:-@\\[-`{-~]', '', 'g')) AS DOUBLE) / len(text)
+         |    ELSE 0.0 END) * 5) AS pp,
+         |  CASE WHEN len(ws) > 0 THEN CAST(list_sum(list_transform(ws, w -> len(w))) AS DOUBLE) / len(ws)
+         |       ELSE 0.0 END AS mwl,
+         |  $en AS en FROM x),
+         |q AS (SELECT source, lang, nw,
+         |  round(lc*0.4 + pp*0.2 + (CASE WHEN mwl >= 2 AND mwl <= 12 THEN 1.0 ELSE 0.5 END)*0.2
+         |    + (CASE WHEN en > 0.05 THEN 1.0 ELSE 0.7 END)*0.2, 4) AS quality FROM c)
+         |SELECT source, lang, count(*) AS n_docs, CAST(sum(nw) AS BIGINT) AS n_tokens,
+         |  round(CAST(sum(CAST(round(quality * 10000) AS BIGINT)) AS DOUBLE)
+         |    / count(*) / 10000.0, 4) AS mean_quality
+         |FROM q GROUP BY source, lang""".stripMargin
+    },
+
+    // Mirror of TextAnalysis.importanceSample(rate=0.5): keep iff
+    // portable_hash(text)/P < rate × quality.
+    "q88_importance_sample" -> {
+      val en = ratio(operators.TextAnalysis.StopwordsEn)
+      s"""WITH x AS (SELECT doc_id, text, $Words AS ws FROM documents),
+         |c AS (SELECT doc_id, text, len(ws) AS nw,
+         |  least(CAST(len(ws) AS DOUBLE) / 200.0, 1.0) AS lc,
+         |  greatest(0.0, 1.0 - (CASE WHEN len(text) > 0
+         |    THEN CAST(len(regexp_replace(text, '[^!-/:-@\\[-`{-~]', '', 'g')) AS DOUBLE) / len(text)
+         |    ELSE 0.0 END) * 5) AS pp,
+         |  CASE WHEN len(ws) > 0 THEN CAST(list_sum(list_transform(ws, w -> len(w))) AS DOUBLE) / len(ws)
+         |       ELSE 0.0 END AS mwl,
+         |  $en AS en FROM x),
+         |q AS (SELECT doc_id, text,
+         |  round(lc*0.4 + pp*0.2 + (CASE WHEN mwl >= 2 AND mwl <= 12 THEN 1.0 ELSE 0.5 END)*0.2
+         |    + (CASE WHEN en > 0.05 THEN 1.0 ELSE 0.7 END)*0.2, 4) AS quality FROM c)
+         |SELECT doc_id FROM q
+         |WHERE CAST(${H("text")} AS DOUBLE) / 2147483647 < 0.5 * quality""".stripMargin
+    },
+
     // Mirror of Dedup.contaminatedDocs(n=8) with benchmark = src0 docs:
     // distinct 8-gram hashes per side, inner join, count per doc.
     "q83_decontaminate" ->

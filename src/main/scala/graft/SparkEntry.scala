@@ -429,6 +429,30 @@ object SparkEntry {
     "q81_dup_spans" -> ((s, dir) =>
       Dedup.duplicatedSpans(docs(s, dir), n = 8, minDocs = 2)),
 
+    // Statistical-LM fluency scoring: corpus-estimated bigram MLE, mean
+    // log conditional probability per document.
+    "q86_bigram_lm" -> ((s, dir) =>
+      TextAnalysis.bigramLogProb(docs(s, dir))),
+
+    // Corpus datasheet: per (source, lang) doc/token counts and mean
+    // quality. The mean folds an exact integer sum of round(q*10000)
+    // (quality is already 4dp) so the double division at the end is the
+    // only float step — deterministic under any aggregation order.
+    "q87_corpus_report" -> ((s, dir) =>
+      docs(s, dir)
+        .withColumn("q10k",
+          round(TextAnalysis.qualityScore(col("text")) * 10000, 0).cast("long"))
+        .withColumn("nw", size(TextAnalysis.words(col("text"))).cast("long"))
+        .groupBy("source", "lang")
+        .agg(count(lit(1)).as("n_docs"), sum("nw").as("n_tokens"),
+          round(sum("q10k").cast("double") / count(lit(1)) / 10000.0, 4)
+            .as("mean_quality"))),
+
+    // Deterministic quality-weighted subsampling at rate 0.5.
+    "q88_importance_sample" -> ((s, dir) =>
+      TextAnalysis.importanceSample(docs(s, dir), rate = 0.5)
+        .select("doc_id")),
+
     // Eval-set decontamination: distinct shared 8-grams per doc against
     // the src0 slice of the corpus standing in as the benchmark.
     "q83_decontaminate" -> ((s, dir) => {

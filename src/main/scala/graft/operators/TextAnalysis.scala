@@ -1,7 +1,7 @@
 package graft.operators
 
 import scala.collection.mutable
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /**
@@ -288,5 +288,65 @@ object TextAnalysis {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("doc_id", "rank", "word", "tf", "df", "score")
+  }
+
+  /**
+   * Statistical-LM fluency scoring, the model-based quality filter of a
+   * training pipeline (CCNet/KenLM-style, green-field): a bigram MLE
+   * model is estimated from the corpus itself and every document scored
+   * by its mean log conditional probability, ln c(w_i,w_{i+1}) − ln
+   * c(w_i), averaged over bigram positions. Low scores = improbable word
+   * sequences (gibberish, boilerplate soup); self-scoring needs no
+   * smoothing (every observed bigram has count ≥ 1).
+   *
+   * Scale shape: two corpus-keyed count aggregates (map-side partial),
+   * two equi-joins on gram HASHES (narrow keys; count sides broadcast by
+   * AQE when the vocabulary is small), and one per-doc aggregate whose
+   * sum folds in POSITION ORDER (`array_sort` over (pos, lp) structs) so
+   * the double result is reproducible across partitionings and engines.
+   * Output: doc_id, n_bigrams, avg_lp (round 4; docs with < 2 words get
+   * a NULL score and n_bigrams = 0).
+   */
+  def bigramLogProb(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val uniCounts = docs.select(explode(ngramHashes(col(textCol), 1)).as("h1"))
+      .groupBy("h1").agg(count(lit(1)).as("c1"))
+    val biCounts = docs.select(explode(ngramHashes(col(textCol), 2)).as("h2"))
+      .groupBy("h2").agg(count(lit(1)).as("c2"))
+    val positions = docs.select(col(idCol).as("doc_id"),
+        posexplode(zip_with(
+          ngramHashes(col(textCol), 2),
+          ngramHashes(col(textCol), 1), // element i = hash of word i alone
+          (b, u) => struct(b.as("h2"), u.as("h1")))).as(Seq("pos", "g")))
+      .select(col("doc_id"), col("pos"), col("g")("h2").as("h2"),
+        col("g")("h1").as("h1"))
+    val scored = positions
+      .join(biCounts, "h2").join(uniCounts, "h1")
+      .withColumn("lp", log(col("c2").cast("double") / col("c1")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(aggregate(
+          array_sort(collect_list(struct(col("pos"), col("lp").as("lp")))),
+          lit(0.0), (acc, x) => acc + x("lp")) / count(lit(1)), 4).as("avg_lp"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .withColumn("n_bigrams", coalesce(col("n_bigrams"), lit(0L)))
+  }
+
+  /**
+   * Deterministic quality-weighted subsampling (the resampling stage of a
+   * data-mixing pipeline): document kept iff `u < rate × quality`, where
+   * `u` = portableHash(text)/P is a reproducible pseudo-uniform in [0,1).
+   * No RNG state, no shuffle — a codegen'd filter projection whose keep
+   * set is identical on every run, partitioning, and engine (the property
+   * a resumable 100 TB ingest needs; `rand()` sampling is neither
+   * deterministic under retries nor reproducible across engines).
+   * Expected keep rate = rate × mean quality.
+   */
+  def importanceSample(docs: DataFrame, rate: Double,
+      textCol: String = "text"): DataFrame = {
+    require(rate > 0, "rate must be positive")
+    val u = portableHash(col(textCol)).cast("double") / lit(HashP.toDouble)
+    docs.filter(u < lit(rate) * qualityScore(col(textCol)))
   }
 }

@@ -234,6 +234,42 @@ class PipelineOpsSpec extends GraftSuite {
     assert(r == Map(0L -> 2L, 2L -> 2L)) // doc 1 absent = clean
   }
 
+  test("bigramLogProb: MLE conditionals, deterministic transitions score 0") {
+    val d = Seq(
+      (0L, "a b a b"), // histories split between b and c across the corpus
+      (1L, "a c a c"),
+      (2L, "d e d e"), // vocabulary disjoint: every transition deterministic
+      (3L, "solo")     // no bigram at all
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.bigramLogProb(d).collect()
+      .map(x => (x.getLong(0), x.getLong(1),
+        Option(x.get(2)).map(_.asInstanceOf[Double]))).sortBy(_._1)
+    // docs 0/1: c(a)=4, c(a,b)=c(a,c)=2, c(b,a)=c(c,a)=1, c(b)=c(c)=2 —
+    // every position is ln(1/2); round(ln(0.5), 4) = -0.6931
+    assert(r(0) == ((0L, 3L, Some(-0.6931))))
+    assert(r(1) == ((1L, 3L, Some(-0.6931))))
+    // doc 2: ln(2/2), ln(1/2), ln(2/2) — the final 'e' has no successor,
+    // so c(e,d)=1 against c(e)=2; avg = ln(0.5)/3
+    assert(r(2) == ((2L, 3L, Some(-0.231))))
+    assert(r(3) == ((3L, 0L, None)))        // short doc: NULL score, present
+  }
+
+  test("importanceSample is deterministic and quality-weighted") {
+    val junk = "!!! ### $$$ %%%"
+    val good = ("the quick brown fox jumps over the lazy dog and it was fine " * 8).trim
+    val d = (0L until 50L).map(i => (i, s"$good variant$i")) :+ (99L, junk)
+    val df = d.toDF("doc_id", "text")
+    val k1 = TextAnalysis.importanceSample(df, rate = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    val k2 = TextAnalysis.importanceSample(df.repartition(7), rate = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(k1 == k2 && k1.nonEmpty)      // stable across partitionings
+    assert(!k1.contains(99L))            // low quality ⇒ low keep odds (u ≥ rate×q here)
+    val all = TextAnalysis.importanceSample(df, rate = 1000.0)
+      .select("doc_id").as[Long].collect().toSet
+    assert(all == d.map(_._1).toSet)     // rate ≫ 1 keeps everything
+  }
+
   test("Pii.scan: counts per type and masks all occurrences") {
     val d = Seq(
       (0L, "mail a@b.co and c.d+x@e.org, ip 10.0.0.1, call 555-123-4567, ssn 123-45-6789"),
