@@ -108,6 +108,32 @@ class ConllWriterSpec extends GraftSuite {
     assert(ids == expected)
   }
 
+  test("sidecar refold equals aggregate refold across folds, buckets, escaping") {
+    // two folds (one with a path-escaped char), 5 docs each, 2 docs/file →
+    // 3 part files + 3 .docs sidecars per fold; both refold paths must
+    // restore identical logical keys
+    val rel = (for (f <- Seq("train", "dev:set"); d <- 0 until 5) yield Seq(
+      (f, d, 0, s"${f.take(1)}${d}a", 0, 2, "B", "K"),
+      (f, d, 1, s"${f.take(1)}${d}b", 0, 2, "I", "K"))).flatten
+      .toDF("fold", "doc_num", "token_id", "text", "bt", "et", "ent_iob", "ent_type")
+      .withColumn("sentence", struct(col("bt").as("begin_tok"), col("et").as("end_tok")))
+    val out = tmp("graft_w2003s")
+    Conll.write2003(rel, out, Seq("ent"), Seq(true), maxDocsPerFile = 2)
+    val sidecars = new java.io.File(s"$out/fold=train").listFiles()
+      .map(_.getName).filter(_.endsWith(".docs")).sorted
+    assert(sidecars.toSeq == Seq(".part-00000.txt.docs", ".part-00001.txt.docs",
+      ".part-00002.txt.docs"))
+    val rd = Conll.conll2003(spark, Conll.writtenFilesGlob(out), Seq("ent"), Seq(true))
+    def k(df: DataFrame) = df.select("fold", "doc_num", "doc_id", "token_id", "text")
+      .collect().map(_.toSeq).toSet
+    val viaSidecar = Conll.refold(rd, out)
+    assert(k(viaSidecar) == k(Conll.refold(rd)))
+    assert(viaSidecar.select("fold").distinct().collect().map(_.getString(0)).toSet ==
+      Set("train", "dev:set"))
+    assert(viaSidecar.filter(col("text") === "d3a")
+      .select("doc_num").head.getInt(0) == 3)
+  }
+
   test("null-typed B/I tags round-trip exactly (empty type reads back null)") {
     val rel = Seq(("f0", 0, 0, "alpha", 0, 1, "B", null.asInstanceOf[String]))
       .toDF("fold", "doc_num", "token_id", "text", "bt", "et", "ent_iob", "ent_type")

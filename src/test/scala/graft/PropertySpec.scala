@@ -69,6 +69,54 @@ class PropertySpec extends GraftSuite {
     })
   }
 
+  test("duplicatedSpans == brute-force gram marking on random tiny-vocab corpora") {
+    val vocab = Vector("aa", "bb", "cc", "dd")
+    val genDocs = Gen.listOfN(4, Gen.listOfN(10, Gen.choose(0, vocab.size - 1)))
+    val n = 3
+    passed(Prop.forAll(genDocs) { wordIdx =>
+      val docs = wordIdx.zipWithIndex.map { case (ws, i) =>
+        (i.toLong, ws.map(vocab).mkString(" "))
+      }
+      val got = Dedup.duplicatedSpans(docs.toDF("doc_id", "text"), n = n)
+        .as[(Long, Int, Int)].collect().toSet
+      // brute force: gram strings, distinct-doc counts, consecutive runs
+      val grams = docs.flatMap { case (id, t) =>
+        val ws = t.split(" ").toVector
+        (0 to ws.length - n).map(i => (id, i, ws.slice(i, i + n).mkString(" ")))
+      }
+      val dup = grams.groupBy(_._3).filter(_._2.map(_._1).distinct.size >= 2).keySet
+      val want = grams.filter(g => dup(g._3)).groupBy(_._1).flatMap { case (id, gs) =>
+        val ps = gs.map(_._2).sorted
+        val runs = ps.foldLeft(List.empty[(Int, Int)]) {
+          case ((s, e) :: rest, p) if p == e + 1 => (s, p) :: rest
+          case (acc, p) => (p, p) :: acc
+        }
+        runs.map { case (s, e) => (id, s, e + n) }
+      }.toSet
+      got == want
+    })
+  }
+
+  test("Pii.redact is idempotent and importanceSample is monotone in rate") {
+    val genText = Gen.listOfN(6, Gen.oneOf(
+      "word", "a@b.co", "10.1.2.3", "555-123-4567", "123-45-6789", "the", "!"))
+    passed(Prop.forAll(Gen.listOfN(4, genText)) { docs =>
+      val d = docs.zipWithIndex.map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val once = d.select(col("doc_id"),
+        graft.operators.Pii.redact(col("text")).as("r1"))
+      val twice = once.select(col("doc_id"),
+        graft.operators.Pii.redact(col("r1")).as("r2"))
+      val idem = once.join(twice, "doc_id")
+        .filter(col("r1") =!= col("r2")).count() == 0
+      val keepLo = graft.operators.TextAnalysis.importanceSample(d, 0.3)
+        .select("doc_id").as[Long].collect().toSet
+      val keepHi = graft.operators.TextAnalysis.importanceSample(d, 0.9)
+        .select("doc_id").as[Long].collect().toSet
+      idem && keepLo.subsetOf(keepHi)
+    })
+  }
+
   test("hashSplit covers every row with exactly one label for random weights") {
     val genW = Gen.listOfN(3, Gen.choose(1, 10))
     passed(Prop.forAll(genW) { ws =>
