@@ -651,6 +651,53 @@ object Oracles {
          |FROM keptd WHERE doc_id NOT IN (SELECT n FROM losers)""".stripMargin
     },
 
+    // Mirror of q89: the q77 chain restricted to lang='en', minus docs
+    // sharing any 8-gram with the src0 benchmark slice (full corpus).
+    "q89_corpus_v2" -> {
+      val en = ratio(operators.TextAnalysis.StopwordsEn)
+      val h = H("CAST(doc_id AS VARCHAR) || ':split'")
+      val gramList =
+        s"list_distinct(list_transform(generate_series(0, len(w) - 8), " +
+          s"i -> ${H("array_to_string(list_slice(w, i + 1, i + 8), ' ')")}))"
+      s"""WITH RECURSIVE
+         |q0 AS (SELECT doc_id, text, $Words AS ws FROM documents WHERE lang = 'en'),
+         |qc AS (SELECT doc_id, text,
+         |  least(CAST(len(ws) AS DOUBLE) / 200.0, 1.0) AS lc,
+         |  greatest(0.0, 1.0 - (CASE WHEN len(text) > 0
+         |    THEN CAST(len(regexp_replace(text, '[^!-/:-@\\[-`{-~]', '', 'g')) AS DOUBLE) / len(text)
+         |    ELSE 0.0 END) * 5) AS pp,
+         |  CASE WHEN len(ws) > 0 THEN CAST(list_sum(list_transform(ws, w -> len(w))) AS DOUBLE) / len(ws)
+         |       ELSE 0.0 END AS mwl,
+         |  $en AS en FROM q0),
+         |keptq AS (SELECT doc_id, text FROM qc
+         |  WHERE round(lc*0.4 + pp*0.2 + (CASE WHEN mwl >= 2 AND mwl <= 12 THEN 1.0 ELSE 0.5 END)*0.2
+         |    + (CASE WHEN en > 0.05 THEN 1.0 ELSE 0.7 END)*0.2, 4) >= 0.62),
+         |bg AS (SELECT DISTINCT unnest($gramList) AS h
+         |  FROM (SELECT $Words AS w FROM documents WHERE source = 'src0')),
+         |kg AS (SELECT doc_id, unnest($gramList) AS h
+         |  FROM (SELECT doc_id, $Words AS w FROM keptq)),
+         |contaminated AS (SELECT DISTINCT kg.doc_id FROM kg JOIN bg USING (h)),
+         |keptd AS (SELECT doc_id, text FROM keptq
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+         |${minhashCte("keptd")},
+         |bnd AS (SELECT doc_id, generate_subscripts(keys, 1) - 1 AS band, unnest(keys) AS key FROM bk),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b FROM bnd a
+         |  JOIN bnd b2 ON a.band = b2.band AND a.key = b2.key AND a.doc_id < b2.doc_id),
+         |pr AS (SELECT id_a, id_b FROM (SELECT id_a, id_b,
+         |    CAST(len(list_intersect(x.h, y.h)) AS DOUBLE) / len(list_distinct(list_concat(x.h, y.h))) AS j
+         |  FROM cand JOIN hs x ON x.doc_id = cand.id_a JOIN hs y ON y.doc_id = cand.id_b)
+         |  WHERE round(j, 4) >= 0.7),
+         |e AS (SELECT id_a AS a, id_b AS b FROM pr UNION SELECT id_b, id_a FROM pr),
+         |reach AS (SELECT a AS n, a AS r FROM e
+         |  UNION SELECT e.b, reach.r FROM reach JOIN e ON e.a = reach.n),
+         |losers AS (SELECT n FROM reach GROUP BY n HAVING n <> min(r))
+         |SELECT doc_id, CASE
+         |  WHEN $h % 10000 < 9000 THEN 'train'
+         |  WHEN $h % 10000 < 9500 THEN 'val'
+         |  ELSE 'test' END AS split
+         |FROM keptd WHERE doc_id NOT IN (SELECT n FROM losers)""".stripMargin
+    },
+
     "q73_hash_split" ->
       s"""SELECT doc_id, CASE
          |  WHEN ${H("CAST(doc_id AS VARCHAR) || ':split'")} % 10000 < 9000 THEN 'train'

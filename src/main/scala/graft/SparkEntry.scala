@@ -483,6 +483,24 @@ object SparkEntry {
         .select("doc_id", "split")
     }),
 
+    // Corpus preparation v2 — the round-7 pipeline: language filter →
+    // quality gate → eval-set decontamination (drop any doc sharing an
+    // 8-gram with the src0 benchmark slice) → minhash near-dup policy →
+    // deterministic split, all ONE lazy DAG (no action until the sink).
+    "q89_corpus_v2" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val kept = d.filter(col("lang") === "en")
+        .filter(TextAnalysis.qualityScore(col("text")) >= 0.62)
+      val clean = kept.join(
+        Dedup.contaminatedDocs(kept, d.filter(col("source") === "src0"), n = 8)
+          .select("doc_id"),
+        Seq("doc_id"), "left_anti")
+      val pairs = Dedup.minhashDupPairs(clean, threshold = 0.7, k = 8,
+        bands = 4, shingleK = 3)
+      TextAnalysis.hashSplit(Dedup.dropNearDuplicates(clean, pairs))
+        .select("doc_id", "split")
+    }),
+
     "q15_simhash" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"), Dedup.simhash(col("text")).as("fp"))),
 
