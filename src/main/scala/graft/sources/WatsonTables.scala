@@ -123,11 +123,21 @@ object WatsonTables {
       .otherwise(col("row_index_begin").cast("string")).as("row_key")
     val colKey = when(col("column_header_texts") =!= "", col("column_header_texts"))
       .otherwise(col("column_index_begin").cast("string"))
-    val grouped = bodyCells
+    // Stage 1 collapses the cell VALUES (the corpus-sized stream) under
+    // plain per-cell keys — partial-aggregatable, one narrow shuffle.
+    // Stage 2 pivots the already-one-row-per-cell relation with first():
+    // the pivot's per-key conditional aggregates then run over table-sized
+    // input instead of evaluating |keys| collect_list buffers per source
+    // row.
+    val cells = bodyCells
       .withColumn("__ck", colKey)
       .withColumn("__v", struct(col("begin"), col(valueCol).as("v")))
       .groupBy(col("doc_id"), col("table_idx"),
-        col("row_index_begin").as("row_idx"), rowKey)
+        col("row_index_begin").as("row_idx"), rowKey, col("__ck"))
+      .agg(array_join(transform(sort_array(collect_list(col("__v"))),
+        x => x("v")), concatWith).as("__cell"))
+    val grouped = cells
+      .groupBy(col("doc_id"), col("table_idx"), col("row_idx"), col("row_key"))
     // Explicit columnKeys skip the key-inference job — a full extra scan
     // of the cells relation that callers with a known header domain (or a
     // cached sample) shouldn't pay at scale. When keys are inferred, the
@@ -141,13 +151,9 @@ object WatsonTables {
         .agg(min(col("column_index_begin")).as("__ci"))
         .orderBy(col("__ci"), col("__ck"))
         .collect().map(_.getString(0)).toSeq
-    val pivoted = grouped.pivot("__ck", keys)
-    pivoted
-      // empty pivot groups must be NULL (pandas pivot_table's NaN), not
-      // the ''-join of an empty list
-      .agg(when(count(lit(1)) > 0,
-        array_join(transform(sort_array(collect_list(col("__v"))), x => x("v")),
-          concatWith)))
+    // at most one row per (group, key) after stage 1, so first() is
+    // deterministic; an absent cell stays NULL (pandas pivot_table's NaN)
+    grouped.pivot("__ck", keys).agg(first(col("__cell")))
   }
 
   /** Strip currency/grouping chars and cast to double — the reference's
