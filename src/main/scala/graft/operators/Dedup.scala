@@ -390,7 +390,8 @@ object Dedup {
     val edges = pairs.select(col(idA).cast("long").as("a"), col(idB).cast("long").as("b"))
     val sym = edges.union(edges.select(col("b").as("a"), col("a").as("b")))
       .localCheckpoint()
-    if (sym.count() <= localEdgeThreshold) return localUnionFind(sym)
+    // sym holds both directions of every pair — 2 rows per edge
+    if (sym.count() / 2 <= localEdgeThreshold) return localUnionFind(sym)
     var labels = sym.select(col("a").as("node")).distinct()
       .withColumn("label", col("node"))
       .localCheckpoint()

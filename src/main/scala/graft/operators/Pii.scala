@@ -28,9 +28,11 @@ object Pii {
     ("ipv4", "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b",
       "<IP4>"))
 
-  /** Match count of one PII type in a text column. */
+  /** Match count of one PII type in a text column; NULL text counts 0
+    * (size() of a null array would yield null/-1, poisoning report sums). */
   def count(text: Column, pattern: String): Column =
-    size(regexp_extract_all(text, lit(pattern), lit(0)))
+    when(text.isNull, lit(0))
+      .otherwise(size(regexp_extract_all(text, lit(pattern), lit(0))))
 
   /** Text with every PII occurrence masked by its type token. */
   def redact(text: Column): Column =

@@ -29,8 +29,7 @@ object PosTagger {
   /** Feature strings for one token (shared by train and inference). */
   private[operators] def feats(w: String): Seq[String] = {
     val lower = w.toLowerCase
-    val shape = w.replaceAll("[a-z]", "x").replaceAll("[A-Z]", "X")
-      .replaceAll("[0-9]", "d")
+    val shape = Spacy.wordShape(w)
     Seq(s"w=$lower",
       s"s3=${lower.takeRight(3)}", s"s2=${lower.takeRight(2)}",
       s"sh=$shape",
@@ -73,19 +72,12 @@ object PosTagger {
   }
 
   /** Adapt a fitted tagger to the Spacy host: engine tokenizer for
-    * offsets, model-predicted `pos`/`tag`, stub-compatible lemma/shape
-    * bookkeeping for the remaining feature columns. */
+    * offsets, model-predicted `pos`/`tag`, the shared rule bookkeeping
+    * (Spacy.ruleFeat) for the remaining feature columns. */
   def annotator(model: Model): Spacy.Annotator = (text: String) => {
     if (text == null) Seq.empty
     else Tokenize.tokenOffsets(text).map { case (b, e) =>
-      val t = text.substring(b, e)
-      val pos = model.tag(t)
-      val shape = t.replaceAll("[a-z]", "x").replaceAll("[A-Z]", "X")
-        .replaceAll("[0-9]", "d")
-      Spacy.TokFeat(b, e, t.toLowerCase.replaceAll("s+$", ""), pos, pos,
-        "dep", 0, shape, "O", null,
-        t.matches("[A-Za-z]+"),
-        TextAnalysis.StopwordsEn.contains(t.toLowerCase))
+      Spacy.ruleFeat(text, b, e, model.tag(text.substring(b, e)))
     }
   }
 }

@@ -96,6 +96,14 @@ object WordPiece {
         t == Character.CONTROL || t == Character.FORMAT
       }
 
+    // HF _is_whitespace exactly: " \t\n\r" or category Zs. NOT
+    // Character.isWhitespace, which misses the non-breaking spaces
+    // (U+00A0/U+2007/U+202F are Zs) and wrongly includes Zl/Zp — either
+    // difference changes tokens and offsets on scraped-HTML text.
+    private def isWhitespace(cp: Int): Boolean =
+      cp == ' ' || cp == '\t' || cp == '\n' || cp == '\r' ||
+        Character.getType(cp) == Character.SPACE_SEPARATOR
+
     private[operators] def basicWords(text: String): Seq[Word] = {
       val words = mutable.ArrayBuffer.empty[Word]
       val norm = new StringBuilder
@@ -111,7 +119,7 @@ object WordPiece {
         val n = Character.charCount(cp)
         if (cp == 0 || cp == 0xFFFD || isControl(cp)) {
           // removed by clean_text
-        } else if (Character.isWhitespace(cp)) {
+        } else if (isWhitespace(cp)) {
           flush()
         } else if (isCjk(cp) || isPunct(cp)) {
           flush()

@@ -9,7 +9,6 @@ import org.apache.arrow.vector.dictionary.{Dictionary, DictionaryProvider}
 import org.apache.arrow.vector.ipc.{ArrowFileReader, ArrowFileWriter}
 import org.apache.arrow.vector.types.FloatingPointPrecision
 import org.apache.arrow.vector.types.pojo.{ArrowType, DictionaryEncoding, Field, FieldType, Schema}
-import org.apache.arrow.vector.util.ByteArrayReadableSeekableByteChannel
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.types._
 
@@ -266,25 +265,50 @@ object ArrowInterop {
     require(files.nonEmpty, s"no feather files match $path")
 
     // driver reads ONE schema; rows stream task-side
-    val (sparkSchema, _) = sparkSchemaOf(readAllBytes(files.head))
+    val (sparkSchema, _) = sparkSchemaOf(files.head)
     val rdd = spark.sparkContext.parallelize(files.toSeq, files.length)
-      .flatMap { f => decodeFile(readAllBytes(f)) }
+      .flatMap { f => decodeFile(f) }
     spark.createDataFrame(rdd, sparkSchema)
   }
 
-  private def readAllBytes(path: String): Array[Byte] = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
-    val len = fs.getFileStatus(p).getLen.toInt
-    val in = fs.open(p)
-    try { val b = new Array[Byte](len); in.readFully(0, b); b } finally in.close()
+  /** Random-access channel over a Hadoop file — lets the Arrow reader
+    * pull record batches straight from storage, so a task never holds a
+    * file's raw bytes (and files past 2 GB just work). */
+  private class HadoopSeekableChannel(path: String)
+      extends java.nio.channels.SeekableByteChannel {
+    private val p = new org.apache.hadoop.fs.Path(path)
+    private val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    private val len = fs.getFileStatus(p).getLen
+    private val in = fs.open(p)
+    private var pos = 0L
+    private var opened = true
+    override def read(dst: java.nio.ByteBuffer): Int = {
+      val n = math.min(dst.remaining().toLong, len - pos).toInt
+      if (n <= 0) return -1
+      val buf = new Array[Byte](n)
+      in.readFully(pos, buf, 0, n)
+      dst.put(buf, 0, n)
+      pos += n
+      n
+    }
+    override def position(): Long = pos
+    override def position(newPos: Long): java.nio.channels.SeekableByteChannel = {
+      pos = newPos; this
+    }
+    override def size(): Long = len
+    override def write(src: java.nio.ByteBuffer): Int =
+      throw new UnsupportedOperationException("read-only channel")
+    override def truncate(size: Long): java.nio.channels.SeekableByteChannel =
+      throw new UnsupportedOperationException("read-only channel")
+    override def isOpen: Boolean = opened
+    override def close(): Unit = { opened = false; in.close() }
   }
 
-  /** (spark schema, arrow schema) for one file's bytes. */
-  private def sparkSchemaOf(bytes: Array[Byte]): (StructType, Schema) = {
+  /** (spark schema, arrow schema) for one file. */
+  private def sparkSchemaOf(path: String): (StructType, Schema) = {
     val alloc = new RootAllocator()
     try {
-      val rd = new ArrowFileReader(new ByteArrayReadableSeekableByteChannel(bytes), alloc)
+      val rd = new ArrowFileReader(new HadoopSeekableChannel(path), alloc)
       try {
         val as = rd.getVectorSchemaRoot.getSchema
         val fields = as.getFields.asScala.flatMap { f =>
@@ -315,26 +339,45 @@ object ArrowInterop {
     } finally alloc.close()
   }
 
-  private def decodeFile(bytes: Array[Byte]): Iterator[Row] = {
+  /** Stream one file's rows batch by batch: only the CURRENT record
+    * batch's decoded rows are live at any moment (Arrow recycles the
+    * vectors on loadNextBatch, so each batch is decoded before advancing,
+    * but the file itself is never fully materialized). */
+  private def decodeFile(path: String): Iterator[Row] = {
     val alloc = new RootAllocator()
-    val rd = new ArrowFileReader(new ByteArrayReadableSeekableByteChannel(bytes), alloc)
-    val out = mutable.ArrayBuffer.empty[Row]
-    try {
-      val vsr = rd.getVectorSchemaRoot
-      while (rd.loadNextBatch()) {
-        val n = vsr.getRowCount
-        val cols: Seq[Int => Seq[Any]] = vsr.getSchema.getFields.asScala.toSeq
-          .zip(vsr.getFieldVectors.asScala).map { case (f, vec) =>
-            decoderFor(f, vec, rd)
+    val rd = new ArrowFileReader(new HadoopSeekableChannel(path), alloc)
+    val vsr = rd.getVectorSchemaRoot
+    // a killed/short-circuited task must not leak the reader
+    Option(org.apache.spark.TaskContext.get()).foreach(
+      _.addTaskCompletionListener[Unit] { _ =>
+        try { rd.close(); alloc.close() } catch { case _: Throwable => }
+      })
+    new Iterator[Row] {
+      private var batch: Array[Row] = Array.empty
+      private var i = 0
+      private var done = false
+      private def advance(): Unit =
+        while (!done && i >= batch.length) {
+          if (rd.loadNextBatch()) {
+            val cols: Seq[Int => Seq[Any]] = vsr.getSchema.getFields.asScala.toSeq
+              .zip(vsr.getFieldVectors.asScala).map { case (f, vec) =>
+                decoderFor(f, vec, rd)
+              }
+            batch = Array.tabulate(vsr.getRowCount)(j =>
+              Row.fromSeq(cols.flatMap(_.apply(j))))
+            i = 0
+          } else {
+            done = true
+            try { rd.close(); alloc.close() } catch { case _: Throwable => }
           }
-        var i = 0
-        while (i < n) {
-          out += Row.fromSeq(cols.flatMap(_.apply(i)))
-          i += 1
         }
+      override def hasNext: Boolean = { advance(); !done }
+      override def next(): Row = {
+        advance()
+        if (done) throw new NoSuchElementException
+        val r = batch(i); i += 1; r
       }
-    } finally { rd.close(); alloc.close() }
-    out.iterator
+    }
   }
 
   /** Per-row decoder; span extension fields expand to two output values. */

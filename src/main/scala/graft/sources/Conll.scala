@@ -2,6 +2,7 @@ package graft.sources
 
 import scala.collection.mutable
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.operators.Iob
@@ -223,18 +224,24 @@ object Conll {
     // and only the per-FOLD totals go through a global-order window, i.e.
     // one row per input file. No stage ever funnels the corpus-wide
     // document directory — let alone the token stream — through one task.
-    // Fold ordering matches wholeTextFiles' path order (alphabetical),
-    // which is also how the tag lines were numbered.
-    import org.apache.spark.sql.expressions.Window
+    // Fold ordering must match wholeTextFiles' PATH order (how the tag
+    // lines were numbered). Reader-direct fold values ARE paths, so their
+    // natural order is right; refolded relations carry LOGICAL fold
+    // values whose on-disk directories are the ESCAPED names — sort those
+    // by their escaped form ("a:b" lives in fold=a%3Ab, which orders
+    // before fold=a-b even though raw 'a-b' < 'a:b').
+    val foldOrd = udf((f: String) =>
+      if (f == null || f.contains("/")) f else escapePath(f))
     val docW = Window.partitionBy("fold").orderBy("doc_num")
       .rowsBetween(Window.unboundedPreceding, -1)
-    val foldW = Window.orderBy("fold")
+    val foldW = Window.orderBy("__ford")
       .rowsBetween(Window.unboundedPreceding, -1)
     val counts = corpusTokens.groupBy("fold", "doc_num")
       .agg(count(lit(1)).as("__n"))
     val foldOffsets = counts.groupBy("fold").agg(sum("__n").as("__ft"))
+      .withColumn("__ford", foldOrd(col("fold")))
       .withColumn("__fold_off", coalesce(sum("__ft").over(foldW), lit(0L)))
-      .drop("__ft")
+      .drop("__ft", "__ford")
     val offsets = counts
       .withColumn("__doc_off", coalesce(sum("__n").over(docW), lit(0L)))
       .join(broadcast(foldOffsets), Seq("fold"))
@@ -545,8 +552,12 @@ object Conll {
    * one tiny read per file (IO proportional to the file COUNT — the same
    * order every scan's planning pays to list the files) and broadcast, so
    * the corpus itself is parsed exactly once. Falls back to the
-   * aggregate-based overload when no sidecars exist (a corpus produced by
-   * some other writer).
+   * aggregate-based overload when the sidecars don't cover every part
+   * file — none at all (a corpus from some other writer), or a partial
+   * set (a writer task died between file rename and sidecar create, or
+   * foreign files sit in the layout). The rekey join is inner, so an
+   * uncovered file would otherwise be dropped SILENTLY; coverage is
+   * checked up front instead.
    */
   def refold(tokens: DataFrame, root: String): DataFrame = {
     val spark = tokens.sparkSession
@@ -555,6 +566,12 @@ object Conll {
     val side = fs.globStatus(
       new org.apache.hadoop.fs.Path(rootP, "fold=*/.part-*.txt.docs"))
     if (side == null || side.isEmpty) return refold(tokens)
+    val parts = fs.globStatus(new org.apache.hadoop.fs.Path(rootP, "fold=*/part-*"))
+    val covered = side.map(s => (s.getPath.getParent.getName,
+      s.getPath.getName.stripPrefix(".").stripSuffix(".docs"))).toSet
+    if (parts != null && !parts.forall(p =>
+        covered((p.getPath.getParent.getName, p.getPath.getName))))
+      return refold(tokens)
     val counts = side.toSeq.map { st =>
       val p = st.getPath
       val foldEnc = p.getParent.getName.stripPrefix("fold=")
@@ -610,19 +627,25 @@ object Conll {
       if (i < iobColumns.length && iobColumns(i)) iobTag(n)
       else coalesce(col(n).cast("string"), lit("-X-"))
     }
-    // Every output line is decidable from ONE token row: the token line
-    // itself; a blank after the last token of each sentence (this also
-    // terminates the document — required: the parser only flushes a
-    // finished sentence on a blank line before the next -DOCSTART-); the
-    // -DOCSTART- header + its blank at the document's first token. One
-    // conditional explode per token = ONE scan of the relation, replacing
-    // a 3-way union whose sentence/document key sides each re-derived the
-    // corpus through their own distinct() shuffle.
+    // Every output line is decidable from ONE token row plus its
+    // neighbors in document order: the token line itself; a blank after
+    // each sentence's last PRESENT token (this also terminates the
+    // document — required: the parser only flushes a finished sentence on
+    // a blank line before the next -DOCSTART-); the -DOCSTART- header +
+    // its blank at the document's first PRESENT token. The first/last
+    // flags come from one window over (fold, doc_num) — not from assuming
+    // token_id 0 / end_tok-1 exist, which a filtered export (stopword
+    // removal etc.) would violate, silently merging documents on re-read.
+    // One window pass + one conditional explode = one scan of the
+    // relation, replacing a 3-way union whose sentence/document key sides
+    // each re-derived the corpus through their own distinct() shuffle.
     def ln(pos: Column, sub: Int, line: Column) =
       struct(pos.cast("int").as("pos"), lit(sub).as("sub"), line.as("line"))
+    val w = Window.partitionBy("fold", "doc_num").orderBy("token_id")
     val tokenLine = concat_ws(" ", (col("text") +: tagCols): _*)
-    val isLastOfSent = col("token_id") === col("sentence")("end_tok") - 1
-    val isDocStart = col("token_id") === 0
+    val isLastOfSent = col("__net").isNull ||
+      col("__net") =!= col("sentence")("end_tok")
+    val isDocStart = col("__rn") === 1
     val headerTags = columnNames.indices.map(i =>
       if (i < iobColumns.length && iobColumns(i)) "O" else "-X-")
     val headerLine = ("-DOCSTART-" +: headerTags).mkString(" ")
@@ -632,7 +655,10 @@ object Conll {
       (if (docstart) Seq(
         when(isDocStart, ln(lit(-2), 0, lit(headerLine))),
         when(isDocStart, ln(lit(-1), 0, lit("")))) else Nil)
-    val all = tokens.select(col("fold"), col("doc_num"),
+    val all = tokens
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__net", lead(col("sentence")("end_tok"), 1).over(w))
+      .select(col("fold"), col("doc_num"),
         explode(filter(array(pieces: _*), p => p.isNotNull)).as("p"))
       .select(col("fold"), col("doc_num"), col("p")("pos").as("pos"),
         col("p")("sub").as("sub"), col("p")("line").as("line"))
@@ -675,17 +701,23 @@ object Conll {
       else lit("_")
     }
     val idx = (col("token_id") - col("sentence")("begin_tok") + 1).cast("string")
-    // Single-pass assembly (same rationale as write2003): every line kind
-    // is decidable from one token row — the token line; the blank after
-    // each sentence's last token; `# newdoc id` at the document's first
-    // token; per-sentence `# tag` comments at each sentence's first token.
-    // Precondition (holds for every reader-shaped relation): metadata
-    // values are constant within their scope (document / sentence).
+    // Single-pass assembly (same rationale and window as write2003):
+    // every line kind is decidable from one token row plus its neighbors
+    // in document order — the token line; the blank after each sentence's
+    // last PRESENT token; `# newdoc id` at the document's first PRESENT
+    // token; per-sentence `# tag` comments at each sentence's first
+    // PRESENT token (sentence transitions detected via lag/lead, not by
+    // assuming begin_tok/end_tok-1 tokens exist). Precondition (holds for
+    // every reader-shaped relation): metadata values are constant within
+    // their scope (document / sentence).
     def ln(pos: Column, sub: Int, line: Column) =
       struct(pos.cast("int").as("pos"), lit(sub).as("sub"), line.as("line"))
-    val isLastOfSent = col("token_id") === col("sentence")("end_tok") - 1
-    val isFirstOfSent = col("token_id") === col("sentence")("begin_tok")
-    val isDocStart = col("token_id") === 0
+    val w = Window.partitionBy("fold", "doc_num").orderBy("token_id")
+    val isLastOfSent = col("__net").isNull ||
+      col("__net") =!= col("sentence")("end_tok")
+    val isFirstOfSent = col("__pbt").isNull ||
+      col("__pbt") =!= col("sentence")("begin_tok")
+    val isDocStart = col("__rn") === 1
     val tokenPieces = Seq(
       ln(col("token_id"), 0,
         concat_ws("\t", (idx +: coalesce(col("text"), lit("_")) +: fieldCols): _*)),
@@ -700,7 +732,11 @@ object Conll {
           ln(col("sentence")("begin_tok"), -1,
             concat(lit(s"# $tag = "), col(colName)))))
     }
-    val all = tokens.select(col("fold"), col("doc_num"),
+    val all = tokens
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__net", lead(col("sentence")("end_tok"), 1).over(w))
+      .withColumn("__pbt", lag(col("sentence")("begin_tok"), 1).over(w))
+      .select(col("fold"), col("doc_num"),
         explode(filter(array(tokenPieces ++ metaPieces: _*),
           p => p.isNotNull)).as("p"))
       .select(col("fold"), col("doc_num"), col("p")("pos").as("pos"),

@@ -28,19 +28,30 @@ object Spacy {
 
   type Annotator = String => Seq[TokFeat]
 
+  /** spaCy-style word shape (x/X/d classes). One definition for every
+    * annotator so stub and trained hosts can't drift apart. */
+  def wordShape(t: String): String =
+    t.replaceAll("[a-z]", "x").replaceAll("[A-Z]", "X").replaceAll("[0-9]", "d")
+
+  /** Rule-derived bookkeeping (lemma/shape/flags) shared by the stub and
+    * by trained annotators that only replace the POS decision — the one
+    * place these rules live, so hosts stay interchangeable. */
+  def ruleFeat(text: String, b: Int, e: Int, pos: String): TokFeat = {
+    val t = text.substring(b, e)
+    TokFeat(b, e, t.toLowerCase.replaceAll("s+$", ""), pos, pos, "dep", 0,
+      wordShape(t), "O", null, t.matches("[A-Za-z]+"),
+      graft.operators.TextAnalysis.StopwordsEn.contains(t.toLowerCase))
+  }
+
   /** Deterministic STUB annotator: engine tokenizer + rule-based features
     * (the real thing is a SpaCy pipeline behind the same signature). */
   val stubAnnotator: Annotator = (text: String) => {
     if (text == null) Seq.empty
     else Tokenize.tokenOffsets(text).map { case (b, e) =>
       val t = text.substring(b, e)
-      val lemma = t.toLowerCase.replaceAll("s+$", "")
-      val shape = t.replaceAll("[a-z]", "x").replaceAll("[A-Z]", "X")
-        .replaceAll("[0-9]", "d")
-      val isAlpha = t.matches("[A-Za-z]+")
       val isStop = graft.operators.TextAnalysis.StopwordsEn.contains(t.toLowerCase)
       val pos = if (isStop) "DET" else if (t.length > 4) "NOUN" else "X"
-      TokFeat(b, e, lemma, pos, pos, "dep", 0, shape, "O", null, isAlpha, isStop)
+      ruleFeat(text, b, e, pos)
     }
   }
 

@@ -134,6 +134,47 @@ class ConllWriterSpec extends GraftSuite {
       .select("doc_num").head.getInt(0) == 3)
   }
 
+  test("write2003 keeps doc boundaries when first/last tokens were filtered out") {
+    // doc 1's token 0 was removed upstream (e.g. stopword filter): the
+    // -DOCSTART- header must still be emitted at its first PRESENT token,
+    // or doc 1 silently merges into doc 0 on re-read
+    val rel = Seq(
+      ("f0", 0, 0, "a0", 0, 2, "O", null.asInstanceOf[String]),
+      ("f0", 0, 1, "a1", 0, 2, "O", null.asInstanceOf[String]),
+      ("f0", 1, 1, "b1", 1, 2, "O", null.asInstanceOf[String]))
+      .toDF("fold", "doc_num", "token_id", "text", "bt", "et", "ent_iob", "ent_type")
+      .withColumn("sentence", struct(col("bt").as("begin_tok"), col("et").as("end_tok")))
+    val out = tmp("graft_w2003f")
+    Conll.write2003(rel, out, Seq("ent"), Seq(true))
+    val back = Conll.conll2003(spark, Conll.writtenFilesGlob(out), Seq("ent"), Seq(true))
+      .filter(col("text").startsWith("a") || col("text").startsWith("b"))
+    val byDoc = back.select("doc_num", "text").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(byDoc == Set((0, "a0"), (0, "a1"), (1, "b1")))
+  }
+
+  test("conll2003Output aligns tags across escaped fold names") {
+    // raw order is "a-b" < "a:b" but on disk fold=a%3Ab < fold=a-b: the
+    // fold offsets must follow the ESCAPED (path) order the tag lines
+    // were numbered in, or every tag lands on the wrong token
+    val rel = Seq(("a-b", 0, 10L, 0, "x"), ("a-b", 0, 10L, 1, "y"),
+      ("a:b", 0, 11L, 0, "z"))
+      .toDF("fold", "doc_num", "doc_id", "token_id", "text")
+      .withColumn("sentence",
+        struct(lit(0).as("begin_tok"), lit(2).as("end_tok")))
+    val tags = Seq(("a-b", 0, 0, 0, "O"), ("a-b", 0, 1, 0, "I-AB"),
+      ("a:b", 0, 0, 0, "I-COLON"))
+      .toDF("fold", "doc_num", "pos", "sub", "line")
+    val out = tmp("graft_esc")
+    Conll.writeLines(tags, out)
+    val got = Conll.conll2003Output(spark, rel, Conll.writtenFilesGlob(out), "ent")
+      .select("fold", "token_id", "ent_iob", "ent_type").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getString(3)))
+      .toSet
+    assert(got == Set(("a-b", 0, "O", null), ("a-b", 1, "B", "AB"),
+      ("a:b", 0, "B", "COLON")))
+  }
+
   test("null-typed B/I tags round-trip exactly (empty type reads back null)") {
     val rel = Seq(("f0", 0, 0, "alpha", 0, 1, "B", null.asInstanceOf[String]))
       .toDF("fold", "doc_num", "token_id", "text", "bt", "et", "ent_iob", "ent_type")

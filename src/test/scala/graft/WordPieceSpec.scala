@@ -90,6 +90,12 @@ class WordPieceSpec extends GraftSuite {
     val toks = tok("ab\u0000\tcd\n").filterNot(_.special)
     assert(toks.map(t => (t.begin, t.end, t.inputId)) ==
       Seq((0, 2, 1L), (4, 6, 2L)))
+    // HF _is_whitespace: Zs chars split words too — NBSP (U+00A0) and
+    // narrow no-break space (U+202F) are Zs, which Character.isWhitespace
+    // misses; scraped HTML is full of them
+    val nbsp = tok("ab\u00A0cd\u202Fab").filterNot(_.special)
+    assert(nbsp.map(t => (t.begin, t.end, t.inputId)) ==
+      Seq((0, 2, 1L), (3, 5, 2L), (6, 8, 1L)))
   }
 
   test("loadVocab reads standard vocab.txt (id = line number)") {
