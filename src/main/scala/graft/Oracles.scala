@@ -409,7 +409,13 @@ object Oracles {
           val np = if (cont) p.substring(2) else p
           s"('$np', $cont, $id)"
         }.mkString(", ")
-      val maxPieces = 8
+      // Unroll bound for the greedy loop. The SQL's stage chain is static,
+      // so this cannot literally be computed from the data — instead the
+      // bound is generous (corpus words are <= 8 chars today) and the
+      // final union carries a GUARD branch that raises a DuckDB error()
+      // if any word still has unconsumed chars after the last stage, so a
+      // corpus change breaks the oracle LOUDLY instead of silently.
+      val maxPieces = 12
       val stages = (0 until maxPieces).map { k =>
         s"""c$k AS (SELECT t.doc_id, t.token_id, t.word, t.wb, t.start, v.id, len(v.np) AS plen
            |  FROM s$k t JOIN vocab v ON v.iscont = (t.start > 0)
@@ -428,11 +434,17 @@ object Oracles {
          |    wb + start + plen AS e, id FROM ($unions)),
          |ordered AS (SELECT doc_id, row_number() OVER (PARTITION BY doc_id
          |    ORDER BY token_id, start) AS tid, b, e, id FROM pieces),
-         |sep AS (SELECT doc_id, max(tid) + 1 AS tid, max(e) AS me FROM ordered GROUP BY doc_id)
+         |sep AS (SELECT d.doc_id, coalesce(max(o.tid), 0) + 1 AS tid,
+         |    coalesce(max(o.e), 0) AS me
+         |  FROM documents d LEFT JOIN ordered o ON d.doc_id = o.doc_id
+         |  GROUP BY d.doc_id)
          |SELECT doc_id, CAST(tid AS INTEGER) AS token_id, b AS "begin", e AS "end",
          |  CAST(id AS BIGINT) AS input_id, 0 AS special FROM ordered
          |UNION ALL SELECT doc_id, 0, 0, 0, 101, 1 FROM documents
-         |UNION ALL SELECT doc_id, CAST(tid AS INTEGER), me, me, 102, 1 FROM sep""".stripMargin
+         |UNION ALL SELECT doc_id, CAST(tid AS INTEGER), me, me, 102, 1 FROM sep
+         |UNION ALL SELECT doc_id, CAST(error(concat('q78 oracle: word "', word,
+         |  '" not consumed in $maxPieces wordpiece stages')) AS INTEGER),
+         |  0, 0, CAST(0 AS BIGINT), 1 FROM s$maxPieces""".stripMargin
     },
 
     "q52_repetition" ->

@@ -73,6 +73,28 @@ object SparkEntry {
     * itself is fully distributed (Conll.write2003/writeU). */
   val ConllRoundtripCap = 400
 
+  /** Scratch dirs for the export/re-read queries. `deleteOnExit` cannot
+    * remove non-empty directories, so a bench's repeated passes would
+    * leak one dir per invocation; instead every dir registers here and
+    * ONE shutdown hook deletes them recursively. */
+  private val scratchDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[java.nio.file.Path]()
+  locally {
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      scratchDirs.forEach { d =>
+        try {
+          java.nio.file.Files.walk(d)
+            .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+            .forEach(p => java.nio.file.Files.deleteIfExists(p))
+        } catch { case _: Exception => () } // best effort at JVM exit
+      }))
+  }
+  private def scratchDir(prefix: String): java.nio.file.Path = {
+    val d = java.nio.file.Files.createTempDirectory(prefix)
+    scratchDirs.add(d)
+    d
+  }
+
   /** Synthetic IOB tagging rule shared by q31/q32/q34: 'key' begins an
     * entity (type K), following 'value' tokens continue it. */
   private def tagged(t: DataFrame): DataFrame = t
@@ -244,8 +266,7 @@ object SparkEntry {
     // cap only keeps the output deterministic across SFs (mirrored in the
     // oracle).
     "q53_conll_roundtrip" -> ((s, dir) => {
-      val out = java.nio.file.Files.createTempDirectory("graft_conll")
-      out.toFile.deleteOnExit()
+      val out = scratchDir("graft_conll")
       val t = docs(s, dir).filter(col("doc_id") < ConllRoundtripCap)
         .select(col("doc_id"), size(split(col("text"), " ")).as("n"),
           posexplode(split(col("text"), " ")).as(Seq("token_id", "text")))
@@ -272,8 +293,7 @@ object SparkEntry {
     // Synthesized as a plan and exported via the distributed Conll.writeU
     // — no driver materialization (cap mirrors the oracle, as in q53).
     "q57_conllu_roundtrip" -> ((s, dir) => {
-      val out = java.nio.file.Files.createTempDirectory("graft_conllu")
-      out.toFile.deleteOnExit()
+      val out = scratchDir("graft_conllu")
       val t = docs(s, dir).filter(col("doc_id") < ConllRoundtripCap)
         .select(col("doc_id"), size(split(col("text"), " ")).as("n"),
           posexplode(split(col("text"), " ")).as(Seq("token_id", "text")))
@@ -309,9 +329,8 @@ object SparkEntry {
     // write2003; the tags file via the same ordered-lines sink (one tag
     // per corpus token incl. the -DOCSTART- rows) — no driver collect.
     "q58_conll_output" -> ((s, dir) => {
-      val outC = java.nio.file.Files.createTempDirectory("graft_conllo_c")
-      val outT = java.nio.file.Files.createTempDirectory("graft_conllo_t")
-      Seq(outC, outT).foreach(_.toFile.deleteOnExit())
+      val outC = scratchDir("graft_conllo_c")
+      val outT = scratchDir("graft_conllo_t")
       val t = docs(s, dir).filter(col("doc_id") < ConllRoundtripCap)
         .select(col("doc_id"), size(split(col("text"), " ")).as("n"),
           posexplode(split(col("text"), " ")).as(Seq("token_id", "text")))
@@ -616,8 +635,7 @@ object SparkEntry {
     // target text with the ROUND-TRIPPED offsets — equal to `match` only
     // if spans, dictionary and text all survived the interchange.
     "q80_arrow_roundtrip" -> ((s, dir) => {
-      val out = java.nio.file.Files.createTempDirectory("graft_arrow")
-      out.toFile.deleteOnExit()
+      val out = scratchDir("graft_arrow")
       val d = docs(s, dir)
       val spans = Extract.extractRegex(d, "\\bs[a-z0-9]*")
         .join(d.select(col("doc_id"), col("text").as("target_text")), "doc_id")

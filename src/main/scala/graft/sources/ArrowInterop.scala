@@ -62,19 +62,25 @@ object ArrowInterop {
     val schema = df.schema
     val textOf = spanCols // span col -> text col
     val textCols = spanCols.values.toSet
+    // Session Hadoop conf must travel with the task: spark.hadoop.*
+    // settings (credentials, defaultFS) are invisible to a bare
+    // `new Configuration()` on an executor.
+    val sconf = new org.apache.spark.SerializableWritable(
+      spark.sessionState.newHadoopConf())
     df.rdd.foreachPartition { it =>
       // partition id from the task context — stable file naming
       val pid = org.apache.spark.TaskContext.get().partitionId()
-      if (it.hasNext) writePartition(it, schema, textOf, textCols, root, pid)
+      if (it.hasNext)
+        writePartition(it, schema, textOf, textCols, root, pid, sconf.value)
     }
   }
 
   private def writePartition(rows: Iterator[Row], schema: StructType,
       textOf: Map[String, String], textCols: Set[String],
-      rootPath: org.apache.hadoop.fs.Path, pid: Int): Unit = {
+      rootPath: org.apache.hadoop.fs.Path, pid: Int,
+      conf: org.apache.hadoop.conf.Configuration): Unit = {
     val alloc = new RootAllocator()
     try {
-      val conf = new org.apache.hadoop.conf.Configuration()
       val fs = rootPath.getFileSystem(conf)
       fs.mkdirs(rootPath)
       val out = fs.create(new org.apache.hadoop.fs.Path(rootPath, f"part-$pid%05d.feather"), true)
@@ -259,25 +265,29 @@ object ArrowInterop {
    * columns as `array<float|double>`. One task per file.
    */
   def readFeather(spark: SparkSession, path: String): DataFrame = {
+    val hConf = spark.sessionState.newHadoopConf()
     val hPath = new org.apache.hadoop.fs.Path(path)
-    val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val fs = hPath.getFileSystem(hConf)
     val files = fs.globStatus(hPath).map(_.getPath.toString).sorted
     require(files.nonEmpty, s"no feather files match $path")
 
-    // driver reads ONE schema; rows stream task-side
-    val (sparkSchema, _) = sparkSchemaOf(files.head)
+    // driver reads ONE schema; rows stream task-side (with the session's
+    // Hadoop conf shipped along — see writeFeather)
+    val (sparkSchema, _) = sparkSchemaOf(files.head, hConf)
+    val sconf = new org.apache.spark.SerializableWritable(hConf)
     val rdd = spark.sparkContext.parallelize(files.toSeq, files.length)
-      .flatMap { f => decodeFile(f) }
+      .flatMap { f => decodeFile(f, sconf.value) }
     spark.createDataFrame(rdd, sparkSchema)
   }
 
   /** Random-access channel over a Hadoop file — lets the Arrow reader
     * pull record batches straight from storage, so a task never holds a
     * file's raw bytes (and files past 2 GB just work). */
-  private class HadoopSeekableChannel(path: String)
+  private class HadoopSeekableChannel(path: String,
+      conf: org.apache.hadoop.conf.Configuration)
       extends java.nio.channels.SeekableByteChannel {
     private val p = new org.apache.hadoop.fs.Path(path)
-    private val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    private val fs = p.getFileSystem(conf)
     private val len = fs.getFileStatus(p).getLen
     private val in = fs.open(p)
     private var pos = 0L
@@ -305,10 +315,11 @@ object ArrowInterop {
   }
 
   /** (spark schema, arrow schema) for one file. */
-  private def sparkSchemaOf(path: String): (StructType, Schema) = {
+  private def sparkSchemaOf(path: String,
+      conf: org.apache.hadoop.conf.Configuration): (StructType, Schema) = {
     val alloc = new RootAllocator()
     try {
-      val rd = new ArrowFileReader(new HadoopSeekableChannel(path), alloc)
+      val rd = new ArrowFileReader(new HadoopSeekableChannel(path, conf), alloc)
       try {
         val as = rd.getVectorSchemaRoot.getSchema
         val fields = as.getFields.asScala.flatMap { f =>
@@ -343,9 +354,10 @@ object ArrowInterop {
     * batch's decoded rows are live at any moment (Arrow recycles the
     * vectors on loadNextBatch, so each batch is decoded before advancing,
     * but the file itself is never fully materialized). */
-  private def decodeFile(path: String): Iterator[Row] = {
+  private def decodeFile(path: String,
+      conf: org.apache.hadoop.conf.Configuration): Iterator[Row] = {
     val alloc = new RootAllocator()
-    val rd = new ArrowFileReader(new HadoopSeekableChannel(path), alloc)
+    val rd = new ArrowFileReader(new HadoopSeekableChannel(path, conf), alloc)
     val vsr = rd.getVectorSchemaRoot
     // a killed/short-circuited task must not leak the reader
     Option(org.apache.spark.TaskContext.get()).foreach(

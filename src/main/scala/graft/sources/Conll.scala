@@ -452,6 +452,11 @@ object Conll {
     val spark = lines.sparkSession
     val root = new org.apache.hadoop.fs.Path(path)
     root.getFileSystem(spark.sessionState.newHadoopConf()).delete(root, true)
+    // Ship the SESSION's Hadoop conf into the write tasks: executors on a
+    // cluster configured purely via spark.hadoop.* (credentials,
+    // defaultFS) would otherwise write against a default Configuration.
+    val sconf = new org.apache.spark.SerializableWritable(
+      spark.sessionState.newHadoopConf())
     lines
       .select(col("fold"),
         (col("doc_num").cast("long") / maxDocsPerFile).cast("int").as("bucket"),
@@ -459,7 +464,7 @@ object Conll {
       .repartition(col("fold"), col("bucket"))
       .sortWithinPartitions("fold", "bucket", "doc_num", "pos", "sub", "line")
       .foreachPartition { (it: Iterator[Row]) =>
-        val conf = new org.apache.hadoop.conf.Configuration()
+        val conf = sconf.value
         var fs: org.apache.hadoop.fs.FileSystem = null
         var cur: (String, Int) = null
         var out: java.io.Writer = null
@@ -468,7 +473,13 @@ object Conll {
         var nDocs = 0L
         var lastDoc = Long.MinValue
         def closeFile(): Unit = if (out != null) {
-          out.close(); fs.delete(dest, false); fs.rename(tmpF, dest); out = null
+          out.close(); fs.delete(dest, false)
+          // A false return (HDFS rename-to-existing semantics, a racing
+          // speculative attempt) would lose the part file SILENTLY while
+          // its sidecar still gets written — fail the task instead.
+          if (!fs.rename(tmpF, dest))
+            throw new java.io.IOException(s"rename $tmpF -> $dest failed")
+          out = null
           val side = new org.apache.hadoop.fs.Path(dest.getParent,
             "." + dest.getName + ".docs")
           val so = fs.create(side, true)
@@ -572,6 +583,16 @@ object Conll {
     if (parts != null && !parts.forall(p =>
         covered((p.getPath.getParent.getName, p.getPath.getName))))
       return refold(tokens)
+    // The reverse gap — a sidecar whose part file is GONE — means data
+    // loss (writeLines writes part before sidecar, so this is a deleted
+    // or rename-lost file, not a crashed writer). Falling back would
+    // still silently miss those docs; refuse instead.
+    val partSet = Option(parts).getOrElse(Array.empty)
+      .map(p => (p.getPath.getParent.getName, p.getPath.getName)).toSet
+    val orphans = covered -- partSet
+    require(orphans.isEmpty,
+      s"sidecars with no part file under $root (lost writes?): " +
+        orphans.take(5).map { case (d, f) => s"$d/$f" }.mkString(", "))
     val counts = side.toSeq.map { st =>
       val p = st.getPath
       val foldEnc = p.getParent.getName.stripPrefix("fold=")
