@@ -340,21 +340,24 @@ object SparkEntry {
         struct(bt.cast("int").as("begin_tok"),
           least(bt + 10, col("n")).cast("int").as("end_tok")).as("sentence"),
         lit("O").as("ent_iob"), lit(null).cast("string").as("ent_type"))
-      sources.Conll.write2003(rel, outC.toString, Seq("ent"), Seq(true),
-        maxDocsPerFile = 64)
-      val docTags = rel.select(col("fold"), col("doc_num")).distinct()
-        .select(col("fold"), col("doc_num"), lit(-2).as("pos"),
-          lit(0).as("sub"), lit("O").as("line"))
-      val tokTags = rel.select(col("fold"), col("doc_num"),
-        col("token_id").as("pos"), lit(0).as("sub"),
-        when(col("text") === "key", "I-KEY").otherwise("O").as("line"))
-      sources.Conll.writeLines(docTags.unionByName(tokTags), outT.toString,
-        maxDocsPerFile = 64)
+      // Corpus file + tags file from ONE assembly pass / ONE write job
+      // (write2003WithTags): the previous two-job form re-derived the
+      // token relation per write and paid a distinct() shuffle for the
+      // per-doc header rows.
+      sources.Conll.write2003WithTags(rel, outC.toString, outT.toString,
+        when(col("text") === "key", "I-KEY").otherwise("O"),
+        Seq("ent"), Seq(true), docstart = true, maxDocsPerFile = 64)
       val corpusToks = sources.Conll.refold(sources.Conll.conll2003(s,
         sources.Conll.writtenFilesGlob(outC.toString), Seq("ent"), Seq(true)),
         outC.toString)
+      // The exporter knows the per-doc token counts it just wrote (+1 for
+      // each -DOCSTART- header the reader re-materializes): passing them
+      // keeps the alignment from re-running the corpus parse to count.
+      val knownCounts = rel.groupBy("fold", "doc_num")
+        .agg((count(lit(1)) + 1).as("__n"))
       sources.Conll.conll2003Output(s, corpusToks,
-          sources.Conll.writtenFilesGlob(outT.toString), "ent")
+          sources.Conll.writtenFilesGlob(outT.toString), "ent",
+          docTokenCounts = Some(knownCounts))
         .select(col("doc_num"), col("token_id"), col("ent_iob"),
           coalesce(col("ent_type"), lit("")).as("ent_type"))
     }),

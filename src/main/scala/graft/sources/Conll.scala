@@ -202,10 +202,8 @@ object Conll {
    * global token order of the corpus relation.
    */
   def conll2003Output(spark: SparkSession, corpusTokens: DataFrame, path: String,
-      name: String = "ent"): DataFrame = {
-    val lines = spark.sparkContext.wholeTextFiles(path).flatMap { case (_, content) =>
-      content.split("\n", -1).map(_.trim).filter(_.nonEmpty)
-    }.zipWithIndex().map { case (raw, idx) =>
+      name: String = "ent", docTokenCounts: Option[DataFrame] = None): DataFrame = {
+    def parseTag(raw: String, idx: Long): Row = {
       require(!raw.contains(" "), s"Line contains unexpected space: '$raw'")
       val (tag, ent): (String, String) =
         if (raw.startsWith("I-") || raw.startsWith("B-")) {
@@ -213,6 +211,55 @@ object Conll {
         } else if (raw == "O") ("O", null)
         else throw new IllegalArgumentException(s"Unexpected tag $raw")
       Row(idx, tag, ent)
+    }
+    // Global line numbering. Fast path: every tags file written by this
+    // engine carries a v2 sidecar ("nDocs nLines"); per-file offsets are
+    // then assembled on the driver (one tiny read per file — the same
+    // order of IO every scan's planning pays to list the files) and each
+    // task indexes its own file locally: ONE read pass over the tags.
+    // Fallback (foreign corpora, v1 sidecars): zipWithIndex, whose
+    // internal count job reads the files a second time.
+    val hconf = spark.sessionState.newHadoopConf()
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(hconf)
+    val files = Option(fs.globStatus(hPath)).getOrElse(
+      Array.empty[org.apache.hadoop.fs.FileStatus])
+    def sidecarLines(f: org.apache.hadoop.fs.FileStatus): Option[Long] = {
+      val sp = new org.apache.hadoop.fs.Path(f.getPath.getParent,
+        "." + f.getPath.getName + ".docs")
+      if (!fs.exists(sp)) None
+      else {
+        val in = fs.open(sp)
+        val fields =
+          try new String(in.readAllBytes(),
+            java.nio.charset.StandardCharsets.UTF_8).trim.split("\\s+")
+          finally in.close()
+        if (fields.length >= 2) Some(fields(1).toLong) else None
+      }
+    }
+    val fileOffsets: Option[Map[String, Long]] =
+      if (files.isEmpty) None
+      else {
+        val perFile = files.sortBy(_.getPath.toUri.getPath)
+          .map(f => sidecarLines(f).map(n => (f.getPath.toUri.getPath, n)))
+        if (perFile.exists(_.isEmpty)) None
+        else Some {
+          var acc = 0L
+          perFile.flatten.map { case (p, n) => val o = acc; acc += n; (p, o) }.toMap
+        }
+      }
+    val lines = fileOffsets match {
+      case Some(offs) =>
+        val bc = spark.sparkContext.broadcast(offs)
+        spark.sparkContext.wholeTextFiles(path).flatMap { case (file, content) =>
+          val off = bc.value(new org.apache.hadoop.fs.Path(file).toUri.getPath)
+          content.split("\n", -1).iterator.map(_.trim).filter(_.nonEmpty)
+            .zipWithIndex.map { case (raw, i) => parseTag(raw, off + i) }
+        }
+      case None =>
+        spark.sparkContext.wholeTextFiles(path).flatMap { case (_, content) =>
+          content.split("\n", -1).map(_.trim).filter(_.nonEmpty)
+        }.zipWithIndex().map { case (raw, idx) => parseTag(raw, idx) }
     }
     val tagsDf = spark.createDataFrame(lines, StructType(Seq(
       StructField("__pos", LongType), StructField(s"${name}_iob", StringType),
@@ -236,8 +283,15 @@ object Conll {
       .rowsBetween(Window.unboundedPreceding, -1)
     val foldW = Window.orderBy("__ford")
       .rowsBetween(Window.unboundedPreceding, -1)
-    val counts = corpusTokens.groupBy("fold", "doc_num")
-      .agg(count(lit(1)).as("__n"))
+    // Per-doc token counts: the CALLER often has these for free (an
+    // exporter aligning its own predictions knows exactly what it wrote);
+    // accepting them avoids re-executing the corpus reader subtree just
+    // to count — the default derives them from `corpusTokens`, which
+    // evaluates that subtree a second time. Contract: (fold, doc_num,
+    // __n) with __n = this doc's token-row count in the READ relation
+    // (so +1 per -DOCSTART- header token when the corpus has them).
+    val counts = docTokenCounts.getOrElse(
+      corpusTokens.groupBy("fold", "doc_num").agg(count(lit(1)).as("__n")))
     val foldOffsets = counts.groupBy("fold").agg(sum("__n").as("__ft"))
       .withColumn("__ford", foldOrd(col("fold")))
       .withColumn("__fold_off", coalesce(sum("__ft").over(foldW), lit(0L)))
@@ -447,67 +501,99 @@ object Conll {
    * per file) instead of re-parsing the whole corpus to rebuild per-file
    * doc offsets. Readers skip dotfiles, so sidecars never pollute a scan.
    */
-  def writeLines(lines: DataFrame, path: String, maxDocsPerFile: Int = 500): Unit = {
+  def writeLines(lines: DataFrame, path: String, maxDocsPerFile: Int = 500): Unit =
+    writeLinesStreams(lines.withColumn("__stream", lit("")), Map("" -> path),
+      maxDocsPerFile)
+
+  /**
+   * Multi-root variant of [[writeLines]]: `lines` carries an extra
+   * `__stream` column naming which output corpus each line belongs to,
+   * and `roots` maps stream name → destination path. All streams ride
+   * ONE shuffle and ONE write pass — a task owns a `(fold, bucket)`
+   * slice and writes that bucket's part file for every stream (the sort
+   * groups streams contiguously within the slice). This is what lets an
+   * exporter emit a corpus file and a parallel tags/predictions file
+   * from a single scan instead of two full write jobs.
+   */
+  def writeLinesStreams(lines: DataFrame, roots: Map[String, String],
+      maxDocsPerFile: Int = 500): Unit = {
     require(maxDocsPerFile > 0, "maxDocsPerFile must be positive")
+    require(roots.nonEmpty, "at least one output root required")
     val spark = lines.sparkSession
-    val root = new org.apache.hadoop.fs.Path(path)
-    root.getFileSystem(spark.sessionState.newHadoopConf()).delete(root, true)
+    val hconf = spark.sessionState.newHadoopConf()
+    roots.values.foreach { p =>
+      val rp = new org.apache.hadoop.fs.Path(p)
+      rp.getFileSystem(hconf).delete(rp, true)
+    }
     // Ship the SESSION's Hadoop conf into the write tasks: executors on a
     // cluster configured purely via spark.hadoop.* (credentials,
     // defaultFS) would otherwise write against a default Configuration.
-    val sconf = new org.apache.spark.SerializableWritable(
-      spark.sessionState.newHadoopConf())
+    val sconf = new org.apache.spark.SerializableWritable(hconf)
     lines
-      .select(col("fold"),
+      .select(col("__stream"), col("fold"),
         (col("doc_num").cast("long") / maxDocsPerFile).cast("int").as("bucket"),
         col("doc_num").cast("long").as("doc_num"), col("pos"), col("sub"), col("line"))
       .repartition(col("fold"), col("bucket"))
-      .sortWithinPartitions("fold", "bucket", "doc_num", "pos", "sub", "line")
+      .sortWithinPartitions("fold", "bucket", "__stream", "doc_num", "pos", "sub", "line")
       .foreachPartition { (it: Iterator[Row]) =>
         val conf = sconf.value
-        var fs: org.apache.hadoop.fs.FileSystem = null
-        var cur: (String, Int) = null
-        var out: java.io.Writer = null
-        var tmpF: org.apache.hadoop.fs.Path = null
-        var dest: org.apache.hadoop.fs.Path = null
-        var nDocs = 0L
+        var cur: (String, String, Int) = null
+        var pf: PartFile = null
         var lastDoc = Long.MinValue
-        def closeFile(): Unit = if (out != null) {
-          out.close(); fs.delete(dest, false)
-          // A false return (HDFS rename-to-existing semantics, a racing
-          // speculative attempt) would lose the part file SILENTLY while
-          // its sidecar still gets written — fail the task instead.
-          if (!fs.rename(tmpF, dest))
-            throw new java.io.IOException(s"rename $tmpF -> $dest failed")
-          out = null
-          val side = new org.apache.hadoop.fs.Path(dest.getParent,
-            "." + dest.getName + ".docs")
-          val so = fs.create(side, true)
-          so.write(nDocs.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-          so.close()
-        }
         it.foreach { r =>
-          val fold = r.getString(0); val b = r.getInt(1)
-          if (cur == null || cur != ((fold, b))) {
-            closeFile()
-            val dir = new org.apache.hadoop.fs.Path(root, "fold=" + escapePath(fold))
-            if (fs == null) fs = dir.getFileSystem(conf)
-            fs.mkdirs(dir)
-            dest = new org.apache.hadoop.fs.Path(dir, f"part-$b%05d.txt")
-            tmpF = new org.apache.hadoop.fs.Path(dir,
-              f".part-$b%05d.txt.${java.util.UUID.randomUUID()}.tmp")
-            out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
-              fs.create(tmpF, true), java.nio.charset.StandardCharsets.UTF_8), 1 << 16)
-            cur = (fold, b)
-            nDocs = 0L
+          val stream = r.getString(0); val fold = r.getString(1); val b = r.getInt(2)
+          if (cur == null || cur != ((stream, fold, b))) {
+            if (pf != null) pf.close()
+            pf = new PartFile(new org.apache.hadoop.fs.Path(roots(stream)),
+              fold, b, conf)
+            cur = (stream, fold, b)
             lastDoc = Long.MinValue
           }
-          val d = r.getLong(2)
-          if (d != lastDoc) { nDocs += 1; lastDoc = d }
-          out.write(r.getString(5)); out.write('\n')
+          val d = r.getLong(3)
+          if (d != lastDoc) { pf.nDocs += 1; lastDoc = d }
+          pf.write(r.getString(6))
         }
-        closeFile()
+        if (pf != null) pf.close()
       }
+  }
+
+  /**
+   * One atomically-renamed part file plus its hidden sidecar. Sidecar
+   * content is `"<nDocs> <nNonBlankLines>"`: the doc count drives
+   * [[refold]]'s offset reconstruction, the non-blank line count lets
+   * [[conll2003Output]] index tag lines per file without a counting
+   * pre-pass (older single-number sidecars stay readable — every parser
+   * takes the leading fields it knows).
+   */
+  private class PartFile(root: org.apache.hadoop.fs.Path, fold: String, b: Int,
+      conf: org.apache.hadoop.conf.Configuration) {
+    private val utf8 = java.nio.charset.StandardCharsets.UTF_8
+    private val dir = new org.apache.hadoop.fs.Path(root, "fold=" + escapePath(fold))
+    private val fs = dir.getFileSystem(conf)
+    fs.mkdirs(dir)
+    private val dest = new org.apache.hadoop.fs.Path(dir, f"part-$b%05d.txt")
+    private val tmpF = new org.apache.hadoop.fs.Path(dir,
+      f".part-$b%05d.txt.${java.util.UUID.randomUUID()}.tmp")
+    private val out = new java.io.BufferedWriter(
+      new java.io.OutputStreamWriter(fs.create(tmpF, true), utf8), 1 << 16)
+    var nDocs = 0L
+    private var nLines = 0L
+    def write(line: String): Unit = {
+      if (line.nonEmpty) nLines += 1
+      out.write(line); out.write('\n')
+    }
+    def close(): Unit = {
+      out.close(); fs.delete(dest, false)
+      // A false return (HDFS rename-to-existing semantics, a racing
+      // speculative attempt) would lose the part file SILENTLY while
+      // its sidecar still gets written — fail the task instead.
+      if (!fs.rename(tmpF, dest))
+        throw new java.io.IOException(s"rename $tmpF -> $dest failed")
+      val side = new org.apache.hadoop.fs.Path(dir, "." + dest.getName + ".docs")
+      val so = fs.create(side, true)
+      so.write(s"$nDocs $nLines".getBytes(utf8))
+      so.close()
+    }
   }
 
   /** Path-segment escaping for fold directory names — same scheme as
@@ -598,9 +684,11 @@ object Conll {
       val foldEnc = p.getParent.getName.stripPrefix("fold=")
       val fileName = p.getName.stripPrefix(".").stripSuffix(".docs")
       val in = fs.open(p)
+      // v2 sidecars carry "<nDocs> <nLines>"; take the leading doc count
+      // (v1 single-number sidecars parse identically)
       val n =
         try new String(in.readAllBytes(),
-          java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+          java.nio.charset.StandardCharsets.UTF_8).trim.split("\\s+")(0).toLong
         finally in.close()
       (foldEnc, fileName, n)
     }
@@ -643,47 +731,115 @@ object Conll {
   def write2003(tokens: DataFrame, path: String,
       columnNames: Seq[String] = Seq("pos", "phrase", "ent"),
       iobColumns: Seq[Boolean] = Seq(false, true, true),
-      docstart: Boolean = true, maxDocsPerFile: Int = 500): Unit = {
+      docstart: Boolean = true, maxDocsPerFile: Int = 500): Unit =
+    writeTokens2003(tokens, path, None, columnNames, iobColumns, docstart,
+      maxDocsPerFile)
+
+  /**
+   * [[write2003]] plus a parallel tags-only output corpus (the
+   * [[conll2003Output]] format: one tag line per corpus token, "O" on the
+   * -DOCSTART- rows, no blanks) holding `tagLine`'s per-token value —
+   * the model-predictions export scenario. Both corpora come out of ONE
+   * scan/shuffle/write job: the task walking a bucket's tokens keeps the
+   * corpus part file and the tags part file open side by side.
+   */
+  def write2003WithTags(tokens: DataFrame, path: String, tagsPath: String,
+      tagLine: Column,
+      columnNames: Seq[String] = Seq("pos", "phrase", "ent"),
+      iobColumns: Seq[Boolean] = Seq(false, true, true),
+      docstart: Boolean = true, maxDocsPerFile: Int = 500): Unit =
+    writeTokens2003(tokens, path, Some((tagsPath, tagLine)), columnNames,
+      iobColumns, docstart, maxDocsPerFile)
+
+  /**
+   * CoNLL-2003 serialization as a direct ordered walk: tokens shuffle
+   * ONCE on `(fold, bucket)` — one row per TOKEN, not per output line —
+   * and each task streams its buckets in `(doc_num, token_id)` order,
+   * deciding structure lines locally with a one-row lookahead: the
+   * -DOCSTART- header + blank when `doc_num` changes, a blank after a
+   * sentence's last PRESENT token when the next token's sentence id
+   * differs (or the document/slice ends). Nothing assumes token_id 0 /
+   * end_tok-1 exist, so filtered exports (stopword removal etc.) still
+   * round-trip without silently merging documents. This replaces the
+   * earlier window + explode assembly, which paid a second full shuffle
+   * of ~4 assembled line rows per token; bucket-grain parallelism, part
+   * files, and `.docs` sidecars are identical to [[writeLinesStreams]].
+   */
+  private def writeTokens2003(tokens: DataFrame, path: String,
+      tags: Option[(String, Column)], columnNames: Seq[String],
+      iobColumns: Seq[Boolean], docstart: Boolean,
+      maxDocsPerFile: Int): Unit = {
+    require(maxDocsPerFile > 0, "maxDocsPerFile must be positive")
+    val spark = tokens.sparkSession
+    val hconf = spark.sessionState.newHadoopConf()
+    (path +: tags.map(_._1).toSeq).foreach { p =>
+      val rp = new org.apache.hadoop.fs.Path(p)
+      rp.getFileSystem(hconf).delete(rp, true)
+    }
+    val sconf = new org.apache.spark.SerializableWritable(hconf)
     val tagCols: Seq[Column] = columnNames.zipWithIndex.map { case (n, i) =>
       if (i < iobColumns.length && iobColumns(i)) iobTag(n)
       else coalesce(col(n).cast("string"), lit("-X-"))
     }
-    // Every output line is decidable from ONE token row plus its
-    // neighbors in document order: the token line itself; a blank after
-    // each sentence's last PRESENT token (this also terminates the
-    // document — required: the parser only flushes a finished sentence on
-    // a blank line before the next -DOCSTART-); the -DOCSTART- header +
-    // its blank at the document's first PRESENT token. The first/last
-    // flags come from one window over (fold, doc_num) — not from assuming
-    // token_id 0 / end_tok-1 exist, which a filtered export (stopword
-    // removal etc.) would violate, silently merging documents on re-read.
-    // One window pass + one conditional explode = one scan of the
-    // relation, replacing a 3-way union whose sentence/document key sides
-    // each re-derived the corpus through their own distinct() shuffle.
-    def ln(pos: Column, sub: Int, line: Column) =
-      struct(pos.cast("int").as("pos"), lit(sub).as("sub"), line.as("line"))
-    val w = Window.partitionBy("fold", "doc_num").orderBy("token_id")
     val tokenLine = concat_ws(" ", (col("text") +: tagCols): _*)
-    val isLastOfSent = col("__net").isNull ||
-      col("__net") =!= col("sentence")("end_tok")
-    val isDocStart = col("__rn") === 1
     val headerTags = columnNames.indices.map(i =>
       if (i < iobColumns.length && iobColumns(i)) "O" else "-X-")
     val headerLine = ("-DOCSTART-" +: headerTags).mkString(" ")
-    val pieces = Seq(
-      ln(col("token_id"), 0, tokenLine),
-      when(isLastOfSent, ln(col("token_id"), 1, lit("")))) ++
-      (if (docstart) Seq(
-        when(isDocStart, ln(lit(-2), 0, lit(headerLine))),
-        when(isDocStart, ln(lit(-1), 0, lit("")))) else Nil)
-    val all = tokens
-      .withColumn("__rn", row_number().over(w))
-      .withColumn("__net", lead(col("sentence")("end_tok"), 1).over(w))
-      .select(col("fold"), col("doc_num"),
-        explode(filter(array(pieces: _*), p => p.isNotNull)).as("p"))
-      .select(col("fold"), col("doc_num"), col("p")("pos").as("pos"),
-        col("p")("sub").as("sub"), col("p")("line").as("line"))
-    writeLines(all, path, maxDocsPerFile)
+    val tagsRoot = tags.map(_._1).orNull
+    val writeTags = tags.isDefined
+    val rows = tokens.select(
+      col("fold"),
+      (col("doc_num").cast("long") / maxDocsPerFile).cast("int").as("bucket"),
+      col("doc_num").cast("long").as("doc_num"),
+      col("token_id").cast("long").as("token_id"),
+      col("sentence")("end_tok").cast("long").as("sent_id"),
+      tokenLine.as("cline"),
+      tags.map(_._2).getOrElse(lit(null)).cast("string").as("tline"))
+    rows
+      .repartition(col("fold"), col("bucket"))
+      .sortWithinPartitions("fold", "bucket", "doc_num", "token_id")
+      .foreachPartition { (rawIt: Iterator[Row]) =>
+        val conf = sconf.value
+        val it = rawIt.buffered
+        val rootC = new org.apache.hadoop.fs.Path(path)
+        val rootT = if (writeTags) new org.apache.hadoop.fs.Path(tagsRoot) else null
+
+        while (it.hasNext) {
+          // One (fold, bucket) slice = one corpus part file (+ tags twin).
+          val fold = it.head.getString(0); val b = it.head.getInt(1)
+          val cf = new PartFile(rootC, fold, b, conf)
+          val tf = if (writeTags) new PartFile(rootT, fold, b, conf) else null
+          var lastDoc = Long.MinValue
+          var sameSlice = true
+          while (sameSlice && it.hasNext) {
+            val r = it.next()
+            val doc = r.getLong(2); val sent = r.getLong(4)
+            if (doc != lastDoc) {
+              cf.nDocs += 1
+              if (docstart) {
+                cf.write(headerLine); cf.write("")
+                if (writeTags) { tf.nDocs += 1; tf.write("O") }
+              } else if (writeTags) tf.nDocs += 1
+              lastDoc = doc
+            }
+            cf.write(r.getString(5))
+            if (writeTags) tf.write(if (r.isNullAt(6)) "O" else r.getString(6))
+            // Sentence terminator: next token absent / different slice /
+            // different doc / different sentence id.
+            val next = if (it.hasNext) Some(it.head) else None
+            val endOfSent = next match {
+              case Some(n) =>
+                n.getString(0) != fold || n.getInt(1) != b ||
+                  n.getLong(2) != doc || n.getLong(4) != sent
+              case None => true
+            }
+            if (endOfSent) cf.write("")
+            sameSlice = next.exists(n => n.getString(0) == fold && n.getInt(1) == b)
+          }
+          cf.close()
+          if (writeTags) tf.close()
+        }
+      }
   }
 
   /**
@@ -722,47 +878,95 @@ object Conll {
       else lit("_")
     }
     val idx = (col("token_id") - col("sentence")("begin_tok") + 1).cast("string")
-    // Single-pass assembly (same rationale and window as write2003):
-    // every line kind is decidable from one token row plus its neighbors
-    // in document order — the token line; the blank after each sentence's
-    // last PRESENT token; `# newdoc id` at the document's first PRESENT
-    // token; per-sentence `# tag` comments at each sentence's first
-    // PRESENT token (sentence transitions detected via lag/lead, not by
-    // assuming begin_tok/end_tok-1 tokens exist). Precondition (holds for
-    // every reader-shaped relation): metadata values are constant within
-    // their scope (document / sentence).
-    def ln(pos: Column, sub: Int, line: Column) =
-      struct(pos.cast("int").as("pos"), lit(sub).as("sub"), line.as("line"))
-    val w = Window.partitionBy("fold", "doc_num").orderBy("token_id")
-    val isLastOfSent = col("__net").isNull ||
-      col("__net") =!= col("sentence")("end_tok")
-    val isFirstOfSent = col("__pbt").isNull ||
-      col("__pbt") =!= col("sentence")("begin_tok")
-    val isDocStart = col("__rn") === 1
-    val tokenPieces = Seq(
-      ln(col("token_id"), 0,
-        concat_ws("\t", (idx +: coalesce(col("text"), lit("_")) +: fieldCols): _*)),
-      when(isLastOfSent, ln(col("token_id"), 1, lit(""))))
-    val metaPieces = metadataFields.toSeq.flatMap { case (tag, colName) =>
-      if (!present(colName)) Nil
-      else if (tag == "newdoc id") Seq(
-        when(isDocStart && col(colName).isNotNull,
-          ln(lit(-1), 0, concat(lit(s"# $tag = "), col(colName)))))
-      else Seq(
-        when(isFirstOfSent && col(colName).isNotNull,
-          ln(col("sentence")("begin_tok"), -1,
-            concat(lit(s"# $tag = "), col(colName)))))
+    // Direct ordered walk, same shape as [[writeTokens2003]]: ONE shuffle
+    // of one row per token, each task streaming its `(fold, bucket)`
+    // slices in `(doc_num, token_id)` order and deciding structure lines
+    // locally — `# newdoc id` when the document changes, per-sentence
+    // `# tag` comments when the sentence id changes (sorted, determinism),
+    // the blank after a sentence's last PRESENT token via a one-row
+    // lookahead. Nothing assumes token_id 0 / end_tok-1 exist, so
+    // filtered exports still round-trip. Precondition (holds for every
+    // reader-shaped relation): metadata values are constant within their
+    // scope (document / sentence).
+    val tokenLine =
+      concat_ws("\t", (idx +: coalesce(col("text"), lit("_")) +: fieldCols): _*)
+    val newdocLine: Column = metadataFields.find(_._1 == "newdoc id")
+      .map(_._2).filter(present) match {
+        case Some(c) => when(col(c).isNotNull, concat(lit("# newdoc id = "), col(c)))
+        case None => lit(null).cast("string")
+      }
+    val sentMetaLines: Column = {
+      val pieces = metadataFields.toSeq
+        .filter { case (tag, c) => tag != "newdoc id" && present(c) }
+        .map { case (tag, c) =>
+          when(col(c).isNotNull, concat(lit(s"# $tag = "), col(c))) }
+      if (pieces.isEmpty) lit(null).cast("array<string>")
+      else array_sort(filter(array(pieces: _*), p => p.isNotNull))
     }
-    val all = tokens
-      .withColumn("__rn", row_number().over(w))
-      .withColumn("__net", lead(col("sentence")("end_tok"), 1).over(w))
-      .withColumn("__pbt", lag(col("sentence")("begin_tok"), 1).over(w))
-      .select(col("fold"), col("doc_num"),
-        explode(filter(array(tokenPieces ++ metaPieces: _*),
-          p => p.isNotNull)).as("p"))
-      .select(col("fold"), col("doc_num"), col("p")("pos").as("pos"),
-        col("p")("sub").as("sub"), col("p")("line").as("line"))
-    writeLines(all, path, maxDocsPerFile)
+    writeTokenWalk(tokens, path, maxDocsPerFile, tokenLine, newdocLine,
+      sentMetaLines)
+  }
+
+  /** Shared CoNLL-U walk sink: shuffles `(fold, bucket)`-keyed token rows
+    * once and streams each slice, emitting `newdocLine` at document
+    * starts, `sentMetaLines` at sentence starts, `tokenLine` per token,
+    * and a blank after each sentence's last token (one-row lookahead). */
+  private def writeTokenWalk(tokens: DataFrame, path: String,
+      maxDocsPerFile: Int, tokenLine: Column, newdocLine: Column,
+      sentMetaLines: Column): Unit = {
+    require(maxDocsPerFile > 0, "maxDocsPerFile must be positive")
+    val spark = tokens.sparkSession
+    val hconf = spark.sessionState.newHadoopConf()
+    val rootP = new org.apache.hadoop.fs.Path(path)
+    rootP.getFileSystem(hconf).delete(rootP, true)
+    val sconf = new org.apache.spark.SerializableWritable(hconf)
+    tokens.select(
+        col("fold"),
+        (col("doc_num").cast("long") / maxDocsPerFile).cast("int").as("bucket"),
+        col("doc_num").cast("long").as("doc_num"),
+        col("token_id").cast("long").as("token_id"),
+        col("sentence")("begin_tok").cast("long").as("sent_id"),
+        tokenLine.as("line"), newdocLine.as("newdoc"), sentMetaLines.as("smeta"))
+      .repartition(col("fold"), col("bucket"))
+      .sortWithinPartitions("fold", "bucket", "doc_num", "token_id")
+      .foreachPartition { (rawIt: Iterator[Row]) =>
+        val conf = sconf.value
+        val it = rawIt.buffered
+        val root = new org.apache.hadoop.fs.Path(path)
+        while (it.hasNext) {
+          val fold = it.head.getString(0); val b = it.head.getInt(1)
+          val pf = new PartFile(root, fold, b, conf)
+          var lastDoc = Long.MinValue
+          var lastSent = Long.MinValue
+          var sameSlice = true
+          while (sameSlice && it.hasNext) {
+            val r = it.next()
+            val doc = r.getLong(2); val sent = r.getLong(4)
+            if (doc != lastDoc) {
+              pf.nDocs += 1
+              if (!r.isNullAt(6)) pf.write(r.getString(6))
+              lastDoc = doc
+              lastSent = Long.MinValue
+            }
+            if (sent != lastSent) {
+              if (!r.isNullAt(7))
+                r.getSeq[String](7).foreach(pf.write)
+              lastSent = sent
+            }
+            pf.write(r.getString(5))
+            val next = if (it.hasNext) Some(it.head) else None
+            val endOfSent = next match {
+              case Some(n) =>
+                n.getString(0) != fold || n.getInt(1) != b ||
+                  n.getLong(2) != doc || n.getLong(4) != sent
+              case None => true
+            }
+            if (endOfSent) pf.write("")
+            sameSlice = next.exists(n => n.getString(0) == fold && n.getInt(1) == b)
+          }
+          pf.close()
+        }
+      }
   }
 
   /**
