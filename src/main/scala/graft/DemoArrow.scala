@@ -25,6 +25,26 @@ object DemoArrow {
     back.printSchema()
     println(s"[demo-arrow] rows=${back.count()}")
     back.orderBy("doc_id", "span.begin").show(5, truncate = false)
+
+    // Token-span interchange (single-tokenization form): token-grained
+    // matches over ONE document, exported with the TextExtensionsTokenSpan
+    // tag + shared-tokenization dictionary.
+    val d0 = docs.orderBy("doc_id").limit(1)
+    val toks0 = operators.Tokenize.tokens(d0)
+    val tokenSpans = operators.Extract
+      .extractRegexTok(d0, toks0, "[a-z]+ [a-z]+", 2, 2)
+      .join(toks0.groupBy("doc_id").agg(
+        sort_array(collect_list(col("span"))).as("toks")), "doc_id")
+      .join(d0.select(col("doc_id"), col("text").as("target_text")), "doc_id")
+      .select(col("doc_id"), col("span"), col("toks"), col("target_text"),
+        col("match"))
+    ArrowInterop.writeFeather(tokenSpans.coalesce(1), s"$out-ts",
+      tokenSpanCols = Map("span" -> (("toks", "target_text"))))
+    val backTs = ArrowInterop.readFeather(spark, s"$out-ts/part-*.feather")
+    println(s"[demo-arrow] token-span file at $out-ts")
+    backTs.printSchema()
+    println(s"[demo-arrow] token-span rows=${backTs.count()}")
+    backTs.orderBy("span.begin_tok").show(5, truncate = false)
     spark.stop()
   }
 }

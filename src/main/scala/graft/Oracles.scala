@@ -868,6 +868,20 @@ object Oracles {
          |FROM toks t1 JOIN toks t2 ON t1.doc_id = t2.doc_id AND t2.token_id = t1.token_id + 1
          |WHERE t1.text = 'key'""".stripMargin,
 
+    // q90 = doc 0's token bigrams through the TokenSpan Feather round trip:
+    // every consecutive token pair (corpus words are lowercase alnum, so
+    // the [a-z0-9]+ [a-z0-9]+ window always matches); covered == match by
+    // construction when the interchange preserved everything.
+    "q90_tokenspan_arrow" ->
+      s"""WITH $ToksCte
+         |SELECT t1.doc_id, t1.token_id AS begin_tok, t1.token_id + 2 AS end_tok,
+         |  t1."begin", t2."end", t1.text || ' ' || t2.text AS covered,
+         |  t1.text || ' ' || t2.text AS match
+         |FROM toks t1 JOIN toks t2 ON t1.doc_id = t2.doc_id AND t2.token_id = t1.token_id + 1
+         |WHERE t1.doc_id = 0
+         |  AND regexp_full_match(t1.text, '[a-z0-9]+')
+         |  AND regexp_full_match(t2.text, '[a-z0-9]+')""".stripMargin,
+
     // Flagship pipeline mirror: longest dictionary match per begin token
     // (see the q70 comment in SparkEntry for why this equals the greedy
     // left-to-right consolidate on this dictionary).

@@ -657,6 +657,36 @@ object SparkEntry {
           col("span")("end_tok").as("end_tok"), col("span")("begin").as("begin"),
           col("span")("end").as("end"), col("match"))),
 
+    // Token-span Arrow interchange (TextExtensionsTokenSpan tag +
+    // shared-tokenization dictionary, arrow_conversion.py:86-118): doc 0's
+    // token-bigram spans exported to Feather and re-read. The reference
+    // only supports the SINGLE-tokenization form (multi-doc serialization
+    // raises NotImplementedError, :219-221), hence one document. `covered`
+    // re-substrings the round-tripped text with the round-tripped DERIVED
+    // char offsets — equal to `match` only if token ids, the tokens
+    // dictionary, and the nested text dictionary all survived.
+    "q90_tokenspan_arrow" -> ((s, dir) => {
+      val out = scratchDir("graft_arrow_ts")
+      val d = docs(s, dir).filter(col("doc_id") === 0)
+      val t0 = Tokenize.tokens(d)
+      val withToks = Extract
+        .extractRegexTok(d, t0, "[a-z0-9]+ [a-z0-9]+", 2, 2)
+        .join(t0.groupBy("doc_id").agg(
+          sort_array(collect_list(col("span"))).as("toks")), "doc_id")
+        .join(d.select(col("doc_id"), col("text").as("target_text")), "doc_id")
+        .select(col("doc_id"), col("span"), col("toks"), col("target_text"),
+          col("match"))
+      sources.ArrowInterop.writeFeather(withToks.coalesce(1), out.toString,
+        tokenSpanCols = Map("span" -> (("toks", "target_text"))))
+      sources.ArrowInterop.readFeather(s, s"$out/part-*.feather")
+        .select(col("doc_id"), col("span")("begin_tok").as("begin_tok"),
+          col("span")("end_tok").as("end_tok"), col("span")("begin").as("begin"),
+          col("span")("end").as("end"),
+          expr("substring(span_target_text, span.begin + 1, span.end - span.begin)")
+            .as("covered"),
+          col("match"))
+    }),
+
     // The flagship spanner pipeline (same shape as `entry`): dictionary
     // extraction → left-to-right consolidate → covered text. With this
     // dictionary no inner token of a multi-token entry can begin another

@@ -41,6 +41,7 @@ object ArrowInterop {
   private val ExtMeta = "ARROW:extension:metadata"
   val SpanExt = "TextExtensionsSpan"
   val TensorExt = "TextExtensionsTensor"
+  val TokenSpanExt = "TextExtensionsTokenSpan"
   private val BatchRows = 8192
 
   // ---------------------------------------------------------------- write
@@ -55,13 +56,15 @@ object ArrowInterop {
    * double, string, boolean.
    */
   def writeFeather(df: DataFrame, path: String,
-      spanCols: Map[String, String] = Map.empty): Unit = {
+      spanCols: Map[String, String] = Map.empty,
+      tokenSpanCols: Map[String, (String, String)] = Map.empty): Unit = {
     val spark = df.sparkSession
     val root = new org.apache.hadoop.fs.Path(path)
     root.getFileSystem(spark.sessionState.newHadoopConf()).delete(root, true)
     val schema = df.schema
     val textOf = spanCols // span col -> text col
-    val textCols = spanCols.values.toSet
+    val textCols = spanCols.values.toSet ++
+      tokenSpanCols.values.flatMap { case (toks, text) => Seq(toks, text) }
     // Session Hadoop conf must travel with the task: spark.hadoop.*
     // settings (credentials, defaultFS) are invisible to a bare
     // `new Configuration()` on an executor.
@@ -71,12 +74,14 @@ object ArrowInterop {
       // partition id from the task context — stable file naming
       val pid = org.apache.spark.TaskContext.get().partitionId()
       if (it.hasNext)
-        writePartition(it, schema, textOf, textCols, root, pid, sconf.value)
+        writePartition(it, schema, textOf, tokenSpanCols, textCols, root, pid,
+          sconf.value)
     }
   }
 
   private def writePartition(rows: Iterator[Row], schema: StructType,
-      textOf: Map[String, String], textCols: Set[String],
+      textOf: Map[String, String], tsOf: Map[String, (String, String)],
+      textCols: Set[String],
       rootPath: org.apache.hadoop.fs.Path, pid: Int,
       conf: org.apache.hadoop.conf.Configuration): Unit = {
     val alloc = new RootAllocator()
@@ -104,10 +109,92 @@ object ArrowInterop {
 
       // Field tree + dictionaries
       val provider = new DictionaryProvider.MapDictionaryProvider()
-      val dictVecs = mutable.ArrayBuffer.empty[VarCharVector]
+      val dictVecs = mutable.ArrayBuffer.empty[FieldVector]
       var dictId = 0L
       val outFields = schema.fields.filterNot(f => textCols(f.name)).map { f =>
         f.dataType match {
+          case _: StructType if tsOf.contains(f.name) =>
+            // TextExtensionsTokenSpan (arrow_conversion.py:86-118,
+            // 199-245): storage struct<token_begins, token_ends, tokens>
+            // where `tokens` dictionary-encodes the shared tokenization —
+            // a list<span storage struct> with its own target_text
+            // dictionary inside. The reference only implements the
+            // SINGLE-tokenization form (multi-doc raises
+            // NotImplementedError, :219-221), so one dictionary entry and
+            // all indices 0; the writer enforces that every row of the
+            // file carries the same tokenization.
+            val (toksCol, textCol) = tsOf(f.name)
+            val toksIdx = schema.fieldIndex(toksCol)
+            val textIdx = schema.fieldIndex(textCol)
+            val firstDefined = buf.find(r => !r.isNullAt(toksIdx))
+            require(firstDefined.isDefined,
+              s"token span column ${f.name}: no row carries the tokenization")
+            val toks = firstDefined.get.getSeq[Row](toksIdx)
+            val text = firstDefined.get.getString(textIdx)
+            buf.foreach { r =>
+              require(r.isNullAt(toksIdx) ||
+                  (r.getSeq[Row](toksIdx) == toks && r.getString(textIdx) == text),
+                s"token span column ${f.name}: multiple tokenizations in one " +
+                  "file — only the reference's single-tokenization form is " +
+                  "serializable (arrow_conversion.py:219-221)")
+            }
+            // inner dictionary: the tokenization's single target text
+            val innerEnc = new DictionaryEncoding(dictId, false,
+              new ArrowType.Int(32, true))
+            dictId += 1
+            val textVec = new VarCharVector("target_text_values", alloc)
+            textVec.allocateNew(1)
+            textVec.setSafe(0, text.getBytes("UTF-8"))
+            textVec.setValueCount(1)
+            dictVecs += textVec
+            provider.put(new Dictionary(textVec, innerEnc))
+            // outer dictionary: ONE list entry = the tokens as span storage
+            val outerEnc = new DictionaryEncoding(dictId, false,
+              new ArrowType.Int(32, true))
+            dictId += 1
+            val tokensValuesField = new Field("tokens_values",
+              FieldType.nullable(ArrowType.List.INSTANCE),
+              Seq(new Field("item", FieldType.nullable(ArrowType.Struct.INSTANCE),
+                Seq(
+                  new Field("span_begins",
+                    FieldType.nullable(new ArrowType.Int(32, true)), null),
+                  new Field("span_ends",
+                    FieldType.nullable(new ArrowType.Int(32, true)), null),
+                  new Field("target_text",
+                    new FieldType(true, new ArrowType.Int(32, true), innerEnc,
+                      null), null)
+                ).asJava)).asJava)
+            val tokensVec = tokensValuesField.createVector(alloc)
+              .asInstanceOf[ListVector]
+            tokensVec.allocateNew()
+            val tsv = tokensVec.getDataVector.asInstanceOf[StructVector]
+            val tbv = tsv.getChild("span_begins").asInstanceOf[IntVector]
+            val tev = tsv.getChild("span_ends").asInstanceOf[IntVector]
+            val ttv = tsv.getChild("target_text").asInstanceOf[IntVector]
+            tokensVec.startNewValue(0)
+            toks.zipWithIndex.foreach { case (t, i) =>
+              tsv.setIndexDefined(i)
+              tbv.setSafe(i, t.getInt(t.fieldIndex("begin")))
+              tev.setSafe(i, t.getInt(t.fieldIndex("end")))
+              ttv.setSafe(i, 0)
+            }
+            tsv.setValueCount(toks.length)
+            tokensVec.endValue(0, toks.length)
+            tokensVec.setValueCount(1)
+            dictVecs += tokensVec
+            provider.put(new Dictionary(tokensVec, outerEnc))
+            new Field(f.name,
+              new FieldType(true, ArrowType.Struct.INSTANCE, null,
+                Map(ExtName -> TokenSpanExt, ExtMeta -> "").asJava),
+              Seq(
+                new Field("token_begins",
+                  FieldType.nullable(new ArrowType.Int(32, true)), null),
+                new Field("token_ends",
+                  FieldType.nullable(new ArrowType.Int(32, true)), null),
+                new Field("tokens",
+                  new FieldType(true, new ArrowType.Int(32, true), outerEnc,
+                    null), null)
+              ).asJava)
           case st: StructType if textOf.contains(f.name) =>
             val enc = new DictionaryEncoding(dictId, false, new ArrowType.Int(32, true))
             val dictVec = new VarCharVector("target_text_values", alloc)
@@ -186,6 +273,25 @@ object ArrowInterop {
     val name = fld.getName
     val ci = schema.fieldIndex(name)
     vec match {
+      case sv: StructVector if fld.getMetadata.get(ExtName) == TokenSpanExt =>
+        val begins = sv.getChild("token_begins").asInstanceOf[IntVector]
+        val ends = sv.getChild("token_ends").asInstanceOf[IntVector]
+        val toks = sv.getChild("tokens").asInstanceOf[IntVector]
+        var i = 0
+        while (i < n) {
+          val r = buf(off + i)
+          if (r.isNullAt(ci)) sv.setNull(i)
+          else {
+            sv.setIndexDefined(i)
+            val s = r.getStruct(ci)
+            val bi = s.fieldIndex("begin_tok"); val ei = s.fieldIndex("end_tok")
+            if (s.isNullAt(bi)) begins.setNull(i) else begins.setSafe(i, s.getInt(bi))
+            if (s.isNullAt(ei)) ends.setNull(i) else ends.setSafe(i, s.getInt(ei))
+            toks.setSafe(i, 0) // single tokenization: every row -> entry 0
+          }
+          i += 1
+        }
+        sv.setValueCount(n)
       case sv: StructVector =>
         val begins = sv.getChild("span_begins").asInstanceOf[IntVector]
         val ends = sv.getChild("span_ends").asInstanceOf[IntVector]
@@ -328,6 +434,9 @@ object ArrowInterop {
             case (Some(SpanExt), _) => Seq(
               StructField(f.getName, graft.types.spanType),
               StructField(s"${f.getName}_target_text", StringType))
+            case (Some(TokenSpanExt), _) => Seq(
+              StructField(f.getName, graft.types.tokenSpanType),
+              StructField(s"${f.getName}_target_text", StringType))
             case (Some(TensorExt), _) | (None, _: ArrowType.List) =>
               val et = f.getChildren.get(0).getType match {
                 case fp: ArrowType.FloatingPoint
@@ -396,6 +505,50 @@ object ArrowInterop {
   private def decoderFor(f: Field, vec: FieldVector,
       dicts: DictionaryProvider): Int => Seq[Any] = {
     Option(f.getMetadata.get(ExtName)) match {
+      case Some(TokenSpanExt) =>
+        // Rebuild the engine's token-span struct (begin_tok/end_tok +
+        // derived char offsets) from the storage struct plus the shared
+        // tokenization in the dictionaries: tokens dictionary entry ->
+        // list of span storage structs -> (begins, ends, target text).
+        val sv = vec.asInstanceOf[StructVector]
+        val begins = sv.getChild("token_begins").asInstanceOf[IntVector]
+        val ends = sv.getChild("token_ends").asInstanceOf[IntVector]
+        val toks = sv.getChild("tokens").asInstanceOf[IntVector]
+        val outerId = f.getChildren.asScala
+          .find(_.getName == "tokens").get.getDictionary.getId
+        val tokensLists = dicts.lookup(outerId).getVector.asInstanceOf[ListVector]
+        val tsv = tokensLists.getDataVector.asInstanceOf[StructVector]
+        val tbv = tsv.getChild("span_begins").asInstanceOf[IntVector]
+        val tev = tsv.getChild("span_ends").asInstanceOf[IntVector]
+        val ttv = tsv.getChild("target_text").asInstanceOf[IntVector]
+        val innerId = tokensLists.getField.getChildren.asScala.head
+          .getChildren.asScala.find(_.getName == "target_text").get
+          .getDictionary.getId
+        val textDict = dicts.lookup(innerId).getVector.asInstanceOf[VarCharVector]
+        // one decode of each tokenization entry (bounded: tokens of one doc)
+        val entries = (0 until tokensLists.getValueCount).map { e =>
+          val s = tokensLists.getElementStartIndex(e)
+          val t = tokensLists.getElementEndIndex(e)
+          val tb = Array.tabulate(t - s)(k => tbv.get(s + k))
+          val te = Array.tabulate(t - s)(k => tev.get(s + k))
+          val text = if (t > s && !ttv.isNull(s))
+            new String(textDict.get(ttv.get(s)), "UTF-8") else null
+          (tb, te, text)
+        }
+        def charSpan(tb: Array[Int], te: Array[Int], b: Int, e: Int): (Int, Int) =
+          if (e > b && b >= 0 && e <= tb.length) (tb(b), te(e - 1))
+          else if (b >= 0 && b < tb.length) (tb(b), tb(b))
+          else if (tb.nonEmpty) (te(te.length - 1), te(te.length - 1))
+          else (0, 0)
+        i => {
+          if (sv.isNull(i)) Seq(null, null)
+          else {
+            val (tb, te, text) = entries(toks.get(i))
+            val b = begins.get(i); val e = ends.get(i)
+            val (cb, ce) = charSpan(tb, te, b, e)
+            Seq(Row(b, e, cb, ce), text)
+          }
+        }
       case Some(SpanExt) =>
         val sv = vec.asInstanceOf[StructVector]
         val begins = sv.getChild("span_begins").asInstanceOf[IntVector]

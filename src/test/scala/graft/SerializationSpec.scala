@@ -101,6 +101,65 @@ class SerializationSpec extends GraftSuite {
     assert(ttDict != null) // dictionary-encoded target text
   }
 
+  test("feather: token-span extension column round-trips with tag + tokens dictionary") {
+    import spark.implicits._
+    import graft.sources.ArrowInterop
+    import scala.collection.JavaConverters._
+    val dir = java.nio.file.Files.createTempDirectory("graft_feather_ts").toString
+    // one document, one tokenization (the reference's single-tokenization
+    // form — multi-doc is NotImplementedError in arrow_conversion.py:219-221)
+    val text = "key agg row"
+    val toks = Seq((0, 3), (4, 7), (8, 11)) // "key" "agg" "row"
+    val df = Seq(
+      (0L, 0, 1, 0, 3),   // token span "key"
+      (1L, 1, 3, 4, 11),  // token span "agg row"
+      (2L, 0, 3, 0, 11))  // whole text
+      .toDF("row_id", "bt", "et", "b", "e")
+      .select(col("row_id"),
+        graft.spans.tokenSpan(col("bt"), col("et"), col("b"), col("e")).as("ts"),
+        typedLit(toks.map { case (b, e) => graft.types.Span(b, e) }).as("toks"),
+        lit(text).as("text"))
+    ArrowInterop.writeFeather(df.coalesce(1), s"$dir/f",
+      tokenSpanCols = Map("ts" -> (("toks", "text"))))
+    // on-disk: the reference's tag + storage children + dictionary-encoded tokens
+    val f = new java.io.File(s"$dir/f").listFiles()
+      .filter(_.getName.endsWith(".feather")).head
+    val alloc = new org.apache.arrow.memory.RootAllocator()
+    val ch = java.nio.channels.FileChannel.open(f.toPath)
+    val rd = new org.apache.arrow.vector.ipc.ArrowFileReader(ch, alloc)
+    val tsField = rd.getVectorSchemaRoot.getSchema.getFields.asScala
+      .find(_.getName == "ts").get
+    val tag = tsField.getMetadata.asScala.get("ARROW:extension:name")
+    val childNames = tsField.getChildren.asScala.map(_.getName).toSeq
+    val toksDict = tsField.getChildren.asScala
+      .find(_.getName == "tokens").get.getDictionary
+    rd.close(); ch.close(); alloc.close()
+    assert(tag.contains("TextExtensionsTokenSpan"))
+    assert(childNames == Seq("token_begins", "token_ends", "tokens"))
+    assert(toksDict != null) // dictionary-encoded shared tokenization
+    // round-trip: token ids back exactly, char offsets re-derived from the
+    // tokens dictionary, target text from the nested text dictionary
+    val back = ArrowInterop.readFeather(spark, s"$dir/f/part-*.feather")
+    assert(back.schema.fieldNames.toSeq == Seq("row_id", "ts", "ts_target_text"))
+    val got = back.orderBy("row_id").collect().map { r =>
+      val s = r.getStruct(1)
+      (r.getLong(0), s.getInt(0), s.getInt(1), s.getInt(2), s.getInt(3),
+        r.getString(2))
+    }.toSeq
+    assert(got == Seq(
+      (0L, 0, 1, 0, 3, text), (1L, 1, 3, 4, 11, text), (2L, 0, 3, 0, 11, text)))
+    // a second tokenization in the same file is the unsupported multi-doc
+    // form: the writer must refuse it loudly
+    val bad = df.unionByName(df.withColumn("toks",
+      typedLit(Seq(graft.types.Span(0, 11)))).limit(1))
+    val err = intercept[org.apache.spark.SparkException] {
+      ArrowInterop.writeFeather(bad.coalesce(1), s"$dir/bad",
+        tokenSpanCols = Map("ts" -> (("toks", "text"))))
+    }
+    assert(err.getMessage.contains("single-tokenization") ||
+      Option(err.getCause).exists(_.getMessage.contains("single-tokenization")))
+  }
+
   test("tokens relation round-trips and re-joins with documents") {
     import spark.implicits._
     val docs = Seq((0L, "key agg row"), (1L, "slow fast")).toDF("doc_id", "text")
