@@ -107,6 +107,20 @@ object ScaleSmoke {
       ("dup_clusters_iterative", d => Dedup.dupClusters(
         Dedup.minhashDupPairs(d, threshold = 0.7, k = 8, bands = 4, shingleK = 3),
         localEdgeThreshold = 0).count(), null),
+      // skewed near-dup load: 5% of the corpus is ONE boilerplate cluster
+      // (a monster band bucket). The hot-bucket valve (star candidates for
+      // buckets over the cap) must keep pair volume — and so this row's
+      // ratio — linear; the unvalved all-pairs form would grow the
+      // monster's candidates 100x for a 10x corpus
+      ("minhash_skew_pairs", d => {
+        val n = d.count()
+        val boiler = d.sparkSession.range(n / 20)
+          .select((col("id") + 900000000L).as("doc_id"),
+            lit("copy paste boiler plate text body repeated verbatim").as("text"))
+        val skewed = d.select(col("doc_id"), col("text")).unionByName(boiler)
+        Dedup.minhashDupPairs(skewed, threshold = 0.7, k = 8, bands = 4,
+          shingleK = 3, maxBandBucket = 128).count()
+      }, null),
       // substring-level dedup: gram-hash groupBy + per-doc sessionization;
       // candidate stream is one row per token position
       ("duplicated_spans", d => Dedup.duplicatedSpans(d, n = 8).count(), null),

@@ -102,11 +102,29 @@ object Dedup {
    * distinct shingle-hash sets → threshold filter. The candidate set, not
    * the corpus, pays the quadratic cost — the standard scale-out shape.
    *
+   * Skew valve (`maxBandBucket`): a pathological band bucket — one key
+   * shared by m ≫ cap documents (boilerplate/empty-text clusters at
+   * 100 TB) — would emit m² candidates and hot-spot the self-join no
+   * matter how the shuffle is split (AQE's skew split distributes the
+   * read, not the quadratic output). Bucket sizes come from one
+   * map-side-combinable aggregate; keys above the cap (found as a TINY
+   * broadcast relation) switch to STAR candidates — every member paired
+   * with the bucket's min id, m-1 rows — while normal buckets keep the
+   * exact all-pairs form. Star candidates still go through the exact
+   * Jaccard verify, so no unverified pair is ever emitted; the
+   * approximation is candidate recall INSIDE monster buckets only (two
+   * non-min members pair only via other shared bands — and members of a
+   * same-signature bucket that large are near-identical boilerplate, the
+   * case the cluster endpoint resolves through the shared min anyway).
+   * The default cap is far above any test corpus's bucket sizes, so
+   * results are exact at verification scale.
+   *
    * Output: id_a < id_b, jaccard (rounded 4dp).
    */
   def minhashDupPairs(docs: DataFrame, threshold: Double = 0.8,
       k: Int = 16, bands: Int = 4, shingleK: Int = 3,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text",
+      maxBandBucket: Int = 4096): DataFrame = {
     // Band join carries ONLY (band, key, id): the shingle sets (≈ doc
     // length) must not ride through the ×bands explode and self-join
     // shuffle. Candidates join back to the narrow (id, shingle_set)
@@ -116,13 +134,44 @@ object Dedup {
       minhashSignature(col(textCol), k, shingleK).as("sig"))
     val banded = withSets.select(col("id"),
       posexplode(lshBandKeys(col("sig"), k, bands)).as(Seq("band", "key")))
-    val a = banded.select(col("band"), col("key"), col("id").as("id_a"))
-    val b = banded.select(col("band").as("band_b"), col("key").as("key_b"),
+    // Hot-bucket PROBE, fully lazy: band a deterministic 5% document
+    // sample (≈5% of one signature pass), count keys, keep those whose
+    // sample count clears max(2, cap·p/2) together with a stable
+    // representative id (the sample min — any member works: candidates
+    // are ordered with least/greatest and verified afterwards). The probe
+    // rides into the main join as a BROADCAST subtree — no driver action,
+    // no plan branching. A bucket of true size ≥ 2·cap is flagged with
+    // overwhelming probability; one under cap/2 essentially never is, and
+    // a borderline miss only means that bucket takes the exact (slower)
+    // all-pairs path, never a wrong answer.
+    val p = 0.05
+    val sampleThresh = math.max(2.0, maxBandBucket * p / 2)
+    val hotReps = docs.sample(withReplacement = false, p, seed = 42L)
+      .select(col(idCol).as("id"),
+        minhashSignature(col(textCol), k, shingleK).as("sig"))
+      .select(col("id"),
+        posexplode(lshBandKeys(col("sig"), k, bands)).as(Seq("band", "key")))
+      .groupBy("band", "key")
+      .agg(count(lit(1)).as("__c"), min(col("id")).as("__rep"))
+      .filter(col("__c") >= sampleThresh)
+      .select(col("band"), col("key"), col("__rep"))
+    // The star form costs NO extra pass: tag both join sides with the
+    // (tiny) hot-rep relation; a hot bucket keeps only its representative
+    // on the build side, so the join emits rep×members (m-1 star
+    // candidates) instead of m²; cold buckets keep the exact id_a < id_b
+    // all-pairs form.
+    val tagged = banded.join(broadcast(hotReps), Seq("band", "key"), "left")
+    val a = tagged.filter(col("__rep").isNull || col("id") === col("__rep"))
+      .select(col("band"), col("key"), col("id").as("id_a"),
+        col("__rep").isNotNull.as("__hot"))
+    val b = tagged.select(col("band").as("band_b"), col("key").as("key_b"),
       col("id").as("id_b"))
     val candidates = a.join(b,
         col("band") === col("band_b") && col("key") === col("key_b") &&
-          col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"))
+          ((col("__hot") && col("id_a") =!= col("id_b")) ||
+            (!col("__hot") && col("id_a") < col("id_b"))))
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"))
       .dropDuplicates("id_a", "id_b")
     val sets = withSets.select(col("id"), col("shingle_set"))
     candidates

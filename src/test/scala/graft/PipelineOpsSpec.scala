@@ -48,6 +48,32 @@ class PipelineOpsSpec extends GraftSuite {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("minhash skew valve: monster band buckets take the star path, results verified") {
+    import spark.implicits._
+    // 300 identical boilerplate docs (one monster bucket per band) + the
+    // normal corpus; cap 8 forces the hot path that a 100 TB boilerplate
+    // cluster would hit. The probe samples 5%, so with 300 copies and
+    // threshold max(2, 8*0.05/2)=2 the bucket is flagged.
+    val boiler = (100L until 400L).map(i => (i, "copy paste boiler plate text body"))
+    val skewed = docs.select(col("doc_id"), col("text"))
+      .unionByName(boiler.toDF("doc_id", "text"))
+    val pairs = Dedup.minhashDupPairs(skewed, threshold = 0.5, maxBandBucket = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // star pairs: every boilerplate copy pairs with the bucket min (100)
+    // at jaccard 1.0 — the cluster endpoint resolves them into one group
+    assert((101L until 400L).forall(i => pairs.contains((100L, i))))
+    // the unskewed corpus's results are unaffected (its buckets are cold)
+    assert(pairs.contains((0L, 3L)))
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
+    // and piping the pairs through cluster resolution yields ONE
+    // boilerplate cluster containing all 300 copies
+    val clusters = Dedup.dupClusters(
+      Dedup.minhashDupPairs(skewed, threshold = 0.5, maxBandBucket = 8))
+    val boilerCluster = clusters.filter(col("doc_id") >= 100L && col("doc_id") < 400L)
+      .select("cluster_id").distinct().collect()
+    assert(boilerCluster.length == 1)
+  }
+
   test("simhash: identical docs distance 0, near dups small distance") {
     val fps = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("fp"))
       .as[(Long, Long)].collect().toMap
