@@ -34,9 +34,14 @@ object Bench {
     // and reports, instead of timing out with no artifact. Malformed env
     // values fall back to the defaults (a bad knob must not kill the
     // artifact this machinery exists to protect).
+    // Default deadline sized so that a full cold pass (~270 s over the
+    // 90-query surface) still leaves room for a complete hot pass 2
+    // (~80 s): 300 s proved too tight in practice — pass 2 died mid-way
+    // through the cheap queries and the artifact degraded to a single
+    // cold pass, which reads as a phantom 2x regression.
     val reps = scala.util.Try(sys.env("SPARK_GRAFT_REPS").toInt).getOrElse(3).max(1)
     val deadlineSec =
-      scala.util.Try(sys.env("SPARK_GRAFT_DEADLINE_SEC").toDouble).getOrElse(300.0)
+      scala.util.Try(sys.env("SPARK_GRAFT_DEADLINE_SEC").toDouble).getOrElse(450.0)
     val queries = SparkEntry.queries
     // Local-iteration filter (unset when the driver runs), same contract
     // as Verify's: only bench queries whose name matches the regex.
@@ -50,8 +55,13 @@ object Bench {
     var pass = 1
     var ran = 0
     var deadlineHit = false
+    // Pass order: pass 1 runs sorted (stable, cache-friendly vs the warmup).
+    // Passes >= 2 run by DESCENDING pass-1 time, so when a later pass is cut
+    // short by the deadline the heaviest plans — exactly the ones whose cold
+    // pass-1 numbers are least trustworthy — get their second sample first.
+    var order = names
     while (pass <= reps && !deadlineHit && (pass == 1 || elapsed < deadlineSec)) {
-      for (name <- names if !deadlineHit) {
+      for (name <- order if !deadlineHit) {
         // Pass 1 always runs every query (so each gets at least one
         // measurement); later passes stop mid-pass at the deadline — the
         // per-query min stays valid, a pass is not a unit of measurement.
@@ -73,6 +83,7 @@ object Bench {
         }
       }
       if (!deadlineHit) ran = pass
+      order = names.sortBy(n => -best.getOrElse(n, Double.MaxValue))
       pass += 1
     }
     // Queries that never succeeded are reported in "failed", not as times.

@@ -876,19 +876,22 @@ object SparkEntry {
     // from_json plans; the oracle computes the expected relation directly.
     "q44_watson_syntax" -> ((s, dir) => {
       val t = toks(s, dir)
-      val tokJson = concat(lit("{\"text\":\""), col("text"),
-        lit("\",\"part_of_speech\":\""),
-        when(length(col("text")) > 4, "NOUN").otherwise("DET"),
-        lit("\",\"location\":["), col("span")("begin"), lit(","), col("span")("end"),
-        lit("],\"lemma\":\""), regexp_replace(col("text"), "s+$", ""), lit("\"}"))
-      val perDoc = t.withColumn("__tok", struct(col("token_id"), tokJson.as("j")))
+      // Synthesis via to_json(struct(...)): a single InvokeLike node instead
+      // of a ~20-term concat, whose generated method cold-compiled an order
+      // of magnitude slower for byte-identical output (r8 postmortem).
+      val tok = struct(col("text"),
+        when(length(col("text")) > 4, "NOUN").otherwise("DET").as("part_of_speech"),
+        array(col("span")("begin"), col("span")("end")).as("location"),
+        regexp_replace(col("text"), "s+$", "").as("lemma"))
+      val perDoc = t.withColumn("__tok", struct(col("token_id"), tok.as("t")))
         .groupBy("doc_id")
-        .agg(array_join(transform(sort_array(collect_list(col("__tok"))),
-          x => x("j")), ",").as("toks_json"))
+        .agg(transform(sort_array(collect_list(col("__tok"))), x => x("t")).as("toks"))
       val responses = perDoc
         .join(docs(s, dir).select(col("doc_id"), length(col("text")).as("__len")), "doc_id")
-        .select(col("doc_id"), concat(lit("{\"syntax\":{\"tokens\":["), col("toks_json"),
-          lit("],\"sentences\":[{\"location\":[0,"), col("__len"), lit("]}]}}")).as("response"))
+        .select(col("doc_id"), to_json(struct(
+          struct(col("toks").as("tokens"),
+            array(struct(array(lit(0), col("__len")).as("location"))).as("sentences")
+          ).as("syntax"))).as("response"))
       sources.WatsonNlu.syntax(responses)
         .select(col("doc_id"), col("span")("begin").as("begin"), col("span")("end").as("end"),
           col("part_of_speech"), col("lemma"),
@@ -897,16 +900,16 @@ object SparkEntry {
 
     "q45_watson_mentions" -> ((s, dir) => {
       val keys = toks(s, dir).filter(col("text") === "key")
-      val mentionJson = concat(lit("{\"text\":\"key\",\"location\":["),
-        col("span")("begin"), lit(","), col("span")("end"), lit("],\"confidence\":0.5}"))
+      val mention = struct(lit("key").as("text"),
+        array(col("span")("begin"), col("span")("end")).as("location"),
+        lit(0.5).as("confidence"))
       val responses = keys
-        .withColumn("__m", struct(col("token_id"), mentionJson.as("j")))
+        .withColumn("__m", struct(col("token_id"), mention.as("m")))
         .groupBy("doc_id")
-        .agg(array_join(transform(sort_array(collect_list(col("__m"))), x => x("j")), ",")
-          .as("ms"))
-        .select(col("doc_id"), concat(
-          lit("{\"entities\":[{\"type\":\"Word\",\"text\":\"key\",\"mentions\":["),
-          col("ms"), lit("]}]}")).as("response"))
+        .agg(transform(sort_array(collect_list(col("__m"))), x => x("m")).as("ms"))
+        .select(col("doc_id"), to_json(struct(
+          array(struct(lit("Word").as("type"), lit("key").as("text"),
+            col("ms").as("mentions"))).as("entities"))).as("response"))
       sources.WatsonNlu.entityMentions(responses)
         .select(col("doc_id"), col("type"), col("text"),
           col("span")("begin").as("begin"), col("span")("end").as("end"), col("confidence"))
@@ -922,22 +925,29 @@ object SparkEntry {
       val w0 = element_at(ws, 1); val w1 = element_at(ws, 2); val w2 = element_at(ws, 3)
       val b1 = length(w0) + 1
       val e1 = b1 + length(w1)
-      val json = concat(
-        lit("{\"keywords\":[{\"text\":\""), w0,
-        lit("\",\"sentiment\":{\"score\":0.25,\"label\":\"positive\"},\"relevance\":0.9,"),
-        lit("\"emotion\":{\"sadness\":0.1,\"joy\":0.5,\"fear\":0.1,\"disgust\":0.1,\"anger\":0.2},\"count\":1}],"),
-        lit("\"relations\":[{\"type\":\"nextTo\",\"sentence\":\""), w0, lit(" "), w1,
-        lit("\",\"score\":0.8,\"arguments\":["),
-        lit("{\"text\":\""), w0, lit("\",\"location\":[0,"), length(w0),
-        lit("],\"entities\":[{\"type\":\"W\",\"text\":\""), w0, lit("\"}]},"),
-        lit("{\"text\":\""), w1, lit("\",\"location\":["), b1, lit(","), e1,
-        lit("],\"entities\":[{\"type\":\"W\",\"text\":\""), w1, lit("\"}]}]}],"),
-        lit("\"semantic_roles\":[{\"subject\":{\"text\":\""), w0,
-        lit("\"},\"sentence\":\""), w0, lit(" "), w1,
-        lit("\",\"object\":{\"text\":\""), w2,
-        lit("\"},\"action\":{\"verb\":{\"text\":\""), w1,
-        lit("\",\"tense\":\"present\"},\"text\":\""), w1,
-        lit("\",\"normalized\":\""), regexp_replace(w1, "s+$", ""), lit("\"}}]}"))
+      // One to_json over a nested struct literal: same JSON shape as the
+      // former 40-term concat, but the generated code is a single writer
+      // call — the concat form cold-compiled in ~25 s (r8 bench artifact).
+      def arg(w: Column, loc: Column) = struct(w.as("text"), loc.as("location"),
+        array(struct(lit("W").as("type"), w.as("text"))).as("entities"))
+      val json = to_json(struct(
+        array(struct(w0.as("text"),
+          struct(lit(0.25).as("score"), lit("positive").as("label")).as("sentiment"),
+          lit(0.9).as("relevance"),
+          struct(lit(0.1).as("sadness"), lit(0.5).as("joy"), lit(0.1).as("fear"),
+            lit(0.1).as("disgust"), lit(0.2).as("anger")).as("emotion"),
+          lit(1).as("count"))).as("keywords"),
+        array(struct(lit("nextTo").as("type"),
+          concat_ws(" ", w0, w1).as("sentence"), lit(0.8).as("score"),
+          array(arg(w0, array(lit(0), length(w0))),
+            arg(w1, array(b1, e1))).as("arguments"))).as("relations"),
+        array(struct(struct(w0.as("text")).as("subject"),
+          concat_ws(" ", w0, w1).as("sentence"),
+          struct(w2.as("text")).as("object"),
+          struct(struct(w1.as("text"), lit("present").as("tense")).as("verb"),
+            w1.as("text"),
+            regexp_replace(w1, "s+$", "").as("normalized")).as("action")
+        )).as("semantic_roles")))
       val responses = d.select(col("doc_id"), json.as("response"))
       val kw = sources.WatsonNlu.keywords(responses).select(col("doc_id"),
         col("text").as("kw_text"), col("relevance").as("kw_relevance"),
@@ -985,16 +995,16 @@ object SparkEntry {
     "q64_watson_tables_parse" -> ((s, dir) => {
       val d = docs(s, dir).filter(size(split(col("text"), " ")) >= 4)
       val ws = split(col("text"), " ")
-      def cell(r: Int, c: Int, w: Column) = concat(
-        lit("{\"text\":\""), w,
-        lit(s"""","location":{"begin":${r * 10 + c},"end":${r * 10 + c + 1}},"""),
-        lit(s""""row_index_begin":$r,"row_index_end":${r + 1},"""),
-        lit(s""""column_index_begin":$c,"column_index_end":${c + 1},"""),
-        lit(s""""row_header_texts":["R$r"],"column_header_texts":["C$c"]}"""))
-      val json = concat(lit("{\"tables\":[{\"body_cells\":["),
-        cell(0, 0, element_at(ws, 1)), lit(","), cell(0, 1, element_at(ws, 2)), lit(","),
-        cell(1, 0, element_at(ws, 3)), lit(","), cell(1, 1, element_at(ws, 4)),
-        lit("]}]}"))
+      def cell(r: Int, c: Int, w: Column) = struct(w.as("text"),
+        struct(lit(r * 10 + c).as("begin"), lit(r * 10 + c + 1).as("end")).as("location"),
+        lit(r).as("row_index_begin"), lit(r + 1).as("row_index_end"),
+        lit(c).as("column_index_begin"), lit(c + 1).as("column_index_end"),
+        array(lit(s"R$r")).as("row_header_texts"),
+        array(lit(s"C$c")).as("column_header_texts"))
+      val json = to_json(struct(array(struct(array(
+        cell(0, 0, element_at(ws, 1)), cell(0, 1, element_at(ws, 2)),
+        cell(1, 0, element_at(ws, 3)), cell(1, 1, element_at(ws, 4))
+      ).as("body_cells"))).as("tables")))
       sources.WatsonTables.makeTable(
         sources.WatsonTables.bodyCells(d.select(col("doc_id"), json.as("response"))),
         columnKeys = Seq("C0", "C1"))
