@@ -58,6 +58,28 @@ object Oracles {
   /** Word list (mirror of TextAnalysis.words). */
   val Words = "regexp_extract_all(lower(text), '[a-z0-9]+')"
 
+  /** Stub-BERT token relation (mirror of Bert.stubTokenizer over `toks`):
+    * wordpiece-ish 4-char chunks per word, CLS=101 first / SEP=102 last,
+    * input_id = 1000 + hash(piece) mod 29522. Yields CTE `allt(doc_id,
+    * token_id, input_id, "begin", "end")`; requires [[ToksCte]]. */
+  val StubBertCte: String =
+    s"""pc AS (SELECT doc_id, token_id AS wtid, "begin", "end",
+       |    unnest(generate_series(0, CAST(ceil(("end" - "begin")/4.0) - 1 AS BIGINT))) AS i
+       |  FROM toks),
+       |ps AS (SELECT doc_id, wtid, i, "begin" + i*4 AS pb,
+       |    least("begin" + (i+1)*4, "end") AS pe FROM pc),
+       |pt AS (SELECT p.doc_id, p.wtid, p.i, p.pb, p.pe,
+       |    substr(d.text, CAST(p.pb + 1 AS BIGINT), CAST(p.pe - p.pb AS BIGINT)) AS piece
+       |  FROM ps p JOIN documents d ON p.doc_id = d.doc_id),
+       |pi AS (SELECT doc_id, pb, pe, 1000 + (${H("piece")}) % 29522 AS input_id,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY wtid, i) AS token_id FROM pt),
+       |allt AS (
+       |  SELECT doc_id, token_id, input_id, pb AS "begin", pe AS "end" FROM pi
+       |  UNION ALL SELECT doc_id, 0, 101, 0, 0 FROM documents
+       |  UNION ALL SELECT d.doc_id, n.np + 1, 102, len(d.text), len(d.text)
+       |    FROM documents d JOIN (SELECT doc_id, count(*) AS np FROM pi GROUP BY doc_id) n
+       |    ON d.doc_id = n.doc_id)""".stripMargin
+
   private def sqlList(xs: Seq[String]) = xs.map(w => s"'$w'").mkString("[", ", ", "]")
 
   /** Stopword ratio over word-list column `ws` (mirror of stopRatio). */
@@ -370,30 +392,76 @@ object Oracles {
          |SELECT doc_id, 0, 'O', '' FROM documents
          |WHERE doc_id < ${SparkEntry.ConllRoundtripCap}""".stripMargin,
 
-    // Mirror of q60: stub wordpiece pieces (4-char chunks per word, CLS=101
-    // first / SEP=102 last), input_id = 1000 + hash(piece) mod 29522,
-    // stitched stub-model output code = (input_id*31 + d) mod 997.
+    // Mirror of q60: stitched stub-model output code = (input_id*31 + d)
+    // mod 997 for every stub-BERT token ([[StubBertCte]]).
     "q60_bert_embed" ->
-      s"""WITH $ToksCte,
-         |pc AS (SELECT doc_id, token_id AS wtid, "begin", "end",
-         |    unnest(generate_series(0, CAST(ceil(("end" - "begin")/4.0) - 1 AS BIGINT))) AS i
-         |  FROM toks),
-         |ps AS (SELECT doc_id, wtid, i, "begin" + i*4 AS pb,
-         |    least("begin" + (i+1)*4, "end") AS pe FROM pc),
-         |pt AS (SELECT p.doc_id, p.wtid, p.i, p.pb, p.pe,
-         |    substr(d.text, CAST(p.pb + 1 AS BIGINT), CAST(p.pe - p.pb AS BIGINT)) AS piece
-         |  FROM ps p JOIN documents d ON p.doc_id = d.doc_id),
-         |pi AS (SELECT doc_id, pb, pe, 1000 + (${H("piece")}) % 29522 AS input_id,
-         |    row_number() OVER (PARTITION BY doc_id ORDER BY wtid, i) AS token_id FROM pt),
-         |allt AS (
-         |  SELECT doc_id, token_id, input_id, pb AS "begin", pe AS "end" FROM pi
-         |  UNION ALL SELECT doc_id, 0, 101, 0, 0 FROM documents
-         |  UNION ALL SELECT d.doc_id, n.np + 1, 102, len(d.text), len(d.text)
-         |    FROM documents d JOIN (SELECT doc_id, count(*) AS np FROM pi GROUP BY doc_id) n
-         |    ON d.doc_id = n.doc_id)
+      s"""WITH $ToksCte, $StubBertCte
          |SELECT doc_id, token_id, input_id, "begin", "end", dims.d,
          |  (input_id*31 + dims.d) % 997 AS ecode
          |FROM allt CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS d) dims""".stripMargin,
+
+    // Mirror of q91: q33's IOB2 correction, then the composite class label
+    // and its id under the ["O","B-K","B-V","I-K","I-V"] category order
+    // (makeIobTagCategories: O first, all B-*, then all I-*).
+    "q91_token_classes" ->
+      s"""WITH $ToksCte,
+         |tg AS (SELECT doc_id, token_id,
+         |    CASE WHEN text IN ('key', 'value') THEN 'I' ELSE 'O' END AS iob,
+         |    CASE WHEN text = 'key' THEN 'K' WHEN text = 'value' THEN 'V' END AS typ,
+         |    token_id // 10 AS sent_b FROM toks),
+         |lg AS (SELECT *, lag(iob) OVER w AS piob, lag(typ) OVER w AS ptyp, lag(sent_b) OVER w AS psb
+         |  FROM tg WINDOW w AS (PARTITION BY doc_id ORDER BY token_id)),
+         |c AS (SELECT doc_id, token_id,
+         |    CASE WHEN iob = 'I' AND (piob IS NULL OR piob = 'O'
+         |      OR typ IS DISTINCT FROM ptyp OR sent_b IS DISTINCT FROM psb) THEN 'B'
+         |    ELSE iob END AS ent_iob, typ FROM lg)
+         |SELECT doc_id, token_id,
+         |  CASE WHEN ent_iob = 'O' THEN 'O' ELSE ent_iob || '-' || typ END AS token_class,
+         |  CASE WHEN ent_iob = 'O' THEN 0
+         |       WHEN ent_iob = 'B' AND typ = 'K' THEN 1
+         |       WHEN ent_iob = 'B' AND typ = 'V' THEN 2
+         |       WHEN ent_iob = 'I' AND typ = 'K' THEN 3
+         |       ELSE 4 END AS token_class_id
+         |FROM c""".stripMargin,
+
+    // Mirror of q92. The synthesized model spans make the pipeline's
+    // outcome statically derivable: family A (anchor token i, chars
+    // [b_i+1, e_{i+1})) always expands to tokens [i, i+2) and is kept by
+    // the left-to-right walk; family B starts inside A's kept range
+    // (b_{i+1} < e_{i+1}) and is always consolidated away. The >= 2-char
+    // guards mirror the Spark-side synthesis exactly.
+    "q92_align_bert" ->
+      s"""WITH $ToksCte,
+         |nx AS (SELECT doc_id, token_id, len(text) AS l0, "begin" AS b0,
+         |    lead("end", 1) OVER w AS e1, lead(len(text), 1) OVER w AS l1
+         |  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY token_id))
+         |SELECT doc_id, token_id AS begin_tok, token_id + 2 AS end_tok,
+         |  b0 AS "begin", e1 AS "end", 'A' AS ent_type
+         |FROM nx
+         |WHERE token_id % 4 = 0 AND l0 >= 2 AND l1 >= 2 AND e1 IS NOT NULL""".stripMargin,
+
+    // Mirror of q93 (conll_to_bert): EntsCte entity segments, stub-BERT
+    // pieces, alignment via exact boundary joins (entity bounds are word
+    // bounds, which are piece bounds), IOB2 re-tagging per piece, class
+    // ids under ["O","B-K","I-K"], and the q60 stitched-embedding code.
+    "q93_conll_to_bert" ->
+      s"""WITH $ToksCte, $EntsCte, $StubBertCte,
+         |eb AS (SELECT doc_id, "begin" AS gb, "end" AS ge, ent_type FROM ents WHERE ft = 'B'),
+         |al AS (SELECT e.doc_id, bt.token_id AS ab, et.token_id + 1 AS ae, e.ent_type
+         |  FROM eb e
+         |  JOIN allt bt ON bt.doc_id = e.doc_id AND bt."begin" = e.gb AND bt."begin" < bt."end"
+         |  JOIN allt et ON et.doc_id = e.doc_id AND et."end" = e.ge AND et."begin" < et."end"),
+         |tg AS (SELECT t.doc_id, t.token_id, t.input_id, t."begin", t."end",
+         |    CASE WHEN t.token_id = a.ab THEN 'B'
+         |         WHEN a.ab IS NOT NULL THEN 'I' ELSE 'O' END AS ent_iob,
+         |    coalesce(a.ent_type, '') AS ent_type
+         |  FROM allt t LEFT JOIN al a ON t.doc_id = a.doc_id
+         |    AND t.token_id >= a.ab AND t.token_id < a.ae)
+         |SELECT doc_id, token_id, input_id, "begin", "end", ent_iob, ent_type,
+         |  CASE WHEN ent_iob = 'O' THEN 'O' ELSE ent_iob || '-' || ent_type END AS token_class,
+         |  CASE WHEN ent_iob = 'O' THEN 0 WHEN ent_iob = 'B' THEN 1 ELSE 2 END AS token_class_id,
+         |  dims.d, (input_id*31 + dims.d) % 997 AS ecode
+         |FROM tg CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS d) dims""".stripMargin,
 
     // Real WordPiece (greedy longest-match-first) replayed in SQL: the
     // greedy loop is unrolled to a bounded stage chain (corpus words are

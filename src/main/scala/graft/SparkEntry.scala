@@ -377,6 +377,72 @@ object SparkEntry {
           round(col("e").cast("double") * 997).cast("long").as("ecode"))
     }),
 
+    // Composite token-class labels (make_iob_tag_categories +
+    // add_token_classes): q33's two-type IOB tagging, IOB2-corrected, then
+    // classed against the explicit {K, V} domain — exercises every label
+    // ("O", "B-K", "B-V", "I-K", "I-V") and its integer id.
+    "q91_token_classes" -> ((s, dir) => {
+      val t = toks(s, dir)
+        .withColumn("ent_iob",
+          when(col("text").isin("key", "value"), "I").otherwise("O"))
+        .withColumn("ent_type",
+          when(col("text") === "key", "K").when(col("text") === "value", "V"))
+        .withColumn("sent_b", expr("token_id div 10"))
+      Iob.addTokenClasses(
+        Iob.iobToIob2(t, name = "ent", sentenceBeginCol = "sent_b"),
+        Iob.makeIobTagCategories(Seq("K", "V")))
+        .select(col("doc_id"), col("token_id"), col("token_class"),
+          col("token_class_id"))
+    }),
+
+    // BERT-entity → corpus-token alignment: synthesized "model output"
+    // char spans deliberately cut INTO corpus tokens (begin+1) and span
+    // two of them; family A anchors every 4th token, family B starts one
+    // token later and overlaps A after expansion — so the query exercises
+    // expansion (span-sum over covered tokens), left-to-right consolidation
+    // (B always loses to the earlier-starting A), and token-id snapping.
+    "q92_align_bert" -> ((s, dir) => {
+      val t = toks(s, dir)
+      val w = Window.partitionBy("doc_id").orderBy("token_id")
+      val nx = t.select(col("doc_id"), col("token_id"), length(col("text")).as("l0"),
+        col("span")("begin").as("b0"),
+        lead(col("span")("begin"), 1).over(w).as("b1"),
+        lead(col("span")("end"), 1).over(w).as("e1"),
+        lead(length(col("text")), 1).over(w).as("l1"),
+        lead(col("span")("end"), 2).over(w).as("e2"))
+      // both families need >= 2-char anchor + successor words so the +1
+      // offset still overlaps the anchor token (mirrored in the oracle)
+      val base = nx.filter(col("token_id") % 4 === 0 && col("l0") >= 2 && col("l1") >= 2)
+      val famA = base.filter(col("e1").isNotNull)
+        .select(col("doc_id"), S.span(col("b0") + 1, col("e1")).as("span"),
+          lit("A").as("ent_type"))
+      val famB = base.filter(col("e2").isNotNull)
+        .select(col("doc_id"), S.span(col("b1") + 1, col("e2")).as("span"),
+          lit("B").as("ent_type"))
+      Bert.alignBertTokensToCorpusTokens(famA.union(famB), t)
+        .select(col("doc_id"), col("span")("begin_tok").as("begin_tok"),
+          col("span")("end_tok").as("end_tok"), col("span")("begin").as("begin"),
+          col("span")("end").as("end"), col("ent_type"))
+    }),
+
+    // conll_to_bert end-to-end: IOB-tagged corpus tokens → entity spans →
+    // stub BERT pieces → alignment → per-piece IOB2 tags → token classes →
+    // stitched stub embeddings, one DAG. The oracle recomposes every stage
+    // in SQL (EntsCte entities + q60's piece relation + boundary joins).
+    "q93_conll_to_bert" -> ((s, dir) => {
+      val full = Bert.conllToBert(tagged(toks(s, dir)), docs(s, dir),
+        entityTypes = Seq("K"))
+      full.select(col("doc_id"), col("token_id"), col("input_id"),
+          col("span")("begin").as("begin"), col("span")("end").as("end"),
+          col("ent_iob"), coalesce(col("ent_type"), lit("")).as("ent_type"),
+          col("token_class"), col("token_class_id"),
+          posexplode(col("embedding")).as(Seq("d", "e")))
+        .select(col("doc_id"), col("token_id"), col("input_id"), col("begin"),
+          col("end"), col("ent_iob"), col("ent_type"), col("token_class"),
+          col("token_class_id"), col("d"),
+          round(col("e").cast("double") * 997).cast("long").as("ecode"))
+    }),
+
     // REAL BERT tokenizer (WordPiece.Tokenizer — HF BasicTokenizer +
     // greedy wordpiece with original-text offsets) through the same
     // distributed host as q60's stub, over the deterministic mini

@@ -167,20 +167,21 @@ object Bert {
       }
     }
 
-  private val embSchema = StructType(bertTokSchema.fields :+
-    StructField("embedding", ArrayType(FloatType)))
-
   /**
    * Add a per-token embedding column by running the model over overlapping
    * fixed-size windows of each document's input ids and stitching the
    * windowed outputs back to one vector per token (reference
    * add_embeddings, io/bert.py:123-157). One shuffle (group by doc_id);
-   * model calls are batched per document.
+   * model calls are batched per document. Extra input columns (IOB tags,
+   * token classes, ...) pass through untouched — the output schema is the
+   * input's plus `embedding`, like the reference's `df.copy()`.
    */
   def addEmbeddings(bertToks: DataFrame, model: BertModel = stubModel(8),
       overlap: Int = 32, nonOverlap: Int = 64): DataFrame = {
     val spark = bertToks.sparkSession
     import spark.implicits._
+    val embSchema = StructType(bertToks.schema.fields :+
+      StructField("embedding", ArrayType(FloatType)))
     val cols = bertToks.columns
     val tokIdx = cols.indexOf("token_id")
     val inputIdx = cols.indexOf("input_id")
@@ -196,6 +197,90 @@ object Bert {
           Row.fromSeq(r.toSeq :+ (emb.toSeq: Seq[Float]))
         }
       }(Encoders.row(embSchema))
+  }
+
+  // ---- BERT-model output ↔ corpus tokenization bridge ----
+
+  /**
+   * Expand entity spans from a BERT-based model so they align with the
+   * corpus's original tokenization (`align_bert_tokens_to_corpus_tokens`,
+   * reference: io/bert.py:202-251). The reference's pandas pipeline —
+   * overlap_join, merge, groupby {corpus_token: sum, ent_type: first},
+   * consolidate, align_to_tokens — maps operator-for-operator onto this
+   * engine's relational kernels; every step is a doc_id-keyed equi-join or
+   * partial-aggregatable groupBy, so the plan scales with the corpus.
+   *
+   * @param spansDf    entities: doc_id, char-span column `spansTokenCol`,
+   *                   entity type column `entityTypeCol`; other columns
+   *                   ignored (reference contract)
+   * @param corpusToks corpus tokenization: doc_id, token_id, char-span
+   *                   column `corpusTokenCol`
+   * @return doc_id, span (token span over the CORPUS tokenization),
+   *         `entityTypeCol`
+   *
+   * Where the reference's groupby takes the FIRST ent_type in pandas row
+   * order (bert.py:240-243) — positional, so undefined under a shuffle —
+   * duplicate spans with conflicting types resolve here by `min`, which is
+   * deterministic on any cluster layout (equal results when spans are
+   * unique, the reference's operating regime).
+   */
+  def alignBertTokensToCorpusTokens(spansDf: DataFrame, corpusToks: DataFrame,
+      spansTokenCol: String = "span", corpusTokenCol: String = "span",
+      entityTypeCol: String = "ent_type"): DataFrame = {
+    val ents = spansDf.select(col("doc_id"), col(spansTokenCol).as("span"),
+      col(entityTypeCol))
+    // pairs: (entity span `first`) x (corpus token span `second`) overlapping
+    val pairs = SpanJoin.overlapJoin(ents,
+      corpusToks.select(col("doc_id"), col(corpusTokenCol).as("span")))
+    // re-attach the entity type (the reference's merge back onto spans_df,
+    // bert.py:233-238): equi-join on the span struct itself
+    val typed = pairs.join(
+      ents.select(col("doc_id").as("t_doc_id"), col("span").as("t_span"),
+        col(entityTypeCol).as("__t_type")),
+      col("doc_id") === col("t_doc_id") && col("first") === col("t_span"))
+    // span-sum of the covered corpus tokens per entity + min type
+    val grown = typed.groupBy(col("doc_id"), col("first"))
+      .agg(min(col("second")("begin")).as("__b"), max(col("second")("end")).as("__e"),
+        min(col("__t_type")).as(entityTypeCol))
+      .select(col("doc_id"), graft.spans.span(col("__b"), col("__e")).as("span"),
+        col(entityTypeCol))
+    // overlapping grown spans resolve left-to-right, then snap to token ids;
+    // the grown bounds are corpus token boundaries by construction, so the
+    // alignment join cannot miss (validate=false skips the extra pass)
+    Align.alignToTokens(corpusToks, Consolidate.consolidate(grown), validate = false)
+  }
+
+  /**
+   * One-call corpus→BERT-features composition (`conll_to_bert`, reference:
+   * io/bert.py:160-199): IOB-tagged corpus tokens → entity spans → BERT
+   * tokenization → entity alignment onto BERT tokens → per-BERT-token IOB
+   * tags → token classes → (optionally) embeddings. One DAG — tokenize is
+   * a narrow map, alignment is two doc-keyed equi-joins, embedding is the
+   * one per-document shuffle.
+   *
+   * @param corpusToks corpus tokens with doc_id, token_id, span, ent_iob
+   *                   (IOB2), ent_type
+   * @param docs       doc_id, text (the BERT tokenizer input)
+   * @param entityTypes entity-type domain for [[Iob.makeIobTagCategories]]
+   */
+  def conllToBert(corpusToks: DataFrame, docs: DataFrame, entityTypes: Seq[String],
+      tokenizer: BertTokenizer = stubTokenizer, model: BertModel = stubModel(8),
+      computeEmbeddings: Boolean = true,
+      overlap: Int = 32, nonOverlap: Int = 64): DataFrame = {
+    val entities = Iob.iobToSpans(corpusToks)
+    val bertToks = makeBertTokens(docs, tokenizer)
+    // entity CHAR spans land on BERT piece boundaries because pieces
+    // partition words (validate=false: skip the eager check)
+    val aligned = Align.alignToTokens(bertToks,
+      entities.select(col("doc_id"),
+        graft.spans.span(col("span")("begin"), col("span")("end")).as("span"),
+        col("ent_type")),
+      validate = false)
+    val taggedBert = Iob.spansToIob(bertToks, aligned)
+    val classed = Iob.addTokenClasses(taggedBert,
+      Iob.makeIobTagCategories(entityTypes))
+    if (computeEmbeddings) addEmbeddings(classed, model, overlap, nonOverlap)
+    else classed
   }
 
   /**

@@ -107,6 +107,44 @@ object Iob {
   }
 
   /**
+   * All composite token-class labels for an entity-type domain
+   * (`make_iob_tag_categories`, reference: io/conll.py:1238-1260):
+   * `"O"` first, then `B-<type>` for every type, then `I-<type>` —
+   * the label's position in the list IS its integer id.
+   */
+  def makeIobTagCategories(entityTypes: Seq[String]): Seq[String] =
+    "O" +: (for (x <- Seq("B", "I"); y <- entityTypes) yield s"$x-$y")
+
+  /**
+   * Add `token_class` (composite string label, `"O"` or `"<iob>-<type>"`)
+   * and `token_class_id` (its integer id) columns (`add_token_classes`,
+   * reference: io/conll.py:1262-1302).
+   *
+   * The label↔id mapping is a literal `map` expression — pure codegen'd
+   * projection, no join, no shuffle, no driver state: the categorical
+   * domain is tiny by contract (it is a model's output layer). Labels
+   * outside `categories` yield NULL ids, surfacing domain drift instead
+   * of silently inventing an id (the reference raises KeyError there).
+   *
+   * Unlike the reference, `categories` is required: its fallback derives
+   * the domain from data-appearance order (conll.py:1291-1296), which is
+   * not reproducible on a distributed shuffle. Callers wanting a derived
+   * domain compute it explicitly (one tiny distinct-agg) and sort it.
+   */
+  def addTokenClasses(tokens: DataFrame, categories: Seq[String],
+      iobCol: String = "ent_iob", typeCol: String = "ent_type"): DataFrame = {
+    require(categories.nonEmpty && categories.head == "O",
+      s"categories must start with 'O' (got ${categories.take(3).mkString(",")}...)")
+    val labelToId = map(categories.zipWithIndex.flatMap {
+      case (l, i) => Seq(lit(l), lit(i))
+    }: _*)
+    tokens
+      .withColumn("token_class", when(col(iobCol) === "O", lit("O"))
+        .otherwise(concat_ws("-", col(iobCol), col(typeCol))))
+      .withColumn("token_class_id", element_at(labelToId, col("token_class")))
+  }
+
+  /**
    * Per-document precision/recall/F1 of predicted vs gold entity spans
    * (reference: io/conll.py:1461-1516): true positives are the exact-match
    * inner join on (doc, span, type).

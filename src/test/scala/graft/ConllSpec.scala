@@ -135,4 +135,36 @@ class ConllSpec extends GraftSuite {
     assert(perSent.filter(col("token_id") === 0 &&
       col("span")("begin") =!= 0).count() == 0)
   }
+
+  test("make_iob_tag_categories label order and ids (io/conll.py:1238-1260)") {
+    // reference doctest: entity_types=["PER"] → ["O", "B-PER", "I-PER"]
+    assert(Iob.makeIobTagCategories(Seq("PER")) == Seq("O", "B-PER", "I-PER"))
+    // B-* block before I-* block, types in given order within each block
+    assert(Iob.makeIobTagCategories(Seq("PER", "LOC")) ==
+      Seq("O", "B-PER", "B-LOC", "I-PER", "I-LOC"))
+  }
+
+  test("add_token_classes composite labels + ids (io/conll.py:1262-1302)") {
+    import spark.implicits._
+    val toks = Seq(
+      (0L, 0, "O", null.asInstanceOf[String]),
+      (0L, 1, "B", "PER"),
+      (0L, 2, "I", "PER"),
+      (0L, 3, "B", "LOC"),
+      (0L, 4, "O", null.asInstanceOf[String]))
+      .toDF("doc_id", "token_id", "ent_iob", "ent_type")
+    val cats = Iob.makeIobTagCategories(Seq("PER", "LOC"))
+    val out = Iob.addTokenClasses(toks, cats).orderBy("token_id")
+      .select("token_class", "token_class_id").collect()
+      .map(r => (r.getString(0), r.getInt(1)))
+    assert(out.toSeq == Seq(("O", 0), ("B-PER", 1), ("I-PER", 3), ("B-LOC", 2), ("O", 0)))
+    // a label outside the domain surfaces as a NULL id, not a wrong id
+    val bad = Iob.addTokenClasses(
+      Seq((0L, 0, "B", "ORG")).toDF("doc_id", "token_id", "ent_iob", "ent_type"), cats)
+    assert(bad.head().isNullAt(bad.columns.indexOf("token_class_id")))
+    // categories must lead with "O" (the reference's id-0 contract)
+    intercept[IllegalArgumentException] {
+      Iob.addTokenClasses(toks, Seq("B-PER", "O"))
+    }
+  }
 }
