@@ -344,9 +344,13 @@ object SparkEntry {
       // (write2003WithTags): the previous two-job form re-derived the
       // token relation per write and paid a distinct() shuffle for the
       // per-doc header rows.
+      // ONE flag drives both the write call and the derived counts below;
+      // hard-coding "+1" in the counts would silently desync alignment if
+      // the write's docstart setting ever changed.
+      val docstart = true
       sources.Conll.write2003WithTags(rel, outC.toString, outT.toString,
         when(col("text") === "key", "I-KEY").otherwise("O"),
-        Seq("ent"), Seq(true), docstart = true, maxDocsPerFile = 64)
+        Seq("ent"), Seq(true), docstart = docstart, maxDocsPerFile = 64)
       val corpusToks = sources.Conll.refold(sources.Conll.conll2003(s,
         sources.Conll.writtenFilesGlob(outC.toString), Seq("ent"), Seq(true)),
         outC.toString)
@@ -354,7 +358,7 @@ object SparkEntry {
       // each -DOCSTART- header the reader re-materializes): passing them
       // keeps the alignment from re-running the corpus parse to count.
       val knownCounts = rel.groupBy("fold", "doc_num")
-        .agg((count(lit(1)) + 1).as("__n"))
+        .agg((count(lit(1)) + (if (docstart) 1 else 0)).as("__n"))
       sources.Conll.conll2003Output(s, corpusToks,
           sources.Conll.writtenFilesGlob(outT.toString), "ent",
           docTokenCounts = Some(knownCounts))

@@ -144,9 +144,15 @@ object Dedup {
     // overwhelming probability; one under cap/2 essentially never is, and
     // a borderline miss only means that bucket takes the exact (slower)
     // all-pairs path, never a wrong answer.
+    //
+    // The sample is a HASH of the id, not df.sample(): Bernoulli sampling
+    // is per-partition, so the flagged-bucket set and the representative
+    // would depend on input partitioning — same data, different cluster
+    // layout, different pairs inside near-cap buckets. The id-hash filter
+    // picks the same documents on any layout.
     val p = 0.05
     val sampleThresh = math.max(2.0, maxBandBucket * p / 2)
-    val hotReps = docs.sample(withReplacement = false, p, seed = 42L)
+    val hotReps = docs.filter(pmod(xxhash64(col(idCol)), lit(20)) === 0)
       .select(col(idCol).as("id"),
         minhashSignature(col(textCol), k, shingleK).as("sig"))
       .select(col("id"),

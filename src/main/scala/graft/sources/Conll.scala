@@ -252,7 +252,10 @@ object Conll {
       case Some(offs) =>
         val bc = spark.sparkContext.broadcast(offs)
         spark.sparkContext.wholeTextFiles(path).flatMap { case (file, content) =>
-          val off = bc.value(new org.apache.hadoop.fs.Path(file).toUri.getPath)
+          val key = new org.apache.hadoop.fs.Path(file).toUri.getPath
+          val off = bc.value.getOrElse(key, throw new IllegalStateException(
+            s"tags file $key appeared after the driver's offset listing " +
+              "(concurrent write or path normalization drift); rerun the read"))
           content.split("\n", -1).iterator.map(_.trim).filter(_.nonEmpty)
             .zipWithIndex.map { case (raw, i) => parseTag(raw, off + i) }
         }
@@ -579,7 +582,11 @@ object Conll {
     var nDocs = 0L
     private var nLines = 0L
     def write(line: String): Unit = {
-      if (line.nonEmpty) nLines += 1
+      // Count exactly what the fast-path reader counts (it trims each
+      // line before its nonEmpty test): a whitespace-only line counted
+      // here but skipped there would silently shift every later global
+      // tag position.
+      if (line.trim.nonEmpty) nLines += 1
       out.write(line); out.write('\n')
     }
     def close(): Unit = {
