@@ -66,4 +66,35 @@ class PlanShapeSpec extends GraftSuite {
     val out = Dedup.dupClusters(star)
     assert(out.filter(col("cluster_id") === 0L).count() == 50)
   }
+
+  test("makeTable with explicit columnKeys launches no inference job") {
+    // Explicit keys are the scale-path contract: constructing the pivot
+    // must stay fully lazy — no pivot-value-inference scan of the cells
+    // relation (the implicit-keys path pays exactly one such job).
+    val cells = (0L until 40L).map { i =>
+      (i % 4, 0, (i / 4).toInt % 5, "", s"C${i % 2}", (i % 2).toInt,
+        i, s"v$i")
+    }.toDF("doc_id", "table_idx", "row_index_begin", "row_header_texts",
+      "column_header_texts", "column_index_begin", "begin", "text")
+    var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      sources.WatsonTables.makeTable(cells, columnKeys = Seq("C0", "C1"))
+      // flush marker: listener events are FIFO, so once this job's start
+      // event is counted, any inference job from the line above would
+      // already have been counted too (raw RDD action = exactly one job;
+      // a SQL action would cost a variable number under AQE)
+      spark.sparkContext.parallelize(Seq(1)).count()
+      val deadline = System.currentTimeMillis + 10000
+      while (jobs < 1 && System.currentTimeMillis < deadline) Thread.sleep(50)
+      assert(jobs == 1,
+        s"explicit-keys makeTable construction ran ${jobs - 1} Spark job(s); " +
+          "the pivot-key inference scan leaked back in")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
 }
