@@ -177,6 +177,37 @@ object Oracles {
     "unnest(list_prepend(bucket, list_transform(generate_series(0, 7), p2 -> " +
       "xor(bucket, CAST(power(2.0, p2) AS BIGINT))))) AS pb"
 
+  /** Squared-L2 distance between two double-list expressions — the same
+    * left fold as Similarity.bestCentroid's zip_with/aggregate. */
+  def sqDist(a: String, b: String): String =
+    s"list_reduce(list_prepend(0.0, list_transform($a, (x, i) -> " +
+      s"(x - $b[i]) * (x - $b[i]))), (u, w) -> u + w)"
+
+  /** Unrolled Lloyd's k-means CTE chain, mirror of
+    * Similarity.kmeansFitCentroids step for step. Requires `EmbCte` in
+    * scope. Produces c0 (k smallest ids, cid = rank), then per iteration
+    * j: dj (point×centroid squared-L2), aj (argmin assignment, ties to
+    * smallest cid), cj (per-dim mean rounded 6dp; empty clusters drop).
+    * The final assignment against c`iters` is a`iters+1`. */
+  def kmeansCtes(k: Int, iters: Int): String = {
+    val sb = new StringBuilder
+    sb ++= "fkm AS (SELECT vec_id AS id, generate_subscripts(embedding, 1) - 1 AS dim,\n" +
+      "    CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),\n"
+    sb ++= s"c0 AS (SELECT CAST(rn - 1 AS INTEGER) AS cid, v FROM\n" +
+      s"  (SELECT id, v, row_number() OVER (ORDER BY id) AS rn FROM ed) WHERE rn <= $k)"
+    for (j <- 1 to iters + 1) {
+      sb ++= s",\nd$j AS (SELECT p.id, c.cid, ${sqDist("p.v", "c.v")} AS dist\n" +
+        s"  FROM ed p CROSS JOIN c${j - 1} c),\n"
+      sb ++= s"a$j AS (SELECT id, cid, dist FROM (SELECT *, row_number() OVER\n" +
+        s"  (PARTITION BY id ORDER BY dist, cid) AS rn FROM d$j) WHERE rn = 1)"
+      if (j <= iters)
+        sb ++= s",\nc$j AS (SELECT cid, list(round(m, 6) ORDER BY dim) AS v FROM\n" +
+          s"  (SELECT a.cid, f.dim, sum(f.x) / count(*) AS m FROM a$j a\n" +
+          s"   JOIN fkm f USING (id) GROUP BY a.cid, f.dim) GROUP BY cid)"
+    }
+    sb.toString
+  }
+
   val sql: Map[String, String] = Map(
 
     // ---- relational core ----
@@ -849,6 +880,30 @@ object Oracles {
          |cen AS (SELECT label AS cell_id, list(round(m, 6) ORDER BY dim) AS centroid FROM
          |  (SELECT label, dim, sum(x) / count(*) AS m FROM f GROUP BY label, dim)
          |  GROUP BY label),
+         |asg AS (SELECT id AS vec_id, v AS cv, cell_id FROM
+         |  (SELECT e.id, e.v, c.cell_id, row_number() OVER (PARTITION BY e.id
+         |     ORDER BY ${cos("e.v", "c.centroid")} DESC, c.cell_id) AS rn
+         |   FROM ed e CROSS JOIN cen c) WHERE rn = 1),
+         |pr AS (SELECT id AS query_id, v AS qv, cell_id FROM
+         |  (SELECT e.id, e.v, c.cell_id, row_number() OVER (PARTITION BY e.id
+         |     ORDER BY ${cos("e.v", "c.centroid")} DESC, c.cell_id) AS rn
+         |   FROM ed e CROSS JOIN cen c WHERE e.id < 5) WHERE rn <= 2),
+         |scored AS (SELECT p.query_id, a.vec_id, round(${cos("p.qv", "a.cv")}, 6) AS cos
+         |  FROM pr p JOIN asg a USING (cell_id))
+         |SELECT query_id, vec_id, cos, rn AS rank FROM
+         |  (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rn
+         |   FROM scored)
+         |WHERE rn <= 10""".stripMargin,
+
+    "q94_kmeans" ->
+      s"""WITH $EmbCte,
+         |${kmeansCtes(8, 2)}
+         |SELECT id AS vec_id, cid AS cluster, round(dist, 6) AS dist FROM a3""".stripMargin,
+
+    "q95_ann_ivf_kmeans" ->
+      s"""WITH $EmbCte,
+         |${kmeansCtes(8, 2)},
+         |cen AS (SELECT cid AS cell_id, v AS centroid FROM c2),
          |asg AS (SELECT id AS vec_id, v AS cv, cell_id FROM
          |  (SELECT e.id, e.v, c.cell_id, row_number() OVER (PARTITION BY e.id
          |     ORDER BY ${cos("e.v", "c.centroid")} DESC, c.cell_id) AS rn

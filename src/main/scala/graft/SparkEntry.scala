@@ -447,6 +447,25 @@ object SparkEntry {
           round(col("e").cast("double") * 997).cast("long").as("ecode"))
     }),
 
+    // Trained coarse quantizer: Lloyd's k-means (k=8, 2 iterations,
+    // deterministic smallest-id init) fit MLlib-style — centroid matrix
+    // collected per iteration, assignment a literal-centroid projection —
+    // then the final per-vector assignment. Oracle unrolls the same two
+    // iterations as CTEs.
+    "q94_kmeans" -> ((s, dir) => {
+      val e = embedsD(s, dir)
+      Similarity.kmeansAssign(e, Similarity.kmeansFitCentroids(e, k = 8, iters = 2))
+    }),
+
+    // IVF ANN over the TRAINED quantizer (q56 uses the label-supervised
+    // centroids): same probe/re-rank machinery, cells from q94's k-means.
+    "q95_ann_ivf_kmeans" -> ((s, dir) => {
+      val e = embedsD(s, dir)
+      val q = e.filter(col("vec_id") < 5).select(col("vec_id").as("query_id"), col("embedding"))
+      Similarity.ivfTopK(e, q, Similarity.kmeansFit(e, k = 8, iters = 2),
+        nprobe = 2, k = 10)
+    }),
+
     // REAL BERT tokenizer (WordPiece.Tokenizer — HF BasicTokenizer +
     // greedy wordpiece with original-text offsets) through the same
     // distributed host as q60's stub, over the deterministic mini

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.tensor
@@ -93,6 +93,77 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col(queryIdCol), col(idCol), col("cos"), col("rank"))
   }
+
+  /**
+   * Distributed Lloyd's k-means over the embedding column — the trained
+   * coarse quantizer for [[ivfTopK]] ([[labelCentroids]] is the
+   * label-supervised shortcut). Execution is the 100 TB shape: the corpus
+   * never shuffles whole vectors. Each iteration is (1) a cluster
+   * assignment computed by an expression over the current centroid matrix
+   * inlined as literals — no join, no shuffle — and (2) ONE map-side-
+   * combined aggregation of per-(cluster, dim) means whose exchange
+   * carries at most k×dim rows per partition; only the k×dim centroid
+   * matrix (a few KB) reaches the driver, once per iteration, and rides
+   * back into the next iteration's task closures as literals.
+   *
+   * Determinism (strict-oracle contract): init = the k smallest `idCol`
+   * rows in id order (cid = rank); squared-L2 distances are left-fold
+   * sums over dims (the DuckDB oracle's `list_reduce` order); assignment
+   * ties break to the smallest cid (lexicographic struct min); updated
+   * coordinates round to 6dp so their value is independent of
+   * aggregation order. A cluster that loses all its points drops out on
+   * both sides.
+   */
+  def kmeansFitCentroids(corpus: DataFrame, k: Int = 8, iters: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Seq[(Int, Array[Double])] = {
+    val vecD = col(vecCol).cast("array<double>")
+    var cents: Seq[(Int, Array[Double])] =
+      corpus.orderBy(col(idCol)).select(vecD.as("v")).limit(k).collect()
+        .map(_.getSeq[Double](0).toArray).zipWithIndex
+        .map { case (v, i) => (i, v) }.toSeq
+    for (_ <- 0 until iters) {
+      val rows = corpus
+        .select(bestCentroid(cents, vecD)("cid").as("cluster"),
+          posexplode(vecD).as(Seq("pos", "x")))
+        .groupBy(col("cluster"), col("pos"))
+        .agg(round(avg(col("x")), 6).as("m"))
+        .collect()
+      cents = rows.groupBy(_.getInt(0)).toSeq.sortBy(_._1).map { case (cid, rs) =>
+        (cid, rs.sortBy(_.getInt(1)).map(_.getDouble(2)).toArray)
+      }
+    }
+    cents
+  }
+
+  /** [[kmeansFitCentroids]] packaged as the (cell_id, centroid) relation
+    * [[ivfTopK]] consumes. */
+  def kmeansFit(corpus: DataFrame, k: Int = 8, iters: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    kmeansFitCentroids(corpus, k, iters, idCol, vecCol)
+      .map { case (cid, v) => (cid, v.toSeq) }.toDF("cell_id", "centroid")
+  }
+
+  /** Final assignment relation: (id, cluster, squared-L2 dist rounded to
+    * 6dp) against a fitted centroid set. Pure projection — no join, no
+    * shuffle (the centroid matrix is literal). */
+  def kmeansAssign(corpus: DataFrame, cents: Seq[(Int, Array[Double])],
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    corpus
+      .withColumn("__best", bestCentroid(cents, col(vecCol).cast("array<double>")))
+      .select(col(idCol), col("__best")("cid").as("cluster"),
+        round(col("__best")("d"), 6).as("dist"))
+
+  /** (d, cid) of the nearest centroid: squared-L2 left-fold per centroid,
+    * lexicographic struct min = smallest distance, ties to smallest cid. */
+  private def bestCentroid(cents: Seq[(Int, Array[Double])], vec: Column): Column =
+    array_min(array(cents.map { case (cid, c) =>
+      val carr = array(c.map(lit(_)): _*)
+      val d = aggregate(zip_with(vec, carr, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (a, b) => a + b)
+      struct(d.as("d"), lit(cid).as("cid"))
+    }: _*)).cast("struct<d:double,cid:int>") // lambda-bearing struct children lose aliases; rename positionally
 
   /**
    * Approximate top-k via sign-LSH: candidates share the query's bucket or

@@ -369,4 +369,35 @@ class PipelineOpsSpec extends GraftSuite {
     val b = vecs.select(Dedup.signBucket(col("embedding"), 4).as("b")).collect()
     assert(b.count(_.isNullAt(0)) == 1)
   }
+
+  test("kmeans: two blobs converge to blob means, assignment deterministic") {
+    // blob A around (0, 0), blob B around (10, 10); init = 2 smallest ids,
+    // one drawn from each blob (ids interleave the blobs)
+    val pts = Seq(
+      (0L, Seq(0.0f, 0.0f)), (1L, Seq(10.0f, 10.0f)),
+      (2L, Seq(0.2f, 0.0f)), (3L, Seq(10.2f, 10.0f)),
+      (4L, Seq(0.0f, 0.2f)), (5L, Seq(10.0f, 10.2f))
+    ).toDF("vec_id", "embedding")
+    val cents = operators.Similarity.kmeansFitCentroids(pts, k = 2, iters = 2)
+    assert(cents.map(_._1) == Seq(0, 1))
+    // centroid 0 = mean of blob A, centroid 1 = mean of blob B (6dp)
+    assert(cents(0)._2.toSeq == Seq(0.066667, 0.066667))
+    assert(cents(1)._2.toSeq == Seq(10.066667, 10.066667))
+    val asg = operators.Similarity.kmeansAssign(pts, cents)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(asg == Map(0L -> 0, 2L -> 0, 4L -> 0, 1L -> 1, 3L -> 1, 5L -> 1))
+  }
+
+  test("kmeans: a cluster that loses every point drops out") {
+    // init c0 = c1 = (0,0): every point ties to cid 0, cluster 1 empties
+    val pts = Seq(
+      (0L, Seq(0.0f, 0.0f)), (1L, Seq(0.0f, 0.0f)), (2L, Seq(5.0f, 5.0f))
+    ).toDF("vec_id", "embedding")
+    val cents = operators.Similarity.kmeansFitCentroids(pts, k = 2, iters = 1)
+    assert(cents.map(_._1) == Seq(0))
+    assert(cents(0)._2.toSeq == Seq(round6(5.0 / 3), round6(5.0 / 3)))
+  }
+
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 }
