@@ -816,6 +816,30 @@ object Oracles {
          |  ELSE 'test' END AS split
          |FROM documents""".stripMargin,
 
+    "q96_stratified_sample" ->
+      s"""SELECT doc_id, source, rank FROM
+         |  (SELECT doc_id, source, CAST(row_number() OVER (PARTITION BY source
+         |     ORDER BY ${H("CAST(doc_id AS VARCHAR) || ':strat'")}, doc_id) AS INTEGER) AS rank
+         |   FROM documents)
+         |WHERE rank <= 50""".stripMargin,
+
+    "q97_pmi_collocations" ->
+      s"""WITH t AS (SELECT doc_id, generate_subscripts(ws, 1) AS i, unnest(ws) AS w
+         |  FROM (SELECT doc_id, $Words AS ws FROM documents)),
+         |bg AS (SELECT a.w AS wa, b.w AS wb FROM t a JOIN t b
+         |  ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+         |uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM t GROUP BY w),
+         |tot AS (SELECT CAST(sum(c) AS DOUBLE) AS t FROM uni),
+         |bc AS (SELECT wa, wb, CAST(count(*) AS BIGINT) AS cab FROM bg GROUP BY wa, wb),
+         |btot AS (SELECT CAST(count(*) AS DOUBLE) AS b FROM bg)
+         |SELECT wa, wb, cab,
+         |  round(ln((CAST(cab AS DOUBLE) * tot.t * tot.t) /
+         |    (btot.b * CAST(ua.c AS DOUBLE) * CAST(ub.c AS DOUBLE))), 4) AS pmi
+         |FROM bc JOIN uni ua ON ua.w = bc.wa JOIN uni ub ON ub.w = bc.wb
+         |  CROSS JOIN tot CROSS JOIN btot
+         |WHERE cab >= 5
+         |ORDER BY pmi DESC, wa, wb LIMIT 100""".stripMargin,
+
     "q74_tfidf" ->
       s"""WITH terms AS (SELECT doc_id, unnest($Words) AS word FROM documents),
          |tf AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf FROM terms GROUP BY doc_id, word),

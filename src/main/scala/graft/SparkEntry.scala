@@ -506,6 +506,16 @@ object SparkEntry {
     "q74_tfidf" -> ((s, dir) =>
       TextAnalysis.tfIdfTopTerms(docs(s, dir), k = 3)),
 
+    // Balanced training mix: cap every source at 50 docs, kept set chosen
+    // by salted portable hash (deterministic, partitioning-independent).
+    "q96_stratified_sample" -> ((s, dir) =>
+      TextAnalysis.stratifiedSample(docs(s, dir), n = 50)
+        .select("doc_id", "source", "rank")),
+
+    // Phrase mining: top-100 bigram collocations by PMI (min count 5).
+    "q97_pmi_collocations" -> ((s, dir) =>
+      TextAnalysis.pmiCollocations(docs(s, dir), minCount = 5, k = 100)),
+
     "q12_exact_dup" -> ((s, dir) =>
       Dedup.exactDupPairs(docs(s, dir).select(col("doc_id"),
         concat_ws(" ", slice(split(col("text"), " "), 1, 3)).as("text")))),

@@ -349,4 +349,70 @@ object TextAnalysis {
     val u = portableHash(col(textCol)).cast("double") / lit(HashP.toDouble)
     docs.filter(u < lit(rate) * qualityScore(col(textCol)))
   }
+
+  /**
+   * Balanced per-stratum subsampling — the "rebalance the training mix"
+   * op (cap every source/language/domain at `n` documents): keep the `n`
+   * documents of each stratum that sort first by a salted portable hash.
+   * Deterministic: no RNG, the keep set depends only on (id, salt, n) —
+   * identical across runs, partitionings, and engines.
+   *
+   * Scale shape: the rank window runs over a NARROW (stratum, id, hash)
+   * projection — document text never rides the per-stratum sort-shuffle —
+   * and survivors re-join the corpus on the id equi-key. Output keeps the
+   * within-stratum `rank` column (1-based) for inspectability.
+   */
+  def stratifiedSample(docs: DataFrame, n: Int, strataCol: String = "source",
+      idCol: String = "doc_id", salt: String = "strat"): DataFrame = {
+    require(n > 0, "n must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val h = portableHash(concat(col(idCol).cast("string"), lit(":" + salt)))
+    val w = Window.partitionBy(strataCol).orderBy(col("__h"), col(idCol))
+    val keep = docs.select(col(idCol), col(strataCol)).withColumn("__h", h)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= n)
+      .select(col(idCol), col("rank"))
+    docs.join(keep, Seq(idCol))
+  }
+
+  /**
+   * Bigram collocations by pointwise mutual information — the
+   * phrase-mining / tokenizer-vocabulary front end: PMI(a, b) =
+   * ln( P(a,b) / (P(a)·P(b)) ) with P from corpus-wide counts (unigrams
+   * over T total tokens, adjacent bigrams over B total bigrams). High-PMI
+   * pairs are phrases ("new york"); low counts are noise, hence
+   * `minCount`.
+   *
+   * Scale shape: two map-side-combined count aggregates; the unigram
+   * relation is vocabulary-sized so both count joins broadcast; corpus
+   * totals fold in as broadcast 1-row aggregates (no driver action); the
+   * global top-k is a TakeOrdered, not a single-partition window sort.
+   * Determinism: PMI is one fixed left-associated double expression over
+   * integer counts, rounded to 4dp, ordered (pmi desc, wa, wb).
+   */
+  def pmiCollocations(docs: DataFrame, minCount: Long = 5, k: Int = 100,
+      textCol: String = "text"): DataFrame = {
+    val ws = words(col(textCol))
+    val len = greatest(size(ws) - 1, lit(0))
+    val pairs = docs.select(explode(
+        zip_with(slice(ws, lit(1), len), slice(ws, lit(2), len),
+          (x, y) => struct(x.as("wa"), y.as("wb")))
+          .cast("array<struct<wa:string,wb:string>>")).as("g"))
+      .select(col("g")("wa").as("wa"), col("g")("wb").as("wb"))
+    val uni = docs.select(explode(ws).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val tTot = uni.agg(sum("c").cast("double").as("__t"))
+    val bc = pairs.groupBy("wa", "wb").agg(count(lit(1)).as("cab"))
+    val bTot = pairs.agg(count(lit(1)).cast("double").as("__b"))
+    bc.filter(col("cab") >= minCount)
+      .join(broadcast(uni.select(col("w").as("wa"), col("c").as("ca"))), "wa")
+      .join(broadcast(uni.select(col("w").as("wb"), col("c").as("cb"))), "wb")
+      .crossJoin(broadcast(tTot)).crossJoin(broadcast(bTot))
+      .withColumn("pmi", round(log(
+        (col("cab").cast("double") * col("__t") * col("__t")) /
+          (col("__b") * col("ca").cast("double") * col("cb").cast("double"))), 4))
+      .select(col("wa"), col("wb"), col("cab"), col("pmi"))
+      .orderBy(col("pmi").desc, col("wa"), col("wb"))
+      .limit(k)
+  }
 }

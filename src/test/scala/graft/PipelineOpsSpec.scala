@@ -370,6 +370,31 @@ class PipelineOpsSpec extends GraftSuite {
     assert(b.count(_.isNullAt(0)) == 1)
   }
 
+  test("stratifiedSample: caps each stratum, keep set is id-deterministic") {
+    val d = (0L until 20L).map(i => (i, s"doc $i", if (i % 2 == 0) "web" else "book"))
+      .toDF("doc_id", "text", "source")
+    val kept = TextAnalysis.stratifiedSample(d, n = 3)
+      .collect().map(r => (r.getLong(0), r.getString(2), r.getInt(3)))
+    assert(kept.length == 6)
+    assert(kept.count(_._2 == "web") == 3 && kept.count(_._2 == "book") == 3)
+    assert(kept.filter(_._2 == "web").map(_._3).sorted.toSeq == Seq(1, 2, 3))
+    // deterministic: a second evaluation keeps the same ids
+    val again = TextAnalysis.stratifiedSample(d, n = 3).collect().map(_.getLong(0))
+    assert(kept.map(_._1).sorted.toSeq == again.sorted.toSeq)
+  }
+
+  test("pmiCollocations: repeated phrases rank, rare pairs filtered") {
+    val d = Seq((0L, "new york is big"), (1L, "new york is old"), (2L, "big old city"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.pmiCollocations(d, minCount = 2, k = 10)
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2), r.getDouble(3)))
+    // only the bigrams seen twice survive minCount
+    assert(out.map(_._1).toSet == Set(("new", "york"), ("york", "is")))
+    // identical count profiles → identical PMI; tie broken by word order
+    assert(out(0)._3 == out(1)._3 && out(0)._1 == ("new", "york"))
+    assert(out.forall(_._2 == 2L))
+  }
+
   test("kmeans: two blobs converge to blob means, assignment deterministic") {
     // blob A around (0, 0), blob B around (10, 10); init = 2 smallest ids,
     // one drawn from each blob (ids interleave the blobs)
