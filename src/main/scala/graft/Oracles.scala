@@ -224,8 +224,8 @@ object Oracles {
     "q02_priority_revenue" ->
       """WITH rev AS (
         |  SELECT o_orderpriority,
-        |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
-        |        * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) / 10000.0 AS revenue
+        |    CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+        |        * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))) AS BIGINT) / 10000.0 AS revenue
         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |  GROUP BY o_orderpriority),
         |cnt AS (SELECT o_orderpriority, count(*) AS n_orders FROM orders GROUP BY o_orderpriority)

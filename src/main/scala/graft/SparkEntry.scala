@@ -140,8 +140,12 @@ object SparkEntry {
       val rev = orders(s, dir)
         .join(lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
         .groupBy("o_orderpriority")
-        .agg((sum(round(col("l_extendedprice") * 100).cast("long")
-          * (lit(100L) - round(col("l_discount") * 100).cast("long"))) / 10000.0)
+        // floor(x+0.5), not round(x): Spark's double round goes through
+        // BigDecimal.valueOf (a per-row string parse) — on the 600k-row
+        // lineitem scan that was the whole query's hot loop. floor is pure
+        // codegen'd Math.floor and identical for these positive cents.
+        .agg((sum(floor(col("l_extendedprice") * 100 + 0.5).cast("long")
+          * (lit(100L) - floor(col("l_discount") * 100 + 0.5).cast("long"))) / 10000.0)
           .as("revenue"))
       val cnt = orders(s, dir).groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n_orders"))
@@ -378,7 +382,9 @@ object SparkEntry {
           posexplode(col("embedding")).as(Seq("d", "e")))
         .select(col("doc_id"), col("token_id"), col("input_id"),
           col("begin"), col("end"), col("d"),
-          round(col("e").cast("double") * 997).cast("long").as("ecode"))
+          // floor(x+0.5) not round(x): double round is a per-row BigDecimal
+          // string-parse; this runs once per token x dim (~8M rows at sf0.1).
+          floor(col("e").cast("double") * 997 + 0.5).cast("long").as("ecode"))
     }),
 
     // Composite token-class labels (make_iob_tag_categories +
@@ -444,7 +450,9 @@ object SparkEntry {
         .select(col("doc_id"), col("token_id"), col("input_id"), col("begin"),
           col("end"), col("ent_iob"), col("ent_type"), col("token_class"),
           col("token_class_id"), col("d"),
-          round(col("e").cast("double") * 997).cast("long").as("ecode"))
+          // floor(x+0.5) not round(x): double round is a per-row BigDecimal
+          // string-parse; this runs once per token x dim (~8M rows at sf0.1).
+          floor(col("e").cast("double") * 997 + 0.5).cast("long").as("ecode"))
     }),
 
     // Trained coarse quantizer: Lloyd's k-means (k=8, 2 iterations,

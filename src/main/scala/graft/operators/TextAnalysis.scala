@@ -283,7 +283,12 @@ object TextAnalysis {
     val n = docs.agg(countDistinct(col(idCol)).cast("double").as("__n"))
     val scored = tf.join(broadcast(df), "word")
       .crossJoin(broadcast(n))
-      .withColumn("score", round(col("tf") * log(col("__n") / col("df")), 4))
+      // floor(x*1e4+0.5)/1e4, not round(x, 4): Spark's double round is a
+      // per-row BigDecimal string-parse, and this column is computed for
+      // every distinct (doc, word) pair BEFORE the top-k filter. The score
+      // is non-negative (tf >= 1, df <= n), so half-up floor is identical.
+      .withColumn("score",
+        floor(col("tf") * log(col("__n") / col("df")) * 1e4 + 0.5) / 1e4)
     val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("word"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
