@@ -943,6 +943,33 @@ object Oracles {
          |   FROM scored)
          |WHERE rn <= 10""".stripMargin,
 
+    // Semantic dedup: k-means assignment (same unrolled CTEs as q94),
+    // then within-cluster lower-id cosine >= 0.9 marks duplicates.
+    "q98_semantic_dedup" ->
+      s"""WITH $EmbCte,
+         |${kmeansCtes(8, 2)},
+         |sided AS (SELECT a.id, a.cid AS cluster, e.v FROM a3 a JOIN ed e USING (id)),
+         |dup AS (SELECT DISTINCT a.id FROM sided a JOIN sided b
+         |  ON a.cluster = b.cluster AND b.id < a.id
+         |  AND round(${cos("a.v", "b.v")}, 4) >= 0.9)
+         |SELECT id AS vec_id, cluster, id IN (SELECT id FROM dup) AS is_dup
+         |FROM sided""".stripMargin,
+
+    // Sequence packing: per-shard running token sum over the salted-hash
+    // stream order; seq = chunk of the doc's first token, off = offset.
+    "q99_pack_sequences" ->
+      s"""WITH t AS (SELECT doc_id,
+         |    CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens,
+         |    ${H("CAST(doc_id AS VARCHAR) || ':pack'")} AS h
+         |  FROM documents),
+         |s AS (SELECT doc_id, n_tokens, CAST(h % 8 AS INTEGER) AS shard,
+         |    CAST(sum(n_tokens) OVER (PARTITION BY h % 8 ORDER BY h, doc_id)
+         |      AS BIGINT) AS cum FROM t)
+         |SELECT doc_id, n_tokens, shard,
+         |  CAST(floor((cum - n_tokens) / 256.0) AS BIGINT) AS seq,
+         |  (cum - n_tokens) % 256 AS off
+         |FROM s""".stripMargin,
+
     "q20_embed_agg" ->
       """WITH f AS (SELECT label, generate_subscripts(embedding, 1) - 1 AS dim,
         |    CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings)

@@ -524,6 +524,17 @@ object SparkEntry {
     "q97_pmi_collocations" -> ((s, dir) =>
       TextAnalysis.pmiCollocations(docs(s, dir), minCount = 5, k = 100)),
 
+    // Semantic dedup (SemDeDup shape): trained k-means clusters +
+    // within-cluster lower-id cosine marking. Paraphrase-level
+    // redundancy that lexical MinHash misses.
+    "q98_semantic_dedup" -> ((s, dir) =>
+      Dedup.semanticDedup(embedsD(s, dir), k = 8, iters = 2, tau = 0.9)),
+
+    // Sequence packing: shard-parallel concat-and-chunk assignment of
+    // documents into fixed 256-token training sequences.
+    "q99_pack_sequences" -> ((s, dir) =>
+      TextAnalysis.packSequences(docs(s, dir), budget = 256, nShards = 8)),
+
     "q12_exact_dup" -> ((s, dir) =>
       Dedup.exactDupPairs(docs(s, dir).select(col("doc_id"),
         concat_ws(" ", slice(split(col("text"), " "), 1, 3)).as("text")))),

@@ -403,6 +403,41 @@ object Dedup {
       .select("id_a", "id_b", "cos")
   }
 
+  /**
+   * Semantic dedup — the SemDeDup shape (Abbas et al. 2023,
+   * arXiv:2303.09540): cluster the embedding space with the trained
+   * k-means coarse quantizer, then inside each cluster mark a document
+   * as a duplicate iff some LOWER-id cluster-mate has cosine >= `tau`
+   * ("keep the first, drop the rest" — deterministic, no RNG). Catches
+   * the paraphrase-level redundancy that lexical MinHash cannot see.
+   *
+   * Scale shape: the pairwise-cosine join is confined WITHIN clusters —
+   * the whole point of the coarse quantizer: candidate pairs cost
+   * Σ|cluster|², not N², and k is chosen so clusters stay bounded.
+   * Cluster assignment is a shuffle-free literal-centroid projection
+   * (see Similarity.kmeansAssign); the corpus never self-joins on
+   * anything coarser than cluster_id, and the dup-id set joins back as
+   * a narrow single-column relation.
+   */
+  def semanticDedup(embeddings: DataFrame, k: Int = 8, iters: Int = 2,
+      tau: Double = 0.9, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val cents = Similarity.kmeansFitCentroids(embeddings, k, iters, idCol, vecCol)
+    val sided = Similarity.kmeansAssign(embeddings, cents, idCol, vecCol)
+      .select(col(idCol).as("id"), col("cluster"))
+      .join(embeddings.select(col(idCol).as("id"),
+        col(vecCol).cast("array<double>").as("v")), "id")
+    val dup = sided.select(col("cluster"), col("id").as("id_a"), col("v").as("va"))
+      .join(sided.select(col("cluster"), col("id").as("id_b"), col("v").as("vb")),
+        Seq("cluster"))
+      .filter(col("id_b") < col("id_a") &&
+        round(graft.tensor.cosine(col("va"), col("vb")), 4) >= tau)
+      .select(col("id_a").as("id")).distinct()
+    sided.join(dup.withColumn("__d", lit(true)), Seq("id"), "left")
+      .select(col("id").as(idCol), col("cluster"),
+        coalesce(col("__d"), lit(false)).as("is_dup"))
+  }
+
   // ---- pair → cluster resolution (connected components) ----
 
   /**

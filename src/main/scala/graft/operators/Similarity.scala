@@ -156,14 +156,13 @@ object Similarity {
         round(col("__best")("d"), 6).as("dist"))
 
   /** (d, cid) of the nearest centroid: squared-L2 left-fold per centroid,
-    * lexicographic struct min = smallest distance, ties to smallest cid. */
+    * ties to smallest cid. A native expression (NearestCentroid) carrying
+    * the matrix as one referenced object — the previous array_min(array(
+    * aggregate(zip_with(...)))) literal tree cost seconds of analyzer/
+    * optimizer time PER ACTION at k=8×dim=64, which dominated the whole
+    * fit on any corpus size (plan cost, not row cost). */
   private def bestCentroid(cents: Seq[(Int, Array[Double])], vec: Column): Column =
-    array_min(array(cents.map { case (cid, c) =>
-      val carr = array(c.map(lit(_)): _*)
-      val d = aggregate(zip_with(vec, carr, (x, y) => (x - y) * (x - y)),
-        lit(0.0), (a, b) => a + b)
-      struct(d.as("d"), lit(cid).as("cid"))
-    }: _*)).cast("struct<d:double,cid:int>") // lambda-bearing struct children lose aliases; rename positionally
+    org.apache.spark.sql.graft.NearestCentroid(vec, cents)
 
   /**
    * Approximate top-k via sign-LSH: candidates share the query's bucket or

@@ -381,6 +381,40 @@ object TextAnalysis {
   }
 
   /**
+   * Sequence packing — assign every document a slot in a fixed
+   * `budget`-token training sequence (the "pack the corpus into context
+   * windows" step before LLM pretraining). Concat-and-chunk semantics:
+   * each shard's documents form one token stream, the stream splits
+   * every `budget` tokens, and a document belongs to the sequence where
+   * its FIRST token lands (`off` = its token offset inside it).
+   *
+   * Scale shape: packing is SHARDED — documents hash into `nShards`
+   * independent streams, so the running sum is a window PARTITIONED by
+   * shard over a narrow (id, count, hash) projection: no global
+   * ordering, no single-partition window, and document text never rides
+   * the sort-shuffle. At 100 TB, `nShards` scales with the cluster
+   * (shards ≈ executors) and each shard's prefix sum stays one task's
+   * work. Determinism: stream order is (salted portable hash, id) — no
+   * RNG, identical on every run, partitioning, and engine.
+   */
+  def packSequences(docs: DataFrame, budget: Int = 1024, nShards: Int = 8,
+      idCol: String = "doc_id", textCol: String = "text",
+      salt: String = "pack"): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    require(nShards > 0, "nShards must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val h = portableHash(concat(col(idCol).cast("string"), lit(":" + salt)))
+    val w = Window.partitionBy("shard").orderBy(col("__h"), col(idCol))
+    docs.select(col(idCol), tokenCountWs(col(textCol)).cast("long").as("n_tokens"))
+      .withColumn("__h", h)
+      .withColumn("shard", pmod(col("__h"), lit(nShards)).cast("int"))
+      .withColumn("__cum", sum(col("n_tokens")).over(w))
+      .select(col(idCol), col("n_tokens"), col("shard"),
+        floor((col("__cum") - col("n_tokens")) / budget).cast("long").as("seq"),
+        ((col("__cum") - col("n_tokens")) % budget).as("off"))
+  }
+
+  /**
    * Bigram collocations by pointwise mutual information — the
    * phrase-mining / tokenizer-vocabulary front end: PMI(a, b) =
    * ln( P(a,b) / (P(a)·P(b)) ) with P from corpus-wide counts (unigrams

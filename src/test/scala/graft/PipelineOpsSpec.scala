@@ -423,6 +423,40 @@ class PipelineOpsSpec extends GraftSuite {
     assert(cents(0)._2.toSeq == Seq(round6(5.0 / 3), round6(5.0 / 3)))
   }
 
+  test("semanticDedup: within-cluster high-cosine marks higher id as dup") {
+    // init c0=(1,0), c1=(0,1); ids 2/3 are near-copies of 0/1, id 4 is
+    // antipodal to 0 (lands in 1's cluster but cosine ~0 with its mates)
+    val pts = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.0f, 1.0f)),
+      (2L, Seq(1.0f, 0.05f)), (3L, Seq(0.05f, 1.0f)),
+      (4L, Seq(-1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Dedup.semanticDedup(pts, k = 2, iters = 2, tau = 0.9)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(out == Map(0L -> false, 1L -> false, 2L -> true, 3L -> true, 4L -> false))
+  }
+
+  test("packSequences: sharded concat-and-chunk matches a direct mirror") {
+    val d = (0L until 30L).map(i => (i, ("w " * (i % 7 + 1).toInt).trim))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.packSequences(d, budget = 10, nShards = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3), r.getLong(4)))
+    assert(out.length == 30)
+    // mirror the packing sequentially with the same portable hash
+    val expected = (0L until 30L).map { i =>
+      (i, (i % 7 + 1), TextAnalysis.hashString(s"$i:pack"))
+    }.groupBy(_._3 % 2).flatMap { case (shard, ds) =>
+      var cum = 0L
+      ds.sortBy(t => (t._3, t._1)).map { case (id, n, _) =>
+        val before = cum; cum += n
+        (id, n.toLong, shard.toInt, before / 10, before % 10)
+      }
+    }.toSet
+    assert(out.toSet == expected)
+    // every offset sits inside the budget
+    assert(out.forall(r => r._5 >= 0 && r._5 < 10))
+  }
+
   private def round6(x: Double): Double =
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 }
