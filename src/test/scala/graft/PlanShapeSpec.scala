@@ -67,6 +67,34 @@ class PlanShapeSpec extends GraftSuite {
     assert(out.filter(col("cluster_id") === 0L).count() == 50)
   }
 
+  test("packSequences: window is sharded and text stays off the sort-shuffle") {
+    val docs = (0L until 200L).map(i => (i, s"some text body $i")).toDF("doc_id", "text")
+    val out = TextAnalysis.packSequences(docs, budget = 16, nShards = 4)
+    out.collect() // finalize the adaptive plan
+    val planStr = out.queryExecution.executedPlan.toString
+    // the running sum must be a PARTITIONED window — a global one would
+    // single-partition the corpus stream (the WindowExec "moving all data
+    // to a single partition" failure mode)
+    assert(!planStr.contains("SinglePartition"),
+      s"packing window collapsed to a single partition:\n$planStr")
+    // only the narrow (id, count, hash) projection rides the shuffle
+    assert(!planStr.contains("text#") || !planStr.split("\n").exists(l =>
+      l.contains("Exchange") && l.contains("text#")),
+      s"document text rides the packing shuffle:\n$planStr")
+  }
+
+  test("semanticDedup: pairwise stage joins on cluster, never cartesian") {
+    val pts = (0L until 40L).map(i =>
+      (i, Array.tabulate(4)(d => ((i * 3 + d) % 11).toFloat / 11f).toSeq))
+      .toDF("vec_id", "embedding")
+    val out = Dedup.semanticDedup(pts, k = 2, iters = 1, tau = 0.9)
+    out.collect() // finalize the adaptive plan
+    val planStr = out.queryExecution.executedPlan.toString
+    assert(!planStr.contains("CartesianProduct") &&
+      !planStr.contains("BroadcastNestedLoopJoin"),
+      s"within-cluster pair generation degraded to a cross product:\n$planStr")
+  }
+
   test("makeTable with explicit columnKeys launches no inference job") {
     // Explicit keys are the scale-path contract: constructing the pivot
     // must stay fully lazy — no pivot-value-inference scan of the cells
