@@ -126,6 +126,10 @@ object ScaleSmoke {
       ("duplicated_spans", d => Dedup.duplicatedSpans(d, n = 8).count(), null),
       // PII scan: shuffle-free codegen'd projection — pure scan scaling
       ("pii_scan", d => Pii.scan(d).filter(col("n_email") > 0).count(), null),
+      // sequence packing: per-shard windows over a narrow projection; the
+      // count of packed sequences grows with total token volume
+      ("pack_sequences", d => TextAnalysis.packSequences(d, budget = 1024,
+        nShards = 32).groupBy("shard", "seq").count().count(), null),
       // distributed CoNLL export: explicit per-partition writer, one
       // ordered file per 500-doc range — parallelism grows with corpus
       // size even though everything is one fold
@@ -174,6 +178,30 @@ object ScaleSmoke {
     val (tc, nc) = timed(ivf(emb1))
     val (td, nd) = timed(ivf(emb10))
     results += f"""{"op":"ann_ivf_topk","sec_1x":$tc%.2f,"sec_10x":$td%.2f,"ratio":${td / tc}%.2f,"rows_1x":$nc,"rows_10x":$nd}"""
+
+    // k-means fit+assign: iterations are full scans with a constant-size
+    // collect each; cost tracks corpus size at fixed k
+    def km(e: DataFrame): Long = {
+      val ed = embD(e)
+      Similarity.kmeansAssign(ed,
+        Similarity.kmeansFitCentroids(ed, k = 8, iters = 2)).count()
+    }
+    km(emb1) // warmup
+    val (te, ne) = timed(km(emb1))
+    val (tf, nf) = timed(km(emb10))
+    results += f"""{"op":"kmeans_fit_assign","sec_1x":$te%.2f,"sec_10x":$tf%.2f,"ratio":${tf / te}%.2f,"rows_1x":$ne,"rows_10x":$nf}"""
+
+    // semantic dedup: within-cluster pair work is Σ|cluster|² — linear at
+    // scale ONLY if k grows with the corpus (the SemDeDup operating rule:
+    // cluster size is the knob, k=8 at 1x vs k=80 at 10x keeps ~250
+    // vectors/cluster at both scales, so per-cluster work is constant and
+    // cluster count carries the 10x)
+    def sem(e: DataFrame, k: Int): Long =
+      Dedup.semanticDedup(embD(e), k = k, iters = 2, tau = 0.9).count()
+    sem(emb1, 8) // warmup
+    val (tg, ng) = timed(sem(emb1, 8))
+    val (th, nh) = timed(sem(emb10, 80))
+    results += f"""{"op":"semantic_dedup","sec_1x":$tg%.2f,"sec_10x":$th%.2f,"ratio":${th / tg}%.2f,"rows_1x":$ng,"rows_10x":$nh}"""
 
     println(s"""{"scale_smoke":[${results.mkString(",")}],"docs_1x":$nDocs}""")
     spark.stop()
