@@ -970,6 +970,33 @@ object Oracles {
          |  (cum - n_tokens) % 256 AS off
          |FROM s""".stripMargin,
 
+    // Gopher rules: every ratio is floor(x*1e4+0.5)/1e4 (half-up to 4dp,
+    // valid because all metrics are >= 0) BEFORE thresholding, so the
+    // boolean verdict is bit-identical across engines.
+    "q100_gopher_rules" ->
+      """WITH x AS (SELECT doc_id, text,
+        |    regexp_extract_all(text, '\S+') AS toks,
+        |    string_split(text, chr(10)) AS lines,
+        |    regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+        |  FROM documents),
+        |m AS (SELECT doc_id,
+        |    len(toks) AS n_words,
+        |    CASE WHEN len(toks) > 0 THEN floor(CAST(list_sum(list_transform(toks, w -> len(w))) AS DOUBLE) / len(toks) * 1e4 + 0.5) / 1e4 ELSE 0.0 END AS mean_word_len,
+        |    CASE WHEN len(toks) > 0 THEN floor(CAST(len(regexp_extract_all(text, '#|\.\.\.')) AS DOUBLE) / len(toks) * 1e4 + 0.5) / 1e4 ELSE 0.0 END AS symbol_ratio,
+        |    CASE WHEN len(lines) > 0 THEN floor(CAST(len(list_filter(lines, l -> regexp_matches(ltrim(l), '^[-*•]'))) AS DOUBLE) / len(lines) * 1e4 + 0.5) / 1e4 ELSE 0.0 END AS bullet_ratio,
+        |    CASE WHEN len(lines) > 0 THEN floor(CAST(len(list_filter(lines, l -> regexp_matches(rtrim(l), '\.\.\.$'))) AS DOUBLE) / len(lines) * 1e4 + 0.5) / 1e4 ELSE 0.0 END AS ellipsis_ratio,
+        |    CASE WHEN len(toks) > 0 THEN floor(CAST(len(list_filter(toks, w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE) / len(toks) * 1e4 + 0.5) / 1e4 ELSE 0.0 END AS alpha_ratio,
+        |    len(list_filter(['the','be','to','of','and','that','have','with'], s -> list_contains(ws, s))) AS stop_hits
+        |  FROM x)
+        |SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_ratio,
+        |  ellipsis_ratio, alpha_ratio, stop_hits,
+        |  (n_words >= 50 AND n_words <= 100000
+        |   AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+        |   AND symbol_ratio < 0.1 AND bullet_ratio < 0.9
+        |   AND ellipsis_ratio < 0.3 AND alpha_ratio > 0.8
+        |   AND stop_hits >= 2) AS gopher_pass
+        |FROM m""".stripMargin,
+
     "q20_embed_agg" ->
       """WITH f AS (SELECT label, generate_subscripts(embedding, 1) - 1 AS dim,
         |    CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings)

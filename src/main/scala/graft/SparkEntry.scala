@@ -535,6 +535,11 @@ object SparkEntry {
     "q99_pack_sequences" -> ((s, dir) =>
       TextAnalysis.packSequences(docs(s, dir), budget = 256, nShards = 8)),
 
+    // Gopher rule-based quality filter (Rae et al. 2021): canonical
+    // per-rule metric columns + one boolean verdict per document.
+    "q100_gopher_rules" -> ((s, dir) =>
+      TextAnalysis.gopherRules(docs(s, dir))),
+
     "q12_exact_dup" -> ((s, dir) =>
       Dedup.exactDupPairs(docs(s, dir).select(col("doc_id"),
         concat_ws(" ", slice(split(col("text"), " "), 1, 3)).as("text")))),

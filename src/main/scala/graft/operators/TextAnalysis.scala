@@ -454,4 +454,66 @@ object TextAnalysis {
       .orderBy(col("pmi").desc, col("wa"), col("wb"))
       .limit(k)
   }
+
+  // ---- Gopher-style rule-based quality filter (Rae et al. 2021) ----
+
+  /** Required-stopword list for the Gopher "contains >= 2 stopwords" rule. */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /**
+   * Gopher-style rule-based document filter (Rae et al. 2021, App. A1.1) —
+   * the canonical pretraining-corpus rule set, exposed as named per-rule
+   * metric columns plus one `gopher_pass` verdict, so a pipeline can either
+   * filter on the verdict or audit individual rule hit-rates:
+   *
+   *   - word count in [50, 100000]
+   *   - mean word length in [3, 10]
+   *   - symbol-to-word ratio (`#` / ellipsis) < 0.1
+   *   - fraction of lines starting with a bullet < 0.9
+   *   - fraction of lines ending with an ellipsis < 0.3
+   *   - fraction of words containing an alphabetic char > 0.8
+   *   - at least 2 of the 8 required stopwords present
+   *
+   * Ratios are rounded half-up to 4dp BEFORE thresholding so the verdict
+   * is bit-reproducible across engines. Pure codegen expression tree
+   * (regex counts + higher-order array ops), no UDF and no shuffle — a
+   * straight map over the corpus that composes with downstream stages at
+   * 100 TB without a plan break.
+   */
+  def gopherRules(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val text = col(textCol)
+    val toks = regexp_extract_all(text, lit("\\S+"), lit(0))
+    val nWords = size(toks)
+    // metrics are >= 0, so half-up floor == round()
+    val r4 = (c: Column) => floor(c * 1e4 + 0.5) / 1e4
+    val safeRatio = (num: Column, den: Column) =>
+      r4(when(den > 0, num.cast("double") / den).otherwise(lit(0.0)))
+    val mwl = safeRatio(aggregate(toks, lit(0L), (a, w) => a + length(w)), nWords)
+    val nSym = size(regexp_extract_all(text, lit("#|\\.\\.\\."), lit(0)))
+    val lines = split(text, "\n")
+    val nLines = size(lines)
+    val nBullet = size(filter(lines, l => ltrim(l).rlike("^[-*•]")))
+    val nEllEnd = size(filter(lines, l => rtrim(l).rlike("\\.\\.\\.$")))
+    val nAlpha = size(filter(toks, w => w.rlike("[A-Za-z]")))
+    val stopHits = size(filter(array(GopherStopwords.map(lit): _*),
+      s => array_contains(words(text), s)))
+    docs.select(col(idCol).as("doc_id"),
+        nWords.as("n_words"),
+        mwl.as("mean_word_len"),
+        safeRatio(nSym, nWords).as("symbol_ratio"),
+        safeRatio(nBullet, nLines).as("bullet_ratio"),
+        safeRatio(nEllEnd, nLines).as("ellipsis_ratio"),
+        safeRatio(nAlpha, nWords).as("alpha_ratio"),
+        stopHits.as("stop_hits"))
+      .withColumn("gopher_pass",
+        col("n_words") >= 50 && col("n_words") <= 100000 &&
+        col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0 &&
+        col("symbol_ratio") < 0.1 &&
+        col("bullet_ratio") < 0.9 &&
+        col("ellipsis_ratio") < 0.3 &&
+        col("alpha_ratio") > 0.8 &&
+        col("stop_hits") >= 2)
+  }
 }

@@ -112,6 +112,31 @@ class PipelineOpsSpec extends GraftSuite {
     assert(lsh.headOption.contains(0L))
   }
 
+  test("gopher rules: each rule trips on its designed offender") {
+    val g = Seq(
+      // 132 words, mwl ~3.8, clean prose, 4 required stopwords → pass
+      (0L, Seq.fill(12)("the quick brown fox and dog have been with them all today").mkString(" ")),
+      (1L, "too short to pass"),
+      (2L, (1 to 60).map(_ => "- bullet item here").mkString("\n")),
+      (3L, Seq.fill(60)("word #").mkString(" ")),
+      (4L, (1 to 60).map(_.toString).mkString(" ") + " the of"),
+      (5L, (1 to 60).map(i => s"line number $i trails off ...").mkString("\n"))
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.gopherRules(g).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x).toMap
+    assert(r(0L).getAs[Boolean]("gopher_pass"))
+    assert(!r(1L).getAs[Boolean]("gopher_pass") && r(1L).getAs[Int]("n_words") < 50)
+    assert(!r(2L).getAs[Boolean]("gopher_pass") && r(2L).getAs[Double]("bullet_ratio") >= 0.9)
+    assert(!r(3L).getAs[Boolean]("gopher_pass") && r(3L).getAs[Double]("symbol_ratio") >= 0.1)
+    assert(!r(4L).getAs[Boolean]("gopher_pass") && r(4L).getAs[Double]("alpha_ratio") <= 0.8)
+    assert(!r(5L).getAs[Boolean]("gopher_pass") && r(5L).getAs[Double]("ellipsis_ratio") >= 0.3)
+    // null text → NULL metrics and NULL verdict (same propagation as the
+    // SQL oracle); getAs unboxes those to 0/false
+    val n = TextAnalysis.gopherRules(
+      Seq((9L, null: String)).toDF("doc_id", "text")).head
+    assert(!n.getAs[Boolean]("gopher_pass") && n.getAs[Int]("n_words") == 0)
+  }
+
   test("text analysis: counts, langid, quality, fingerprint") {
     val r = docs.select(col("doc_id"),
       TextAnalysis.tokenCountWs(col("text")).as("ws"),
