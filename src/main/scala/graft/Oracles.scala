@@ -997,6 +997,28 @@ object Oracles {
         |   AND stop_hits >= 2) AS gopher_pass
         |FROM m""".stripMargin,
 
+    "q101_c4_clean" ->
+      """WITH d AS (SELECT doc_id,
+        |    regexp_replace(text, ' (table|row|line) ', '.' || chr(10), 'g') AS text
+        |  FROM documents),
+        |x AS (SELECT doc_id, text, string_split(text, chr(10)) AS lines FROM d),
+        |k AS (SELECT doc_id, text, lines,
+        |    list_filter(lines, l -> regexp_matches(rtrim(l), '[.!?"]$')
+        |      AND len(regexp_extract_all(l, '\S+')) >= 3
+        |      AND NOT contains(lower(l), 'javascript')
+        |      AND NOT regexp_matches(lower(l), 'cookie|privacy policy|terms of use')) AS kept
+        |  FROM x),
+        |m AS (SELECT doc_id, len(lines) AS n_lines, len(kept) AS n_kept,
+        |    coalesce(array_to_string(kept, chr(10)), '') AS clean_text,
+        |    (contains(lower(text), 'lorem ipsum') OR contains(text, '{')) AS boilerplate
+        |  FROM k)
+        |SELECT doc_id, n_lines, n_kept,
+        |  len(regexp_extract_all(clean_text, '[.!?]')) AS n_sentences,
+        |  boilerplate,
+        |  (NOT boilerplate AND len(regexp_extract_all(clean_text, '[.!?]')) >= 3) AS c4_keep,
+        |  clean_text
+        |FROM m""".stripMargin,
+
     "q20_embed_agg" ->
       """WITH f AS (SELECT label, generate_subscripts(embedding, 1) - 1 AS dim,
         |    CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings)

@@ -540,6 +540,14 @@ object SparkEntry {
     "q100_gopher_rules" -> ((s, dir) =>
       TextAnalysis.gopherRules(docs(s, dir))),
 
+    // C4 line-level cleaning (Raffel et al. 2020): surviving lines +
+    // document keep verdict. The synthetic corpus is one long unpunctuated
+    // line, so first re-shape it into punctuated multi-line text (same
+    // rewrite in the oracle) so every line rule actually fires.
+    "q101_c4_clean" -> ((s, dir) =>
+      TextAnalysis.c4Clean(docs(s, dir).withColumn("text",
+        regexp_replace(col("text"), " (table|row|line) ", ".\n")))),
+
     "q12_exact_dup" -> ((s, dir) =>
       Dedup.exactDupPairs(docs(s, dir).select(col("doc_id"),
         concat_ws(" ", slice(split(col("text"), " "), 1, 3)).as("text")))),

@@ -516,4 +516,47 @@ object TextAnalysis {
         col("alpha_ratio") > 0.8 &&
         col("stop_hits") >= 2)
   }
+
+  // ---- C4-style line-level cleaning (Raffel et al. 2020, §2.2) ----
+
+  /**
+   * C4 line/document cleaning rules (Raffel et al. 2020, §2.2): the
+   * line-level complement to the document-level [[gopherRules]].
+   *
+   * Line rules (a line survives iff ALL hold):
+   *   - ends with a terminal punctuation mark (`.` `!` `?` `"`)
+   *   - has at least 3 whitespace words
+   *   - does not mention "javascript" (lowercased)
+   *   - does not carry cookie/policy boilerplate
+   *     ("cookie", "privacy policy", "terms of use")
+   *
+   * Document rules (on the cleaned text): no "lorem ipsum", no `{`,
+   * and at least 3 sentences (terminal-punct count) → `c4_keep`.
+   * C4's cross-document three-sentence dedup step is the separate
+   * [[Dedup.duplicatedSpans]]/[[Dedup.stripDuplicatedSpans]] pair.
+   *
+   * Pure expression tree over `split(text, "\n")` — a shuffle-free map,
+   * like [[gopherRules]], so it can prefix any corpus pipeline at 100 TB
+   * without a plan break.
+   */
+  def c4Clean(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val lines = split(col(textCol), "\n")
+    val keepLine = (l: Column) =>
+      rtrim(l).rlike("[.!?\"]$") &&
+      size(regexp_extract_all(l, lit("\\S+"), lit(0))) >= 3 &&
+      !lower(l).contains("javascript") &&
+      !lower(l).rlike("cookie|privacy policy|terms of use")
+    docs.select(col(idCol).as("doc_id"),
+        size(lines).as("n_lines"),
+        array_join(filter(lines, keepLine), "\n").as("clean_text"),
+        size(filter(lines, keepLine)).as("n_kept"),
+        (lower(col(textCol)).contains("lorem ipsum") ||
+          col(textCol).contains("{")).as("boilerplate"))
+      .withColumn("n_sentences",
+        size(regexp_extract_all(col("clean_text"), lit("[.!?]"), lit(0))))
+      .withColumn("c4_keep", !col("boilerplate") && col("n_sentences") >= 3)
+      .select("doc_id", "n_lines", "n_kept", "n_sentences", "boilerplate",
+        "c4_keep", "clean_text")
+  }
 }

@@ -137,6 +137,34 @@ class PipelineOpsSpec extends GraftSuite {
     assert(!n.getAs[Boolean]("gopher_pass") && n.getAs[Int]("n_words") == 0)
   }
 
+  test("c4 cleaning: line rules, boilerplate, keep verdict") {
+    val g = Seq(
+      // 3 good sentences survive; short/unterminated/boilerplate lines drop
+      (0L, Seq(
+        "This is a perfectly fine sentence.",
+        "Another good line ends with a question mark?",
+        "A third proper sentence right here!",
+        "no terminal punctuation on this line",
+        "Too short.",
+        "This site uses cookie banners and trackers.",
+        "Please enable javascript to continue reading.").mkString("\n")),
+      (1L, "Lorem ipsum dolor sit amet and more filler here.\nAnother fine sentence is right here.\nAnd one more to reach the minimum count."),
+      (2L, "A curly brace { appears in this document body.\nSecond valid sentence of the page.\nThird valid sentence of the page."),
+      (3L, "Only two sentences survive the line filter here.\nWhich is one short of the minimum needed.")
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.c4Clean(g).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x).toMap
+    assert(r(0L).getAs[Int]("n_lines") == 7)
+    assert(r(0L).getAs[Int]("n_kept") == 3)
+    assert(r(0L).getAs[Boolean]("c4_keep"))
+    assert(r(0L).getAs[String]("clean_text").linesIterator.size == 3)
+    // lorem ipsum and curly brace each kill the whole document
+    assert(!r(1L).getAs[Boolean]("c4_keep") && r(1L).getAs[Boolean]("boilerplate"))
+    assert(!r(2L).getAs[Boolean]("c4_keep") && r(2L).getAs[Boolean]("boilerplate"))
+    // under 3 surviving sentences → dropped even with clean lines
+    assert(!r(3L).getAs[Boolean]("c4_keep") && r(3L).getAs[Int]("n_sentences") == 2)
+  }
+
   test("text analysis: counts, langid, quality, fingerprint") {
     val r = docs.select(col("doc_id"),
       TextAnalysis.tokenCountWs(col("text")).as("ws"),
