@@ -18,6 +18,18 @@ class PlanShapeSpec extends GraftSuite {
       s"expected shuffle-free split assignment, got:\n$plan")
   }
 
+  test("gopherRules and c4Clean plan as pure projections — no Exchange") {
+    // Both quality filters promise "shuffle-free map" in their Scaladoc so
+    // they can prefix any corpus pipeline without a plan break.
+    val docs = (0L until 50L).map(i => (i, s"Some text body $i.\nAnother line $i."))
+      .toDF("doc_id", "text")
+    for (out <- Seq(TextAnalysis.gopherRules(docs), TextAnalysis.c4Clean(docs))) {
+      val plan = out.queryExecution.executedPlan
+      assert(plan.collect { case e: Exchange => e }.isEmpty,
+        s"expected a shuffle-free filter projection, got:\n$plan")
+    }
+  }
+
   test("prfScores reads the gold subtree once (ReusedExchange in final plan)") {
     val pred = (0L until 200L).map(i => (i % 20, i, i + 1, "K"))
       .toDF("doc_id", "b", "e", "ent_type")
