@@ -1019,6 +1019,46 @@ object Oracles {
         |  clean_text
         |FROM m""".stripMargin,
 
+    "q102_dedup_best" ->
+      s"""WITH RECURSIVE $MinhashCte,
+         |bnd AS (SELECT doc_id, generate_subscripts(keys, 1) - 1 AS band, unnest(keys) AS key FROM bk),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b FROM bnd a
+         |  JOIN bnd b2 ON a.band = b2.band AND a.key = b2.key AND a.doc_id < b2.doc_id),
+         |pr AS (SELECT id_a, id_b FROM (SELECT id_a, id_b,
+         |    CAST(len(list_intersect(x.h, y.h)) AS DOUBLE) / len(list_distinct(list_concat(x.h, y.h))) AS j
+         |  FROM cand JOIN hs x ON x.doc_id = cand.id_a JOIN hs y ON y.doc_id = cand.id_b)
+         |  WHERE round(j, 4) >= 0.7),
+         |e AS (SELECT id_a AS a, id_b AS b FROM pr UNION SELECT id_b, id_a FROM pr),
+         |reach AS (SELECT a AS n, a AS r FROM e
+         |  UNION SELECT e.b, reach.r FROM reach JOIN e ON e.a = reach.n),
+         |comp AS (SELECT n, min(r) AS root FROM reach GROUP BY n),
+         |sc AS (SELECT doc_id, len(regexp_extract_all(text, '\\S+')) AS tc FROM documents),
+         |rk AS (SELECT comp.n, row_number() OVER (PARTITION BY comp.root
+         |    ORDER BY sc.tc DESC, comp.n ASC) AS rk
+         |  FROM comp JOIN sc ON sc.doc_id = comp.n),
+         |losers AS (SELECT n FROM rk WHERE rk > 1)
+         |SELECT d.doc_id, len(regexp_extract_all(d.text, '\\S+')) AS n_tokens
+         |FROM documents d WHERE d.doc_id NOT IN (SELECT n FROM losers)""".stripMargin,
+
+    "q103_chunk_docs" ->
+      """WITH RECURSIVE d AS (SELECT doc_id,
+        |    regexp_replace(text, ' (table|row|line) ', '.' || chr(10), 'g') AS text
+        |  FROM documents),
+        |ls AS (SELECT doc_id, string_split(text, chr(10)) AS arr FROM d),
+        |l AS (SELECT doc_id, generate_subscripts(arr, 1) - 1 AS pos, unnest(arr) AS line FROM ls),
+        |lc AS (SELECT doc_id, pos, line, len(regexp_extract_all(line, '\S+')) AS cnt FROM l),
+        |rec AS (
+        |  SELECT doc_id, pos, line, cnt AS cum, 0 AS chunk FROM lc WHERE pos = 0
+        |  UNION ALL
+        |  SELECT lc.doc_id, lc.pos, lc.line,
+        |    CASE WHEN rec.cum + lc.cnt > 32 THEN lc.cnt ELSE rec.cum + lc.cnt END,
+        |    CASE WHEN rec.cum + lc.cnt > 32 THEN rec.chunk + 1 ELSE rec.chunk END
+        |  FROM rec JOIN lc ON lc.doc_id = rec.doc_id AND lc.pos = rec.pos + 1)
+        |SELECT doc_id, chunk AS chunk_id,
+        |  string_agg(line, chr(10) ORDER BY pos) AS chunk_text,
+        |  len(regexp_extract_all(string_agg(line, chr(10) ORDER BY pos), '\S+')) AS n_tokens
+        |FROM rec GROUP BY doc_id, chunk""".stripMargin,
+
     "q20_embed_agg" ->
       """WITH f AS (SELECT label, generate_subscripts(embedding, 1) - 1 AS dim,
         |    CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings)

@@ -548,6 +548,25 @@ object SparkEntry {
       TextAnalysis.c4Clean(docs(s, dir).withColumn("text",
         regexp_replace(col("text"), " (table|row|line) ", ".\n")))),
 
+    // Quality-aware dedup policy: same near-dup clusters as q76 but each
+    // cluster keeps its LONGEST member (ties -> smaller id), not its
+    // smallest id.
+    "q102_dedup_best" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.dropNearDuplicatesBest(d,
+        Dedup.minhashDupPairs(d, threshold = 0.7, k = 8, bands = 4, shingleK = 3),
+        TextAnalysis.tokenCountWs(col("text")))
+        .select(col("doc_id"),
+          TextAnalysis.tokenCountWs(col("text")).as("n_tokens"))
+    }),
+
+    // Greedy line-boundary chunking of long documents into <=32-token
+    // training rows (same multi-line rewrite as q101).
+    "q103_chunk_docs" -> ((s, dir) =>
+      TextAnalysis.chunkDocuments(docs(s, dir).withColumn("text",
+          regexp_replace(col("text"), " (table|row|line) ", ".\n")),
+        budget = 32)),
+
     "q12_exact_dup" -> ((s, dir) =>
       Dedup.exactDupPairs(docs(s, dir).select(col("doc_id"),
         concat_ws(" ", slice(split(col("text"), " "), 1, 3)).as("text")))),

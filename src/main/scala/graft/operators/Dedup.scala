@@ -553,6 +553,32 @@ object Dedup {
     docs.join(losers, Seq(idCol), "left_anti")
   }
 
+  /**
+   * Quality-aware variant of [[dropNearDuplicates]]: each duplicate cluster
+   * keeps its BEST member by `scoreCol` (ties broken toward the smaller id)
+   * instead of the smallest id — the policy real corpus pipelines want
+   * ("keep the longest / highest-quality copy", e.g. Dolma's dedup stage;
+   * green-field — the reference has no dedup surface).
+   *
+   * Scale shape: the score join and the winner aggregation touch only
+   * cluster MEMBERS (tiny vs the corpus — clusters come from near-dup
+   * pairs); winners resolve with one `max_by` per cluster, and the corpus
+   * itself is only ever on the build side of a broadcast-able anti-join,
+   * exactly like [[dropNearDuplicates]].
+   */
+  def dropNearDuplicatesBest(docs: DataFrame, pairs: DataFrame,
+      score: Column, idCol: String = "doc_id"): DataFrame = {
+    val members = dupClusters(pairs)
+      .join(docs.select(col(idCol).as("doc_id"), score.as("__score")), "doc_id")
+    val winners = members.groupBy("cluster_id")
+      .agg(max_by(col("doc_id"), struct(col("__score"), -col("doc_id")))
+        .as("keep_id"))
+    val losers = members.join(winners, "cluster_id")
+      .filter(col("doc_id") =!= col("keep_id"))
+      .select(col("doc_id").as(idCol))
+    docs.join(losers, Seq(idCol), "left_anti")
+  }
+
   // ---- duplicated-substring spans (exact substring dedup) ----
 
   /**

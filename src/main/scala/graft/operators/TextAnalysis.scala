@@ -539,6 +539,52 @@ object TextAnalysis {
    * like [[gopherRules]], so it can prefix any corpus pipeline at 100 TB
    * without a plan break.
    */
+  /**
+   * Split long documents into training-sized chunks at line boundaries:
+   * a greedy scan packs consecutive lines into a chunk until adding the
+   * next line would exceed `budget` whitespace tokens, then starts a new
+   * chunk (a single over-budget line becomes its own chunk — lines are
+   * never split). The long-document complement of [[packSequences]]
+   * (which packs SHORT docs together); standard corpus prep for fixed
+   * context windows (green-field — no reference counterpart).
+   *
+   * Output: doc_id, chunk_id (0-based per doc), chunk_text, n_tokens.
+   *
+   * Shape: the greedy scan is a single in-row `aggregate` over the line
+   * array and chunk texts rebuild in-row, so the plan is a pure
+   * projection + generator — NO shuffle; chunk rebuilding is
+   * O(n_lines x n_chunks) per document, fine while docs stay MB-scale
+   * (chunks ~ tokens/budget).
+   */
+  def chunkDocuments(docs: DataFrame, budget: Int = 256,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(budget >= 1, "budget must be positive")
+    val lines = split(col(textCol), "\n")
+    val cnts = transform(lines, l =>
+      size(regexp_extract_all(l, lit("\\S+"), lit(0))))
+    // scan state: tokens in the open chunk, open chunk index, per-line
+    // chunk assignment so far (first line never breaks: asn empty)
+    val zero = struct(lit(0).as("cum"), lit(0).as("idx"),
+      array().cast("array<int>").as("asn"))
+    val scan = aggregate(cnts, zero, (acc, c) => {
+      val brk = size(acc("asn")) > 0 && acc("cum") + c > budget
+      struct(
+        when(brk, c).otherwise(acc("cum") + c).as("cum"),
+        when(brk, acc("idx") + 1).otherwise(acc("idx")).as("idx"),
+        concat(acc("asn"),
+          array(when(brk, acc("idx") + 1).otherwise(acc("idx")))).as("asn"))
+    })
+    val z = docs.select(col(idCol).as("doc_id"), lines.as("ls"),
+      scan.getField("asn").as("asn"))
+    val tagged = zip_with(col("ls"), col("asn"),
+      (l, a) => struct(a.as("a"), l.as("l")))
+    val chunks = transform(sequence(lit(0), element_at(col("asn"), -1)),
+      i => array_join(
+        transform(filter(tagged, p => p("a") === i), p => p("l")), "\n"))
+    z.select(col("doc_id"), posexplode(chunks).as(Seq("chunk_id", "chunk_text")))
+      .withColumn("n_tokens", tokenCountWs(col("chunk_text")))
+  }
+
   def c4Clean(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     val lines = split(col(textCol), "\n")

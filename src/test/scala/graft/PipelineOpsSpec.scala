@@ -165,6 +165,48 @@ class PipelineOpsSpec extends GraftSuite {
     assert(!r(3L).getAs[Boolean]("c4_keep") && r(3L).getAs[Int]("n_sentences") == 2)
   }
 
+  test("dropNearDuplicatesBest keeps the highest-score cluster member") {
+    // cluster {0,1,3}: doc 1 is one token LONGER ("tonight" vs "today"
+    // makes no length difference — give doc 1 an extra word instead)
+    val d = docs.withColumn("text",
+      when(col("doc_id") === 1L, concat(col("text"), lit(" indeed"))).otherwise(col("text")))
+    val pairs = Dedup.minhashDupPairs(d, threshold = 0.5)
+    val best = Dedup.dropNearDuplicatesBest(d, pairs,
+      TextAnalysis.tokenCountWs(col("text")))
+      .select("doc_id").as[Long].collect().toSet
+    assert(best.contains(1L) && !best.contains(0L) && !best.contains(3L),
+      s"longest member should survive, got $best")
+    assert(best.contains(2L) && best.contains(4L)) // non-clustered pass through
+    // tie on score -> smaller id wins (min-id fallback = dropNearDuplicates)
+    val tied = Dedup.dropNearDuplicatesBest(docs,
+      Dedup.minhashDupPairs(docs, threshold = 0.9), lit(1))
+      .select("doc_id").as[Long].collect().toSet
+    assert(tied.contains(0L) && !tied.contains(3L))
+  }
+
+  test("chunkDocuments: greedy line packing respects budget and order") {
+    val g = Seq(
+      (0L, "one two three\nfour five\nsix seven eight nine\nten"),
+      (1L, "a single line with exactly seven short words"),
+      (2L, "this one line alone blows straight past any budget cap ever set"),
+      (3L, "")).toDF("doc_id", "text")
+    val r = TextAnalysis.chunkDocuments(g, budget = 5)
+      .orderBy("doc_id", "chunk_id").collect()
+    val byDoc = r.groupBy(_.getAs[Long]("doc_id"))
+    // doc 0 line counts [3,2,4,1]: 3+2=5 fits; +4 blows -> break; 4+1=5 fits
+    assert(byDoc(0L).map(_.getAs[String]("chunk_text")).toSeq == Seq(
+      "one two three\nfour five", "six seven eight nine\nten"))
+    assert(byDoc(0L).map(_.getAs[Int]("n_tokens")).toSeq == Seq(5, 5))
+    // one-line docs are one chunk even when over budget (lines never split)
+    assert(byDoc(1L).length == 1 && byDoc(1L).head.getAs[Int]("n_tokens") == 8)
+    assert(byDoc(2L).length == 1 && byDoc(2L).head.getAs[Int]("n_tokens") == 12)
+    // empty doc survives as one empty chunk (totality, like stripSpans)
+    assert(byDoc(3L).length == 1 && byDoc(3L).head.getAs[Int]("n_tokens") == 0)
+    // reassembling chunks in order restores the full text
+    assert(byDoc(0L).map(_.getAs[String]("chunk_text")).mkString("\n") ==
+      "one two three\nfour five\nsix seven eight nine\nten")
+  }
+
   test("text analysis: counts, langid, quality, fingerprint") {
     val r = docs.select(col("doc_id"),
       TextAnalysis.tokenCountWs(col("text")).as("ws"),

@@ -23,7 +23,8 @@ class PlanShapeSpec extends GraftSuite {
     // they can prefix any corpus pipeline without a plan break.
     val docs = (0L until 50L).map(i => (i, s"Some text body $i.\nAnother line $i."))
       .toDF("doc_id", "text")
-    for (out <- Seq(TextAnalysis.gopherRules(docs), TextAnalysis.c4Clean(docs))) {
+    for (out <- Seq(TextAnalysis.gopherRules(docs), TextAnalysis.c4Clean(docs),
+        TextAnalysis.chunkDocuments(docs, budget = 4))) {
       val plan = out.queryExecution.executedPlan
       assert(plan.collect { case e: Exchange => e }.isEmpty,
         s"expected a shuffle-free filter projection, got:\n$plan")
