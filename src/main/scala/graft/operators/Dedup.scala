@@ -568,8 +568,13 @@ object Dedup {
    */
   def dropNearDuplicatesBest(docs: DataFrame, pairs: DataFrame,
       score: Column, idCol: String = "doc_id"): DataFrame = {
+    // members feeds THREE plan branches (winner agg, loser join, corpus
+    // anti-join); without lineage truncation each branch would recompute
+    // the whole pair-detection + clustering chain. It is cluster-members
+    // small, so a lazy local checkpoint is cheap insurance.
     val members = dupClusters(pairs)
       .join(docs.select(col(idCol).as("doc_id"), score.as("__score")), "doc_id")
+      .localCheckpoint(false)
     val winners = members.groupBy("cluster_id")
       .agg(max_by(col("doc_id"), struct(col("__score"), -col("doc_id")))
         .as("keep_id"))
