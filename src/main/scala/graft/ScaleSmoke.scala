@@ -126,6 +126,23 @@ object ScaleSmoke {
       ("duplicated_spans", d => Dedup.duplicatedSpans(d, n = 8).count(), null),
       // PII scan: shuffle-free codegen'd projection — pure scan scaling
       ("pii_scan", d => Pii.scan(d).filter(col("n_email") > 0).count(), null),
+      // quality filters + chunking: all shuffle-free maps (the multi-line
+      // rewrite mirrors the declared queries' corpus reshaping)
+      ("gopher_rules", d => TextAnalysis.gopherRules(d)
+        .filter(col("gopher_pass")).count(), null),
+      ("c4_clean", d => TextAnalysis.c4Clean(d.withColumn("text",
+        regexp_replace(col("text"), " (table|row|line) ", ".\n")))
+        .filter(col("c4_keep")).count(), null),
+      ("chunk_documents", d => TextAnalysis.chunkDocuments(
+        d.withColumn("text",
+          regexp_replace(col("text"), " (table|row|line) ", ".\n")),
+        budget = 32).count(), null),
+      // quality-aware survivor policy: detection dominates; the winner agg
+      // and anti-join touch only cluster members
+      ("dedup_best_survivors", d => Dedup.dropNearDuplicatesBest(d,
+        Dedup.minhashDupPairs(d, threshold = 0.7, k = 8, bands = 4,
+          shingleK = 3),
+        TextAnalysis.tokenCountWs(col("text"))).count(), null),
       // sequence packing: per-shard windows over a narrow projection; the
       // count of packed sequences grows with total token volume
       ("pack_sequences", d => TextAnalysis.packSequences(d, budget = 1024,
