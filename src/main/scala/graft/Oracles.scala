@@ -1135,6 +1135,18 @@ object Oracles {
     // every consecutive token pair (corpus words are lowercase alnum, so
     // the [a-z0-9]+ [a-z0-9]+ window always matches); covered == match by
     // construction when the interchange preserved everything.
+    // q90 over the WHOLE corpus: the round-trip reproduces every doc's
+    // adjacent-token matches with char offsets re-derived from that
+    // doc's own tokenization dictionary entry.
+    "q104_tokenspan_multi" ->
+      s"""WITH $ToksCte
+         |SELECT t1.doc_id, t1.token_id AS begin_tok, t1.token_id + 2 AS end_tok,
+         |  t1."begin", t2."end", t1.text || ' ' || t2.text AS covered,
+         |  t1.text || ' ' || t2.text AS match
+         |FROM toks t1 JOIN toks t2 ON t1.doc_id = t2.doc_id AND t2.token_id = t1.token_id + 1
+         |WHERE regexp_full_match(t1.text, '[a-z0-9]+')
+         |  AND regexp_full_match(t2.text, '[a-z0-9]+')""".stripMargin,
+
     "q90_tokenspan_arrow" ->
       s"""WITH $ToksCte
          |SELECT t1.doc_id, t1.token_id AS begin_tok, t1.token_id + 2 AS end_tok,

@@ -815,6 +815,33 @@ object SparkEntry {
     // re-substrings the round-tripped text with the round-tripped DERIVED
     // char offsets — equal to `match` only if token ids, the tokens
     // dictionary, and the nested text dictionary all survived.
+    // Multi-tokenization TokenSpan interchange: every document's own
+    // tokenization rides the SAME feather file (one outer-dictionary
+    // entry per distinct (text, tokens)) — the form the reference leaves
+    // as NotImplementedError (arrow_conversion.py:219-221). Char offsets
+    // are re-derived on read from each row's own tokenization entry.
+    "q104_tokenspan_multi" -> ((s, dir) => {
+      val out = scratchDir("graft_arrow_tsm")
+      val d = docs(s, dir)
+      val t0 = Tokenize.tokens(d)
+      val withToks = Extract
+        .extractRegexTok(d, t0, "[a-z0-9]+ [a-z0-9]+", 2, 2)
+        .join(t0.groupBy("doc_id").agg(
+          sort_array(collect_list(col("span"))).as("toks")), "doc_id")
+        .join(d.select(col("doc_id"), col("text").as("target_text")), "doc_id")
+        .select(col("doc_id"), col("span"), col("toks"), col("target_text"),
+          col("match"))
+      sources.ArrowInterop.writeFeather(withToks.coalesce(1), out.toString,
+        tokenSpanCols = Map("span" -> (("toks", "target_text"))))
+      sources.ArrowInterop.readFeather(s, s"$out/part-*.feather")
+        .select(col("doc_id"), col("span")("begin_tok").as("begin_tok"),
+          col("span")("end_tok").as("end_tok"), col("span")("begin").as("begin"),
+          col("span")("end").as("end"),
+          expr("substring(span_target_text, span.begin + 1, span.end - span.begin)")
+            .as("covered"),
+          col("match"))
+    }),
+
     "q90_tokenspan_arrow" -> ((s, dir) => {
       val out = scratchDir("graft_arrow_ts")
       val d = docs(s, dir).filter(col("doc_id") === 0)

@@ -95,6 +95,10 @@ object ArrowInterop {
       // the same order the reference builds its StringTable first.
       val buf = rows.toArray
       val dictValues = mutable.LinkedHashMap.empty[String, mutable.LinkedHashMap[String, Int]]
+      // per token-span column: buf-parallel outer-dictionary entry index
+      // (-1 where the row carries no tokenization), built alongside the
+      // dictionaries below and consumed by fillVector
+      val tsRowEntry = mutable.HashMap.empty[String, Array[Int]]
       textOf.foreach { case (spanCol, textCol) =>
         val m = mutable.LinkedHashMap.empty[String, Int]
         val ti = schema.fieldIndex(textCol)
@@ -116,39 +120,53 @@ object ArrowInterop {
           case _: StructType if tsOf.contains(f.name) =>
             // TextExtensionsTokenSpan (arrow_conversion.py:86-118,
             // 199-245): storage struct<token_begins, token_ends, tokens>
-            // where `tokens` dictionary-encodes the shared tokenization —
-            // a list<span storage struct> with its own target_text
-            // dictionary inside. The reference only implements the
-            // SINGLE-tokenization form (multi-doc raises
-            // NotImplementedError, :219-221), so one dictionary entry and
-            // all indices 0; the writer enforces that every row of the
-            // file carries the same tokenization.
+            // where `tokens` dictionary-encodes the tokenization — a
+            // list<span storage struct> with its own target_text
+            // dictionary inside. The reference implements only the
+            // SINGLE-tokenization form (multi-document files raise
+            // NotImplementedError, arrow_conversion.py:219-221). This
+            // writer generalizes it: one outer-dictionary entry per
+            // DISTINCT (target text, token list) in the file, each row's
+            // `tokens` index pointing at its own tokenization. A file
+            // whose rows all share one tokenization serializes exactly as
+            // the reference's form (one entry, all indices 0), so the
+            // single form stays interchange-compatible.
             val (toksCol, textCol) = tsOf(f.name)
             val toksIdx = schema.fieldIndex(toksCol)
             val textIdx = schema.fieldIndex(textCol)
-            val firstDefined = buf.find(r => !r.isNullAt(toksIdx))
-            require(firstDefined.isDefined,
-              s"token span column ${f.name}: no row carries the tokenization")
-            val toks = firstDefined.get.getSeq[Row](toksIdx)
-            val text = firstDefined.get.getString(textIdx)
-            buf.foreach { r =>
-              require(r.isNullAt(toksIdx) ||
-                  (r.getSeq[Row](toksIdx) == toks && r.getString(textIdx) == text),
-                s"token span column ${f.name}: multiple tokenizations in one " +
-                  "file — only the reference's single-tokenization form is " +
-                  "serializable (arrow_conversion.py:219-221)")
+            val spanIdx = schema.fieldIndex(f.name)
+            val entryIdx = mutable.LinkedHashMap.empty[(String, Seq[Row]), Int]
+            val rowEntry = new Array[Int](buf.length)
+            buf.zipWithIndex.foreach { case (r, i) =>
+              if (r.isNullAt(toksIdx)) {
+                require(r.isNullAt(spanIdx),
+                  s"token span column ${f.name}: row carries a span but no " +
+                    s"tokenization ($toksCol is null)")
+                rowEntry(i) = -1
+              } else {
+                val key = (if (r.isNullAt(textIdx)) null else r.getString(textIdx),
+                  r.getSeq[Row](toksIdx))
+                rowEntry(i) = entryIdx.getOrElseUpdate(key, entryIdx.size)
+              }
             }
-            // inner dictionary: the tokenization's single target text
+            require(entryIdx.nonEmpty,
+              s"token span column ${f.name}: no row carries a tokenization")
+            tsRowEntry(f.name) = rowEntry
+            // inner dictionary: the distinct target texts across tokenizations
+            val texts = mutable.LinkedHashMap.empty[String, Int]
+            entryIdx.keysIterator.foreach { case (t, _) =>
+              if (t != null && !texts.contains(t)) texts(t) = texts.size
+            }
             val innerEnc = new DictionaryEncoding(dictId, false,
               new ArrowType.Int(32, true))
             dictId += 1
             val textVec = new VarCharVector("target_text_values", alloc)
-            textVec.allocateNew(1)
-            textVec.setSafe(0, text.getBytes("UTF-8"))
-            textVec.setValueCount(1)
+            textVec.allocateNew(math.max(texts.size, 1))
+            texts.foreach { case (t, i) => textVec.setSafe(i, t.getBytes("UTF-8")) }
+            textVec.setValueCount(texts.size)
             dictVecs += textVec
             provider.put(new Dictionary(textVec, innerEnc))
-            // outer dictionary: ONE list entry = the tokens as span storage
+            // outer dictionary: one list entry per distinct tokenization
             val outerEnc = new DictionaryEncoding(dictId, false,
               new ArrowType.Int(32, true))
             dictId += 1
@@ -171,16 +189,23 @@ object ArrowInterop {
             val tbv = tsv.getChild("span_begins").asInstanceOf[IntVector]
             val tev = tsv.getChild("span_ends").asInstanceOf[IntVector]
             val ttv = tsv.getChild("target_text").asInstanceOf[IntVector]
-            tokensVec.startNewValue(0)
-            toks.zipWithIndex.foreach { case (t, i) =>
-              tsv.setIndexDefined(i)
-              tbv.setSafe(i, t.getInt(t.fieldIndex("begin")))
-              tev.setSafe(i, t.getInt(t.fieldIndex("end")))
-              ttv.setSafe(i, 0)
+            var tokPos = 0
+            entryIdx.keysIterator.zipWithIndex.foreach { case ((text, toks), e) =>
+              val start = tokensVec.startNewValue(e)
+              assert(start == tokPos,
+                s"token span column ${f.name}: list offset drift ($start != $tokPos)")
+              toks.foreach { t =>
+                tsv.setIndexDefined(tokPos)
+                tbv.setSafe(tokPos, t.getInt(t.fieldIndex("begin")))
+                tev.setSafe(tokPos, t.getInt(t.fieldIndex("end")))
+                if (text == null) ttv.setNull(tokPos)
+                else ttv.setSafe(tokPos, texts(text))
+                tokPos += 1
+              }
+              tokensVec.endValue(e, toks.length)
             }
-            tsv.setValueCount(toks.length)
-            tokensVec.endValue(0, toks.length)
-            tokensVec.setValueCount(1)
+            tsv.setValueCount(tokPos)
+            tokensVec.setValueCount(entryIdx.size)
             dictVecs += tokensVec
             provider.put(new Dictionary(tokensVec, outerEnc))
             new Field(f.name,
@@ -245,7 +270,7 @@ object ArrowInterop {
         val n = math.min(BatchRows, buf.length - off)
         vsr.allocateNew()
         outFields.zip(vsr.getFieldVectors.asScala).foreach { case (fld, vec) =>
-          fillVector(vec, fld, schema, textOf, dictValues, buf, off, n)
+          fillVector(vec, fld, schema, textOf, dictValues, tsRowEntry, buf, off, n)
         }
         vsr.setRowCount(n)
         writer.writeBatch()
@@ -269,6 +294,7 @@ object ArrowInterop {
   private def fillVector(vec: FieldVector, fld: Field, schema: StructType,
       textOf: Map[String, String],
       dictValues: mutable.Map[String, mutable.LinkedHashMap[String, Int]],
+      tsRowEntry: mutable.Map[String, Array[Int]],
       buf: Array[Row], off: Int, n: Int): Unit = {
     val name = fld.getName
     val ci = schema.fieldIndex(name)
@@ -277,6 +303,9 @@ object ArrowInterop {
         val begins = sv.getChild("token_begins").asInstanceOf[IntVector]
         val ends = sv.getChild("token_ends").asInstanceOf[IntVector]
         val toks = sv.getChild("tokens").asInstanceOf[IntVector]
+        // buf-parallel entry index built with the dictionaries; a non-null
+        // span row is guaranteed an entry >= 0 by the builder's require
+        val rowEntry = tsRowEntry(name)
         var i = 0
         while (i < n) {
           val r = buf(off + i)
@@ -287,7 +316,7 @@ object ArrowInterop {
             val bi = s.fieldIndex("begin_tok"); val ei = s.fieldIndex("end_tok")
             if (s.isNullAt(bi)) begins.setNull(i) else begins.setSafe(i, s.getInt(bi))
             if (s.isNullAt(ei)) ends.setNull(i) else ends.setSafe(i, s.getInt(ei))
-            toks.setSafe(i, 0) // single tokenization: every row -> entry 0
+            toks.setSafe(i, rowEntry(off + i))
           }
           i += 1
         }

@@ -148,16 +148,70 @@ class SerializationSpec extends GraftSuite {
     }.toSeq
     assert(got == Seq(
       (0L, 0, 1, 0, 3, text), (1L, 1, 3, 4, 11, text), (2L, 0, 3, 0, 11, text)))
-    // a second tokenization in the same file is the unsupported multi-doc
-    // form: the writer must refuse it loudly
-    val bad = df.unionByName(df.withColumn("toks",
-      typedLit(Seq(graft.types.Span(0, 11)))).limit(1))
+    // a span row with no tokenization is unserializable in ANY form:
+    // the writer must refuse it loudly
+    val bad = df.withColumn("toks",
+      when(col("row_id") === 0L, col("toks")))
     val err = intercept[org.apache.spark.SparkException] {
       ArrowInterop.writeFeather(bad.coalesce(1), s"$dir/bad",
         tokenSpanCols = Map("ts" -> (("toks", "text"))))
     }
-    assert(err.getMessage.contains("single-tokenization") ||
-      Option(err.getCause).exists(_.getMessage.contains("single-tokenization")))
+    assert(err.getMessage.contains("no tokenization") ||
+      Option(err.getCause).exists(_.getMessage.contains("no tokenization")))
+  }
+
+  test("feather: multi-tokenization token-span file round-trips (beyond the reference's single form)") {
+    import spark.implicits._
+    import graft.sources.ArrowInterop
+    import scala.collection.JavaConverters._
+    val dir = java.nio.file.Files.createTempDirectory("graft_feather_tsm").toString
+    // two documents with different texts AND different tokenizations in
+    // ONE file — the form arrow_conversion.py:219-221 raises
+    // NotImplementedError on; our writer dictionary-encodes one entry per
+    // distinct (text, tokens) and points each row at its own.
+    val textA = "key agg row" // tokens "key" "agg" "row"
+    val toksA = Seq(graft.types.Span(0, 3), graft.types.Span(4, 7),
+      graft.types.Span(8, 11))
+    val textB = "slow fast" // tokens "slow" "fast"
+    val toksB = Seq(graft.types.Span(0, 4), graft.types.Span(5, 9))
+    val df = Seq(
+      (0L, 0, 1, "A"), // "key"
+      (1L, 1, 3, "A"), // "agg row"
+      (2L, 0, 2, "B"), // "slow fast"
+      (3L, 1, 2, "B")) // "fast"
+      .toDF("row_id", "bt", "et", "which")
+      .select(col("row_id"),
+        graft.spans.tokenSpan(col("bt"), col("et"), lit(0), lit(0)).as("ts"),
+        when(col("which") === "A", typedLit(toksA)).otherwise(typedLit(toksB))
+          .as("toks"),
+        when(col("which") === "A", lit(textA)).otherwise(lit(textB)).as("text"))
+    ArrowInterop.writeFeather(df.coalesce(1), s"$dir/f",
+      tokenSpanCols = Map("ts" -> (("toks", "text"))))
+    // single file, TWO outer-dictionary entries
+    val f = new java.io.File(s"$dir/f").listFiles()
+      .filter(_.getName.endsWith(".feather")).head
+    val alloc = new org.apache.arrow.memory.RootAllocator()
+    val ch = java.nio.channels.FileChannel.open(f.toPath)
+    val rd = new org.apache.arrow.vector.ipc.ArrowFileReader(ch, alloc)
+    rd.loadNextBatch()
+    val tsField = rd.getVectorSchemaRoot.getSchema.getFields.asScala
+      .find(_.getName == "ts").get
+    val dictId = tsField.getChildren.asScala
+      .find(_.getName == "tokens").get.getDictionary.getId
+    val nEntries = rd.lookup(dictId).getVector.getValueCount
+    rd.close(); ch.close(); alloc.close()
+    assert(nEntries == 2)
+    // char offsets re-derived from each row's OWN tokenization; target
+    // text resolved per row from the nested text dictionary
+    val back = ArrowInterop.readFeather(spark, s"$dir/f/part-*.feather")
+    val got = back.orderBy("row_id").collect().map { r =>
+      val s = r.getStruct(1)
+      (r.getLong(0), s.getInt(0), s.getInt(1), s.getInt(2), s.getInt(3),
+        r.getString(2))
+    }.toSeq
+    assert(got == Seq(
+      (0L, 0, 1, 0, 3, textA), (1L, 1, 3, 4, 11, textA),
+      (2L, 0, 2, 0, 9, textB), (3L, 1, 2, 5, 9, textB)))
   }
 
   test("tokens relation round-trips and re-joins with documents") {
