@@ -815,14 +815,18 @@ object SparkEntry {
     // re-substrings the round-tripped text with the round-tripped DERIVED
     // char offsets — equal to `match` only if token ids, the tokens
     // dictionary, and the nested text dictionary all survived.
-    // Multi-tokenization TokenSpan interchange: every document's own
-    // tokenization rides the SAME feather file (one outer-dictionary
-    // entry per distinct (text, tokens)) — the form the reference leaves
-    // as NotImplementedError (arrow_conversion.py:219-221). Char offsets
-    // are re-derived on read from each row's own tokenization entry.
+    // Multi-tokenization TokenSpan interchange: many documents' own
+    // tokenizations ride the same feather files (one outer-dictionary
+    // entry per distinct (text, tokens) per file) — the form the
+    // reference leaves as NotImplementedError (arrow_conversion.py:
+    // 219-221). Char offsets are re-derived on read from each row's own
+    // tokenization entry. Deterministic 1-in-7 doc subset: every match
+    // row carries its doc's full token array into the file writer, so
+    // the whole corpus would bench write-volume, not the operator; the
+    // subset keeps ~100 docs/file at sf0.1 across the parallel writers.
     "q104_tokenspan_multi" -> ((s, dir) => {
       val out = scratchDir("graft_arrow_tsm")
-      val d = docs(s, dir)
+      val d = docs(s, dir).filter(col("doc_id") % 7 === 0)
       val t0 = Tokenize.tokens(d)
       val withToks = Extract
         .extractRegexTok(d, t0, "[a-z0-9]+ [a-z0-9]+", 2, 2)
@@ -831,7 +835,7 @@ object SparkEntry {
         .join(d.select(col("doc_id"), col("text").as("target_text")), "doc_id")
         .select(col("doc_id"), col("span"), col("toks"), col("target_text"),
           col("match"))
-      sources.ArrowInterop.writeFeather(withToks.coalesce(1), out.toString,
+      sources.ArrowInterop.writeFeather(withToks.repartition(8), out.toString,
         tokenSpanCols = Map("span" -> (("toks", "target_text"))))
       sources.ArrowInterop.readFeather(s, s"$out/part-*.feather")
         .select(col("doc_id"), col("span")("begin_tok").as("begin_tok"),
