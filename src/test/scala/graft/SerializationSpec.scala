@@ -212,6 +212,27 @@ class SerializationSpec extends GraftSuite {
     assert(got == Seq(
       (0L, 0, 1, 0, 3, textA), (1L, 1, 3, 4, 11, textA),
       (2L, 0, 2, 0, 9, textB), (3L, 1, 2, 5, 9, textB)))
+    // batch-boundary coverage: the writer slices one buffered partition
+    // into 8192-row record batches, and each batch's rows must index the
+    // buf-parallel entry array at off + i (a bare i would silently remap
+    // every row after the first batch onto batch-1 tokenizations)
+    val big = spark.range(9000).toDF("row_id")
+      .select(col("row_id"),
+        graft.spans.tokenSpan(lit(0), lit(1), lit(0), lit(0)).as("ts"),
+        when(col("row_id") % 2 === 0, typedLit(toksA)).otherwise(typedLit(toksB))
+          .as("toks"),
+        when(col("row_id") % 2 === 0, lit(textA)).otherwise(lit(textB)).as("text"))
+    ArrowInterop.writeFeather(big.coalesce(1), s"$dir/big",
+      tokenSpanCols = Map("ts" -> (("toks", "text"))))
+    val bigBack = ArrowInterop.readFeather(spark, s"$dir/big/part-*.feather")
+      .select(col("row_id"), col("ts")("end").as("e"), col("ts_target_text").as("t"))
+      .collect()
+    assert(bigBack.length == 9000)
+    // token (0,1) of A = "key" -> char end 3; of B = "slow" -> char end 4
+    assert(bigBack.forall { r =>
+      if (r.getLong(0) % 2 == 0) r.getInt(1) == 3 && r.getString(2) == textA
+      else r.getInt(1) == 4 && r.getString(2) == textB
+    })
   }
 
   test("tokens relation round-trips and re-joins with documents") {
