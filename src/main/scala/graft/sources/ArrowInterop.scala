@@ -554,7 +554,9 @@ object ArrowInterop {
           .getChildren.asScala.find(_.getName == "target_text").get
           .getDictionary.getId
         val textDict = dicts.lookup(innerId).getVector.asInstanceOf[VarCharVector]
-        // one decode of each tokenization entry (bounded: tokens of one doc)
+        // decode every tokenization entry up front (bounded: the file's
+        // dictionary = the tokens of the docs in ONE write partition;
+        // re-decoded per record batch, cheap next to the 8192-row batch)
         val entries = (0 until tokensLists.getValueCount).map { e =>
           val s = tokensLists.getElementStartIndex(e)
           val t = tokensLists.getElementEndIndex(e)
