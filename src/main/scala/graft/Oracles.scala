@@ -945,13 +945,16 @@ object Oracles {
 
     // Semantic dedup: k-means assignment (same unrolled CTEs as q94),
     // then within-cluster lower-id cosine >= 0.9 marks duplicates.
+    // The 4dp stabilization mirrors the engine's sign-aware
+    // half-away-from-zero floor (cosine can be negative).
     "q98_semantic_dedup" ->
       s"""WITH $EmbCte,
          |${kmeansCtes(8, 2)},
          |sided AS (SELECT a.id, a.cid AS cluster, e.v FROM a3 a JOIN ed e USING (id)),
-         |dup AS (SELECT DISTINCT a.id FROM sided a JOIN sided b
-         |  ON a.cluster = b.cluster AND b.id < a.id
-         |  AND round(${cos("a.v", "b.v")}, 4) >= 0.9)
+         |pairs AS (SELECT a.id, ${cos("a.v", "b.v")} AS c FROM sided a JOIN sided b
+         |  ON a.cluster = b.cluster AND b.id < a.id),
+         |dup AS (SELECT DISTINCT id FROM pairs
+         |  WHERE (CASE WHEN c >= 0 THEN floor(c*1e4+0.5) ELSE -floor(-c*1e4+0.5) END) / 1e4 >= 0.9)
          |SELECT id AS vec_id, cluster, id IN (SELECT id FROM dup) AS is_dup
          |FROM sided""".stripMargin,
 

@@ -427,11 +427,18 @@ object Dedup {
       .select(col(idCol).as("id"), col("cluster"))
       .join(embeddings.select(col(idCol).as("id"),
         col(vecCol).cast("array<double>").as("v")), "id")
+    // Cosine can be negative, so the 4dp stabilization is a SIGN-AWARE
+    // half-away-from-zero floor — the codegen equivalent of round(c, 4)
+    // (BigDecimal HALF_UP, which Spark evaluates through a per-row string
+    // parse) without leaving whole-stage codegen in the hottest loop.
+    // Mirrored verbatim in the q98 DuckDB oracle.
     val dup = sided.select(col("cluster"), col("id").as("id_a"), col("v").as("va"))
       .join(sided.select(col("cluster"), col("id").as("id_b"), col("v").as("vb")),
         Seq("cluster"))
-      .filter(col("id_b") < col("id_a") &&
-        round(graft.tensor.cosine(col("va"), col("vb")), 4) >= tau)
+      .filter(col("id_b") < col("id_a"))
+      .withColumn("__c", graft.tensor.cosine(col("va"), col("vb")))
+      .filter(when(col("__c") >= 0, floor(col("__c") * 1e4 + 0.5))
+        .otherwise(-floor(-col("__c") * 1e4 + 0.5)) / 1e4 >= tau)
       .select(col("id_a").as("id")).distinct()
     sided.join(dup.withColumn("__d", lit(true)), Seq("id"), "left")
       .select(col("id").as(idCol), col("cluster"),

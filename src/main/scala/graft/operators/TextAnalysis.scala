@@ -497,8 +497,11 @@ object TextAnalysis {
     val nBullet = size(filter(lines, l => ltrim(l).rlike("^[-*•]")))
     val nEllEnd = size(filter(lines, l => rtrim(l).rlike("\\.\\.\\.$")))
     val nAlpha = size(filter(toks, w => w.rlike("[A-Za-z]")))
-    val stopHits = size(filter(array(GopherStopwords.map(lit): _*),
-      s => array_contains(words(text), s)))
+    // array_intersect dedups both sides, so this counts DISTINCT required
+    // stopwords present — and extracts words(text) exactly once, not once
+    // per stopword (8 redundant full-document scans otherwise).
+    val stopHits = size(array_intersect(words(text),
+      array(GopherStopwords.map(lit): _*)))
     docs.select(col(idCol).as("doc_id"),
         nWords.as("n_words"),
         mwl.as("mean_word_len"),
@@ -519,26 +522,6 @@ object TextAnalysis {
 
   // ---- C4-style line-level cleaning (Raffel et al. 2020, §2.2) ----
 
-  /**
-   * C4 line/document cleaning rules (Raffel et al. 2020, §2.2): the
-   * line-level complement to the document-level [[gopherRules]].
-   *
-   * Line rules (a line survives iff ALL hold):
-   *   - ends with a terminal punctuation mark (`.` `!` `?` `"`)
-   *   - has at least 3 whitespace words
-   *   - does not mention "javascript" (lowercased)
-   *   - does not carry cookie/policy boilerplate
-   *     ("cookie", "privacy policy", "terms of use")
-   *
-   * Document rules (on the cleaned text): no "lorem ipsum", no `{`,
-   * and at least 3 sentences (terminal-punct count) → `c4_keep`.
-   * C4's cross-document three-sentence dedup step is the separate
-   * [[Dedup.duplicatedSpans]]/[[Dedup.stripDuplicatedSpans]] pair.
-   *
-   * Pure expression tree over `split(text, "\n")` — a shuffle-free map,
-   * like [[gopherRules]], so it can prefix any corpus pipeline at 100 TB
-   * without a plan break.
-   */
   /**
    * Split long documents into training-sized chunks at line boundaries:
    * a greedy scan packs consecutive lines into a chunk until adding the
@@ -585,6 +568,26 @@ object TextAnalysis {
       .withColumn("n_tokens", tokenCountWs(col("chunk_text")))
   }
 
+  /**
+   * C4 line/document cleaning rules (Raffel et al. 2020, §2.2): the
+   * line-level complement to the document-level [[gopherRules]].
+   *
+   * Line rules (a line survives iff ALL hold):
+   *   - ends with a terminal punctuation mark (`.` `!` `?` `"`)
+   *   - has at least 3 whitespace words
+   *   - does not mention "javascript" (lowercased)
+   *   - does not carry cookie/policy boilerplate
+   *     ("cookie", "privacy policy", "terms of use")
+   *
+   * Document rules (on the cleaned text): no "lorem ipsum", no `{`,
+   * and at least 3 sentences (terminal-punct count) → `c4_keep`.
+   * C4's cross-document three-sentence dedup step is the separate
+   * [[Dedup.duplicatedSpans]]/[[Dedup.stripDuplicatedSpans]] pair.
+   *
+   * Pure expression tree over `split(text, "\n")` — a shuffle-free map,
+   * like [[gopherRules]], so it can prefix any corpus pipeline at 100 TB
+   * without a plan break.
+   */
   def c4Clean(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     val lines = split(col(textCol), "\n")

@@ -149,8 +149,10 @@ object ArrowInterop {
                 rowEntry(i) = entryIdx.getOrElseUpdate(key, entryIdx.size)
               }
             }
-            require(entryIdx.nonEmpty,
-              s"token span column ${f.name}: no row carries a tokenization")
+            // entryIdx may legitimately be empty (every row in this write
+            // partition carries a null tokenization — e.g. a sparse column
+            // after repartition): emit 0-entry dictionaries and all-null
+            // indices rather than failing the job.
             tsRowEntry(f.name) = rowEntry
             // inner dictionary: the distinct target texts across tokenizations
             val texts = mutable.LinkedHashMap.empty[String, Int]
