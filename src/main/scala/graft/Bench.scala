@@ -28,20 +28,31 @@ object Bench {
     } catch { case _: Throwable => }
     // Min-of-N per query: a single hot run on a shared host lets one noisy
     // neighbor fail the perf gate (round-4 postmortem: 20 phantom >2x
-    // regressions on byte-identical plans). The min across passes is the
-    // best estimate of the plan's intrinsic cost. A wall-clock deadline
-    // caps extra passes so a genuinely slow host still finishes pass 1
-    // and reports, instead of timing out with no artifact. Malformed env
-    // values fall back to the defaults (a bad knob must not kill the
-    // artifact this machinery exists to protect).
-    // Default deadline sized so that a full cold pass (~270 s over the
-    // 90-query surface) still leaves room for a complete hot pass 2
-    // (~80 s): 300 s proved too tight in practice — pass 2 died mid-way
-    // through the cheap queries and the artifact degraded to a single
-    // cold pass, which reads as a phantom 2x regression.
+    // regressions on byte-identical plans). The min across samples is the
+    // best estimate of the plan's intrinsic cost.
+    //
+    // Round-8/9 postmortem: on a contended driver host the COLD sweep alone
+    // blew the deadline, so the artifact degraded to one cold sample per
+    // query — codegen compile + JIT warmup read as phantom 5-170x plan
+    // regressions on byte-identical plans. Fix: the first sweep runs each
+    // query TWICE back-to-back (cold, then hot). The hot rerun costs only
+    // the plan's intrinsic time (codegen already compiled, JIT warm,
+    // parquet footers cached), so every query gets a trustworthy sample
+    // even when no later pass ever runs. Queries whose hot rerun was cut
+    // by the pair budget are listed in "cold_only" so the gate reader can
+    // machine-separate cold from hot; "passes" reports the MINIMUM sample
+    // count across queries (2 after a complete paired sweep).
+    // Malformed env values fall back to the defaults (a bad knob must not
+    // kill the artifact this machinery exists to protect).
     val reps = scala.util.Try(sys.env("SPARK_GRAFT_REPS").toInt).getOrElse(3).max(1)
     val deadlineSec =
       scala.util.Try(sys.env("SPARK_GRAFT_DEADLINE_SEC").toDouble).getOrElse(450.0)
+    // Budget for the paired first sweep: generous (2x the hot-pass deadline)
+    // because the hot rerun is exactly the sample the artifact exists to
+    // capture — only a pathologically slow host should ever cut it.
+    val pairBudgetSec =
+      scala.util.Try(sys.env("SPARK_GRAFT_PAIR_BUDGET_SEC").toDouble)
+        .getOrElse(deadlineSec * 2)
     val queries = SparkEntry.queries
     // Local-iteration filter (unset when the driver runs), same contract
     // as Verify's: only bench queries whose name matches the regex.
@@ -49,41 +60,46 @@ object Bench {
     val names = queries.keys.toSeq.sorted
       .filter(n => only.forall(_.findFirstIn(n).isDefined))
     val best = scala.collection.mutable.Map.empty[String, Double]
+    val samples = scala.collection.mutable.Map.empty[String, Int].withDefaultValue(0)
     val failed = scala.collection.mutable.SortedSet.empty[String]
     val benchT0 = System.nanoTime()
     def elapsed: Double = (System.nanoTime() - benchT0) / 1e9
-    var pass = 1
-    var ran = 0
-    var deadlineHit = false
-    // Pass order: pass 1 runs sorted (stable, cache-friendly vs the warmup).
-    // Passes >= 2 run by DESCENDING pass-1 time, so when a later pass is cut
-    // short by the deadline the heaviest plans — exactly the ones whose cold
-    // pass-1 numbers are least trustworthy — get their second sample first.
-    var order = names
-    while (pass <= reps && !deadlineHit && (pass == 1 || elapsed < deadlineSec)) {
-      for (name <- order if !deadlineHit) {
-        // Pass 1 always runs every query (so each gets at least one
-        // measurement); later passes stop mid-pass at the deadline — the
-        // per-query min stays valid, a pass is not a unit of measurement.
-        if (pass > 1 && elapsed >= deadlineSec) deadlineHit = true
-        else {
-          val t0 = System.nanoTime()
-          // A failed run must not feed best(name): a 0.1s exception would
-          // otherwise read as the query's best time and mask the failure.
-          val ok =
-            try { queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-            catch { case e: Throwable =>
-              System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
-            }
-          val sec = (System.nanoTime() - t0) / 1e9
-          if (ok) {
-            best(name) = math.min(best.getOrElse(name, Double.MaxValue), sec)
-            System.err.println(f"[bench] pass $pass $name%-24s $sec%8.2f s (best ${best(name)}%.2f)")
-          } else failed += name
+    // A failed run must not feed best(name): a 0.1s exception would
+    // otherwise read as the query's best time and mask the failure.
+    def runOne(name: String, pass: Int): Unit = {
+      val t0 = System.nanoTime()
+      val ok =
+        try { queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
         }
+      val sec = (System.nanoTime() - t0) / 1e9
+      if (ok) {
+        best(name) = math.min(best.getOrElse(name, Double.MaxValue), sec)
+        samples(name) += 1
+        System.err.println(f"[bench] pass $pass $name%-24s $sec%8.2f s (best ${best(name)}%.2f)")
+      } else failed += name
+    }
+    // Sweep 1 (paired): cold run, then immediate hot rerun while the pair
+    // budget holds. The cold run always happens (every query gets at least
+    // one measurement, whatever the host).
+    for (name <- names) {
+      runOne(name, 1)
+      if (best.contains(name) && elapsed < pairBudgetSec) runOne(name, 2)
+    }
+    // Extra hot passes up to `reps` total samples, by DESCENDING best time,
+    // so when a pass is cut short by the deadline the heaviest plans get
+    // their extra sample first. A pass is not a unit of measurement — the
+    // per-query min stays valid wherever the deadline lands.
+    var pass = 3
+    var deadlineHit = elapsed >= deadlineSec
+    while (pass <= reps && !deadlineHit) {
+      val order = names.filter(best.contains)
+        .sortBy(n => -best.getOrElse(n, Double.MaxValue))
+      for (name <- order if !deadlineHit) {
+        if (elapsed >= deadlineSec) deadlineHit = true
+        else runOne(name, pass)
       }
-      if (!deadlineHit) ran = pass
-      order = names.sortBy(n => -best.getOrElse(n, Double.MaxValue))
       pass += 1
     }
     // Queries that never succeeded are reported in "failed", not as times.
@@ -92,8 +108,13 @@ object Bench {
       .mkString("{", ",", "}")
     val failedJson = failed.filterNot(best.contains)
       .map("\"" + _ + "\"").mkString("[", ",", "]")
+    // Machine-readable cold/hot separation: queries whose only sample is the
+    // cold first run (pair budget or deadline cut their reruns).
+    val coldOnly = okNames.filter(samples(_) < 2)
+    val coldOnlyJson = coldOnly.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val minSamples = if (okNames.nonEmpty) okNames.map(samples).min else 0
     val total = if (okNames.nonEmpty) okNames.map(best).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir","passes":$ran}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir","passes":$minSamples,"cold_only":$coldOnlyJson}""")
     spark.stop()
   }
 }
