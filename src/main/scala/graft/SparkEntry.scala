@@ -828,14 +828,22 @@ object SparkEntry {
       val out = scratchDir("graft_arrow_tsm")
       val d = docs(s, dir).filter(col("doc_id") % 7 === 0)
       val t0 = Tokenize.tokens(d)
-      val withToks = Extract
-        .extractRegexTok(d, t0, "[a-z0-9]+ [a-z0-9]+", 2, 2)
-        .join(t0.groupBy("doc_id").agg(
-          sort_array(collect_list(col("span"))).as("toks")), "doc_id")
+      // NARROW match rows ride the writer-fanout shuffle alone; each doc's
+      // shared (toks, target_text) joins in AFTER, co-partitioned on
+      // doc_id (both sides repartition(8, doc_id), so the join reuses the
+      // partitioning with no extra exchange). The duplicated per-row
+      // arrays are thus born inside the writer's input partitions instead
+      // of being shuffled once per match row.
+      val matches = Extract.extractRegexTok(d, t0, "[a-z0-9]+ [a-z0-9]+", 2, 2)
+        .repartition(8, col("doc_id"))
+      val dims = t0.groupBy("doc_id").agg(
+          sort_array(collect_list(col("span"))).as("toks"))
         .join(d.select(col("doc_id"), col("text").as("target_text")), "doc_id")
+        .repartition(8, col("doc_id"))
+      val withToks = matches.join(dims, "doc_id")
         .select(col("doc_id"), col("span"), col("toks"), col("target_text"),
           col("match"))
-      sources.ArrowInterop.writeFeather(withToks.repartition(8), out.toString,
+      sources.ArrowInterop.writeFeather(withToks, out.toString,
         tokenSpanCols = Map("span" -> (("toks", "target_text"))))
       sources.ArrowInterop.readFeather(s, s"$out/part-*.feather")
         .select(col("doc_id"), col("span")("begin_tok").as("begin_tok"),

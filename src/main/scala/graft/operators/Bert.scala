@@ -227,11 +227,17 @@ object Bert {
   def alignBertTokensToCorpusTokens(spansDf: DataFrame, corpusToks: DataFrame,
       spansTokenCol: String = "span", corpusTokenCol: String = "span",
       entityTypeCol: String = "ent_type"): DataFrame = {
+    // Zero-length spans ([CLS]/[SEP]-style special tokens) overlap nothing —
+    // the reference drops them before aligning (token_span.py:767). Filter
+    // BOTH overlap-join inputs before the block explode so special tokens
+    // never ride the join.
     val ents = spansDf.select(col("doc_id"), col(spansTokenCol).as("span"),
       col(entityTypeCol))
+      .filter(col("span")("begin") < col("span")("end"))
     // pairs: (entity span `first`) x (corpus token span `second`) overlapping
     val pairs = SpanJoin.overlapJoin(ents,
-      corpusToks.select(col("doc_id"), col(corpusTokenCol).as("span")))
+      corpusToks.select(col("doc_id"), col(corpusTokenCol).as("span"))
+        .filter(col("span")("begin") < col("span")("end")))
     // re-attach the entity type (the reference's merge back onto spans_df,
     // bert.py:233-238): equi-join on the span struct itself
     val typed = pairs.join(
