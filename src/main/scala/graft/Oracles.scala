@@ -1304,6 +1304,79 @@ object Oracles {
          |  CASE WHEN precision + recall > 0 THEN 2*precision*recall / (precision + recall) ELSE 0.0 END AS f1
          |FROM pr""".stripMargin,
 
+    // Per-type entity-level P/R/F1 report incl. the reference's quirks:
+    // Macro-avg averages the per-type rows AND the Micro-avg row; Macro
+    // support = Micro support; f1 derived after both average rows exist.
+    // Floats 6dp half-up (>= 0) — Macro averages 3 doubles whose summation
+    // order differs across engines.
+    "q105_f1_report_iob" ->
+      s"""WITH $ToksCte,
+         |ce AS (SELECT doc_id, token_id AS tok,
+         |    CASE WHEN text = 'key' THEN 'K' ELSE 'V' END AS ent_type
+         |  FROM toks WHERE text IN ('key', 'value')),
+         |pe AS (SELECT doc_id, token_id AS tok,
+         |    CASE WHEN text = 'value' THEN 'V' ELSE 'K' END AS ent_type
+         |  FROM toks WHERE (text = 'key' AND token_id % 2 = 0) OR text IN ('value', 'join')),
+         |tpx AS (SELECT ent_type, CAST(count(*) AS DOUBLE) AS tp
+         |  FROM pe JOIN ce USING (doc_id, tok, ent_type) GROUP BY ent_type),
+         |ppx AS (SELECT ent_type, CAST(count(*) AS DOUBLE) AS pp FROM pe GROUP BY ent_type),
+         |apx AS (SELECT ent_type, CAST(count(*) AS DOUBLE) AS ap FROM ce GROUP BY ent_type),
+         |per AS (SELECT coalesce(ppx.ent_type, apx.ent_type, tpx.ent_type) AS label,
+         |    tp, pp, ap FROM ppx
+         |  FULL JOIN apx ON ppx.ent_type = apx.ent_type
+         |  FULL JOIN tpx ON coalesce(ppx.ent_type, apx.ent_type) = tpx.ent_type),
+         |micro AS (SELECT 'Micro-avg' AS label, sum(tp) AS tp, sum(pp) AS pp, sum(ap) AS ap FROM per),
+         |wm AS (SELECT label, tp, pp, ap, tp / pp AS prec, tp / ap AS rec
+         |  FROM (SELECT * FROM per UNION ALL SELECT * FROM micro)),
+         |mac AS (SELECT 'Macro-avg' AS label, avg(tp) AS tp, avg(pp) AS pp, avg(ap) AS ap,
+         |    avg(prec) AS prec, avg(rec) AS rec FROM wm),
+         |allr AS (SELECT *, CASE WHEN prec + rec > 0
+         |    THEN 2 * prec * rec / (prec + rec) END AS f1
+         |  FROM (SELECT * FROM wm UNION ALL SELECT * FROM mac))
+         |SELECT label, floor(prec * 1e6 + 0.5) / 1e6 AS precision,
+         |  floor(rec * 1e6 + 0.5) / 1e6 AS recall,
+         |  floor(f1 * 1e6 + 0.5) / 1e6 AS f1_score,
+         |  CASE WHEN label = 'Macro-avg' THEN (SELECT ap FROM micro) ELSE ap END AS support
+         |FROM allr""".stripMargin,
+
+    // Ensemble micro report: q105's imperfect model beside a perfect one.
+    "q106_f1_ensemble" ->
+      s"""WITH $ToksCte,
+         |ce AS (SELECT doc_id, token_id AS tok,
+         |    CASE WHEN text = 'key' THEN 'K' ELSE 'V' END AS ent_type
+         |  FROM toks WHERE text IN ('key', 'value')),
+         |pe AS (SELECT doc_id, token_id AS tok,
+         |    CASE WHEN text = 'value' THEN 'V' ELSE 'K' END AS ent_type
+         |  FROM toks WHERE (text = 'key' AND token_id % 2 = 0) OR text IN ('value', 'join')),
+         |u AS (
+         |  SELECT 'mA' AS model,
+         |    (SELECT CAST(count(*) AS DOUBLE) FROM pe JOIN ce USING (doc_id, tok, ent_type)) AS tp,
+         |    (SELECT CAST(count(*) AS DOUBLE) FROM pe) AS pp,
+         |    (SELECT CAST(count(*) AS DOUBLE) FROM ce) AS ap
+         |  UNION ALL
+         |  SELECT 'mB', c, c, c FROM (SELECT CAST(count(*) AS DOUBLE) AS c FROM ce)),
+         |pr AS (SELECT model,
+         |    CASE WHEN pp > 0 THEN tp / pp ELSE 0.0 END AS prec,
+         |    CASE WHEN ap > 0 THEN tp / ap ELSE 0.0 END AS rec FROM u)
+         |SELECT model, floor(prec * 1e6 + 0.5) / 1e6 AS precision,
+         |  floor(rec * 1e6 + 0.5) / 1e6 AS recall,
+         |  floor((CASE WHEN prec + rec > 0
+         |    THEN 2 * prec * rec / (prec + rec) ELSE 0.0 END) * 1e6 + 0.5) / 1e6 AS f1_score
+         |FROM pr""".stripMargin,
+
+    // Model outputs realigned onto (fold, doc_num, token_id)-keyed corpus
+    // tokens; predictions exist for every 3rd token, labels lowercased.
+    "q107_align_model_outputs" ->
+      s"""WITH $ToksCte,
+         |tg AS (SELECT doc_id, token_id, "begin", "end",
+         |    CASE WHEN text = 'key' THEN 'B' WHEN text = 'value' THEN 'I' ELSE 'O' END AS iob,
+         |    CASE WHEN text = 'key' THEN 'K' END AS typ FROM toks)
+         |SELECT CASE WHEN doc_id % 2 = 0 THEN 'train' ELSE 'test' END AS fold,
+         |  doc_id AS doc_num, token_id, "begin", "end",
+         |  iob AS ent_iob, typ AS ent_type,
+         |  lower(iob) AS predicted_iob, lower(typ) AS predicted_type
+         |FROM tg WHERE token_id % 3 = 0""".stripMargin,
+
     "q35_consolidate" ->
       s"""WITH $ToksCte
          |SELECT a.doc_id, a."begin", c."end" FROM toks a

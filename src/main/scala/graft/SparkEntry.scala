@@ -455,6 +455,73 @@ object SparkEntry {
           floor(col("e").cast("double") * 997 + 0.5).cast("long").as("ecode"))
     }),
 
+    // Per-entity-type entity-level P/R/F1 report (create_f1_score_report_iob,
+    // cleaning/analysis.py:69-170) incl. the reference's Micro-avg/Macro-avg
+    // quirks. Two synthetic entity types: gold = key→K / value→V tokens;
+    // predictions drop odd-position keys (K recall loss) and mislabel
+    // 'join' tokens as K (K precision loss); V is predicted perfectly.
+    // Floats stabilized to 6dp half-up (all metrics >= 0) — the Macro row
+    // averages 3 doubles whose summation order differs across engines.
+    "q105_f1_report_iob" -> ((s, dir) => {
+      val t = toks(s, dir)
+      val corpusEnts = t.filter(col("text").isin("key", "value"))
+        .select(col("doc_id"), col("token_id").as("tok"),
+          when(col("text") === "key", "K").otherwise("V").as("ent_type"))
+      val predEnts = t.filter(
+          (col("text") === "key" && col("token_id") % 2 === 0) ||
+          col("text") === "value" || col("text") === "join")
+        .select(col("doc_id"), col("token_id").as("tok"),
+          when(col("text") === "value", "V").otherwise("K").as("ent_type"))
+      val r6 = (c: Column) => floor(c * 1e6 + 0.5) / 1e6
+      Cleaning.f1ScoreReportIob(predEnts, corpusEnts, Seq("doc_id", "tok"))
+        .select(col("label"), r6(col("precision")).as("precision"),
+          r6(col("recall")).as("recall"), r6(col("f1_score")).as("f1_score"),
+          col("support"))
+    }),
+
+    // Ensemble micro-P/R/F1 report (create_f1_report_ensemble_iob,
+    // cleaning/analysis.py:172-207): q105's imperfect model beside a
+    // perfect one (the gold itself), one row per model, one lazy DAG.
+    "q106_f1_ensemble" -> ((s, dir) => {
+      val t = toks(s, dir)
+      val corpusEnts = t.filter(col("text").isin("key", "value"))
+        .select(col("doc_id"), col("token_id").as("tok"),
+          when(col("text") === "key", "K").otherwise("V").as("ent_type"))
+      val predEnts = t.filter(
+          (col("text") === "key" && col("token_id") % 2 === 0) ||
+          col("text") === "value" || col("text") === "join")
+        .select(col("doc_id"), col("token_id").as("tok"),
+          when(col("text") === "value", "V").otherwise("K").as("ent_type"))
+      val r6 = (c: Column) => floor(c * 1e6 + 0.5) / 1e6
+      Cleaning.f1ReportEnsembleIob(
+          Seq("mA" -> predEnts, "mB" -> corpusEnts), corpusEnts,
+          Seq("doc_id", "tok"))
+        .select(col("model"), r6(col("precision")).as("precision"),
+          r6(col("recall")).as("recall"), r6(col("f1_score")).as("f1_score"))
+    }),
+
+    // Model-output ↔ token-features realignment (align_model_outputs_to_
+    // tokens, cleaning/analysis.py:288-328): predictions for every 3rd
+    // token joined back onto the (fold, doc_num, token_id)-keyed corpus
+    // tokens — the reference's per-document dict loop as ONE equi-join.
+    // Predicted labels are lowercased so a join that picked the wrong
+    // side's columns cannot pass the oracle.
+    "q107_align_model_outputs" -> ((s, dir) => {
+      val t = tagged(toks(s, dir))
+      val fold = when(col("doc_id") % 2 === 0, "train").otherwise("test")
+      val tbd = t.select(fold.as("fold"), col("doc_id").as("doc_num"),
+        col("token_id"), col("span"), col("ent_iob"), col("ent_type"))
+      val mr = t.filter(col("token_id") % 3 === 0)
+        .select(fold.as("fold"), col("doc_id").as("doc_num"), col("token_id"),
+          lower(col("ent_iob")).as("predicted_iob"),
+          lower(col("ent_type")).as("predicted_type"))
+      Cleaning.alignModelOutputsToTokens(tbd, mr)
+        .select(col("fold"), col("doc_num"), col("token_id"),
+          col("span")("begin").as("begin"), col("span")("end").as("end"),
+          col("ent_iob"), col("ent_type"),
+          col("predicted_iob"), col("predicted_type"))
+    }),
+
     // Trained coarse quantizer: Lloyd's k-means (k=8, 2 iterations,
     // deterministic smallest-id init) fit MLlib-style — centroid matrix
     // collected per iteration, assignment a literal-centroid projection —

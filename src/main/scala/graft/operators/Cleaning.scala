@@ -62,6 +62,161 @@ object Cleaning {
     flagged.filter(!col("in_gold")).orderBy(col("count").desc)
 
   /**
+   * Per-entity-type entity-level precision/recall/F1 report
+   * (`create_f1_score_report_iob`, reference: cleaning/analysis.py:69-170).
+   *
+   * An entity counts as a true positive iff ALL of `spanIdCols` AND the
+   * entity type match exactly between prediction and corpus (the
+   * reference's inner merge). Output: one row per entity type plus a
+   * `Micro-avg` row (column sums) and a `Macro-avg` row, with columns
+   * (label, precision, recall, f1_score, support).
+   *
+   * Faithful to the reference's quirks:
+   *   - `Macro-avg` averages the per-type rows AND the already-appended
+   *     `Micro-avg` row (analysis.py:158 computes `stats.mean()` after the
+   *     micro append) — not the textbook macro average;
+   *   - `Macro-avg.support` reports the micro (total) support
+   *     (analysis.py:167);
+   *   - f1 is derived from precision/recall AFTER both average rows exist,
+   *     so the Macro f1 is the harmonic mean of the macro-averaged P/R.
+   * Where pandas produces NaN (a type with no predictions or no gold
+   * entities), this engine produces SQL NULL — the same sum/mean-skipping
+   * semantics, minus NaN's hash instability.
+   *
+   * Scale shape: three partial-aggregatable groupBys over narrow key
+   * columns + two single-row aggregates; the per-type relation is tiny
+   * (|tag set| rows), so the average rows cost one broadcast each. No
+   * driver actions.
+   */
+  def f1ScoreReportIob(predicted: DataFrame, corpus: DataFrame,
+      spanIdCols: Seq[String] = Seq("fold", "doc_num", "span"),
+      entityTypeCol: String = "ent_type"): DataFrame = {
+    val keys = spanIdCols :+ entityTypeCol
+    val pick = keys.map(col)
+    val tp = predicted.select(pick: _*).join(corpus.select(pick: _*), keys)
+      .groupBy(col(entityTypeCol)).agg(count(lit(1)).as("__tp"))
+    val pp = predicted.groupBy(col(entityTypeCol))
+      .agg(count(lit(1)).as("__pp"))
+    val ap = corpus.groupBy(col(entityTypeCol))
+      .agg(count(lit(1)).as("__ap"))
+    val perType = pp.join(ap, Seq(entityTypeCol), "full_outer")
+      .join(tp, Seq(entityTypeCol), "full_outer")
+      .select(col(entityTypeCol).as("label"),
+        col("__tp").cast("double").as("__tp"),
+        col("__pp").cast("double").as("__pp"),
+        col("__ap").cast("double").as("__ap"))
+    // micro row: column sums (sum skips NULLs == pandas skipna)
+    val micro = perType.agg(sum("__tp").as("__tp"), sum("__pp").as("__pp"),
+        sum("__ap").as("__ap"))
+      .select(lit("Micro-avg").as("label"), col("__tp"), col("__pp"), col("__ap"))
+    val withMicro = perType.unionByName(micro)
+      .withColumn("precision", col("__tp") / col("__pp"))
+      .withColumn("recall", col("__tp") / col("__ap"))
+    // macro row: mean over per-type rows INCLUDING Micro-avg (reference
+    // order of operations), avg skips NULLs like pandas mean
+    val macroRow = withMicro.agg(avg("__tp").as("__tp"), avg("__pp").as("__pp"),
+        avg("__ap").as("__ap"),
+        avg("precision").as("precision"), avg("recall").as("recall"))
+      .select(lit("Macro-avg").as("label"), col("__tp"), col("__pp"),
+        col("__ap"), col("precision"), col("recall"))
+    val all = withMicro.unionByName(macroRow)
+      .withColumn("f1_score",
+        when(col("precision") + col("recall") > 0,
+          lit(2.0) * col("precision") * col("recall") /
+            (col("precision") + col("recall"))))
+    // support = actual positives; the Macro row reports the Micro total
+    all.crossJoin(broadcast(micro.select(col("__ap").as("__micro_support"))))
+      .withColumn("support",
+        when(col("label") === "Macro-avg", col("__micro_support"))
+          .otherwise(col("__ap")))
+      .select("label", "precision", "recall", "f1_score", "support")
+  }
+
+  /**
+   * The `simple=True` mode of the same report (analysis.py:108-133):
+   * micro-averaged precision/recall/F1 as ONE row. Counts come from two
+   * single-row aggregates + the TP join; the reference's zero-predictions
+   * early-return and its would-be 0/0 both land on 0.0 here (guarded
+   * division — pandas would raise ZeroDivisionError on an all-miss input).
+   */
+  def f1ScoreReportSimple(predicted: DataFrame, corpus: DataFrame,
+      spanIdCols: Seq[String] = Seq("fold", "doc_num", "span"),
+      entityTypeCol: String = "ent_type"): DataFrame = {
+    val keys = spanIdCols :+ entityTypeCol
+    val pick = keys.map(col)
+    val tp = predicted.select(pick: _*).join(corpus.select(pick: _*), keys)
+      .agg(count(lit(1)).cast("double").as("__tp"))
+    val pp = predicted.agg(count(lit(1)).cast("double").as("__pp"))
+    val ap = corpus.agg(count(lit(1)).cast("double").as("__ap"))
+    tp.crossJoin(broadcast(pp)).crossJoin(broadcast(ap))
+      .withColumn("precision",
+        when(col("__pp") > 0, col("__tp") / col("__pp")).otherwise(lit(0.0)))
+      .withColumn("recall",
+        when(col("__ap") > 0, col("__tp") / col("__ap")).otherwise(lit(0.0)))
+      .withColumn("f1_score",
+        when(col("precision") + col("recall") > 0,
+          lit(2.0) * col("precision") * col("recall") /
+            (col("precision") + col("recall"))).otherwise(lit(0.0)))
+      .select("precision", "recall", "f1_score")
+  }
+
+  /**
+   * Per-model micro P/R/F1 report over an ensemble
+   * (`create_f1_report_ensemble_iob`, reference: cleaning/analysis.py:172-207):
+   * one [[f1ScoreReportSimple]] row per model, tagged with the model name.
+   * The per-model relations union into ONE lazy DAG — k single-row
+   * aggregates, no driver loop over results.
+   */
+  def f1ReportEnsembleIob(models: Seq[(String, DataFrame)], corpus: DataFrame,
+      spanIdCols: Seq[String] = Seq("fold", "doc_num", "span"),
+      entityTypeCol: String = "ent_type"): DataFrame =
+    models.map { case (name, df) =>
+      f1ScoreReportSimple(df, corpus, spanIdCols, entityTypeCol)
+        .select(lit(name).as("model"), col("precision"), col("recall"),
+          col("f1_score"))
+    }.reduce(_ unionByName _)
+
+  /**
+   * Join model predictions back onto the corpus tokens they were made
+   * over (`align_model_outputs_to_tokens`, reference:
+   * cleaning/analysis.py:288-328). The reference loops (fold, doc_num)
+   * pairs building one pandas frame per document; the per-document dict
+   * is presentation — the relation underneath is ONE equi-join of the
+   * model-output rows onto the token-feature rows on
+   * (fold, doc_num, token_id), which shuffles once on the composite key
+   * and scales with the corpus.
+   *
+   * @param tokensByDoc  token features: fold, doc_num, token_id, span,
+   *                     ent_iob, ent_type (the reference's
+   *                     `tokens_by_doc` dict flattened into a relation)
+   * @param modelResults model outputs: fold, doc_num, token_id,
+   *                     predicted_iob, predicted_type
+   * @param validate     when true, throw if `modelResults` carries
+   *                     duplicate (fold, doc_num, token_id) keys — the
+   *                     reference's `verify_integrity=True`
+   *                     (analysis.py:315). An extra eager pass, like
+   *                     [[Align.alignToTokens]]'s validation; scale-
+   *                     sensitive callers opt out.
+   */
+  def alignModelOutputsToTokens(tokensByDoc: DataFrame,
+      modelResults: DataFrame, validate: Boolean = true): DataFrame = {
+    val keys = Seq("fold", "doc_num", "token_id")
+    val preds = modelResults.select(
+      (keys.map(col) :+ col("predicted_iob") :+ col("predicted_type")): _*)
+    if (validate) {
+      val dup = preds.groupBy(keys.map(col): _*)
+        .agg(count(lit(1)).as("__n")).filter(col("__n") > 1)
+      val bad = dup.take(1)
+      if (bad.nonEmpty)
+        throw new IllegalArgumentException(
+          s"model results carry duplicate (fold, doc_num, token_id) keys, e.g.: ${bad.head}")
+    }
+    tokensByDoc.select(col("fold"), col("doc_num"), col("token_id"),
+        col("span"), col("ent_iob"), col("ent_type"))
+      .join(preds, keys)
+  }
+
+  /**
    * Merge per-fold corpora into one DataFrame with leading `fold` column
    * (`combine_folds`, reference: io/conll.py:1437-1458). The reference
    * stacks per-document pandas frames; the engine's corpora are already

@@ -49,6 +49,75 @@ class CleaningSpec extends GraftSuite {
     assert(r(1L) == ((0L, 0L, 1L, 0.0, 0.0, 0.0)))
   }
 
+  test("create_f1_score_report_iob per-type report quirks (analysis.py:69-170)") {
+    // corpus: A@{1,2,3}, B@{10,11}; predicted: A@{1,2,4,5}, B@{10}, C@{20}
+    val corpus = Seq((0L, 1, "A"), (0L, 2, "A"), (0L, 3, "A"),
+      (0L, 10, "B"), (0L, 11, "B")).toDF("doc_id", "tok", "ent_type")
+    val pred = Seq((0L, 1, "A"), (0L, 2, "A"), (0L, 4, "A"), (0L, 5, "A"),
+      (0L, 10, "B"), (0L, 20, "C")).toDF("doc_id", "tok", "ent_type")
+    val r = Cleaning.f1ScoreReportIob(pred, corpus, Seq("doc_id", "tok"))
+      .collect().map(x => x.getString(0) -> x).toMap
+    def d(row: org.apache.spark.sql.Row, i: Int): Double = row.getDouble(i)
+    // A: tp=2 pp=4 ap=3; B: tp=1 pp=1 ap=2
+    assert(d(r("A"), 1) == 0.5 && math.abs(d(r("A"), 2) - 2.0 / 3) < 1e-12)
+    assert(math.abs(d(r("A"), 3) - 4.0 / 7) < 1e-12 && d(r("A"), 4) == 3.0)
+    assert(d(r("B"), 1) == 1.0 && d(r("B"), 2) == 0.5)
+    // C has no gold entities and no TP: pandas NaN -> engine NULL
+    assert(r("C").isNullAt(1) && r("C").isNullAt(2) && r("C").isNullAt(3)
+      && r("C").isNullAt(4))
+    // Micro: sums skip the nulls -> tp=3 pp=6 ap=5
+    assert(d(r("Micro-avg"), 1) == 0.5 && d(r("Micro-avg"), 2) == 0.6)
+    assert(math.abs(d(r("Micro-avg"), 3) - 6.0 / 11) < 1e-12
+      && d(r("Micro-avg"), 4) == 5.0)
+    // Macro QUIRK: averages per-type rows AND the Micro row (skipna);
+    // support reports the Micro total
+    assert(math.abs(d(r("Macro-avg"), 1) - 2.0 / 3) < 1e-12)
+    assert(math.abs(d(r("Macro-avg"), 2) - 53.0 / 90) < 1e-12)
+    assert(math.abs(d(r("Macro-avg"), 3) - 6360.0 / 10170) < 1e-12)
+    assert(d(r("Macro-avg"), 4) == 5.0)
+  }
+
+  test("simple + ensemble f1 reports (analysis.py:108-133,172-207)") {
+    val corpus = Seq((0L, 1, "A"), (0L, 2, "A"), (0L, 3, "A"),
+      (0L, 10, "B"), (0L, 11, "B")).toDF("doc_id", "tok", "ent_type")
+    val pred = Seq((0L, 1, "A"), (0L, 2, "A"), (0L, 4, "A"), (0L, 5, "A"),
+      (0L, 10, "B"), (0L, 20, "C")).toDF("doc_id", "tok", "ent_type")
+    val s = Cleaning.f1ScoreReportSimple(pred, corpus, Seq("doc_id", "tok")).head
+    assert(s.getDouble(0) == 0.5 && s.getDouble(1) == 0.6
+      && math.abs(s.getDouble(2) - 6.0 / 11) < 1e-12)
+    // zero predictions -> all-zero row (reference early return)
+    val z = Cleaning.f1ScoreReportSimple(pred.limit(0), corpus,
+      Seq("doc_id", "tok")).head
+    assert(z.getDouble(0) == 0.0 && z.getDouble(1) == 0.0 && z.getDouble(2) == 0.0)
+    val e = Cleaning.f1ReportEnsembleIob(
+        Seq("imperfect" -> pred, "perfect" -> corpus), corpus, Seq("doc_id", "tok"))
+      .collect().map(x => x.getString(0) -> x.getDouble(3)).toMap
+    assert(math.abs(e("imperfect") - 6.0 / 11) < 1e-12 && e("perfect") == 1.0)
+  }
+
+  test("align_model_outputs_to_tokens joins on (fold, doc_num, token_id) " +
+      "and verifies integrity (analysis.py:288-328)") {
+    val toks = Seq(("tr", 0L, 0, 0, 3, "B", "A"), ("tr", 0L, 1, 4, 7, "O", null),
+      ("tr", 1L, 0, 0, 2, "O", null))
+      .toDF("fold", "doc_num", "token_id", "b", "e", "ent_iob", "ent_type")
+      .select(col("fold"), col("doc_num"), col("token_id"),
+        graft.spans.span(col("b"), col("e")).as("span"),
+        col("ent_iob"), col("ent_type"))
+    val preds = Seq(("tr", 0L, 0, "B", "A"), ("tr", 0L, 1, "B", "X"))
+      .toDF("fold", "doc_num", "token_id", "predicted_iob", "predicted_type")
+    val r = Cleaning.alignModelOutputsToTokens(toks, preds)
+      .select("doc_num", "token_id", "ent_iob", "predicted_iob", "predicted_type")
+      .collect().map(x => (x.getLong(0), x.getInt(1), x.getString(2),
+        x.getString(3), x.getString(4))).toSet
+    // doc 1 has no predictions -> inner join drops it
+    assert(r == Set((0L, 0, "B", "B", "A"), (0L, 1, "O", "B", "X")))
+    // verify_integrity=True: duplicate prediction keys throw
+    val dup = preds.union(preds.limit(1))
+    intercept[IllegalArgumentException] {
+      Cleaning.alignModelOutputsToTokens(toks, dup)
+    }
+  }
+
   test("unpack_semijoin shifts spans by the region offset (join.py:206-244)") {
     val model = Seq((7L, 5, 10, 100)).toDF("doc_id", "b", "e", "off")
       .select(col("doc_id"), graft.spans.span(col("b"), col("e")).as("span"), col("off"))
