@@ -455,6 +455,39 @@ object Oracles {
          |       ELSE 4 END AS token_class_id
          |FROM c""".stripMargin,
 
+    // q91's classes decoded back: "O" -> ('O', NULL), "B-K" -> ('B','K').
+    "q108_decode_classes" ->
+      s"""WITH $ToksCte,
+         |tg AS (SELECT doc_id, token_id,
+         |    CASE WHEN text IN ('key', 'value') THEN 'I' ELSE 'O' END AS iob,
+         |    CASE WHEN text = 'key' THEN 'K' WHEN text = 'value' THEN 'V' END AS typ,
+         |    token_id // 10 AS sent_b FROM toks),
+         |lg AS (SELECT *, lag(iob) OVER w AS piob, lag(typ) OVER w AS ptyp, lag(sent_b) OVER w AS psb
+         |  FROM tg WINDOW w AS (PARTITION BY doc_id ORDER BY token_id)),
+         |c AS (SELECT doc_id, token_id,
+         |    CASE WHEN iob = 'I' AND (piob IS NULL OR piob = 'O'
+         |      OR typ IS DISTINCT FROM ptyp OR sent_b IS DISTINCT FROM psb) THEN 'B'
+         |    ELSE iob END AS ent_iob, typ FROM lg),
+         |tc AS (SELECT doc_id, token_id,
+         |    CASE WHEN ent_iob = 'O' THEN 'O' ELSE ent_iob || '-' || typ END AS token_class
+         |  FROM c)
+         |SELECT doc_id, token_id, token_class,
+         |  CASE WHEN token_class = 'O' THEN 'O' ELSE substr(token_class, 1, 1) END AS ent_iob,
+         |  CASE WHEN token_class = 'O' THEN NULL
+         |       ELSE string_split(token_class, '-')[2] END AS ent_type
+         |FROM tc""".stripMargin,
+
+    // substitute_text_names over the 2x2 header-ID tables: row keys become
+    // per-document display texts, columns c0/c1 become CA/CB.
+    "q109_substitute_names" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 4)
+        |SELECT doc_id, CAST(0 AS INTEGER) AS table_idx, CAST(0 AS INTEGER) AS row_idx,
+        |  'row ' || ws[1] AS row_key, ws[1] AS CA, ws[2] AS CB FROM d
+        |UNION ALL
+        |SELECT doc_id, CAST(0 AS INTEGER), CAST(1 AS INTEGER),
+        |  'row ' || ws[2], ws[3], ws[4] FROM d""".stripMargin,
+
     // Mirror of q92. The synthesized model spans make the pipeline's
     // outcome statically derivable: family A (anchor token i, chars
     // [b_i+1, e_{i+1})) always expands to tokens [i, i+2) and is kept by

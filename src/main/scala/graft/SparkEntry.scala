@@ -405,6 +405,25 @@ object SparkEntry {
           col("token_class_id"))
     }),
 
+    // decode_class_labels (io/conll.py:1313-1323): q91's composite token
+    // classes decoded back to (ent_iob, ent_type) — the roundtrip proves
+    // the label grammar is invertible end-to-end.
+    "q108_decode_classes" -> ((s, dir) => {
+      val t = toks(s, dir)
+        .withColumn("ent_iob",
+          when(col("text").isin("key", "value"), "I").otherwise("O"))
+        .withColumn("ent_type",
+          when(col("text") === "key", "K").when(col("text") === "value", "V"))
+        .withColumn("sent_b", expr("token_id div 10"))
+      val classed = Iob.addTokenClasses(
+        Iob.iobToIob2(t, name = "ent", sentenceBeginCol = "sent_b"),
+        Iob.makeIobTagCategories(Seq("K", "V")))
+        .select(col("doc_id"), col("token_id"), col("token_class"))
+      Iob.decodeClassLabels(classed)
+        .select(col("doc_id"), col("token_id"), col("token_class"),
+          col("ent_iob"), col("ent_type"))
+    }),
+
     // BERT-entity → corpus-token alignment: synthesized "model output"
     // char spans deliberately cut INTO corpus tokens (begin+1) and span
     // two of them; family A anchors every 4th token, family B starts one
@@ -1264,6 +1283,43 @@ object SparkEntry {
       sources.WatsonTables.makeTable(
         sources.WatsonTables.bodyCells(d.select(col("doc_id"), json.as("response"))),
         columnKeys = Seq("C0", "C1"))
+    }),
+
+    // substitute_text_names (io/watson/tables.py:328-345): tables pivoted
+    // on header-ID keys ('r0'/'c0'), then ids swapped for display text —
+    // row keys via the distributed per-(doc, table) header join (texts are
+    // doc-dependent to prove the join is per-document), column names via
+    // the bounded-width schema rename.
+    "q109_substitute_names" -> ((s, dir) => {
+      val d = docs(s, dir).filter(size(split(col("text"), " ")) >= 4)
+      val ws = split(col("text"), " ")
+      def cell(r: Int, c: Int, w: Column) = struct(w.as("text"),
+        struct(lit(r * 10 + c).as("begin"), lit(r * 10 + c + 1).as("end")).as("location"),
+        lit(r).as("row_index_begin"), lit(r + 1).as("row_index_end"),
+        lit(c).as("column_index_begin"), lit(c + 1).as("column_index_end"),
+        array(lit(s"r$r")).as("row_header_texts"),
+        array(lit(s"c$c")).as("column_header_texts"))
+      def rowHeader(r: Int, text: Column) = struct(lit(s"r$r").as("cell_id"),
+        text.as("text"),
+        struct(lit(r).as("begin"), lit(r + 1).as("end")).as("location"))
+      def colHeader(c: Int, text: String) = struct(lit(s"c$c").as("cell_id"),
+        lit(text).as("text"),
+        struct(lit(c).as("begin"), lit(c + 1).as("end")).as("location"))
+      val json = to_json(struct(array(struct(
+        array(
+          cell(0, 0, element_at(ws, 1)), cell(0, 1, element_at(ws, 2)),
+          cell(1, 0, element_at(ws, 3)), cell(1, 1, element_at(ws, 4))
+        ).as("body_cells"),
+        array(rowHeader(0, concat(lit("row "), element_at(ws, 1))),
+          rowHeader(1, concat(lit("row "), element_at(ws, 2)))).as("row_headers"),
+        array(colHeader(0, "CA"), colHeader(1, "CB")).as("column_headers")
+      )).as("tables")))
+      val responses = d.select(col("doc_id"), json.as("response"))
+      sources.WatsonTables.substituteTextNames(
+        sources.WatsonTables.makeTable(
+          sources.WatsonTables.bodyCells(responses), columnKeys = Seq("c0", "c1")),
+        sources.WatsonTables.rowHeaders(responses),
+        sources.WatsonTables.colHeaders(responses))
     }),
 
     "q49_spacy_features" -> ((s, dir) =>

@@ -145,6 +145,21 @@ object Iob {
   }
 
   /**
+   * Inverse of [[addTokenClasses]] (`decode_class_labels`, reference:
+   * io/conll.py:1313-1323): split composite `"B-TYPE"`/`"I-TYPE"` labels
+   * back into `(ent_iob, ent_type)` columns; `"O"` decodes to
+   * `("O", NULL)`. Mirrors the reference's `t.split("-")[1]` — only the
+   * SECOND dash-field becomes the type. Pure codegen projection, no
+   * shuffle.
+   */
+  def decodeClassLabels(df: DataFrame, classCol: String = "token_class",
+      iobCol: String = "ent_iob", typeCol: String = "ent_type"): DataFrame =
+    df.withColumn(iobCol, when(col(classCol) === "O", lit("O"))
+        .otherwise(substring(col(classCol), 1, 1)))
+      .withColumn(typeCol, when(col(classCol) === "O", lit(null).cast("string"))
+        .otherwise(element_at(split(col(classCol), "-"), 2)))
+
+  /**
    * Per-document precision/recall/F1 of predicted vs gold entity spans
    * (reference: io/conll.py:1461-1516): true positives are the exact-match
    * inner join on (doc, span, type).

@@ -156,6 +156,44 @@ object WatsonTables {
     grouped.pivot("__ck", keys).agg(first(col("__cell")))
   }
 
+  /**
+   * Replace header-ID row keys and column names with header display text
+   * (`substitute_text_names`, reference: io/watson/tables.py:328-345).
+   * The reference renames ONE pandas table's index/columns through
+   * cell_id→text dicts built from the parsed response; over the engine's
+   * all-tables relation:
+   *  - `row_key` substitutes via a LEFT equi-join against the row-headers
+   *    relation on (doc_id, table_idx, cell_id) — fully distributed,
+   *    Catalyst broadcasts the header side when small; keys with no
+   *    header entry keep their original value (pandas rename semantics);
+   *  - column names are schema metadata, so the col-header dictionary is
+   *    collected — a driver action bounded by the header-domain width,
+   *    the same contract as [[makeTable]]'s pivot-key inference. The
+   *    collected map is global: corpora whose tables reuse a cell id for
+   *    different display texts must substitute per-table slices.
+   */
+  def substituteTextNames(table: DataFrame, rowHeaders: DataFrame,
+      colHeaders: DataFrame, subRows: Boolean = true,
+      subCols: Boolean = true): DataFrame = {
+    val rowsDone = if (!subRows) table else {
+      val rh = rowHeaders.select(col("doc_id").as("__hd"),
+        col("table_idx").as("__ht"), col("cell_id").as("__hc"),
+        col("text").as("__htext"))
+      table.join(rh,
+          col("doc_id") === col("__hd") && col("table_idx") === col("__ht") &&
+            col("row_key") === col("__hc"), "left")
+        .withColumn("row_key", coalesce(col("__htext"), col("row_key")))
+        .drop("__hd", "__ht", "__hc", "__htext")
+    }
+    if (!subCols) rowsDone else {
+      val dict = colHeaders.select(col("cell_id"), col("text")).distinct()
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      dict.foldLeft(rowsDone) { case (df, (id, text)) =>
+        if (df.columns.contains(id)) df.withColumnRenamed(id, text) else df
+      }
+    }
+  }
+
   /** Strip currency/grouping chars and cast to double — the reference's
     * numeric conversion (tables.py:209-302) applied to an explicit column
     * list. */

@@ -167,4 +167,24 @@ class ConllSpec extends GraftSuite {
       Iob.addTokenClasses(toks, Seq("B-PER", "O"))
     }
   }
+
+  test("decode_class_labels inverts add_token_classes (io/conll.py:1313-1323)") {
+    import spark.implicits._
+    val toks = Seq(
+      (0L, 0, "O", null.asInstanceOf[String]),
+      (0L, 1, "B", "PER"),
+      (0L, 2, "I", "PER"),
+      (0L, 3, "B", "LOC"))
+      .toDF("doc_id", "token_id", "ent_iob", "ent_type")
+    val classed = Iob.addTokenClasses(toks, Iob.makeIobTagCategories(Seq("PER", "LOC")))
+      .select("doc_id", "token_id", "token_class")
+    val decoded = Iob.decodeClassLabels(classed).orderBy("token_id")
+      .select("ent_iob", "ent_type").collect()
+      .map(r => (r.getString(0), if (r.isNullAt(1)) null else r.getString(1)))
+    assert(decoded.toSeq == Seq(("O", null), ("B", "PER"), ("I", "PER"), ("B", "LOC")))
+    // reference takes split("-")[1]: only the SECOND dash-field is the type
+    val odd = Iob.decodeClassLabels(Seq((0L, "I-A-B")).toDF("doc_id", "token_class"))
+      .select("ent_iob", "ent_type").head()
+    assert((odd.getString(0), odd.getString(1)) == (("I", "A")))
+  }
 }

@@ -92,4 +92,33 @@ class WatsonTablesSpec extends GraftSuite {
     assert(inferred.contains("Rank") && inferred.contains("Population"))
     assert(!inferred.contains("Source"))
   }
+
+  test("substitute_text_names swaps header ids for display text (tables.py:328-345)") {
+    import spark.implicits._
+    // table pivoted on id keys: rows r0/r1, columns c0/c1
+    val table = Seq(
+      (0L, 0, 0, "r0", "v00", "v01"),
+      (0L, 0, 1, "r1", "v10", "v11"),
+      (1L, 0, 0, "r0", "w00", "w01"))
+      .toDF("doc_id", "table_idx", "row_idx", "row_key", "c0", "c1")
+    // row header text differs per document — the join must key on doc
+    val rowH = Seq((0L, 0, "r0", "Alpha"), (0L, 0, "r1", "Beta"),
+      (1L, 0, "r0", "Gamma"))
+      .toDF("doc_id", "table_idx", "cell_id", "text")
+    val colH = Seq((0L, 0, "c0", "Left"), (0L, 0, "c1", "Right"),
+      (1L, 0, "c0", "Left"), (1L, 0, "c1", "Right"))
+      .toDF("doc_id", "table_idx", "cell_id", "text")
+    val out = WatsonTables.substituteTextNames(table, rowH, colH)
+    assert(out.columns.toSeq == Seq("doc_id", "table_idx", "row_idx",
+      "row_key", "Left", "Right"))
+    val keys = out.orderBy("doc_id", "row_idx")
+      .select("row_key").collect().map(_.getString(0)).toSeq
+    assert(keys == Seq("Alpha", "Beta", "Gamma"))
+    // unmatched keys survive; sub_rows/sub_cols toggles gate each half
+    val partial = WatsonTables.substituteTextNames(table,
+      rowH.filter(col("cell_id") =!= "r1"), colH, subCols = false)
+    assert(partial.columns.contains("c0"))
+    assert(partial.filter(col("doc_id") === 0 && col("row_idx") === 1)
+      .head().getAs[String]("row_key") == "r1")
+  }
 }
