@@ -339,8 +339,16 @@ object SparkEntry {
         .select(col("doc_id"), size(split(col("text"), " ")).as("n"),
           posexplode(split(col("text"), " ")).as(Seq("token_id", "text")))
       val bt = col("token_id") - (col("token_id") % 10)
-      val rel = t.select(lit("f0").as("fold"),
-        col("doc_id").cast("int").as("doc_num"), col("token_id"), col("text"),
+      // TWO folds, split by a DATA-DEPENDENT expression: exercises the
+      // cross-fold offset accumulation, and keeps the per-fold doc prefix
+      // sum an actually-partitioned window (a literal fold constant-folds
+      // out of the partition spec, leaving an unpartitioned window).
+      // doc_num is DENSE per fold (doc_id div 2) — the writer's bucket
+      // layout and the read-back rekey require it; the output projection
+      // reconstructs the original doc_id, so the oracle is unchanged.
+      val rel = t.select(
+        when(col("doc_id") % 2 === 0, "f0").otherwise("f1").as("fold"),
+        expr("CAST(doc_id div 2 AS INT)").as("doc_num"), col("token_id"), col("text"),
         struct(bt.cast("int").as("begin_tok"),
           least(bt + 10, col("n")).cast("int").as("end_tok")).as("sentence"),
         lit("O").as("ent_iob"), lit(null).cast("string").as("ent_type"))
@@ -366,7 +374,9 @@ object SparkEntry {
       sources.Conll.conll2003Output(s, corpusToks,
           sources.Conll.writtenFilesGlob(outT.toString), "ent",
           docTokenCounts = Some(knownCounts))
-        .select(col("doc_num"), col("token_id"), col("ent_iob"),
+        .select((col("doc_num") * 2 +
+            when(col("fold") === "f1", 1).otherwise(0)).as("doc_num"),
+          col("token_id"), col("ent_iob"),
           coalesce(col("ent_type"), lit("")).as("ent_type"))
     }),
 

@@ -271,9 +271,10 @@ object Conll {
     // TWO-LEVEL prefix sum over per-(fold, doc_num) token counts: the
     // within-fold document prefix sum is a window PARTITIONED BY fold
     // (distributed — each file's document directory stays in one task),
-    // and only the per-FOLD totals go through a global-order window, i.e.
-    // one row per input file. No stage ever funnels the corpus-wide
-    // document directory — let alone the token stream — through one task.
+    // and the per-FOLD totals (one row per input file) accumulate through
+    // a triangular self-join below — no global-order window anywhere. No
+    // stage ever funnels the corpus-wide document directory — let alone
+    // the token stream — through one task.
     // Fold ordering must match wholeTextFiles' PATH order (how the tag
     // lines were numbered). Reader-direct fold values ARE paths, so their
     // natural order is right; refolded relations carry LOGICAL fold
@@ -284,8 +285,6 @@ object Conll {
       if (f == null || f.contains("/")) f else escapePath(f))
     val docW = Window.partitionBy("fold").orderBy("doc_num")
       .rowsBetween(Window.unboundedPreceding, -1)
-    val foldW = Window.orderBy("__ford")
-      .rowsBetween(Window.unboundedPreceding, -1)
     // Per-doc token counts: the CALLER often has these for free (an
     // exporter aligning its own predictions knows exactly what it wrote);
     // accepting them avoids re-executing the corpus reader subtree just
@@ -295,10 +294,20 @@ object Conll {
     // (so +1 per -DOCSTART- header token when the corpus has them).
     val counts = docTokenCounts.getOrElse(
       corpusTokens.groupBy("fold", "doc_num").agg(count(lit(1)).as("__n")))
-    val foldOffsets = counts.groupBy("fold").agg(sum("__n").as("__ft"))
+    // Cumulative fold offsets WITHOUT a global-order window: the per-fold
+    // totals (one row per input FILE) left-join themselves on
+    // strictly-earlier fold order and sum — a triangular broadcast join
+    // over file-count rows, so no stage sorts even the fold directory in
+    // a single task. The totals aggregate appears on both join sides, but
+    // its shuffle is deduplicated by ReuseExchange (identical subtrees),
+    // so the corpus is still scanned once.
+    val totals = counts.groupBy("fold").agg(sum("__n").as("__ft"))
       .withColumn("__ford", foldOrd(col("fold")))
-      .withColumn("__fold_off", coalesce(sum("__ft").over(foldW), lit(0L)))
-      .drop("__ft", "__ford")
+    val foldOffsets = totals
+      .join(broadcast(totals.select(col("__ford").as("__eford"),
+        col("__ft").as("__eft"))), col("__eford") < col("__ford"), "left")
+      .groupBy("fold")
+      .agg(coalesce(sum("__eft"), lit(0L)).as("__fold_off"))
     val offsets = counts
       .withColumn("__doc_off", coalesce(sum("__n").over(docW), lit(0L)))
       .join(broadcast(foldOffsets), Seq("fold"))

@@ -78,6 +78,16 @@ class ConllSpec extends GraftSuite {
     val first = out.filter(col("doc_num") === 0 && col("token_id") === 0)
       .select("ent_iob", "ent_type").head
     assert((first.getString(0), first.getString(1)) == ("B", "BAND"))
+    // The fold-offset prefix sum must not plan an UNPARTITIONED window:
+    // fold totals accumulate through the triangular self-join, so every
+    // window in the plan is partitioned (by fold or doc) — no stage sorts
+    // the whole relation in one task.
+    val globalWindows = out.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window
+          if w.partitionSpec.isEmpty => w
+    }
+    assert(globalWindows.isEmpty,
+      s"unpartitioned window in conll2003Output plan:\n${globalWindows.mkString}")
   }
 
   test("conll_u reader: offsets, metadata, head re-pointing (io/conll.py:1078-1177)") {
