@@ -455,6 +455,14 @@ object Oracles {
          |       ELSE 4 END AS token_class_id
          |FROM c""".stripMargin,
 
+    // Bucketed write → read → join → per-doc agg roundtrip: values are
+    // just the doc's token count beside its n_chars (the exchange-free
+    // plan shape is asserted in StorageSpec; the oracle pins the data).
+    "q110_bucketed_join" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks, n_chars
+        |FROM documents""".stripMargin,
+
     // q91's classes decoded back: "O" -> ('O', NULL), "B-K" -> ('B','K').
     "q108_decode_classes" ->
       s"""WITH $ToksCte,

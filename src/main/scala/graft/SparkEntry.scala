@@ -380,6 +380,25 @@ object SparkEntry {
           coalesce(col("ent_type"), lit("")).as("ent_type"))
     }),
 
+    // Co-bucketed storage end-to-end (the 100 TB co-location lever,
+    // SURVEY §6): tokens and docs written bucketed+sorted by doc_id, read
+    // back, joined and per-doc aggregated — Catalyst plans the same-key
+    // join AND the groupBy with NO Exchange on either side (asserted at
+    // the physical-plan level in StorageSpec over this very query).
+    "q110_bucketed_join" -> ((s, dir) => {
+      val out = scratchDir("graft_bucketed_q")
+      val d = docs(s, dir)
+      sources.Storage.writeBucketed(
+        Tokenize.normalizedTokens(d).select(col("doc_id"), col("token_id")),
+        "graft_q110_toks", s"$out/toks", buckets = 8)
+      sources.Storage.writeBucketed(d.select(col("doc_id"), col("n_chars")),
+        "graft_q110_docs", s"$out/docs", buckets = 8)
+      sources.Storage.readTable(s, "graft_q110_toks")
+        .join(sources.Storage.readTable(s, "graft_q110_docs"), "doc_id")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_toks"), min("n_chars").as("n_chars"))
+    }),
+
     // Full BERT path: stub wordpiece tokenizer → overlapping windows →
     // stub model → stitch back to one vector per token. The stub model's
     // output depends only on (input_id, dim), so a correct stitch yields

@@ -33,6 +33,22 @@ class StorageSpec extends GraftSuite {
     }
   }
 
+  test("declared q110 plans join AND per-doc agg exchange-free end-to-end") {
+    // The declared-query surface of the co-location story: the builder
+    // writes both bucketed tables, and the returned plan must carry NO
+    // Exchange — neither for the doc_id join nor for the groupBy.
+    val df = SparkEntry.queries("q110_bucketed_join")(spark, "/root/testdata/sf0.001")
+    try {
+      val plan = df.queryExecution.executedPlan
+      assert(plan.collect { case e: Exchange => e }.isEmpty,
+        s"expected exchange-free bucketed join+agg, got:\n$plan")
+      assert(df.count() > 0)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_q110_toks")
+      spark.sql("DROP TABLE IF EXISTS graft_q110_docs")
+    }
+  }
+
   test("saltedJoin is row-identical to the plain join under a hot key") {
     // 0L is a hot key: 100 rows against 3 for key 1
     val large = ((1 to 100).map(i => (0L, s"v$i")) ++ Seq((1L, "a"), (1L, "b"), (1L, "c")))
