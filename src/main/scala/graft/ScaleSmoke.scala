@@ -147,6 +147,41 @@ object ScaleSmoke {
       // count of packed sequences grows with total token volume
       ("pack_sequences", d => TextAnalysis.packSequences(d, budget = 1024,
         nShards = 32).groupBy("shard", "seq").count().count(), null),
+      // stratified source caps: per-stratum top-n via window over a
+      // salted-hash rank — the shuffle carries (id, stratum, hash) only
+      ("stratified_sample", d => TextAnalysis.stratifiedSample(d, n = 50)
+        .count(), null),
+      // PMI collocations: bigram + unigram counts are partial-aggregatable;
+      // the PMI join is keyed by word (vocabulary-sized, not corpus-sized)
+      ("pmi_collocations", d => TextAnalysis.pmiCollocations(d,
+        minCount = 5, k = 100).count(), null),
+      // q92 composition: synthesized model spans -> overlap join -> span
+      // sum -> consolidate -> align; every stage a doc_id-keyed join/agg
+      ("align_bert_pipeline", d => {
+        val t = Tokenize.normalizedTokens(d)
+        val win = org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy("token_id")
+        val nx = t.select(col("doc_id"), col("token_id"),
+          length(col("text")).as("l0"), col("span")("begin").as("b0"),
+          lead(col("span")("begin"), 1).over(win).as("b1"),
+          lead(col("span")("end"), 1).over(win).as("e1"),
+          lead(length(col("text")), 1).over(win).as("l1"))
+        val fam = nx.filter(col("token_id") % 4 === 0 && col("l0") >= 2 &&
+            col("l1") >= 2 && col("e1").isNotNull)
+          .select(col("doc_id"), spans.span(col("b0") + 1, col("e1")).as("span"),
+            lit("A").as("ent_type"))
+        Bert.alignBertTokensToCorpusTokens(fam, t).count()
+      }, null),
+      // q93 composition: IOB corpus -> entities -> BERT pieces -> aligned
+      // tags -> classes -> windowed stub embeddings, one DAG
+      ("conll_to_bert", d => {
+        val t = Tokenize.normalizedTokens(d)
+          .withColumn("ent_iob",
+            when(col("text") === "key", "B")
+              .when(col("text") === "value", "I").otherwise("O"))
+          .withColumn("ent_type", when(col("text") === "key", lit("K")))
+        Bert.conllToBert(t, d, entityTypes = Seq("K")).count()
+      }, null),
       // distributed CoNLL export: explicit per-partition writer, one
       // ordered file per 500-doc range — parallelism grows with corpus
       // size even though everything is one fold
