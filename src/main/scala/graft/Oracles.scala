@@ -55,6 +55,42 @@ object Oracles {
       |           min_by(iob, token_id) AS ft, min_by(typ, token_id) AS ent_type
       |         FROM seg WHERE iob IN ('B', 'I') GROUP BY doc_id, sg)""".stripMargin
 
+  /** q111/q112 shared relation (requires [[ToksCte]] + [[EntsCte]]): q37's
+    * agreement counts keyed by (fold, doc_num, char+token span, ent_type)
+    * plus `span_str`, the reference Span string form — `[b, e): 'covered'`
+    * with textwrap.shorten(·, 80) truncation mirrored as the same
+    * substring+strip-last-word construction spans.spanToString compiles to.
+    * Yields CTE `cstr`. Deliberately NOT interpolated (the `$`-anchored
+    * regexes must stay literal). */
+  val CsvPrepCte: String =
+    """eb AS (SELECT CASE WHEN doc_id % 2 = 0 THEN 'train' ELSE 'test' END AS fold,
+      |    doc_id AS doc_num, begin_tok, end_tok, "begin", "end", ent_type
+      |  FROM ents WHERE ft = 'B'),
+      |kk AS (SELECT CASE WHEN doc_id % 2 = 0 THEN 'train' ELSE 'test' END AS fold,
+      |    doc_id AS doc_num, token_id AS begin_tok, token_id + 1 AS end_tok,
+      |    "begin", "end", 'K' AS ent_type
+      |  FROM toks WHERE text = 'key'),
+      |ll AS (SELECT CASE WHEN doc_id % 2 = 0 THEN 'train' ELSE 'test' END AS fold,
+      |    doc_id AS doc_num, token_id AS begin_tok, token_id + 1 AS end_tok,
+      |    "begin", "begin" + 200 AS "end", 'L' AS ent_type
+      |  FROM toks WHERE text = 'sort'),
+      |cu AS (SELECT *, TRUE AS ig, 0 AS c FROM eb
+      |  UNION ALL SELECT *, FALSE, 1 FROM eb
+      |  UNION ALL SELECT *, FALSE, 1 FROM kk
+      |  UNION ALL SELECT *, FALSE, 1 FROM ll),
+      |cg AS (SELECT fold, doc_num, begin_tok, end_tok, "begin", "end", ent_type,
+      |    CAST(sum(c) AS BIGINT) AS "count", bool_or(ig) AS in_gold
+      |  FROM cu GROUP BY fold, doc_num, begin_tok, end_tok, "begin", "end", ent_type),
+      |cs AS (SELECT cg.*,
+      |    regexp_replace(trim(substr(d.text, "begin" + 1, "end" - "begin")), '\s+', ' ', 'g') AS cc
+      |  FROM cg JOIN documents d ON cg.doc_num = d.doc_id),
+      |cp AS (SELECT *, rtrim(regexp_replace(substr(cc, 1, 75), '[^ ]*$', '')) AS pfx FROM cs),
+      |cstr AS (SELECT *, '[' || "begin" || ', ' || "end" || '): ''' ||
+      |    (CASE WHEN len(cc) <= 80 THEN cc
+      |          WHEN len(pfx) > 0 THEN pfx || ' [...]'
+      |          ELSE '[...]' END) || '''' AS span_str
+      |  FROM cp)""".stripMargin
+
   /** Word list (mirror of TextAnalysis.words). */
   val Words = "regexp_extract_all(lower(text), '[a-z0-9]+')"
 
@@ -1417,6 +1453,25 @@ object Oracles {
          |  iob AS ent_iob, typ AS ent_type,
          |  lower(iob) AS predicted_iob, lower(typ) AS predicted_type
          |FROM tg WHERE token_id % 3 = 0""".stripMargin,
+
+    // Hand-labeling sheets (csv_prep): constants mirror the reference's
+    // blank annotation columns; span_str comes from CsvPrepCte.
+    "q111_csv_prep_gold" ->
+      s"""WITH $ToksCte, $EntsCte, $CsvPrepCte
+         |SELECT "count", fold, doc_num AS doc_offset, span_str AS corpus_span,
+         |  ent_type AS corpus_ent_type, '' AS error_type, '' AS correct_span,
+         |  '' AS correct_ent_type, '' AS notes, '' AS time_started,
+         |  '' AS time_stopped, '' AS time_elapsed
+         |FROM cstr WHERE in_gold""".stripMargin,
+
+    "q112_csv_prep_model" ->
+      s"""WITH $ToksCte, $EntsCte, $CsvPrepCte
+         |SELECT "count", fold, doc_num AS doc_offset, span_str AS model_span,
+         |  ent_type AS model_ent_type, '' AS error_type, '' AS corpus_span,
+         |  '' AS corpus_ent_type, '' AS correct_span, '' AS correct_ent_type,
+         |  '' AS notes, '' AS time_started, '' AS time_stopped,
+         |  '' AS time_elapsed
+         |FROM cstr WHERE NOT in_gold""".stripMargin,
 
     "q35_consolidate" ->
       s"""WITH $ToksCte

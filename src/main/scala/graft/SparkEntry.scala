@@ -102,6 +102,38 @@ object SparkEntry {
       when(col("text") === "key", "B").when(col("text") === "value", "I").otherwise("O"))
     .withColumn("ent_type", when(col("text") === "key", lit("K")))
 
+  /** Shared pipeline behind q111/q112: agreement counts (q37's models —
+    * a gold copy plus single-token key spans) keyed by (fold, doc_num,
+    * span), document text joined in for span stringification, then
+    * [[Cleaning.csvPrep]]'s two hand-labeling sheets. */
+  private def csvPrepSheets(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val t = toks(s, dir)
+    val fold = when(col("doc_id") % 2 === 0, "train").otherwise("test")
+    val gold = Iob.iobToSpans(tagged(t))
+      .select(fold.as("fold"), col("doc_id").as("doc_num"),
+        col("span"), col("ent_type"))
+    val keys = t.filter(col("text") === "key")
+      .select(fold.as("fold"), col("doc_id").as("doc_num"),
+        S.tokenSpan(col("token_id"), col("token_id") + 1,
+          col("span")("begin"), col("span")("end")).as("span"),
+        lit("K").as("ent_type"))
+    // mC emits 200-char spans (clipped naturally by substring at the doc
+    // end), guaranteeing q112 rows whose covered text crosses the 80-char
+    // textwrap.shorten boundary — keeps the truncation branch of
+    // spanToString under the differential oracle, not just the spec.
+    val longs = t.filter(col("text") === "sort")
+      .select(fold.as("fold"), col("doc_id").as("doc_num"),
+        S.tokenSpan(col("token_id"), col("token_id") + 1,
+          col("span")("begin"), col("span")("begin") + 200).as("span"),
+        lit("L").as("ent_type"))
+    val counts = Cleaning.flagSuspiciousLabels(
+      Seq("mA" -> gold, "mB" -> keys, "mC" -> longs), gold = gold,
+      alignCols = Seq("fold", "doc_num", "span"))
+    val withText = counts.join(
+      docs(s, dir).select(col("doc_id").as("doc_num"), col("text")), "doc_num")
+    Cleaning.csvPrep(withText, "count")
+  }
+
   /** Flagship query (driver smoke-checks rows > 0 on sf0.001): the
     * market-intelligence-style spanner pipeline — tokenize, dictionary
     * extraction, consolidate, covered text (SURVEY §7.2 step 2). */
@@ -569,6 +601,16 @@ object SparkEntry {
           col("ent_iob"), col("ent_type"),
           col("predicted_iob"), col("predicted_type"))
     }),
+
+    // Hand-labeling CSV prep (csv_prep, cleaning/analysis.py:331-396):
+    // q37's agreement pipeline keyed by (fold, doc_num, span) with the
+    // document text joined in, split into the two reference sheets. The
+    // corpus_span/model_span strings exercise spanToString end-to-end —
+    // entity runs longer than 80 chars hit the textwrap.shorten
+    // truncation, which the oracle mirrors with the same
+    // substring+strip-last-word construction.
+    "q111_csv_prep_gold" -> ((s, dir) => csvPrepSheets(s, dir)._1),
+    "q112_csv_prep_model" -> ((s, dir) => csvPrepSheets(s, dir)._2),
 
     // Trained coarse quantizer: Lloyd's k-means (k=8, 2 iterations,
     // deterministic smallest-id init) fit MLlib-style — centroid matrix

@@ -217,6 +217,54 @@ object Cleaning {
   }
 
   /**
+   * Reformat agreement counts into the two hand-labeling sheets
+   * (`csv_prep`, reference: cleaning/analysis.py:331-396): entities IN the
+   * gold standard (sorted by ascending agreement — low-agreement gold rows
+   * are the likely label errors) and entities NOT in gold but found by at
+   * least one model (sorted by descending agreement — high-agreement
+   * misses are the likely missing labels). Each sheet carries the
+   * reference's blank annotation columns (`error_type`, `correct_span`,
+   * `notes`, `time_*`) for the human labeler, and the span rendered as the
+   * reference's string form (`[begin, end): 'covered'`,
+   * [[graft.spans.spanToString]]).
+   *
+   * The reference's Span values carry their target text; relational spans
+   * don't, so `countsDf` must also carry the document text under
+   * `textColName` (join the documents table in first, as with every
+   * covered-text operator in this engine). The global sorts are
+   * presentation — this operator feeds a human-scale CSV export, the same
+   * contract as [[inGold]]/[[notInGold]].
+   *
+   * @return (in_gold sheet, not_in_gold sheet)
+   */
+  def csvPrep(countsDf: DataFrame, countsColName: String,
+      goldColName: String = "in_gold", foldColName: String = "fold",
+      docColName: String = "doc_num", spanColName: String = "span",
+      entTypeColName: String = "ent_type", textColName: String = "text")
+      : (DataFrame, DataFrame) = {
+    val spanStr = graft.spans.spanToString(col(textColName), col(spanColName))
+    val blank = Seq("notes", "time_started", "time_stopped", "time_elapsed")
+    def blanks(df: DataFrame, cols: Seq[String]): DataFrame =
+      cols.foldLeft(df)((d, c) => d.withColumn(c, lit("")))
+    val inGoldDf = blanks(
+      countsDf.filter(col(goldColName))
+        .orderBy(col(countsColName).asc, col(foldColName).asc, col(docColName).asc)
+        .select(col(countsColName), col(foldColName).as("fold"),
+          col(docColName).as("doc_offset"), spanStr.as("corpus_span"),
+          col(entTypeColName).as("corpus_ent_type")),
+      "error_type" +: "correct_span" +: "correct_ent_type" +: blank)
+    val notInGoldDf = blanks(
+      countsDf.filter(!col(goldColName))
+        .orderBy(col(countsColName).desc, col(foldColName).asc, col(docColName).asc)
+        .select(col(countsColName), col(foldColName).as("fold"),
+          col(docColName).as("doc_offset"), spanStr.as("model_span"),
+          col(entTypeColName).as("model_ent_type")),
+      "error_type" +: "corpus_span" +: "corpus_ent_type" +:
+        "correct_span" +: "correct_ent_type" +: blank)
+    (inGoldDf, notInGoldDf)
+  }
+
+  /**
    * Merge per-fold corpora into one DataFrame with leading `fold` column
    * (`combine_folds`, reference: io/conll.py:1437-1458). The reference
    * stacks per-document pandas frames; the engine's corpora are already

@@ -65,6 +65,28 @@ object spans {
     lit("["), coveredText(text, s), lit("]"),
     substring(text, s("end") + 1, lit(numChars)))
 
+  /**
+   * Reference string form of a span — `[begin, end): 'covered'`
+   * (Span.__repr__, array/span.py:146-153; TokenSpan keeps char offsets
+   * under its default USE_TOKEN_OFFSETS_IN_REPR=False,
+   * array/token_span.py:188-200). A NULL span renders as `NA`. The covered
+   * text is whitespace-collapsed and word-truncated to 80 chars exactly as
+   * `textwrap.shorten(·, 80)`: the longest word-boundary prefix of length
+   * ≤ 74 (80 minus the ` [...]` placeholder) followed by the placeholder,
+   * or the bare placeholder when even the first word overflows. The greedy
+   * prefix is one substring+regexp (strip the word crossing position 75),
+   * equivalent to shorten's wrap(max_lines=1) drop-from-the-end loop.
+   */
+  def spanToString(text: Column, s: Column): Column = {
+    val collapsed = regexp_replace(trim(coveredText(text, s)), "\\s+", " ")
+    val prefix = rtrim(regexp_replace(substring(collapsed, 1, 75), "[^ ]*$", ""))
+    val short = when(length(collapsed) <= 80, collapsed)
+      .otherwise(when(length(prefix) > 0, concat(prefix, lit(" [...]")))
+        .otherwise(lit("[...]")))
+    when(s.isNull, lit("NA"))
+      .otherwise(format_string("[%d, %d): '%s'", s("begin"), s("end"), short))
+  }
+
   /** Null-span test (reference sentinel begin==end==-1 → SQL NULL,
     * array/span.py:718-723). */
   def spanIsNa(s: Column): Column = s.isNull

@@ -118,6 +118,69 @@ class CleaningSpec extends GraftSuite {
     }
   }
 
+  test("spanToString matches Span.__repr__ + textwrap.shorten goldens " +
+      "(span.py:146-153)") {
+    // expected strings computed with CPython textwrap.shorten(covered, 80)
+    val text = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val cases = Seq(
+      (0, 5, "[0, 5): 'alpha'"),
+      (16, 22, "[16, 22): 'delta'"), // trailing space in covered -> trimmed
+      (0, 100, "[0, 100): 'alpha beta gamma delta epsilon zeta eta theta " +
+        "iota kappa lambda mu nu xi [...]'"),
+      (6, 104, "[6, 104): 'beta gamma delta epsilon zeta eta theta iota " +
+        "kappa lambda mu nu xi omicron [...]'"),
+      (0, 105, "[0, 105): 'alpha beta gamma delta epsilon zeta eta theta " +
+        "iota kappa lambda mu nu xi [...]'"))
+    val got = cases.map { case (b, e, _) => (b, e) }
+      .toDF("b", "e").withColumn("text", lit(text))
+      .select(graft.spans.spanToString(col("text"),
+        graft.spans.span(col("b"), col("e"))).as("s"))
+      .collect().map(_.getString(0)).toSeq
+    assert(got == cases.map(_._3))
+    // whitespace collapse + NULL span -> NA
+    val extra = Seq(("a  b   c", false), ("a  b   c", true))
+      .toDF("text", "nullSpan")
+      .select(graft.spans.spanToString(col("text"),
+        when(!col("nullSpan"), graft.spans.span(lit(0), lit(8)))).as("s"))
+      .collect().map(_.getString(0)).toSeq
+    assert(extra == Seq("[0, 8): 'a b c'", "NA"))
+  }
+
+  test("csvPrep hand-labeling sheets (analysis.py:331-396)") {
+    val counts = Seq(
+      (2L, true, "dev", 0L, 0, 5, "PER"),
+      (0L, true, "dev", 1L, 6, 10, "ORG"),   // low-agreement gold -> first
+      (3L, false, "dev", 0L, 13, 18, "LOC"), // high-agreement miss -> first
+      (1L, false, "test", 2L, 0, 10, "LOC"))
+      .toDF("count", "in_gold", "fold", "doc_num", "b", "e", "ent_type")
+      .withColumn("text", lit("first second third fourth fifth"))
+      .withColumn("span", graft.spans.span(col("b"), col("e")))
+    val (inG, notG) = Cleaning.csvPrep(counts, "count")
+    assert(inG.columns.toSeq == Seq("count", "fold", "doc_offset",
+      "corpus_span", "corpus_ent_type", "error_type", "correct_span",
+      "correct_ent_type", "notes", "time_started", "time_stopped",
+      "time_elapsed"))
+    assert(notG.columns.toSeq == Seq("count", "fold", "doc_offset",
+      "model_span", "model_ent_type", "error_type", "corpus_span",
+      "corpus_ent_type", "correct_span", "correct_ent_type", "notes",
+      "time_started", "time_stopped", "time_elapsed"))
+    val gotIn = inG.collect().map(r => (r.getLong(0), r.getLong(2),
+      r.getString(3), r.getString(4), r.getString(5))).toSeq
+    // ascending agreement; blanks empty; span in reference string form
+    assert(gotIn == Seq(
+      (0L, 1L, "[6, 10): 'seco'", "ORG", ""),
+      (2L, 0L, "[0, 5): 'first'", "PER", "")))
+    val gotNot = notG.collect().map(r => (r.getLong(0), r.getString(1),
+      r.getLong(2), r.getString(3), r.getString(4))).toSeq
+    // descending agreement
+    assert(gotNot == Seq(
+      (3L, "dev", 0L, "[13, 18): 'third'", "LOC"),
+      (1L, "test", 2L, "[0, 10): 'first seco'", "LOC")))
+    assert(notG.collect().forall(r =>
+      Seq(5, 6, 7, 8, 9, 10, 11, 12, 13).forall(i => r.getString(i) == "")))
+  }
+
   test("unpack_semijoin shifts spans by the region offset (join.py:206-244)") {
     val model = Seq((7L, 5, 10, 100)).toDF("doc_id", "b", "e", "off")
       .select(col("doc_id"), graft.spans.span(col("b"), col("e")).as("span"), col("off"))
