@@ -117,6 +117,51 @@ class PropertySpec extends GraftSuite {
     })
   }
 
+  test("spanToString == independent greedy-shorten reimplementation on " +
+      "random slices") {
+    // The expression side compiles textwrap.shorten's drop-words-from-the-
+    // end loop into one substring+strip-last-word regexp; this drives it
+    // against a literal greedy-accumulate implementation over random word
+    // mixes (incl. >74-char words and double spaces), with random slice
+    // windows so covered text starts/ends mid-word and mid-whitespace.
+    // CPython parity of BOTH is pinned by CleaningSpec's shorten goldens.
+    val genText = Gen.listOfN(25, for {
+      n <- Gen.frequency((6, Gen.choose(1, 12)), (1, Gen.choose(60, 90)))
+      c <- Gen.alphaLowerChar
+      sep <- Gen.oneOf(" ", "  ")
+    } yield (c.toString * n) + sep).map(_.mkString)
+    val genCase = for {
+      text <- genText
+      b <- Gen.choose(0, 40)
+      len <- Gen.choose(0, 220)
+    } yield (text, b, len)
+    passed(Prop.forAll(Gen.listOfN(6, genCase)) { cs =>
+      val got = cs.toDF("text", "b", "len")
+        .select(graft.spans.spanToString(col("text"),
+          spans.span(col("b"), col("b") + col("len"))).as("s"))
+        .collect().map(_.getString(0)).toSeq
+      val want = cs.map { case (text, b, len) =>
+        val covered = text.slice(b, math.min(b + len, text.length))
+        val collapsed = covered.split("\\s+").filter(_.nonEmpty).mkString(" ")
+        val short =
+          if (collapsed.length <= 80) collapsed
+          else {
+            val sb = new StringBuilder
+            var done = false
+            for (w <- collapsed.split(" ") if !done) {
+              val extra = if (sb.isEmpty) w.length else w.length + 1
+              if (sb.length + extra <= 74) {
+                if (sb.nonEmpty) sb += ' '; sb ++= w
+              } else done = true
+            }
+            if (sb.isEmpty) "[...]" else sb.result() + " [...]"
+          }
+        s"[$b, ${b + len}): '$short'"
+      }
+      got == want
+    })
+  }
+
   test("hashSplit covers every row with exactly one label for random weights") {
     val genW = Gen.listOfN(3, Gen.choose(1, 10))
     passed(Prop.forAll(genW) { ws =>
