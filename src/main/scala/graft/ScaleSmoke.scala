@@ -201,10 +201,12 @@ object ScaleSmoke {
       }, null))
 
     val results = scala.collection.mutable.ArrayBuffer.empty[String]
+    val time10 = scala.collection.mutable.Map.empty[String, Double]
     ops.foreach { case (name, f, _) =>
       f(docs1) // warmup: JIT + codegen cache, excluded from timings
       val (t1, n1) = timed(f(docs1))
       val (t10, n10) = timed(f(docs10))
+      time10(name) = t10
       results += f"""{"op":"$name","sec_1x":$t1%.2f,"sec_10x":$t10%.2f,"ratio":${t10 / t1}%.2f,"rows_1x":$n1,"rows_10x":$n10}"""
     }
     // ANN with a fixed query set: candidate volume grows linearly with the
@@ -254,6 +256,74 @@ object ScaleSmoke {
     val (tg, ng) = timed(sem(emb1, 8))
     val (th, nh) = timed(sem(emb10, 80))
     results += f"""{"op":"semantic_dedup","sec_1x":$tg%.2f,"sec_10x":$th%.2f,"ratio":${th / tg}%.2f,"rows_1x":$ng,"rows_10x":$nh}"""
+
+    // same family under its 100 TB operating knobs — sampled quantizer fit
+    // + two-level O(√k) assignment. The single-level row above is N×k in
+    // both fit and assignment, which the k-grows-with-N rule turns
+    // super-linear; this row is the plan that must (and does) stay linear.
+    def semScaled(e: DataFrame, k: Int): Long =
+      Dedup.semanticDedup(embD(e), k = k, iters = 2, tau = 0.9,
+        fitFraction = 0.2, twoLevelAssign = true).count()
+    semScaled(emb1, 8) // warmup
+    val (tg2, ng2) = timed(semScaled(emb1, 8))
+    val (th2, nh2) = timed(semScaled(emb10, 80))
+    results += f"""{"op":"semantic_dedup_scaled","sec_1x":$tg2%.2f,"sec_10x":$th2%.2f,"ratio":${th2 / tg2}%.2f,"rows_1x":$ng2,"rows_10x":$nh2}"""
+
+    // Optional 100x tier (SPARK_GRAFT_SCALE_100=1): another decade of the
+    // same tiling, answering "does the 10x ratio hold at the NEXT 10x" for
+    // the scan- and candidate-generation-shaped families. Pair-LISTING ops
+    // (dup_clusters*, minhash_skew, dedup_best) are excluded by design:
+    // tiling multiplies near-dup cluster sizes, so their OUTPUT is
+    // quadratic in the tier and the row would measure output volume, not
+    // plan scaling. Ratios are 100x-vs-10x wall seconds (linear ≈ 10).
+    if (sys.env.contains("SPARK_GRAFT_SCALE_100")) {
+      val dir100 = "/tmp/graft_scale100"
+      if (!new java.io.File(s"$dir100/documents.parquet").exists()) {
+        val copies = (0 until 10).map { c =>
+          docs10.select(
+            (col("doc_id") + lit(c.toLong) * 100000000000L).as("doc_id"),
+            concat_ws(" ",
+              slice(split(col("text"), " "), c * 3 + 11, 100000),
+              slice(split(col("text"), " "), 1, c * 3 + 10)).as("text"),
+            col("lang"), col("source"), col("n_chars"))
+        }
+        copies.reduce(_ unionByName _).repartition(64)
+          .write.mode("overwrite").parquet(s"$dir100/documents.parquet")
+        val ecopies = (0 until 10).map { c =>
+          emb10.select(
+            (col("vec_id") + lit(c.toLong) * 100000000000L).as("vec_id"),
+            col("embedding"), col("label"))
+        }
+        ecopies.reduce(_ unionByName _).repartition(64)
+          .write.mode("overwrite").parquet(s"$dir100/embeddings.parquet")
+      }
+      val docs100 = spark.read.parquet(s"$dir100/documents.parquet")
+      val emb100 = spark.read.parquet(s"$dir100/embeddings.parquet")
+      val subset = Set("tokenize", "extract_regex", "vocabulary",
+        "minhash_bands", "simhash_wide_chunks", "exact_dup_pairs",
+        "iob_spans", "overlap_join", "duplicated_spans", "pii_scan",
+        "gopher_rules", "c4_clean", "chunk_documents", "pack_sequences",
+        "stratified_sample", "pmi_collocations")
+      val r100 = scala.collection.mutable.ArrayBuffer.empty[String]
+      ops.filter(o => subset(o._1)).foreach { case (name, f, _) =>
+        val (t100, n100) = timed(f(docs100))
+        r100 += f"""{"op":"$name","sec_100x":$t100%.2f,"ratio_vs_10x":${t100 / time10(name)}%.2f,"rows_100x":$n100}"""
+      }
+      // embedding families: fixed-k ANN output, k-means at fixed k, and
+      // semantic dedup under its operating rule (k grows with the corpus
+      // so per-cluster pair work stays constant: 80 -> 800)
+      val (tl, _) = timed(lsh(emb100))
+      r100 += f"""{"op":"ann_lsh_topk","sec_100x":$tl%.2f,"ratio_vs_10x":${tl / tb}%.2f}"""
+      val (ti, _) = timed(ivf(emb100))
+      r100 += f"""{"op":"ann_ivf_topk","sec_100x":$ti%.2f,"ratio_vs_10x":${ti / td}%.2f}"""
+      val (tk, _) = timed(km(emb100))
+      r100 += f"""{"op":"kmeans_fit_assign","sec_100x":$tk%.2f,"ratio_vs_10x":${tk / tf}%.2f}"""
+      val (ts, _) = timed(sem(emb100, 800))
+      r100 += f"""{"op":"semantic_dedup","sec_100x":$ts%.2f,"ratio_vs_10x":${ts / th}%.2f}"""
+      val (ts2, _) = timed(semScaled(emb100, 800))
+      r100 += f"""{"op":"semantic_dedup_scaled","sec_100x":$ts2%.2f,"ratio_vs_10x":${ts2 / th2}%.2f}"""
+      println(s"""{"scale_smoke_100x":[${r100.mkString(",")}],"docs_100x":${docs100.count()}}""")
+    }
 
     println(s"""{"scale_smoke":[${results.mkString(",")}],"docs_1x":$nDocs}""")
     spark.stop()

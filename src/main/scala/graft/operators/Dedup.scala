@@ -418,12 +418,34 @@ object Dedup {
    * (see Similarity.kmeansAssign); the corpus never self-joins on
    * anything coarser than cluster_id, and the dup-id set joins back as
    * a narrow single-column relation.
+   *
+   * At 100 TB the bounded-cluster rule makes k grow WITH the corpus, and
+   * then the k-means stages themselves become the bottleneck — fit and
+   * single-level assignment are both N×k ∝ N² (the 100x scale smoke
+   * measured 38x wall for 10x data × 10x k). The operating knobs, both
+   * default-off so the oracle-gated exact path is unchanged:
+   *  - `fitFraction` < 1: fit the quantizer on a deterministic hash
+   *    sample (SemDeDup itself fits on a subset) — fit cost drops to
+   *    (fN)×k while every vector still gets assigned;
+   *  - `twoLevelAssign`: assignment via Similarity.kmeansAssignTwoLevel —
+   *    O(√k) per row instead of O(k), at the cost of possible
+   *    mis-assignment near coarse-cell boundaries (a clustering-quality
+   *    wobble, not a correctness break, for dedup purposes).
    */
   def semanticDedup(embeddings: DataFrame, k: Int = 8, iters: Int = 2,
       tau: Double = 0.9, idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
-    val cents = Similarity.kmeansFitCentroids(embeddings, k, iters, idCol, vecCol)
-    val sided = Similarity.kmeansAssign(embeddings, cents, idCol, vecCol)
+      vecCol: String = "embedding", fitFraction: Double = 1.0,
+      twoLevelAssign: Boolean = false): DataFrame = {
+    val fitInput =
+      if (fitFraction >= 1.0) embeddings
+      else embeddings.filter(
+        pmod(TextAnalysis.portableHash(col(idCol).cast("string")), lit(1000000L))
+          < lit((fitFraction * 1e6).toLong))
+    val cents = Similarity.kmeansFitCentroids(fitInput, k, iters, idCol, vecCol)
+    val sided = (if (twoLevelAssign)
+        Similarity.kmeansAssignTwoLevel(embeddings, cents, nprobe = 1,
+          idCol = idCol, vecCol = vecCol)
+      else Similarity.kmeansAssign(embeddings, cents, idCol, vecCol))
       .select(col(idCol).as("id"), col("cluster"))
       .join(embeddings.select(col(idCol).as("id"),
         col(vecCol).cast("array<double>").as("v")), "id")

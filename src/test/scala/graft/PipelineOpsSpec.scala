@@ -531,6 +531,39 @@ class PipelineOpsSpec extends GraftSuite {
     assert(out == Map(0L -> false, 1L -> false, 2L -> true, 3L -> true, 4L -> false))
   }
 
+  test("kmeansAssignTwoLevel: full probe reproduces exact assignment; " +
+      "separated cells stay exact at nprobe=1") {
+    // 9 fine centroids in 3 far-apart blobs; 90 points jittered around them
+    val cents = Seq(
+      0 -> Array(0.0, 0.0), 1 -> Array(1.0, 0.0), 2 -> Array(0.0, 1.0),
+      3 -> Array(100.0, 0.0), 4 -> Array(101.0, 0.0), 5 -> Array(100.0, 1.0),
+      6 -> Array(0.0, 100.0), 7 -> Array(1.0, 100.0), 8 -> Array(0.0, 101.0))
+    val pts = (0 until 90).map { i =>
+      val c = cents(i % 9)._2
+      (i.toLong, Seq((c(0) + (i % 7) * 0.05).toFloat,
+        (c(1) + (i % 5) * 0.05).toFloat))
+    }.toDF("vec_id", "embedding")
+    def rel(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSet
+    val exact = rel(Similarity.kmeansAssign(pts, cents))
+    // probing every coarse cell is EXACTLY the single-level argmin
+    assert(rel(Similarity.kmeansAssignTwoLevel(pts, cents,
+      nprobe = cents.size, coarseK = 3)) == exact)
+    // blob separation >> jitter: the nearest fine centroid lives in the
+    // nearest coarse cell, so even nprobe=1 reproduces the exact relation
+    assert(rel(Similarity.kmeansAssignTwoLevel(pts, cents,
+      nprobe = 1, coarseK = 3)) == exact)
+    // the semanticDedup scale knob rides the same assignment: with the
+    // same fitted quantizer the two-level path must match the exact path
+    // on separated data
+    val a = Dedup.semanticDedup(pts, k = 9, iters = 2, tau = 0.95)
+      .collect().map(r => (r.getLong(0), r.getBoolean(2))).toSet
+    val b = Dedup.semanticDedup(pts, k = 9, iters = 2, tau = 0.95,
+        twoLevelAssign = true)
+      .collect().map(r => (r.getLong(0), r.getBoolean(2))).toSet
+    assert(a == b)
+  }
+
   test("packSequences: sharded concat-and-chunk matches a direct mirror") {
     val d = (0L until 30L).map(i => (i, ("w " * (i % 7 + 1).toInt).trim))
       .toDF("doc_id", "text")
