@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
@@ -53,4 +53,33 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // auto-rewrite naive span-overlap theta-joins into blocked equi-joins
     ext.injectOptimizerRule(_ => graft.plans.SpanJoinRewrite)
   }
+}
+
+/**
+ * Engine-recommended PRODUCTION session configuration.
+ *
+ * `spark.sql.autoBroadcastJoinThreshold = -1`: STATIC size estimates are
+ * systematically wrong for this engine's core relations — Catalyst's
+ * Generate (explode) node passes its child's size estimate through, so a
+ * corpus-scale token relation can be estimated below the broadcast
+ * threshold. Measured at the 100x scale-smoke tier: a 2.6 GiB driver
+ * broadcast (or outright driver OOM) inside the BERT-alignment chain,
+ * 209 s vs 86 s with the config. AQE's RUNTIME broadcast promotion stays
+ * on — it sees true shuffle sizes, so genuinely small sides still
+ * broadcast at small scale — and explicit broadcast() hints (dictionaries,
+ * probes, centroid relations) are unaffected.
+ *
+ * Applied by default in ScaleSmoke (where the hazard was measured, and
+ * whose 100x tier a misestimate can OOM). The joins measured to hit the
+ * hazard are additionally pinned to sort-merge in the operators
+ * themselves (Align.alignToTokens, Bert.alignBertTokensToCorpusTokens),
+ * so the engine is scale-safe there under ANY config; the small-scale
+ * gate runs (Bench/Verify/tests) keep Spark defaults because the A/B at
+ * sf0.1 measured this config at +20% wall (AQE promotion does not fully
+ * recover static-broadcast stage fusion at toy scale) — a cluster-scale
+ * deployment should apply it.
+ */
+object GraftConf {
+  def tune(b: SparkSession.Builder): SparkSession.Builder =
+    b.config("spark.sql.autoBroadcastJoinThreshold", "-1")
 }

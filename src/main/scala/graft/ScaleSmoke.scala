@@ -29,12 +29,21 @@ object ScaleSmoke {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
     val bigDir = "/tmp/graft_scale10"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+    // Default = the engine-recommended GraftConf (static broadcast off —
+    // see GraftConf for the Generate-passthrough misestimate this guards;
+    // it was MEASURED here, as a 2.6 GiB driver broadcast in the 100x
+    // align_bert row). SPARK_GRAFT_AQE_BCAST overrides BOTH the static and
+    // adaptive thresholds for A/B experiments against that default.
+    val spark = sys.env.get("SPARK_GRAFT_AQE_BCAST")
+      .fold(GraftConf.tune(builder))(v => builder
+        .config("spark.sql.autoBroadcastJoinThreshold", v)
+        .config("spark.sql.adaptive.autoBroadcastJoinThreshold", v))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -42,25 +51,33 @@ object ScaleSmoke {
     val emb1 = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val nDocs = docs1.count()
 
-    // Tile 10 copies: new ids, text rotated by a per-copy word offset so
-    // copies are near- but not exact duplicates (realistic dedup load).
-    if (!new java.io.File(s"$bigDir/documents.parquet").exists()) {
-      val copies = (0 until 10).map { c =>
-        docs1.select((col("doc_id") + lit(c.toLong) * 1000000L).as("doc_id"),
-          concat_ws(" ",
-            slice(split(col("text"), " "), c + 1, 100000),
-            slice(split(col("text"), " "), 1, c)).as("text"),
-          col("lang"), col("source"), col("n_chars"))
-      }
-      copies.reduce(_ unionByName _).repartition(32)
-        .write.mode("overwrite").parquet(s"$bigDir/documents.parquet")
-      val ecopies = (0 until 10).map { c =>
-        emb1.select((col("vec_id") + lit(c.toLong) * 1000000L).as("vec_id"),
-          col("embedding"), col("label"))
-      }
-      ecopies.reduce(_ unionByName _).repartition(32)
-        .write.mode("overwrite").parquet(s"$bigDir/embeddings.parquet")
-    }
+    // Tile 10 copies of `src` into `path`: new ids, text rotated by a
+    // per-copy word offset so copies are near- but not exact duplicates
+    // (realistic dedup load). Cache guard is per-table and keys on the
+    // _SUCCESS marker, so a run killed mid-write (or between the two
+    // tables of a tier) regenerates instead of silently reusing a
+    // half-built tier.
+    def tileDocs(src: DataFrame, path: String, idOff: Long, rotStride: Int,
+        rotBase: Int, parts: Int): Unit =
+      if (!new java.io.File(s"$path/_SUCCESS").exists())
+        (0 until 10).map { c =>
+          src.select((col("doc_id") + lit(c.toLong) * idOff).as("doc_id"),
+            concat_ws(" ",
+              slice(split(col("text"), " "), c * rotStride + rotBase + 1, 100000),
+              slice(split(col("text"), " "), 1, c * rotStride + rotBase)).as("text"),
+            col("lang"), col("source"), col("n_chars"))
+        }.reduce(_ unionByName _).repartition(parts)
+          .write.mode("overwrite").parquet(path)
+    def tileEmb(src: DataFrame, path: String, idOff: Long, parts: Int): Unit =
+      if (!new java.io.File(s"$path/_SUCCESS").exists())
+        (0 until 10).map { c =>
+          src.select((col("vec_id") + lit(c.toLong) * idOff).as("vec_id"),
+            col("embedding"), col("label"))
+        }.reduce(_ unionByName _).repartition(parts)
+          .write.mode("overwrite").parquet(path)
+
+    tileDocs(docs1, s"$bigDir/documents.parquet", 1000000L, 1, 0, 32)
+    tileEmb(emb1, s"$bigDir/embeddings.parquet", 1000000L, 32)
     val docs10 = spark.read.parquet(s"$bigDir/documents.parquet")
     val emb10 = spark.read.parquet(s"$bigDir/embeddings.parquet")
 
@@ -200,74 +217,64 @@ object ScaleSmoke {
         new java.io.File("/tmp/graft_scale_conll/fold=f0").list().count(_.startsWith("part-"))
       }, null))
 
+    // Local-iteration filter (same contract as Bench's SPARK_GRAFT_ONLY):
+    // only smoke ops whose name matches the regex. The embedding families
+    // below run only when unfiltered.
+    val only = sys.env.get("SPARK_GRAFT_SMOKE_ONLY").map(_.r)
+    def wanted(n: String) = only.forall(_.findFirstIn(n).isDefined)
+
     val results = scala.collection.mutable.ArrayBuffer.empty[String]
     val time10 = scala.collection.mutable.Map.empty[String, Double]
-    ops.foreach { case (name, f, _) =>
+    ops.filter(o => wanted(o._1)).foreach { case (name, f, _) =>
       f(docs1) // warmup: JIT + codegen cache, excluded from timings
       val (t1, n1) = timed(f(docs1))
       val (t10, n10) = timed(f(docs10))
       time10(name) = t10
       results += f"""{"op":"$name","sec_1x":$t1%.2f,"sec_10x":$t10%.2f,"ratio":${t10 / t1}%.2f,"rows_1x":$n1,"rows_10x":$n10}"""
     }
-    // ANN with a fixed query set: candidate volume grows linearly with the
-    // corpus, output is fixed k per query
+    // Embedding families. ANN has a fixed query set (candidate volume grows
+    // linearly, output fixed k per query); k-means runs at fixed k; the
+    // semantic-dedup rows follow the SemDeDup operating rule — cluster size
+    // is the knob, so k grows with the corpus (8 / 80 / 800 per tier) and
+    // per-cluster pair work stays constant while cluster count carries the
+    // scale. "semantic_dedup_scaled" is the same family under its 100 TB
+    // knobs (0.2 hash-sample quantizer fit + two-level O(√k) assignment):
+    // the single-level row is N×k in fit AND assignment, which k-grows-
+    // with-N turns super-linear; the scaled row must (and does) stay linear.
     def lsh(e: DataFrame): Long = {
       val ed = embD(e)
       val q = ed.filter(col("vec_id") < 5).select(col("vec_id").as("query_id"), col("embedding"))
       Similarity.lshTopK(ed, q, k = 10).count()
     }
-    lsh(emb1) // warmup
-    val (ta, na) = timed(lsh(emb1))
-    val (tb, nb) = timed(lsh(emb10))
-    results += f"""{"op":"ann_lsh_topk","sec_1x":$ta%.2f,"sec_10x":$tb%.2f,"ratio":${tb / ta}%.2f,"rows_1x":$na,"rows_10x":$nb}"""
-
-    // IVF: the partial-aggregatable cell assignment is the corpus-width
-    // stage (one shuffle of one row per vector); probes are broadcast
     def ivf(e: DataFrame): Long = {
       val ed = embD(e)
       val q = ed.filter(col("vec_id") < 5).select(col("vec_id").as("query_id"), col("embedding"))
       Similarity.ivfTopK(ed, q, Similarity.labelCentroids(e), nprobe = 2, k = 10).count()
     }
-    ivf(emb1) // warmup
-    val (tc, nc) = timed(ivf(emb1))
-    val (td, nd) = timed(ivf(emb10))
-    results += f"""{"op":"ann_ivf_topk","sec_1x":$tc%.2f,"sec_10x":$td%.2f,"ratio":${td / tc}%.2f,"rows_1x":$nc,"rows_10x":$nd}"""
-
-    // k-means fit+assign: iterations are full scans with a constant-size
-    // collect each; cost tracks corpus size at fixed k
     def km(e: DataFrame): Long = {
       val ed = embD(e)
       Similarity.kmeansAssign(ed,
         Similarity.kmeansFitCentroids(ed, k = 8, iters = 2)).count()
     }
-    km(emb1) // warmup
-    val (te, ne) = timed(km(emb1))
-    val (tf, nf) = timed(km(emb10))
-    results += f"""{"op":"kmeans_fit_assign","sec_1x":$te%.2f,"sec_10x":$tf%.2f,"ratio":${tf / te}%.2f,"rows_1x":$ne,"rows_10x":$nf}"""
-
-    // semantic dedup: within-cluster pair work is Σ|cluster|² — linear at
-    // scale ONLY if k grows with the corpus (the SemDeDup operating rule:
-    // cluster size is the knob, k=8 at 1x vs k=80 at 10x keeps ~250
-    // vectors/cluster at both scales, so per-cluster work is constant and
-    // cluster count carries the 10x)
     def sem(e: DataFrame, k: Int): Long =
       Dedup.semanticDedup(embD(e), k = k, iters = 2, tau = 0.9).count()
-    sem(emb1, 8) // warmup
-    val (tg, ng) = timed(sem(emb1, 8))
-    val (th, nh) = timed(sem(emb10, 80))
-    results += f"""{"op":"semantic_dedup","sec_1x":$tg%.2f,"sec_10x":$th%.2f,"ratio":${th / tg}%.2f,"rows_1x":$ng,"rows_10x":$nh}"""
-
-    // same family under its 100 TB operating knobs — sampled quantizer fit
-    // + two-level O(√k) assignment. The single-level row above is N×k in
-    // both fit and assignment, which the k-grows-with-N rule turns
-    // super-linear; this row is the plan that must (and does) stay linear.
     def semScaled(e: DataFrame, k: Int): Long =
       Dedup.semanticDedup(embD(e), k = k, iters = 2, tau = 0.9,
         fitFraction = 0.2, twoLevelAssign = true).count()
-    semScaled(emb1, 8) // warmup
-    val (tg2, ng2) = timed(semScaled(emb1, 8))
-    val (th2, nh2) = timed(semScaled(emb10, 80))
-    results += f"""{"op":"semantic_dedup_scaled","sec_1x":$tg2%.2f,"sec_10x":$th2%.2f,"ratio":${th2 / tg2}%.2f,"rows_1x":$ng2,"rows_10x":$nh2}"""
+    // (name, run(embeddings, tier)) where tier 0/1/2 = 1x/10x/100x
+    val embOps: Seq[(String, (DataFrame, Int) => Long)] = Seq(
+      ("ann_lsh_topk", (e, _) => lsh(e)),
+      ("ann_ivf_topk", (e, _) => ivf(e)),
+      ("kmeans_fit_assign", (e, _) => km(e)),
+      ("semantic_dedup", (e, t) => sem(e, 8 * math.pow(10, t).toInt)),
+      ("semantic_dedup_scaled", (e, t) => semScaled(e, 8 * math.pow(10, t).toInt)))
+    embOps.filter(o => wanted(o._1)).foreach { case (name, f) =>
+      f(emb1, 0) // warmup
+      val (t1, n1) = timed(f(emb1, 0))
+      val (t10, n10) = timed(f(emb10, 1))
+      time10(name) = t10
+      results += f"""{"op":"$name","sec_1x":$t1%.2f,"sec_10x":$t10%.2f,"ratio":${t10 / t1}%.2f,"rows_1x":$n1,"rows_10x":$n10}"""
+    }
 
     // Optional 100x tier (SPARK_GRAFT_SCALE_100=1): another decade of the
     // same tiling, answering "does the 10x ratio hold at the NEXT 10x" for
@@ -278,50 +285,36 @@ object ScaleSmoke {
     // plan scaling. Ratios are 100x-vs-10x wall seconds (linear ≈ 10).
     if (sys.env.contains("SPARK_GRAFT_SCALE_100")) {
       val dir100 = "/tmp/graft_scale100"
-      if (!new java.io.File(s"$dir100/documents.parquet").exists()) {
-        val copies = (0 until 10).map { c =>
-          docs10.select(
-            (col("doc_id") + lit(c.toLong) * 100000000000L).as("doc_id"),
-            concat_ws(" ",
-              slice(split(col("text"), " "), c * 3 + 11, 100000),
-              slice(split(col("text"), " "), 1, c * 3 + 10)).as("text"),
-            col("lang"), col("source"), col("n_chars"))
-        }
-        copies.reduce(_ unionByName _).repartition(64)
-          .write.mode("overwrite").parquet(s"$dir100/documents.parquet")
-        val ecopies = (0 until 10).map { c =>
-          emb10.select(
-            (col("vec_id") + lit(c.toLong) * 100000000000L).as("vec_id"),
-            col("embedding"), col("label"))
-        }
-        ecopies.reduce(_ unionByName _).repartition(64)
-          .write.mode("overwrite").parquet(s"$dir100/embeddings.parquet")
-      }
+      tileDocs(docs10, s"$dir100/documents.parquet", 100000000000L, 3, 10, 64)
+      tileEmb(emb10, s"$dir100/embeddings.parquet", 100000000000L, 64)
       val docs100 = spark.read.parquet(s"$dir100/documents.parquet")
       val emb100 = spark.read.parquet(s"$dir100/embeddings.parquet")
+      // warm footers + OS page cache once so first-touch IO does not land
+      // in the first timed op (the 1x/10x rows it is ratioed against ran
+      // after their own warmup)
+      docs100.count(); emb100.count()
+      // The default subset is the scan/candidate-generation families; the
+      // composed pipelines + distributed writer (align_bert, conll_to_bert,
+      // conll_write — minutes each at 100x) join under
+      // SPARK_GRAFT_SCALE_100=full so the tier has no silent coverage cap,
+      // only a cheap mode and a complete one.
       val subset = Set("tokenize", "extract_regex", "vocabulary",
         "minhash_bands", "simhash_wide_chunks", "exact_dup_pairs",
         "iob_spans", "overlap_join", "duplicated_spans", "pii_scan",
         "gopher_rules", "c4_clean", "chunk_documents", "pack_sequences",
-        "stratified_sample", "pmi_collocations")
+        "stratified_sample", "pmi_collocations") ++
+        (if (sys.env.get("SPARK_GRAFT_SCALE_100").contains("full"))
+          Set("align_bert_pipeline", "conll_to_bert", "conll_write")
+        else Set.empty[String])
       val r100 = scala.collection.mutable.ArrayBuffer.empty[String]
-      ops.filter(o => subset(o._1)).foreach { case (name, f, _) =>
+      ops.filter(o => subset(o._1) && wanted(o._1)).foreach { case (name, f, _) =>
         val (t100, n100) = timed(f(docs100))
         r100 += f"""{"op":"$name","sec_100x":$t100%.2f,"ratio_vs_10x":${t100 / time10(name)}%.2f,"rows_100x":$n100}"""
       }
-      // embedding families: fixed-k ANN output, k-means at fixed k, and
-      // semantic dedup under its operating rule (k grows with the corpus
-      // so per-cluster pair work stays constant: 80 -> 800)
-      val (tl, _) = timed(lsh(emb100))
-      r100 += f"""{"op":"ann_lsh_topk","sec_100x":$tl%.2f,"ratio_vs_10x":${tl / tb}%.2f}"""
-      val (ti, _) = timed(ivf(emb100))
-      r100 += f"""{"op":"ann_ivf_topk","sec_100x":$ti%.2f,"ratio_vs_10x":${ti / td}%.2f}"""
-      val (tk, _) = timed(km(emb100))
-      r100 += f"""{"op":"kmeans_fit_assign","sec_100x":$tk%.2f,"ratio_vs_10x":${tk / tf}%.2f}"""
-      val (ts, _) = timed(sem(emb100, 800))
-      r100 += f"""{"op":"semantic_dedup","sec_100x":$ts%.2f,"ratio_vs_10x":${ts / th}%.2f}"""
-      val (ts2, _) = timed(semScaled(emb100, 800))
-      r100 += f"""{"op":"semantic_dedup_scaled","sec_100x":$ts2%.2f,"ratio_vs_10x":${ts2 / th2}%.2f}"""
+      embOps.filter(o => wanted(o._1)).foreach { case (name, f) =>
+        val (t100, n100) = timed(f(emb100, 2))
+        r100 += f"""{"op":"$name","sec_100x":$t100%.2f,"ratio_vs_10x":${t100 / time10(name)}%.2f,"rows_100x":$n100}"""
+      }
       println(s"""{"scale_smoke_100x":[${r100.mkString(",")}],"docs_100x":${docs100.count()}}""")
     }
 

@@ -109,12 +109,19 @@ object NearestCentroidTwoLevel {
     var p = 0
     val probes = math.min(nprobe, n)
     while (p < probes) {
-      // next unprobed coarse cell (smallest distance, ties smallest slot)
+      // next unprobed coarse cell (smallest distance, ties smallest slot);
+      // when every remaining distance is NaN/+Inf (degenerate vector) fall
+      // back to the smallest unprobed slot so the row degrades to the same
+      // (MaxValue, Int.MaxValue) sentinel as NearestCentroid instead of
+      // crashing — full-probe parity must hold on junk inputs too
       var slot = -1
       var slotD = Double.MaxValue
       var s = 0
       while (s < n) {
-        if (!used(s) && cd(s) < slotD) { slotD = cd(s); slot = s }
+        if (!used(s)) {
+          if (cd(s) < slotD) { slotD = cd(s); slot = s }
+          else if (slot < 0) slot = s
+        }
         s += 1
       }
       used(slot) = true

@@ -36,10 +36,20 @@ object Align {
     val endToks = toks.select(col("doc_id").as("e_doc_id"),
       (col("token_id") + 1).as("end_tok"), col("span")("end").as("e_off"))
 
+    // Both sides scale with the corpus, and the token side is explode-
+    // derived: Catalyst's Generate passes its CHILD's size estimate
+    // through, so a multi-GiB token projection can be estimated under the
+    // static broadcast threshold. MEASURED at the 100x smoke tier: a
+    // 2.6 GiB driver broadcast (or an outright driver OOM) right here —
+    // 209 s vs 86 s once broadcast was off. Pin these two joins to
+    // sort-merge: the plan that is correct at every scale. Cost at bench
+    // scale (sf0.1): ~1.3x on the queries through this path — accepted;
+    // a plan that is fast in a scale window and OOMs outside it is wrong.
+    // (GraftConf documents the config-level guard for the general class.)
     val joined = spansDf
-      .join(beginToks, col("doc_id") === col("b_doc_id") &&
+      .join(beginToks.hint("merge"), col("doc_id") === col("b_doc_id") &&
         col(on)("begin") === col("b_off"), "left")
-      .join(endToks, col("doc_id") === col("e_doc_id") &&
+      .join(endToks.hint("merge"), col("doc_id") === col("e_doc_id") &&
         col(on)("end") === col("e_off"), "left")
 
     if (validate) {

@@ -239,10 +239,13 @@ object Bert {
       corpusToks.select(col("doc_id"), col(corpusTokenCol).as("span"))
         .filter(col("span")("begin") < col("span")("end")))
     // re-attach the entity type (the reference's merge back onto spans_df,
-    // bert.py:233-238): equi-join on the span struct itself
+    // bert.py:233-238): equi-join on the span struct itself. Both sides
+    // are corpus-scale and explode-derived — pinned to sort-merge for the
+    // same measured broadcast-misestimate hazard documented at
+    // Align.alignToTokens.
     val typed = pairs.join(
       ents.select(col("doc_id").as("t_doc_id"), col("span").as("t_span"),
-        col(entityTypeCol).as("__t_type")),
+        col(entityTypeCol).as("__t_type")).hint("merge"),
       col("doc_id") === col("t_doc_id") && col("first") === col("t_span"))
     // span-sum of the covered corpus tokens per entity + min type
     val grown = typed.groupBy(col("doc_id"), col("first"))

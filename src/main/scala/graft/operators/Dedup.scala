@@ -436,6 +436,10 @@ object Dedup {
       tau: Double = 0.9, idCol: String = "vec_id",
       vecCol: String = "embedding", fitFraction: Double = 1.0,
       twoLevelAssign: Boolean = false): DataFrame = {
+    // fail at the knob, not as an empty-centroid require deep in the plan;
+    // the hash threshold floors at 1e-6 (pmod bucket granularity)
+    require(fitFraction >= 1e-6 && fitFraction <= 1.0,
+      s"fitFraction must be in [1e-6, 1], got $fitFraction")
     val fitInput =
       if (fitFraction >= 1.0) embeddings
       else embeddings.filter(
