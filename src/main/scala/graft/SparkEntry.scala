@@ -40,11 +40,21 @@ object SparkEntry {
   private def orders(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/orders.parquet")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS) — Spark reads it as a nano
-    * LongType under spark.sql.legacy.parquet.nanosAsLong=true (set by
-    * Verify/Bench); queries use integer nano arithmetic. */
-  private def events(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/events.parquet")
+  /** Events with `ts` normalized to epoch-nanosecond LongType, whatever
+    * the parquet physical type: TIMESTAMP(NANOS) arrives as a nano long
+    * under spark.sql.legacy.parquet.nanosAsLong=true (set by Verify/
+    * Bench), TIMESTAMP(MICROS) as TimestampType or TimestampNTZType.
+    * Downstream queries and EventStreams all use integer nano arithmetic,
+    * and the DuckDB oracles use epoch_ns(ts) — both representations hash
+    * identically after this normalization (session timezone is UTC). */
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    val df = s.read.parquet(s"$dir/events.parquet")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => df
+      case _ =>
+        df.withColumn("ts", unix_micros(col("ts").cast("timestamp")) * 1000L)
+    }
+  }
 
   /** Standard tokens relation (doc_id, token_id, span, text, normalized_text). */
   private def toks(s: SparkSession, dir: String): DataFrame =
