@@ -1035,6 +1035,34 @@ object Oracles {
          |SELECT id AS vec_id, cluster, id IN (SELECT id FROM dup) AS is_dup
          |FROM sided""".stripMargin,
 
+    // Cluster-balanced diversity sampling: q94's k-means assignment, then
+    // q96's salted-hash rank window per cluster, cap 20.
+    "q113_diversity_sample" ->
+      s"""WITH $EmbCte,
+         |${kmeansCtes(8, 2)}
+         |SELECT id AS vec_id, cid AS cluster, rank FROM
+         |  (SELECT id, cid, CAST(row_number() OVER (PARTITION BY cid
+         |     ORDER BY ${H("CAST(id AS VARCHAR) || ':div'")}, id) AS INTEGER) AS rank
+         |   FROM a3)
+         |WHERE rank <= 20""".stripMargin,
+
+    // Fuzzy decontamination: the q14 MinHash-LSH candidate/verify chain,
+    // but candidates are corpus × src0-benchmark (self-pairs excluded)
+    // and the output aggregates per contaminated corpus doc.
+    "q114_fuzzy_decontaminate" ->
+      s"""WITH $MinhashCte,
+         |bnd AS (SELECT doc_id, generate_subscripts(keys, 1) - 1 AS band, unnest(keys) AS key FROM bk),
+         |bench AS (SELECT doc_id FROM documents WHERE source = 'src0'),
+         |cand AS (SELECT DISTINCT c.doc_id, b2.doc_id AS bench_id FROM bnd c
+         |  JOIN bnd b2 ON c.band = b2.band AND c.key = b2.key
+         |  JOIN bench ON b2.doc_id = bench.doc_id
+         |  WHERE c.doc_id <> b2.doc_id),
+         |j AS (SELECT cand.doc_id,
+         |    round(CAST(len(list_intersect(x.h, y.h)) AS DOUBLE) / len(list_distinct(list_concat(x.h, y.h))), 4) AS jaccard
+         |  FROM cand JOIN hs x ON x.doc_id = cand.doc_id JOIN hs y ON y.doc_id = cand.bench_id)
+         |SELECT doc_id, count(*) AS n_bench, max(jaccard) AS max_jaccard
+         |FROM j WHERE jaccard >= 0.7 GROUP BY doc_id""".stripMargin,
+
     // Sequence packing: per-shard running token sum over the salted-hash
     // stream order; seq = chunk of the doc's first token, off = offset.
     "q99_pack_sequences" ->

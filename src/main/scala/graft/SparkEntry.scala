@@ -622,6 +622,22 @@ object SparkEntry {
     "q111_csv_prep_gold" -> ((s, dir) => csvPrepSheets(s, dir)._1),
     "q112_csv_prep_model" -> ((s, dir) => csvPrepSheets(s, dir)._2),
 
+    // Cluster-balanced diversity sampling: trained k-means clusters (the
+    // q94 quantizer) + deterministic per-cluster caps — bound every
+    // semantic region's share of the corpus (q96's per-source caps in
+    // embedding space; complements q98's pairwise semantic dedup).
+    "q113_diversity_sample" -> ((s, dir) =>
+      Similarity.diversitySample(embedsD(s, dir), k = 8, iters = 2, cap = 20)),
+
+    // FUZZY eval-set decontamination: near-duplicates of the src0
+    // benchmark slice via MinHash-LSH candidates + exact-Jaccard verify —
+    // catches the paraphrased eval leakage q83's exact 8-grams miss.
+    "q114_fuzzy_decontaminate" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.fuzzyContaminatedDocs(d, d.filter(col("source") === "src0"),
+        threshold = 0.7, k = 8, bands = 4, shingleK = 3)
+    }),
+
     // Trained coarse quantizer: Lloyd's k-means (k=8, 2 iterations,
     // deterministic smallest-id init) fit MLlib-style — centroid matrix
     // collected per iteration, assignment a literal-centroid projection —

@@ -716,4 +716,58 @@ object Dedup {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_shared"))
   }
+
+  /**
+   * FUZZY eval-set decontamination — the near-duplicate form of
+   * [[contaminatedDocs]]: a corpus document is contaminated when its
+   * shingle-set Jaccard against any benchmark document clears
+   * `threshold`, with MinHash-LSH band collisions generating the
+   * candidates (the Llama/Dolma-style "paraphrased eval leakage" sweep;
+   * exact n-gram matching misses light rewording). Same machinery as
+   * [[minhashDupPairs]], but the join is corpus × BENCHMARK, never
+   * corpus × corpus.
+   *
+   * Scale shape: the benchmark side (signatures, band keys, shingle
+   * sets) is BROADCAST — eval sets are tiny next to a training corpus —
+   * so both the band-collision join and the exact-Jaccard verify are
+   * map-side; the corpus is scanned once and nothing wide ever
+   * shuffles. No skew valve is needed: candidate fan-out per corpus doc
+   * is bounded by benchmark size, not corpus size. Self-pairs (same id
+   * on both sides, the benchmark-drawn-from-corpus harness case) are
+   * excluded; callers with an external benchmark whose id space
+   * legitimately overlaps the corpus should disambiguate ids upstream.
+   *
+   * Output: (doc_id, n_bench, max_jaccard) — one row per contaminated
+   * doc; `left_anti` on it to drop them.
+   */
+  def fuzzyContaminatedDocs(docs: DataFrame, benchmark: DataFrame,
+      threshold: Double = 0.7, k: Int = 8, bands: Int = 4, shingleK: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text",
+      benchIdCol: String = "doc_id", benchTextCol: String = "text"): DataFrame = {
+    // Corpus side mirrors minhashDupPairs: the band join carries ONLY
+    // (id, band, key); shingle sets join back on the candidate ids.
+    val withSets = docs.select(col(idCol).as("doc_id"),
+      shingleHashes(col(textCol), shingleK).as("set_d"),
+      minhashSignature(col(textCol), k, shingleK).as("sig"))
+    val banded = withSets.select(col("doc_id"),
+      posexplode(lshBandKeys(col("sig"), k, bands)).as(Seq("band", "key")))
+    val bSets = benchmark.select(col(benchIdCol).as("bench_id"),
+      shingleHashes(col(benchTextCol), shingleK).as("set_b"),
+      minhashSignature(col(benchTextCol), k, shingleK).as("sigb"))
+    val bBanded = bSets.select(col("bench_id"),
+      posexplode(lshBandKeys(col("sigb"), k, bands)).as(Seq("band", "key")))
+    val candidates = banded
+      .join(broadcast(bBanded), Seq("band", "key"))
+      .filter(col("doc_id") =!= col("bench_id"))
+      .select("doc_id", "bench_id").dropDuplicates("doc_id", "bench_id")
+    candidates
+      .join(withSets.select("doc_id", "set_d"), "doc_id")
+      .join(broadcast(bSets.select("bench_id", "set_b")), "bench_id")
+      .withColumn("jaccard",
+        round(size(array_intersect(col("set_d"), col("set_b"))).cast("double") /
+          size(array_union(col("set_d"), col("set_b"))), 4))
+      .filter(col("jaccard") >= threshold)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bench"), max(col("jaccard")).as("max_jaccard"))
+  }
 }

@@ -243,6 +243,44 @@ object Similarity {
   }
 
   /**
+   * Cluster-balanced diversity sampling — the "diversify the training
+   * mix" companion to semantic dedup: assign every embedding to a trained
+   * k-means cluster ([[kmeansFitCentroids]] + [[kmeansAssign]]), then cap
+   * each cluster at `cap` members, keeping the ones that sort first by a
+   * salted portable hash. Where [[graft.operators.Dedup.semanticDedup]]
+   * removes within-cluster redundancy pairwise, this bounds every
+   * semantic region's share of the corpus directly — the embedding-space
+   * analogue of [[graft.operators.TextAnalysis.stratifiedSample]]'s
+   * per-source caps. Deterministic: no RNG; the keep set depends only on
+   * (id, salt, cap) — identical across runs, partitionings, and engines.
+   *
+   * Scale shape: assignment is a shuffle-free projection (the centroid
+   * matrix rides inside one native expression), and the rank window runs
+   * over the NARROW (id, cluster, hash) projection — vectors never ride
+   * the per-cluster sort-shuffle. Under the SemDeDup rule that k grows
+   * with the corpus at fixed cluster size, per-cluster work stays
+   * constant; at large k swap the assignment for
+   * [[kmeansAssignTwoLevel]].
+   *
+   * Output: (idCol, cluster, rank), rank 1-based within cluster.
+   */
+  def diversitySample(embeddings: DataFrame, k: Int = 8, iters: Int = 2,
+      cap: Int = 20, idCol: String = "vec_id", vecCol: String = "embedding",
+      salt: String = "div"): DataFrame = {
+    require(cap > 0, "cap must be positive")
+    val cents = kmeansFitCentroids(embeddings, k, iters, idCol, vecCol)
+    val h = TextAnalysis.portableHash(
+      concat(col(idCol).cast("string"), lit(":" + salt)))
+    val w = Window.partitionBy("cluster").orderBy(col("__h"), col(idCol))
+    kmeansAssign(embeddings, cents, idCol, vecCol)
+      .select(col(idCol), col("cluster"))
+      .withColumn("__h", h)
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= cap)
+      .select(col(idCol), col("cluster"), col("rank"))
+  }
+
+  /**
    * Approximate top-k via sign-LSH: candidates share the query's bucket or
    * any single-bit-flip neighbor; exact cosine re-rank inside candidates.
    * Recall < 1 by construction; the scale path when queries are many.

@@ -361,6 +361,42 @@ class PipelineOpsSpec extends GraftSuite {
     assert(r == Map(0L -> 2L, 2L -> 2L)) // doc 1 absent = clean
   }
 
+  test("fuzzyContaminatedDocs: LSH candidates + Jaccard verify, self-pairs excluded") {
+    // docs 0/1/3 are near/exact dups of each other; benchmark = doc 0's
+    // row. Docs 1 and 3 near-duplicate it (contaminated); doc 0 itself is
+    // only a self-pair (excluded); docs 2/4 share nothing.
+    val bench = docs.filter(col("doc_id") === 0L)
+    val r = Dedup.fuzzyContaminatedDocs(docs, bench, threshold = 0.7,
+        k = 8, bands = 4, shingleK = 3)
+      .as[(Long, Long, Double)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(r.keySet == Set(1L, 3L))
+    assert(r(3L) == ((1L, 1.0))) // exact dup: Jaccard 1 against one bench doc
+    assert(r(1L)._2 >= 0.7 && r(1L)._2 < 1.0)
+    // an external benchmark doc with disjoint text flags nothing
+    val clean = Dedup.fuzzyContaminatedDocs(docs,
+      Seq((99L, "unrelated benchmark prompt about astronomy and telescopes and planets"))
+        .toDF("doc_id", "text"), threshold = 0.7, k = 8, bands = 4, shingleK = 3)
+    assert(clean.count() == 0L)
+  }
+
+  test("diversitySample: per-cluster cap, rank contiguous, id-deterministic") {
+    // two tight blobs; 4 members each, cap 2 → 2 survivors per cluster
+    val pts = (0L until 4L).map(i => (i, Seq(1.0f, 0.01f * i))) ++
+      (4L until 8L).map(i => (i, Seq(0.01f * (i - 4), 1.0f)))
+    val d = pts.toDF("vec_id", "embedding")
+    val out = Similarity.diversitySample(d, k = 2, iters = 2, cap = 2)
+      .as[(Long, Int, Int)].collect()
+    assert(out.length == 4)
+    assert(out.groupBy(_._2).forall { case (_, m) =>
+      m.map(_._3).sorted.toSeq == Seq(1, 2) })
+    // blob membership respected: ids 0-3 never share a cluster with 4-7
+    val byCluster = out.groupBy(_._2).values.map(_.map(_._1).toSet)
+    assert(byCluster.forall(s => s.forall(_ < 4) || s.forall(_ >= 4)))
+    val again = Similarity.diversitySample(d, k = 2, iters = 2, cap = 2)
+      .as[(Long, Int, Int)].collect()
+    assert(out.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+  }
+
   test("bigramLogProb: MLE conditionals, deterministic transitions score 0") {
     val d = Seq(
       (0L, "a b a b"), // histories split between b and c across the corpus
