@@ -168,6 +168,13 @@ object ScaleSmoke {
       // salted-hash rank — the shuffle carries (id, stratum, hash) only
       ("stratified_sample", d => TextAnalysis.stratifiedSample(d, n = 50)
         .count(), null),
+      // fuzzy decontamination: the benchmark stays the FIXED 1x src0
+      // slice while the corpus grows — the operator's real operating
+      // shape (eval sets don't scale with the training corpus), so both
+      // candidate volume per doc and the broadcast stay constant
+      ("fuzzy_decontaminate", d => Dedup.fuzzyContaminatedDocs(d,
+        docs1.filter(col("source") === "src0"), threshold = 0.7,
+        k = 8, bands = 4, shingleK = 3).count(), null),
       // PMI collocations: bigram + unigram counts are partial-aggregatable;
       // the PMI join is keyed by word (vocabulary-sized, not corpus-sized)
       ("pmi_collocations", d => TextAnalysis.pmiCollocations(d,
@@ -267,7 +274,13 @@ object ScaleSmoke {
       ("ann_ivf_topk", (e, _) => ivf(e)),
       ("kmeans_fit_assign", (e, _) => km(e)),
       ("semantic_dedup", (e, t) => sem(e, 8 * math.pow(10, t).toInt)),
-      ("semantic_dedup_scaled", (e, t) => semScaled(e, 8 * math.pow(10, t).toInt)))
+      ("semantic_dedup_scaled", (e, t) => semScaled(e, 8 * math.pow(10, t).toInt)),
+      // diversity sampling under its 100 TB knobs (k grows with the
+      // corpus per the SemDeDup rule; sampled fit + two-level assignment
+      // keep the k-means stages linear, same as semantic_dedup_scaled)
+      ("diversity_sample_scaled", (e, t) => Similarity.diversitySample(embD(e),
+        k = 8 * math.pow(10, t).toInt, iters = 2, cap = 20,
+        fitFraction = if (t == 0) 1.0 else 0.2, twoLevelAssign = t > 0).count()))
     embOps.filter(o => wanted(o._1)).foreach { case (name, f) =>
       f(emb1, 0) // warmup
       val (t1, n1) = timed(f(emb1, 0))
@@ -302,7 +315,7 @@ object ScaleSmoke {
         "minhash_bands", "simhash_wide_chunks", "exact_dup_pairs",
         "iob_spans", "overlap_join", "duplicated_spans", "pii_scan",
         "gopher_rules", "c4_clean", "chunk_documents", "pack_sequences",
-        "stratified_sample", "pmi_collocations") ++
+        "stratified_sample", "pmi_collocations", "fuzzy_decontaminate") ++
         (if (sys.env.get("SPARK_GRAFT_SCALE_100").contains("full"))
           Set("align_bert_pipeline", "conll_to_bert", "conll_write")
         else Set.empty[String])

@@ -259,20 +259,35 @@ object Similarity {
    * over the NARROW (id, cluster, hash) projection — vectors never ride
    * the per-cluster sort-shuffle. Under the SemDeDup rule that k grows
    * with the corpus at fixed cluster size, per-cluster work stays
-   * constant; at large k swap the assignment for
-   * [[kmeansAssignTwoLevel]].
+   * constant — and the k-means stages themselves get the same two
+   * operating knobs as [[graft.operators.Dedup.semanticDedup]], both
+   * default-off so the oracle-gated exact path is unchanged:
+   * `fitFraction` < 1 fits the quantizer on a deterministic hash sample,
+   * `twoLevelAssign` switches assignment to the O(√k)-per-row
+   * [[kmeansAssignTwoLevel]] path.
    *
    * Output: (idCol, cluster, rank), rank 1-based within cluster.
    */
   def diversitySample(embeddings: DataFrame, k: Int = 8, iters: Int = 2,
       cap: Int = 20, idCol: String = "vec_id", vecCol: String = "embedding",
-      salt: String = "div"): DataFrame = {
+      salt: String = "div", fitFraction: Double = 1.0,
+      twoLevelAssign: Boolean = false): DataFrame = {
     require(cap > 0, "cap must be positive")
-    val cents = kmeansFitCentroids(embeddings, k, iters, idCol, vecCol)
+    require(fitFraction >= 1e-6 && fitFraction <= 1.0,
+      s"fitFraction must be in [1e-6, 1], got $fitFraction")
+    val fitInput =
+      if (fitFraction >= 1.0) embeddings
+      else embeddings.filter(
+        pmod(TextAnalysis.portableHash(col(idCol).cast("string")), lit(1000000L))
+          < lit((fitFraction * 1e6).toLong))
+    val cents = kmeansFitCentroids(fitInput, k, iters, idCol, vecCol)
     val h = TextAnalysis.portableHash(
       concat(col(idCol).cast("string"), lit(":" + salt)))
     val w = Window.partitionBy("cluster").orderBy(col("__h"), col(idCol))
-    kmeansAssign(embeddings, cents, idCol, vecCol)
+    (if (twoLevelAssign)
+        kmeansAssignTwoLevel(embeddings, cents, nprobe = 1,
+          idCol = idCol, vecCol = vecCol)
+      else kmeansAssign(embeddings, cents, idCol, vecCol))
       .select(col(idCol), col("cluster"))
       .withColumn("__h", h)
       .withColumn("rank", row_number().over(w).cast("int"))
