@@ -108,6 +108,40 @@ class PlanShapeSpec extends GraftSuite {
       s"within-cluster pair generation degraded to a cross product:\n$planStr")
   }
 
+  test("fuzzyContaminatedDocs: benchmark side broadcast, no corpus sort-merge join") {
+    // The Scaladoc promises both the band-collision join and the Jaccard
+    // verify stay map-side (benchmark broadcast); a SortMergeJoin or a
+    // shuffle keyed on (band, key) would mean the corpus stream shuffles
+    // wide and the 100 TB claim is gone.
+    val docs = (0L until 60L).map(i =>
+      (i, s"word$i alpha beta gamma delta epsilon zeta eta theta " +
+        s"iota kappa word${i % 7}")).toDF("doc_id", "text")
+    val bench = docs.filter(col("doc_id") < 5)
+    val out = Dedup.fuzzyContaminatedDocs(docs, bench, threshold = 0.5)
+    out.collect() // finalize the adaptive plan
+    val planStr = out.queryExecution.executedPlan.toString
+    assert(!planStr.contains("SortMergeJoin"),
+      s"a corpus-side join degraded to sort-merge:\n$planStr")
+    assert(planStr.contains("BroadcastHashJoin"),
+      s"expected benchmark-side broadcast joins, got:\n$planStr")
+  }
+
+  test("diversitySample: cluster assignment shuffle-free, vectors off the rank window") {
+    val pts = (0L until 80L).map(i =>
+      (i, Array.tabulate(4)(d => ((i * 5 + d) % 13).toFloat / 13f).toSeq))
+      .toDF("vec_id", "embedding")
+    val out = operators.Similarity.diversitySample(pts, k = 2, iters = 1, cap = 5)
+    out.collect() // finalize the adaptive plan
+    val planStr = out.queryExecution.executedPlan.toString
+    // narrow (id, cluster, hash) rank window: the embedding column must
+    // not ride the per-cluster sort-shuffle
+    assert(!planStr.split("\n").exists(l =>
+      l.contains("Exchange") && l.contains("embedding#")),
+      s"embedding vectors ride the rank-window shuffle:\n$planStr")
+    assert(!planStr.contains("SinglePartition"),
+      s"rank window collapsed to a single partition:\n$planStr")
+  }
+
   test("makeTable with explicit columnKeys launches no inference job") {
     // Explicit keys are the scale-path contract: constructing the pivot
     // must stay fully lazy — no pivot-value-inference scan of the cells
