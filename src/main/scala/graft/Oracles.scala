@@ -1063,6 +1063,27 @@ object Oracles {
          |SELECT doc_id, count(*) AS n_bench, max(jaccard) AS max_jaccard
          |FROM j WHERE jaccard >= 0.7 GROUP BY doc_id""".stripMargin,
 
+    // Per-source quality calibration: q08's quality arithmetic with the
+    // source carried through, then cume_dist within source (ties share a
+    // value, so the percentile is row-order-independent).
+    "q115_quality_calibrate" -> {
+      val en = ratio(operators.TextAnalysis.StopwordsEn)
+      s"""WITH x AS (SELECT doc_id, source, text, $Words AS ws FROM documents),
+         |c AS (SELECT doc_id, source,
+         |  least(CAST(len(ws) AS DOUBLE) / 200.0, 1.0) AS lc,
+         |  greatest(0.0, 1.0 - (CASE WHEN len(text) > 0
+         |    THEN CAST(len(regexp_replace(text, '[^!-/:-@\\[-`{-~]', '', 'g')) AS DOUBLE) / len(text)
+         |    ELSE 0.0 END) * 5) AS pp,
+         |  CASE WHEN len(ws) > 0 THEN CAST(list_sum(list_transform(ws, w -> len(w))) AS DOUBLE) / len(ws)
+         |       ELSE 0.0 END AS mwl,
+         |  $en AS en FROM x),
+         |q AS (SELECT doc_id, source, round(lc*0.4 + pp*0.2 + (CASE WHEN mwl >= 2 AND mwl <= 12 THEN 1.0 ELSE 0.5 END)*0.2
+         |  + (CASE WHEN en > 0.05 THEN 1.0 ELSE 0.7 END)*0.2, 4) AS quality FROM c)
+         |SELECT doc_id, source, quality, pct, pct > 0.5 AS keep FROM
+         |  (SELECT doc_id, source, quality,
+         |     round(cume_dist() OVER (PARTITION BY source ORDER BY quality), 6) AS pct FROM q)""".stripMargin
+    },
+
     // Sequence packing: per-shard running token sum over the salted-hash
     // stream order; seq = chunk of the doc's first token, off = offset.
     "q99_pack_sequences" ->

@@ -168,6 +168,8 @@ object ScaleSmoke {
       // salted-hash rank — the shuffle carries (id, stratum, hash) only
       ("stratified_sample", d => TextAnalysis.stratifiedSample(d, n = 50)
         .count(), null),
+      ("quality_calibrate", d => TextAnalysis.calibratedQuality(d)
+        .filter(col("keep")).count(), null),
       // fuzzy decontamination: the benchmark stays the FIXED 1x src0
       // slice while the corpus grows — the operator's real operating
       // shape (eval sets don't scale with the training corpus), so both
@@ -315,7 +317,8 @@ object ScaleSmoke {
         "minhash_bands", "simhash_wide_chunks", "exact_dup_pairs",
         "iob_spans", "overlap_join", "duplicated_spans", "pii_scan",
         "gopher_rules", "c4_clean", "chunk_documents", "pack_sequences",
-        "stratified_sample", "pmi_collocations", "fuzzy_decontaminate") ++
+        "stratified_sample", "pmi_collocations", "fuzzy_decontaminate",
+        "quality_calibrate") ++
         (if (sys.env.get("SPARK_GRAFT_SCALE_100").contains("full"))
           Set("align_bert_pipeline", "conll_to_bert", "conll_write")
         else Set.empty[String])

@@ -638,6 +638,12 @@ object SparkEntry {
         threshold = 0.7, k = 8, bands = 4, shingleK = 3)
     }),
 
+    // Per-source quality calibration: percentile-within-stratum quality
+    // filter — each source keeps its own best half instead of one global
+    // threshold (q08's score, q96's stratum shape, value- not hash-ranked).
+    "q115_quality_calibrate" -> ((s, dir) =>
+      TextAnalysis.calibratedQuality(docs(s, dir), minPercentile = 0.5)),
+
     // Trained coarse quantizer: Lloyd's k-means (k=8, 2 iterations,
     // deterministic smallest-id init) fit MLlib-style — centroid matrix
     // collected per iteration, assignment a literal-centroid projection —

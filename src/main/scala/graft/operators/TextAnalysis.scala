@@ -367,6 +367,37 @@ object TextAnalysis {
    * and survivors re-join the corpus on the id equi-key. Output keeps the
    * within-stratum `rank` column (1-based) for inspectability.
    */
+  /**
+   * Per-stratum quality calibration — the "absolute thresholds are
+   * miscalibrated across domains" fix (FineWeb-style): score every
+   * document with [[qualityScore]], then place it WITHIN its
+   * source/language/domain as `pct` = the fraction of the stratum at or
+   * below its quality (`cume_dist`; ties share a value), so `keep = pct >
+   * minPercentile` selects each stratum's best `1 - minPercentile`
+   * fraction rather than applying one global cutoff that a clean-prose
+   * source saturates and a forum source never reaches. A single-member
+   * stratum has pct 1 and is always kept. Deterministic: pct depends only
+   * on the (engine-portable) quality values, never on row order.
+   *
+   * Scale shape: one narrow (id, stratum, quality) projection rides the
+   * per-stratum sort-shuffle — document text never does — and each
+   * stratum's ranking is ordinary windowed work.
+   *
+   * Output: (idCol, strataCol, quality, pct, keep).
+   */
+  def calibratedQuality(docs: DataFrame, minPercentile: Double = 0.5,
+      strataCol: String = "source", idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(minPercentile >= 0.0 && minPercentile <= 1.0,
+      s"minPercentile must be in [0, 1], got $minPercentile")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(strataCol).orderBy(col("quality"))
+    docs.select(col(idCol), col(strataCol),
+        qualityScore(col(textCol)).as("quality"))
+      .withColumn("pct", round(cume_dist().over(w), 6))
+      .withColumn("keep", col("pct") > minPercentile)
+  }
+
   def stratifiedSample(docs: DataFrame, n: Int, strataCol: String = "source",
       idCol: String = "doc_id", salt: String = "strat"): DataFrame = {
     require(n > 0, "n must be positive")

@@ -397,6 +397,28 @@ class PipelineOpsSpec extends GraftSuite {
     assert(out.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
   }
 
+  test("calibratedQuality: per-stratum percentile, singleton kept, ties share pct") {
+    // srcA: four docs of clearly increasing quality (longer, clean prose
+    // with stopwords); srcB: a singleton that would fail any global cut.
+    val longGood = ("the quick brown fox and the lazy dog " * 30).trim
+    val d = Seq(
+      (0L, "srcA", "!!! ### $$$ %%%"),                      // punct-heavy
+      (1L, "srcA", "tiny"),                                  // short
+      (2L, "srcA", longGood),                                // strong
+      (3L, "srcA", longGood + " with more of the words"),    // strong too
+      (4L, "srcB", "??!")                                    // singleton stratum
+    ).toDF("doc_id", "source", "text")
+    val out = TextAnalysis.calibratedQuality(d, minPercentile = 0.5)
+      .as[(Long, String, Double, Double, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    // top half of srcA kept, bottom half dropped
+    assert(!out(0L)._5 && !out(1L)._5 && out(2L)._5 && out(3L)._5)
+    // singleton stratum: pct 1.0, always kept (its own best half)
+    assert(out(4L)._4 == 1.0 && out(4L)._5)
+    // pct is cume_dist: the stratum max has pct 1.0
+    assert(out(2L)._4 <= out(3L)._4 || out(2L)._3 == out(3L)._3)
+  }
+
   test("bigramLogProb: MLE conditionals, deterministic transitions score 0") {
     val d = Seq(
       (0L, "a b a b"), // histories split between b and c across the corpus
