@@ -162,6 +162,29 @@ class PropertySpec extends GraftSuite {
     })
   }
 
+  test("round-10 samplers are partition-invariant (the r9 sampling bug class)") {
+    // The r9 importance-sample bug was exactly this: a keep set that
+    // depended on input partitioning. Every sampler/filter added since
+    // must produce identical rows under different partition layouts.
+    val docs = (0L until 60L).map(i =>
+      (i, s"src${i % 3}", ("the quick brown fox jumps " * (1 + (i % 7).toInt)) + s"tail$i"))
+      .toDF("doc_id", "source", "text")
+    val emb = (0L until 60L).map(i =>
+      (i, Array.tabulate(4)(d => ((i * 7 + d) % 13).toFloat / 13f).toSeq))
+      .toDF("vec_id", "embedding")
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+    for ((a, b) <- Seq((1, 7), (3, 13))) {
+      assert(rows(operators.TextAnalysis.calibratedQuality(docs.repartition(a))) ==
+        rows(operators.TextAnalysis.calibratedQuality(docs.repartition(b))))
+      assert(rows(operators.Similarity.diversitySample(emb.repartition(a), k = 3, iters = 2, cap = 5)) ==
+        rows(operators.Similarity.diversitySample(emb.repartition(b), k = 3, iters = 2, cap = 5)))
+      val bench = docs.filter(col("doc_id") < 4)
+      assert(rows(operators.Dedup.fuzzyContaminatedDocs(docs.repartition(a), bench, threshold = 0.5)) ==
+        rows(operators.Dedup.fuzzyContaminatedDocs(docs.repartition(b), bench, threshold = 0.5)))
+    }
+  }
+
   test("hashSplit covers every row with exactly one label for random weights") {
     val genW = Gen.listOfN(3, Gen.choose(1, 10))
     passed(Prop.forAll(genW) { ws =>
