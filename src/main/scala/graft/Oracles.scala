@@ -1063,6 +1063,27 @@ object Oracles {
          |SELECT doc_id, count(*) AS n_bench, max(jaccard) AS max_jaccard
          |FROM j WHERE jaccard >= 0.7 GROUP BY doc_id""".stripMargin,
 
+    // Corpus-wide duplicate-line removal over derived 12-word lines:
+    // first occurrence (min packed (doc, line) position) of each distinct
+    // non-blank line survives; documents reassemble from surviving lines.
+    "q116_dedup_lines" ->
+      s"""WITH src AS (SELECT doc_id, list_transform(
+         |    generate_series(0, greatest(CAST(ceil(len(ws) / 12.0) AS BIGINT) - 1, 0)),
+         |    i -> array_to_string(list_slice(ws, i*12 + 1, (i+1)*12), ' ')) AS ls
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
+         |l AS (SELECT doc_id, generate_subscripts(ls, 1) - 1 AS line_idx, unnest(ls) AS line FROM src),
+         |k AS (SELECT doc_id, line_idx, line, trim(line) = '' AS blank,
+         |    doc_id*1000000 + line_idx AS pk FROM l),
+         |f AS (SELECT line, min(pk) AS first FROM k WHERE NOT blank GROUP BY line),
+         |kept AS (SELECT k.doc_id, k.line_idx, k.line, k.blank FROM k LEFT JOIN f USING (line)
+         |  WHERE k.blank OR k.pk = f.first),
+         |g AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY line_idx) AS clean_text,
+         |    CAST(count(*) FILTER (WHERE NOT blank) AS BIGINT) AS n_kept
+         |  FROM kept GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(g.clean_text, '') AS clean_text,
+         |  coalesce(g.n_kept, 0) AS n_kept
+         |FROM documents d LEFT JOIN g USING (doc_id)""".stripMargin,
+
     // Per-source quality calibration: q08's quality arithmetic with the
     // source carried through, then cume_dist within source (ties share a
     // value, so the percentile is row-order-independent).

@@ -170,6 +170,20 @@ object ScaleSmoke {
         .count(), null),
       ("quality_calibrate", d => TextAnalysis.calibratedQuality(d)
         .filter(col("keep")).count(), null),
+      // corpus-wide line dedup over derived 12-word lines (q116 shape);
+      // the tiled corpus makes heavy cross-copy line duplication
+      ("dedup_lines", d => {
+        val ws = split(col("text"), " ")
+        val lines = transform(
+          sequence(lit(0), greatest(ceil(size(ws) / lit(12.0)).cast("int") - 1, lit(0))),
+          i => array_join(slice(ws, i * lit(12) + 1, lit(12)), " "))
+        // sum over clean_text length: a bare count() lets Catalyst prune
+        // the reassembly agg AND eliminate the unique-key left join,
+        // measuring only the id scan
+        Dedup.dedupLines(d.withColumn("text", array_join(lines, "\n")))
+          .agg(sum(length(col("clean_text")) + col("n_kept")))
+          .collect().head.getLong(0)
+      }, null),
       // fuzzy decontamination: the benchmark stays the FIXED 1x src0
       // slice while the corpus grows — the operator's real operating
       // shape (eval sets don't scale with the training corpus), so both
@@ -318,7 +332,7 @@ object ScaleSmoke {
         "iob_spans", "overlap_join", "duplicated_spans", "pii_scan",
         "gopher_rules", "c4_clean", "chunk_documents", "pack_sequences",
         "stratified_sample", "pmi_collocations", "fuzzy_decontaminate",
-        "quality_calibrate") ++
+        "quality_calibrate", "dedup_lines") ++
         (if (sys.env.get("SPARK_GRAFT_SCALE_100").contains("full"))
           Set("align_bert_pipeline", "conll_to_bert", "conll_write")
         else Set.empty[String])

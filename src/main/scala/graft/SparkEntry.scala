@@ -638,6 +638,19 @@ object SparkEntry {
         threshold = 0.7, k = 8, bands = 4, shingleK = 3)
     }),
 
+    // Corpus-wide duplicate-line removal (C4's cross-document line dedup,
+    // which per-doc line rules can't express). The corpus has no newlines,
+    // so the query first derives deterministic 12-word lines — exact-dup
+    // and tiled docs then share lines and the keep-first policy bites.
+    "q116_dedup_lines" -> ((s, dir) => {
+      val ws = split(col("text"), " ")
+      val lines = transform(
+        sequence(lit(0), greatest(ceil(size(ws) / lit(12.0)).cast("int") - 1, lit(0))),
+        i => array_join(slice(ws, i * lit(12) + 1, lit(12)), " "))
+      Dedup.dedupLines(docs(s, dir)
+        .withColumn("text", array_join(lines, "\n")))
+    }),
+
     // Per-source quality calibration: percentile-within-stratum quality
     // filter — each source keeps its own best half instead of one global
     // threshold (q08's score, q96's stratum shape, value- not hash-ranked).

@@ -694,6 +694,49 @@ object Dedup {
   }
 
   /**
+   * Corpus-WIDE duplicate-line removal — the C4 dedup step the per-doc
+   * line rules ([[graft.operators.TextAnalysis.c4Clean]]) cannot express:
+   * any line occurring more than once ANYWHERE in the corpus keeps only
+   * its first occurrence (smallest (doc, line index)); every other copy
+   * is cut and each document's text reassembled from its surviving lines.
+   * This is what removes cross-site boilerplate (cookie banners, nav
+   * footers) that a static phrase list misses. Whitespace-only lines are
+   * structural, not content — always kept, never dedup candidates.
+   *
+   * Scale shape: the first-occurrence winner per line is ONE
+   * map-side-combinable `min` aggregate KEYED BY THE LINE TEXT — exact
+   * (a 32-bit line hash collides at real corpus scale and would merge
+   * distinct lines) and no window, so a million-fold duplicated
+   * boilerplate line collapses map-side to one row per partition instead
+   * of a sorted window partition. Position packing bounds: line index
+   * < 1e6 and id×1e6 must fit a long (any realistic doc/corpus; the
+   * packed key is mirrored verbatim in the oracle).
+   *
+   * Output: (doc_id, clean_text, n_kept) — every input doc present;
+   * n_kept counts surviving non-blank lines.
+   */
+  def dedupLines(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val lines = docs.select(col(idCol).as("doc_id"),
+      posexplode(split(col(textCol), "\n")).as(Seq("line_idx", "line")))
+    val keyed = lines.withColumn("__blank", trim(col("line")) === "")
+      .withColumn("__pk", col("doc_id") * 1000000L + col("line_idx"))
+    val firsts = keyed.filter(!col("__blank"))
+      .groupBy("line").agg(min(col("__pk")).as("__first"))
+    val kept = keyed.join(firsts, Seq("line"), "left")
+      .filter(col("__blank") || col("__pk") === col("__first"))
+      .groupBy("doc_id")
+      .agg(array_join(transform(
+          array_sort(collect_list(struct(col("line_idx"), col("line").as("l")))),
+          x => x("l")), "\n").as("clean_text"),
+        count(when(!col("__blank"), 1)).as("n_kept"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(kept, Seq("doc_id"), "left")
+      .withColumn("clean_text", coalesce(col("clean_text"), lit("")))
+      .withColumn("n_kept", coalesce(col("n_kept"), lit(0L)))
+  }
+
+  /**
    * Eval-set decontamination: per corpus document, the number of distinct
    * word n-grams it shares with a benchmark relation (0-row absence =
    * clean; join `left_anti` on the output to drop contaminated docs).

@@ -397,6 +397,23 @@ class PipelineOpsSpec extends GraftSuite {
     assert(out.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
   }
 
+  test("dedupLines: corpus-wide keep-first, blanks structural, docs reassemble") {
+    val d = Seq(
+      (0L, "unique alpha\nshared boilerplate line\n\nunique beta"),
+      (1L, "shared boilerplate line\nown content here"),
+      (2L, "shared boilerplate line"), // nothing but the duplicate
+      (3L, "never duplicated at all")
+    ).toDF("doc_id", "text")
+    val r = Dedup.dedupLines(d).as[(Long, String, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    // doc 0 owns the first occurrence (smallest (doc, idx)) and keeps
+    // everything, including the blank structural line
+    assert(r(0L) == (("unique alpha\nshared boilerplate line\n\nunique beta", 3L)))
+    assert(r(1L) == (("own content here", 1L)))
+    assert(r(2L) == (("", 0L))) // emptied, still present
+    assert(r(3L) == (("never duplicated at all", 1L)))
+  }
+
   test("calibratedQuality: per-stratum percentile, singleton kept, ties share pct") {
     // srcA: four docs of clearly increasing quality (longer, clean prose
     // with stopwords); srcB: a singleton that would fail any global cut.
