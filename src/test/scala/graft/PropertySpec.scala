@@ -182,6 +182,10 @@ class PropertySpec extends GraftSuite {
       val bench = docs.filter(col("doc_id") < 4)
       assert(rows(operators.Dedup.fuzzyContaminatedDocs(docs.repartition(a), bench, threshold = 0.5)) ==
         rows(operators.Dedup.fuzzyContaminatedDocs(docs.repartition(b), bench, threshold = 0.5)))
+      val lined = docs.withColumn("text",
+        concat_ws("\n", col("text"), lit("shared tail line"), col("source")))
+      assert(rows(operators.Dedup.dedupLines(lined.repartition(a))) ==
+        rows(operators.Dedup.dedupLines(lined.repartition(b))))
     }
   }
 
