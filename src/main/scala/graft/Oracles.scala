@@ -727,7 +727,7 @@ object Oracles {
          |    + (CASE WHEN en > 0.05 THEN 1.0 ELSE 0.7 END)*0.2, 4) AS quality FROM c)
          |SELECT source, lang, count(*) AS n_docs, CAST(sum(nw) AS BIGINT) AS n_tokens,
          |  round(CAST(sum(CAST(round(quality * 10000) AS BIGINT)) AS DOUBLE)
-         |    / count(*) / 10000.0, 4) AS mean_quality
+         |    / count(*)) / 10000.0 AS mean_quality
          |FROM q GROUP BY source, lang""".stripMargin
     },
 

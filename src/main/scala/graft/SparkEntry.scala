@@ -818,8 +818,12 @@ object SparkEntry {
           round(TextAnalysis.qualityScore(col("text")) * 10000, 0).cast("long"))
         .withColumn("nw", size(TextAnalysis.words(col("text"))).cast("long"))
         .groupBy("source", "lang")
+        // mean rounds in INTEGER 1e-4 units: round(m/n)/1e4, not
+        // round(m/n/1e4, 4) — the latter multiplies by 1e4 inside the
+        // rounding step, and that FP multiply can cross a half boundary
+        // differently per engine (1-ulp mismatch seen at sf0.001)
         .agg(count(lit(1)).as("n_docs"), sum("nw").as("n_tokens"),
-          round(sum("q10k").cast("double") / count(lit(1)) / 10000.0, 4)
+          (round(sum("q10k").cast("double") / count(lit(1)), 0) / 10000.0)
             .as("mean_quality"))),
 
     // Deterministic quality-weighted subsampling at rate 0.5.
