@@ -650,7 +650,7 @@ object Oracles {
          |cand AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b FROM bnd a
          |  JOIN bnd b2 ON a.band = b2.band AND a.key = b2.key AND a.doc_id < b2.doc_id)
          |SELECT * FROM (SELECT id_a, id_b,
-         |    round(CAST(len(list_intersect(x.h, y.h)) AS DOUBLE) / len(list_distinct(list_concat(x.h, y.h))), 4) AS jaccard
+         |    floor((CAST(len(list_intersect(x.h, y.h)) AS DOUBLE) / len(list_distinct(list_concat(x.h, y.h)))) * 1e4 + 0.5) / 1e4 AS jaccard
          |  FROM cand JOIN hs x ON x.doc_id = cand.id_a JOIN hs y ON y.doc_id = cand.id_b)
          |WHERE jaccard >= 0.7""".stripMargin,
 
@@ -664,7 +664,7 @@ object Oracles {
          |pr AS (SELECT id_a, id_b FROM (SELECT id_a, id_b,
          |    CAST(len(list_intersect(x.h, y.h)) AS DOUBLE) / len(list_distinct(list_concat(x.h, y.h))) AS j
          |  FROM cand JOIN hs x ON x.doc_id = cand.id_a JOIN hs y ON y.doc_id = cand.id_b)
-         |  WHERE round(j, 4) >= 0.7),
+         |  WHERE floor(j * 1e4 + 0.5) / 1e4 >= 0.7),
          |e AS (SELECT id_a AS a, id_b AS b FROM pr UNION SELECT id_b, id_a FROM pr),
          |reach AS (SELECT a AS n, a AS r FROM e
          |  UNION SELECT e.b, reach.r FROM reach JOIN e ON e.a = reach.n)
@@ -795,7 +795,7 @@ object Oracles {
          |pr AS (SELECT id_a, id_b FROM (SELECT id_a, id_b,
          |    CAST(len(list_intersect(x.h, y.h)) AS DOUBLE) / len(list_distinct(list_concat(x.h, y.h))) AS j
          |  FROM cand JOIN hs x ON x.doc_id = cand.id_a JOIN hs y ON y.doc_id = cand.id_b)
-         |  WHERE round(j, 4) >= 0.7),
+         |  WHERE floor(j * 1e4 + 0.5) / 1e4 >= 0.7),
          |e AS (SELECT id_a AS a, id_b AS b FROM pr UNION SELECT id_b, id_a FROM pr),
          |reach AS (SELECT a AS n, a AS r FROM e
          |  UNION SELECT e.b, reach.r FROM reach JOIN e ON e.a = reach.n),
@@ -827,7 +827,7 @@ object Oracles {
          |pr AS (SELECT id_a, id_b FROM (SELECT id_a, id_b,
          |    CAST(len(list_intersect(x.h, y.h)) AS DOUBLE) / len(list_distinct(list_concat(x.h, y.h))) AS j
          |  FROM cand JOIN hs x ON x.doc_id = cand.id_a JOIN hs y ON y.doc_id = cand.id_b)
-         |  WHERE round(j, 4) >= 0.7),
+         |  WHERE floor(j * 1e4 + 0.5) / 1e4 >= 0.7),
          |e AS (SELECT id_a AS a, id_b AS b FROM pr UNION SELECT id_b, id_a FROM pr),
          |reach AS (SELECT a AS n, a AS r FROM e
          |  UNION SELECT e.b, reach.r FROM reach JOIN e ON e.a = reach.n),
@@ -874,7 +874,7 @@ object Oracles {
          |pr AS (SELECT id_a, id_b FROM (SELECT id_a, id_b,
          |    CAST(len(list_intersect(x.h, y.h)) AS DOUBLE) / len(list_distinct(list_concat(x.h, y.h))) AS j
          |  FROM cand JOIN hs x ON x.doc_id = cand.id_a JOIN hs y ON y.doc_id = cand.id_b)
-         |  WHERE round(j, 4) >= 0.7),
+         |  WHERE floor(j * 1e4 + 0.5) / 1e4 >= 0.7),
          |e AS (SELECT id_a AS a, id_b AS b FROM pr UNION SELECT id_b, id_a FROM pr),
          |reach AS (SELECT a AS n, a AS r FROM e
          |  UNION SELECT e.b, reach.r FROM reach JOIN e ON e.a = reach.n),
@@ -951,8 +951,10 @@ object Oracles {
          |pr AS (SELECT id, $ProbeExpr FROM bk),
          |cand AS (SELECT DISTINCT a.id AS id_a, b2.id AS id_b FROM pr a
          |  JOIN bk b2 ON a.pb = b2.bucket AND a.id < b2.id)
-         |SELECT * FROM (SELECT id_a, id_b, round(${cos("x.v", "y.v")}, 4) AS cos
-         |  FROM cand JOIN ed x ON x.id = cand.id_a JOIN ed y ON y.id = cand.id_b)
+         |SELECT * FROM (SELECT id_a, id_b,
+         |    (CASE WHEN c >= 0 THEN floor(c*1e4 + 0.5) ELSE -floor(-c*1e4 + 0.5) END) / 1e4 AS cos
+         |  FROM (SELECT id_a, id_b, ${cos("x.v", "y.v")} AS c
+         |    FROM cand JOIN ed x ON x.id = cand.id_a JOIN ed y ON y.id = cand.id_b))
          |WHERE cos >= 0.3""".stripMargin,
 
     "q18_ann_brute" ->
@@ -1058,7 +1060,7 @@ object Oracles {
          |  JOIN bench ON b2.doc_id = bench.doc_id
          |  WHERE c.doc_id <> b2.doc_id),
          |j AS (SELECT cand.doc_id,
-         |    round(CAST(len(list_intersect(x.h, y.h)) AS DOUBLE) / len(list_distinct(list_concat(x.h, y.h))), 4) AS jaccard
+         |    floor((CAST(len(list_intersect(x.h, y.h)) AS DOUBLE) / len(list_distinct(list_concat(x.h, y.h)))) * 1e4 + 0.5) / 1e4 AS jaccard
          |  FROM cand JOIN hs x ON x.doc_id = cand.doc_id JOIN hs y ON y.doc_id = cand.bench_id)
          |SELECT doc_id, count(*) AS n_bench, max(jaccard) AS max_jaccard
          |FROM j WHERE jaccard >= 0.7 GROUP BY doc_id""".stripMargin,
@@ -1177,7 +1179,7 @@ object Oracles {
          |pr AS (SELECT id_a, id_b FROM (SELECT id_a, id_b,
          |    CAST(len(list_intersect(x.h, y.h)) AS DOUBLE) / len(list_distinct(list_concat(x.h, y.h))) AS j
          |  FROM cand JOIN hs x ON x.doc_id = cand.id_a JOIN hs y ON y.doc_id = cand.id_b)
-         |  WHERE round(j, 4) >= 0.7),
+         |  WHERE floor(j * 1e4 + 0.5) / 1e4 >= 0.7),
          |e AS (SELECT id_a AS a, id_b AS b FROM pr UNION SELECT id_b, id_a FROM pr),
          |reach AS (SELECT a AS n, a AS r FROM e
          |  UNION SELECT e.b, reach.r FROM reach JOIN e ON e.a = reach.n),

@@ -64,6 +64,20 @@ object Dedup {
   def hashParams(k: Int): Seq[(Long, Long)] =
     (0 until k).map(i => (2L * i + 3L, 10007L * (i + 1)))
 
+  /** Half-up 4dp stabilization without BigDecimal `round`: the engine and
+    * the DuckDB oracles compute the IDENTICAL floor(x·1e4 + 0.5) double
+    * expression, so a rational sitting exactly on a decimal boundary
+    * (p/q with q | 2·10⁴ — common for set-overlap ratios) can never
+    * round differently across engines (the q87 1-ulp class), and the
+    * projection stays inside whole-stage codegen. Valid for x ≥ 0. */
+  private def halfUp4(c: Column): Column = floor(c * 1e4 + 0.5) / 1e4
+
+  /** Sign-aware [[halfUp4]] (half away from zero) for cosine, which can
+    * be negative. Mirrored verbatim in the q17/q98 oracles. */
+  private[operators] def halfUp4Signed(c: Column): Column =
+    (when(c >= 0, floor(c * 1e4 + 0.5))
+      .otherwise(-floor(-c * 1e4 + 0.5))) / 1e4
+
   /**
    * MinHash signature (array<long>, length k) over word `shingleK`-gram
    * shingles. One fused JVM pass over the shingle-hash set per row — the
@@ -185,7 +199,7 @@ object Dedup {
       .join(sets.withColumnsRenamed(Map("id" -> "id_b", "shingle_set" -> "set_b")), "id_b")
       .withColumn("inter", size(array_intersect(col("set_a"), col("set_b"))))
       .withColumn("uni", size(array_union(col("set_a"), col("set_b"))))
-      .withColumn("jaccard", round(col("inter").cast("double") / col("uni"), 4))
+      .withColumn("jaccard", halfUp4(col("inter").cast("double") / col("uni")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
@@ -398,7 +412,7 @@ object Dedup {
     candidates
       .join(withV.withColumnsRenamed(Map("id" -> "id_a", "v" -> "v_a")), "id_a")
       .join(withV.withColumnsRenamed(Map("id" -> "id_b", "v" -> "v_b")), "id_b")
-      .withColumn("cos", round(graft.tensor.cosine(col("v_a"), col("v_b")), 4))
+      .withColumn("cos", halfUp4Signed(graft.tensor.cosine(col("v_a"), col("v_b"))))
       .filter(col("cos") >= tau)
       .select("id_a", "id_b", "cos")
   }
@@ -463,8 +477,7 @@ object Dedup {
         Seq("cluster"))
       .filter(col("id_b") < col("id_a"))
       .withColumn("__c", graft.tensor.cosine(col("va"), col("vb")))
-      .filter(when(col("__c") >= 0, floor(col("__c") * 1e4 + 0.5))
-        .otherwise(-floor(-col("__c") * 1e4 + 0.5)) / 1e4 >= tau)
+      .filter(halfUp4Signed(col("__c")) >= tau)
       .select(col("id_a").as("id")).distinct()
     sided.join(dup.withColumn("__d", lit(true)), Seq("id"), "left")
       .select(col("id").as(idCol), col("cluster"),
@@ -807,8 +820,8 @@ object Dedup {
       .join(withSets.select("doc_id", "set_d"), "doc_id")
       .join(broadcast(bSets.select("bench_id", "set_b")), "bench_id")
       .withColumn("jaccard",
-        round(size(array_intersect(col("set_d"), col("set_b"))).cast("double") /
-          size(array_union(col("set_d"), col("set_b"))), 4))
+        halfUp4(size(array_intersect(col("set_d"), col("set_b"))).cast("double") /
+          size(array_union(col("set_d"), col("set_b")))))
       .filter(col("jaccard") >= threshold)
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bench"), max(col("jaccard")).as("max_jaccard"))
