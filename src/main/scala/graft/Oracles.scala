@@ -1107,6 +1107,53 @@ object Oracles {
          |     round(cume_dist() OVER (PARTITION BY source ORDER BY quality), 6) AS pct FROM q)""".stripMargin
     },
 
+    // Incremental ingest dedup: q14's minhash machinery with the corpus
+    // split into batch (doc_id ≡ 3 mod 7) and corpus sides; batch×corpus
+    // pairs plus batch-internal lower-id-wins pairs, both exact-Jaccard
+    // verified.
+    "q117_incremental_dedup" ->
+      s"""WITH $MinhashCte,
+         |bnd AS (SELECT doc_id, generate_subscripts(keys, 1) - 1 AS band, unnest(keys) AS key FROM bk),
+         |cand AS (
+         |  SELECT DISTINCT b.doc_id AS batch_id, c.doc_id AS dup_id, 'corpus' AS dup_src
+         |  FROM bnd b JOIN bnd c ON b.band = c.band AND b.key = c.key
+         |  WHERE b.doc_id % 7 = 3 AND c.doc_id % 7 <> 3
+         |  UNION
+         |  SELECT DISTINCT b2.doc_id, a.doc_id, 'batch'
+         |  FROM bnd a JOIN bnd b2 ON a.band = b2.band AND a.key = b2.key
+         |    AND a.doc_id < b2.doc_id
+         |  WHERE a.doc_id % 7 = 3 AND b2.doc_id % 7 = 3)
+         |SELECT * FROM (SELECT batch_id, dup_id,
+         |    floor((CAST(len(list_intersect(x.h, y.h)) AS DOUBLE) / len(list_distinct(list_concat(x.h, y.h)))) * 1e4 + 0.5) / 1e4 AS jaccard,
+         |    dup_src
+         |  FROM cand JOIN hs x ON x.doc_id = cand.batch_id JOIN hs y ON y.doc_id = cand.dup_id)
+         |WHERE jaccard >= 0.7""".stripMargin,
+
+    // Source-mixture resampling: basis-point weights (src0 2.5x, src1
+    // 0.4x, default 1x), floor copies + salted-hash fractional accept.
+    "q118_mix_corpus" ->
+      s"""WITH d AS (SELECT doc_id, source,
+         |    CASE WHEN source = 'src0' THEN 25000
+         |         WHEN source = 'src1' THEN 4000 ELSE 10000 END AS bp,
+         |    ${H("CAST(doc_id AS VARCHAR) || ':mix'")} % 10000 AS u
+         |  FROM documents),
+         |c AS (SELECT doc_id, source,
+         |    CAST(bp // 10000 + CASE WHEN u < bp % 10000 THEN 1 ELSE 0 END AS BIGINT) AS n_copies
+         |  FROM d)
+         |SELECT doc_id, source, unnest(generate_series(0, n_copies - 1)) AS epoch, n_copies
+         |FROM c WHERE n_copies > 0""".stripMargin,
+
+    // Corpus sharding: salted-hash shard + independent salted-hash
+    // in-shard order, dense 0-based position (doc_id tie-break).
+    "q119_shard_order" ->
+      s"""WITH s AS (SELECT doc_id,
+         |    ${H("CAST(doc_id AS VARCHAR) || ':shard:s'")} % 16 AS shard,
+         |    ${H("CAST(doc_id AS VARCHAR) || ':shard:o'")} AS ord
+         |  FROM documents)
+         |SELECT doc_id, shard,
+         |  CAST(row_number() OVER (PARTITION BY shard ORDER BY ord, doc_id) - 1 AS BIGINT) AS pos
+         |FROM s""".stripMargin,
+
     // Sequence packing: per-shard running token sum over the salted-hash
     // stream order; seq = chunk of the doc's first token, off = offset.
     "q99_pack_sequences" ->

@@ -657,6 +657,30 @@ object SparkEntry {
     "q115_quality_calibrate" -> ((s, dir) =>
       TextAnalysis.calibratedQuality(docs(s, dir), minPercentile = 0.5)),
 
+    // Incremental ingest dedup: a new batch (doc_id ≡ 3 mod 7 plays the
+    // fresh crawl) checked against the already-deduped remainder of the
+    // corpus AND against itself — broadcast-batch probe of the corpus
+    // band index, never a corpus self-join.
+    "q117_incremental_dedup" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.incrementalDupPairs(
+        d.filter(col("doc_id") % 7 =!= 3), d.filter(col("doc_id") % 7 === 3),
+        threshold = 0.7, k = 8, bands = 4, shingleK = 3)
+    }),
+
+    // Deterministic source-mixture resampling: src0 upsampled to 2.5
+    // epochs, src1 kept at 40%, everything else 1 epoch — exact
+    // basis-point arithmetic, salted-hash fractional accept, zero RNG.
+    "q118_mix_corpus" -> ((s, dir) =>
+      TextAnalysis.mixCorpus(docs(s, dir),
+        Map("src0" -> 2.5, "src1" -> 0.4))),
+
+    // Deterministic corpus sharding: the reproducible pre-training
+    // "global shuffle" — hash-assigned shard + dense in-shard position,
+    // a fixed pseudo-random permutation with no global window.
+    "q119_shard_order" -> ((s, dir) =>
+      TextAnalysis.shardCorpus(docs(s, dir), nShards = 16)),
+
     // Trained coarse quantizer: Lloyd's k-means (k=8, 2 iterations,
     // deterministic smallest-id init) fit MLlib-style — centroid matrix
     // collected per iteration, assignment a literal-centroid projection —

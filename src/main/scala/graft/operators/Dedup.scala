@@ -826,4 +826,64 @@ object Dedup {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bench"), max(col("jaccard")).as("max_jaccard"))
   }
+
+  /**
+   * Incremental ingest dedup — near-duplicate detection for a NEW batch
+   * of documents arriving into an EXISTING corpus, the continuous-crawl
+   * shape (CommonCrawl monthly snapshots, streaming ingestion): the
+   * corpus was deduplicated long ago and must not be re-self-joined;
+   * only the batch needs checking, (a) against the corpus and (b)
+   * against itself.
+   *
+   * Scale shape: the batch side — signatures, band keys, shingle sets —
+   * is BROADCAST (an ingest batch is tiny next to a 100 TB corpus), so
+   * the corpus-probe band join and the exact-Jaccard verify are
+   * map-side over one corpus scan; nothing corpus-sized ever shuffles.
+   * In production the corpus band index `(band, key, id)` is the thing
+   * you PERSIST (bucketed by band key, sources/Storage) and the probe
+   * becomes a storage-local lookup; here it is computed in-plan from
+   * text. No skew valve is needed on this path: a monster corpus bucket
+   * costs m candidates per batch doc sharing it — linear in m — never
+   * the m² of the self-join form. Batch-internal pairs reuse
+   * [[minhashDupPairs]] (the valve applies there).
+   *
+   * Output: one row per detected duplication — `batch_id` (the new
+   * doc), `dup_id` (the existing corpus doc, or the LOWER-id batch doc
+   * for intra-batch pairs: first-seen-wins), `jaccard` (exact, 4dp),
+   * `dup_src` ('corpus' | 'batch'). `left_anti` the batch on it to
+   * admit only novel documents.
+   */
+  def incrementalDupPairs(corpus: DataFrame, batch: DataFrame,
+      threshold: Double = 0.8, k: Int = 16, bands: Int = 4, shingleK: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val batchSets = batch.select(col(idCol).as("batch_id"),
+      shingleHashes(col(textCol), shingleK).as("set_b"),
+      minhashSignature(col(textCol), k, shingleK).as("sigb"))
+    val batchBands = batchSets.select(col("batch_id"),
+      posexplode(lshBandKeys(col("sigb"), k, bands)).as(Seq("band", "key")))
+    // Corpus probe: narrow (id, band, key) stream joined map-side against
+    // the broadcast batch bands; sets join back on the candidates only.
+    val corpusBands = corpus.select(col(idCol).as("dup_id"),
+        posexplode(lshBandKeys(
+          minhashSignature(col(textCol), k, shingleK), k, bands))
+          .as(Seq("band", "key")))
+    val corpusCand = corpusBands
+      .join(broadcast(batchBands), Seq("band", "key"))
+      .select("batch_id", "dup_id").dropDuplicates("batch_id", "dup_id")
+    val vsCorpus = corpusCand
+      .join(corpus.select(col(idCol).as("dup_id"),
+        shingleHashes(col(textCol), shingleK).as("set_c")), "dup_id")
+      .join(broadcast(batchSets.select("batch_id", "set_b")), "batch_id")
+      .withColumn("jaccard",
+        halfUp4(size(array_intersect(col("set_b"), col("set_c"))).cast("double") /
+          size(array_union(col("set_b"), col("set_c")))))
+      .filter(col("jaccard") >= threshold)
+      .select(col("batch_id"), col("dup_id"), col("jaccard"),
+        lit("corpus").as("dup_src"))
+    val vsBatch = minhashDupPairs(batch, threshold, k, bands, shingleK,
+        idCol, textCol)
+      .select(col("id_b").as("batch_id"), col("id_a").as("dup_id"),
+        col("jaccard"), lit("batch").as("dup_src"))
+    vsCorpus.unionByName(vsBatch)
+  }
 }

@@ -639,4 +639,87 @@ object TextAnalysis {
       .select("doc_id", "n_lines", "n_kept", "n_sentences", "boilerplate",
         "c4_keep", "clean_text")
   }
+
+  /**
+   * Deterministic source-mixture resampling — the "data mixing" step
+   * that turns a raw corpus into the training distribution (Pile /
+   * DoReMi shape): each source gets a WEIGHT, and every document is
+   * emitted `floor(w)` times plus one more with probability `frac(w)`,
+   * decided by a salted portable hash of the id — so w = 2.5 upsamples a
+   * source to ~2.5 epochs and w = 0.4 keeps a ~40% sample, with zero
+   * RNG: the multiset depends only on (id, salt, weights) and is
+   * identical across runs, partitionings, and engines.
+   *
+   * Weights are held in BASIS POINTS (w·10⁴, rounded once at plan build)
+   * so the floor/fraction split is exact integer arithmetic — no
+   * float-boundary drift between engines. The fractional accept reuses
+   * the [[hashSplit]] bucket construction (hash mod 10⁴ < frac_bp).
+   *
+   * Scale shape: shuffle-free — a broadcast-sized weight lookup folded
+   * into the projection and a generator explode; each task expands its
+   * own rows, and output volume is sum(wᵢ·|sourceᵢ|) by construction.
+   * Downstream training order comes from [[shardCorpus]] over the
+   * (id, epoch) multiset.
+   *
+   * Output: one row per emitted copy — (idCol, sourceCol, epoch
+   * 0-based, n_copies). Documents with zero copies vanish (explode of
+   * an empty array).
+   */
+  def mixCorpus(docs: DataFrame, weights: Map[String, Double],
+      defaultWeight: Double = 1.0, salt: String = "mix",
+      idCol: String = "doc_id", sourceCol: String = "source"): DataFrame = {
+    require((weights.values ++ Seq(defaultWeight)).forall(_ >= 0),
+      "mixture weights must be non-negative")
+    def bp(w: Double): Long = math.round(w * 10000)
+    // Small-map lookup as a literal CASE chain: codegen'd, broadcast-free.
+    val wBp = weights.foldLeft(lit(bp(defaultWeight)): Column) {
+      case (acc, (s, w)) => when(col(sourceCol) === s, lit(bp(w))).otherwise(acc)
+    }
+    val accept = pmod(portableHash(
+      concat(col(idCol).cast("string"), lit(":" + salt))), lit(10000L)) <
+      wBp % 10000
+    val copies = (wBp / lit(10000L)).cast("long") +
+      when(accept, 1L).otherwise(0L)
+    // sequence(0, n-1) with n = 0 would yield [0, -1] (Spark sequences
+    // run DOWNWARD when start > stop), so the zero-copy case must map to
+    // an explicit empty array for the explode to drop the row.
+    docs.select(col(idCol), col(sourceCol), copies.as("n_copies"))
+      .select(col(idCol), col(sourceCol), col("n_copies"),
+        explode(when(col("n_copies") > 0,
+          sequence(lit(0L), col("n_copies") - 1))
+          .otherwise(array().cast("array<bigint>"))).as("epoch"))
+      .select(col(idCol), col(sourceCol), col("epoch"), col("n_copies"))
+  }
+
+  /**
+   * Deterministic corpus sharding — the reproducible "global shuffle"
+   * before training: every document lands in one of `nShards` shards
+   * (salted hash of the id) and gets a dense 0-based position inside its
+   * shard, ordered by an independent salted hash (id as tie-break). The
+   * resulting (shard, pos) order is a fixed pseudo-random permutation of
+   * the corpus — the property a resumable dataloader needs — and depends
+   * only on (id, salt, nShards): no RNG, no input-order sensitivity,
+   * identical on any cluster layout.
+   *
+   * Scale shape: the rank window is PARTITIONED by shard over a narrow
+   * (id, shard, ord) projection — document text never rides the
+   * sort-shuffle, no global window anywhere. At 100 TB pick nShards ≫
+   * cores (10⁴–10⁵) so each shard's sort is one bounded task; shard
+   * files then stream to the trainer in (shard, pos) order.
+   *
+   * Output: (idCol, shard, pos).
+   */
+  def shardCorpus(docs: DataFrame, nShards: Int = 64,
+      salt: String = "shard", idCol: String = "doc_id"): DataFrame = {
+    require(nShards > 0, "nShards must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val sh = pmod(portableHash(
+      concat(col(idCol).cast("string"), lit(":" + salt + ":s"))), lit(nShards.toLong))
+    val ord = portableHash(
+      concat(col(idCol).cast("string"), lit(":" + salt + ":o")))
+    val w = Window.partitionBy("shard").orderBy(col("__ord"), col(idCol))
+    docs.select(col(idCol), sh.as("shard"), ord.as("__ord"))
+      .withColumn("pos", (row_number().over(w) - 1).cast("long"))
+      .select(col(idCol), col("shard"), col("pos"))
+  }
 }

@@ -660,6 +660,90 @@ class PipelineOpsSpec extends GraftSuite {
     assert(out.forall(r => r._5 >= 0 && r._5 < 10))
   }
 
+  test("incrementalDupPairs: batch checked vs corpus and itself, corpus never self-paired") {
+    // corpus: docs 0 (template) and 2, 4 (unrelated). batch: 10 = exact
+    // copy of 0, 11 = near-copy of 0, 12 = exact copy of 11 (intra-batch
+    // dup), 13 = novel.
+    val corpus = docs.filter(col("doc_id").isin(0L, 2L, 4L))
+    val batch = Seq(
+      (10L, docsData(0)._2),
+      (11L, docsData(1)._2),
+      (12L, docsData(1)._2),
+      (13L, "a genuinely novel document about glaciers carving deep mountain valleys slowly")
+    ).toDF("doc_id", "text")
+    val r = Dedup.incrementalDupPairs(corpus, batch, threshold = 0.5,
+        k = 8, bands = 4, shingleK = 3)
+      .as[(Long, Long, Double, String)].collect()
+    // batch ids only on the left; corpus ids never appear as batch_id
+    assert(r.forall(p => Set(10L, 11L, 12L).contains(p._1)))
+    assert(r.exists(p => p._1 == 10L && p._2 == 0L && p._3 == 1.0 && p._4 == "corpus"))
+    assert(r.exists(p => p._1 == 11L && p._2 == 0L && p._4 == "corpus"))
+    // intra-batch: 12 duplicates 11 (lower id wins), jaccard exactly 1
+    assert(r.exists(p => p._1 == 12L && p._2 == 11L && p._3 == 1.0 && p._4 == "batch"))
+    assert(!r.exists(p => p._1 == 13L)) // novel doc admitted
+    // dropping flagged batch docs admits only the novel one
+    val admitted = batch.join(
+      Dedup.incrementalDupPairs(corpus, batch, threshold = 0.5,
+        k = 8, bands = 4, shingleK = 3)
+        .select(col("batch_id").as("doc_id")).distinct(),
+      Seq("doc_id"), "left_anti")
+    assert(admitted.select("doc_id").as[Long].collect().toSet == Set(13L))
+  }
+
+  test("mixCorpus: exact floor+fractional copies, determinism, zero weight drops") {
+    val d = Seq(
+      (0L, "alpha", "x"), (1L, "alpha", "x"), (2L, "beta", "x"),
+      (3L, "gamma", "x"), (4L, "alpha", "x"))
+      .toDF("doc_id", "source", "text")
+    val out = TextAnalysis.mixCorpus(d,
+        Map("alpha" -> 2.0, "beta" -> 0.0, "gamma" -> 1.5),
+        defaultWeight = 1.0, sourceCol = "source")
+      .as[(Long, String, Long, Long)].collect()
+    // alpha w=2.0: exactly 2 copies each, epochs 0 and 1
+    for (id <- Seq(0L, 1L, 4L)) {
+      val copies = out.filter(_._1 == id)
+      assert(copies.length == 2 && copies.map(_._3).sorted.toSeq == Seq(0L, 1L))
+      assert(copies.forall(_._4 == 2L))
+    }
+    // beta w=0: vanishes entirely
+    assert(!out.exists(_._1 == 2L))
+    // gamma w=1.5: 1 or 2 copies, dense epochs from 0
+    val g = out.filter(_._1 == 3L)
+    assert(g.length == 1 || g.length == 2)
+    assert(g.map(_._3).sorted.toSeq == (0L until g.length).toSeq)
+    // deterministic under repartition
+    val again = TextAnalysis.mixCorpus(d.repartition(7),
+        Map("alpha" -> 2.0, "beta" -> 0.0, "gamma" -> 1.5),
+        defaultWeight = 1.0, sourceCol = "source")
+      .as[(Long, String, Long, Long)].collect()
+    assert(out.sortBy(t => (t._1, t._3)).toSeq == again.sortBy(t => (t._1, t._3)).toSeq)
+    // expectation check at modest scale: fractional accept is hash-uniform,
+    // so 1000 docs at w=1.5 emit ~1500 copies (binomial, ±5 sigma ≈ 79)
+    val big = (0L until 1000L).map(i => (i, "s", "t")).toDF("doc_id", "source", "text")
+    val n = TextAnalysis.mixCorpus(big, Map("s" -> 1.5)).count()
+    assert(n > 1400 && n < 1600, s"expected ~1500 copies, got $n")
+  }
+
+  test("shardCorpus: dense per-shard positions, exact permutation, layout-invariant") {
+    val d = (0L until 200L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val out = TextAnalysis.shardCorpus(d, nShards = 8)
+      .as[(Long, Long, Long)].collect()
+    assert(out.length == 200 && out.map(_._1).toSet.size == 200) // permutation
+    assert(out.forall(t => t._2 >= 0 && t._2 < 8))
+    for ((_, members) <- out.groupBy(_._2))
+      assert(members.map(_._3).sorted.toSeq == (0L until members.length).toSeq)
+    // layout-invariant: same (shard, pos) for every doc after repartition
+    val again = TextAnalysis.shardCorpus(d.repartition(13), nShards = 8)
+      .as[(Long, Long, Long)].collect()
+    assert(out.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+    // the permutation actually scrambles: in-shard neighbors are not
+    // consecutive ids (a sorted-by-id order would have ~all gaps = 1)
+    val gapsOne = out.groupBy(_._2).values.map { m =>
+      m.sortBy(_._3).map(_._1).sliding(2).count(w => w.length == 2 && w(1) - w(0) == 1)
+    }.sum
+    assert(gapsOne < 50, s"shard order looks id-sorted: $gapsOne consecutive-id adjacencies")
+  }
+
   private def round6(x: Double): Double =
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 }
