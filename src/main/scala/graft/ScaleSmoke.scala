@@ -195,6 +195,22 @@ object ScaleSmoke {
       // the PMI join is keyed by word (vocabulary-sized, not corpus-sized)
       ("pmi_collocations", d => TextAnalysis.pmiCollocations(d,
         minCount = 5, k = 100).count(), null),
+      // incremental ingest dedup: the batch stays the FIXED 1x slice while
+      // the corpus grows — the operator's operating shape (an ingest batch
+      // doesn't scale with the accumulated corpus), so the broadcast stays
+      // constant and cost tracks the one corpus band scan
+      ("incremental_dedup", d => Dedup.incrementalDupPairs(d,
+        docs1.filter(col("doc_id") % 7 === 3)
+          .select((col("doc_id") + 500000000L).as("doc_id"), col("text")),
+        threshold = 0.7, k = 8, bands = 4, shingleK = 3).count(), null),
+      // source-mixture resampling: shuffle-free generator expansion — pure
+      // scan scaling; output volume = sum of weights by construction
+      ("mix_corpus", d => TextAnalysis.mixCorpus(d,
+        Map("src0" -> 2.5, "src1" -> 0.4)).count(), null),
+      // corpus sharding: per-shard rank windows over (id, shard, hash) —
+      // the sum over pos forces the window (a bare count would prune it)
+      ("shard_order", d => TextAnalysis.shardCorpus(d, nShards = 32)
+        .agg(sum(col("pos") + col("shard"))).collect().head.getLong(0), null),
       // q92 composition: synthesized model spans -> overlap join -> span
       // sum -> consolidate -> align; every stage a doc_id-keyed join/agg
       ("align_bert_pipeline", d => {

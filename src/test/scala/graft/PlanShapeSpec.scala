@@ -142,6 +142,58 @@ class PlanShapeSpec extends GraftSuite {
       s"rank window collapsed to a single partition:\n$planStr")
   }
 
+  test("mixCorpus plans as a projection + generator — no Exchange") {
+    // The Scaladoc promises shuffle-free expansion: weights fold into the
+    // projection as a literal CASE chain and copies come from a generator
+    // explode, so the op can prefix any pipeline without a plan break.
+    val docs = (0L until 100L).map(i => (i, s"src${i % 3}", s"doc $i"))
+      .toDF("doc_id", "source", "text")
+    val plan = TextAnalysis.mixCorpus(docs, Map("src0" -> 2.5, "src1" -> 0.4))
+      .queryExecution.executedPlan
+    assert(plan.collect { case e: Exchange => e }.isEmpty,
+      s"expected shuffle-free mixture expansion, got:\n$plan")
+  }
+
+  test("shardCorpus: partitioned rank window, no single-partition collapse") {
+    val docs = (0L until 100L).map(i => (i, s"doc text $i payload"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.shardCorpus(docs, nShards = 8)
+    out.collect() // finalize the adaptive plan
+    val planStr = out.queryExecution.executedPlan.toString
+    assert(!planStr.contains("SinglePartition"),
+      s"shard rank window collapsed to a single partition:\n$planStr")
+    // narrow projection promise: document text must not ride the
+    // per-shard sort-shuffle
+    assert(!planStr.split("\n").exists(l =>
+      l.contains("Exchange") && l.contains("text#")),
+      s"document text rides the shard-window shuffle:\n$planStr")
+  }
+
+  test("incrementalDupPairs: batch side broadcast, corpus never sort-merge-joined") {
+    // The continuous-ingest contract: the corpus-probe band join and the
+    // Jaccard verify join against batch data are broadcast (batch tiny);
+    // a SortMergeJoin would mean corpus-sized rows shuffle on (band, key)
+    // and the incremental path degenerates to the self-join cost.
+    val docs = (0L until 60L).map(i =>
+      (i, s"word$i alpha beta gamma delta epsilon zeta eta theta " +
+        s"iota kappa word${i % 7}")).toDF("doc_id", "text")
+    val corpus = docs.filter(col("doc_id") >= 5)
+    val batch = docs.filter(col("doc_id") < 5)
+    val out = operators.Dedup.incrementalDupPairs(corpus, batch,
+      threshold = 0.5, k = 8, bands = 4, shingleK = 3)
+    out.collect() // finalize the adaptive plan
+    val planStr = out.queryExecution.executedPlan.toString
+    // the corpus-probe subtree must broadcast the batch; the batch-internal
+    // self-join (minhashDupPairs on 5 docs) may plan however it likes, so
+    // assert specifically that no sort-merge join consumes the corpus-side
+    // shingle/band stream (its columns are set_c / dup_id)
+    assert(!planStr.split("\n").exists(l =>
+      l.contains("SortMergeJoin") && (l.contains("set_c#") || l.contains("dup_id#"))),
+      s"a corpus-side join degraded to sort-merge:\n$planStr")
+    assert(planStr.contains("BroadcastHashJoin"),
+      s"expected batch-side broadcast joins, got:\n$planStr")
+  }
+
   test("makeTable with explicit columnKeys launches no inference job") {
     // Explicit keys are the scale-path contract: constructing the pivot
     // must stay fully lazy — no pivot-value-inference scan of the cells
