@@ -1143,6 +1143,20 @@ object Oracles {
          |SELECT doc_id, source, unnest(generate_series(0, n_copies - 1)) AS epoch, n_copies
          |FROM c WHERE n_copies > 0""".stripMargin,
 
+    // Streaming ingest dedup, batch path: exactly q117's corpus branch —
+    // first-shared-band emission yields one row per (batch, corpus) pair,
+    // which is what DISTINCT candidates + verify produce.
+    "q120_stream_ingest_dedup" ->
+      s"""WITH $MinhashCte,
+         |bnd AS (SELECT doc_id, generate_subscripts(keys, 1) - 1 AS band, unnest(keys) AS key FROM bk),
+         |cand AS (SELECT DISTINCT b.doc_id AS batch_id, c.doc_id AS dup_id
+         |  FROM bnd b JOIN bnd c ON b.band = c.band AND b.key = c.key
+         |  WHERE b.doc_id % 7 = 3 AND c.doc_id % 7 <> 3)
+         |SELECT * FROM (SELECT batch_id, dup_id,
+         |    floor((CAST(len(list_intersect(x.h, y.h)) AS DOUBLE) / len(list_distinct(list_concat(x.h, y.h)))) * 1e4 + 0.5) / 1e4 AS jaccard
+         |  FROM cand JOIN hs x ON x.doc_id = cand.batch_id JOIN hs y ON y.doc_id = cand.dup_id)
+         |WHERE jaccard >= 0.7""".stripMargin,
+
     // Corpus sharding: salted-hash shard + independent salted-hash
     // in-shard order, dense 0-based position (doc_id tie-break).
     "q119_shard_order" ->

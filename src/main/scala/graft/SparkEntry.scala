@@ -681,6 +681,17 @@ object SparkEntry {
     "q119_shard_order" -> ((s, dir) =>
       TextAnalysis.shardCorpus(docs(s, dir), nShards = 16)),
 
+    // Streaming ingest dedup on its batch path (same plan; every operator
+    // in it is streaming-stateless): arriving docs (doc_id ≡ 3 mod 7) vs
+    // the static corpus via stream-static band join, first-shared-band
+    // emission instead of stateful dropDuplicates.
+    "q120_stream_ingest_dedup" -> ((s, dir) => {
+      val d = docs(s, dir)
+      streaming.DocumentStreams.nearDupAgainstCorpus(
+        d.filter(col("doc_id") % 7 === 3), d.filter(col("doc_id") % 7 =!= 3),
+        threshold = 0.7, k = 8, bands = 4, shingleK = 3)
+    }),
+
     // Trained coarse quantizer: Lloyd's k-means (k=8, 2 iterations,
     // deterministic smallest-id init) fit MLlib-style — centroid matrix
     // collected per iteration, assignment a literal-centroid projection —

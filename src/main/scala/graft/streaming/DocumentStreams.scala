@@ -41,4 +41,72 @@ object DocumentStreams {
       case None => scored.dropDuplicates("text_key")
     }
   }
+
+  /**
+   * Streaming ingest near-dup detection — the streaming form of
+   * [[graft.operators.Dedup.incrementalDupPairs]]'s corpus probe: each
+   * arriving document is checked against the EXISTING corpus via a
+   * stream-STATIC equi-join on MinHash-LSH band keys, with the exact
+   * shingle-Jaccard verify inline. Emits one `(batch_id, dup_id,
+   * jaccard)` row per detected duplication, in append mode.
+   *
+   * The plan is completely STATELESS — no watermark, no state store, no
+   * streaming aggregation: candidate de-duplication (a pair colliding in
+   * several bands) is handled by FIRST-SHARED-BAND emission instead of a
+   * stateful `dropDuplicates` — a band-b collision is emitted only when
+   * no earlier band b' < b also collides, which both sides can decide
+   * locally because each row carries its (tiny, `bands`-long) band-key
+   * array. This is the same trick the span overlap-join uses for blocked
+   * emission (operators/SpanJoin.scala), applied to LSH buckets.
+   *
+   * Scale shape: per micro-batch cost is the stream batch's band
+   * probe against the static side; persist the corpus index bucketed by
+   * (band, key) (sources/Storage) so the join prunes to matching
+   * buckets instead of re-scanning the corpus. State held between
+   * batches: zero. The same plan runs in batch (the declared query's
+   * gate) because every operator in it is streaming-stateless.
+   */
+  def nearDupAgainstCorpus(docs: DataFrame, corpus: DataFrame,
+      threshold: Double = 0.8, k: Int = 16, bands: Int = 4,
+      shingleK: Int = 3, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    import graft.operators.Dedup
+    // Stream side: one row per (doc, band), carrying its shingle set —
+    // micro-batches are small, so width costs nothing here.
+    val probe = docs.select(col(idCol).as("batch_id"),
+        TextAnalysis.shingleHashes(col(textCol), shingleK).as("set_b"),
+        Dedup.lshBandKeys(
+          Dedup.minhashSignature(col(textCol), k, shingleK), k, bands)
+          .as("kb"))
+      .select(col("batch_id"), col("set_b"), col("kb"),
+        posexplode(col("kb")).as(Seq("band", "key")))
+    // Corpus side stays NARROW through the explode — (id, band keys)
+    // only; the corpus-sized shingle sets join back on the (few)
+    // candidates below instead of riding every band row.
+    val index = corpus.select(col(idCol).as("dup_id"),
+        Dedup.lshBandKeys(
+          Dedup.minhashSignature(col(textCol), k, shingleK), k, bands)
+          .as("kc"))
+      .select(col("dup_id"), col("kc"),
+        posexplode(col("kc")).as(Seq("band_c", "key_c")))
+    val candidates = probe.join(index,
+        col("band") === col("band_c") && col("key") === col("key_c"))
+      // first-shared-band: drop this collision if any EARLIER band pair
+      // is also equal (slice of length `band` = bands 0..band-1; empty
+      // for band 0, so the first band always passes)
+      .filter(!exists(
+        zip_with(slice(col("kb"), lit(1), col("band")),
+          slice(col("kc"), lit(1), col("band")), (a, b) => a === b),
+        x => x))
+      .select("batch_id", "set_b", "dup_id")
+    candidates
+      .join(corpus.select(col(idCol).as("dup_id"),
+        TextAnalysis.shingleHashes(col(textCol), shingleK).as("set_c")),
+        "dup_id")
+      .withColumn("jaccard",
+        floor(size(array_intersect(col("set_b"), col("set_c"))).cast("double") /
+          size(array_union(col("set_b"), col("set_c"))) * 1e4 + 0.5) / 1e4)
+      .filter(col("jaccard") >= threshold)
+      .select("batch_id", "dup_id", "jaccard")
+  }
 }

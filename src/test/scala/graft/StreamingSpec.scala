@@ -130,6 +130,61 @@ class StreamingSpec extends GraftSuite {
     assert(r == Set((1L, 100L, 101L, us(9))))
   }
 
+  test("nearDupAgainstCorpus: stateless stream-static probe, exactly-once pairs") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = "the quick brown fox jumps over the lazy dog and runs far away today"
+    val corpus = Seq((0L, t0),
+      (2L, "completely different text about database engines and query planners"))
+      .toDF("doc_id", "text")
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.streaming.DocumentStreams.nearDupAgainstCorpus(
+        mem.toDF.toDF("doc_id", "text"), corpus,
+        threshold = 0.5, k = 8, bands = 4, shingleK = 3)
+      .writeStream.format("memory").queryName("ingest_dups")
+      .outputMode("append").start()
+    try {
+      // batch 1: an exact copy of corpus doc 0 (shares ALL 4 bands — the
+      // exactly-once property is doing real work) + a novel doc
+      mem.addData((10L, t0),
+        (11L, "a genuinely novel document about glaciers carving deep mountain valleys"))
+      q.processAllAvailable()
+      val b1 = spark.table("ingest_dups").as[(Long, Long, Double)].collect()
+      assert(b1.toSeq == Seq((10L, 0L, 1.0)), s"got ${b1.toSeq}")
+      // batch 2: another copy — detected against the STATIC corpus with
+      // zero state carried from batch 1 (doc 10 is not in the index)
+      mem.addData((12L, t0))
+      q.processAllAvailable()
+      val b2 = spark.table("ingest_dups").as[(Long, Long, Double)].collect()
+      assert(b2.map(r => (r._1, r._2)).toSet == Set((10L, 0L), (12L, 0L)))
+      // the running query holds NO state (stateless plan): progress
+      // reports no stateful operators
+      assert(q.lastProgress == null ||
+        q.lastProgress.stateOperators.isEmpty)
+    } finally q.stop()
+  }
+
+  test("nearDupAgainstCorpus batch path matches incrementalDupPairs corpus branch") {
+    import spark.implicits._
+    val t0 = "the quick brown fox jumps over the lazy dog and runs far away today"
+    val t1 = "the quick brown fox jumps over the lazy dog and runs far away tonight"
+    val corpus = Seq((0L, t0), (2L, "unrelated words about planets and orbital mechanics"))
+      .toDF("doc_id", "text")
+    val batch = Seq((10L, t0), (11L, t1), (13L, "novel glacier valley survey notes"))
+      .toDF("doc_id", "text")
+    val stream = graft.streaming.DocumentStreams
+      .nearDupAgainstCorpus(batch, corpus, threshold = 0.5, k = 8, bands = 4,
+        shingleK = 3)
+      .as[(Long, Long, Double)].collect().toSet
+    val batchOp = graft.operators.Dedup
+      .incrementalDupPairs(corpus, batch, threshold = 0.5, k = 8, bands = 4,
+        shingleK = 3)
+      .filter(col("dup_src") === "corpus")
+      .select("batch_id", "dup_id", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(stream == batchOp && stream.map(_._1) == Set(10L, 11L))
+  }
+
   test("sessionize in batch mode emits the final open session") {
     import spark.implicits._
     // timeouts never fire in batch — the end-of-group flush must cover the
