@@ -1143,6 +1143,24 @@ object Oracles {
          |SELECT doc_id, source, unnest(generate_series(0, n_copies - 1)) AS epoch, n_copies
          |FROM c WHERE n_copies > 0""".stripMargin,
 
+    // Split-leakage audit: q73's split arithmetic + q83's per-doc-distinct
+    // 8-gram machinery, train grams deduped, per-split counts.
+    "q121_split_leakage" ->
+      s"""WITH ws0 AS (SELECT doc_id, CASE
+         |    WHEN ${H("CAST(doc_id AS VARCHAR) || ':split'")} % 10000 < 9000 THEN 'train'
+         |    WHEN ${H("CAST(doc_id AS VARCHAR) || ':split'")} % 10000 < 9500 THEN 'val'
+         |    ELSE 'test' END AS split, $Words AS w FROM documents),
+         |gl AS (SELECT doc_id, split, list_distinct(list_transform(generate_series(0, len(w) - 8),
+         |         i -> ${H("array_to_string(list_slice(w, i + 1, i + 8), ' ')")})) AS hl FROM ws0),
+         |g AS (SELECT doc_id, split, unnest(hl) AS h FROM gl),
+         |tg AS (SELECT DISTINCT h FROM g WHERE split = 'train'),
+         |lk AS (SELECT split, count(DISTINCT doc_id) AS n_docs_leaked, count(*) AS n_shared_grams
+         |  FROM g JOIN tg USING (h) WHERE split <> 'train' GROUP BY split),
+         |tot AS (SELECT split, count(*) AS n_docs FROM ws0 WHERE split <> 'train' GROUP BY split)
+         |SELECT tot.split, n_docs, coalesce(n_docs_leaked, 0) AS n_docs_leaked,
+         |  coalesce(n_shared_grams, 0) AS n_shared_grams
+         |FROM tot LEFT JOIN lk USING (split)""".stripMargin,
+
     // Streaming ingest dedup, batch path: exactly q117's corpus branch —
     // first-shared-band emission yields one row per (batch, corpus) pair,
     // which is what DISTINCT candidates + verify produce.

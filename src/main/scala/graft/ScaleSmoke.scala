@@ -203,6 +203,11 @@ object ScaleSmoke {
         docs1.filter(col("doc_id") % 7 === 3)
           .select((col("doc_id") + 500000000L).as("doc_id"), col("text")),
         threshold = 0.7, k = 8, bands = 4, shingleK = 3).count(), null),
+      // split-leakage audit: gram-hash-keyed distinct + join, both
+      // map-side partial-agg; the sum forces the full counts
+      ("split_leakage", d => Dedup.splitLeakage(TextAnalysis.hashSplit(d),
+        n = 8).agg(sum(col("n_shared_grams") + col("n_docs_leaked")))
+        .collect().head.getLong(0), null),
       // source-mixture resampling: shuffle-free generator expansion — pure
       // scan scaling; output volume = sum of weights by construction
       ("mix_corpus", d => TextAnalysis.mixCorpus(d,
@@ -348,7 +353,8 @@ object ScaleSmoke {
         "iob_spans", "overlap_join", "duplicated_spans", "pii_scan",
         "gopher_rules", "c4_clean", "chunk_documents", "pack_sequences",
         "stratified_sample", "pmi_collocations", "fuzzy_decontaminate",
-        "quality_calibrate", "dedup_lines") ++
+        "quality_calibrate", "dedup_lines",
+        "incremental_dedup", "mix_corpus", "shard_order") ++
         (if (sys.env.get("SPARK_GRAFT_SCALE_100").contains("full"))
           Set("align_bert_pipeline", "conll_to_bert", "conll_write")
         else Set.empty[String])

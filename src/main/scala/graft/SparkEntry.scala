@@ -681,6 +681,12 @@ object SparkEntry {
     "q119_shard_order" -> ((s, dir) =>
       TextAnalysis.shardCorpus(docs(s, dir), nShards = 16)),
 
+    // Split-leakage audit: after the q73 hash split, how much 8-gram
+    // content do val/test share with train — the post-split check on what
+    // decontamination should have prevented.
+    "q121_split_leakage" -> ((s, dir) =>
+      Dedup.splitLeakage(TextAnalysis.hashSplit(docs(s, dir)), n = 8)),
+
     // Streaming ingest dedup on its batch path (same plan; every operator
     // in it is streaming-stateless): arriving docs (doc_id ≡ 3 mod 7) vs
     // the static corpus via stream-static band join, first-shared-band

@@ -828,6 +828,45 @@ object Dedup {
   }
 
   /**
+   * Train/eval split-leakage audit — after a corpus is split (however:
+   * [[TextAnalysis.hashSplit]], time-based, source-based), measure how
+   * much n-gram content each held-out split SHARES with the training
+   * split: per eval split, the number of documents with at least one
+   * leaked `n`-gram and the total count of (per-doc-distinct) shared
+   * grams. The post-split audit that catches what upstream
+   * decontamination ([[contaminatedDocs]], [[fuzzyContaminatedDocs]])
+   * is supposed to have prevented — run it before trusting a held-out
+   * loss.
+   *
+   * Scale shape: everything is keyed by the gram hash — the train-side
+   * `distinct` and the eval×train equi-join shuffle narrow `(h)` /
+   * `(h, id)` longs with map-side partial aggregation, never document
+   * text; no broadcast assumption (at 100 TB BOTH gram sides are
+   * corpus-scale, unlike the tiny-benchmark decontamination case).
+   *
+   * @param split docs WITH a `split` column already assigned
+   * @return one row per non-train split: (split, n_docs, n_docs_leaked,
+   *         n_shared_grams)
+   */
+  def splitLeakage(split: DataFrame, n: Int = 8, trainSplit: String = "train",
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val grams = split.select(col(idCol).as("doc_id"), col("split"),
+      explode(array_distinct(TextAnalysis.ngramHashes(col(textCol), n)))
+        .as("h"))
+    val trainGrams = grams.filter(col("split") === trainSplit)
+      .select("h").distinct()
+    val leaks = grams.filter(col("split") =!= trainSplit)
+      .join(trainGrams, "h")
+      .groupBy("split")
+      .agg(countDistinct(col("doc_id")).as("n_docs_leaked"),
+        count(lit(1)).as("n_shared_grams"))
+    split.filter(col("split") =!= trainSplit)
+      .groupBy("split").agg(count(lit(1)).as("n_docs"))
+      .join(leaks, Seq("split"), "left")
+      .na.fill(0L, Seq("n_docs_leaked", "n_shared_grams"))
+  }
+
+  /**
    * Incremental ingest dedup — near-duplicate detection for a NEW batch
    * of documents arriving into an EXISTING corpus, the continuous-crawl
    * shape (CommonCrawl monthly snapshots, streaming ingestion): the

@@ -660,6 +660,34 @@ class PipelineOpsSpec extends GraftSuite {
     assert(out.forall(r => r._5 >= 0 && r._5 < 10))
   }
 
+  test("splitLeakage: per-split leaked docs and shared-gram counts, clean split reports zero") {
+    // train doc 0; val doc 1 repeats train's exact text (leaks many
+    // 3-grams), val doc 2 is clean; test doc 3 shares one 3-gram window
+    // with train, test doc 4 clean
+    val s = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta", "train"),
+      (1L, "alpha beta gamma delta epsilon zeta eta theta", "val"),
+      (2L, "totally fresh words nothing shared here at all", "val"),
+      (3L, "prefix words then alpha beta gamma suffix tail", "test"),
+      (4L, "another clean document with original content only", "test"))
+      .toDF("doc_id", "text", "split")
+    val r = Dedup.splitLeakage(s, n = 3)
+      .as[(String, Long, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    assert(r.keySet == Set("val", "test"))
+    // val: 2 docs, 1 leaked; doc 1 shares all 6 of train's distinct 3-grams
+    assert(r("val") == ((2L, 1L, 6L)))
+    // test: 2 docs, 1 leaked, exactly one shared 3-gram (alpha beta gamma)
+    assert(r("test") == ((2L, 1L, 1L)))
+    // fully clean corpus: zero rows' counts, splits still reported
+    val clean = Seq((0L, "one two three four five", "train"),
+      (1L, "six seven eight nine ten", "val"))
+      .toDF("doc_id", "text", "split")
+    val rc = Dedup.splitLeakage(clean, n = 3)
+      .as[(String, Long, Long, Long)].collect()
+    assert(rc.toSeq == Seq(("val", 1L, 0L, 0L)))
+  }
+
   test("incrementalDupPairs: batch checked vs corpus and itself, corpus never self-paired") {
     // corpus: docs 0 (template) and 2, 4 (unrelated). batch: 10 = exact
     // copy of 0, 11 = near-copy of 0, 12 = exact copy of 11 (intra-batch
