@@ -189,6 +189,64 @@ class PropertySpec extends GraftSuite {
     }
   }
 
+  test("incrementalDupPairs == full-corpus minhashDupPairs restricted to batch rows") {
+    // The incremental (batch-vs-corpus + batch-internal) path must find
+    // exactly the pairs the full self-join finds that involve a batch doc
+    // — no candidate lost to the asymmetric probe, none invented. Tiny
+    // vocabulary so random corpora actually contain near-duplicates.
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee")
+    val genDocs = Gen.listOfN(8, Gen.listOfN(9, Gen.choose(0, vocab.size - 1)))
+    passed(Prop.forAll(genDocs) { wordIdx =>
+      val docs = wordIdx.zipWithIndex.map { case (ws, i) =>
+        (i.toLong, ws.map(vocab).mkString(" "))
+      }.toDF("doc_id", "text")
+      val corpus = docs.filter(col("doc_id") % 2 === 0)
+      val batch = docs.filter(col("doc_id") % 2 === 1)
+      val got = Dedup.incrementalDupPairs(corpus, batch, threshold = 0.5,
+          k = 8, bands = 4, shingleK = 3)
+        .select("batch_id", "dup_id", "jaccard")
+        .as[(Long, Long, Double)].collect().toSet
+      val full = Dedup.minhashDupPairs(docs, threshold = 0.5,
+          k = 8, bands = 4, shingleK = 3)
+        .as[(Long, Long, Double)].collect()
+      val want = full.flatMap { case (a, b, j) =>
+        (a % 2, b % 2) match {
+          case (0, 0) => None                 // corpus-internal: out of scope
+          case (1, 1) => Some((b, a, j))      // batch-internal: later doc flagged
+          case (0, 1) => Some((b, a, j))      // batch doc on the left
+          case _      => Some((a, b, j))
+        }
+      }.toSet
+      got == want
+    })
+  }
+
+  test("splitLeakage == brute-force gram intersection on random split corpora") {
+    val vocab = Vector("aa", "bb", "cc", "dd")
+    val genDocs = Gen.listOfN(8, for {
+      ws <- Gen.listOfN(7, Gen.choose(0, vocab.size - 1))
+      split <- Gen.oneOf("train", "val", "test")
+    } yield (ws, split))
+    val n = 3
+    passed(Prop.forAll(genDocs) { cases =>
+      val docs = cases.zipWithIndex.map { case ((ws, s), i) =>
+        (i.toLong, ws.map(vocab).mkString(" "), s)
+      }
+      val got = Dedup.splitLeakage(docs.toDF("doc_id", "text", "split"), n = n)
+        .as[(String, Long, Long, Long)].collect().toSet
+      def grams(t: String): Set[String] = {
+        val ws = t.split(" ").toVector
+        (0 to ws.length - n).map(i => ws.slice(i, i + n).mkString(" ")).toSet
+      }
+      val trainGrams = docs.filter(_._3 == "train").flatMap(d => grams(d._2)).toSet
+      val want = docs.filter(_._3 != "train").groupBy(_._3).map { case (s, ds) =>
+        val shared = ds.map(d => grams(d._2).count(trainGrams)) // per-doc distinct
+        (s, ds.size.toLong, shared.count(_ > 0).toLong, shared.map(_.toLong).sum)
+      }.toSet
+      got == want
+    })
+  }
+
   test("hashSplit covers every row with exactly one label for random weights") {
     val genW = Gen.listOfN(3, Gen.choose(1, 10))
     passed(Prop.forAll(genW) { ws =>
