@@ -1143,6 +1143,43 @@ object Oracles {
          |SELECT doc_id, source, unnest(generate_series(0, n_copies - 1)) AS epoch, n_copies
          |FROM c WHERE n_copies > 0""".stripMargin,
 
+    // Token-level classification report: q122's gold/pred rules, sklearn
+    // zero_division=0 arithmetic, the transposed-report accuracy row
+    // (scalar broadcast into all four columns), 6dp-floored like q105.
+    "q122_class_report" -> {
+      def r6(e: String) = s"floor(($e) * 1e6 + 0.5) / 1e6"
+      s"""WITH $ToksCte,
+         |lab AS (SELECT
+         |    CASE WHEN text = 'key' THEN 'K' WHEN text = 'value' THEN 'V' ELSE 'O' END AS gold,
+         |    CASE WHEN token_id % 11 = 0 THEN 'X' WHEN token_id % 5 = 0 THEN 'O'
+         |         WHEN text = 'key' THEN 'K' WHEN text = 'value' THEN 'V' ELSE 'O' END AS pred
+         |  FROM toks),
+         |gx AS (SELECT gold AS label, CAST(count(*) AS DOUBLE) AS ng FROM lab GROUP BY gold),
+         |px AS (SELECT pred AS label, CAST(count(*) AS DOUBLE) AS np FROM lab GROUP BY pred),
+         |tx AS (SELECT gold AS label, CAST(count(*) AS DOUBLE) AS nt FROM lab WHERE gold = pred GROUP BY gold),
+         |per AS (SELECT coalesce(gx.label, px.label) AS label, coalesce(ng, 0) AS ng,
+         |    coalesce(np, 0) AS np, coalesce(nt, 0) AS nt
+         |  FROM gx FULL JOIN px ON gx.label = px.label
+         |  LEFT JOIN tx ON coalesce(gx.label, px.label) = tx.label),
+         |f AS (SELECT label, ng, prec, rec,
+         |    CASE WHEN prec + rec > 0 THEN 2 * prec * rec / (prec + rec) ELSE 0.0 END AS f1
+         |  FROM (SELECT label, ng,
+         |      CASE WHEN np > 0 THEN nt / np ELSE 0.0 END AS prec,
+         |      CASE WHEN ng > 0 THEN nt / ng ELSE 0.0 END AS rec FROM per)),
+         |tot AS (SELECT sum(ng) AS n, (SELECT sum(nt) FROM per) AS tp,
+         |    avg(prec) AS mp, avg(rec) AS mr, avg(f1) AS mf,
+         |    sum(prec * ng) / sum(ng) AS wp, sum(rec * ng) / sum(ng) AS wr,
+         |    sum(f1 * ng) / sum(ng) AS wf FROM f)
+         |SELECT label, ${r6("prec")} AS precision, ${r6("rec")} AS recall,
+         |  ${r6("f1")} AS f1_score, ${r6("ng")} AS support FROM f
+         |UNION ALL SELECT 'accuracy', ${r6("tp / n")}, ${r6("tp / n")},
+         |  ${r6("tp / n")}, ${r6("tp / n")} FROM tot
+         |UNION ALL SELECT 'macro avg', ${r6("mp")}, ${r6("mr")}, ${r6("mf")},
+         |  ${r6("n")} FROM tot
+         |UNION ALL SELECT 'weighted avg', ${r6("wp")}, ${r6("wr")}, ${r6("wf")},
+         |  ${r6("n")} FROM tot""".stripMargin
+    },
+
     // Split-leakage audit: q73's split arithmetic + q83's per-doc-distinct
     // 8-gram machinery, train grams deduped, per-split counts.
     "q121_split_leakage" ->

@@ -681,6 +681,25 @@ object SparkEntry {
     "q119_shard_order" -> ((s, dir) =>
       TextAnalysis.shardCorpus(docs(s, dir), nShards = 16)),
 
+    // Token-level (non-IOB) classification report (create_f1_score_report,
+    // cleaning/analysis.py:41-66): gold token classes vs a deterministic
+    // corruption that also predicts a label absent from the gold ('X' —
+    // exercising sklearn's zero_division=0 path), with the transposed
+    // report's accuracy/macro/weighted summary rows.
+    "q122_class_report" -> ((s, dir) => {
+      val t = toks(s, dir)
+      val gold = when(col("text") === "key", "K")
+        .when(col("text") === "value", "V").otherwise("O")
+      val pred = when(col("token_id") % 11 === 0, "X")
+        .when(col("token_id") % 5 === 0, "O").otherwise(gold)
+      val r6 = (c: Column) => floor(c * 1e6 + 0.5) / 1e6
+      Cleaning.classificationReport(
+        t.select(gold.as("gold"), pred.as("pred")), "gold", "pred")
+        .select(col("label"), r6(col("precision")).as("precision"),
+          r6(col("recall")).as("recall"), r6(col("f1_score")).as("f1_score"),
+          r6(col("support")).as("support"))
+    }),
+
     // Split-leakage audit: after the q73 hash split, how much 8-gram
     // content do val/test share with train — the post-split check on what
     // decontamination should have prevented.

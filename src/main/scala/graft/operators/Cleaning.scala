@@ -161,6 +161,71 @@ object Cleaning {
   }
 
   /**
+   * Token-level (non-IOB) classification report
+   * (`create_f1_score_report`, reference: cleaning/analysis.py:41-66 —
+   * a transposed `sklearn.metrics.classification_report(...,
+   * zero_division=0)`): one row per label with precision / recall / f1
+   * / support, plus the report's three summary rows.
+   *
+   * sklearn semantics reproduced exactly:
+   *   - the label set is the union of gold and predicted labels;
+   *   - `zero_division=0`: a label with no predictions (or no gold
+   *     rows) scores 0.0, not NULL;
+   *   - support = gold-row count per label, as double (pandas
+   *     float64-ifies the transposed frame);
+   *   - `accuracy` row: the reference's scalar-broadcast quirk — the
+   *     dict's lone float fills ALL FOUR columns of its row after
+   *     `pd.DataFrame(...).transpose()`, support included;
+   *   - `macro avg` = unweighted mean over labels, `weighted avg` =
+   *     support-weighted mean; both report total support.
+   *
+   * Scale shape: three partial-aggregatable groupBys over (label) +
+   * one single-row totals aggregate; the per-label relation is
+   * tag-set-sized, so the summary rows cost nothing. No driver actions.
+   */
+  def classificationReport(df: DataFrame, goldCol: String,
+      predCol: String): DataFrame = {
+    val g = df.groupBy(col(goldCol).as("label")).agg(count(lit(1)).as("__g"))
+    val p = df.groupBy(col(predCol).as("label")).agg(count(lit(1)).as("__p"))
+    val t = df.filter(col(goldCol) === col(predCol))
+      .groupBy(col(goldCol).as("label")).agg(count(lit(1)).as("__t"))
+    val per = g.join(p, Seq("label"), "full_outer")
+      .join(t, Seq("label"), "full_outer")
+      .select(col("label"),
+        coalesce(col("__g"), lit(0L)).cast("double").as("__g"),
+        coalesce(col("__p"), lit(0L)).cast("double").as("__p"),
+        coalesce(col("__t"), lit(0L)).cast("double").as("__t"))
+      .withColumn("precision",
+        when(col("__p") > 0, col("__t") / col("__p")).otherwise(lit(0.0)))
+      .withColumn("recall",
+        when(col("__g") > 0, col("__t") / col("__g")).otherwise(lit(0.0)))
+      .withColumn("f1_score",
+        when(col("precision") + col("recall") > 0,
+          lit(2.0) * col("precision") * col("recall") /
+            (col("precision") + col("recall"))).otherwise(lit(0.0)))
+    val totals = per.agg(sum("__g").as("__n"), sum("__t").as("__tp"),
+      avg("precision").as("__mp"), avg("recall").as("__mr"),
+      avg("f1_score").as("__mf"),
+      (sum(col("precision") * col("__g")) / sum("__g")).as("__wp"),
+      (sum(col("recall") * col("__g")) / sum("__g")).as("__wr"),
+      (sum(col("f1_score") * col("__g")) / sum("__g")).as("__wf"))
+    val acc = totals.select(lit("accuracy").as("label"),
+      (col("__tp") / col("__n")).as("precision"),
+      (col("__tp") / col("__n")).as("recall"),
+      (col("__tp") / col("__n")).as("f1_score"),
+      (col("__tp") / col("__n")).as("support"))
+    val macroR = totals.select(lit("macro avg").as("label"),
+      col("__mp").as("precision"), col("__mr").as("recall"),
+      col("__mf").as("f1_score"), col("__n").as("support"))
+    val weighted = totals.select(lit("weighted avg").as("label"),
+      col("__wp").as("precision"), col("__wr").as("recall"),
+      col("__wf").as("f1_score"), col("__n").as("support"))
+    per.select(col("label"), col("precision"), col("recall"),
+        col("f1_score"), col("__g").as("support"))
+      .unionByName(acc).unionByName(macroR).unionByName(weighted)
+  }
+
+  /**
    * Per-model micro P/R/F1 report over an ensemble
    * (`create_f1_report_ensemble_iob`, reference: cleaning/analysis.py:172-207):
    * one [[f1ScoreReportSimple]] row per model, tagged with the model name.

@@ -181,6 +181,33 @@ class CleaningSpec extends GraftSuite {
       Seq(5, 6, 7, 8, 9, 10, 11, 12, 13).forall(i => r.getString(i) == "")))
   }
 
+  test("classificationReport matches a hand-computed sklearn report (analysis.py:41-66)") {
+    import spark.implicits._
+    // gold [K K V O O O], pred [K V V O O X]: exercises a perfect-precision
+    // label (K), a pred-only label with zero gold rows (X, zero_division=0),
+    // and all three summary rows
+    val df = Seq(("K", "K"), ("K", "V"), ("V", "V"),
+      ("O", "O"), ("O", "O"), ("O", "X")).toDF("gold", "pred")
+    val r = Cleaning.classificationReport(df, "gold", "pred")
+      .as[(String, Double, Double, Double, Double)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4, t._5))).toMap
+    def near(a: (Double, Double, Double, Double),
+        b: (Double, Double, Double, Double)): Boolean =
+      Seq(a._1 - b._1, a._2 - b._2, a._3 - b._3, a._4 - b._4)
+        .forall(d => math.abs(d) < 1e-9)
+    assert(r.keySet == Set("K", "O", "V", "X", "accuracy", "macro avg", "weighted avg"))
+    assert(near(r("K"), (1.0, 0.5, 2.0 / 3, 2.0)))
+    assert(near(r("O"), (1.0, 2.0 / 3, 0.8, 3.0)))
+    assert(near(r("V"), (0.5, 1.0, 2.0 / 3, 1.0)))
+    assert(near(r("X"), (0.0, 0.0, 0.0, 0.0))) // zero_division=0
+    // accuracy row: the transposed report's scalar fills all four columns
+    assert(near(r("accuracy"), (4.0 / 6, 4.0 / 6, 4.0 / 6, 4.0 / 6)))
+    assert(near(r("macro avg"), (0.625, (0.5 + 2.0 / 3 + 1.0) / 4,
+      (2.0 / 3 + 0.8 + 2.0 / 3) / 4, 6.0)))
+    assert(near(r("weighted avg"), (5.5 / 6, 4.0 / 6,
+      (2.0 / 3 * 2 + 0.8 * 3 + 2.0 / 3) / 6, 6.0)))
+  }
+
   test("unpack_semijoin shifts spans by the region offset (join.py:206-244)") {
     val model = Seq((7L, 5, 10, 100)).toDF("doc_id", "b", "e", "off")
       .select(col("doc_id"), graft.spans.span(col("b"), col("e")).as("span"), col("off"))
