@@ -117,25 +117,47 @@ object WatsonTables {
    * Duplicate cells concatenate in location order with `concatWith`
    * (reference pivot aggfunc, tables.py:589).
    */
-  def makeTable(bodyCells: DataFrame, valueCol: String = "text",
-      concatWith: String = " | ", columnKeys: Seq[String] = Nil): DataFrame = {
+  private def colKeyExpr: Column =
+    when(col("column_header_texts") =!= "", col("column_header_texts"))
+      .otherwise(col("column_index_begin").cast("string"))
+
+  /**
+   * The value-attribute mapping the reference exposes as a public
+   * intermediate (`make_exploded_df`, tables.py:348-447): one row per
+   * (doc, table, row key, column key) with the cell value — duplicate
+   * cells already collapsed in location order. [[makeTable]]'s pivot is
+   * exactly this relation spread over the column keys; callers doing
+   * their own reshaping (long-format analytics, ML feature rows) join
+   * or aggregate it directly and never pay the pivot.
+   *
+   * Scale shape: one partial-aggregatable groupBy over narrow key
+   * columns — the corpus-sized cell stream shuffles once.
+   */
+  def makeExplodedDf(bodyCells: DataFrame, valueCol: String = "text",
+      concatWith: String = " | "): DataFrame = {
     val rowKey = when(col("row_header_texts") =!= "", col("row_header_texts"))
       .otherwise(col("row_index_begin").cast("string")).as("row_key")
-    val colKey = when(col("column_header_texts") =!= "", col("column_header_texts"))
-      .otherwise(col("column_index_begin").cast("string"))
-    // Stage 1 collapses the cell VALUES (the corpus-sized stream) under
-    // plain per-cell keys — partial-aggregatable, one narrow shuffle.
-    // Stage 2 pivots the already-one-row-per-cell relation with first():
-    // the pivot's per-key conditional aggregates then run over table-sized
-    // input instead of evaluating |keys| collect_list buffers per source
-    // row.
-    val cells = bodyCells
-      .withColumn("__ck", colKey)
+    bodyCells
+      .withColumn("__ck", colKeyExpr)
       .withColumn("__v", struct(col("begin"), col(valueCol).as("v")))
       .groupBy(col("doc_id"), col("table_idx"),
         col("row_index_begin").as("row_idx"), rowKey, col("__ck"))
       .agg(array_join(transform(sort_array(collect_list(col("__v"))),
         x => x("v")), concatWith).as("__cell"))
+      .withColumnsRenamed(Map("__ck" -> "column_key", "__cell" -> "value"))
+  }
+
+  def makeTable(bodyCells: DataFrame, valueCol: String = "text",
+      concatWith: String = " | ", columnKeys: Seq[String] = Nil): DataFrame = {
+    val colKey = colKeyExpr
+    // Stage 1 collapses the cell VALUES (the corpus-sized stream) under
+    // plain per-cell keys — partial-aggregatable, one narrow shuffle
+    // (the exploded relation above). Stage 2 pivots the already-one-row-
+    // per-cell relation with first(): the pivot's per-key conditional
+    // aggregates then run over table-sized input instead of evaluating
+    // |keys| collect_list buffers per source row.
+    val cells = makeExplodedDf(bodyCells, valueCol, concatWith)
+      .withColumnsRenamed(Map("column_key" -> "__ck", "value" -> "__cell"))
     val grouped = cells
       .groupBy(col("doc_id"), col("table_idx"), col("row_idx"), col("row_key"))
     // Explicit columnKeys skip the key-inference job — a full extra scan

@@ -52,6 +52,26 @@ class WatsonTablesSpec extends GraftSuite {
     assert(row3.getAs[String]("% of worldpopulation") == "4.23%")
   }
 
+  test("make_exploded_df long form pivots into make_table exactly (tables.py:348-447)") {
+    val cells = WatsonTables.bodyCells(responseDf("20-populous-countries"))
+    val exploded = WatsonTables.makeExplodedDf(cells)
+    assert(exploded.columns.toSeq ==
+      Seq("doc_id", "table_idx", "row_idx", "row_key", "column_key", "value"))
+    // one row per populated (row, column) pair, none lost or invented
+    assert(exploded.count() == 126)
+    // pivoting the exploded relation by hand reproduces makeTable's cells
+    val table = WatsonTables.makeTable(cells)
+    for (colName <- Seq("Rank", "Population", "Date")) {
+      val fromTable = table.select(col("row_idx"), col(colName))
+        .filter(col(colName).isNotNull)
+        .collect().map(r => r.get(0).toString -> r.getString(1)).toMap
+      val fromExploded = exploded.filter(col("column_key") === colName)
+        .select("row_idx", "value")
+        .collect().map(r => r.get(0).toString -> r.getString(1)).toMap
+      assert(fromTable == fromExploded, s"column $colName diverged")
+    }
+  }
+
   test("double-header table: multi-header texts join with ' | '") {
     val cells = WatsonTables.bodyCells(responseDf("double_header_table"))
     assert(cells.count() == 16)
