@@ -1143,6 +1143,14 @@ object Oracles {
          |SELECT doc_id, source, unnest(generate_series(0, n_copies - 1)) AS epoch, n_copies
          |FROM c WHERE n_copies > 0""".stripMargin,
 
+    // Fold-merged entity spans to match: q31's entity machinery with the
+    // even/odd fold tag and the doc_num % 3 match filter.
+    "q123_combine_raw_spans" ->
+      s"""WITH $ToksCte, $EntsCte
+         |SELECT CASE WHEN doc_id % 2 = 0 THEN 'train' ELSE 'test' END AS fold,
+         |  doc_id AS doc_num, begin_tok, end_tok, "begin", "end", ent_type
+         |FROM ents WHERE ft = 'B' AND doc_id % 3 = 0""".stripMargin,
+
     // Token-level classification report: q122's gold/pred rules, sklearn
     // zero_division=0 arithmetic, the transposed-report accuracy row
     // (scalar broadcast into all four columns), 6dp-floored like q105.

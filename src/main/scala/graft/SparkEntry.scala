@@ -681,6 +681,27 @@ object SparkEntry {
     "q119_shard_order" -> ((s, dir) =>
       TextAnalysis.shardCorpus(docs(s, dir), nShards = 16)),
 
+    // Fold-merged entity spans restricted to a match relation
+    // (combine_raw_spans_docs_to_match, cleaning/preprocess.py): even/odd
+    // docs play train/test folds, the match set keeps doc_num % 3 == 0 —
+    // per-fold iob_to_spans + one semi-join, no Python doc loop.
+    "q123_combine_raw_spans" -> ((s, dir) => {
+      val t = tagged(toks(s, dir))
+      val folds = Seq(
+        "train" -> t.filter(col("doc_id") % 2 === 0),
+        "test" -> t.filter(col("doc_id") % 2 === 1))
+      val toMatch = docs(s, dir).filter(col("doc_id") % 3 === 0)
+        .select(lit("train").as("fold"), col("doc_id").as("doc_num"))
+        .unionByName(docs(s, dir).filter(col("doc_id") % 3 === 0)
+          .select(lit("test").as("fold"), col("doc_id").as("doc_num")))
+      Cleaning.combineRawSpansDocsToMatch(folds, toMatch)
+        .select(col("fold"), col("doc_num"),
+          col("span")("begin_tok").as("begin_tok"),
+          col("span")("end_tok").as("end_tok"),
+          col("span")("begin").as("begin"), col("span")("end").as("end"),
+          col("ent_type"))
+    }),
+
     // Token-level (non-IOB) classification report (create_f1_score_report,
     // cleaning/analysis.py:41-66): gold token classes vs a deterministic
     // corruption that also predicts a label absent from the gold ('X' —

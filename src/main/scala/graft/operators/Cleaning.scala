@@ -338,4 +338,40 @@ object Cleaning {
   def combineFolds(folds: Seq[(String, DataFrame)]): DataFrame =
     folds.map { case (name, df) => df.select((lit(name).as("fold") +: df.columns.toIndexedSeq.map(col)): _*) }
       .reduce(_ unionByName _)
+
+  /**
+   * Merge the IOB-tagged folds of a corpus into one entity-span relation
+   * (`combine_raw_spans_docs`, reference: cleaning/preprocess.py — the
+   * "train+test+validation into a single spans frame" preprocessing
+   * entry): each fold's tokens run through [[Iob.iobToSpans]] and the
+   * results union under a `fold` tag, `doc_id` renamed to `doc_num` to
+   * match the reference's (fold, doc_num) corpus addressing. One lazy
+   * DAG — the per-fold sessionization windows stay partitioned by
+   * document.
+   *
+   * @param folds (fold name, IOB-tagged tokens) pairs; each tokens
+   *              DataFrame needs doc_id, token_id, span, iobCol, typeCol
+   */
+  def combineRawSpansDocs(folds: Seq[(String, DataFrame)],
+      iobCol: String = "ent_iob", typeCol: String = "ent_type"): DataFrame =
+    combineFolds(folds.map { case (name, df) =>
+      (name, Iob.iobToSpans(df, iobCol, typeCol)
+        .withColumnRenamed("doc_id", "doc_num"))
+    })
+
+  /**
+   * [[combineRawSpansDocs]] restricted to the (fold, doc_num) pairs
+   * present in `dfToMatch` (`combine_raw_spans_docs_to_match`,
+   * reference: cleaning/preprocess.py): the reference filters the
+   * per-fold doc lists in a Python loop; relationally it is one
+   * left-semi join on the composite key — distributed, and Catalyst
+   * broadcasts the (tiny, distinct) match-key side.
+   */
+  def combineRawSpansDocsToMatch(folds: Seq[(String, DataFrame)],
+      dfToMatch: DataFrame, iobCol: String = "ent_iob",
+      typeCol: String = "ent_type", foldCol: String = "fold",
+      docCol: String = "doc_num"): DataFrame =
+    combineRawSpansDocs(folds, iobCol, typeCol)
+      .join(dfToMatch.select(col(foldCol).as("fold"), col(docCol).as("doc_num"))
+        .distinct(), Seq("fold", "doc_num"), "left_semi")
 }

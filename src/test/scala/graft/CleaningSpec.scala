@@ -181,6 +181,36 @@ class CleaningSpec extends GraftSuite {
       Seq(5, 6, 7, 8, 9, 10, 11, 12, 13).forall(i => r.getString(i) == "")))
   }
 
+  test("combineRawSpansDocs merges folds into spans; ToMatch semi-joins (preprocess.py)") {
+    import spark.implicits._
+    // two folds of IOB-tagged tokens: doc 0 has one K entity (tokens 1-2),
+    // doc 5 has one K entity (token 0)
+    def tok(doc: Long, id: Int, iob: String, typ: String) =
+      (doc, id, iob, Option(typ).filter(_.nonEmpty))
+    val train = Seq(tok(0L, 0, "O", ""), tok(0L, 1, "B", "K"), tok(0L, 2, "I", "K"))
+      .toDF("doc_id", "token_id", "ent_iob", "ent_type")
+      .select(col("doc_id"), col("token_id"), col("ent_iob"), col("ent_type"),
+        spans.tokenSpan(col("token_id"), col("token_id") + 1,
+          col("token_id") * 3, col("token_id") * 3 + 2).as("span"))
+    val test_ = Seq(tok(5L, 0, "B", "K"), tok(5L, 1, "O", ""))
+      .toDF("doc_id", "token_id", "ent_iob", "ent_type")
+      .select(col("doc_id"), col("token_id"), col("ent_iob"), col("ent_type"),
+        spans.tokenSpan(col("token_id"), col("token_id") + 1,
+          col("token_id") * 3, col("token_id") * 3 + 2).as("span"))
+    val merged = Cleaning.combineRawSpansDocs(
+      Seq("train" -> train, "test" -> test_))
+    val rows = merged.select(col("fold"), col("doc_num"),
+        col("span")("begin_tok"), col("span")("end_tok"), col("ent_type"))
+      .as[(String, Long, Int, Int, String)].collect().toSet
+    assert(rows == Set(("train", 0L, 1, 3, "K"), ("test", 5L, 0, 1, "K")))
+    // to-match keeps only listed (fold, doc_num) pairs
+    val m = Seq(("test", 5L)).toDF("fold", "doc_num")
+    val matched = Cleaning.combineRawSpansDocsToMatch(
+      Seq("train" -> train, "test" -> test_), m)
+      .select("fold", "doc_num").as[(String, Long)].collect().toSeq
+    assert(matched == Seq(("test", 5L)))
+  }
+
   test("classificationReport matches a hand-computed sklearn report (analysis.py:41-66)") {
     import spark.implicits._
     // gold [K K V O O O], pred [K V V O O X]: exercises a perfect-precision
