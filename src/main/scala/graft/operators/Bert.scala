@@ -234,23 +234,20 @@ object Bert {
     val ents = spansDf.select(col("doc_id"), col(spansTokenCol).as("span"),
       col(entityTypeCol))
       .filter(col("span")("begin") < col("span")("end"))
-    // pairs: (entity span `first`) x (corpus token span `second`) overlapping
+    // pairs: (entity span `first`) x (corpus token span `second`)
+    // overlapping. The entity type rides the block join as a carry column
+    // (the reference merges it back onto spans_df afterwards, bert.py:
+    // 233-238 — that merge was a whole extra sort-merge join of the
+    // entity relation onto the pair output here until round 10).
     val pairs = SpanJoin.overlapJoin(ents,
       corpusToks.select(col("doc_id"), col(corpusTokenCol).as("span"))
-        .filter(col("span")("begin") < col("span")("end")))
-    // re-attach the entity type (the reference's merge back onto spans_df,
-    // bert.py:233-238): equi-join on the span struct itself. Both sides
-    // are corpus-scale and explode-derived — pinned to sort-merge for the
-    // same measured broadcast-misestimate hazard documented at
-    // Align.alignToTokens.
-    val typed = pairs.join(
-      ents.select(col("doc_id").as("t_doc_id"), col("span").as("t_span"),
-        col(entityTypeCol).as("__t_type")).hint("merge"),
-      col("doc_id") === col("t_doc_id") && col("first") === col("t_span"))
-    // span-sum of the covered corpus tokens per entity + min type
-    val grown = typed.groupBy(col("doc_id"), col("first"))
+        .filter(col("span")("begin") < col("span")("end")),
+      carryCols = Seq(entityTypeCol))
+    // span-sum of the covered corpus tokens per entity + min type (same
+    // min the re-attach join produced: each first span carries one type)
+    val grown = pairs.groupBy(col("doc_id"), col("first"))
       .agg(min(col("second")("begin")).as("__b"), max(col("second")("end")).as("__e"),
-        min(col("__t_type")).as(entityTypeCol))
+        min(col(entityTypeCol)).as(entityTypeCol))
       .select(col("doc_id"), graft.spans.span(col("__b"), col("__e")).as("span"),
         col(entityTypeCol))
     // overlapping grown spans resolve left-to-right, then snap to token ids;

@@ -44,12 +44,19 @@ object SpanJoin {
    * inputs (join.py:129-134, computed with one cheap agg action); each span
    * emits one row per covered block (explode of a sequence — no UDF);
    * equi-join on `(doc_id, block)`; exact `overlaps` residual filter.
+   *
+   * @param carryCols extra FIRST-side columns carried through the block
+   *        join (narrow payload like an entity type). Carrying them costs
+   *        only their width times the ~1-2 block fan-out; recovering them
+   *        afterwards costs a whole extra join of the first relation onto
+   *        the (larger) pair output — carry wins whenever the payload is
+   *        small.
    */
   def overlapJoin(first: DataFrame, second: DataFrame,
       firstCol: String = "span", secondCol: String = "span",
-      blockChars: Int = 0): DataFrame =
+      blockChars: Int = 0, carryCols: Seq[String] = Nil): DataFrame =
     blockedJoin(first, second, firstCol, secondCol,
-      (a, b) => spans.overlaps(a, b), blockChars)
+      (a, b) => spans.overlaps(a, b), blockChars, carryCols)
 
   /**
    * All pairs where the first span contains the second (`contain_join`,
@@ -69,7 +76,8 @@ object SpanJoin {
 
   private def blockedJoin(first: DataFrame, second: DataFrame,
       firstCol: String, secondCol: String,
-      residual: (Column, Column) => Column, blockChars: Int): DataFrame = {
+      residual: (Column, Column) => Column, blockChars: Int,
+      carryCols: Seq[String] = Nil): DataFrame = {
     // Multi-block pairs match once per shared block, so the join requires
     // the block to be the pair's FIRST shared one:
     // blk == greatest(first.begin, second.begin) div B, which every
@@ -88,7 +96,8 @@ object SpanJoin {
     // factor; callers holding better stats (or a cached sample) pass their
     // own `blockChars`. Correctness never depends on the factor.
     val b = if (blockChars > 0) blockChars.toLong else DefaultBlockChars.toLong
-    val f = first.select(col("doc_id"), col(firstCol).as("first"))
+    val f = first.select(
+      col("doc_id") +: col(firstCol).as("first") +: carryCols.map(col): _*)
     val s = second.select(col("doc_id").as("doc_id2"), col(secondCol).as("second"))
 
     def blocks(df: DataFrame, c: String, blockName: String) = df.withColumn(blockName,
@@ -104,7 +113,8 @@ object SpanJoin {
       .filter(residual(col("first"), col("second")) &&
         col("__graft_blk1") === floor(
           greatest(col("first")("begin"), col("second")("begin")) / b).cast("long"))
-      .select(col("doc_id"), col("first"), col("second"))
+      .select(col("doc_id") +: col("first") +: col("second") +:
+        carryCols.map(col): _*)
   }
 
   /**
