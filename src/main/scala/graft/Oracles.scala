@@ -1143,6 +1143,29 @@ object Oracles {
          |SELECT doc_id, source, unnest(generate_series(0, n_copies - 1)) AS epoch, n_copies
          |FROM c WHERE n_copies > 0""".stripMargin,
 
+    // Leakage-safe split: q72's recursive-CTE components, cluster id
+    // defaulting to the doc's own id, q73's split CASE on the cluster id.
+    "q124_cluster_split" ->
+      s"""WITH RECURSIVE $MinhashCte,
+         |bnd AS (SELECT doc_id, generate_subscripts(keys, 1) - 1 AS band, unnest(keys) AS key FROM bk),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b FROM bnd a
+         |  JOIN bnd b2 ON a.band = b2.band AND a.key = b2.key AND a.doc_id < b2.doc_id),
+         |pr AS (SELECT id_a, id_b FROM (SELECT id_a, id_b,
+         |    CAST(len(list_intersect(x.h, y.h)) AS DOUBLE) / len(list_distinct(list_concat(x.h, y.h))) AS j
+         |  FROM cand JOIN hs x ON x.doc_id = cand.id_a JOIN hs y ON y.doc_id = cand.id_b)
+         |  WHERE floor(j * 1e4 + 0.5) / 1e4 >= 0.7),
+         |e AS (SELECT id_a AS a, id_b AS b FROM pr UNION SELECT id_b, id_a FROM pr),
+         |reach AS (SELECT a AS n, a AS r FROM e
+         |  UNION SELECT e.b, reach.r FROM reach JOIN e ON e.a = reach.n),
+         |cl AS (SELECT n AS doc_id, min(r) AS cluster_id FROM reach GROUP BY n),
+         |wc AS (SELECT d.doc_id, coalesce(cl.cluster_id, d.doc_id) AS cluster_id
+         |  FROM documents d LEFT JOIN cl USING (doc_id))
+         |SELECT doc_id, cluster_id, CASE
+         |  WHEN ${H("CAST(cluster_id AS VARCHAR) || ':split'")} % 10000 < 9000 THEN 'train'
+         |  WHEN ${H("CAST(cluster_id AS VARCHAR) || ':split'")} % 10000 < 9500 THEN 'val'
+         |  ELSE 'test' END AS split
+         |FROM wc""".stripMargin,
+
     // Fold-merged entity spans to match: q31's entity machinery with the
     // even/odd fold tag and the doc_num % 3 match filter.
     "q123_combine_raw_spans" ->

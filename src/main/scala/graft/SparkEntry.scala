@@ -681,6 +681,17 @@ object SparkEntry {
     "q119_shard_order" -> ((s, dir) =>
       TextAnalysis.shardCorpus(docs(s, dir), nShards = 16)),
 
+    // Leakage-safe split: q73's hash split keyed by near-dup CLUSTER id
+    // (q14's pairs → q72's components), so near-duplicates can never
+    // straddle train/test — the constructive fix for what q121 audits.
+    "q124_cluster_split" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.leakageSafeSplit(d,
+          Dedup.minhashDupPairs(d, threshold = 0.7, k = 8, bands = 4,
+            shingleK = 3))
+        .select("doc_id", "cluster_id", "split")
+    }),
+
     // Fold-merged entity spans restricted to a match relation
     // (combine_raw_spans_docs_to_match, cleaning/preprocess.py): even/odd
     // docs play train/test folds, the match set keeps doc_num % 3 == 0 —

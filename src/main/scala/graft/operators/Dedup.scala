@@ -828,6 +828,35 @@ object Dedup {
   }
 
   /**
+   * Leakage-safe train/val/test split — the fix for what
+   * [[splitLeakage]] measures: hash-split by NEAR-DUP CLUSTER id
+   * instead of document id, so a document and its near-duplicates land
+   * in the SAME split by construction and can never leak train content
+   * into a held-out set. Documents in no dup cluster split by their own
+   * id (their cluster is themselves), so the assignment degrades to
+   * [[TextAnalysis.hashSplit]] exactly on a fully-deduplicated corpus.
+   *
+   * Scale shape: [[dupClusters]]' connected components over the
+   * (narrow) pair graph + one left join of the (pairs-sized, usually
+   * tiny next to the corpus) cluster relation onto the corpus + the
+   * shuffle-free split projection. Deterministic: assignment depends
+   * only on (cluster min-id, salt, weights).
+   *
+   * Output: corpus rows + (cluster_id, split).
+   */
+  def leakageSafeSplit(docs: DataFrame, pairs: DataFrame,
+      weights: Seq[(String, Double)] =
+        Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05),
+      idCol: String = "doc_id", salt: String = "split"): DataFrame = {
+    val clusters = dupClusters(pairs)
+      .withColumnRenamed("doc_id", idCol)
+    val withCluster = docs.join(clusters, Seq(idCol), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col(idCol)))
+    TextAnalysis.hashSplit(withCluster, weights, idCol = "cluster_id",
+      salt = salt)
+  }
+
+  /**
    * Train/eval split-leakage audit — after a corpus is split (however:
    * [[TextAnalysis.hashSplit]], time-based, source-based), measure how
    * much n-gram content each held-out split SHARES with the training

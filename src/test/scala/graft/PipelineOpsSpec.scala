@@ -660,6 +660,30 @@ class PipelineOpsSpec extends GraftSuite {
     assert(out.forall(r => r._5 >= 0 && r._5 < 10))
   }
 
+  test("leakageSafeSplit: near-dup clusters never straddle splits, degrades to hashSplit") {
+    // docs 0/1/3 form one near-dup cluster; 2 and 4 are singletons
+    val pairs = Dedup.minhashDupPairs(docs, threshold = 0.5)
+    val out = Dedup.leakageSafeSplit(docs, pairs,
+        weights = Seq("train" -> 0.5, "test" -> 0.5))
+      .select("doc_id", "cluster_id", "split")
+      .as[(Long, Long, String)].collect()
+    assert(out.length == 5)
+    // whole cluster shares the min member's id AND one split
+    val cluster = out.filter(t => Set(0L, 1L, 3L)(t._1))
+    assert(cluster.forall(_._2 == 0L))
+    assert(cluster.map(_._3).distinct.length == 1)
+    // singletons cluster to themselves and split exactly as hashSplit would
+    val hs = TextAnalysis.hashSplit(docs,
+        weights = Seq("train" -> 0.5, "test" -> 0.5))
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    for (t <- out if Set(2L, 4L)(t._1)) {
+      assert(t._2 == t._1)
+      assert(t._3 == hs(t._1))
+    }
+    // the shared split is what the cluster MIN id would get alone
+    assert(cluster.head._3 == hs(0L))
+  }
+
   test("splitLeakage: per-split leaked docs and shared-gram counts, clean split reports zero") {
     // train doc 0; val doc 1 repeats train's exact text (leaks many
     // 3-grams), val doc 2 is clean; test doc 3 shares one 3-gram window
