@@ -244,6 +244,41 @@ object Oracles {
     sb.toString
   }
 
+  /** Unrolled product-quantization CTE chain, mirror of
+    * Similarity.pqFitCodebooks step for step but vectorized over the
+    * subspace axis: `psv` (id, sub, sliced sub-vector), `pqf` (per-dim
+    * flat rows with subspace/coordinate), `pc0` init (ksub smallest ids
+    * per subspace, code = rank), then per iteration j: pd`j` (sub-vector
+    * × code squared-L2), pa`j` (argmin assignment, ties to smallest
+    * code), pc`j` (per-coordinate mean rounded 6dp; empty codes drop).
+    * Requires `EmbCte`. Final codes = pa`iters+1` against pc`iters`. */
+  def pqCtes(m: Int, ksub: Int, iters: Int, dim: Int = 64): String = {
+    require(dim % m == 0)
+    val d = dim / m
+    val sb = new StringBuilder
+    sb ++= s"subs AS (SELECT unnest(generate_series(0, ${m - 1})) AS sub),\n"
+    sb ++= s"psv AS (SELECT id, sub, list_slice(v, sub*$d+1, sub*$d+$d) AS v\n" +
+      s"  FROM ed CROSS JOIN subs),\n"
+    sb ++= s"pqf AS (SELECT id, dim // $d AS sub, dim % $d AS subpos, x FROM\n" +
+      s"  (SELECT vec_id AS id, generate_subscripts(embedding, 1) - 1 AS dim,\n" +
+      s"   CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings)),\n"
+    sb ++= s"pc0 AS (SELECT sub, CAST(rn - 1 AS INTEGER) AS cid, v FROM\n" +
+      s"  (SELECT sub, id, v, row_number() OVER (PARTITION BY sub ORDER BY id) AS rn FROM psv)\n" +
+      s"  WHERE rn <= $ksub)"
+    for (j <- 1 to iters + 1) {
+      sb ++= s",\npd$j AS (SELECT p.id, p.sub, c.cid, ${sqDist("p.v", "c.v")} AS dist\n" +
+        s"  FROM psv p JOIN pc${j - 1} c USING (sub)),\n"
+      sb ++= s"pa$j AS (SELECT id, sub, cid, dist FROM (SELECT *, row_number() OVER\n" +
+        s"  (PARTITION BY id, sub ORDER BY dist, cid) AS rn FROM pd$j) WHERE rn = 1)"
+      if (j <= iters)
+        sb ++= s",\npc$j AS (SELECT sub, cid, list(round(m, 6) ORDER BY subpos) AS v FROM\n" +
+          s"  (SELECT a.sub, a.cid, f.subpos, sum(f.x) / count(*) AS m FROM pa$j a\n" +
+          s"   JOIN pqf f ON a.id = f.id AND a.sub = f.sub GROUP BY a.sub, a.cid, f.subpos)\n" +
+          s"  GROUP BY sub, cid)"
+    }
+    sb.toString
+  }
+
   val sql: Map[String, String] = Map(
 
     // ---- relational core ----
@@ -1021,6 +1056,61 @@ object Oracles {
          |  (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rn
          |   FROM scored)
          |WHERE rn <= 10""".stripMargin,
+
+    // BM25 retrieval: same expression-tree groupings as the engine
+    // ((idf * (tf*(k1+1))) / (tf + k1*((1-b) + b*dl/avgdl))), term-ordered
+    // fold of per-term scores, half-up 4dp floor, ties by doc_id.
+    "q127_bm25" ->
+      s"""WITH qt(query_id, term) AS (VALUES (0, 'spark'), (0, 'join'), (0, 'fast'),
+         |  (1, 'window'), (1, 'sort'), (2, 'vector'), (2, 'hash'), (2, 'query')),
+         |dl AS (SELECT doc_id, CAST(len($Words) AS DOUBLE) AS dl FROM documents),
+         |st AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+         |  sum(dl) / CAST(count(*) AS DOUBLE) AS avgdl FROM dl),
+         |tok AS (SELECT doc_id, unnest($Words) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tok
+         |  WHERE term IN (SELECT DISTINCT term FROM qt) GROUP BY doc_id, term),
+         |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+         |sc AS (SELECT q.query_id, t.doc_id, t.term,
+         |    ln(1.0 + (st.n - d.df + 0.5) / (d.df + 0.5)) * (t.tf * (1.2 + 1)) /
+         |      (t.tf + 1.2 * ((1 - 0.75) + 0.75 * l.dl / st.avgdl)) AS s
+         |  FROM tf t JOIN df d USING (term) JOIN dl l USING (doc_id)
+         |  CROSS JOIN st JOIN qt q USING (term)),
+         |agg AS (SELECT query_id, doc_id,
+         |    floor(list_reduce(list_prepend(0.0, list(s ORDER BY term)),
+         |      (u, w) -> u + w) * 1e4 + 0.5) / 1e4 AS score
+         |  FROM sc GROUP BY query_id, doc_id)
+         |SELECT query_id, doc_id, score, rank FROM
+         |  (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+         |     ORDER BY score DESC, doc_id) AS INTEGER) AS rank FROM agg)
+         |WHERE rank <= 10""".stripMargin,
+
+    // Product quantization: per-subspace Lloyd's (same determinism rules
+    // as q94 applied per subspace), final per-(id, subspace) code + exact
+    // quantization error.
+    "q125_pq_encode" ->
+      s"""WITH $EmbCte,
+         |${pqCtes(8, 16, 2)}
+         |SELECT id AS vec_id, CAST(sub AS INTEGER) AS sub, cid AS code,
+         |  round(dist, 6) AS dist FROM pa3""".stripMargin,
+
+    // PQ asymmetric-distance top-k: per-subspace ||q_sub - codeword||^2
+    // folds summed in subspace order (the engine's left-assoc add chain;
+    // (0+d0)=d0 exactly, so the fold groupings match bit-for-bit).
+    "q126_pq_adc" ->
+      s"""WITH $EmbCte,
+         |${pqCtes(8, 16, 2)},
+         |qsv AS (SELECT id AS query_id, sub, v AS qv FROM psv WHERE id < 5),
+         |sd AS (SELECT q.query_id, a.id AS vec_id, q.sub, ${sqDist("q.qv", "c.v")} AS dist
+         |  FROM qsv q JOIN pa3 a ON q.sub = a.sub
+         |  JOIN pc2 c ON a.sub = c.sub AND a.cid = c.cid),
+         |scored AS (SELECT query_id, vec_id,
+         |  round(list_reduce(list_prepend(0.0, list(dist ORDER BY sub)),
+         |    (u, w) -> u + w), 6) AS adc
+         |  FROM sd GROUP BY query_id, vec_id)
+         |SELECT query_id, vec_id, adc, rank FROM
+         |  (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+         |     ORDER BY adc, vec_id) AS INTEGER) AS rank FROM scored)
+         |WHERE rank <= 10""".stripMargin,
 
     // Semantic dedup: k-means assignment (same unrolled CTEs as q94),
     // then within-cluster lower-id cosine >= 0.9 marks duplicates.

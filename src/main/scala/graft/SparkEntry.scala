@@ -768,6 +768,37 @@ object SparkEntry {
         nprobe = 2, k = 10)
     }),
 
+    // Product quantization (m=8 subspaces x 16 codes over the 64-dim
+    // embeddings): per-subspace Lloyd's codebooks (q94's determinism
+    // rules applied per subspace, ONE aggregation pass per iteration for
+    // all subspaces), then the shuffle-free encode projection — the
+    // 32x-compressed index representation. Oracle unrolls the same
+    // per-subspace chain vectorized over a subspace axis.
+    "q125_pq_encode" -> ((s, dir) => {
+      val e = embedsD(s, dir)
+      Similarity.pqEncode(e, Similarity.pqFitCodebooks(e, m = 8, ksub = 16, iters = 2))
+    }),
+
+    // PQ asymmetric-distance top-k: queries keep exact vectors, the
+    // corpus side is only its codes; ADC = per-subspace fold sums in
+    // subspace order (bit-identical left-assoc grouping on both sides).
+    "q126_pq_adc" -> ((s, dir) => {
+      val e = embedsD(s, dir)
+      val q = e.filter(col("vec_id") < 5).select(col("vec_id").as("query_id"), col("embedding"))
+      Similarity.pqTopK(e, q, Similarity.pqFitCodebooks(e, m = 8, ksub = 16, iters = 2), k = 10)
+    }),
+
+    // BM25 keyword retrieval (Okapi, Lucene idf form): three term
+    // queries over the corpus; query-term dictionary broadcast-filtered
+    // before any aggregation, per-(query, doc) sums folded in term order.
+    "q127_bm25" -> ((s, dir) => {
+      import s.implicits._
+      val qs = Seq((0, "spark"), (0, "join"), (0, "fast"),
+        (1, "window"), (1, "sort"),
+        (2, "vector"), (2, "hash"), (2, "query")).toDF("query_id", "term")
+      TextAnalysis.bm25TopK(docs(s, dir), qs, k = 10)
+    }),
+
     // REAL BERT tokenizer (WordPiece.Tokenizer — HF BasicTokenizer +
     // greedy wordpiece with original-text offsets) through the same
     // distributed host as q60's stub, over the deterministic mini

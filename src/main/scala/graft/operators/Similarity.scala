@@ -295,6 +295,147 @@ object Similarity {
       .select(col(idCol), col("cluster"), col("rank"))
   }
 
+  // ---- Product quantization (Jegou et al. 2011, "Product Quantization
+  // for Nearest Neighbor Search") ----
+
+  /** Left-fold squared-L2 distance between two array<double> columns —
+    * the same element-order fold as the DuckDB oracle's list_reduce. */
+  private def sqDistCol(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x)
+
+  /**
+   * Product-quantization codebooks: split every `dim`-vector into `m`
+   * contiguous subspaces of dim/m coordinates and fit an independent
+   * deterministic Lloyd's quantizer of `ksub` centroids in each — the
+   * memory side of the 100 TB ANN story. A PQ code is m small ints
+   * (m bytes at ksub<=256) instead of 4·dim bytes of floats: at
+   * dim=64/m=8 the index compresses 32x, which is what lets a
+   * billion-vector index live in executor memory while the raw vectors
+   * stay in parquet.
+   *
+   * Scale shape: ONE aggregation pass per iteration covers ALL m
+   * subspaces — each row computes its m sub-assignments inside a single
+   * projection (m native NearestCentroid expressions over sliced
+   * vectors), the per-dim explode maps dims to (subspace, coordinate),
+   * and the exchange after map-side partial aggregation carries at most
+   * m·ksub·(dim/m) = ksub·dim rows per partition. Only the codebook
+   * matrix (ksub·dim doubles, a few KB) ever reaches the driver, once
+   * per iteration.
+   *
+   * Determinism (strict-oracle contract, same rules as
+   * [[kmeansFitCentroids]] applied per subspace): init = the ksub
+   * smallest-id rows' sub-vectors in id order (code = rank); assignment
+   * ties break to the smallest code; updated coordinates round to 6dp;
+   * a code that loses all its points drops out on both sides.
+   */
+  def pqFitCodebooks(corpus: DataFrame, m: Int = 8, ksub: Int = 16,
+      iters: Int = 2, idCol: String = "vec_id", vecCol: String = "embedding")
+      : IndexedSeq[IndexedSeq[(Int, Array[Double])]] = {
+    val vecD = col(vecCol).cast("array<double>")
+    val initRows = corpus.orderBy(col(idCol)).select(vecD.as("v")).limit(ksub)
+      .collect().map(_.getSeq[Double](0).toArray)
+    val dim = initRows.head.length
+    require(m > 0 && dim % m == 0, s"m=$m must divide dim=$dim")
+    val d = dim / m
+    var books: IndexedSeq[IndexedSeq[(Int, Array[Double])]] =
+      (0 until m).map(s => initRows.toIndexedSeq.zipWithIndex.map {
+        case (v, i) => (i, v.slice(s * d, (s + 1) * d))
+      })
+    for (_ <- 0 until iters) {
+      val asgCols = (0 until m).map(s =>
+        org.apache.spark.sql.graft.NearestCentroid(
+          slice(vecD, s * d + 1, d), books(s))("cid").as(s"c$s"))
+      val rows = corpus.select(asgCols :+ posexplode(vecD).as(Seq("pos", "x")): _*)
+        .withColumn("sub", (col("pos") / d).cast("int"))
+        .withColumn("code", element_at(
+          array((0 until m).map(s => col(s"c$s")): _*), col("sub") + 1))
+        .groupBy(col("sub"), col("code"), (col("pos") % d).as("subpos"))
+        .agg(round(avg(col("x")), 6).as("m"))
+        .collect()
+      books = (0 until m).map { s =>
+        rows.filter(_.getInt(0) == s).groupBy(_.getInt(1)).toIndexedSeq
+          .sortBy(_._1).map { case (code, rs) =>
+            (code, rs.sortBy(_.getInt(2)).map(_.getDouble(3)).toArray)
+          }
+      }
+    }
+    books
+  }
+
+  /**
+   * PQ encoding — each vector's per-subspace nearest-code assignment, in
+   * long form (id, sub, code, dist). Pure shuffle-free projection: the
+   * codebooks ride inside m native NearestCentroid expressions, the
+   * explode to one-row-per-subspace is narrow. `dist` is the exact
+   * squared-L2 of the sub-vector to its code centroid (the per-row
+   * quantization error term), rounded to 6dp.
+   */
+  def pqEncode(corpus: DataFrame,
+      books: IndexedSeq[IndexedSeq[(Int, Array[Double])]],
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val m = books.size
+    val d = books.head.head._2.length
+    val vecD = col(vecCol).cast("array<double>")
+    val entries = (0 until m).map { s =>
+      val best = org.apache.spark.sql.graft.NearestCentroid(
+        slice(vecD, s * d + 1, d), books(s))
+      struct(lit(s).as("sub"), best("cid").as("code"),
+        round(best("d"), 6).as("dist")).as(s"e$s")
+    }
+    corpus.select(col(idCol) +: entries: _*)
+      .select(col(idCol),
+        explode(array((0 until m).map(s => col(s"e$s")): _*)).as("e"))
+      .select(col(idCol), col("e")("sub").as("sub"),
+        col("e")("code").as("code"), col("e")("dist").as("dist"))
+  }
+
+  /**
+   * Asymmetric-distance (ADC) top-k over the PQ index: the query keeps
+   * its exact vector, every corpus vector is represented only by its m
+   * codes — approximate distance = Σ over subspaces of
+   * ||query_sub − codebook[code]||². The scale point is what the scoring
+   * join DOESN'T read: corpus vectors never ride it (the encode
+   * projection reduces each row to m small ints before the broadcast
+   * crossJoin), so the scan side is the 32x-compressed index, not the
+   * parquet floats. Recall < 1 by construction (quantization error).
+   *
+   * The per-pair kernel here evaluates the per-subspace fold directly
+   * (O(dim) per pair) so the double arithmetic is bit-identical to the
+   * DuckDB oracle's per-subspace list_reduce folds summed in subspace
+   * order; a production kernel hoists the per-query distance table
+   * (m·ksub entries) out of the pair loop for O(m) per pair — an
+   * algebraically identical regrouping of the same sums.
+   *
+   * Output: (query_id, vec_id, adc, rank), rank by ascending ADC, ties
+   * to the smaller corpus id.
+   */
+  def pqTopK(corpus: DataFrame, queries: DataFrame,
+      books: IndexedSeq[IndexedSeq[(Int, Array[Double])]], k: Int = 10,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      queryIdCol: String = "query_id"): DataFrame = {
+    val m = books.size
+    val d = books.head.head._2.length
+    val vecD = col(vecCol).cast("array<double>")
+    val bookMaps = books.map(b =>
+      typedLit(b.map { case (c, v) => (c, v.toSeq) }.toMap))
+    val codeCols = (0 until m).map(s =>
+      org.apache.spark.sql.graft.NearestCentroid(
+        slice(vecD, s * d + 1, d), books(s))("cid").as(s"c$s"))
+    val encoded = corpus.select(col(idCol) +: codeCols: _*)
+    val q = broadcast(queries.select(col(queryIdCol), vecD.as("q_vec")))
+    val adc = (0 until m).map { s =>
+      sqDistCol(slice(col("q_vec"), s * d + 1, d),
+        element_at(bookMaps(s), col(s"c$s")))
+    }.reduceLeft(_ + _)
+    val w = Window.partitionBy(queryIdCol).orderBy(col("adc"), col(idCol))
+    encoded.crossJoin(q)
+      .withColumn("adc", round(adc, 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(queryIdCol), col(idCol), col("adc"), col("rank"))
+  }
+
   /**
    * Approximate top-k via sign-LSH: candidates share the query's bucket or
    * any single-bit-flip neighbor; exact cosine re-rank inside candidates.

@@ -296,6 +296,61 @@ object TextAnalysis {
   }
 
   /**
+   * BM25 keyword retrieval — Okapi BM25 (Robertson & Walker; the Lucene
+   * `(1 + (N − df + 0.5)/(df + 0.5))` idf form, always positive) scored
+   * top-k per query over the corpus. The curation use: pull topic slices
+   * out of a pretraining corpus by keyword relevance rather than
+   * substring match. `queries` is a long-form (query_id, term) relation.
+   *
+   * score(q, d) = Σ_{t∈q} idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))
+   *
+   * Scale shape: the query-term dictionary broadcasts and filters the
+   * exploded token stream BEFORE any aggregation, so tf/df relations are
+   * bounded by |query terms ∩ corpus|, not the vocabulary; N and avgdl
+   * are one broadcast 1-row aggregate; the only per-doc shuffles carry
+   * narrow (doc, term, tf) and (query, doc, score) rows — corpus text
+   * never rides an exchange. The per-(query, doc) term sum folds in TERM
+   * ORDER (array_sort over (term, score) structs) so the double score is
+   * reproducible across partitionings and engines; ranks break ties by
+   * doc id. With a huge query batch the final per-query window would
+   * become the bottleneck — swap it for a bounded top-k aggregator; the
+   * tf/df front end is unchanged.
+   */
+  def bm25TopK(docs: DataFrame, queries: DataFrame, k: Int = 10,
+      k1: Double = 1.2, b: Double = 0.75, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dl = docs.select(col(idCol).as("doc_id"),
+      size(words(col(textCol))).cast("double").as("dl"))
+    val stats = dl
+      .agg(count(lit(1)).cast("double").as("__n"), sum(col("dl")).as("__s"))
+      .select(col("__n"), (col("__s") / col("__n")).as("__avgdl"))
+    val qTerms = queries.select(col("query_id"), col("term"))
+    val terms = docs
+      .select(col(idCol).as("doc_id"), explode(words(col(textCol))).as("term"))
+      .join(broadcast(qTerms.select("term").distinct()), "term")
+    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = tf.join(broadcast(df), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log(lit(1.0) + (col("__n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("s", col("idf") * (col("tf") * lit(k1 + 1)) /
+        (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("__avgdl"))))
+      .join(broadcast(qTerms), "term")
+    val agg = scored.groupBy("query_id", "doc_id")
+      .agg(aggregate(array_sort(collect_list(struct(col("term"), col("s")))),
+        lit(0.0), (acc, e) => acc + e("s")).as("raw"))
+      // non-negative → half-up floor == round, without the BigDecimal path
+      .withColumn("score", floor(col("raw") * 1e4 + 0.5) / 1e4)
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("doc_id"))
+    agg.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("doc_id"), col("score"), col("rank"))
+  }
+
+  /**
    * Statistical-LM fluency scoring, the model-based quality filter of a
    * training pipeline (CCNet/KenLM-style, green-field): a bigram MLE
    * model is estimated from the corpus itself and every document scored

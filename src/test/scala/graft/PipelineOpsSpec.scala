@@ -796,6 +796,95 @@ class PipelineOpsSpec extends GraftSuite {
     assert(gapsOne < 50, s"shard order looks id-sorted: $gapsOne consecutive-id adjacencies")
   }
 
+  test("pq: codebooks are independent per-subspace kmeans over sliced vectors") {
+    // dim=4, m=2: subspace 0 carries the kmeans-test blobs, subspace 1
+    // carries the SAME blobs with ids swapped between blobs — so the two
+    // subspaces must converge to the same centroid set but assign
+    // opposite codes, which a cross-subspace mixup cannot fake.
+    val pts = Seq(
+      (0L, Seq(0.0f, 0.0f, 10.0f, 10.0f)), (1L, Seq(10.0f, 10.0f, 0.0f, 0.0f)),
+      (2L, Seq(0.2f, 0.0f, 10.2f, 10.0f)), (3L, Seq(10.2f, 10.0f, 0.2f, 0.0f)),
+      (4L, Seq(0.0f, 0.2f, 10.0f, 10.2f)), (5L, Seq(10.0f, 10.2f, 0.0f, 0.2f))
+    ).toDF("vec_id", "embedding")
+    val books = Similarity.pqFitCodebooks(pts, m = 2, ksub = 2, iters = 2)
+    assert(books.size == 2)
+    assert(books(0).map(_._1) == Seq(0, 1))
+    assert(books(0)(0)._2.toSeq == Seq(0.066667, 0.066667))
+    assert(books(0)(1)._2.toSeq == Seq(10.066667, 10.066667))
+    // subspace 1: id 0 (the init for code 0) carries the FAR blob there
+    assert(books(1)(0)._2.toSeq == Seq(10.066667, 10.066667))
+    assert(books(1)(1)._2.toSeq == Seq(0.066667, 0.066667))
+    val enc = Similarity.pqEncode(pts, books).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getInt(2)).toMap
+    assert(enc == Map(
+      (0L, 0) -> 0, (0L, 1) -> 0, (1L, 0) -> 1, (1L, 1) -> 1,
+      (2L, 0) -> 0, (2L, 1) -> 0, (3L, 0) -> 1, (3L, 1) -> 1,
+      (4L, 0) -> 0, (4L, 1) -> 0, (5L, 0) -> 1, (5L, 1) -> 1))
+  }
+
+  test("pq: empty code drops out of its subspace's book only") {
+    // subspace 0: both init sub-vectors identical → code 1 empties there;
+    // subspace 1: distinct blobs → both codes survive
+    val pts = Seq(
+      (0L, Seq(0.0f, 0.0f, 0.0f, 0.0f)), (1L, Seq(0.0f, 0.0f, 5.0f, 5.0f)),
+      (2L, Seq(1.0f, 1.0f, 5.0f, 5.0f))
+    ).toDF("vec_id", "embedding")
+    val books = Similarity.pqFitCodebooks(pts, m = 2, ksub = 2, iters = 1)
+    assert(books(0).map(_._1) == Seq(0))
+    assert(books(1).map(_._1) == Seq(0, 1))
+  }
+
+  test("pqTopK: ADC matches a driver-side recomputation from the books, " +
+      "and ranks exactly when quantization error is zero") {
+    val pts = Seq(
+      (0L, Seq(0.0f, 0.0f, 10.0f, 10.0f)), (1L, Seq(10.0f, 10.0f, 0.0f, 0.0f)),
+      (2L, Seq(0.2f, 0.0f, 10.2f, 10.0f)), (3L, Seq(10.2f, 10.0f, 0.2f, 0.0f)),
+      (4L, Seq(0.0f, 0.2f, 10.0f, 10.2f)), (5L, Seq(10.0f, 10.2f, 0.0f, 0.2f))
+    ).toDF("vec_id", "embedding")
+    val books = Similarity.pqFitCodebooks(pts, m = 2, ksub = 2, iters = 2)
+    val q = pts.filter($"vec_id" < 2)
+      .select($"vec_id".as("query_id"), $"embedding")
+    val out = Similarity.pqTopK(pts, q, books, k = 6).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getDouble(2), r.getInt(3))).toMap
+    // driver-side reference: encode each corpus vector per subspace,
+    // ADC = sum over subspaces of ||q_sub - codeword||^2 in subspace order
+    val vecs = pts.collect().map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble)).toMap
+    def sq(a: Seq[Double], b: Seq[Double]) =
+      a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + (x - y) * (x - y) }
+    def code(v: Seq[Double], s: Int) =
+      books(s).minBy { case (c, cw) => (sq(v.slice(s * 2, s * 2 + 2), cw.toSeq), c) }._2
+    for (qi <- Seq(0L, 1L); ci <- vecs.keys) {
+      val expect = round6((0 until 2).map(s =>
+        sq(vecs(qi).slice(s * 2, s * 2 + 2), code(vecs(ci), s).toSeq)).reduceLeft(_ + _))
+      assert(out((qi, ci))._1 == expect, s"adc mismatch q=$qi c=$ci")
+    }
+    // every same-blob pair beats every cross-blob pair (blob separation
+    // >> jitter + quantization error), so top-3 of each query = its blob
+    assert(out.collect { case ((0L, c), (_, r)) if r <= 3 => c }.toSet == Set(0L, 2L, 4L))
+    assert(out.collect { case ((1L, c), (_, r)) if r <= 3 => c }.toSet == Set(1L, 3L, 5L))
+  }
+
+  test("bm25TopK matches the hand formula; multi-term sums fold per term") {
+    val docs = Seq(
+      (0L, "cat dog"), (1L, "cat cat fish"), (2L, "bird")
+    ).toDF("doc_id", "text")
+    val qs = Seq((0, "cat"), (1, "cat"), (1, "fish")).toDF("query_id", "term")
+    val out = TextAnalysis.bm25TopK(docs, qs, k = 10).collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> (r.getDouble(2), r.getInt(3))).toMap
+    val n = 3.0; val avgdl = 2.0
+    def s(tf: Long, df: Long, dl: Double) =
+      math.log(1.0 + (n - df + 0.5) / (df + 0.5)) * (tf * (1.2 + 1)) /
+        (tf + 1.2 * ((1 - 0.75) + 0.75 * dl / avgdl))
+    def r4(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
+    // query 0 = {cat}: doc 1 (tf=2) outranks doc 0 (tf=1); doc 2 absent
+    assert(out((0, 1L)) == (r4(s(2, 2, 3)), 1))
+    assert(out((0, 0L)) == (r4(s(1, 2, 2)), 2))
+    assert(!out.contains((0, 2L)))
+    // query 1 = {cat, fish}: doc 1 sums both terms in term order
+    assert(out((1, 1L)) == (r4(s(2, 2, 3) + s(1, 1, 3)), 1))
+    assert(out((1, 0L)) == (r4(s(1, 2, 2)), 2))
+  }
+
   private def round6(x: Double): Double =
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 }

@@ -31,6 +31,18 @@ class PlanShapeSpec extends GraftSuite {
     }
   }
 
+  test("pqEncode plans as a pure projection — no Exchange") {
+    // The PQ index build promises "shuffle-free projection": codebooks
+    // ride inside native expressions, the per-subspace explode is narrow.
+    val pts = (0L until 40L).map(i =>
+      (i, Seq.tabulate(4)(j => (i % 7 + j).toFloat))).toDF("vec_id", "embedding")
+    val books = graft.operators.Similarity.pqFitCodebooks(pts, m = 2, ksub = 4, iters = 1)
+    val plan = graft.operators.Similarity.pqEncode(pts, books)
+      .queryExecution.executedPlan
+    assert(plan.collect { case e: Exchange => e }.isEmpty,
+      s"expected a shuffle-free encode projection, got:\n$plan")
+  }
+
   test("prfScores reads the gold subtree once (ReusedExchange in final plan)") {
     val pred = (0L until 200L).map(i => (i % 20, i, i + 1, "K"))
       .toDF("doc_id", "b", "e", "ent_type")
