@@ -88,6 +88,15 @@ object ScaleSmoke {
       ("tokenize", d => Tokenize.normalizedTokens(d).count(), null),
       ("extract_regex", d => Extract.extractRegex(d, "\\bs[a-z0-9]*").count(), null),
       ("vocabulary", d => TextAnalysis.vocabulary(d).count(), null),
+      // BM25: fixed query set — tf/df relations are bounded by the
+      // query-term dictionary, so work is one linear filtered explode +
+      // narrow aggregations; output fixed k per query
+      ("bm25_topk", d => {
+        val qs = d.sparkSession.createDataFrame(Seq(
+          (0, "spark"), (0, "join"), (1, "window"), (1, "sort")))
+          .toDF("query_id", "term")
+        TextAnalysis.bm25TopK(d, qs, k = 10).count()
+      }, null),
       ("minhash_bands", d => d.select(col("doc_id"),
         posexplode(Dedup.lshBandKeys(Dedup.minhashSignature(col("text"), 8, 3), 8, 4))
           .as(Seq("band", "key")))
@@ -310,6 +319,22 @@ object ScaleSmoke {
       ("ann_lsh_topk", (e, _) => lsh(e)),
       ("ann_ivf_topk", (e, _) => ivf(e)),
       ("kmeans_fit_assign", (e, _) => km(e)),
+      // PQ at fixed (m, ksub): fit is one aggregation pass per iteration
+      // (N×ksub per subspace but ksub fixed), encode a shuffle-free
+      // projection — both must scale with corpus size only
+      ("pq_fit_encode", (e, _) => {
+        val ed = embD(e)
+        Similarity.pqEncode(ed,
+          Similarity.pqFitCodebooks(ed, m = 8, ksub = 16, iters = 2)).count()
+      }),
+      // PQ ADC top-k: fixed query set, candidates linear, output fixed k
+      ("pq_adc_topk", (e, _) => {
+        val ed = embD(e)
+        val q = ed.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("query_id"), col("embedding"))
+        Similarity.pqTopK(ed, q,
+          Similarity.pqFitCodebooks(ed, m = 8, ksub = 16, iters = 2), k = 10).count()
+      }),
       ("semantic_dedup", (e, t) => sem(e, 8 * math.pow(10, t).toInt)),
       ("semantic_dedup_scaled", (e, t) => semScaled(e, 8 * math.pow(10, t).toInt)),
       // diversity sampling under its 100 TB knobs (k grows with the
