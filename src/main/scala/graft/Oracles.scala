@@ -244,6 +244,27 @@ object Oracles {
     sb.toString
   }
 
+  /** Corpus-estimated bigram-LM CTE chain (mirror of
+    * TextAnalysis.bigramLogProb): unigram/bigram hash counts, per-position
+    * log conditionals, and `agg(doc_id, n_bigrams, avg_lp)` with the
+    * position-ordered fold. Shared by q86 and q128. */
+  lazy val BigramLmCte: String =
+    s"""ws0 AS (SELECT doc_id, $Words AS w FROM documents),
+       |u AS (SELECT doc_id, generate_subscripts(ul, 1) - 1 AS pos, unnest(ul) AS h1
+       |  FROM (SELECT doc_id, list_transform(w, x -> ${H("x")}) AS ul FROM ws0)),
+       |b AS (SELECT doc_id, generate_subscripts(bl, 1) - 1 AS pos, unnest(bl) AS h2
+       |  FROM (SELECT doc_id, list_transform(generate_series(0, len(w) - 2),
+       |    i -> ${H("array_to_string(list_slice(w, i + 1, i + 2), ' ')")}) AS bl FROM ws0)),
+       |uc AS (SELECT h1, count(*) AS c1 FROM u GROUP BY h1),
+       |bc AS (SELECT h2, count(*) AS c2 FROM b GROUP BY h2),
+       |lp AS (SELECT b.doc_id, b.pos, ln(CAST(c2 AS DOUBLE) / c1) AS lp
+       |  FROM b JOIN u ON b.doc_id = u.doc_id AND b.pos = u.pos
+       |  JOIN bc USING (h2) JOIN uc USING (h1)),
+       |agg AS (SELECT doc_id, count(*) AS n_bigrams,
+       |    round(list_reduce(list_prepend(0.0, list(lp ORDER BY pos)),
+       |      (a, x) -> a + x) / count(*), 4) AS avg_lp
+       |  FROM lp GROUP BY doc_id)""".stripMargin
+
   /** Unrolled product-quantization CTE chain, mirror of
     * Similarity.pqFitCodebooks step for step but vectorized over the
     * subspace axis: `psv` (id, sub, sliced sub-vector), `pqf` (per-dim
@@ -726,23 +747,25 @@ object Oracles {
     // on the portable gram hashes, ln(c2/c1) per position, position-
     // ordered fold for the per-doc mean.
     "q86_bigram_lm" ->
-      s"""WITH ws0 AS (SELECT doc_id, $Words AS w FROM documents),
-         |u AS (SELECT doc_id, generate_subscripts(ul, 1) - 1 AS pos, unnest(ul) AS h1
-         |  FROM (SELECT doc_id, list_transform(w, x -> ${H("x")}) AS ul FROM ws0)),
-         |b AS (SELECT doc_id, generate_subscripts(bl, 1) - 1 AS pos, unnest(bl) AS h2
-         |  FROM (SELECT doc_id, list_transform(generate_series(0, len(w) - 2),
-         |    i -> ${H("array_to_string(list_slice(w, i + 1, i + 2), ' ')")}) AS bl FROM ws0)),
-         |uc AS (SELECT h1, count(*) AS c1 FROM u GROUP BY h1),
-         |bc AS (SELECT h2, count(*) AS c2 FROM b GROUP BY h2),
-         |lp AS (SELECT b.doc_id, b.pos, ln(CAST(c2 AS DOUBLE) / c1) AS lp
-         |  FROM b JOIN u ON b.doc_id = u.doc_id AND b.pos = u.pos
-         |  JOIN bc USING (h2) JOIN uc USING (h1)),
-         |agg AS (SELECT doc_id, count(*) AS n_bigrams,
-         |    round(list_reduce(list_prepend(0.0, list(lp ORDER BY pos)),
-         |      (a, x) -> a + x) / count(*), 4) AS avg_lp
-         |  FROM lp GROUP BY doc_id)
+      s"""WITH $BigramLmCte
          |SELECT d.doc_id, coalesce(agg.n_bigrams, 0) AS n_bigrams, agg.avg_lp
          |FROM documents d LEFT JOIN agg USING (doc_id)""".stripMargin,
+
+    // CCNet-style perplexity bucketing: q86's bigram-LM scores, then a
+    // per-language cume_dist over the unique (avg_lp DESC NULLS LAST,
+    // doc_id) ordering and head/middle/tail labels.
+    "q128_ccnet_buckets" ->
+      s"""WITH $BigramLmCte,
+         |sc AS (SELECT d.doc_id, d.lang, coalesce(agg.n_bigrams, 0) AS n_bigrams, agg.avg_lp
+         |  FROM documents d LEFT JOIN agg USING (doc_id)),
+         |pc AS (SELECT *, round(cume_dist() OVER (PARTITION BY lang
+         |    ORDER BY avg_lp DESC NULLS LAST, doc_id), 6) AS pct FROM sc)
+         |SELECT doc_id, lang, n_bigrams, avg_lp, pct,
+         |  CASE WHEN avg_lp IS NULL THEN 'tail'
+         |       WHEN pct <= 0.3 THEN 'head'
+         |       WHEN pct <= 1.0 - 0.3 THEN 'middle'
+         |       ELSE 'tail' END AS bucket
+         |FROM pc""".stripMargin,
 
     // Mirror of the q87 corpus datasheet: same quality arithmetic as q08,
     // folded as an exact integer sum before one final double division.

@@ -931,6 +931,11 @@ object SparkEntry {
     "q86_bigram_lm" -> ((s, dir) =>
       TextAnalysis.bigramLogProb(docs(s, dir))),
 
+    // CCNet-style perplexity bucketing: q86's fluency scores bucketed
+    // head/middle/tail per language by cume_dist percentile.
+    "q128_ccnet_buckets" -> ((s, dir) =>
+      TextAnalysis.ccnetBuckets(docs(s, dir))),
+
     // Corpus datasheet: per (source, lang) doc/token counts and mean
     // quality. The mean folds an exact integer sum of round(q*10000)
     // (quality is already 4dp) so the double division at the end is the

@@ -394,6 +394,45 @@ object TextAnalysis {
   }
 
   /**
+   * CCNet-style perplexity bucketing (Wenzek et al. 2020): score every
+   * document with the corpus-estimated bigram LM ([[bigramLogProb]], the
+   * KenLM seat in this engine) and bucket it head/middle/tail WITHIN its
+   * language by fluency percentile — head = the most fluent `headFrac`
+   * of each language, tail = the least fluent `tailFrac`. The canonical
+   * curation rule ("train on head+middle, drop tail") is then a plain
+   * filter on `bucket`, per language, with no absolute threshold to tune
+   * across languages of different model quality.
+   *
+   * Scale shape: inherits [[bigramLogProb]]'s narrow gram-hash shuffles,
+   * then ONE window over the slim (doc_id, lang, n_bigrams, avg_lp)
+   * relation, partitioned by language — document text never rides the
+   * percentile sort. Determinism: the window orders by (avg_lp DESC
+   * NULLS LAST, doc_id), a unique composite, so cume_dist is exactly
+   * rank/N on both engines; scoreless docs (< 2 words) sort last and are
+   * pinned to "tail" explicitly.
+   */
+  def ccnetBuckets(docs: DataFrame, headFrac: Double = 0.3,
+      tailFrac: Double = 0.3, idCol: String = "doc_id",
+      textCol: String = "text", langCol: String = "lang"): DataFrame = {
+    require(headFrac >= 0 && tailFrac >= 0 && headFrac + tailFrac <= 1.0,
+      s"head/tail fractions must be non-negative and sum <= 1")
+    import org.apache.spark.sql.expressions.Window
+    val scored = bigramLogProb(docs, idCol, textCol)
+    val w = Window.partitionBy("lang")
+      .orderBy(col("avg_lp").desc_nulls_last, col("doc_id"))
+    scored
+      .join(docs.select(col(idCol).as("doc_id"), col(langCol).as("lang")), "doc_id")
+      .withColumn("pct", round(cume_dist().over(w), 6))
+      .withColumn("bucket",
+        when(col("avg_lp").isNull, "tail")
+          .when(col("pct") <= headFrac, "head")
+          .when(col("pct") <= lit(1.0) - tailFrac, "middle")
+          .otherwise("tail"))
+      .select(col("doc_id"), col("lang"), col("n_bigrams"), col("avg_lp"),
+        col("pct"), col("bucket"))
+  }
+
+  /**
    * Deterministic quality-weighted subsampling (the resampling stage of a
    * data-mixing pipeline): document kept iff `u < rate × quality`, where
    * `u` = portableHash(text)/P is a reproducible pseudo-uniform in [0,1).

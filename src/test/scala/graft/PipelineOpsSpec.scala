@@ -885,6 +885,38 @@ class PipelineOpsSpec extends GraftSuite {
     assert(out((1, 0L)) == (r4(s(1, 2, 2)), 2))
   }
 
+  test("ccnetBuckets: per-language percentile buckets; scoreless docs pinned to tail") {
+    val texts = Seq("alpha beta alpha beta alpha beta", "alpha beta alpha beta gamma",
+      "alpha beta gamma delta", "gamma delta epsilon zeta", "epsilon zeta eta theta",
+      "one two three four", "two three four five", "three four five six",
+      "four five six seven", "five six seven eight")
+    val docs = (texts.zipWithIndex.map { case (t, i) => (i.toLong, t, "en") } ++
+      texts.zipWithIndex.map { case (t, i) => ((i + 100).toLong, t + " nine ten", "fr") } ++
+      Seq((200L, "solo", "fr")))
+      .toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.ccnetBuckets(docs).collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Double]), r.getDouble(4), r.getString(5)))
+    // one-word doc: no bigrams → null score, explicit tail
+    val solo = out.find(_._1 == 200L).get
+    assert(solo._3 == 0L && solo._4.isEmpty && solo._6 == "tail")
+    // buckets must equal a driver-side recomputation from the scores:
+    // rank by (avg_lp desc nulls last, doc_id), pct = rank/N rounded 6dp
+    for (lang <- Seq("en", "fr")) {
+      val g = out.filter(_._2 == lang)
+        .sortBy(x => (x._4.isEmpty, -x._4.getOrElse(0.0), x._1))
+      g.zipWithIndex.foreach { case (x, i) =>
+        val pct = round6((i + 1).toDouble / g.size)
+        val want = if (x._4.isEmpty) "tail"
+          else if (pct <= 0.3) "head"
+          else if (pct <= 1.0 - 0.3) "middle" else "tail"
+        assert(x._5 == pct && x._6 == want, s"$lang doc ${x._1}: got $x want ($pct, $want)")
+      }
+      // 10 scored docs per language → 3 head; en has 3 tail, fr 3+solo
+      assert(g.count(_._6 == "head") == 3)
+    }
+  }
+
   private def round6(x: Double): Double =
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 }
