@@ -1080,6 +1080,25 @@ object Oracles {
          |   FROM scored)
          |WHERE rn <= 10""".stripMargin,
 
+    // Hard-negative mining: q19's sign-LSH bucket/probe chain, but every
+    // vector is an anchor and candidates must carry a different label.
+    "q129_hard_negatives" ->
+      s"""WITH $EmbCte,
+         |lb AS (SELECT vec_id AS id, label FROM embeddings),
+         |bk AS (SELECT id, v, ${bucket("v")} AS bucket FROM ed),
+         |pr AS (SELECT id AS a_id, $ProbeExpr FROM bk),
+         |cand AS (SELECT DISTINCT pr.a_id, bk.id AS n_id FROM pr
+         |  JOIN bk ON pr.pb = bk.bucket
+         |  JOIN lb la ON la.id = pr.a_id JOIN lb ln ON ln.id = bk.id
+         |  WHERE pr.a_id <> bk.id AND la.label <> ln.label),
+         |scored AS (SELECT c.a_id AS anchor_id, c.n_id AS neg_id,
+         |    round(${cos("a.v", "n.v")}, 6) AS cos
+         |  FROM cand c JOIN ed a ON a.id = c.a_id JOIN ed n ON n.id = c.n_id)
+         |SELECT anchor_id, neg_id, cos, rn AS rank FROM
+         |  (SELECT *, CAST(row_number() OVER (PARTITION BY anchor_id
+         |     ORDER BY cos DESC, neg_id) AS INTEGER) AS rn FROM scored)
+         |WHERE rn <= 3""".stripMargin,
+
     // BM25 retrieval: same expression-tree groupings as the engine
     // ((idf * (tf*(k1+1))) / (tf + k1*((1-b) + b*dl/avgdl))), term-ordered
     // fold of per-term scores, half-up 4dp floor, ties by doc_id.

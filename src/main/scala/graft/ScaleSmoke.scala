@@ -319,6 +319,19 @@ object ScaleSmoke {
       ("ann_lsh_topk", (e, _) => lsh(e)),
       ("ann_ivf_topk", (e, _) => ivf(e)),
       ("kmeans_fit_assign", (e, _) => km(e)),
+      // hard-negative mining: EVERY vector is an anchor, so at FIXED
+      // nPlanes bucket populations grow with the corpus and the candidate
+      // self-join is N²/2^nPlanes — this row documents that super-linear
+      // shape on purpose (measured 17.6 at 10x)
+      ("hard_negatives_fixed_planes", (e, _) =>
+        Similarity.hardNegatives(embD(e), k = 3).count()),
+      // the operating shape: nPlanes grows with the corpus
+      // (≈ log2(N / target bucket size)) AND the dense-cluster valve caps
+      // each bucket's neighbor side — candidates per anchor bounded at
+      // (nPlanes+1)·maxBucket regardless of how clustered the data is
+      ("hard_negatives_scaled", (e, t) =>
+        Similarity.hardNegatives(embD(e), k = 3, nPlanes = 8 + 4 * t,
+          maxBucket = 64).count()),
       // PQ at fixed (m, ksub): fit is one aggregation pass per iteration
       // (N×ksub per subspace but ksub fixed), encode a shuffle-free
       // projection — both must scale with corpus size only

@@ -768,6 +768,12 @@ object SparkEntry {
         nprobe = 2, k = 10)
     }),
 
+    // Hard-negative mining: every anchor's top-3 most-similar
+    // DIFFERENT-label vectors via LSH-bucketed candidates — the
+    // contrastive-training-pair generator.
+    "q129_hard_negatives" -> ((s, dir) =>
+      Similarity.hardNegatives(embedsD(s, dir), k = 3)),
+
     // Product quantization (m=8 subspaces x 16 codes over the 64-dim
     // embeddings): per-subspace Lloyd's codebooks (q94's determinism
     // rules applied per subspace, ONE aggregation pass per iteration for

@@ -295,6 +295,75 @@ object Similarity {
       .select(col(idCol), col("cluster"), col("rank"))
   }
 
+  /**
+   * Hard-negative mining for contrastive / metric learning: for EVERY
+   * anchor vector, the top-`k` most-similar vectors carrying a DIFFERENT
+   * label — the "closest wrong answers" that make informative training
+   * negatives (easy random negatives teach an embedding model nothing).
+   *
+   * Scale shape: anchors never scan the corpus — candidates come from
+   * sign-LSH buckets with one-sided single-bit multi-probe (the
+   * [[graft.operators.Dedup.embeddingDupPairs]] pattern): only the
+   * narrow (id, bucket, label) relation rides the ×(nPlanes+1) probe
+   * explode and self-join, the label-mismatch filter prunes candidates
+   * BEFORE pair dedup, and vectors join back once for the exact-cosine
+   * re-rank of surviving candidates. Recall < 1 by construction (a
+   * hard negative in a bucket ≥ 2 bit-flips away is missed) — the
+   * standard ANN-mining trade; raise nPlanes probing or union multiple
+   * hash families to tighten it.
+   *
+   * Two SCALE knobs, both recall trades:
+   *  - `nPlanes`: bucket count is 2^nPlanes, so at fixed nPlanes bucket
+   *    populations grow ∝ corpus and the candidate self-join goes
+   *    N²/2^nPlanes — grow nPlanes with the corpus
+   *    (≈ log2(N / target bucket size)).
+   *  - `maxBucket` (0 = off): more planes cannot split a bucket whose
+   *    members are GENUINELY similar (dense semantic clusters keep
+   *    bucket populations ∝ corpus at any nPlanes) — the same monster-
+   *    bucket problem as MinHash boilerplate, with the same valve: cap
+   *    the neighbor side of each bucket at its `maxBucket` smallest-id
+   *    members, bounding candidates per anchor at
+   *    (nPlanes+1)·maxBucket. Anchors are never dropped — every vector
+   *    still gets negatives; dense-cluster anchors just rank a capped
+   *    candidate set. Deterministic (id order), and measured linear in
+   *    ScaleSmoke's `hard_negatives_scaled` row; the fixed-knob row is
+   *    super-linear at 10x by construction.
+   *
+   * Output: (anchor_id, neg_id, cos, rank), rank by descending cosine,
+   * ties to the smaller neighbor id.
+   */
+  def hardNegatives(corpus: DataFrame, k: Int = 3, nPlanes: Int = 8,
+      maxBucket: Int = 0, idCol: String = "vec_id",
+      vecCol: String = "embedding", labelCol: String = "label"): DataFrame = {
+    val withV = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val withB = corpus.select(col(idCol).as("id"), col(labelCol).as("lbl"),
+      Dedup.signBucket(col(vecCol), nPlanes).as("bucket"))
+    val probed = withB.select(col("id").as("a_id"), col("lbl").as("a_lbl"),
+      explode(array((col("bucket") +: (0 until nPlanes).map(p =>
+        col("bucket").bitwiseXOR(lit(1L << p)))): _*)).as("pbucket"))
+    // dense-cluster valve: the NEIGHBOR side of a bucket is capped at its
+    // maxBucket smallest-id members (narrow (bucket, id, lbl) window)
+    val neighbors0 = withB.select(col("bucket").as("pbucket"),
+      col("id").as("n_id"), col("lbl").as("n_lbl"))
+    val neighbors = if (maxBucket <= 0) neighbors0 else {
+      val wb = Window.partitionBy("pbucket").orderBy(col("n_id"))
+      neighbors0.withColumn("__r", row_number().over(wb))
+        .filter(col("__r") <= maxBucket).drop("__r")
+    }
+    val cand = probed
+      .join(neighbors, "pbucket")
+      .filter(col("a_id") =!= col("n_id") && col("a_lbl") =!= col("n_lbl"))
+      .select("a_id", "n_id").dropDuplicates("a_id", "n_id")
+    val w = Window.partitionBy("anchor_id").orderBy(col("cos").desc, col("neg_id"))
+    cand
+      .join(withV.select(col("id").as("a_id"), col("v").as("a_v")), "a_id")
+      .join(withV.select(col("id").as("n_id"), col("v").as("n_v")), "n_id")
+      .select(col("a_id").as("anchor_id"), col("n_id").as("neg_id"),
+        round(tensor.cosine(col("a_v"), col("n_v")), 6).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   // ---- Product quantization (Jegou et al. 2011, "Product Quantization
   // for Nearest Neighbor Search") ----
 

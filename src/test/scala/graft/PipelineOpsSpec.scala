@@ -917,6 +917,31 @@ class PipelineOpsSpec extends GraftSuite {
     }
   }
 
+  test("hardNegatives: nearest different-label vectors; same label excluded; " +
+      "partition-invariant") {
+    val pts = Seq(
+      (0L, Seq(1.0f, 0.0f), 0), (1L, Seq(1.0f, 0.0f), 1),
+      (2L, Seq(1.0f, 0.05f), 0), (3L, Seq(0.0f, 1.0f), 1),
+      (4L, Seq(0.0f, 1.0f), 0), (5L, Seq(0.0f, 1.05f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val lbl = Map(0L -> 0, 1L -> 1, 2L -> 0, 3L -> 1, 4L -> 0, 5L -> 1)
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Similarity.hardNegatives(df, k = 2).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    val out = run(pts)
+    assert(out.nonEmpty)
+    assert(out.forall { case (a, n, _, _) => lbl(a) != lbl(n) })
+    // an identical-vector opposite-label mate shares the anchor's exact
+    // bucket, so it is always found and always rank 1 (cos = 1.0)
+    assert(out.filter(x => x._1 == 0L && x._4 == 1).map(_._2).toSeq == Seq(1L))
+    assert(out.filter(x => x._1 == 1L && x._4 == 1).map(_._2).toSeq == Seq(0L))
+    assert(out.filter(x => x._1 == 3L && x._4 == 1).map(_._2).toSeq == Seq(4L))
+    assert(out.filter(x => x._1 == 0L && x._4 == 1).map(_._3).toSeq == Seq(1.0))
+    // deterministic under repartitioning
+    assert(run(pts.repartition(7)).sortBy(x => (x._1, x._4)).toSeq ==
+      out.sortBy(x => (x._1, x._4)).toSeq)
+  }
+
   private def round6(x: Double): Double =
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 }
