@@ -1080,6 +1080,33 @@ object Oracles {
          |   FROM scored)
          |WHERE rn <= 10""".stripMargin,
 
+    // Tokenizer fertility: integer sums per language, single double
+    // divisions mirrored with the engine's floor(x*1e4+0.5)/1e4 grouping.
+    "q130_fertility" ->
+      s"""WITH x AS (SELECT lang, CAST(len($Words) AS BIGINT) AS nw,
+         |    CAST(len(regexp_extract_all(text, '[A-Za-z0-9]{1,4}|[^A-Za-z0-9\\s]')) AS BIGINT) AS nt,
+         |    CAST(len(text) AS BIGINT) AS nc FROM documents),
+         |a AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(nw) AS BIGINT) AS words, CAST(sum(nt) AS BIGINT) AS tokens,
+         |    CAST(sum(nc) AS BIGINT) AS chars FROM x GROUP BY lang)
+         |SELECT lang, n_docs, words, tokens, chars,
+         |  floor(tokens / words * 1e4 + 0.5) / 1e4 AS fertility,
+         |  floor(chars / tokens * 1e4 + 0.5) / 1e4 AS chars_per_token
+         |FROM a""".stripMargin,
+
+    // N-gram novelty: the q10 shingle-hash sets, gram doc-frequency by
+    // hash, per-doc shared-gram ratio with the engine's rounding.
+    "q131_ngram_novelty" ->
+      s"""WITH $ShingleCte,
+         |g AS (SELECT doc_id, unnest(h) AS h FROM hs),
+         |dfq AS (SELECT h, CAST(count(*) AS BIGINT) AS nd FROM g GROUP BY h),
+         |a AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         |    CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS shared_grams
+         |  FROM g JOIN dfq USING (h) GROUP BY doc_id)
+         |SELECT doc_id, n_grams, shared_grams,
+         |  floor((1.0 - shared_grams / n_grams) * 1e4 + 0.5) / 1e4 AS novelty
+         |FROM a""".stripMargin,
+
     // Hard-negative mining: q19's sign-LSH bucket/probe chain, but every
     // vector is an anchor and candidates must carry a different label.
     "q129_hard_negatives" ->

@@ -104,6 +104,9 @@ object ScaleSmoke {
       ("simhash_wide_chunks", d => d.select(col("doc_id"),
         Dedup.simhashWide(col("text"), 2).as("fps")).count(), null),
       ("exact_dup_pairs", d => Dedup.exactDupPairs(d).count(), null),
+      // novelty: gram-hash-keyed shuffles only, same family as the
+      // decontamination/leakage ops
+      ("ngram_novelty", d => TextAnalysis.ngramNovelty(d).count(), null),
       ("iob_spans", d => Iob.iobToSpans(
         Tokenize.normalizedTokens(d)
           .withColumn("ent_iob", when(col("text") === "key", "B").otherwise("O"))

@@ -942,6 +942,16 @@ object SparkEntry {
     "q128_ccnet_buckets" -> ((s, dir) =>
       TextAnalysis.ccnetBuckets(docs(s, dir))),
 
+    // Tokenizer fertility per language: exact integer sums, two rounded
+    // ratio columns — the multilingual tokenizer-health datasheet row.
+    "q130_fertility" -> ((s, dir) =>
+      TextAnalysis.tokenizerFertility(docs(s, dir))),
+
+    // N-gram novelty: per-doc fraction of grams NOT shared corpus-wide —
+    // the boilerplate-assembly profile pairwise dedup can't see.
+    "q131_ngram_novelty" -> ((s, dir) =>
+      TextAnalysis.ngramNovelty(docs(s, dir))),
+
     // Corpus datasheet: per (source, lang) doc/token counts and mean
     // quality. The mean folds an exact integer sum of round(q*10000)
     // (quality is already 4dp) so the double division at the end is the

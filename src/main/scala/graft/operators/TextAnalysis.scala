@@ -394,6 +394,64 @@ object TextAnalysis {
   }
 
   /**
+   * Tokenizer fertility / compression report per language — a tokenizer
+   * health metric for a multilingual corpus datasheet: subword fertility
+   * (subword tokens per word) and characters per subword token, per
+   * language. High-fertility languages are under-served by the tokenizer
+   * (more tokens per word → shorter effective context, higher training
+   * cost per word) — the standard signal for rebalancing tokenizer
+   * training data. Uses the engine's BPE-ish proxy counter
+   * ([[tokenCountBpe]]); swap in a real tokenizer via the same columns.
+   *
+   * Deterministic and shuffle-frugal: ONE map-side-combined aggregation
+   * of exact integer sums per language; the two ratios are single double
+   * divisions of exact integers (aggregation-order-free), rounded
+   * half-up to 4dp.
+   */
+  def tokenizerFertility(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", langCol: String = "lang"): DataFrame =
+    docs.select(col(langCol).as("lang"),
+        size(words(col(textCol))).cast("long").as("nw"),
+        tokenCountBpe(col(textCol)).cast("long").as("nt"),
+        length(col(textCol)).cast("long").as("nc"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("nw").as("words"),
+        sum("nt").as("tokens"), sum("nc").as("chars"))
+      .withColumn("fertility",
+        floor(col("tokens") / col("words") * 1e4 + 0.5) / 1e4)
+      .withColumn("chars_per_token",
+        floor(col("chars") / col("tokens") * 1e4 + 0.5) / 1e4)
+
+  /**
+   * N-gram novelty scoring — per document, how much of it is NOT shared
+   * boilerplate: `novelty = 1 − shared_grams / n_grams`, where a gram is
+   * shared when its hash occurs in at least `minDocs` documents
+   * corpus-wide. The per-document "duplication profile" complement to
+   * the pairwise dedup detectors: low-novelty documents are assembled
+   * from corpus-common fragments (templates, boilerplate, spins) even
+   * when no single other document is a near-duplicate, and a training
+   * sampler can down-weight them (memorization risk scales with
+   * repetition).
+   *
+   * Scale shape: same as the decontamination/leakage family — the only
+   * shuffles are keyed by gram HASH (narrow (doc_id, hash) rows) and by
+   * doc_id for the final fold; exact integer counts, one rounded double
+   * ratio at the end.
+   */
+  def ngramNovelty(docs: DataFrame, minDocs: Int = 2,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val grams = docs.select(col(idCol).as("doc_id"),
+      explode(shingleHashes(col(textCol), 3)).as("h"))
+    val df = grams.groupBy("h").agg(count(lit(1)).as("nd"))
+    grams.join(df, "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("nd") >= minDocs, 1L).otherwise(0L)).as("shared_grams"))
+      .withColumn("novelty", floor(
+        (lit(1.0) - col("shared_grams") / col("n_grams")) * 1e4 + 0.5) / 1e4)
+  }
+
+  /**
    * CCNet-style perplexity bucketing (Wenzek et al. 2020): score every
    * document with the corpus-estimated bigram LM ([[bigramLogProb]], the
    * KenLM seat in this engine) and bucket it head/middle/tail WITHIN its

@@ -942,6 +942,34 @@ class PipelineOpsSpec extends GraftSuite {
       out.sortBy(x => (x._1, x._4)).toSeq)
   }
 
+  test("tokenizerFertility: exact integer sums and hand-computed ratios per language") {
+    val docs = Seq(
+      (0L, "hello world", "en"),        // words 2, bpe: hell+o+worl+d = 4, chars 11
+      (1L, "internationalization", "en"), // words 1, bpe: 5 chunks of <=4, chars 20
+      (2L, "ab", "de")                  // words 1, bpe 1, chars 2
+    ).toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.tokenizerFertility(docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6))).toMap
+    assert(out("en") == ((2L, 3L, 9L, 31L,
+      math.floor(9.0 / 3 * 1e4 + 0.5) / 1e4, math.floor(31.0 / 9 * 1e4 + 0.5) / 1e4)))
+    assert(out("de") == ((1L, 1L, 1L, 2L, 1.0, 2.0)))
+  }
+
+  test("ngramNovelty: duplicated docs score 0, unique docs score 1, mixtures in between") {
+    val docs = Seq(
+      (0L, "one two three four five"),
+      (1L, "one two three four five"),        // exact duplicate of 0
+      (2L, "alpha beta gamma delta epsilon"), // fully unique grams
+      (3L, "one two three unique tail here")  // shares the "one two three" gram only
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.ngramNovelty(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out(0L) == ((3L, 3L, 0.0)) && out(1L) == ((3L, 3L, 0.0)))
+    assert(out(2L) == ((3L, 0L, 1.0)))
+    assert(out(3L) == ((4L, 1L, 0.75)))
+  }
+
   private def round6(x: Double): Double =
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 }
