@@ -1107,6 +1107,29 @@ object Oracles {
          |  floor((1.0 - shared_grams / n_grams) * 1e4 + 0.5) / 1e4 AS novelty
          |FROM a""".stripMargin,
 
+    // Winnowing fingerprints: the engine's window min-fold mirrored with
+    // list_reduce (first element as init, <= keeps the rightmost min).
+    "q132_winnow" ->
+      s"""WITH ws0 AS (SELECT doc_id, $Words AS w FROM documents),
+         |hl AS (SELECT doc_id, list_transform(generate_series(0, len(w) - 3),
+         |    i -> ${H("array_to_string(list_slice(w, i + 1, i + 3), ' ')")}) AS hs FROM ws0),
+         |hp AS (SELECT doc_id, len(hs) AS n,
+         |    list_transform(generate_series(0, len(hs) - 1),
+         |      p -> {'h': hs[p + 1], 'p': p}) AS hp
+         |  FROM hl WHERE len(hs) >= 1),
+         |fp AS (SELECT doc_id, CASE WHEN n >= 4 THEN
+         |    list_transform(generate_series(0, n - 4), i ->
+         |      list_reduce(list_slice(hp, i + 1, i + 4), (a, x) ->
+         |        CASE WHEN x.h <= a.h THEN x ELSE a END))
+         |  ELSE [list_reduce(hp, (a, x) -> CASE WHEN x.h <= a.h THEN x ELSE a END)]
+         |  END AS raw FROM hp),
+         |ded AS (SELECT doc_id, list_transform(
+         |    list_filter(generate_series(0, len(raw) - 1),
+         |      j -> j = 0 OR NOT (raw[j + 1] = raw[j])), j -> raw[j + 1]) AS fps
+         |  FROM fp)
+         |SELECT doc_id, CAST(f.p AS INTEGER) AS pos, f.h AS fp
+         |FROM (SELECT doc_id, unnest(fps) AS f FROM ded)""".stripMargin,
+
     // Hard-negative mining: q19's sign-LSH bucket/probe chain, but every
     // vector is an anchor and candidates must carry a different label.
     "q129_hard_negatives" ->

@@ -107,6 +107,9 @@ object ScaleSmoke {
       // novelty: gram-hash-keyed shuffles only, same family as the
       // decontamination/leakage ops
       ("ngram_novelty", d => TextAnalysis.ngramNovelty(d).count(), null),
+      // winnowing: shuffle-free per-doc window fold
+      ("winnow_fingerprints", d =>
+        TextAnalysis.winnowFingerprints(d).count(), null),
       ("iob_spans", d => Iob.iobToSpans(
         Tokenize.normalizedTokens(d)
           .withColumn("ent_iob", when(col("text") === "key", "B").otherwise("O"))

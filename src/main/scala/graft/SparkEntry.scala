@@ -952,6 +952,11 @@ object SparkEntry {
     "q131_ngram_novelty" -> ((s, dir) =>
       TextAnalysis.ngramNovelty(docs(s, dir))),
 
+    // Winnowing fingerprints (MOSS): rightmost-min of each 4-window of
+    // positional 3-gram hashes, distinct (pos, hash) per doc.
+    "q132_winnow" -> ((s, dir) =>
+      TextAnalysis.winnowFingerprints(docs(s, dir), k = 3, w = 4)),
+
     // Corpus datasheet: per (source, lang) doc/token counts and mean
     // quality. The mean folds an exact integer sum of round(q*10000)
     // (quality is already 4dp) so the double division at the end is the

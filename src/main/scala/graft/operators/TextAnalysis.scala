@@ -394,6 +394,62 @@ object TextAnalysis {
   }
 
   /**
+   * Winnowing document fingerprints (Schleimer, Wilkerson & Aiken 2003 —
+   * the MOSS algorithm): positional k-gram hashes, sliding windows of
+   * `w` consecutive hashes, each window contributing its MINIMUM hash
+   * (ties to the RIGHTMOST occurrence); the distinct (position, hash)
+   * pairs are the fingerprint set. Guarantee: any shared run of at
+   * least w+k−1 consecutive words between two documents shares at least
+   * one fingerprint — the local-sampling alternative to MinHash when
+   * positions matter (plagiarism localization, overlap mapping) and a
+   * per-document sampling-density guarantee is needed rather than a
+   * whole-document similarity estimate.
+   *
+   * Scale shape: a shuffle-free per-document projection — positional
+   * hashes plus one higher-order window fold, all inside codegen;
+   * fingerprint join/grouping downstream shuffles only narrow
+   * (doc_id, pos, fp) rows. Documents with fewer than w grams winnow
+   * one whole-document window; documents with no k-gram emit nothing.
+   *
+   * Output: (doc_id, pos, fp).
+   */
+  def winnowFingerprints(docs: DataFrame, k: Int = 3, w: Int = 4,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(k >= 1 && w >= 1, "k and w must be positive")
+    // the zero-gram filter must run BEFORE the position zip: Spark's
+    // sequence(0, -1) is [0, -1] (descending), and zip_with would pad
+    // the empty hash list with null structs
+    val hs = ngramHashes(col(textCol), k)
+    val hp = zip_with(col("__hs"), sequence(lit(0), size(col("__hs")) - 1),
+      (h, p) => struct(h.as("h"), p.as("p")))
+    // min-fold of hp[i .. i+len-1], init = first element (the DuckDB
+    // list_reduce shape); <= keeps the RIGHTMOST minimum
+    def winMin(hpCol: Column, i: Column, len: Column): Column =
+      aggregate(slice(hpCol, i + 2, len - 1), element_at(hpCol, i + 1),
+        (a, x) => when(x("h") <= a("h"), x).otherwise(a))
+    def fps(hpCol: Column): Column = {
+      val n = size(hpCol)
+      when(n >= w,
+          transform(sequence(lit(0), n - w), i => winMin(hpCol, i, lit(w))))
+        .otherwise(array(winMin(hpCol, lit(0), n)))
+    }
+    // canonical winnowing emission: a given (pos, hash) can only be the
+    // min of a CONSECUTIVE run of overlapping windows, so skipping any
+    // window whose min equals the previous window's removes all
+    // duplicates in-row — no distinct shuffle
+    def emit(raw: Column): Column = transform(
+      filter(sequence(lit(0), size(raw) - 1), j =>
+        (j === 0) || !(element_at(raw, j + 1) === element_at(raw, j))),
+      j => element_at(raw, j + 1))
+    docs.select(col(idCol).as("doc_id"), hs.as("__hs"))
+      .filter(size(col("__hs")) >= 1)
+      .select(col("doc_id"), hp.as("__hp"))
+      .select(col("doc_id"), fps(col("__hp")).as("__raw"))
+      .select(col("doc_id"), explode(emit(col("__raw"))).as("f"))
+      .select(col("doc_id"), col("f")("p").as("pos"), col("f")("h").as("fp"))
+  }
+
+  /**
    * Tokenizer fertility / compression report per language — a tokenizer
    * health metric for a multilingual corpus datasheet: subword fertility
    * (subword tokens per word) and characters per subword token, per

@@ -970,6 +970,40 @@ class PipelineOpsSpec extends GraftSuite {
     assert(out(3L) == ((4L, 1L, 0.75)))
   }
 
+  test("winnowFingerprints == brute-force winnowing on random tiny-vocab corpora") {
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("a", "b", "c", "d", "e")
+    val docs = (0L until 40L).map(i =>
+      (i, Seq.fill(rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size))).mkString(" ")))
+    val out = TextAnalysis.winnowFingerprints(docs.toDF("doc_id", "text"), k = 3, w = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val want = docs.flatMap { case (id, text) =>
+      val ws = text.split(" ").filter(_.nonEmpty).toSeq
+      val hs = TextAnalysis.ngramHashSeq(ws, 3)
+      if (hs.isEmpty) Seq.empty
+      else {
+        val hp = hs.zipWithIndex
+        val raw = if (hs.length >= 4)
+          (0 to hs.length - 4).map(i =>
+            hp.slice(i, i + 4).reduceLeft((a, x) => if (x._1 <= a._1) x else a))
+        else Seq(hp.reduceLeft((a, x) => if (x._1 <= a._1) x else a))
+        raw.zipWithIndex
+          .filter { case (f, j) => j == 0 || f != raw(j - 1) }
+          .map { case ((h, p), _) => (id, p, h) }
+      }
+    }.toSet
+    assert(out == want && out.nonEmpty)
+    // MOSS guarantee on a constructed pair: two docs sharing a run of
+    // w+k-1 = 6 words must share at least one fingerprint HASH
+    val pair = Seq((0L, "x y z shared run of six words here p q"),
+      (1L, "m n shared run of six words here r s t")).toDF("doc_id", "text")
+    val fps = TextAnalysis.winnowFingerprints(pair, k = 3, w = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    val shared = fps.filter(_._1 == 0L).map(_._2).toSet
+      .intersect(fps.filter(_._1 == 1L).map(_._2).toSet)
+    assert(shared.nonEmpty)
+  }
+
   private def round6(x: Double): Double =
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 }

@@ -186,6 +186,21 @@ class PropertySpec extends GraftSuite {
         concat_ws("\n", col("text"), lit("shared tail line"), col("source")))
       assert(rows(operators.Dedup.dedupLines(lined.repartition(a))) ==
         rows(operators.Dedup.dedupLines(lined.repartition(b))))
+      // late-round scorers: double folds must be partition-order-free
+      // (BM25 term sums, CCNet percentiles, novelty ratios, PQ/ADC)
+      val qs = Seq((0, "quick"), (0, "fox"), (1, "tail7")).toDF("query_id", "term")
+      assert(rows(operators.TextAnalysis.bm25TopK(docs.repartition(a), qs, k = 5)) ==
+        rows(operators.TextAnalysis.bm25TopK(docs.repartition(b), qs, k = 5)))
+      val langed = docs.withColumn("lang", concat(lit("l"), col("doc_id") % 2))
+      assert(rows(operators.TextAnalysis.ccnetBuckets(langed.repartition(a))) ==
+        rows(operators.TextAnalysis.ccnetBuckets(langed.repartition(b))))
+      assert(rows(operators.TextAnalysis.ngramNovelty(docs.repartition(a))) ==
+        rows(operators.TextAnalysis.ngramNovelty(docs.repartition(b))))
+      val books = operators.Similarity.pqFitCodebooks(emb, m = 2, ksub = 4, iters = 2)
+      val q5 = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      assert(rows(operators.Similarity.pqTopK(emb.repartition(a), q5, books, k = 5)) ==
+        rows(operators.Similarity.pqTopK(emb.repartition(b), q5, books, k = 5)))
     }
   }
 
