@@ -265,6 +265,30 @@ object Oracles {
        |      (a, x) -> a + x) / count(*), 4) AS avg_lp
        |  FROM lp GROUP BY doc_id)""".stripMargin
 
+  /** Winnowing fingerprint CTE chain (mirror of
+    * TextAnalysis.winnowFingerprints, k=3 / w=4): positional 3-gram
+    * hashes, per-window rightmost-min via list_reduce, consecutive-dup
+    * emission → `ded(doc_id, fps)` where fps is a list of {h, p}
+    * structs. Shared by q132 and q133. */
+  lazy val WinnowCte: String =
+    s"""ws0 AS (SELECT doc_id, $Words AS w FROM documents),
+       |hl AS (SELECT doc_id, list_transform(generate_series(0, len(w) - 3),
+       |    i -> ${H("array_to_string(list_slice(w, i + 1, i + 3), ' ')")}) AS hs FROM ws0),
+       |hp AS (SELECT doc_id, len(hs) AS n,
+       |    list_transform(generate_series(0, len(hs) - 1),
+       |      p -> {'h': hs[p + 1], 'p': p}) AS hp
+       |  FROM hl WHERE len(hs) >= 1),
+       |fp AS (SELECT doc_id, CASE WHEN n >= 4 THEN
+       |    list_transform(generate_series(0, n - 4), i ->
+       |      list_reduce(list_slice(hp, i + 1, i + 4), (a, x) ->
+       |        CASE WHEN x.h <= a.h THEN x ELSE a END))
+       |  ELSE [list_reduce(hp, (a, x) -> CASE WHEN x.h <= a.h THEN x ELSE a END)]
+       |  END AS raw FROM hp),
+       |ded AS (SELECT doc_id, list_transform(
+       |    list_filter(generate_series(0, len(raw) - 1),
+       |      j -> j = 0 OR NOT (raw[j + 1] = raw[j])), j -> raw[j + 1]) AS fps
+       |  FROM fp)""".stripMargin
+
   /** Unrolled product-quantization CTE chain, mirror of
     * Similarity.pqFitCodebooks step for step but vectorized over the
     * subspace axis: `psv` (id, sub, sliced sub-vector), `pqf` (per-dim
@@ -1110,25 +1134,21 @@ object Oracles {
     // Winnowing fingerprints: the engine's window min-fold mirrored with
     // list_reduce (first element as init, <= keeps the rightmost min).
     "q132_winnow" ->
-      s"""WITH ws0 AS (SELECT doc_id, $Words AS w FROM documents),
-         |hl AS (SELECT doc_id, list_transform(generate_series(0, len(w) - 3),
-         |    i -> ${H("array_to_string(list_slice(w, i + 1, i + 3), ' ')")}) AS hs FROM ws0),
-         |hp AS (SELECT doc_id, len(hs) AS n,
-         |    list_transform(generate_series(0, len(hs) - 1),
-         |      p -> {'h': hs[p + 1], 'p': p}) AS hp
-         |  FROM hl WHERE len(hs) >= 1),
-         |fp AS (SELECT doc_id, CASE WHEN n >= 4 THEN
-         |    list_transform(generate_series(0, n - 4), i ->
-         |      list_reduce(list_slice(hp, i + 1, i + 4), (a, x) ->
-         |        CASE WHEN x.h <= a.h THEN x ELSE a END))
-         |  ELSE [list_reduce(hp, (a, x) -> CASE WHEN x.h <= a.h THEN x ELSE a END)]
-         |  END AS raw FROM hp),
-         |ded AS (SELECT doc_id, list_transform(
-         |    list_filter(generate_series(0, len(raw) - 1),
-         |      j -> j = 0 OR NOT (raw[j + 1] = raw[j])), j -> raw[j + 1]) AS fps
-         |  FROM fp)
+      s"""WITH $WinnowCte
          |SELECT doc_id, CAST(f.p AS INTEGER) AS pos, f.h AS fp
          |FROM (SELECT doc_id, unnest(fps) AS f FROM ded)""".stripMargin,
+
+    // Winnowing overlap pairs: distinct fingerprint hashes per doc, pair
+    // equi-join on hash, shared-count threshold.
+    "q133_winnow_pairs" ->
+      s"""WITH $WinnowCte,
+         |dfp AS (SELECT DISTINCT doc_id, f.h AS fp
+         |  FROM (SELECT doc_id, unnest(fps) AS f FROM ded)),
+         |pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    CAST(count(*) AS BIGINT) AS shared_fps
+         |  FROM dfp a JOIN dfp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT id_a, id_b, shared_fps FROM pr WHERE shared_fps >= 3""".stripMargin,
 
     // Hard-negative mining: q19's sign-LSH bucket/probe chain, but every
     // vector is an anchor and candidates must carry a different label.

@@ -110,6 +110,11 @@ object ScaleSmoke {
       // winnowing: shuffle-free per-doc window fold
       ("winnow_fingerprints", d =>
         TextAnalysis.winnowFingerprints(d).count(), null),
+      // winnowed pair join under its ubiquitous-fp valve (the tiled
+      // corpus makes every fingerprint ~10-doc ubiquitous, the exact
+      // monster shape the valve bounds)
+      ("winnow_overlap_pairs", d =>
+        TextAnalysis.winnowOverlapPairs(d, minShared = 2, maxFpDocs = 128).count(), null),
       ("iob_spans", d => Iob.iobToSpans(
         Tokenize.normalizedTokens(d)
           .withColumn("ent_iob", when(col("text") === "key", "B").otherwise("O"))

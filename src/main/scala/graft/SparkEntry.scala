@@ -957,6 +957,11 @@ object SparkEntry {
     "q132_winnow" -> ((s, dir) =>
       TextAnalysis.winnowFingerprints(docs(s, dir), k = 3, w = 4)),
 
+    // Overlap pairs over the winnowed index: docs sharing >= 3
+    // fingerprint hashes, with the shared count.
+    "q133_winnow_pairs" -> ((s, dir) =>
+      TextAnalysis.winnowOverlapPairs(docs(s, dir), minShared = 3)),
+
     // Corpus datasheet: per (source, lang) doc/token counts and mean
     // quality. The mean folds an exact integer sum of round(q*10000)
     // (quality is already 4dp) so the double division at the end is the

@@ -450,6 +450,42 @@ object TextAnalysis {
   }
 
   /**
+   * Winnowed overlap pairs — document pairs sharing at least `minShared`
+   * winnowing fingerprints ([[winnowFingerprints]]), with the shared
+   * count: the plagiarism/near-copy PAIR report built on the SAMPLED
+   * fingerprint index instead of the full gram stream. Winnowing keeps
+   * ~2/(w+1) of the grams, so the pair join's input (and the index a
+   * production system would persist) is a fraction of
+   * [[graft.operators.Dedup.duplicatedSpans]]' positional gram table —
+   * the standard index-size/recall trade, with the w+k−1 shared-run
+   * guarantee bounding what sampling can miss.
+   *
+   * Scale shape: distinct (doc, fp) rows, one hash-keyed equi-join, one
+   * pair-keyed count — narrow rows end to end. A fingerprint shared by m
+   * docs yields m² pair rows (the monster-bucket shape): `maxFpDocs` > 0
+   * drops fingerprints present in more docs than that BEFORE the join —
+   * ubiquitous-boilerplate fingerprints carry no pair information
+   * anyway — bounding the join's fan-out the same way the MinHash band
+   * valve does.
+   */
+  def winnowOverlapPairs(docs: DataFrame, k: Int = 3, w: Int = 4,
+      minShared: Int = 3, maxFpDocs: Int = 0, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val fps = winnowFingerprints(docs, k, w, idCol, textCol)
+      .select(col("doc_id"), col("fp")).distinct()
+    val pruned = if (maxFpDocs <= 0) fps else
+      fps.join(fps.groupBy("fp").agg(count(lit(1)).as("__nd"))
+          .filter(col("__nd") > maxFpDocs).select("fp"),
+        Seq("fp"), "left_anti")
+    pruned.as("a")
+      .join(pruned.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("shared_fps"))
+      .filter(col("shared_fps") >= minShared)
+  }
+
+  /**
    * Tokenizer fertility / compression report per language — a tokenizer
    * health metric for a multilingual corpus datasheet: subword fertility
    * (subword tokens per word) and characters per subword token, per

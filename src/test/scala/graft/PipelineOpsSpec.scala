@@ -1004,6 +1004,39 @@ class PipelineOpsSpec extends GraftSuite {
     assert(shared.nonEmpty)
   }
 
+  test("winnowOverlapPairs: counts match a recomputation from the fingerprint " +
+      "relation; maxFpDocs valve drops ubiquitous fingerprints") {
+    val docs = (Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta unique0 x0"),
+      (1L, "pre alpha beta gamma delta epsilon zeta eta unique1"),
+      (2L, "one two three four five six seven eight nine")) ++
+      (3L to 8L).map(i => (i, s"common boiler plate phrase here body tail$i end$i")))
+      .toDF("doc_id", "text")
+    val fps = TextAnalysis.winnowFingerprints(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).distinct
+    def pairsFrom(rel: Seq[(Long, Long)], min: Int) = rel.groupBy(_._2).values
+      .flatMap { g => val ids = g.map(_._1).distinct.sorted
+        for (a <- ids; b <- ids if a < b) yield (a, b) }
+      .groupBy(identity).map { case (p, o) => (p._1, p._2, o.size.toLong) }
+      .filter(_._3 >= min).toSet
+    val got2 = TextAnalysis.winnowOverlapPairs(docs, minShared = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got2 == pairsFrom(fps, 2))
+    // w+k-1 = 6 <= the 7-word shared run guarantees >= 1 shared fp:
+    // (0, 1) is a pair at minShared=1; doc 2 pairs with nobody
+    val got1 = TextAnalysis.winnowOverlapPairs(docs, minShared = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got1 == pairsFrom(fps, 1))
+    assert(got1.exists(p => p._1 == 0L && p._2 == 1L))
+    assert(!got1.exists(p => p._1 == 2L || p._2 == 2L))
+    // valve: boilerplate fps live in 6 docs > maxFpDocs=2 → those pairs
+    // vanish, the (0, 1) pair (fps in exactly 2 docs) survives
+    val valved = TextAnalysis.winnowOverlapPairs(docs, minShared = 1, maxFpDocs = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(valved.contains((0L, 1L)))
+    assert(valved.forall { case (a, b) => a < 3L && b < 3L })
+  }
+
   private def round6(x: Double): Double =
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 }
