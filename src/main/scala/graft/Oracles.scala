@@ -1138,6 +1138,14 @@ object Oracles {
          |SELECT doc_id, CAST(f.p AS INTEGER) AS pos, f.h AS fp
          |FROM (SELECT doc_id, unnest(fps) AS f FROM ded)""".stripMargin,
 
+    // Blocklist filter: banned-word hit count + keep verdict.
+    "q134_blocklist" ->
+      s"""SELECT doc_id, CAST(len(list_filter($Words,
+         |    w -> list_contains(['slow', 'dup', 'stale'], w))) AS BIGINT) AS n_banned,
+         |  len(list_filter($Words,
+         |    w -> list_contains(['slow', 'dup', 'stale'], w))) = 0 AS keep
+         |FROM documents""".stripMargin,
+
     // Winnowing overlap pairs: distinct fingerprint hashes per doc, pair
     // equi-join on hash, shared-count threshold.
     "q133_winnow_pairs" ->

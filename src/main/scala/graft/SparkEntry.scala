@@ -962,6 +962,11 @@ object SparkEntry {
     "q133_winnow_pairs" -> ((s, dir) =>
       TextAnalysis.winnowOverlapPairs(docs(s, dir), minShared = 3)),
 
+    // C4-style blocklist filter: per-doc banned-word hits + keep verdict,
+    // list compiled into a literal array (shuffle-free projection).
+    "q134_blocklist" -> ((s, dir) =>
+      TextAnalysis.blocklistFilter(docs(s, dir), Seq("slow", "dup", "stale"))),
+
     // Corpus datasheet: per (source, lang) doc/token counts and mean
     // quality. The mean folds an exact integer sum of round(q*10000)
     // (quality is already 4dp) so the double division at the end is the

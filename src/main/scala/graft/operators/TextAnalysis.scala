@@ -450,6 +450,27 @@ object TextAnalysis {
   }
 
   /**
+   * Blocklist document filter — the C4-style "banned word list" stage: a
+   * document is dropped when any of its words is on the list. Reports
+   * the per-document hit count plus the keep verdict so a pipeline can
+   * either filter on `keep` or audit list hit-rates before committing
+   * to a cut. The list is compiled into a literal array (a wordlist is
+   * KBs even at List-of-Dirty-Words scale), so the operator is a pure
+   * shuffle-free codegen projection that composes with the other
+   * document filters ([[gopherRules]], [[c4Clean]]) without a plan
+   * break.
+   */
+  def blocklistFilter(docs: DataFrame, blocklist: Seq[String],
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(blocklist.nonEmpty, "blocklist must be non-empty")
+    val bl = array(blocklist.map(w => lit(w.toLowerCase)): _*)
+    docs.select(col(idCol).as("doc_id"),
+        size(filter(words(col(textCol)), w => array_contains(bl, w)))
+          .cast("long").as("n_banned"))
+      .withColumn("keep", col("n_banned") === 0)
+  }
+
+  /**
    * Winnowed overlap pairs — document pairs sharing at least `minShared`
    * winnowing fingerprints ([[winnowFingerprints]]), with the shared
    * count: the plagiarism/near-copy PAIR report built on the SAMPLED

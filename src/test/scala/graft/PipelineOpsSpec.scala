@@ -1037,6 +1037,17 @@ class PipelineOpsSpec extends GraftSuite {
     assert(valved.forall { case (a, b) => a < 3L && b < 3L })
   }
 
+  test("blocklistFilter: case-insensitive hit counts and keep verdicts") {
+    val docs = Seq(
+      (0L, "clean text body here"),
+      (1L, "some BAD text with bad words"),
+      (2L, "Words on the edge")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.blocklistFilter(docs, Seq("Bad", "WORDS")).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(out == Map(0L -> ((0L, true)), 1L -> ((3L, false)), 2L -> ((1L, false))))
+  }
+
   private def round6(x: Double): Double =
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 }

@@ -24,7 +24,8 @@ class PlanShapeSpec extends GraftSuite {
     val docs = (0L until 50L).map(i => (i, s"Some text body $i.\nAnother line $i."))
       .toDF("doc_id", "text")
     for (out <- Seq(TextAnalysis.gopherRules(docs), TextAnalysis.c4Clean(docs),
-        TextAnalysis.chunkDocuments(docs, budget = 4))) {
+        TextAnalysis.chunkDocuments(docs, budget = 4),
+        TextAnalysis.blocklistFilter(docs, Seq("bad", "words")))) {
       val plan = out.queryExecution.executedPlan
       assert(plan.collect { case e: Exchange => e }.isEmpty,
         s"expected a shuffle-free filter projection, got:\n$plan")
