@@ -403,7 +403,8 @@ object ScaleSmoke {
         "gopher_rules", "c4_clean", "chunk_documents", "pack_sequences",
         "stratified_sample", "pmi_collocations", "fuzzy_decontaminate",
         "quality_calibrate", "dedup_lines",
-        "incremental_dedup", "mix_corpus", "shard_order") ++
+        "incremental_dedup", "mix_corpus", "shard_order",
+        "bm25_topk", "ngram_novelty", "winnow_fingerprints") ++
         (if (sys.env.get("SPARK_GRAFT_SCALE_100").contains("full"))
           Set("align_bert_pipeline", "conll_to_bert", "conll_write")
         else Set.empty[String])
@@ -412,7 +413,11 @@ object ScaleSmoke {
         val (t100, n100) = timed(f(docs100))
         r100 += f"""{"op":"$name","sec_100x":$t100%.2f,"ratio_vs_10x":${t100 / time10(name)}%.2f,"rows_100x":$n100}"""
       }
-      embOps.filter(o => wanted(o._1)).foreach { case (name, f) =>
+      // the fixed-knob hard-negatives row is a DOCUMENTED anti-shape
+      // (N²/2^nPlanes); its 10x measurement already proves the point and
+      // 100x would cost hours re-proving it
+      val emb100Skip = Set("hard_negatives_fixed_planes")
+      embOps.filter(o => !emb100Skip(o._1) && wanted(o._1)).foreach { case (name, f) =>
         val (t100, n100) = timed(f(emb100, 2))
         r100 += f"""{"op":"$name","sec_100x":$t100%.2f,"ratio_vs_10x":${t100 / time10(name)}%.2f,"rows_100x":$n100}"""
       }
