@@ -207,6 +207,15 @@ object Oracles {
       s"CASE WHEN ((i-1)*(p + 3) + p) % 4 < 2 THEN x ELSE -x END)), (u, w) -> u + w) > 0 " +
       s"THEN CAST(power(2.0, p) AS BIGINT) ELSE 0 END)) AS BIGINT)"
 
+  /** Hashed-family sign-LSH bucket (mirror of Dedup.signBucketHashed,
+    * nPlanes=8): +x iff ((i)*(p+7919)) mod 104729 is even, DuckDB's list
+    * lambda index i being 1-based = the engine's (j+1). */
+  def bucketH(v: String): String =
+    s"CAST(list_sum(list_transform(generate_series(0, 7), p -> " +
+      s"CASE WHEN list_reduce(list_prepend(0.0, list_transform($v, (x, i) -> " +
+      s"CASE WHEN (i * (p + 7919)) % 104729 % 2 = 0 THEN x ELSE -x END)), (u, w) -> u + w) > 0 " +
+      s"THEN CAST(power(2.0, p) AS BIGINT) ELSE 0 END)) AS BIGINT)"
+
   /** Probe-bucket list (own bucket + all single-bit flips) from CTE with
     * columns (id, bucket) → rows (id, pb). */
   val ProbeExpr: String =
@@ -1114,8 +1123,8 @@ object Oracles {
          |    CAST(sum(nw) AS BIGINT) AS words, CAST(sum(nt) AS BIGINT) AS tokens,
          |    CAST(sum(nc) AS BIGINT) AS chars FROM x GROUP BY lang)
          |SELECT lang, n_docs, words, tokens, chars,
-         |  floor(tokens / words * 1e4 + 0.5) / 1e4 AS fertility,
-         |  floor(chars / tokens * 1e4 + 0.5) / 1e4 AS chars_per_token
+         |  CASE WHEN words > 0 THEN floor(tokens / words * 1e4 + 0.5) / 1e4 END AS fertility,
+         |  CASE WHEN tokens > 0 THEN floor(chars / tokens * 1e4 + 0.5) / 1e4 END AS chars_per_token
          |FROM a""".stripMargin,
 
     // N-gram novelty: the q10 shingle-hash sets, gram doc-frequency by
@@ -1158,12 +1167,14 @@ object Oracles {
          |  GROUP BY 1, 2)
          |SELECT id_a, id_b, shared_fps FROM pr WHERE shared_fps >= 3""".stripMargin,
 
-    // Hard-negative mining: q19's sign-LSH bucket/probe chain, but every
-    // vector is an anchor and candidates must carry a different label.
+    // Hard-negative mining: q19's bucket/probe chain shape over the
+    // HASHED plane family (bucketH — the engine's nPlanes scale knob
+    // needs a family that stays distinct as planes grow), every vector
+    // an anchor, candidates must carry a different label.
     "q129_hard_negatives" ->
       s"""WITH $EmbCte,
          |lb AS (SELECT vec_id AS id, label FROM embeddings),
-         |bk AS (SELECT id, v, ${bucket("v")} AS bucket FROM ed),
+         |bk AS (SELECT id, v, ${bucketH("v")} AS bucket FROM ed),
          |pr AS (SELECT id AS a_id, $ProbeExpr FROM bk),
          |cand AS (SELECT DISTINCT pr.a_id, bk.id AS n_id FROM pr
          |  JOIN bk ON pr.pb = bk.bucket

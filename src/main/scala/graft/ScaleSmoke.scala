@@ -110,9 +110,12 @@ object ScaleSmoke {
       // winnowing: shuffle-free per-doc window fold
       ("winnow_fingerprints", d =>
         TextAnalysis.winnowFingerprints(d).count(), null),
-      // winnowed pair join under its ubiquitous-fp valve (the tiled
-      // corpus makes every fingerprint ~10-doc ubiquitous, the exact
-      // monster shape the valve bounds)
+      // winnowed pair join: a pair-LISTING row — the tiled corpus makes
+      // every doc a ~10-member near-copy cluster, so OUTPUT pairs grow
+      // quadratically in cluster size and time tracks output volume (the
+      // exclusion-policy shape, like the other pair listers); the
+      // maxFpDocs=128 valve is for genuinely ubiquitous boilerplate and
+      // deliberately does NOT trigger on 10-doc multiplicities
       ("winnow_overlap_pairs", d =>
         TextAnalysis.winnowOverlapPairs(d, minShared = 2, maxFpDocs = 128).count(), null),
       ("iob_spans", d => Iob.iobToSpans(
@@ -326,23 +329,27 @@ object ScaleSmoke {
       Dedup.semanticDedup(embD(e), k = k, iters = 2, tau = 0.9,
         fitFraction = 0.2, twoLevelAssign = true).count()
     // (name, run(embeddings, tier)) where tier 0/1/2 = 1x/10x/100x
-    val embOps: Seq[(String, (DataFrame, Int) => Long)] = Seq(
+    val embOps: Seq[(String, (DataFrame, Int) => Long)] = Seq[(String, (DataFrame, Int) => Long)](
       ("ann_lsh_topk", (e, _) => lsh(e)),
       ("ann_ivf_topk", (e, _) => ivf(e)),
       ("kmeans_fit_assign", (e, _) => km(e)),
-      // hard-negative mining: EVERY vector is an anchor, so at FIXED
-      // nPlanes bucket populations grow with the corpus and the candidate
-      // self-join is N²/2^nPlanes — this row documents that super-linear
-      // shape on purpose (measured 17.6 at 10x)
-      ("hard_negatives_fixed_planes", (e, _) =>
-        Similarity.hardNegatives(embD(e), k = 3).count()),
       // the operating shape: nPlanes grows with the corpus
       // (≈ log2(N / target bucket size)) AND the dense-cluster valve caps
       // each bucket's neighbor side — candidates per anchor bounded at
       // (nPlanes+1)·maxBucket regardless of how clustered the data is
       ("hard_negatives_scaled", (e, t) =>
         Similarity.hardNegatives(embD(e), k = 3, nPlanes = 8 + 4 * t,
-          maxBucket = 64).count()),
+          maxBucket = 64).count())) ++
+      // hard-negative mining at FIXED knobs: EVERY vector is an anchor,
+      // bucket populations grow with the corpus, and the candidate
+      // self-join is quadratic — this row documents that super-linear
+      // anti-shape on purpose (104x at 10x with the hashed live-probe
+      // family; BASELINE.md). At ~4.5 min per 10x sample it only runs
+      // when explicitly asked for: SPARK_GRAFT_SMOKE_ANTISHAPE=1.
+      (if (sys.env.contains("SPARK_GRAFT_SMOKE_ANTISHAPE")) Seq[(String, (DataFrame, Int) => Long)](
+        ("hard_negatives_fixed_planes", (e, _) =>
+          Similarity.hardNegatives(embD(e), k = 3).count()))
+      else Seq.empty) ++ Seq[(String, (DataFrame, Int) => Long)](
       // PQ at fixed (m, ksub): fit is one aggregation pass per iteration
       // (N×ksub per subspace but ksub fixed), encode a shuffle-free
       // projection — both must scale with corpus size only

@@ -353,12 +353,55 @@ object Dedup {
 
   // ---- embedding cosine near-dup ----
 
+  /** Sign-LSH bucket over a HASHED ±1 hyperplane family. The legacy
+    * [[signBucket]] coefficient pattern `(j*(p+3)+p) mod 4` is PERIODIC
+    * in p with period 4 (p and p+4 define the same hyperplane, and bit p
+    * always equals bit p+4), so its effective family is 4 planes / 16
+    * distinct buckets no matter how large nPlanes is — fine for the
+    * oracle-mirrored 8-plane queries (q17/q19/q120, where the exact
+    * verify makes extra candidates a constant-factor cost), fatal for a
+    * caller using nPlanes as the bucket-count SCALE knob. This family's
+    * coefficient is the parity of a Weyl-style product — distinct planes
+    * for every p — so bucket count really is 2^nPlanes. Mirrored exactly
+    * in the oracle's `bucketH` SQL. */
+  def signBucketHashed(vec: Column, nPlanes: Int): Column = {
+    val np = nPlanes
+    val bucketUdf = udf((v: Seq[Double]) => Option(v).map { v =>
+      var bucket = 0L
+      var p = 0
+      while (p < np) {
+        var proj = 0.0
+        var j = 0
+        while (j < v.length) {
+          // +1 iff ((j+1)*(p+7919)) mod 104729 is even (1-based dim to
+          // match the oracle's 1-based list lambda index)
+          proj += (if ((j + 1).toLong * (p + 7919) % 104729 % 2 == 0) v(j) else -v(j))
+          j += 1
+        }
+        if (proj > 0) bucket |= 1L << p
+        p += 1
+      }
+      bucket
+    })
+    bucketUdf(vec)
+  }
+
+  /** A bucket column expanded to itself + every single-bit-flip probe —
+    * the one-sided multi-probe set shared by the sign-LSH callers. */
+  def probeBuckets(bucket: Column, nPlanes: Int): Column =
+    array((bucket +: (0 until nPlanes).map(p =>
+      bucket.bitwiseXOR(lit(1L << p)))): _*)
+
   /**
    * Sign-LSH bucket keys for an embedding: the sign pattern of `nPlanes`
    * pseudo-random hyperplane projections, as one long. Hyperplane
    * coefficients are a deterministic ±1 pattern derived from (plane, dim)
    * parity — no RNG, reproducible everywhere. Fused JVM kernel with the
    * same left-to-right double fold as the expression form / SQL oracle.
+   * NOTE: this legacy pattern is periodic in the plane index (effective
+   * family = 4 planes; see [[signBucketHashed]]) — keep it for the
+   * oracle-mirrored 8-plane queries, use the hashed family wherever
+   * nPlanes is a scale knob.
    */
   def signBucket(vec: Column, nPlanes: Int = 8): Column = {
     val np = nPlanes
@@ -401,9 +444,8 @@ object Dedup {
     // finds every pair within distance 1, with (nPlanes+1)·N × N join keys
     // instead of (nPlanes+1)²·N² and far fewer duplicate candidates.
     val probed = if (!probe) withB.withColumn("pbucket", col("bucket"))
-      else withB.select(col("id"), explode(array(
-        (col("bucket") +: (0 until nPlanes).map(p =>
-          col("bucket").bitwiseXOR(lit(1L << p)))): _*)).as("pbucket"))
+      else withB.select(col("id"),
+        explode(probeBuckets(col("bucket"), nPlanes)).as("pbucket"))
     val a = probed.select(col("pbucket"), col("id").as("id_a"))
     val b = withB.select(col("bucket").as("pb2"), col("id").as("id_b"))
     val candidates = a.join(b, col("pbucket") === col("pb2") && col("id_a") < col("id_b"))

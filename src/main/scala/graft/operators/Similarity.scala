@@ -312,6 +312,11 @@ object Similarity {
    * standard ANN-mining trade; raise nPlanes probing or union multiple
    * hash families to tighten it.
    *
+   * Buckets come from [[graft.operators.Dedup.signBucketHashed]] — the
+   * hashed hyperplane family whose bucket count really is 2^nPlanes
+   * (the legacy 8-plane pattern is periodic and caps out at 16 buckets,
+   * which would make the nPlanes knob below a no-op).
+   *
    * Two SCALE knobs, both recall trades:
    *  - `nPlanes`: bucket count is 2^nPlanes, so at fixed nPlanes bucket
    *    populations grow ∝ corpus and the candidate self-join goes
@@ -321,13 +326,13 @@ object Similarity {
    *    members are GENUINELY similar (dense semantic clusters keep
    *    bucket populations ∝ corpus at any nPlanes) — the same monster-
    *    bucket problem as MinHash boilerplate, with the same valve: cap
-   *    the neighbor side of each bucket at its `maxBucket` smallest-id
-   *    members, bounding candidates per anchor at
-   *    (nPlanes+1)·maxBucket. Anchors are never dropped — every vector
-   *    still gets negatives; dense-cluster anchors just rank a capped
-   *    candidate set. Deterministic (id order), and measured linear in
-   *    ScaleSmoke's `hard_negatives_scaled` row; the fixed-knob row is
-   *    super-linear at 10x by construction.
+   *    the neighbor side of each bucket PER LABEL at its `maxBucket`
+   *    smallest-id members (label-blind capping could evict a bucket's
+   *    only rare-label vectors and leave its anchors negative-less),
+   *    bounding candidates per anchor at (nPlanes+1)·maxBucket·labels.
+   *    Deterministic (id order), and measured linear in ScaleSmoke's
+   *    `hard_negatives_scaled` row; the fixed-knob row is super-linear
+   *    at 10x by construction.
    *
    * Output: (anchor_id, neg_id, cos, rank), rank by descending cosine,
    * ties to the smaller neighbor id.
@@ -337,16 +342,17 @@ object Similarity {
       vecCol: String = "embedding", labelCol: String = "label"): DataFrame = {
     val withV = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
     val withB = corpus.select(col(idCol).as("id"), col(labelCol).as("lbl"),
-      Dedup.signBucket(col(vecCol), nPlanes).as("bucket"))
+      Dedup.signBucketHashed(col(vecCol).cast("array<double>"), nPlanes).as("bucket"))
     val probed = withB.select(col("id").as("a_id"), col("lbl").as("a_lbl"),
-      explode(array((col("bucket") +: (0 until nPlanes).map(p =>
-        col("bucket").bitwiseXOR(lit(1L << p)))): _*)).as("pbucket"))
+      explode(Dedup.probeBuckets(col("bucket"), nPlanes)).as("pbucket"))
     // dense-cluster valve: the NEIGHBOR side of a bucket is capped at its
-    // maxBucket smallest-id members (narrow (bucket, id, lbl) window)
+    // maxBucket smallest-id members PER LABEL (narrow (bucket, id, lbl)
+    // window) — per label, not per bucket, so a bucket's rare-label
+    // members survive the cap and its anchors keep their negatives
     val neighbors0 = withB.select(col("bucket").as("pbucket"),
       col("id").as("n_id"), col("lbl").as("n_lbl"))
     val neighbors = if (maxBucket <= 0) neighbors0 else {
-      val wb = Window.partitionBy("pbucket").orderBy(col("n_id"))
+      val wb = Window.partitionBy("pbucket", "n_lbl").orderBy(col("n_id"))
       neighbors0.withColumn("__r", row_number().over(wb))
         .filter(col("__r") <= maxBucket).drop("__r")
     }
@@ -518,9 +524,8 @@ object Similarity {
     val qb = queries.select(col(queryIdCol), col(vecCol).as("q_vec"),
       Dedup.signBucket(col(vecCol), nPlanes).as("qbucket"))
     // probe: query also looks in all single-bit-flip buckets
-    val probed = qb.select(col(queryIdCol), col("q_vec"), explode(array(
-      (col("qbucket") +: (0 until nPlanes).map(p =>
-        col("qbucket").bitwiseXOR(lit(1L << p)))): _*)).as("bucket"))
+    val probed = qb.select(col(queryIdCol), col("q_vec"),
+      explode(Dedup.probeBuckets(col("qbucket"), nPlanes)).as("bucket"))
     val w = Window.partitionBy(queryIdCol).orderBy(col("cos").desc, col(idCol))
     probed.join(cb, Seq("bucket"))
       .dropDuplicates(queryIdCol, idCol)

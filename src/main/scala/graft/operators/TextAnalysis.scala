@@ -463,7 +463,15 @@ object TextAnalysis {
   def blocklistFilter(docs: DataFrame, blocklist: Seq[String],
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(blocklist.nonEmpty, "blocklist must be non-empty")
-    val bl = array(blocklist.map(w => lit(w.toLowerCase)): _*)
+    val norm = blocklist.map(_.toLowerCase)
+    // the filter compares against words() tokens, so an entry that is
+    // not itself a single [a-z0-9]+ token (hyphenated/multi-word C4 list
+    // entries) could never match — fail loudly instead of silently
+    // no-op'ing; phrase entries belong in Extract.extractDict
+    norm.find(!_.matches("[a-z0-9]+")).foreach(w => throw new
+      IllegalArgumentException(s"blocklist entry '$w' is not a single " +
+        "[a-z0-9]+ token; use Extract.extractDict for phrases/punctuation"))
+    val bl = array(norm.map(lit): _*)
     docs.select(col(idCol).as("doc_id"),
         size(filter(words(col(textCol)), w => array_contains(bl, w)))
           .cast("long").as("n_banned"))
@@ -530,10 +538,13 @@ object TextAnalysis {
       .groupBy("lang")
       .agg(count(lit(1)).as("n_docs"), sum("nw").as("words"),
         sum("nt").as("tokens"), sum("nc").as("chars"))
-      .withColumn("fertility",
-        floor(col("tokens") / col("words") * 1e4 + 0.5) / 1e4)
-      .withColumn("chars_per_token",
-        floor(col("chars") / col("tokens") * 1e4 + 0.5) / 1e4)
+      // explicit zero-denominator guards: Spark's x/0 is NULL while
+      // DuckDB's is inf/nan — pin NULL on both sides for a language
+      // whose docs have no words (or no tokens)
+      .withColumn("fertility", when(col("words") > 0,
+        floor(col("tokens") / col("words") * 1e4 + 0.5) / 1e4))
+      .withColumn("chars_per_token", when(col("tokens") > 0,
+        floor(col("chars") / col("tokens") * 1e4 + 0.5) / 1e4))
 
   /**
    * N-gram novelty scoring — per document, how much of it is NOT shared

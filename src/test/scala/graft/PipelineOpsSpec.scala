@@ -864,6 +864,20 @@ class PipelineOpsSpec extends GraftSuite {
     assert(out.collect { case ((1L, c), (_, r)) if r <= 3 => c }.toSet == Set(1L, 3L, 5L))
   }
 
+  test("hardNegatives maxBucket valve is label-aware: rare-label negatives " +
+      "survive the cap") {
+    // one bucket: 40 label-0 vectors + one label-1, all identical vectors
+    // (same bucket at any plane count). A label-BLIND cap of 8 would keep
+    // only ids 0..7 (all label 0) and leave every label-0 anchor with no
+    // negatives; the per-(bucket, label) cap must keep id 1000.
+    val pts = ((0L until 40L).map(i => (i, Seq(1.0f, 0.0f), 0)) :+
+      ((1000L, Seq(1.0f, 0.0f), 1))).toDF("vec_id", "embedding", "label")
+    val out = Similarity.hardNegatives(pts, k = 1, maxBucket = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((0L until 40L).forall(a => out.contains((a, 1000L))))
+    assert(out.contains((1000L, 0L)))
+  }
+
   test("bm25TopK matches the hand formula; multi-term sums fold per term") {
     val docs = Seq(
       (0L, "cat dog"), (1L, "cat cat fish"), (2L, "bird")
