@@ -1147,6 +1147,24 @@ object Oracles {
          |SELECT doc_id, CAST(f.p AS INTEGER) AS pos, f.h AS fp
          |FROM (SELECT doc_id, unnest(fps) AS f FROM ded)""".stripMargin,
 
+    // Cross-source overlap matrix: distinct (source, gram-hash) pairs,
+    // self-join on hash, per-pair counts + first-source fraction.
+    "q135_source_overlap" ->
+      s"""WITH ws0 AS (SELECT doc_id, source, $Words AS w FROM documents),
+         |sh0 AS (SELECT source, CASE WHEN len(w) >= 3
+         |          THEN list_transform(generate_series(0, len(w) - 3),
+         |                 i -> array_to_string(list_slice(w, i + 1, i + 3), ' '))
+         |          ELSE [array_to_string(w, ' ')] END AS s FROM ws0),
+         |g AS (SELECT DISTINCT source, ${H("t")} AS h
+         |  FROM (SELECT source, unnest(s) AS t FROM sh0)),
+         |tot AS (SELECT source, CAST(count(*) AS BIGINT) AS grams_a FROM g GROUP BY source),
+         |pr AS (SELECT a.source AS src_a, b.source AS src_b,
+         |    CAST(count(*) AS BIGINT) AS shared_grams
+         |  FROM g a JOIN g b ON a.h = b.h GROUP BY 1, 2)
+         |SELECT src_a, src_b, shared_grams, grams_a,
+         |  floor(shared_grams / grams_a * 1e4 + 0.5) / 1e4 AS overlap_frac
+         |FROM pr JOIN tot ON pr.src_a = tot.source""".stripMargin,
+
     // Blocklist filter: banned-word hit count + keep verdict.
     "q134_blocklist" ->
       s"""SELECT doc_id, CAST(len(list_filter($Words,

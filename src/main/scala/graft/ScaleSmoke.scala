@@ -107,6 +107,9 @@ object ScaleSmoke {
       // novelty: gram-hash-keyed shuffles only, same family as the
       // decontamination/leakage ops
       ("ngram_novelty", d => TextAnalysis.ngramNovelty(d).count(), null),
+      // source overlap matrix: distinct (source, gram) collapses the
+      // corpus before the hash self-join; output bounded by sources²
+      ("source_overlap", d => TextAnalysis.sourceOverlapMatrix(d).count(), null),
       // winnowing: shuffle-free per-doc window fold
       ("winnow_fingerprints", d =>
         TextAnalysis.winnowFingerprints(d).count(), null),

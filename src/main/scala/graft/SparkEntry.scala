@@ -967,6 +967,11 @@ object SparkEntry {
     "q134_blocklist" -> ((s, dir) =>
       TextAnalysis.blocklistFilter(docs(s, dir), Seq("slow", "dup", "stale"))),
 
+    // Cross-source overlap matrix: shared distinct grams per source pair
+    // + fraction of the first source's gram vocabulary.
+    "q135_source_overlap" -> ((s, dir) =>
+      TextAnalysis.sourceOverlapMatrix(docs(s, dir))),
+
     // Corpus datasheet: per (source, lang) doc/token counts and mean
     // quality. The mean folds an exact integer sum of round(q*10000)
     // (quality is already 4dp) so the double division at the end is the

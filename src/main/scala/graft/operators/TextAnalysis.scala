@@ -450,6 +450,37 @@ object TextAnalysis {
   }
 
   /**
+   * Cross-source overlap matrix — for every ordered source pair, how
+   * many distinct grams they share and what fraction of the first
+   * source's gram vocabulary that is: the corpus-datasheet row that
+   * tells you "src A is largely a re-crawl of src B" BEFORE paying for
+   * pairwise document dedup across them. Diagonal rows report each
+   * source's own distinct-gram count (overlap_frac = 1).
+   *
+   * Scale shape: distinct (source, gram-hash) rows — bounded by
+   * sources × gram vocabulary, already collapsed from the corpus by a
+   * map-side-combined distinct — then a self-equi-join on gram hash
+   * whose output is bounded by vocabulary × sources²; all shuffles are
+   * gram-hash keyed, text never leaves the first projection.
+   */
+  def sourceOverlapMatrix(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", sourceCol: String = "source"): DataFrame = {
+    val grams = docs.select(col(sourceCol).as("source"),
+        explode(shingleHashes(col(textCol), 3)).as("h"))
+      .distinct()
+    val totals = grams.groupBy("source").agg(count(lit(1)).as("n_grams"))
+    grams.as("a")
+      .join(grams.as("b"), "h")
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("shared_grams"))
+      .join(broadcast(totals.withColumnsRenamed(
+        Map("source" -> "src_a", "n_grams" -> "grams_a"))), "src_a")
+      // non-negative ratio of exact ints — half-up floor == round
+      .withColumn("overlap_frac",
+        floor(col("shared_grams") / col("grams_a") * 1e4 + 0.5) / 1e4)
+  }
+
+  /**
    * Blocklist document filter — the C4-style "banned word list" stage: a
    * document is dropped when any of its words is on the list. Reports
    * the per-document hit count plus the keep verdict so a pipeline can

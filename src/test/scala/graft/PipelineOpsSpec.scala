@@ -1062,6 +1062,53 @@ class PipelineOpsSpec extends GraftSuite {
     assert(out == Map(0L -> ((0L, true)), 1L -> ((3L, false)), 2L -> ((1L, false))))
   }
 
+  test("sourceOverlapMatrix: shared-gram counts and fractions; disjoint pairs absent") {
+    val docs = Seq(
+      (0L, "one two three four", "A"), (1L, "one two three four", "A"),
+      (2L, "one two three four", "B"), (3L, "p q r s", "C")
+    ).toDF("doc_id", "text", "source")
+    val out = TextAnalysis.sourceOverlapMatrix(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    // A and B carry identical gram sets (2 grams); C is disjoint
+    assert(out(("A", "A")) == ((2L, 2L, 1.0)))
+    assert(out(("A", "B")) == ((2L, 2L, 1.0)))
+    assert(out(("B", "A")) == ((2L, 2L, 1.0)))
+    assert(out(("C", "C")) == ((2L, 2L, 1.0)))
+    // zero-overlap pairs produce no row (inner join on shared hash)
+    assert(!out.contains(("A", "C")) && !out.contains(("C", "B")))
+  }
+
+  test("pqTopK on random vectors == driver-side PQ reimplementation") {
+    val rnd = new scala.util.Random(11)
+    val pts = (0L until 60L).map(i =>
+      (i, Seq.fill(6)((rnd.nextInt(200) - 100) / 50.0f))).toDF("vec_id", "embedding")
+    val books = Similarity.pqFitCodebooks(pts, m = 3, ksub = 5, iters = 2)
+    val q = pts.filter($"vec_id" < 4)
+      .select($"vec_id".as("query_id"), $"embedding")
+    val out = Similarity.pqTopK(pts, q, books, k = 60).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getDouble(2), r.getInt(3))).toMap
+    val vecs = pts.collect().map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble)).toMap
+    def sq(a: Seq[Double], b: Seq[Double]) =
+      a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + (x - y) * (x - y) }
+    def code(v: Seq[Double], s: Int) =
+      books(s).minBy { case (c, cw) => (sq(v.slice(s * 2, s * 2 + 2), cw.toSeq), c) }._2
+    val adcs = for (qi <- 0L until 4L; ci <- vecs.keys) yield {
+      val expect = round6((0 until 3).map(s =>
+        sq(vecs(qi).slice(s * 2, s * 2 + 2), code(vecs(ci), s).toSeq)).reduceLeft(_ + _))
+      (qi, ci) -> expect
+    }
+    adcs.foreach { case ((qi, ci), expect) =>
+      assert(out((qi, ci))._1 == expect, s"adc mismatch q=$qi c=$ci") }
+    // ranks: ascending adc, ties to smaller corpus id
+    for (qi <- 0L until 4L) {
+      val sorted = adcs.filter(_._1._1 == qi).map { case ((_, ci), a) => (a, ci) }
+        .toSeq.sorted.zipWithIndex
+      sorted.foreach { case ((a, ci), i) =>
+        assert(out((qi, ci))._2 == i + 1, s"rank mismatch q=$qi c=$ci") }
+    }
+  }
+
   private def round6(x: Double): Double =
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 }
