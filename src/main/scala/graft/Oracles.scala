@@ -1147,6 +1147,21 @@ object Oracles {
          |SELECT doc_id, CAST(f.p AS INTEGER) AS pos, f.h AS fp
          |FROM (SELECT doc_id, unnest(fps) AS f FROM ded)""".stripMargin,
 
+    // Streaming semantic ingest dedup (batch path): batch side probes
+    // the corpus's hashed-bucket index one-sided; a pair collides on
+    // exactly one probe (distinct probe buckets), so no DISTINCT.
+    "q136_stream_semantic_dedup" ->
+      s"""WITH $EmbCte,
+         |bk AS (SELECT id, v, ${bucketH("v")} AS bucket FROM ed),
+         |pr AS (SELECT id AS batch_id, $ProbeExpr FROM bk WHERE id < 50),
+         |cand AS (SELECT pr.batch_id, bk.id AS dup_id FROM pr
+         |  JOIN bk ON pr.pb = bk.bucket WHERE pr.batch_id <> bk.id)
+         |SELECT * FROM (SELECT batch_id, dup_id,
+         |    (CASE WHEN c >= 0 THEN floor(c*1e4 + 0.5) ELSE -floor(-c*1e4 + 0.5) END) / 1e4 AS cos
+         |  FROM (SELECT c.batch_id, c.dup_id, ${cos("x.v", "y.v")} AS c
+         |    FROM cand c JOIN ed x ON x.id = c.batch_id JOIN ed y ON y.id = c.dup_id))
+         |WHERE cos >= 0.3""".stripMargin,
+
     // Cross-source overlap matrix: distinct (source, gram-hash) pairs,
     // self-join on hash, per-pair counts + first-source fraction.
     "q135_source_overlap" ->

@@ -972,6 +972,14 @@ object SparkEntry {
     "q135_source_overlap" -> ((s, dir) =>
       TextAnalysis.sourceOverlapMatrix(docs(s, dir))),
 
+    // Streaming semantic ingest dedup, batch path (stream-static plan,
+    // stateless exactly-once: probe buckets are pairwise distinct).
+    "q136_stream_semantic_dedup" -> ((s, dir) => {
+      val e = embedsD(s, dir)
+      streaming.DocumentStreams.semanticDupAgainstCorpus(
+        e.filter(col("vec_id") < 50), e, tau = 0.3)
+    }),
+
     // Corpus datasheet: per (source, lang) doc/token counts and mean
     // quality. The mean folds an exact integer sum of round(q*10000)
     // (quality is already 4dp) so the double division at the end is the

@@ -74,7 +74,7 @@ object Dedup {
 
   /** Sign-aware [[halfUp4]] (half away from zero) for cosine, which can
     * be negative. Mirrored verbatim in the q17/q98 oracles. */
-  private[operators] def halfUp4Signed(c: Column): Column =
+  private[graft] def halfUp4Signed(c: Column): Column =
     (when(c >= 0, floor(c * 1e4 + 0.5))
       .otherwise(-floor(-c * 1e4 + 0.5))) / 1e4
 

@@ -66,6 +66,47 @@ object DocumentStreams {
    * batches: zero. The same plan runs in batch (the declared query's
    * gate) because every operator in it is streaming-stateless.
    */
+  /**
+   * Streaming ingest SEMANTIC near-dup detection — the embedding
+   * analogue of [[nearDupAgainstCorpus]]: each arriving embedding probes
+   * the EXISTING corpus's sign-LSH index (its own bucket plus every
+   * single-bit-flip probe, over the hashed plane family whose buckets
+   * stay distinct as nPlanes grows) via a stream-STATIC equi-join, with
+   * the exact cosine verify inline. Emits one `(batch_id, dup_id, cos)`
+   * row per detection, in append mode.
+   *
+   * Even simpler than the MinHash form: probe buckets of one vector are
+   * pairwise DISTINCT (the own bucket and its nPlanes single-bit flips
+   * can never coincide), so a (batch, corpus) pair can collide on
+   * exactly one probe row — exactly-once emission needs no
+   * first-shared-band trick, no dropDuplicates, no state at all.
+   *
+   * Scale shape: per micro-batch cost is the batch's (nPlanes+1) probe
+   * rows against the static bucket index; persist the corpus index
+   * bucketed by bucket key (sources/Storage) so the join prunes instead
+   * of re-scanning. The same plan runs in batch (the declared query's
+   * differential gate) because every operator is streaming-stateless.
+   */
+  def semanticDupAgainstCorpus(batch: DataFrame, corpus: DataFrame,
+      tau: Double = 0.3, nPlanes: Int = 8, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    import graft.operators.Dedup
+    val vecD = col(vecCol).cast("array<double>")
+    val probe = batch.select(col(idCol).as("batch_id"), vecD.as("v_b"),
+        Dedup.signBucketHashed(vecD, nPlanes).as("bucket"))
+      .select(col("batch_id"), col("v_b"),
+        explode(Dedup.probeBuckets(col("bucket"), nPlanes)).as("pb"))
+    val index = corpus.select(col(idCol).as("dup_id"),
+      Dedup.signBucketHashed(vecD, nPlanes).as("pb"))
+    probe.join(index, "pb")
+      .filter(col("batch_id") =!= col("dup_id"))
+      .join(corpus.select(col(idCol).as("dup_id"), vecD.as("v_c")), "dup_id")
+      .withColumn("cos",
+        Dedup.halfUp4Signed(graft.tensor.cosine(col("v_b"), col("v_c"))))
+      .filter(col("cos") >= tau)
+      .select("batch_id", "dup_id", "cos")
+  }
+
   def nearDupAgainstCorpus(docs: DataFrame, corpus: DataFrame,
       threshold: Double = 0.8, k: Int = 16, bands: Int = 4,
       shingleK: Int = 3, idCol: String = "doc_id",

@@ -130,6 +130,43 @@ class StreamingSpec extends GraftSuite {
     assert(r == Set((1L, 100L, 101L, us(9))))
   }
 
+  test("semanticDupAgainstCorpus: stateless embedding stream-static probe, " +
+      "exactly-once, batch parity") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Seq(0.0f, 0.0f, 1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val q = graft.streaming.DocumentStreams.semanticDupAgainstCorpus(
+        mem.toDF.toDF("vec_id", "embedding"), corpus, tau = 0.9)
+      .writeStream.format("memory").queryName("ingest_sem_dups")
+      .outputMode("append").start()
+    try {
+      // batch 1: an exact copy of corpus vec 0 (same bucket — emitted
+      // exactly once despite (nPlanes+1) probes) + an orthogonal vector
+      mem.addData((10L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+        (11L, Seq(0.0f, 1.0f, 0.0f, 0.0f)))
+      q.processAllAvailable()
+      val b1 = spark.table("ingest_sem_dups").as[(Long, Long, Double)].collect()
+      assert(b1.toSeq == Seq((10L, 0L, 1.0)), s"got ${b1.toSeq}")
+      // batch 2: zero state from batch 1 — vec 10 is not in the index
+      mem.addData((12L, Seq(1.0f, 0.0f, 0.0f, 0.0f)))
+      q.processAllAvailable()
+      val b2 = spark.table("ingest_sem_dups").as[(Long, Long, Double)].collect()
+      assert(b2.map(r => (r._1, r._2)).toSet == Set((10L, 0L), (12L, 0L)))
+      assert(q.lastProgress == null || q.lastProgress.stateOperators.isEmpty)
+    } finally q.stop()
+    // batch path parity with the same relation run as a plain DataFrame
+    val batch = Seq((10L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+      (12L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+      (11L, Seq(0.0f, 1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val got = graft.streaming.DocumentStreams
+      .semanticDupAgainstCorpus(batch, corpus, tau = 0.9)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == Set((10L, 0L, 1.0), (12L, 0L, 1.0)))
+  }
+
   test("nearDupAgainstCorpus: stateless stream-static probe, exactly-once pairs") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
