@@ -1209,7 +1209,7 @@ object Oracles {
          |lb AS (SELECT vec_id AS id, label FROM embeddings),
          |bk AS (SELECT id, v, ${bucketH("v")} AS bucket FROM ed),
          |pr AS (SELECT id AS a_id, $ProbeExpr FROM bk),
-         |cand AS (SELECT DISTINCT pr.a_id, bk.id AS n_id FROM pr
+         |cand AS (SELECT pr.a_id, bk.id AS n_id FROM pr
          |  JOIN bk ON pr.pb = bk.bucket
          |  JOIN lb la ON la.id = pr.a_id JOIN lb ln ON ln.id = bk.id
          |  WHERE pr.a_id <> bk.id AND la.label <> ln.label),
@@ -1945,6 +1945,68 @@ object Oracles {
          |  '' AS notes, '' AS time_started, '' AS time_stopped,
          |  '' AS time_elapsed
          |FROM cstr WHERE NOT in_gold""".stripMargin,
+
+    // Per-document accuracy stats (compute_accuracy_by_document): TP =
+    // multiset inner-join cardinality of gold vs single-token-key model
+    // outputs on the full span+type key; derived ratios divide AFTER the
+    // per-doc counts. Gold and output doc sets coincide by construction
+    // (every gold entity starts at a 'key' token), so the full join
+    // never fires a NULL-fill branch.
+    "q137_accuracy_by_doc" ->
+      s"""WITH $ToksCte, $EntsCte,
+         |eb AS (SELECT CASE WHEN doc_id % 2 = 0 THEN 'train' ELSE 'test' END AS fold,
+         |    doc_id AS doc_num, begin_tok, end_tok, "begin", "end", ent_type
+         |  FROM ents WHERE ft = 'B'),
+         |kk AS (SELECT CASE WHEN doc_id % 2 = 0 THEN 'train' ELSE 'test' END AS fold,
+         |    doc_id AS doc_num, token_id AS begin_tok, token_id + 1 AS end_tok,
+         |    "begin", "end", 'K' AS ent_type
+         |  FROM toks WHERE text = 'key'),
+         |tp AS (SELECT fold, doc_num, CAST(count(*) AS BIGINT) AS tp FROM kk
+         |  JOIN eb USING (fold, doc_num, begin_tok, end_tok, "begin", "end", ent_type)
+         |  GROUP BY fold, doc_num),
+         |nx AS (SELECT fold, doc_num, CAST(count(*) AS BIGINT) AS num_extracted
+         |  FROM kk GROUP BY fold, doc_num),
+         |ne AS (SELECT fold, doc_num, CAST(count(*) AS BIGINT) AS num_entities
+         |  FROM eb GROUP BY fold, doc_num),
+         |st AS (SELECT fold, doc_num, coalesce(tp.tp, 0) AS num_true_positives,
+         |    num_extracted, num_entities
+         |  FROM nx JOIN ne USING (fold, doc_num)
+         |  LEFT JOIN tp USING (fold, doc_num)),
+         |pr AS (SELECT *,
+         |    CASE WHEN num_extracted > 0 THEN num_true_positives / num_extracted END AS precision,
+         |    CASE WHEN num_entities > 0 THEN num_true_positives / num_entities END AS recall
+         |  FROM st)
+         |SELECT fold, doc_num, num_true_positives, num_extracted, num_entities,
+         |  precision, recall,
+         |  CASE WHEN precision + recall > 0
+         |    THEN 2.0 * precision * recall / (precision + recall) END AS "F1"
+         |FROM pr""".stripMargin,
+
+    // Collection-wide roll-up (compute_global_accuracy): micro-average —
+    // sum the q137 counts, then divide once.
+    "q138_global_accuracy" ->
+      s"""WITH $ToksCte, $EntsCte,
+         |eb AS (SELECT CASE WHEN doc_id % 2 = 0 THEN 'train' ELSE 'test' END AS fold,
+         |    doc_id AS doc_num, begin_tok, end_tok, "begin", "end", ent_type
+         |  FROM ents WHERE ft = 'B'),
+         |kk AS (SELECT CASE WHEN doc_id % 2 = 0 THEN 'train' ELSE 'test' END AS fold,
+         |    doc_id AS doc_num, token_id AS begin_tok, token_id + 1 AS end_tok,
+         |    "begin", "end", 'K' AS ent_type
+         |  FROM toks WHERE text = 'key'),
+         |tp AS (SELECT CAST(count(*) AS BIGINT) AS num_true_positives FROM kk
+         |  JOIN eb USING (fold, doc_num, begin_tok, end_tok, "begin", "end", ent_type)),
+         |gl AS (SELECT num_true_positives,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM eb) AS num_entities,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM kk) AS num_extracted
+         |  FROM tp),
+         |pr AS (SELECT *,
+         |    CASE WHEN num_extracted > 0 THEN num_true_positives / num_extracted END AS precision,
+         |    CASE WHEN num_entities > 0 THEN num_true_positives / num_entities END AS recall
+         |  FROM gl)
+         |SELECT num_true_positives, num_entities, num_extracted, precision, recall,
+         |  CASE WHEN precision + recall > 0
+         |    THEN 2.0 * precision * recall / (precision + recall) END AS "F1"
+         |FROM pr""".stripMargin,
 
     "q35_consolidate" ->
       s"""WITH $ToksCte

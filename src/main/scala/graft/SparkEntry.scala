@@ -116,7 +116,10 @@ object SparkEntry {
     * a gold copy plus single-token key spans) keyed by (fold, doc_num,
     * span), document text joined in for span stringification, then
     * [[Cleaning.csvPrep]]'s two hand-labeling sheets. */
-  private def csvPrepSheets(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+  /** Shared (fold, doc_num)-keyed gold entities + single-token 'key'
+    * model outputs — the corpus/output pair behind q111/q112 and the
+    * accuracy roll-ups q137/q138. */
+  private def foldGoldAndKeys(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val t = toks(s, dir)
     val fold = when(col("doc_id") % 2 === 0, "train").otherwise("test")
     val gold = Iob.iobToSpans(tagged(t))
@@ -127,6 +130,13 @@ object SparkEntry {
         S.tokenSpan(col("token_id"), col("token_id") + 1,
           col("span")("begin"), col("span")("end")).as("span"),
         lit("K").as("ent_type"))
+    (gold, keys)
+  }
+
+  private def csvPrepSheets(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val t = toks(s, dir)
+    val fold = when(col("doc_id") % 2 === 0, "train").otherwise("test")
+    val (gold, keys) = foldGoldAndKeys(s, dir)
     // mC emits 200-char spans (clipped naturally by substring at the doc
     // end), guaranteeing q112 rows whose covered text crosses the 80-char
     // textwrap.shorten boundary — keeps the truncation branch of
@@ -978,6 +988,21 @@ object SparkEntry {
       val e = embedsD(s, dir)
       streaming.DocumentStreams.semanticDupAgainstCorpus(
         e.filter(col("vec_id") < 50), e, tau = 0.3)
+    }),
+
+    // Per-document accuracy stats at the reference's exact column
+    // surface (compute_accuracy_by_document): gold entities vs the
+    // single-token 'key' model outputs on the (fold, doc_num) grain.
+    "q137_accuracy_by_doc" -> ((s, dir) => {
+      val (gold, keys) = foldGoldAndKeys(s, dir)
+      Cleaning.accuracyByDocument(gold, keys)
+    }),
+
+    // Collection-wide micro-average roll-up of q137
+    // (compute_global_accuracy): sums first, ratios after.
+    "q138_global_accuracy" -> ((s, dir) => {
+      val (gold, keys) = foldGoldAndKeys(s, dir)
+      Cleaning.globalAccuracy(Cleaning.accuracyByDocument(gold, keys))
     }),
 
     // Corpus datasheet: per (source, lang) doc/token counts and mean

@@ -374,4 +374,68 @@ object Cleaning {
     combineRawSpansDocs(folds, iobCol, typeCol)
       .join(dfToMatch.select(col(foldCol).as("fold"), col(docCol).as("doc_num"))
         .distinct(), Seq("fold", "doc_num"), "left_semi")
+
+  /**
+   * Per-document accuracy statistics at the reference's exact column
+   * surface (`compute_accuracy_by_document`, reference:
+   * io/conll.py:1461-1516): one row per (fold, doc_num) with
+   * `num_true_positives` (cardinality of the multiset inner join of gold
+   * and output rows on `matchCols` — pandas `merge` semantics),
+   * `num_extracted`, `num_entities`, and the derived
+   * precision/recall/F1.
+   *
+   * Same one-scan-per-input shape as [[Iob.prfScores]]: gold collapses
+   * to per-key counts, TP = sum of those counts over matching output
+   * rows (multiset-join cardinality without materializing the join), and
+   * n_gold reuses the collapsed subtree via ReuseExchange. The reference
+   * iterates corpus keys in a Python loop over per-doc frames; here one
+   * full outer join covers docs present on either side (a doc missing
+   * from `outputs` raises KeyError in the reference — the engine reports
+   * it with zero extractions instead).
+   *
+   * Zero-denominator note: the reference's pandas math yields NaN there
+   * (0/0); the engine yields NULL — the same value once a pandas load
+   * maps NULL to NaN, and ANSI-safe (Spark 4 errors on a raw 0 divide).
+   */
+  def accuracyByDocument(corpus: DataFrame, outputs: DataFrame,
+      keyCols: Seq[String] = Seq("fold", "doc_num"),
+      matchCols: Seq[String] = Seq("span", "ent_type")): DataFrame = {
+    val all = keyCols ++ matchCols
+    val g = corpus.groupBy(all.map(col): _*).agg(count(lit(1)).as("__gc"))
+    val byDoc = outputs.join(g, all, "left")
+      .groupBy(keyCols.map(col): _*)
+      .agg(sum(coalesce(col("__gc"), lit(0L))).as("num_true_positives"),
+        count(lit(1)).as("num_extracted"))
+    val ng = g.groupBy(keyCols.map(col): _*).agg(sum("__gc").as("num_entities"))
+    byDoc.join(ng, keyCols, "full")
+      .na.fill(0, Seq("num_true_positives", "num_extracted", "num_entities"))
+      .withColumn("precision", when(col("num_extracted") > 0,
+        col("num_true_positives") / col("num_extracted")))
+      .withColumn("recall", when(col("num_entities") > 0,
+        col("num_true_positives") / col("num_entities")))
+      .withColumn("F1", when(col("precision") + col("recall") > 0,
+        lit(2.0) * col("precision") * col("recall") /
+          (col("precision") + col("recall"))))
+  }
+
+  /**
+   * Collection-wide roll-up of [[accuracyByDocument]]
+   * (`compute_global_accuracy`, reference: io/conll.py:1519-1542): sum
+   * the per-doc TP/entity/extraction counts, THEN derive global
+   * precision/recall/F1 from the sums (micro-averaging — not a mean of
+   * the per-doc ratios). One row; the reference returns a dict with the
+   * same six keys.
+   */
+  def globalAccuracy(statsByDoc: DataFrame): DataFrame =
+    statsByDoc
+      .agg(sum("num_true_positives").as("num_true_positives"),
+        sum("num_entities").as("num_entities"),
+        sum("num_extracted").as("num_extracted"))
+      .withColumn("precision", when(col("num_extracted") > 0,
+        col("num_true_positives") / col("num_extracted")))
+      .withColumn("recall", when(col("num_entities") > 0,
+        col("num_true_positives") / col("num_entities")))
+      .withColumn("F1", when(col("precision") + col("recall") > 0,
+        lit(2.0) * col("precision") * col("recall") /
+          (col("precision") + col("recall"))))
 }

@@ -356,10 +356,14 @@ object Similarity {
       neighbors0.withColumn("__r", row_number().over(wb))
         .filter(col("__r") <= maxBucket).drop("__r")
     }
+    // no dedup pass needed: an anchor's nPlanes+1 probe buckets are
+    // pairwise distinct and a neighbor lives in exactly one bucket, so a
+    // (a_id, n_id) pair can match on at most one probe row (the same
+    // argument semanticDupAgainstCorpus uses to omit DISTINCT)
     val cand = probed
       .join(neighbors, "pbucket")
       .filter(col("a_id") =!= col("n_id") && col("a_lbl") =!= col("n_lbl"))
-      .select("a_id", "n_id").dropDuplicates("a_id", "n_id")
+      .select("a_id", "n_id")
     val w = Window.partitionBy("anchor_id").orderBy(col("cos").desc, col("neg_id"))
     cand
       .join(withV.select(col("id").as("a_id"), col("v").as("a_v")), "a_id")
@@ -402,7 +406,15 @@ object Similarity {
    * [[kmeansFitCentroids]] applied per subspace): init = the ksub
    * smallest-id rows' sub-vectors in id order (code = rank); assignment
    * ties break to the smallest code; updated coordinates round to 6dp;
-   * a code that loses all its points drops out on both sides.
+   * a code that loses all its points drops out on both sides. Caveat
+   * (same accepted risk as [[kmeansFitCentroids]]): the centroid update
+   * is avg(x), whose partial-aggregation summation order is
+   * partition-dependent BEFORE the 6dp round — a coordinate mean landing
+   * exactly on a rounding boundary could differ in the last digit from
+   * an ordered-fold engine. Not observed at any tested SF; the round
+   * absorbs everything short of an exact half-ulp boundary.
+   *
+   * Requires at least `ksub` corpus rows (init seeds one code per row).
    */
   def pqFitCodebooks(corpus: DataFrame, m: Int = 8, ksub: Int = 16,
       iters: Int = 2, idCol: String = "vec_id", vecCol: String = "embedding")
@@ -410,6 +422,9 @@ object Similarity {
     val vecD = col(vecCol).cast("array<double>")
     val initRows = corpus.orderBy(col(idCol)).select(vecD.as("v")).limit(ksub)
       .collect().map(_.getSeq[Double](0).toArray)
+    require(initRows.length == ksub,
+      s"pqFitCodebooks needs >= ksub=$ksub corpus rows to seed the " +
+        s"codebooks, got ${initRows.length}")
     val dim = initRows.head.length
     require(m > 0 && dim % m == 0, s"m=$m must divide dim=$dim")
     val d = dim / m
@@ -450,6 +465,8 @@ object Similarity {
       books: IndexedSeq[IndexedSeq[(Int, Array[Double])]],
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val m = books.size
+    require(m > 0 && books.head.nonEmpty,
+      "pqEncode needs non-empty codebooks (m >= 1 subspaces, >= 1 code each)")
     val d = books.head.head._2.length
     val vecD = col(vecCol).cast("array<double>")
     val entries = (0 until m).map { s =>
@@ -490,6 +507,8 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding",
       queryIdCol: String = "query_id"): DataFrame = {
     val m = books.size
+    require(m > 0 && books.head.nonEmpty,
+      "pqTopK needs non-empty codebooks (m >= 1 subspaces, >= 1 code each)")
     val d = books.head.head._2.length
     val vecD = col(vecCol).cast("array<double>")
     val bookMaps = books.map(b =>

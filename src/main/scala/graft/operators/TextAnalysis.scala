@@ -300,7 +300,9 @@ object TextAnalysis {
    * `(1 + (N − df + 0.5)/(df + 0.5))` idf form, always positive) scored
    * top-k per query over the corpus. The curation use: pull topic slices
    * out of a pretraining corpus by keyword relevance rather than
-   * substring match. `queries` is a long-form (query_id, term) relation.
+   * substring match. `queries` is a long-form (query_id, term) relation
+   * with SET semantics: duplicate (query_id, term) rows are collapsed
+   * before scoring, so a term contributes to a query's score once.
    *
    * score(q, d) = Σ_{t∈q} idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))
    *
@@ -325,7 +327,10 @@ object TextAnalysis {
     val stats = dl
       .agg(count(lit(1)).cast("double").as("__n"), sum(col("dl")).as("__s"))
       .select(col("__n"), (col("__s") / col("__n")).as("__avgdl"))
-    val qTerms = queries.select(col("query_id"), col("term"))
+    // set-of-terms semantics: duplicate (query_id, term) rows in the
+    // input collapse here — without this, the final qTerms join would
+    // fan out scored rows and the term-ordered fold would double-count
+    val qTerms = queries.select(col("query_id"), col("term")).distinct()
     val terms = docs
       .select(col(idCol).as("doc_id"), explode(words(col(textCol))).as("term"))
       .join(broadcast(qTerms.select("term").distinct()), "term")

@@ -238,6 +238,39 @@ class CleaningSpec extends GraftSuite {
       (2.0 / 3 * 2 + 0.8 * 3 + 2.0 / 3) / 6, 6.0)))
   }
 
+  test("accuracyByDocument + globalAccuracy reference parity (io/conll.py:1461-1542)") {
+    def fents(rows: (String, Long, Int, Int, String)*) =
+      rows.toSeq.toDF("fold", "doc_num", "bt", "et", "ent_type")
+        .select(col("fold"), col("doc_num"),
+          graft.spans.tokenSpan(col("bt"), col("et"), lit(0), lit(0)).as("span"),
+          col("ent_type"))
+    // train/0: gold A,B; pred A,C → tp=1, ext=2, ent=2
+    // train/1: gold A;   pred B   → tp=0, ext=1, ent=1 (F1 NULL: 0/0)
+    // test/0:  gold A,A (dup); pred A,A → multiset tp=4 (pandas merge)
+    val gold = fents(("train", 0L, 0, 1, "A"), ("train", 0L, 2, 3, "B"),
+      ("train", 1L, 0, 1, "A"),
+      ("test", 0L, 0, 1, "A"), ("test", 0L, 0, 1, "A"))
+    val pred = fents(("train", 0L, 0, 1, "A"), ("train", 0L, 4, 5, "C"),
+      ("train", 1L, 2, 3, "B"),
+      ("test", 0L, 0, 1, "A"), ("test", 0L, 0, 1, "A"))
+    val byDoc = Cleaning.accuracyByDocument(gold, pred)
+    val r = byDoc.select("fold", "doc_num", "num_true_positives",
+        "num_extracted", "num_entities", "precision", "recall", "F1")
+      .collect().map(x => (x.getString(0), x.getLong(1)) ->
+        ((x.getLong(2), x.getLong(3), x.getLong(4),
+          Option(x.get(5)), Option(x.get(6)), Option(x.get(7))))).toMap
+    assert(r(("train", 0L)) ==
+      ((1L, 2L, 2L, Some(0.5), Some(0.5), Some(0.5))))
+    // tp=0: precision/recall 0, F1 = 0/0 → NULL (pandas NaN)
+    assert(r(("train", 1L)) == ((0L, 1L, 1L, Some(0.0), Some(0.0), None)))
+    // duplicate gold rows: pandas-merge multiset semantics → tp = 2·2
+    assert(r(("test", 0L)) == ((4L, 2L, 2L, Some(2.0), Some(2.0), Some(2.0))))
+    // global micro-average: sums first (5, 5, 5), ratios after
+    val g = Cleaning.globalAccuracy(byDoc).head
+    assert((g.getLong(0), g.getLong(1), g.getLong(2)) == ((5L, 5L, 5L)))
+    assert((g.getDouble(3), g.getDouble(4), g.getDouble(5)) == ((1.0, 1.0, 1.0)))
+  }
+
   test("unpack_semijoin shifts spans by the region offset (join.py:206-244)") {
     val model = Seq((7L, 5, 10, 100)).toDF("doc_id", "b", "e", "off")
       .select(col("doc_id"), graft.spans.span(col("b"), col("e")).as("span"), col("off"))
