@@ -2047,16 +2047,36 @@ object Oracles {
          |  CASE WHEN win*6 + pos - 2 >= 0 AND win*6 + pos - 2 < n THEN 1 ELSE 0 END AS mask
          |FROM j""".stripMargin,
 
+    // Real y4m decode mirror: clips are 3 + id%5 frames at 5 fps (200 ms
+    // per frame); sampled frame idx = t // 200; y_sum = the closed-form
+    // 16-byte luma plane of that frame, summed.
     "q39_media_frames" ->
-      """SELECT doc_id AS media_id, doc_id,
-        |  unnest(generate_series(0, CAST(n_chars*10 - 1 AS BIGINT), 500)) AS frame_ms
-        |FROM documents WHERE doc_id % 3 = 2 AND n_chars*10 > 0""".stripMargin,
+      """WITH vid AS (SELECT doc_id, 3 + doc_id % 5 AS nf FROM documents
+        |  WHERE doc_id % 3 = 2),
+        |tt AS (SELECT doc_id, unnest(generate_series(0, nf*200 - 1, 500)) AS t FROM vid),
+        |ff AS (SELECT doc_id, t, t // 200 AS idx FROM tt)
+        |SELECT doc_id AS media_id, doc_id, CAST(t AS INT) AS frame_ms,
+        |  CAST(idx AS INT) AS frame_idx,
+        |  CAST(list_sum(list_transform(generate_series(0, 15),
+        |    j -> (doc_id*17 + idx*29 + j*7) % 256)) AS BIGINT) AS y_sum
+        |FROM ff""".stripMargin,
 
+    // Real resize mirror: every byte of the engine's output PPM is
+    // re-derived — 11 fixed header bytes ("P6\n8 8\n255\n") plus the
+    // nearest-neighbor-resampled closed-form raster (target (x,y,c) ←
+    // source ((x*sw)//8, (y*sh)//8, c)) — then rolled into the same
+    // 31-base fingerprint the engine computes over the binary payload.
     "q66_media_resize" ->
-      s"""SELECT doc_id AS media_id, 8 AS width, 8 AS height,
-         |  least(len(substr(text, 1, 64)), 32) AS n_bytes,
-         |  ${H("substr(text, 1, 32)")} AS fp
-         |FROM documents WHERE doc_id % 3 = 0""".stripMargin,
+      """WITH im AS (SELECT doc_id, 4 + doc_id % 5 AS sw, 3 + doc_id % 4 AS sh
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |pl AS (SELECT doc_id, list_transform(generate_series(0, 191), i ->
+        |    (doc_id*31 + ((i // 24 * sh // 8 * sw + i % 24 // 3 * sw // 8) * 3 + i % 3) * 7) % 256)
+        |  AS pxs FROM im)
+        |SELECT doc_id AS media_id, 8 AS width, 8 AS height, 203 AS n_bytes,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_concat([80,54,10,56,32,56,10,50,53,53,10], pxs)),
+        |    (a, b) -> (a*31 + b) % 2147483647) AS fp
+        |FROM pl""".stripMargin,
 
     "q63_audio_chunks" ->
       """SELECT doc_id AS media_id, doc_id, CAST(i AS INT) AS chunk_idx,
@@ -2065,16 +2085,53 @@ object Oracles {
         |  FROM (SELECT doc_id, generate_series(0, n_chars*10 - 1000, 500) AS ss
         |        FROM documents WHERE doc_id % 3 = 1 AND n_chars*10 >= 1000))""".stripMargin,
 
-    "q43_media_features" -> {
-      // unrolled LCG chain of Multimodal.DecodeStub.decodeImage, seeded by
-      // the rolling hash of the first 64 bytes (= chars: text is ASCII)
-      val chain = (1 to 8).scanLeft("s0")((e, _) =>
-        s"(($e * 1103515245 + 12345) % 2147483647)").drop(1)
-      val fs = chain.map(e => s"round(CAST(($e) % 1000 AS DOUBLE) / 1000, 4)").mkString(", ")
-      s"""WITH m AS (SELECT doc_id AS media_id, ${H("substr(text, 1, 64)")} AS s0 FROM documents),
-         |v AS (SELECT media_id, [$fs] AS fs FROM m)
-         |SELECT media_id, generate_subscripts(fs, 1) - 1 AS i, unnest(fs) AS f FROM v""".stripMargin
-    },
+    // Real PPM decode mirror: raster byte i = (id*31 + i*7) % 256;
+    // features = [w, h, channel means, min, max, global mean] with the
+    // engine's exact floor(x*1e4 + 0.5)/1e4 half-up rounding (HUGEINT
+    // sums divide to DOUBLE, same IEEE sequence as the host kernel).
+    "q43_media_features" ->
+      """WITH im AS (SELECT doc_id, 4 + doc_id % 5 AS sw, 3 + doc_id % 4 AS sh
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |px AS (SELECT doc_id, sw, sh, unnest(generate_series(0, sw*sh*3 - 1)) AS i FROM im),
+        |pv AS (SELECT doc_id, sw, sh, i, (doc_id*31 + i*7) % 256 AS v FROM px),
+        |ag AS (SELECT doc_id, sw, sh,
+        |    sum(CASE WHEN i % 3 = 0 THEN v END) AS sr,
+        |    sum(CASE WHEN i % 3 = 1 THEN v END) AS sg,
+        |    sum(CASE WHEN i % 3 = 2 THEN v END) AS sb,
+        |    min(v) AS mn, max(v) AS mx
+        |  FROM pv GROUP BY doc_id, sw, sh),
+        |fv AS (SELECT doc_id, [CAST(sw AS DOUBLE), CAST(sh AS DOUBLE),
+        |    floor(sr / (sw*sh) * 1e4 + 0.5) / 1e4,
+        |    floor(sg / (sw*sh) * 1e4 + 0.5) / 1e4,
+        |    floor(sb / (sw*sh) * 1e4 + 0.5) / 1e4,
+        |    CAST(mn AS DOUBLE), CAST(mx AS DOUBLE),
+        |    floor((sr + sg + sb) / (sw*sh*3) * 1e4 + 0.5) / 1e4] AS fs FROM ag)
+        |SELECT doc_id AS media_id, generate_subscripts(fs, 1) - 1 AS i, unnest(fs) AS f
+        |FROM fv""".stripMargin,
+
+    // Real WAV parse mirror: sample i = (id*13 + i*7) % 65536 - 32768
+    // over 160 + id%64 samples at 8 kHz; pure integer stats.
+    "q139_audio_stats" ->
+      """WITH au AS (SELECT doc_id, 160 + doc_id % 64 AS n FROM documents
+        |  WHERE doc_id % 3 = 1),
+        |sv AS (SELECT doc_id, n, unnest(generate_series(0, n - 1)) AS i FROM au),
+        |vv AS (SELECT doc_id, n, (doc_id*13 + i*7) % 65536 - 32768 AS s FROM sv)
+        |SELECT doc_id AS media_id, 8000 AS sample_rate,
+        |  CAST(max(n) AS INT) AS n_samples, CAST(min(s) AS INT) AS min_amp,
+        |  CAST(max(s) AS INT) AS max_amp, CAST(sum(s) AS BIGINT) AS sum_amp
+        |FROM vv GROUP BY doc_id""".stripMargin,
+
+    // Sample-accurate chunk mirror: 80-sample windows hopped by 40
+    // (10 ms / 5 ms at 8 kHz), per-chunk amplitude sum in closed form.
+    "q140_audio_chunk_samples" ->
+      """WITH au AS (SELECT doc_id, 160 + doc_id % 64 AS n FROM documents
+        |  WHERE doc_id % 3 = 1),
+        |ch AS (SELECT doc_id, unnest(generate_series(0, n - 80, 40)) AS ss FROM au)
+        |SELECT doc_id AS media_id, doc_id, CAST(ss // 40 AS INT) AS chunk_idx,
+        |  CAST(ss AS INT) AS start_sample, CAST(ss + 80 AS INT) AS end_sample,
+        |  CAST(list_sum(list_transform(generate_series(ss, ss + 79),
+        |    i -> (doc_id*13 + i*7) % 65536 - 32768)) AS BIGINT) AS sum_amp
+        |FROM ch""".stripMargin,
 
     "q44_watson_syntax" ->
       s"""WITH $ToksCte

@@ -1441,27 +1441,41 @@ object SparkEntry {
     "q38_bert_windows" -> ((s, dir) =>
       Bert.windowRows(toks(s, dir).select("doc_id", "token_id"), overlap = 2, nonOverlap = 4)),
 
+    // Real y4m decode: header parse + FRAME walk + per-sampled-frame
+    // luma checksum; oracle recomputes the closed-form frame bytes.
     "q39_media_frames" -> ((s, dir) =>
       Multimodal.sampleVideoFrames(Multimodal.syntheticMedia(docs(s, dir)), everyMs = 500)),
 
-    // Resize host end-to-end: the stub crop is exact (first 32 bytes of
-    // the UTF-8 payload = first 32 chars of the doc text), so byte length
-    // and content hash are oracle-stated directly.
+    // Resize host end-to-end over REAL pixels: PPM decode →
+    // nearest-neighbor resample → PPM re-encode; the oracle re-derives
+    // every byte of the output file (header + resampled raster) and
+    // matches the rolling fingerprint.
     "q66_media_resize" -> ((s, dir) =>
       Multimodal.resizeImages(Multimodal.syntheticMedia(docs(s, dir)), 8, 8)
         .select(col("media_id"), col("meta")("width").as("width"),
           col("meta")("height").as("height"),
           length(col("bytes")).as("n_bytes"),
-          TextAnalysis.portableHash(decode(col("bytes"), "UTF-8")).as("fp"))),
+          Multimodal.byteFingerprint(col("bytes")).as("fp"))),
 
     "q63_audio_chunks" -> ((s, dir) =>
       Multimodal.chunkAudio(Multimodal.syntheticMedia(docs(s, dir)),
         windowMs = 1000, hopMs = 500)),
 
+    // Real PPM decode: per-channel/global raster statistics computed
+    // from genuinely decoded pixels (means half-up 4dp in the host).
     "q43_media_features" -> ((s, dir) =>
       Multimodal.extractImageFeatures(Multimodal.syntheticMedia(docs(s, dir)))
-        .select(col("media_id"), posexplode(col("features")).as(Seq("i", "f")))
-        .select(col("media_id"), col("i"), round(col("f").cast("double"), 4).as("f"))),
+        .select(col("media_id"), posexplode(col("features")).as(Seq("i", "f")))),
+
+    // Real WAV parse: RIFF chunk walk + PCM16 integer stats.
+    "q139_audio_stats" -> ((s, dir) =>
+      Multimodal.audioStats(Multimodal.syntheticMedia(docs(s, dir)))),
+
+    // Sample-accurate chunking over the decoded waveform (vs q63's
+    // metadata-level chunk planning): 10 ms windows, 5 ms hop at 8 kHz.
+    "q140_audio_chunk_samples" -> ((s, dir) =>
+      Multimodal.chunkAudioSamples(Multimodal.syntheticMedia(docs(s, dir)),
+        windowMs = 10, hopMs = 5)),
 
     // Watson NLU: Spark side synthesizes a real JSON response per document
     // (token/sentence/entity payloads), then parses it back through the

@@ -239,28 +239,57 @@ class PipelineOpsSpec extends GraftSuite {
     assert(d.forall(x => math.abs(x.getDouble(1) - 1.0) < 1e-9))
   }
 
-  test("multimodal plumbing: synthetic media, stub decode, frame sampling") {
+  test("multimodal plumbing: real PPM/WAV/y4m payloads decode end-to-end") {
     val docsT = docs.withColumn("n_chars", length(col("text")))
     val media = Multimodal.syntheticMedia(docsT)
     assert(media.count() == 5)
+    // image features come from genuinely decoded PPM pixels (docs 0, 3)
     val feats = Multimodal.extractImageFeatures(media)
-    assert(feats.count() == 5)
+    assert(feats.count() == media.filter(col("kind") === "image").count())
     assert(feats.select(size(col("features"))).distinct().head.getInt(0) == 8)
+    val f0 = feats.filter(col("media_id") === 0L)
+      .select(col("features")).head.getSeq[Double](0)
+    // doc 0: 4x3 raster, pixel i = (0*31 + i*7) % 256; recompute directly
+    val px0 = (0 until 36).map(i => i * 7 % 256)
+    def m4(s: Long, n: Long) = math.floor(s.toDouble / n * 1e4 + 0.5) / 1e4
+    assert(f0(0) == 4.0 && f0(1) == 3.0)
+    assert(f0(2) == m4(px0.zipWithIndex.collect { case (v, i) if i % 3 == 0 => v.toLong }.sum, 12))
+    assert(f0(5) == px0.min && f0(6) == px0.max)
+    assert(f0(7) == m4(px0.map(_.toLong).sum, 36))
     // deterministic: same bytes → same features
     val f2 = Multimodal.extractImageFeatures(media)
     assert(feats.collect().map(_.toString).sorted.toSeq ==
       f2.collect().map(_.toString).sorted.toSeq)
+    // video: doc 2 has 3 + 2%5 = 5 real y4m frames at 200 ms → 1000 ms
     val frames = Multimodal.sampleVideoFrames(media, everyMs = 100)
-    assert(frames.count() > 0)
+    assert(frames.count() == 10)
     assert(frames.select("media_id").distinct().count() ==
       media.filter(col("kind") === "video").count())
-    // resize: image rows only, meta updated, bytes cropped by the stub
+    // sampled frame 0 luma checksum matches the closed form
+    val y0 = frames.filter(col("frame_ms") === 0).head.getAs[Long]("y_sum")
+    assert(y0 == (0 until 16).map(j => (2 * 17 + j * 7) % 256).sum)
+    // resize: real nearest-neighbor resample re-encoded as an 8x8 PPM
     val resized = Multimodal.resizeImages(media, 8, 8)
     assert(resized.count() == media.filter(col("kind") === "image").count())
     val rr = resized.head
     assert(rr.getStruct(4).getInt(0) == 8 && rr.getStruct(4).getInt(1) == 8)
-    assert(rr.getAs[Array[Byte]]("bytes").length <= 32)
-    // audio chunks: every window fits inside its clip, hop spacing exact
+    val rb = rr.getAs[Array[Byte]]("bytes")
+    assert(rb.length == 203) // "P6\n8 8\n255\n" + 8*8*3
+    val (rw, rh, rpx) = graft.operators.Codecs.decodePpm(rb)
+    assert(rw == 8 && rh == 8 && rpx.length == 192)
+    // audio stats decode the real WAV payload (doc 1: 161 samples)
+    val st = Multimodal.audioStats(media).filter(col("media_id") === 1L).head
+    assert(st.getInt(1) == 8000 && st.getInt(2) == 161)
+    val s1 = (0 until 161).map(i => (13 + i * 7) % 65536 - 32768)
+    assert(st.getInt(3) == s1.min && st.getInt(4) == s1.max)
+    assert(st.getLong(5) == s1.map(_.toLong).sum)
+    // sample-accurate chunks: 80-sample windows, 40-sample hop
+    val sc = Multimodal.chunkAudioSamples(media, windowMs = 10, hopMs = 5)
+      .filter(col("media_id") === 1L).collect().sortBy(_.getInt(2))
+    assert(sc.map(r => (r.getInt(3), r.getInt(4))).toSeq ==
+      Seq((0, 80), (40, 120), (80, 160)))
+    assert(sc.head.getLong(5) == s1.take(80).map(_.toLong).sum)
+    // metadata-level chunk planning: window fits clip, hop spacing exact
     val chunks = Multimodal.chunkAudio(media, windowMs = 200, hopMs = 100)
       .join(media.select(col("media_id"), col("meta")("duration_ms").as("dur")), "media_id")
     assert(chunks.count() > 0)
