@@ -342,7 +342,23 @@ object ScaleSmoke {
       // (nPlanes+1)·maxBucket regardless of how clustered the data is
       ("hard_negatives_scaled", (e, t) =>
         Similarity.hardNegatives(embD(e), k = 3, nPlanes = 8 + 4 * t,
-          maxBucket = 64).count())) ++
+          maxBucket = 64).count()),
+      // SATURATED regime: 2 labels and only 2^4 buckets force every
+      // bucket past maxBucket at EVERY tier, so candidates/anchor sit AT
+      // the (nPlanes+1)·maxBucket·labels bound from 1x on — the measured
+      // ratio is the "once saturated, the next decade is linear" claim
+      // with no under-saturation excuse available
+      ("hard_negatives_saturated", (e, _) =>
+        Similarity.hardNegatives(
+          embD(e).withColumn("label", col("label") % 2),
+          k = 3, nPlanes = 4, maxBucket = 64).count()),
+      // the HARD per-anchor cap as the binding bound (valve + cap): same
+      // dense corpus, candidate stage bounded at cap·N by construction
+      ("hard_negatives_capped", (e, _) =>
+        Similarity.hardNegatives(
+          embD(e).withColumn("label", col("label") % 2),
+          k = 3, nPlanes = 4, maxBucket = 64,
+          maxCandPerAnchor = 128).count())) ++
       // hard-negative mining at FIXED knobs: EVERY vector is an anchor,
       // bucket populations grow with the corpus, and the candidate
       // self-join is quadratic — this row documents that super-linear
@@ -376,7 +392,16 @@ object ScaleSmoke {
       // keep the k-means stages linear, same as semantic_dedup_scaled)
       ("diversity_sample_scaled", (e, t) => Similarity.diversitySample(embD(e),
         k = 8 * math.pow(10, t).toInt, iters = 2, cap = 20,
-        fitFraction = if (t == 0) 1.0 else 0.2, twoLevelAssign = t > 0).count()))
+        fitFraction = if (t == 0) 1.0 else 0.2, twoLevelAssign = t > 0).count()),
+      // FIXED k across tiers: isolates the plan from the SemDeDup
+      // k-grows-with-N rule — with k pinned, every stage (sampled fit,
+      // two-level assignment, per-cluster rank window) is linear in N,
+      // so the measured ratio must be ~10 per decade; any residual
+      // super-linearity in the _scaled row is then attributable to the
+      // sampling knob alone, not the plan
+      ("diversity_sample_fixedk", (e, _) => Similarity.diversitySample(embD(e),
+        k = 80, iters = 2, cap = 20, fitFraction = 0.2,
+        twoLevelAssign = true).count()))
     embOps.filter(o => wanted(o._1)).foreach { case (name, f) =>
       f(emb1, 0) // warmup
       val (t1, n1) = timed(f(emb1, 0))

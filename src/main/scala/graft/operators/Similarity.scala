@@ -332,14 +332,26 @@ object Similarity {
    *    bounding candidates per anchor at (nPlanes+1)·maxBucket·labels.
    *    Deterministic (id order), and measured linear in ScaleSmoke's
    *    `hard_negatives_scaled` row; the fixed-knob row is super-linear
-   *    at 10x by construction.
+   *    at 10x by construction. The bound BINDING is measured too: the
+   *    `hard_negatives_saturated` row runs a dense-2-label corpus whose
+   *    buckets exceed maxBucket at every tier, so candidates/anchor sit
+   *    AT the bound and the tier ratio must be (and is) ~linear.
+   *  - `maxCandPerAnchor` (0 = off): the HARD guarantee on top of the
+   *    valve — after the bucket join, each anchor keeps only its first
+   *    `maxCandPerAnchor` candidates in (n_id) order, applied to the
+   *    narrow pair relation BEFORE vectors join back, so the cosine
+   *    re-rank stage is bounded at cap·N pairs no matter what the data
+   *    distribution does. Recall trade like any pre-score cap (eviction
+   *    is id-ordered, not similarity-ordered); size it at a comfortable
+   *    multiple of k.
    *
    * Output: (anchor_id, neg_id, cos, rank), rank by descending cosine,
    * ties to the smaller neighbor id.
    */
   def hardNegatives(corpus: DataFrame, k: Int = 3, nPlanes: Int = 8,
       maxBucket: Int = 0, idCol: String = "vec_id",
-      vecCol: String = "embedding", labelCol: String = "label"): DataFrame = {
+      vecCol: String = "embedding", labelCol: String = "label",
+      maxCandPerAnchor: Int = 0): DataFrame = {
     val withV = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
     val withB = corpus.select(col(idCol).as("id"), col(labelCol).as("lbl"),
       Dedup.signBucketHashed(col(vecCol).cast("array<double>"), nPlanes).as("bucket"))
@@ -360,10 +372,17 @@ object Similarity {
     // pairwise distinct and a neighbor lives in exactly one bucket, so a
     // (a_id, n_id) pair can match on at most one probe row (the same
     // argument semanticDupAgainstCorpus uses to omit DISTINCT)
-    val cand = probed
+    val cand0 = probed
       .join(neighbors, "pbucket")
       .filter(col("a_id") =!= col("n_id") && col("a_lbl") =!= col("n_lbl"))
       .select("a_id", "n_id")
+    // hard per-anchor cap on the NARROW pair relation (vectors have not
+    // joined back yet): the downstream cosine stage is bounded at cap·N
+    val cand = if (maxCandPerAnchor <= 0) cand0 else {
+      val wc = Window.partitionBy("a_id").orderBy(col("n_id"))
+      cand0.withColumn("__c", row_number().over(wc))
+        .filter(col("__c") <= maxCandPerAnchor).drop("__c")
+    }
     val w = Window.partitionBy("anchor_id").orderBy(col("cos").desc, col("neg_id"))
     cand
       .join(withV.select(col("id").as("a_id"), col("v").as("a_v")), "a_id")

@@ -237,4 +237,32 @@ class PlanShapeSpec extends GraftSuite {
           "the pivot-key inference scan leaked back in")
     } finally spark.sparkContext.removeSparkListener(listener)
   }
+
+  test("plan digests of the ten most expensive queries stay pinned") {
+    // Regression guard from the r10 q92 postmortem: a rewrite that
+    // silently re-adds an Exchange (the old sort-merge re-attach join)
+    // or flips a broadcast join to a shuffle join must fail HERE, not
+    // surface as wall seconds in the next bench round. Digests are over
+    // the INITIAL adaptive plan at sf0.001 — deterministic in the query
+    // + optimizer. After an INTENTIONAL plan improvement, refresh the
+    // pins with `sbt "runMain graft.PlanDigest"`.
+    val pinned = Map(
+      "q89_corpus_v2" -> "exchanges=6 joins[BroadcastHashJoin=2,SortMergeJoin=1] cartesian=0",
+      "q77_training_corpus" -> "exchanges=2 joins[SortMergeJoin=1] cartesian=0",
+      "q93_conll_to_bert" -> "exchanges=8 joins[SortMergeJoin=3] cartesian=0",
+      "q92_align_bert" -> "exchanges=7 joins[BroadcastHashJoin=1,SortMergeJoin=2] cartesian=0",
+      "q61_watson_frames" -> "exchanges=2 joins[BroadcastHashJoin=2] cartesian=0",
+      "q84_strip_dup_spans" -> "exchanges=7 joins[BroadcastHashJoin=3] cartesian=0",
+      "q48_make_table" -> "exchanges=2 joins[] cartesian=0",
+      "q44_watson_syntax" -> "exchanges=5 joins[BroadcastHashJoin=3] cartesian=0",
+      "q49_spacy_features" -> "exchanges=1 joins[] cartesian=0",
+      "q81_dup_spans" -> "exchanges=4 joins[BroadcastHashJoin=1] cartesian=0")
+    assert(PlanDigest.PinnedQueries.toSet == pinned.keySet)
+    val diffs = PlanDigest.PinnedQueries.flatMap { name =>
+      val got = PlanDigest.of(
+        SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")).toString
+      if (got == pinned(name)) None else Some(s"$name: pinned ${pinned(name)} != got $got")
+    }
+    assert(diffs.isEmpty, diffs.mkString("\n"))
+  }
 }
