@@ -59,6 +59,16 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.r)
     val names = queries.keys.toSeq.sorted
       .filter(n => only.forall(_.findFirstIn(n).isDefined))
+    // Parallel codegen pre-compile (r10 postmortem: the serial Janino
+    // compile chain in front of each cold sample is the deadline's
+    // biggest avoidable cost on a contended host). The pool races ahead
+    // of the sequential sweep filling the process-wide codegen cache;
+    // by pass 2 it has long drained, so min-of-N samples stay clean.
+    // SPARK_GRAFT_NO_WARM=1 disables (A/B and forensics).
+    if (!sys.env.contains("SPARK_GRAFT_NO_WARM"))
+      org.apache.spark.sql.graft.CodegenWarmer.warmAllInBackground(
+        names.map(n => n -> (() => queries(n)(spark, sfDir))),
+        threads = math.max(2, cpus.toInt / 4))
     val best = scala.collection.mutable.Map.empty[String, Double]
     val samples = scala.collection.mutable.Map.empty[String, Int].withDefaultValue(0)
     val failed = scala.collection.mutable.SortedSet.empty[String]
