@@ -200,6 +200,91 @@ def check_tokenspan(dump, sub, tags):
     return len(got)
 
 
+def write_pydump(dump):
+    """REVERSE direction: write Feather files with plain pyarrow in the
+    reference's serialized layout (storage types + raw extension field
+    tags — exactly what a pandas user of the reference produces via
+    to_feather), plus expected-value parquet, for the engine's
+    readFeather to consume. No extension registration needed: tags ride
+    as ordinary field metadata, as in any cross-process file."""
+    os.makedirs(dump, exist_ok=True)
+
+    def ext_field(name, storage_type, ext_name, ext_meta=b""):
+        return pa.field(name, storage_type, metadata={
+            b"ARROW:extension:name": ext_name.encode(),
+            b"ARROW:extension:metadata": ext_meta})
+
+    def write_ipc(path, table):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with ipc.new_file(path, table.schema) as w:
+            w.write_table(table)
+
+    # spans + tensor in one file
+    begins = pa.array([0, 4, 0], pa.int32())
+    ends = pa.array([3, 8, 4], pa.int32())
+    texts = pa.array(["key agg row", "slow fast", "slow fast"]).dictionary_encode()
+    span_storage_t = pa.struct([
+        pa.field("span_begins", pa.int32()), pa.field("span_ends", pa.int32()),
+        pa.field("target_text", texts.type)])
+    span_storage = pa.StructArray.from_arrays(
+        [begins, ends, texts], fields=list(span_storage_t))
+    vec = pa.array([[1.0, 2.5], [-3.0, 0.25], [7.0, -1.0]],
+                   pa.list_(pa.float32()))
+    schema = pa.schema([
+        pa.field("doc_id", pa.int64()),
+        ext_field("span", span_storage_t, "TextExtensionsSpan"),
+        ext_field("vec", vec.type, "TextExtensionsTensor", b"[2]")])
+    table = pa.Table.from_arrays(
+        [pa.array([0, 1, 2], pa.int64()), span_storage, vec], schema=schema)
+    write_ipc(os.path.join(dump, "pywritten", "part-00000.feather"), table)
+    exp = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "begin": pa.array([0, 4, 0], pa.int32()),
+        "end": pa.array([3, 8, 4], pa.int32()),
+        "target_text": pa.array(["key agg row", "slow fast", "slow fast"]),
+        "vec": vec})
+    os.makedirs(os.path.join(dump, "pywritten_expected"), exist_ok=True)
+    pq.write_table(exp, os.path.join(dump, "pywritten_expected", "part-0.parquet"))
+
+    # single-tokenization token spans (the reference's supported form,
+    # arrow_conversion.py:195-248): tokens = dictionary(int32,
+    # list<span storage struct>), one shared tokenization entry
+    tok_b = pa.array([0, 4, 8], pa.int32())
+    tok_e = pa.array([3, 7, 11], pa.int32())
+    tok_t = pa.array(["key agg row"] * 3).dictionary_encode()
+    tok_storage = pa.StructArray.from_arrays(
+        [tok_b, tok_e, tok_t],
+        fields=[pa.field("span_begins", pa.int32()),
+                pa.field("span_ends", pa.int32()),
+                pa.field("target_text", tok_t.type)])
+    tok_list = pa.ListArray.from_arrays(pa.array([0, 3], pa.int32()), tok_storage)
+    tokens_dict = pa.DictionaryArray.from_arrays(
+        pa.array([0, 0, 0], pa.int32()), tok_list)
+    ts_storage_t = pa.struct([
+        pa.field("token_begins", pa.int32()), pa.field("token_ends", pa.int32()),
+        pa.field("tokens", tokens_dict.type)])
+    ts_storage = pa.StructArray.from_arrays(
+        [pa.array([0, 1, 0], pa.int32()), pa.array([1, 3, 3], pa.int32()),
+         tokens_dict], fields=list(ts_storage_t))
+    ts_schema = pa.schema([
+        pa.field("row_id", pa.int64()),
+        ext_field("ts", ts_storage_t, "TextExtensionsTokenSpan")])
+    ts_table = pa.Table.from_arrays(
+        [pa.array([0, 1, 2], pa.int64()), ts_storage], schema=ts_schema)
+    write_ipc(os.path.join(dump, "pywritten_ts", "part-00000.feather"), ts_table)
+    ts_exp = pa.table({
+        "row_id": pa.array([0, 1, 2], pa.int64()),
+        "bt": pa.array([0, 1, 0], pa.int32()),
+        "et": pa.array([1, 3, 3], pa.int32()),
+        "b": pa.array([0, 4, 0], pa.int32()),
+        "e": pa.array([3, 11, 11], pa.int32()),
+        "text": pa.array(["key agg row"] * 3)})
+    os.makedirs(os.path.join(dump, "pywritten_ts_expected"), exist_ok=True)
+    pq.write_table(ts_exp, os.path.join(dump, "pywritten_ts_expected", "part-0.parquet"))
+    print("WROTE pywritten pywritten_ts")
+    return 0
+
+
 def main(dump):
     checks = [("spans", check_spans), ("tensors", check_tensors),
               ("tokenspan", lambda d, g: check_tokenspan(d, "tokenspan", g)),
@@ -219,4 +304,6 @@ def main(dump):
 
 
 if __name__ == "__main__":
+    if sys.argv[1] == "--write":
+        sys.exit(write_pydump(sys.argv[2]))
     sys.exit(main(sys.argv[1]))

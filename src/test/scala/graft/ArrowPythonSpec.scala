@@ -91,4 +91,41 @@ class ArrowPythonSpec extends GraftSuite {
         out.contains("PASS tokenspan") && out.contains("PASS tokenspan_multi"))
     }
   }
+
+  test("engine reads pyarrow-written feather (the reference's serialized layout)") {
+    assume(havePython, "python3 + pyarrow not available")
+    val dump = java.nio.file.Files.createTempDirectory("graft_arrow_pyw").toString
+    val script = new java.io.File("scripts/arrow_check.py").getAbsolutePath
+    val p = new ProcessBuilder("python3", script, "--write", dump)
+      .redirectErrorStream(true).start()
+    val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
+    withClue(s"arrow_check.py --write output:\n$out")(assert(p.waitFor() == 0))
+
+    // span + tensor file: extension tags and dictionary text written by
+    // plain pyarrow, decoded by the engine reader
+    val back = ArrowInterop.readFeather(spark, s"$dump/pywritten/part-*.feather")
+    val exp = spark.read.parquet(s"$dump/pywritten_expected")
+    val got = back.select(col("doc_id"), col("span")("begin").as("begin"),
+        col("span")("end").as("end"), col("span_target_text"),
+        col("vec").cast("array<float>"))
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    val want = exp.select(col("doc_id"), col("begin"), col("end"),
+        col("target_text"), col("vec"))
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    assert(got == want)
+
+    // token-span file in the reference's single-tokenization layout:
+    // token ids back exactly, char offsets re-derived from the shared
+    // tokenization dictionary entry
+    val backTs = ArrowInterop.readFeather(spark, s"$dump/pywritten_ts/part-*.feather")
+    val expTs = spark.read.parquet(s"$dump/pywritten_ts_expected")
+    val gotTs = backTs.select(col("row_id"),
+        col("ts")("begin_tok"), col("ts")("end_tok"),
+        col("ts")("begin"), col("ts")("end"), col("ts_target_text"))
+      .orderBy("row_id").collect().map(_.toString).toSeq
+    val wantTs = expTs.select(col("row_id"), col("bt"), col("et"),
+        col("b"), col("e"), col("text"))
+      .orderBy("row_id").collect().map(_.toString).toSeq
+    assert(gotTs == wantTs)
+  }
 }
