@@ -333,7 +333,7 @@ object Oracles {
     sb.toString
   }
 
-  val sql: Map[String, String] = Map(
+  private val base: Map[String, String] = Map(
 
     // ---- relational core ----
 
@@ -2221,4 +2221,9 @@ object Oracles {
          |SELECT doc_id, token_id, CAST("begin" + doc_id*1000 AS INT) AS "begin",
          |  CAST("end" + doc_id*1000 AS INT) AS "end" FROM toks""".stripMargin
   )
+
+  // The aggregate-form BM25 (q141) is result-identical to the window
+  // form by construction — it shares q127's oracle verbatim.
+  val sql: Map[String, String] =
+    base + ("q141_bm25_agg" -> base("q127_bm25"))
 }

@@ -815,6 +815,17 @@ object SparkEntry {
       TextAnalysis.bm25TopK(docs(s, dir), qs, k = 10)
     }),
 
+    // Same BM25 pipeline with the per-query rank window swapped for the
+    // bounded partial-aggregatable top-k aggregate (the huge-query-batch
+    // operating form) — identical results, so it shares q127's oracle.
+    "q141_bm25_agg" -> ((s, dir) => {
+      import s.implicits._
+      val qs = Seq((0, "spark"), (0, "join"), (0, "fast"),
+        (1, "window"), (1, "sort"),
+        (2, "vector"), (2, "hash"), (2, "query")).toDF("query_id", "term")
+      TextAnalysis.bm25TopKAgg(docs(s, dir), qs, k = 10)
+    }),
+
     // REAL BERT tokenizer (WordPiece.Tokenizer — HF BasicTokenizer +
     // greedy wordpiece with original-text offsets) through the same
     // distributed host as q60's stub, over the deterministic mini

@@ -314,14 +314,26 @@ object TextAnalysis {
    * never rides an exchange. The per-(query, doc) term sum folds in TERM
    * ORDER (array_sort over (term, score) structs) so the double score is
    * reproducible across partitionings and engines; ranks break ties by
-   * doc id. With a huge query batch the final per-query window would
-   * become the bottleneck — swap it for a bounded top-k aggregator; the
-   * tf/df front end is unchanged.
+   * doc id. With a huge query batch the final per-query window becomes
+   * the bottleneck — [[bm25TopKAgg]] is the same pipeline with the
+   * window swapped for the bounded [[topKByScore]] aggregate; the tf/df
+   * front end is shared.
    */
   def bm25TopK(docs: DataFrame, queries: DataFrame, k: Int = 10,
       k1: Double = 1.2, b: Double = 0.75, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val agg = bm25Scores(docs, queries, k1, b, idCol, textCol)
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("doc_id"))
+    agg.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("doc_id"), col("score"), col("rank"))
+  }
+
+  /** Shared BM25 front end: the per-(query, doc) scored relation
+    * (columns query_id, doc_id, score) before any top-k selection. */
+  private def bm25Scores(docs: DataFrame, queries: DataFrame,
+      k1: Double, b: Double, idCol: String, textCol: String): DataFrame = {
     val dl = docs.select(col(idCol).as("doc_id"),
       size(words(col(textCol))).cast("double").as("dl"))
     val stats = dl
@@ -344,15 +356,64 @@ object TextAnalysis {
       .withColumn("s", col("idf") * (col("tf") * lit(k1 + 1)) /
         (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("__avgdl"))))
       .join(broadcast(qTerms), "term")
-    val agg = scored.groupBy("query_id", "doc_id")
+    scored.groupBy("query_id", "doc_id")
       .agg(aggregate(array_sort(collect_list(struct(col("term"), col("s")))),
         lit(0.0), (acc, e) => acc + e("s")).as("raw"))
       // non-negative → half-up floor == round, without the BigDecimal path
       .withColumn("score", floor(col("raw") * 1e4 + 0.5) / 1e4)
-    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("doc_id"))
-    agg.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("doc_id"), col("score"), col("rank"))
+  }
+
+  /**
+   * Bounded top-`k` (score, id) aggregate — the scale replacement for a
+   * per-key rank window. A `row_number` window shuffles EVERY scored row
+   * to its key's partition and sorts there; this Aggregator is
+   * partial-aggregatable, so each map task forwards at most k pairs per
+   * key and the exchange carries k·partitions rows per key no matter how
+   * many candidates were scored. Total order: higher score wins, ties to
+   * the smaller id — merge-order invariant. Returns the best-first
+   * array<struct<score, id>>.
+   */
+  def topKByScore(k: Int): org.apache.spark.sql.expressions.UserDefinedFunction = {
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    import org.apache.spark.sql.expressions.Aggregator
+    require(k > 0, s"topKByScore needs k > 0, got $k")
+    // (score, id) better-than: score desc, id asc
+    def better(a: (Double, Long), b: (Double, Long)): Boolean =
+      a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+    udaf(new Aggregator[(Double, Long), Seq[(Double, Long)], Seq[(Double, Long)]] {
+      override def zero: Seq[(Double, Long)] = Vector.empty
+      private def trim(s: Seq[(Double, Long)]): Seq[(Double, Long)] =
+        s.sortWith(better).take(k)
+      override def reduce(buf: Seq[(Double, Long)], in: (Double, Long)): Seq[(Double, Long)] =
+        // cheap reject keeps the common case allocation-free: a full
+        // buffer whose worst element beats the row drops it outright
+        if (buf.length >= k && !better(in, buf.last)) buf else trim(buf :+ in)
+      override def merge(a: Seq[(Double, Long)], b: Seq[(Double, Long)]): Seq[(Double, Long)] =
+        trim(a ++ b)
+      override def finish(buf: Seq[(Double, Long)]): Seq[(Double, Long)] = buf
+      override def bufferEncoder = ExpressionEncoder[Seq[(Double, Long)]]()
+      override def outputEncoder = ExpressionEncoder[Seq[(Double, Long)]]()
+    }, ExpressionEncoder[(Double, Long)]())
+  }
+
+  /**
+   * [[bm25TopK]] with the final per-query rank window replaced by the
+   * bounded [[topKByScore]] aggregate — identical results (same scores,
+   * same ordering, same ranks), different physical shape: no Window, no
+   * per-key full sort, map-side partial aggregation caps every task's
+   * contribution at k rows per query. This is the operating form when
+   * the query batch is huge (a retrieval pass over millions of stored
+   * queries) and the window's key-partitioned sort would dominate.
+   */
+  def bm25TopKAgg(docs: DataFrame, queries: DataFrame, k: Int = 10,
+      k1: Double = 1.2, b: Double = 0.75, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val agg = bm25Scores(docs, queries, k1, b, idCol, textCol)
+    val tk = topKByScore(k)
+    agg.groupBy("query_id").agg(tk(col("score"), col("doc_id")).as("__top"))
+      .select(col("query_id"), posexplode(col("__top")).as(Seq("__r", "__e")))
+      .select(col("query_id"), col("__e")("_2").as("doc_id"),
+        col("__e")("_1").as("score"), (col("__r") + 1).cast("int").as("rank"))
   }
 
   /**

@@ -926,6 +926,22 @@ class PipelineOpsSpec extends GraftSuite {
     // query 1 = {cat, fish}: doc 1 sums both terms in term order
     assert(out((1, 1L)) == (r4(s(2, 2, 3) + s(1, 1, 3)), 1))
     assert(out((1, 0L)) == (r4(s(1, 2, 2)), 2))
+    // aggregate form: identical rows under a truncating k (tie handling
+    // and ordering must survive the bounded partial aggregation)
+    val w2 = TextAnalysis.bm25TopK(docs, qs, k = 1).collect().map(_.toString).sorted.toSeq
+    val a2 = TextAnalysis.bm25TopKAgg(docs, qs, k = 1).collect().map(_.toString).sorted.toSeq
+    assert(w2 == a2)
+    val wAll = TextAnalysis.bm25TopK(docs, qs, k = 10).collect().map(_.toString).sorted.toSeq
+    val aAll = TextAnalysis.bm25TopKAgg(docs, qs, k = 10).collect().map(_.toString).sorted.toSeq
+    assert(wAll == aAll)
+    // topKByScore directly: ties break to the smaller id, k bounds output
+    import org.apache.spark.sql.functions.{col => c}
+    val pairs = Seq((0, 1.0, 5L), (0, 1.0, 3L), (0, 2.0, 9L), (0, 0.5, 1L))
+      .toDF("g", "score", "id")
+    val tk = TextAnalysis.topKByScore(2)
+    val top = pairs.repartition(4).groupBy("g")
+      .agg(tk(c("score"), c("id")).as("t")).head.getSeq[org.apache.spark.sql.Row](1)
+    assert(top.map(r => (r.getDouble(0), r.getLong(1))) == Seq((2.0, 9L), (1.0, 3L)))
   }
 
   test("ccnetBuckets: per-language percentile buckets; scoreless docs pinned to tail") {

@@ -238,6 +238,25 @@ class PlanShapeSpec extends GraftSuite {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("bm25TopKAgg: no Window, top-k selection is a partial-aggregatable agg") {
+    val docs = (0L until 80L).map(i => (i, s"spark join fast query word$i body"))
+      .toDF("doc_id", "text")
+    val qs = Seq((0, "spark"), (0, "join"), (1, "query")).toDF("query_id", "term")
+    val out = TextAnalysis.bm25TopKAgg(docs, qs, k = 5)
+    val nodes = PlanDigest.allNodes(out.queryExecution.executedPlan)
+    assert(!nodes.exists(_.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec]),
+      s"expected the rank window to be gone:\n${out.queryExecution.executedPlan}")
+    // the top-k aggregate must run with a partial (map-side) mode so each
+    // task forwards at most k rows per query before the exchange
+    val partialAggs = nodes.collect {
+      case a: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec
+        if a.aggregateExpressions.exists(_.mode ==
+          org.apache.spark.sql.catalyst.expressions.aggregate.Partial) => a
+    }
+    assert(partialAggs.nonEmpty,
+      s"expected a map-side partial top-k aggregate:\n${out.queryExecution.executedPlan}")
+  }
+
   test("plan digests of the ten most expensive queries stay pinned") {
     // Regression guard from the r10 q92 postmortem: a rewrite that
     // silently re-adds an Exchange (the old sort-merge re-attach join)
