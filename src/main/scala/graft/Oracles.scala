@@ -2222,8 +2222,9 @@ object Oracles {
          |  CAST("end" + doc_id*1000 AS INT) AS "end" FROM toks""".stripMargin
   )
 
-  // The aggregate-form BM25 (q141) is result-identical to the window
-  // form by construction — it shares q127's oracle verbatim.
-  val sql: Map[String, String] =
-    base + ("q141_bm25_agg" -> base("q127_bm25"))
+  // The aggregate-form top-k queries (q141/q142) are result-identical to
+  // their window forms by construction — they share those oracles verbatim.
+  val sql: Map[String, String] = base +
+    ("q141_bm25_agg" -> base("q127_bm25")) +
+    ("q142_ann_brute_agg" -> base("q18_ann_brute"))
 }

@@ -335,6 +335,22 @@ object ScaleSmoke {
     val embOps: Seq[(String, (DataFrame, Int) => Long)] = Seq[(String, (DataFrame, Int) => Long)](
       ("ann_lsh_topk", (e, _) => lsh(e)),
       ("ann_ivf_topk", (e, _) => ivf(e)),
+      // exact scan, window form vs bounded-aggregate form: same results,
+      // but the window shuffles every scored (query, corpus) row while
+      // the aggregate forwards at most k pairs per (task, query) — the
+      // gap between the two rows IS the rank-window shuffle cost
+      ("ann_brute_window", (e, _) => {
+        val ed = embD(e)
+        val q = ed.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("query_id"), col("embedding"))
+        Similarity.bruteForceTopK(ed, q, k = 10).count()
+      }),
+      ("ann_brute_agg", (e, _) => {
+        val ed = embD(e)
+        val q = ed.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("query_id"), col("embedding"))
+        Similarity.bruteForceTopKAgg(ed, q, k = 10).count()
+      }),
       ("kmeans_fit_assign", (e, _) => km(e)),
       // the operating shape: nPlanes grows with the corpus
       // (≈ log2(N / target bucket size)) AND the dense-cluster valve caps

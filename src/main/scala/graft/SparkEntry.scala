@@ -1109,6 +1109,15 @@ object SparkEntry {
       Similarity.bruteForceTopK(e, q, k = 10)
     }),
 
+    // Exact scan with the rank window swapped for the bounded top-k
+    // aggregate (k rows per task per query on the exchange, corpus-size
+    // independent) — identical results, shares q18's oracle.
+    "q142_ann_brute_agg" -> ((s, dir) => {
+      val e = embedsD(s, dir)
+      val q = e.filter(col("vec_id") < 5).select(col("vec_id").as("query_id"), col("embedding"))
+      Similarity.bruteForceTopKAgg(e, q, k = 10)
+    }),
+
     "q19_ann_lsh" -> ((s, dir) => {
       val e = embedsD(s, dir)
       val q = e.filter(col("vec_id") < 5).select(col("vec_id").as("query_id"), col("embedding"))

@@ -25,14 +25,42 @@ object Similarity {
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10,
       idCol: String = "vec_id", vecCol: String = "embedding",
       queryIdCol: String = "query_id"): DataFrame = {
-    val q = queries.select(col(queryIdCol), col(vecCol).as("q_vec"))
-    val scored = corpus.select(col(idCol), col(vecCol).as("c_vec"))
-      .crossJoin(broadcast(q))
-      .withColumn("cos", round(tensor.cosine(col("q_vec"), col("c_vec")), 6))
+    val scored = bruteForceScores(corpus, queries, idCol, vecCol, queryIdCol)
     val w = Window.partitionBy(queryIdCol).orderBy(col("cos").desc, col(idCol))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col(queryIdCol), col(idCol), col("cos"), col("rank"))
+  }
+
+  /** Shared brute-force front end: every (query, corpus vector) cosine
+    * (queries broadcast; the scan side never shuffles). */
+  private def bruteForceScores(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, queryIdCol: String): DataFrame = {
+    val q = queries.select(col(queryIdCol), col(vecCol).as("q_vec"))
+    corpus.select(col(idCol), col(vecCol).as("c_vec"))
+      .crossJoin(broadcast(q))
+      .withColumn("cos", round(tensor.cosine(col("q_vec"), col("c_vec")), 6))
+  }
+
+  /**
+   * [[bruteForceTopK]] with the per-query rank window replaced by the
+   * bounded [[TextAnalysis.topKByScore]] aggregate — identical results,
+   * different physical shape: the window form shuffles EVERY scored
+   * corpus row to its query's partition and sorts there (N rows per
+   * query on the exchange); here scoring stays a shuffle-free broadcast
+   * map and the partial aggregation forwards at most k pairs per
+   * (task, query), so the exchange carries k·partitions rows per query
+   * regardless of corpus size. The exact-scan operating form at large N.
+   */
+  def bruteForceTopKAgg(corpus: DataFrame, queries: DataFrame, k: Int = 10,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      queryIdCol: String = "query_id"): DataFrame = {
+    val scored = bruteForceScores(corpus, queries, idCol, vecCol, queryIdCol)
+    val tk = TextAnalysis.topKByScore(k)
+    scored.groupBy(queryIdCol).agg(tk(col("cos"), col(idCol)).as("__top"))
+      .select(col(queryIdCol), posexplode(col("__top")).as(Seq("__r", "__e")))
+      .select(col(queryIdCol), col("__e")("_2").as(idCol),
+        col("__e")("_1").as("cos"), (col("__r") + 1).cast("int").as("rank"))
   }
 
   /**
