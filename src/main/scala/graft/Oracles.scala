@@ -2226,5 +2226,6 @@ object Oracles {
   // their window forms by construction — they share those oracles verbatim.
   val sql: Map[String, String] = base +
     ("q141_bm25_agg" -> base("q127_bm25")) +
-    ("q142_ann_brute_agg" -> base("q18_ann_brute"))
+    ("q142_ann_brute_agg" -> base("q18_ann_brute")) +
+    ("q143_tfidf_agg" -> base("q74_tfidf"))
 }

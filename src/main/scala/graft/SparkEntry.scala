@@ -866,6 +866,12 @@ object SparkEntry {
     "q74_tfidf" -> ((s, dir) =>
       TextAnalysis.tfIdfTopTerms(docs(s, dir), k = 3)),
 
+    // TF-IDF with the per-doc rank window swapped for the bounded
+    // payload-carrying top-k aggregate — identical results, exchange
+    // capped at k rows per (task, doc); shares q74's oracle.
+    "q143_tfidf_agg" -> ((s, dir) =>
+      TextAnalysis.tfIdfTopTermsAgg(docs(s, dir), k = 3)),
+
     // Balanced training mix: cap every source at 50 docs, kept set chosen
     // by salted portable hash (deterministic, partitioning-independent).
     "q96_stratified_sample" -> ((s, dir) =>

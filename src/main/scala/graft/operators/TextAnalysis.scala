@@ -276,12 +276,23 @@ object TextAnalysis {
   def tfIdfTopTerms(docs: org.apache.spark.sql.DataFrame, k: Int = 3,
       textCol: String = "text", idCol: String = "doc_id"): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val scored = tfIdfScores(docs, textCol, idCol)
+    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("word"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("doc_id", "rank", "word", "tf", "df", "score")
+  }
+
+  /** Shared TF-IDF front end: the scored (doc_id, word, tf, df, score)
+    * relation before any top-k selection. */
+  private def tfIdfScores(docs: org.apache.spark.sql.DataFrame,
+      textCol: String, idCol: String): org.apache.spark.sql.DataFrame = {
     val terms = docs.select(col(idCol).as("doc_id"),
         explode(words(col(textCol))).as("word"))
     val tf = terms.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
     val df = terms.groupBy("word").agg(countDistinct(col("doc_id")).as("df"))
     val n = docs.agg(countDistinct(col(idCol)).cast("double").as("__n"))
-    val scored = tf.join(broadcast(df), "word")
+    tf.join(broadcast(df), "word")
       .crossJoin(broadcast(n))
       // floor(x*1e4+0.5)/1e4, not round(x, 4): Spark's double round is a
       // per-row BigDecimal string-parse, and this column is computed for
@@ -289,10 +300,49 @@ object TextAnalysis {
       // is non-negative (tf >= 1, df <= n), so half-up floor is identical.
       .withColumn("score",
         floor(col("tf") * log(col("__n") / col("df")) * 1e4 + 0.5) / 1e4)
-    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("word"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("doc_id", "rank", "word", "tf", "df", "score")
+  }
+
+  /** Bounded top-k for scored TERM rows — [[topKByScore]]'s shape with a
+    * (word, tf, df) payload and ties to the lexicographically smaller
+    * word. Same scale contract: partial-aggregatable, each map task
+    * forwards at most k rows per key. */
+  private def topKTerms(k: Int): org.apache.spark.sql.expressions.UserDefinedFunction = {
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    import org.apache.spark.sql.expressions.Aggregator
+    type Term = (Double, String, Long, Long)
+    def better(a: Term, b: Term): Boolean =
+      a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+    udaf(new Aggregator[Term, Seq[Term], Seq[Term]] {
+      override def zero: Seq[Term] = Vector.empty
+      private def trim(s: Seq[Term]): Seq[Term] = s.sortWith(better).take(k)
+      override def reduce(buf: Seq[Term], in: Term): Seq[Term] =
+        if (buf.length >= k && !better(in, buf.last)) buf else trim(buf :+ in)
+      override def merge(a: Seq[Term], b: Seq[Term]): Seq[Term] = trim(a ++ b)
+      override def finish(buf: Seq[Term]): Seq[Term] = buf
+      override def bufferEncoder = ExpressionEncoder[Seq[(Double, String, Long, Long)]]()
+      override def outputEncoder = ExpressionEncoder[Seq[(Double, String, Long, Long)]]()
+    }, ExpressionEncoder[(Double, String, Long, Long)]())
+  }
+
+  /**
+   * [[tfIdfTopTerms]] with the per-document rank window replaced by the
+   * bounded top-k aggregate — identical results. At corpus scale the
+   * per-doc window is TF-IDF's dominant shuffle (every distinct
+   * (doc, word) scored row rides the exchange and sorts inside its
+   * document partition); the aggregate caps each map task's
+   * contribution at k rows per document, so the exchange volume is
+   * k·partitions per doc regardless of vocabulary size.
+   */
+  def tfIdfTopTermsAgg(docs: org.apache.spark.sql.DataFrame, k: Int = 3,
+      textCol: String = "text", idCol: String = "doc_id"): org.apache.spark.sql.DataFrame = {
+    val tk = topKTerms(k)
+    tfIdfScores(docs, textCol, idCol)
+      .groupBy("doc_id")
+      .agg(tk(col("score"), col("word"), col("tf"), col("df")).as("__top"))
+      .select(col("doc_id"), posexplode(col("__top")).as(Seq("__r", "__e")))
+      .select(col("doc_id"), (col("__r") + 1).cast("int").as("rank"),
+        col("__e")("_2").as("word"), col("__e")("_3").as("tf"),
+        col("__e")("_4").as("df"), col("__e")("_1").as("score"))
   }
 
   /**

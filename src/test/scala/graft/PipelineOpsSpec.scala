@@ -547,6 +547,13 @@ class PipelineOpsSpec extends GraftSuite {
     val z = TextAnalysis.tfIdfTopTerms(all, k = 2)
       .filter(col("word") === "x").select("score").as[Double].collect()
     assert(z.forall(_ == 0.0))
+    // aggregate form: identical rows under truncating and full k (word
+    // ties and the payload columns must survive the bounded aggregation)
+    for (kk <- Seq(1, 2, 50)) {
+      val w = TextAnalysis.tfIdfTopTerms(docs, k = kk).collect().map(_.toString).sorted.toSeq
+      val a = TextAnalysis.tfIdfTopTermsAgg(docs, k = kk).collect().map(_.toString).sorted.toSeq
+      assert(w == a, s"k=$kk")
+    }
   }
 
   test("fused kernels propagate null input instead of throwing") {
