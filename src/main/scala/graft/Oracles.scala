@@ -844,6 +844,32 @@ object Oracles {
 
     // Mirror of Dedup.contaminatedDocs(n=8) with benchmark = src0 docs:
     // distinct 8-gram hashes per side, inner join, count per doc.
+    // DSIR selection mirror: positional bigram hashes mod 4096, add-0.5
+    // smoothed bucket log-probs (target = src0 slice vs whole corpus),
+    // per-doc contributions folded in bucket order, half-up 1e-6 round,
+    // global top-200 by (weight desc, doc_id).
+    "q144_dsir_select" ->
+      s"""WITH ws0 AS (SELECT doc_id, source, $Words AS w FROM documents),
+         |gl AS (SELECT doc_id, source, list_transform(generate_series(0, len(w) - 2),
+         |         i -> ${H("array_to_string(list_slice(w, i + 1, i + 2), ' ')")}) AS hl FROM ws0),
+         |g AS (SELECT doc_id, source, unnest(hl) % 4096 AS b FROM gl),
+         |tc AS (SELECT b, CAST(count(*) AS BIGINT) AS c FROM g WHERE source = 'src0' GROUP BY b),
+         |nt AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM tc),
+         |sc AS (SELECT b, CAST(count(*) AS BIGINT) AS c FROM g GROUP BY b),
+         |ns AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM sc),
+         |dc AS (SELECT doc_id, b, CAST(count(*) AS BIGINT) AS c FROM g GROUP BY doc_id, b),
+         |ct AS (SELECT dc.doc_id, dc.b,
+         |    dc.c * (ln((coalesce(tc.c, 0) + 0.5) / (nt.n + 2048.0))
+         |          - ln((coalesce(sc.c, 0) + 0.5) / (ns.n + 2048.0))) AS wv
+         |  FROM dc LEFT JOIN tc USING (b) LEFT JOIN sc USING (b)
+         |  CROSS JOIN nt CROSS JOIN ns),
+         |wt AS (SELECT doc_id, floor(list_reduce(list_prepend(0.0, list(wv ORDER BY b)),
+         |        (a, x) -> a + x) * 1e6 + 0.5) / 1e6 AS weight FROM ct GROUP BY doc_id)
+         |SELECT doc_id, weight, rank FROM
+         |  (SELECT *, CAST(row_number() OVER (ORDER BY weight DESC, doc_id) AS INTEGER) AS rank
+         |   FROM wt)
+         |WHERE rank <= 200""".stripMargin,
+
     "q83_decontaminate" ->
       s"""WITH ws0 AS (SELECT doc_id, source, $Words AS w FROM documents),
          |gl AS (SELECT doc_id, source, list_distinct(list_transform(generate_series(0, len(w) - 8),

@@ -221,6 +221,11 @@ object ScaleSmoke {
       // the PMI join is keyed by word (vocabulary-sized, not corpus-sized)
       ("pmi_collocations", d => TextAnalysis.pmiCollocations(d,
         minCount = 5, k = 100).count(), null),
+      // DSIR selection: two fixed-B bucket aggregates broadcast onto a
+      // linear per-doc bucket stream; global top-N via the bounded
+      // aggregate (no global sort) — every stage linear in corpus size
+      ("dsir_select", d => TextAnalysis.dsirSelect(d,
+        d.filter(col("source") === "src0"), topN = 200).count(), null),
       // incremental ingest dedup: the batch stays the FIXED 1x slice while
       // the corpus grows — the operator's operating shape (an ingest batch
       // doesn't scale with the accumulated corpus), so the broadcast stays

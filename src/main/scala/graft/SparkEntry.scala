@@ -872,6 +872,15 @@ object SparkEntry {
     "q143_tfidf_agg" -> ((s, dir) =>
       TextAnalysis.tfIdfTopTermsAgg(docs(s, dir), k = 3)),
 
+    // DSIR importance selection: src0 stands in for the target-domain
+    // sample; top-200 corpus docs by hashed-bigram log-likelihood ratio,
+    // selected globally through the bounded top-k aggregate (no global
+    // sort).
+    "q144_dsir_select" -> ((s, dir) => {
+      val d = docs(s, dir)
+      TextAnalysis.dsirSelect(d, d.filter(col("source") === "src0"), topN = 200)
+    }),
+
     // Balanced training mix: cap every source at 50 docs, kept set chosen
     // by salted portable hash (deterministic, partitioning-independent).
     "q96_stratified_sample" -> ((s, dir) =>

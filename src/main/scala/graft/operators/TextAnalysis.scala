@@ -779,6 +779,98 @@ object TextAnalysis {
   }
 
   /**
+   * DSIR-style domain-targeted importance weights (Xie et al. 2023,
+   * "Data Selection for Language Models via Importance Resampling"):
+   * score every corpus document by the log-likelihood ratio of a
+   * hashed-n-gram bag model of the TARGET domain sample vs one of the
+   * raw corpus —
+   *
+   *   weight(d) = Σ_b c_d(b) · ( ln p_tgt(b) − ln p_src(b) ),
+   *   p(b) = (c(b) + α) / (N + α·B)   (add-α smoothing over B buckets)
+   *
+   * where b ranges over the document's own hashed n-gram feature
+   * buckets (positional [[ngramHashes]] mod `buckets`). High weight =
+   * "looks like the target domain relative to the corpus at large" —
+   * the standard continued-pretraining / domain-upsampling selection
+   * signal when the target sample is far too small to train a
+   * classifier.
+   *
+   * Scale shape: the two bucket distributions are B-row aggregates
+   * (B is a fixed knob) that broadcast back onto the per-doc bucket
+   * counts, so nothing wider than (doc_id, bucket, count) ever rides an
+   * exchange; the per-doc weight folds its bucket contributions in
+   * BUCKET-ID order (one canonical association order for the double
+   * sum on any partitioning or engine), rounded half-up to 6dp.
+   * Buckets absent from a distribution take the smoothed zero-count
+   * mass — α > 0 keeps both logs finite.
+   */
+  def dsirWeights(corpus: DataFrame, target: DataFrame, n: Int = 2,
+      buckets: Int = 4096, alpha: Double = 0.5, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(buckets > 0 && alpha > 0, "need buckets > 0 and alpha > 0")
+    def bucketed(df: DataFrame, withId: Boolean): DataFrame = {
+      val cols = (if (withId) Seq(col(idCol).as("doc_id")) else Nil) :+
+        explode(transform(ngramHashes(col(textCol), n), h => h % buckets)).as("b")
+      df.select(cols: _*)
+    }
+    def logProbs(df: DataFrame, lamCol: String): DataFrame = {
+      val c = bucketed(df, withId = false).groupBy("b").agg(count(lit(1)).as("c"))
+      val tot = c.agg(sum("c").as("__N"))
+      // ln((c + α) / (N + α·B)); the per-bucket rows later left-join onto
+      // doc buckets, with the smoothed zero-count mass as the miss value
+      c.crossJoin(broadcast(tot))
+        .select(col("b"),
+          log((col("c") + lit(alpha)) / (col("__N") + lit(alpha * buckets)))
+            .as(lamCol),
+          col("__N").as(s"__N$lamCol"))
+    }
+    val lamT = logProbs(target, "lt")
+    val lamS = logProbs(corpus, "ls")
+    // zero-count fallbacks need each distribution's N: carry one row of
+    // totals via the broadcast join below (column __Nlt/__Nls on hits;
+    // recompute the miss value from a scalar subquery-free crossJoin)
+    val nT = lamT.agg(first(col("__Nlt")).as("__nt"))
+    val nS = lamS.agg(first(col("__Nls")).as("__ns"))
+    val dc = bucketed(corpus, withId = true)
+      .groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
+    val contrib = dc
+      .join(broadcast(lamT.drop("__Nlt")), Seq("b"), "left")
+      .join(broadcast(lamS.drop("__Nls")), Seq("b"), "left")
+      .crossJoin(broadcast(nT)).crossJoin(broadcast(nS))
+      .withColumn("lt0", coalesce(col("lt"),
+        log(lit(alpha) / (col("__nt") + lit(alpha * buckets)))))
+      .withColumn("ls0", coalesce(col("ls"),
+        log(lit(alpha) / (col("__ns") + lit(alpha * buckets)))))
+      .select(col("doc_id"), col("b"),
+        (col("c") * (col("lt0") - col("ls0"))).as("w"))
+    contrib.groupBy("doc_id")
+      .agg(aggregate(array_sort(collect_list(struct(col("b"), col("w")))),
+        lit(0.0), (acc, e) => acc + e("w")).as("raw"))
+      .withColumn("weight", floor(col("raw") * 1e6 + 0.5) / 1e6)
+      .select("doc_id", "weight")
+  }
+
+  /**
+   * Global top-`topN` DSIR selection WITHOUT a global sort: the
+   * [[dsirWeights]] relation feeds the bounded [[topKByScore]]
+   * aggregate under a single key, so the exchange carries at most
+   * topN·partitions narrow (weight, doc_id) pairs — a corpus-size-
+   * independent volume — instead of every row riding an orderBy.
+   * Output (doc_id, weight, rank), rank by weight desc, ties to the
+   * smaller doc id.
+   */
+  def dsirSelect(corpus: DataFrame, target: DataFrame, topN: Int = 200,
+      n: Int = 2, buckets: Int = 4096, alpha: Double = 0.5,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val tk = topKByScore(topN)
+    dsirWeights(corpus, target, n, buckets, alpha, idCol, textCol)
+      .agg(tk(col("weight"), col("doc_id")).as("__top"))
+      .select(posexplode(col("__top")).as(Seq("__r", "__e")))
+      .select(col("__e")("_2").as("doc_id"), col("__e")("_1").as("weight"),
+        (col("__r") + 1).cast("int").as("rank"))
+  }
+
+  /**
    * Balanced per-stratum subsampling — the "rebalance the training mix"
    * op (cap every source/language/domain at `n` documents): keep the `n`
    * documents of each stratum that sort first by a salted portable hash.

@@ -556,6 +556,44 @@ class PipelineOpsSpec extends GraftSuite {
     }
   }
 
+  test("dsirWeights == driver-side likelihood-ratio recomputation; select ranks globally") {
+    val corpus = Seq(
+      (0L, "alpha beta alpha beta", "tgt"),
+      (1L, "alpha beta gamma delta", "tgt"),
+      (2L, "gamma delta gamma delta", "web"),
+      (3L, "alpha beta alpha gamma", "web"),
+      (4L, "epsilon zeta epsilon zeta", "web"))
+      .toDF("doc_id", "text", "source")
+    val target = corpus.filter(col("source") === "tgt")
+    val B = 64; val a = 0.5
+    val got = TextAnalysis.dsirWeights(corpus, target, n = 2, buckets = B, alpha = a)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // driver-side reference: same hash kernel, same smoothing, bucket-order fold
+    def bks(t: String) = TextAnalysis.ngramHashSeq(t.split(" ").toSeq, 2).map(_ % B)
+    val rows = corpus.select("doc_id", "text", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val tCnt = rows.filter(_._3 == "tgt").flatMap(r => bks(r._2))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val sCnt = rows.flatMap(r => bks(r._2))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val nt = tCnt.values.sum; val ns = sCnt.values.sum
+    def lam(c: Long, n: Long) = math.log((c + a) / (n + a * B))
+    for ((id, text, _) <- rows) {
+      val w = bks(text).groupBy(identity).view.mapValues(_.size.toLong)
+        .toSeq.sortBy(_._1)
+        .map { case (b, c) =>
+          c * (lam(tCnt.getOrElse(b, 0L), nt) - lam(sCnt.getOrElse(b, 0L), ns)) }
+        .foldLeft(0.0)(_ + _)
+      assert(got(id) == math.floor(w * 1e6 + 0.5) / 1e6, s"doc $id")
+    }
+    // target-looking docs must outrank the off-domain ones
+    val sel = TextAnalysis.dsirSelect(corpus, target, topN = 3, n = 2,
+      buckets = B, alpha = a).collect()
+    assert(sel.map(_.getInt(2)).toSeq == Seq(1, 2, 3)) // dense global ranks
+    assert(sel.map(_.getLong(0)).toSet.contains(0L)) // pure-target doc kept
+    assert(!sel.map(_.getLong(0)).contains(4L)) // epsilon/zeta doc last
+  }
+
   test("fused kernels propagate null input instead of throwing") {
     val withNull = (docsData :+ (9L, null.asInstanceOf[String]))
       .toDF("doc_id", "text")
