@@ -458,7 +458,7 @@ object ScaleSmoke {
         "iob_spans", "overlap_join", "duplicated_spans", "pii_scan",
         "gopher_rules", "c4_clean", "chunk_documents", "pack_sequences",
         "stratified_sample", "pmi_collocations", "fuzzy_decontaminate",
-        "quality_calibrate", "dedup_lines",
+        "quality_calibrate", "dedup_lines", "dsir_select",
         "incremental_dedup", "mix_corpus", "shard_order",
         "bm25_topk", "ngram_novelty", "winnow_fingerprints") ++
         (if (sys.env.get("SPARK_GRAFT_SCALE_100").contains("full"))
