@@ -7,7 +7,7 @@ parquet, sort columns by name, sort rows, and compare values.
 
 Usage: python3 scripts/oracle_check.py <sfDir> <verifyOutDir>
 """
-import json, math, sys
+import json, math, os, re, sys
 
 import duckdb
 import pandas as pd
@@ -60,6 +60,10 @@ def main(sf_dir: str, out_dir: str) -> int:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracle = json.load(f)
+    only = os.environ.get("SPARK_GRAFT_ONLY")
+    if only:
+        pat = re.compile(only)
+        oracle = {k: v for k, v in oracle.items() if pat.search(k)}
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
         try:

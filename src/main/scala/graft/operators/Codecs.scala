@@ -196,6 +196,8 @@ object Codecs {
     }
     tag('C').foreach(c => require(c.startsWith("420"),
       s"decodeY4m: only C420 supported (got C$c)"))
+    require(w % 2 == 0 && h % 2 == 0,
+      s"decodeY4m: C420 requires even dimensions (got ${w}x$h)")
     val frameLen = w * h + 2 * (w / 2) * (h / 2)
     val frames = IndexedSeq.newBuilder[Array[Byte]]
     while (pos < bytes.length) {

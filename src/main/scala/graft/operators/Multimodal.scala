@@ -168,10 +168,12 @@ object Multimodal {
       rows.flatMap { r =>
         val (w, h, fpsNum, fpsDen, frames) =
           Codecs.decodeY4m(r.getAs[Array[Byte]](bid))
-        val frameDurMs = 1000 * fpsDen / fpsNum
-        val durMs = frames.length * frameDurMs
+        // Rational timing: idx = t*num/(1000*den) avoids the integer
+        // frame-duration truncation that breaks fps > 1000 (dur 0 →
+        // zero frames) and drifts on non-integer rates like 30000:1001.
+        val durMs = (frames.length.toLong * 1000L * fpsDen / fpsNum).toInt
         (0 until durMs by everyMs).map { t =>
-          val idx = t / frameDurMs
+          val idx = (t.toLong * fpsNum / (1000L * fpsDen)).toInt
           val f = frames(idx)
           var ySum = 0L
           var j = 0
@@ -271,6 +273,9 @@ object Multimodal {
         val (sr, samples) = Codecs.decodeWavPcm16(r.getAs[Array[Byte]](bid))
         val winLen = windowMs * sr / 1000
         val hopLen = hopMs * sr / 1000
+        require(winLen > 0 && hopLen > 0,
+          s"chunkAudioSamples: windowMs=$windowMs / hopMs=$hopMs too small " +
+            s"for sampleRate=$sr (winLen=$winLen, hopLen=$hopLen samples)")
         (0 to samples.length - winLen by hopLen).zipWithIndex.map {
           case (start, idx) =>
             var sum = 0L

@@ -829,8 +829,14 @@ object TextAnalysis {
     // zero-count fallbacks need each distribution's N: carry one row of
     // totals via the broadcast join below (column __Nlt/__Nls on hits;
     // recompute the miss value from a scalar subquery-free crossJoin)
-    val nT = lamT.agg(first(col("__Nlt")).as("__nt"))
-    val nS = lamS.agg(first(col("__Nls")).as("__ns"))
+    // An empty target (or corpus) would make every log-prob NULL and the
+    // downstream selection arbitrary — fail loudly at execution instead.
+    val nT = lamT.agg(coalesce(first(col("__Nlt")), raise_error(lit(
+      "dsirWeights: target sample is empty — importance weights undefined")))
+      .as("__nt"))
+    val nS = lamS.agg(coalesce(first(col("__Nls")), raise_error(lit(
+      "dsirWeights: corpus is empty — importance weights undefined")))
+      .as("__ns"))
     val dc = bucketed(corpus, withId = true)
       .groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
     val contrib = dc
