@@ -94,6 +94,29 @@ object Oracles {
   /** Word list (mirror of TextAnalysis.words). */
   val Words = "regexp_extract_all(lower(text), '[a-z0-9]+')"
 
+  /** BPE learn mirror (Bpe.learn): iteration i re-derived as chained CTEs
+    * — pure SQL, no recursion. w0 = distinct-word table with the engine's
+    * bracket-encoded symbols ("(h)(i)(_)"); p_i counts adjacent symbol
+    * pairs weighted by word freq; b_i picks the (count desc, lhs, rhs)
+    * best; w_i applies the merge with the same leftmost non-overlapping
+    * replace the engine uses (bracket delimiters make string replace
+    * exactly the greedy merge). */
+  private def bpeCtes(m: Int): String = {
+    val w0 =
+      s"""w0 AS MATERIALIZED (SELECT '(' || array_to_string(regexp_extract_all(word, '.'), ')(') || ')(_)' AS enc, freq
+         |  FROM (SELECT word, CAST(count(*) AS BIGINT) AS freq
+         |        FROM (SELECT unnest($Words) AS word FROM documents) GROUP BY word))""".stripMargin
+    val iters = (1 to m).map { i =>
+      s"""p$i AS MATERIALIZED (WITH e AS (SELECT string_split(substr(enc, 2, length(enc) - 2), ')(') AS s, freq FROM w${i - 1}),
+         |  x AS (SELECT s, freq, unnest(generate_series(1, len(s) - 1)) AS i FROM e)
+         |  SELECT s[i] AS l, s[i + 1] AS r, CAST(sum(freq) AS BIGINT) AS cnt FROM x GROUP BY 1, 2),
+         |b$i AS MATERIALIZED (SELECT l, r, cnt FROM p$i ORDER BY cnt DESC, l, r LIMIT 1),
+         |w$i AS MATERIALIZED (SELECT replace(enc, '(' || b$i.l || ')(' || b$i.r || ')', '(' || b$i.l || b$i.r || ')') AS enc, freq
+         |  FROM w${i - 1}, b$i)""".stripMargin
+    }
+    (w0 +: iters).mkString(",\n")
+  }
+
   /** Stub-BERT token relation (mirror of Bert.stubTokenizer over `toks`):
     * wordpiece-ish 4-char chunks per word, CLS=101 first / SEP=102 last,
     * input_id = 1000 + hash(piece) mod 29522. Yields CTE `allt(doc_id,
@@ -840,6 +863,40 @@ object Oracles {
          |    + (CASE WHEN en > 0.05 THEN 1.0 ELSE 0.7 END)*0.2, 4) AS quality FROM c)
          |SELECT doc_id FROM q
          |WHERE CAST(${H("text")} AS DOUBLE) / 2147483647 < 0.5 * quality""".stripMargin
+    },
+
+    // BPE merge-schedule mirror: the 16 per-iteration best pairs from
+    // the chained-CTE re-derivation, stacked with their ranks.
+    "q145_bpe_train" -> {
+      val rows = (1 to 16).map(i =>
+        s"SELECT CAST($i AS INTEGER) AS merge_rank, l AS lhs, r AS rhs, " +
+          s"l || r AS merged, cnt AS pair_freq FROM b$i")
+        .mkString("\nUNION ALL ")
+      s"WITH ${bpeCtes(16)}\n$rows"
+    },
+
+    // Learned-vocab fertility mirror: every corpus word re-encoded by the
+    // 16 re-derived merges (nested replaces in rank order), token count =
+    // '(' count, engine's per-language sums and half-up 1e-4 rounding.
+    "q146_bpe_fertility" -> {
+      val e = (1 to 16).foldLeft("e")((acc, i) =>
+        s"replace($acc, '(' || b$i.l || ')(' || b$i.r || ')', '(' || b$i.l || b$i.r || ')')")
+      val bs = (1 to 16).map("b" + _).mkString(", ")
+      s"""WITH ${bpeCtes(16)},
+         |dw AS (SELECT doc_id, lang, unnest($Words) AS word FROM documents),
+         |ew AS (SELECT doc_id, lang,
+         |  '(' || array_to_string(regexp_extract_all(word, '.'), ')(') || ')(_)' AS e FROM dw),
+         |tf AS (SELECT doc_id, lang,
+         |  CAST(length($e) - length(replace($e, '(', '')) AS BIGINT) AS nt FROM ew, $bs),
+         |pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nw, CAST(sum(nt) AS BIGINT) AS ntok
+         |  FROM tf GROUP BY doc_id),
+         |ag AS (SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(coalesce(pd.nw, 0)) AS BIGINT) AS words,
+         |    CAST(sum(coalesce(pd.ntok, 0)) AS BIGINT) AS tokens
+         |  FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id GROUP BY d.lang)
+         |SELECT lang, n_docs, words, tokens,
+         |  CASE WHEN words > 0 THEN floor(tokens / words * 1e4 + 0.5) / 1e4 END AS fertility
+         |FROM ag""".stripMargin
     },
 
     // Mirror of Dedup.contaminatedDocs(n=8) with benchmark = src0 docs:

@@ -226,6 +226,12 @@ object ScaleSmoke {
       // aggregate (no global sort) — every stage linear in corpus size
       ("dsir_select", d => TextAnalysis.dsirSelect(d,
         d.filter(col("source") === "src0"), topN = 200).count(), null),
+      // BPE tokenizer training: ONE corpus-linear word-count pass, then 8
+      // pair-count iterations over the distinct-word table only — per-
+      // iteration cost is vocabulary-bound, so total cost tracks the
+      // initial scan (tiling grows freqs, not the vocab)
+      ("bpe_train", d => Bpe.learn(d, numMerges = 8)
+        .map(_.freq).sum, null),
       // incremental ingest dedup: the batch stays the FIXED 1x slice while
       // the corpus grows — the operator's operating shape (an ingest batch
       // doesn't scale with the accumulated corpus), so the broadcast stays
@@ -458,7 +464,7 @@ object ScaleSmoke {
         "iob_spans", "overlap_join", "duplicated_spans", "pii_scan",
         "gopher_rules", "c4_clean", "chunk_documents", "pack_sequences",
         "stratified_sample", "pmi_collocations", "fuzzy_decontaminate",
-        "quality_calibrate", "dedup_lines", "dsir_select",
+        "quality_calibrate", "dedup_lines", "dsir_select", "bpe_train",
         "incremental_dedup", "mix_corpus", "shard_order",
         "bm25_topk", "ngram_novelty", "winnow_fingerprints") ++
         (if (sys.env.get("SPARK_GRAFT_SCALE_100").contains("full"))

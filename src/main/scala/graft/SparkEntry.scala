@@ -881,6 +881,19 @@ object SparkEntry {
       TextAnalysis.dsirSelect(d, d.filter(col("source") === "src0"), topN = 200)
     }),
 
+    // BPE tokenizer TRAINING (Sennrich et al. 2016): 16 merges learned
+    // from the corpus — one linear word-count pass, then vocab-bound
+    // pair-count iterations with the deterministic (count desc, lhs,
+    // rhs) tie-break. Output is the merge schedule itself.
+    "q145_bpe_train" -> ((s, dir) =>
+      Bpe.learnTable(docs(s, dir), numMerges = 16, cacheKey = dir)),
+
+    // Fertility of the LEARNED vocabulary: q130's tokenizer-health row
+    // recomputed with the trained subword tokenizer — the merge chain
+    // applied as pure codegen replaces (no UDF, no join).
+    "q146_bpe_fertility" -> ((s, dir) =>
+      Bpe.fertility(docs(s, dir), numMerges = 16, cacheKey = dir)),
+
     // Balanced training mix: cap every source at 50 docs, kept set chosen
     // by salted portable hash (deterministic, partitioning-independent).
     "q96_stratified_sample" -> ((s, dir) =>

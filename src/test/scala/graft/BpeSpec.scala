@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Bpe
+
+/**
+ * BPE tokenizer training (operators/Bpe.scala): merge schedule vs a
+ * hand-derived reference, greedy leftmost application semantics, early
+ * exhaustion, and learned-vocab fertility consistency.
+ */
+class BpeSpec extends GraftSuite {
+
+  import spark.implicits._
+
+  private def docsOf(texts: String*) =
+    texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t, "en") }
+      .toDF("doc_id", "text", "lang")
+
+  test("learn derives the hand-computed merge schedule with tie-breaks") {
+    // corpus: "low" x3, "lower" x1  (word freqs via repetition)
+    // symbols: l o w _ (+ e r in "lower")
+    // iter1 pairs: (l,o)=4 (o,w)=4 (w,_)=3 (w,e)=1 (e,r)=1 (r,_)=1
+    //   → count tie 4 between (l,o) and (o,w); lexicographic lhs: (l,o)
+    // iter2: (lo,w)=4 wins → low
+    // iter3: (low,_)=3 wins → low_
+    val docs = docsOf("low low low lower")
+    val ms = Bpe.learn(docs, numMerges = 3)
+    assert(ms.map(m => (m.rank, m.lhs, m.rhs, m.freq)) ==
+      Seq((1, "l", "o", 4L), (2, "lo", "w", 4L), (3, "low", "_", 3L)))
+  }
+
+  test("merge application is greedy leftmost, never overlapping") {
+    // word "aaaa" encodes (a)(a)(a)(a)(_); merging (a,a) must produce
+    // (aa)(aa)(_) — leftmost pairs first, the middle overlap skipped.
+    val docs = docsOf("aaaa aaaa")
+    val ms = Bpe.learn(docs, numMerges = 1)
+    assert(ms.head.lhs == "a" && ms.head.rhs == "a")
+    // freq: "aaaa" has 3 adjacent (a,a) positions x2 words = 6, but the
+    // learner counts POSITIONS (6), greedy application then merges 2
+    assert(ms.head.freq == 6L)
+    val enc = spark.range(1).select(
+      Bpe.applyMerges(lit("aaaa"), ms).as("e")).head.getString(0)
+    assert(enc == "(aa)(aa)(_)")
+  }
+
+  test("learn stops early when every word is a single symbol") {
+    val docs = docsOf("ab ab")
+    // only merges possible: (a,b) then (ab,_) — request 10, expect 2
+    val ms = Bpe.learn(docs, numMerges = 10)
+    assert(ms.size == 2)
+    assert(ms.map(_.merged) == Seq("ab", "ab_"))
+  }
+
+  test("learnTable columns and determinism across repartitionings") {
+    val base = docsOf("spark spark sparse parse parse parse")
+    val a = Bpe.learn(base, numMerges = 5)
+    val b = Bpe.learn(base.repartition(7), numMerges = 5)
+    assert(a == b)
+    val t = Bpe.learnTable(base, numMerges = 5)
+    assert(t.columns.toSeq ==
+      Seq("merge_rank", "lhs", "rhs", "merged", "pair_freq"))
+    assert(t.count() == 5)
+  }
+
+  test("fertility: learned merges shrink token counts vs characters") {
+    val docs = docsOf("stream stream stream table table", "stream table")
+    val f = Bpe.fertility(docs, numMerges = 8).collect()
+    assert(f.length == 1)
+    val r = f.head
+    val words = r.getAs[Long]("words")
+    val tokens = r.getAs[Long]("tokens")
+    assert(words == 7)
+    // merged token count strictly below the un-merged symbol count
+    // (chars + end-of-word marker per word), at least one per word
+    val charPlusMarker = docs.select(sum(aggregate(
+      graft.operators.TextAnalysis.words(col("text")),
+      lit(0L), (acc, w) => acc + length(w) + 1))).head.getLong(0)
+    assert(tokens < charPlusMarker)
+    assert(tokens >= words) // at least one token per word
+    val fert = r.getAs[Double]("fertility")
+    assert(fert == math.floor(tokens.toDouble / words * 1e4 + 0.5) / 1e4)
+  }
+}
