@@ -1875,6 +1875,17 @@ object Oracles {
          |  AND ((w4.b = t."begin" AND w4.e = t."end") OR NOT (t."begin" >= w4.e OR t."end" <= w4.b))
          |  AND t."begin" >= w4.b AND t."end" <= w4.e""".stripMargin,
 
+    // q29 minus the overlap conjunct: the naive declarative contains form
+    // (pure containment; identical relation on non-degenerate token spans,
+    // but mirrored exactly rather than assumed)
+    "q147_contains_rule" ->
+      s"""WITH $ToksCte,
+         |w4 AS (SELECT a.doc_id, a."begin" AS b, c."end" AS e FROM toks a
+         |  JOIN toks c ON a.doc_id = c.doc_id AND c.token_id = a.token_id + 3 WHERE a.token_id % 4 = 0)
+         |SELECT w4.doc_id, w4.b AS f_b, w4.e AS f_e, t."begin" AS s_b, t."end" AS s_e
+         |FROM w4 JOIN toks t ON w4.doc_id = t.doc_id
+         |  AND t."begin" >= w4.b AND t."end" <= w4.e""".stripMargin,
+
     "q65_set_ops" ->
       s"""WITH $ToksCte,
          |a AS (SELECT DISTINCT doc_id, text FROM toks WHERE text LIKE 's%'),
@@ -2310,5 +2321,8 @@ object Oracles {
   val sql: Map[String, String] = base +
     ("q141_bm25_agg" -> base("q127_bm25")) +
     ("q142_ann_brute_agg" -> base("q18_ann_brute")) +
-    ("q143_tfidf_agg" -> base("q74_tfidf"))
+    ("q143_tfidf_agg" -> base("q74_tfidf")) +
+    // the naive gap-band form the rule rewrites is result-identical to
+    // q27's explicit adjacentJoin by construction
+    ("q148_adjacent_rule" -> base("q27_adjacent_join"))
 }

@@ -1392,6 +1392,37 @@ object SparkEntry {
           col("second")("begin").as("s_b"), col("second")("end").as("s_e"))
     }),
 
+    // The naive declarative CONTAINS form of q29: a theta-join the
+    // SpanJoinRewrite rule re-plans as the blocked equi-join (q29's
+    // explicit containJoin shape) — without the rule this is a per-doc
+    // nested loop.
+    "q147_contains_rule" -> ((s, dir) => {
+      val t = toks(s, dir)
+      val f = win(t, 4, 4).select(col("doc_id"), col("span").as("first"))
+      val sec = t.select(col("doc_id").as("d2"), col("span").as("second"))
+      f.join(sec, col("doc_id") === col("d2") &&
+          S.containsSpan(col("first"), col("second")))
+        .select(col("doc_id"), col("first")("begin").as("f_b"), col("first")("end").as("f_e"),
+          col("second")("begin").as("s_b"), col("second")("end").as("s_e"))
+    }),
+
+    // The naive declarative GAP-BAND form of q27: second.begin_tok −
+    // first.end_tok ∈ [0, 1] as two literal-bound conjuncts — the rule
+    // replicates the second side per gap value and adds the
+    // `begin_tok − gap = end_tok` equi-key (q27's explicit adjacentJoin
+    // shape). Shares q27's oracle.
+    "q148_adjacent_rule" -> ((s, dir) => {
+      val ts = tokSpans(toks(s, dir))
+      val f = ts.filter(col("text") === "key")
+        .select(col("doc_id"), col("span").as("first"))
+      val sec = ts.select(col("doc_id").as("d2"), col("span").as("second"))
+      val gapExpr = col("second")("begin_tok") - col("first")("end_tok")
+      f.join(sec, col("doc_id") === col("d2") &&
+          gapExpr >= 0 && gapExpr <= 1)
+        .select(col("doc_id"), col("first")("begin_tok").as("f_bt"),
+          col("second")("begin_tok").as("s_bt"))
+    }),
+
     "q29_contain_join" -> ((s, dir) => {
       val t = toks(s, dir)
       SpanJoin.containJoin(win(t, 4, 4), t.select(col("doc_id"), col("span")))

@@ -257,6 +257,18 @@ class PlanShapeSpec extends GraftSuite {
       s"expected a map-side partial top-k aggregate:\n${out.queryExecution.executedPlan}")
   }
 
+  test("q147/q148 naive theta forms fire the optimizer rewrites") {
+    val d = "/root/testdata/sf0.001"
+    val p147 = SparkEntry.queries("q147_contains_rule")(spark, d)
+      .queryExecution.optimizedPlan.toString
+    assert(p147.contains("__graft_blk"),
+      s"contains rewrite did not fire on q147:\n${p147.take(1500)}")
+    val p148 = SparkEntry.queries("q148_adjacent_rule")(spark, d)
+      .queryExecution.optimizedPlan.toString
+    assert(p148.contains("__graft_gap"),
+      s"gap-band rewrite did not fire on q148:\n${p148.take(1500)}")
+  }
+
   test("plan digests of the ten most expensive queries stay pinned") {
     // Regression guard from the r10 q92 postmortem: a rewrite that
     // silently re-adds an Exchange (the old sort-merge re-attach join)

@@ -94,14 +94,98 @@ class SpanJoinRuleSpec extends GraftSuite {
     assert(withRule.nonEmpty) // identical malformed spans still pair up
   }
 
-  test("joins without the overlap shape are untouched") {
+  test("joins without a rewritable shape are untouched") {
     val plain = lhs.as("f").join(rhs.as("s"), col("f.doc_id") === col("s.doc_id"))
-    assert(!plain.queryExecution.optimizedPlan.toString.contains("__graft_blk"))
-    // contains-only predicate (no overlap disjunction) also untouched
-    val containsOnly = lhs.as("f").join(rhs.as("s"),
+    val p = plain.queryExecution.optimizedPlan.toString
+    assert(!p.contains("__graft_blk") && !p.contains("__graft_gap"))
+    // unrelated inequalities over non-struct-field expressions never fire
+    // the contains rewrite (struct-field pinning)
+    val ineq = lhs.as("f").join(rhs.as("s"),
+      col("f.doc_id") === col("s.doc_id") &&
+        col("s.span")("begin") + 1 >= col("f.span")("begin") &&
+        col("s.span")("end") * 2 <= col("f.span")("end"))
+    assert(!ineq.queryExecution.optimizedPlan.toString.contains("__graft_blk"))
+  }
+
+  test("contains-only predicate rewrites to the blocked equi-join") {
+    def q = lhs.as("f").join(rhs.as("s"),
       col("f.doc_id") === col("s.doc_id") &&
         spans.containsSpan(col("f.span"), col("s.span")))
-    assert(!containsOnly.queryExecution.optimizedPlan.toString.contains("__graft_blk"))
+      .select(col("f.doc_id"), col("f.span").as("first"), col("s.span").as("second"))
+    assert(q.queryExecution.optimizedPlan.toString.contains("__graft_blk"),
+      "contains shape did not fire")
+    val withRule = canon(q)
+    spark.conf.set(SpanJoinRewrite.EnabledConf, "false")
+    val without = try canon(q)
+    finally spark.conf.set(SpanJoinRewrite.EnabledConf, "true")
+    assert(withRule == without)
+    assert(withRule.nonEmpty)
+    // the zero-length boundary span (1,[5,5]) ⊆ (1,[0,5]) is contained but
+    // NOT overlapping — contains-only must keep it (q29's explicit
+    // containJoin pre-filters by overlap, so it is a subset here)
+    assert(withRule.exists(r => r == Seq(1L, 0, 5, 5, 5)))
+  }
+
+  test("malformed spans in contains-only rewrite run and match unrewritten") {
+    val badL = spanDf(Seq((0L, 10, 0), (0L, 0, 10)))
+    val badR = spanDf(Seq((0L, 8, 2), (0L, 2, 8), (0L, 0, 10)))
+    def q = badL.as("f").join(badR.as("s"),
+      col("f.doc_id") === col("s.doc_id") &&
+        spans.containsSpan(col("f.span"), col("s.span")))
+      .select(col("f.doc_id"), col("f.span").as("first"), col("s.span").as("second"))
+    assert(q.queryExecution.optimizedPlan.toString.contains("__graft_blk"))
+    val withRule = canon(q)
+    spark.conf.set(SpanJoinRewrite.EnabledConf, "false")
+    val without = try canon(q)
+    finally spark.conf.set(SpanJoinRewrite.EnabledConf, "true")
+    assert(withRule == without)
+    assert(withRule.nonEmpty) // ([2,8]) ⊆ ([0,10]) survives the bad rows
+  }
+
+  private def tokDf(rows: Seq[(Long, Int, Int)]) =
+    rows.toDF("doc_id", "bt", "et")
+      .select(col("doc_id"),
+        spans.tokenSpan(col("bt"), col("et"), col("bt") * 5, col("et") * 5).as("span"))
+
+  test("gap-band adjacency rewrites to the gap-replicated equi-join") {
+    val f = tokDf(Seq((0L, 0, 1), (0L, 3, 4), (1L, 0, 2), (2L, 5, 6)))
+      .select(col("doc_id"), col("span").as("first"))
+    val s2 = tokDf(Seq((0L, 1, 2), (0L, 2, 3), (0L, 6, 7), (1L, 2, 3), (1L, 4, 5)))
+      .select(col("doc_id").as("d2"), col("span").as("second"))
+    val gap = col("second")("begin_tok") - col("first")("end_tok")
+    def q = f.join(s2, col("doc_id") === col("d2") && gap >= 0 && gap <= 1)
+      .select(col("doc_id"), col("first")("begin_tok").as("f_bt"),
+        col("second")("begin_tok").as("s_bt"))
+    val plan = q.queryExecution.optimizedPlan.toString
+    assert(plan.contains("__graft_gap"), s"gap-band shape did not fire:\n$plan")
+    val withRule = q.collect().map(_.toSeq).sortBy(_.toString).toSeq
+    spark.conf.set(SpanJoinRewrite.EnabledConf, "false")
+    val without = try q.collect().map(_.toSeq).sortBy(_.toString).toSeq
+    finally spark.conf.set(SpanJoinRewrite.EnabledConf, "true")
+    assert(withRule == without)
+    // hand check: (0,[0,1]) pairs gap0→(0,[1,2]) gap1→(0,[2,3]);
+    // (1,[0,2]) gap0→(1,[2,3]); (2,[5,6]) pairs nothing
+    assert(withRule == Seq(Seq(0L, 0, 1), Seq(0L, 0, 2), Seq(1L, 0, 2)))
+    // matches the explicit operator
+    val explicit = SpanJoin.adjacentJoin(
+      f.select(col("doc_id"), col("first").as("span")),
+      s2.select(col("d2").as("doc_id"), col("second").as("span")),
+      minGap = 0, maxGap = 1)
+      .select(col("doc_id"), col("first")("begin_tok").as("f_bt"),
+        col("second")("begin_tok").as("s_bt"))
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(withRule == explicit)
+  }
+
+  test("bands wider than maxGapWidth are left untouched") {
+    val f = tokDf(Seq((0L, 0, 1))).select(col("doc_id"), col("span").as("first"))
+    val s2 = tokDf(Seq((0L, 1, 2)))
+      .select(col("doc_id").as("d2"), col("span").as("second"))
+    val gap = col("second")("begin_tok") - col("first")("end_tok")
+    val wide = f.join(s2, col("doc_id") === col("d2") &&
+      gap >= 0 && gap <= 100000)
+    assert(!wide.queryExecution.optimizedPlan.toString.contains("__graft_gap"))
+    assert(wide.count() == 1)
   }
 
   test("overlap + contains residual composes (contain_join shape)") {
