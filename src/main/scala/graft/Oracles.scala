@@ -878,11 +878,21 @@ object Oracles {
     // Learned-vocab fertility mirror: every corpus word re-encoded by the
     // 16 re-derived merges (nested replaces in rank order), token count =
     // '(' count, engine's per-language sums and half-up 1e-4 rounding.
+    // Each b_i is wrapped in a guarded g_i that falls back to a sentinel
+    // no-op merge (l = r = '' — the search string "()()"  can never occur
+    // in a bracket encoding of non-empty symbols) when the corpus
+    // exhausts before 16 merges: without the guard an empty b_i would
+    // empty the cross join and report words=0 while the engine computes
+    // real counts from its shorter learned schedule.
     "q146_bpe_fertility" -> {
+      val guards = (1 to 16).map(i =>
+        s"g$i AS (SELECT l, r FROM b$i UNION ALL SELECT '', '' " +
+          s"WHERE NOT EXISTS (SELECT 1 FROM b$i))").mkString(",\n")
       val e = (1 to 16).foldLeft("e")((acc, i) =>
-        s"replace($acc, '(' || b$i.l || ')(' || b$i.r || ')', '(' || b$i.l || b$i.r || ')')")
-      val bs = (1 to 16).map("b" + _).mkString(", ")
+        s"replace($acc, '(' || g$i.l || ')(' || g$i.r || ')', '(' || g$i.l || g$i.r || ')')")
+      val bs = (1 to 16).map("g" + _).mkString(", ")
       s"""WITH ${bpeCtes(16)},
+         |$guards,
          |dw AS (SELECT doc_id, lang, unnest($Words) AS word FROM documents),
          |ew AS (SELECT doc_id, lang,
          |  '(' || array_to_string(regexp_extract_all(word, '.'), ')(') || ')(_)' AS e FROM dw),

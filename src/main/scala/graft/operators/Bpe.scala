@@ -27,8 +27,10 @@ import org.apache.spark.sql.types._
  *    tiny row collected per step).
  *  - the merge is applied as a codegen string `replace` on a
  *    bracket-delimited symbol encoding (below); lineage is truncated
- *    with an eager localCheckpoint every few iterations so long merge
- *    schedules don't grow unbounded plans.
+ *    with an eager localCheckpoint each iteration, and the previous
+ *    iteration's checkpoint is unpersisted once the next materializes,
+ *    so long merge schedules grow neither plan depth nor executor
+ *    storage.
  *
  * Symbol encoding: a word's symbol sequence is rendered as
  * `"(h)(e)(l)(l)(o)(_)"` — every symbol wrapped in parentheses, with a
@@ -56,9 +58,10 @@ object Bpe {
   private[graft] def enc0(word: Column): Column =
     concat(lit("("), array_join(split(word, ""), ")("), lit(")(_)"))
 
-  /** Symbol list of an encoded word. */
+  /** Symbol list of an encoded word — built from the argument column
+    * (no hardcoded column name), so callers may alias freely. */
   private def syms(enc: Column): Column =
-    split(expr("substring(enc, 2, length(enc) - 2)"), "\\)\\(")
+    split(enc.substr(lit(2), length(enc) - lit(2)), "\\)\\(")
 
   /** Number of symbols in an encoded word: count of '(' delimiters —
     * a pure length arithmetic, no split. */
@@ -113,11 +116,17 @@ object Bpe {
         val applied = words.withColumn("enc",
           expr_replace(col("enc"), s"($l)($r)", s"(${l + r})"))
         // eager checkpoint: materializes the merge AND truncates lineage,
-        // so a 32k-merge schedule never accumulates a 32k-projection plan
+        // so a 32k-merge schedule never accumulates a 32k-projection plan.
+        // The PREVIOUS iteration's checkpoint blocks are dead once the new
+        // one materializes — unpersist them, or executor storage grows
+        // linearly with the merge count (one vocab copy per iteration).
+        val prev = words
         words = applied.localCheckpoint(true)
+        prev.unpersist()
         rank += 1
       }
     }
+    words.unpersist()
     merges.result()
   }
 
@@ -135,13 +144,15 @@ object Bpe {
 
   // learn() is a multi-job action sequence; the train + fertility query
   // pair (and repeated bench passes) reuse one schedule per
-  // (corpus handle, knobs) rather than re-running it.
-  private val learnCache = TrieMap.empty[(String, Int), Seq[Merge]]
+  // (corpus handle, knobs) rather than re-running it. textCol is part of
+  // the key: the same corpus trained on two different text columns must
+  // not share a schedule.
+  private val learnCache = TrieMap.empty[(String, Int, String), Seq[Merge]]
 
   private def learnCached(docs: DataFrame, numMerges: Int, cacheKey: String,
       textCol: String): Seq[Merge] =
     if (cacheKey == null) learn(docs, numMerges, textCol)
-    else learnCache.getOrElseUpdate((cacheKey, numMerges),
+    else learnCache.getOrElseUpdate((cacheKey, numMerges, textCol),
       learn(docs, numMerges, textCol))
 
   /**

@@ -260,9 +260,14 @@ object SpanJoinRewrite extends Rule[LogicalPlan] {
       case LessThanOrEqual(s: Subtract, IntLit(v)) => (s, v)
       case GreaterThanOrEqual(IntLit(v), s: Subtract) => (s, v)
     }
+    // Width guard ordered so it cannot wrap: `hi - lo` overflows Long for
+    // extreme literal bounds (lo near Long.MinValue), wrapping NEGATIVE —
+    // so require the difference itself non-negative before comparing.
+    // `hi - lo < maxWidth` ≡ band width (hi - lo + 1) ≤ maxWidth without
+    // ever computing the +1 that could overflow at hi = Long.MaxValue.
     val band = (for {
       (sl, lo) <- lowers; (su, hi) <- uppers
-      if sl.semanticEquals(su) && lo <= hi && hi - lo + 1 <= maxWidth
+      if sl.semanticEquals(su) && lo <= hi && hi - lo >= 0 && hi - lo < maxWidth
     } yield (sl, lo, hi)).headOption
     band.flatMap { case (s, lo, hi) =>
       val (x, y) = (s.left, s.right)
