@@ -6,6 +6,32 @@ import org.apache.spark.sql.SparkSession
   * materialized through the noop sink — a bare `count()` would let Catalyst
   * prune the projections being measured. */
 object Bench {
+  // The one JSON artifact line. Emitted exactly once — either at normal
+  // completion or (backstop) from a shutdown hook if an external kill
+  // (SIGTERM from a driver timeout) lands mid-sweep, so a partial run
+  // still yields a parseable artifact with whatever samples it has.
+  private val emitted = new java.util.concurrent.atomic.AtomicBoolean(false)
+  private def emitOnce(names: Seq[String],
+      best: scala.collection.Map[String, Double],
+      samples: scala.collection.Map[String, Int],
+      failed: scala.collection.Set[String], sfDir: String): Unit =
+    if (emitted.compareAndSet(false, true)) {
+      val okNames = names.filter(best.contains)
+      val qs = okNames.map { k => "\"" + k + "\":" + best(k) }
+        .mkString("{", ",", "}")
+      val failedJson = failed.filterNot(best.contains)
+        .map("\"" + _ + "\"").mkString("[", ",", "]")
+      // Machine-readable cold/hot separation: queries whose only sample is
+      // the cold first run (pair budget or deadline cut their reruns).
+      val coldOnly = okNames.filter(n => samples.getOrElse(n, 0) < 2)
+      val coldOnlyJson = coldOnly.map("\"" + _ + "\"").mkString("[", ",", "]")
+      val minSamples =
+        if (okNames.nonEmpty) okNames.map(n => samples.getOrElse(n, 0)).min else 0
+      val total = if (okNames.nonEmpty) okNames.map(best).sum else 0.0
+      println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir","passes":$minSamples,"cold_only":$coldOnlyJson}""")
+      System.out.flush()
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -45,8 +71,20 @@ object Bench {
     // Malformed env values fall back to the defaults (a bad knob must not
     // kill the artifact this machinery exists to protect).
     val reps = scala.util.Try(sys.env("SPARK_GRAFT_REPS").toInt).getOrElse(3).max(1)
+    // Deadline budget, round-13 recalibration: the deadline exists to
+    // guarantee the JSON artifact gets emitted before any external kill,
+    // NOT to model a known driver limit. Measured driver tolerance: the
+    // r9 artifact recorded a 794 s sbt wall with rc=0 (BENCH_r09.json),
+    // so the harness may run well past the old 450 s default. The full
+    // 3-pass contract costs ~396 s bench-internal locally; the r10/r11/
+    // r12 driver hosts ran ~1.2-1.7x slower (uniform contention), which
+    // put the old 450 s cutoff INSIDE the contended 3-pass budget —
+    // passes:2 three rounds running. 720 s covers the contract at 1.8x
+    // contention while keeping ~70 s of margin under the proven 794 s
+    // tolerance (launch overhead on a warm compile is ~15 s). The
+    // shutdown-hook emitter below is the backstop if a kill ever lands.
     val deadlineSec =
-      scala.util.Try(sys.env("SPARK_GRAFT_DEADLINE_SEC").toDouble).getOrElse(450.0)
+      scala.util.Try(sys.env("SPARK_GRAFT_DEADLINE_SEC").toDouble).getOrElse(720.0)
     // Budget for the paired first sweep: generous (2x the hot-pass deadline)
     // because the hot rerun is exactly the sample the artifact exists to
     // capture — only a pathologically slow host should ever cut it.
@@ -72,6 +110,11 @@ object Bench {
     val best = scala.collection.mutable.Map.empty[String, Double]
     val samples = scala.collection.mutable.Map.empty[String, Int].withDefaultValue(0)
     val failed = scala.collection.mutable.SortedSet.empty[String]
+    // Kill backstop: if the process is terminated externally mid-sweep
+    // (driver timeout → SIGTERM), still emit the artifact line from
+    // whatever samples exist. No-op on the normal path (emitOnce guards).
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      emitOnce(names, best, samples, failed, sfDir), "bench-emit"))
     val benchT0 = System.nanoTime()
     def elapsed: Double = (System.nanoTime() - benchT0) / 1e9
     // A failed run must not feed best(name): a 0.1s exception would
@@ -113,18 +156,7 @@ object Bench {
       pass += 1
     }
     // Queries that never succeeded are reported in "failed", not as times.
-    val okNames = names.filter(best.contains)
-    val qs = okNames.map { k => "\"" + k + "\":" + best(k) }
-      .mkString("{", ",", "}")
-    val failedJson = failed.filterNot(best.contains)
-      .map("\"" + _ + "\"").mkString("[", ",", "]")
-    // Machine-readable cold/hot separation: queries whose only sample is the
-    // cold first run (pair budget or deadline cut their reruns).
-    val coldOnly = okNames.filter(samples(_) < 2)
-    val coldOnlyJson = coldOnly.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val minSamples = if (okNames.nonEmpty) okNames.map(samples).min else 0
-    val total = if (okNames.nonEmpty) okNames.map(best).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir","passes":$minSamples,"cold_only":$coldOnlyJson}""")
+    emitOnce(names, best, samples, failed, sfDir)
     spark.stop()
   }
 }
