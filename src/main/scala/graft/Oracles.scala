@@ -1369,6 +1369,40 @@ object Oracles {
          |     ORDER BY adc, vec_id) AS INTEGER) AS rank FROM scored)
          |WHERE rank <= 10""".stripMargin,
 
+    // IVFADC mirror: q95's cosine cell routing (kmeans c2 centroids →
+    // corpus assignment rn=1, query probes rn<=2) composed with q126's
+    // per-subspace ADC folds — but the scored pairs are RESTRICTED to
+    // the probed-cell candidates (the cand join), re-deriving exactly
+    // the inverted-list scan the engine's cell_id join performs.
+    "q149_ivfpq" ->
+      s"""WITH $EmbCte,
+         |${kmeansCtes(8, 2)},
+         |${pqCtes(8, 16, 2)},
+         |cen AS (SELECT cid AS cell_id, v AS centroid FROM c2),
+         |asg AS (SELECT id AS vec_id, cell_id FROM
+         |  (SELECT e.id, c.cell_id, row_number() OVER (PARTITION BY e.id
+         |     ORDER BY ${cos("e.v", "c.centroid")} DESC, c.cell_id) AS rn
+         |   FROM ed e CROSS JOIN cen c) WHERE rn = 1),
+         |pr AS (SELECT id AS query_id, cell_id FROM
+         |  (SELECT e.id, c.cell_id, row_number() OVER (PARTITION BY e.id
+         |     ORDER BY ${cos("e.v", "c.centroid")} DESC, c.cell_id) AS rn
+         |   FROM ed e CROSS JOIN cen c WHERE e.id < 5) WHERE rn <= 2),
+         |cand AS (SELECT DISTINCT p.query_id, a.vec_id
+         |  FROM pr p JOIN asg a USING (cell_id)),
+         |qsv AS (SELECT id AS query_id, sub, v AS qv FROM psv WHERE id < 5),
+         |sd AS (SELECT q.query_id, a.id AS vec_id, q.sub, ${sqDist("q.qv", "c.v")} AS dist
+         |  FROM qsv q JOIN pa3 a ON q.sub = a.sub
+         |  JOIN pc2 c ON a.sub = c.sub AND a.cid = c.cid
+         |  JOIN cand ON cand.query_id = q.query_id AND cand.vec_id = a.id),
+         |scored AS (SELECT query_id, vec_id,
+         |  round(list_reduce(list_prepend(0.0, list(dist ORDER BY sub)),
+         |    (u, w) -> u + w), 6) AS adc
+         |  FROM sd GROUP BY query_id, vec_id)
+         |SELECT query_id, vec_id, adc, rank FROM
+         |  (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+         |     ORDER BY adc, vec_id) AS INTEGER) AS rank FROM scored)
+         |WHERE rank <= 10""".stripMargin,
+
     // Semantic dedup: k-means assignment (same unrolled CTEs as q94),
     // then within-cluster lower-id cosine >= 0.9 marks duplicates.
     // The 4dp stabilization mirrors the engine's sign-aware

@@ -412,6 +412,19 @@ object ScaleSmoke {
         Similarity.pqTopK(ed, q,
           Similarity.pqFitCodebooks(ed, m = 8, ksub = 16, iters = 2), k = 10).count()
       }),
+      // IVFADC vs the flat pq_adc_topk row: same codebooks, same query
+      // set, but the inverted lists bound scoring to the probed cells'
+      // share of the index — the ratio per decade must stay linear
+      // (build passes dominate) and the scored-pair volume is nprobe/C
+      // of the flat row's
+      ("ivfpq_topk", (e, _) => {
+        val ed = embD(e)
+        val q = ed.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("query_id"), col("embedding"))
+        Similarity.ivfPqTopK(ed, q, Similarity.kmeansFit(ed, k = 8, iters = 2),
+          Similarity.pqFitCodebooks(ed, m = 8, ksub = 16, iters = 2),
+          nprobe = 2, k = 10).count()
+      }),
       ("semantic_dedup", (e, t) => sem(e, 8 * math.pow(10, t).toInt)),
       ("semantic_dedup_scaled", (e, t) => semScaled(e, 8 * math.pow(10, t).toInt)),
       // diversity sampling under its 100 TB knobs (k grows with the

@@ -804,6 +804,17 @@ object SparkEntry {
       Similarity.pqTopK(e, q, Similarity.pqFitCodebooks(e, m = 8, ksub = 16, iters = 2), k = 10)
     }),
 
+    // IVF-PQ (IVFADC): q95's trained coarse quantizer routes each query
+    // to its 2 nearest cells; q126's asymmetric distance scores ONLY the
+    // probed cells' codes. The FAISS-shape billion-vector operating
+    // point — inverted lists bound the scan, PQ codes replace vectors.
+    "q149_ivfpq" -> ((s, dir) => {
+      val e = embedsD(s, dir)
+      val q = e.filter(col("vec_id") < 5).select(col("vec_id").as("query_id"), col("embedding"))
+      Similarity.ivfPqTopK(e, q, Similarity.kmeansFit(e, k = 8, iters = 2),
+        Similarity.pqFitCodebooks(e, m = 8, ksub = 16, iters = 2), nprobe = 2, k = 10)
+    }),
+
     // BM25 keyword retrieval (Okapi, Lucene idf form): three term
     // queries over the corpus; query-term dictionary broadcast-filtered
     // before any aggregation, per-(query, doc) sums folded in term order.

@@ -578,6 +578,79 @@ object Similarity {
   }
 
   /**
+   * IVF-PQ (IVFADC) top-k — the composition of the trained coarse
+   * quantizer ([[ivfTopK]]'s cell routing) with the product-quantized
+   * index ([[pqTopK]]'s asymmetric distance): queries are routed to
+   * their `nprobe` nearest cells, and ADC is computed ONLY over the
+   * probed cells' codes. This is the billion-vector ANN operating point
+   * of Jégou, Douze & Schmid 2011 ("Product Quantization for Nearest
+   * Neighbor Search", IVFADC variant): the inverted lists bound the scan
+   * to nprobe/C of the index, and the index itself is the 32x-compressed
+   * code table, not the raw vectors.
+   *
+   * Scale shape, piecewise:
+   *  - Index build is ONE corpus pass: the same projection computes all
+   *    m PQ codes (native NearestCentroid expressions) AND feeds the
+   *    coarse-cell min_by aggregation, so the only corpus-width exchange
+   *    carries (id, m small ints, cell partials) — the raw vector never
+   *    crosses a shuffle (pre-aggregated map-side like [[ivfTopK]], but
+   *    with codes instead of the full vector riding the groupBy).
+   *  - Query routing is a broadcast crossJoin against the C-row centroid
+   *    table (queries × C is tiny by assumption).
+   *  - Scoring joins the encoded index to the BROADCAST probe set on
+   *    cell_id: rows outside probed cells drop at the join before any
+   *    distance arithmetic, and the scan side carries only codes. On a
+   *    cell_id-bucketed index table this becomes partition pruning; at
+   *    bench scale it is the broadcast-semi-join equivalent.
+   *
+   * Determinism: cell routing = max cosine, ties to smallest cell_id
+   * (identical to [[ivfTopK]]); ADC = per-subspace squared-L2 folds
+   * summed in subspace order (identical to [[pqTopK]]); rank by
+   * ascending ADC, ties to the smaller corpus id. Recall < 1 by
+   * construction (coarse routing AND quantization error compound).
+   */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
+      books: IndexedSeq[IndexedSeq[(Int, Array[Double])]], nprobe: Int = 2,
+      k: Int = 10, idCol: String = "vec_id", vecCol: String = "embedding",
+      queryIdCol: String = "query_id"): DataFrame = {
+    val m = books.size
+    require(m > 0 && books.head.nonEmpty,
+      "ivfPqTopK needs non-empty codebooks (m >= 1 subspaces, >= 1 code each)")
+    val d = books.head.head._2.length
+    val vecD = col(vecCol).cast("array<double>")
+    val cb = broadcast(centroids.select(col("cell_id"), col("centroid")))
+    val codeCols = (0 until m).map(s =>
+      org.apache.spark.sql.graft.NearestCentroid(
+        slice(vecD, s * d + 1, d), books(s))("cid").as(s"c$s"))
+    val encoded = corpus.select(col(idCol) +: vecD.as("c_vec") +: codeCols: _*)
+      .crossJoin(cb)
+      .withColumn("ccos", tensor.cosine(col("c_vec"), col("centroid")))
+      .groupBy(col(idCol))
+      .agg(min_by(col("cell_id"),
+          struct((-col("ccos")).as("nc"), col("cell_id"))).as("cell_id"),
+        (0 until m).map(s => first(col(s"c$s")).as(s"c$s")): _*)
+    val wProbe = Window.partitionBy(queryIdCol).orderBy(col("qcos").desc, col("cell_id"))
+    val probes = queries.select(col(queryIdCol), vecD.as("q_vec"))
+      .crossJoin(cb)
+      .withColumn("qcos", tensor.cosine(col("q_vec"), col("centroid")))
+      .withColumn("__rn", row_number().over(wProbe))
+      .filter(col("__rn") <= nprobe)
+      .select(col(queryIdCol), col("q_vec"), col("cell_id"))
+    val bookMaps = books.map(b =>
+      typedLit(b.map { case (c, v) => (c, v.toSeq) }.toMap))
+    val adc = (0 until m).map { s =>
+      sqDistCol(slice(col("q_vec"), s * d + 1, d),
+        element_at(bookMaps(s), col(s"c$s")))
+    }.reduceLeft(_ + _)
+    val w = Window.partitionBy(queryIdCol).orderBy(col("adc"), col(idCol))
+    encoded.join(broadcast(probes), "cell_id")
+      .withColumn("adc", round(adc, 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(queryIdCol), col(idCol), col("adc"), col("rank"))
+  }
+
+  /**
    * Approximate top-k via sign-LSH: candidates share the query's bucket or
    * any single-bit-flip neighbor; exact cosine re-rank inside candidates.
    * Recall < 1 by construction; the scale path when queries are many.

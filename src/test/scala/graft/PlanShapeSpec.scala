@@ -257,6 +257,23 @@ class PlanShapeSpec extends GraftSuite {
       s"expected a map-side partial top-k aggregate:\n${out.queryExecution.executedPlan}")
   }
 
+  test("q149 ivfPqTopK: probed-cell scoring is a broadcast join over codes only") {
+    // The IVFADC contract: (1) the probe set is broadcast and the scoring
+    // join keys on cell_id — rows outside probed cells drop at the join
+    // before any distance arithmetic; (2) the raw corpus vector never
+    // crosses an exchange — the index-build aggregation forwards only
+    // (id, cell partials, m code ints), and the scoring side reads codes.
+    val out = SparkEntry.queries("q149_ivfpq")(spark, "/root/testdata/sf0.001")
+    assert(out.collect().nonEmpty)
+    val planStr = out.queryExecution.executedPlan.toString
+    assert(planStr.split("\n").exists(l =>
+      l.contains("BroadcastHashJoin") && l.contains("cell_id#")),
+      s"expected the probe set broadcast-joined on cell_id:\n$planStr")
+    assert(!planStr.split("\n").exists(l =>
+      l.contains("Exchange") && l.contains("c_vec#")),
+      s"raw corpus vectors crossed an exchange:\n$planStr")
+  }
+
   test("q147/q148 naive theta forms fire the optimizer rewrites") {
     val d = "/root/testdata/sf0.001"
     val p147 = SparkEntry.queries("q147_contains_rule")(spark, d)
