@@ -356,7 +356,101 @@ object Oracles {
     sb.toString
   }
 
+  /** SQL mirror of Html.synthPage over (id, lang, text) expressions —
+    * byte-identical page construction on both engines. */
+  private def htmlPageSql(id: String, lang: String, text: String): String = {
+    // coalesce: DuckDB's array_to_string over an EMPTY list is NULL,
+    // Spark's array_join is '' — short documents hit the empty slices
+    val w = s"regexp_extract_all(lower($text), '[a-z0-9]+')"
+    val s1 = s"(coalesce(array_to_string(list_slice($w, 1, 8), ' '), '') || '.')"
+    val s2 = s"(coalesce(array_to_string(list_slice($w, 9, 16), ' '), '') || '!')"
+    val s3 = s"(coalesce(array_to_string(list_slice($w, 17, 22), ' '), '') || '?')"
+    val ids = s"CAST($id AS VARCHAR)"
+    s"('<html><head><title>Doc &amp; ' || $ids || " +
+      "'</title><style type=\"text/css\">p {margin: 0}</style></head><body>' || " +
+      s"'<!-- crawl ' || $ids || ' -->' || " +
+      s"'<h1>Entry &lt;' || $lang || '&gt;</h1>' || " +
+      s"'<p>' || $s1 || '</p><p>' || $s2 || ' ' || $s3 || '</p>' || " +
+      "'<div>Enable javascript to view this page.</div>' || " +
+      "'<div>We use a cookie banner; read the privacy policy.</div>' || " +
+      "'<p>Short line.</p>' || " +
+      s"'<script>if (n < 10) { track(\"' || $ids || '\"); }</script>' || " +
+      s"'<p>' || $s1 || ' ' || $s2 || '</p>' || " +
+      "'</body></html>')"
+  }
+
+  /** Entity decode mirror (Html.Entities, amp-last order). */
+  private def htmlDecodeSql(e: String): String =
+    operators.Html.Entities.foldLeft(e) { case (a, (s, r)) =>
+      s"replace($a, '$s', '${r.replace("'", "''")}')"
+    }
+
+  /** Block-array mirror of Html.blocks: the exact regex constants from
+    * operators.Html embedded verbatim (all RE2-safe by design). */
+  private def htmlBlocksSql(h: String): String = {
+    import operators.Html._
+    val noC = s"regexp_replace($h, '$CommentRe', '', 'gs')"
+    val noS = s"regexp_replace($noC, '$ScriptRe', '', 'gs')"
+    val noSt = s"regexp_replace($noS, '$StyleRe', '', 'gs')"
+    val noT = s"regexp_replace($noSt, '$TitleElemRe', '', 'gs')"
+    val bl = s"regexp_replace($noT, '$BlockTagRe', chr(10), 'g')"
+    val raw = htmlDecodeSql(s"regexp_replace($bl, '$AnyTagRe', '', 'g')")
+    s"list_filter(list_transform(string_split($raw, chr(10)), " +
+      s"l -> trim(regexp_replace(l, '$SpaceRunRe', ' ', 'g'))), b -> b <> '')"
+  }
+
+  private def htmlTitleSql(h: String): String = {
+    val t = s"regexp_extract($h, '${operators.Html.TitleRe}', 1)"
+    s"trim(${htmlDecodeSql(t)})"
+  }
+
   private val base: Map[String, String] = Map(
+
+    // HTML extraction mirror: the synthetic page, the strip/segment/
+    // decode chain, and the block whitespace rules, all re-derived from
+    // the shared operators.Html constants.
+    "q150_html_to_text" ->
+      s"""WITH pages AS (SELECT doc_id, ${htmlPageSql("doc_id", "lang", "text")} AS html
+         |  FROM documents),
+         |t AS (SELECT doc_id, html, ${htmlBlocksSql("html")} AS bl FROM pages)
+         |SELECT doc_id, ${htmlTitleSql("html")} AS title,
+         |  CAST(len(bl) AS BIGINT) AS n_blocks,
+         |  coalesce(array_to_string(bl, chr(10)), '') AS clean_text,
+         |  CAST(length(coalesce(array_to_string(bl, chr(10)), '')) AS BIGINT) AS n_chars
+         |FROM t""".stripMargin,
+
+    // Crawl pipeline mirror: crawl + re-crawl union, extraction, the
+    // q101 C4 line/document rules on the extracted text, then exact
+    // dedup on the hashed clean text (survivor = min page_id).
+    "q151_crawl_pipeline" ->
+      s"""WITH crawlp AS (
+         |  SELECT doc_id AS page_id, doc_id, lang, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 10000000 AS page_id, doc_id, lang, text
+         |  FROM documents WHERE doc_id % 3 = 0),
+         |tx AS (SELECT page_id,
+         |    coalesce(array_to_string(${htmlBlocksSql(htmlPageSql("doc_id", "lang", "text"))}, chr(10)), '') AS txt
+         |  FROM crawlp),
+         |x AS (SELECT page_id, txt, string_split(txt, chr(10)) AS lines FROM tx),
+         |k AS (SELECT page_id, txt, list_filter(lines, l ->
+         |    regexp_matches(rtrim(l), '[.!?"]$$')
+         |    AND len(regexp_extract_all(l, '\\S+')) >= 3
+         |    AND NOT contains(lower(l), 'javascript')
+         |    AND NOT regexp_matches(lower(l), 'cookie|privacy policy|terms of use')) AS kept
+         |  FROM x),
+         |m AS (SELECT page_id, len(kept) AS n_kept,
+         |    coalesce(array_to_string(kept, chr(10)), '') AS clean_text,
+         |    (contains(lower(txt), 'lorem ipsum') OR contains(txt, '{')) AS boilerplate
+         |  FROM k),
+         |c AS (SELECT page_id, n_kept,
+         |    len(regexp_extract_all(clean_text, '[.!?]')) AS n_sentences, clean_text
+         |  FROM m WHERE NOT boilerplate
+         |    AND len(regexp_extract_all(clean_text, '[.!?]')) >= 3),
+         |sv AS (SELECT ${H("clean_text")} AS h, CAST(min(page_id) AS BIGINT) AS spage,
+         |    CAST(count(*) AS BIGINT) AS n_copies FROM c GROUP BY 1)
+         |SELECT c.page_id, c.n_kept, c.n_sentences,
+         |  CAST(length(c.clean_text) AS BIGINT) AS clean_chars, sv.n_copies
+         |FROM c JOIN sv ON c.page_id = sv.spage""".stripMargin,
 
     // ---- relational core ----
 

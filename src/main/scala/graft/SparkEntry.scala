@@ -1434,6 +1434,45 @@ object SparkEntry {
           col("second")("begin_tok").as("s_bt"))
     }),
 
+    // HTML → text extraction over closed-form synthetic crawl pages:
+    // comment/script/style/title removal, block segmentation, entity
+    // decode, whitespace rules — a shuffle-free codegen projection.
+    "q150_html_to_text" -> ((s, dir) => {
+      val pages = docs(s, dir).select(col("doc_id"),
+        operators.Html.synthPage(col("doc_id"), col("lang"), col("text")).as("html"))
+      operators.Html.htmlToText(pages, idCol = "doc_id")
+    }),
+
+    // Composed crawl pipeline: synthetic crawl (every page, plus a
+    // re-crawl of doc_id % 3 == 0 under a new page_id) → HTML text
+    // extraction → C4 line/document rules → exact dedup on the hashed
+    // clean text (survivor = smallest page_id, so each re-crawled page
+    // collapses onto its original). One lazy DAG: projection-only
+    // ingest, the one exchange is the narrow (hash, id) dedup groupBy.
+    "q151_crawl_pipeline" -> ((s, dir) => {
+      val base = docs(s, dir).select(col("doc_id"), col("lang"), col("text"))
+      val crawl = base.select(col("doc_id").as("page_id"), col("doc_id"),
+          col("lang"), col("text"))
+        .unionByName(base.filter(col("doc_id") % 3 === 0)
+          .select((col("doc_id") + lit(10000000L)).as("page_id"),
+            col("doc_id"), col("lang"), col("text")))
+      val cleaned = crawl.select(col("page_id"),
+        operators.Html.text(
+          operators.Html.synthPage(col("doc_id"), col("lang"), col("text"))).as("txt"))
+      val c4 = operators.TextAnalysis.c4Clean(cleaned,
+          idCol = "page_id", textCol = "txt")
+        .filter(col("c4_keep"))
+        .select(col("doc_id").as("page_id"), col("n_kept"), col("n_sentences"),
+          col("clean_text"))
+      val surv = c4
+        .groupBy(org.apache.spark.sql.graft.PortableHash(col("clean_text")).as("h"))
+        .agg(min(col("page_id")).as("page_id"), count(lit(1)).as("n_copies"))
+        .select("page_id", "n_copies")
+      c4.join(surv, "page_id")
+        .select(col("page_id"), col("n_kept"), col("n_sentences"),
+          length(col("clean_text")).cast("long").as("clean_chars"), col("n_copies"))
+    }),
+
     "q29_contain_join" -> ((s, dir) => {
       val t = toks(s, dir)
       SpanJoin.containJoin(win(t, 4, 4), t.select(col("doc_id"), col("span")))
