@@ -2462,5 +2462,8 @@ object Oracles {
     ("q143_tfidf_agg" -> base("q74_tfidf")) +
     // the naive gap-band form the rule rewrites is result-identical to
     // q27's explicit adjacentJoin by construction
-    ("q148_adjacent_rule" -> base("q27_adjacent_join"))
+    ("q148_adjacent_rule" -> base("q27_adjacent_join")) +
+    // the kernel encoder is result-identical to the replace chain by the
+    // min-rank equivalence argument (Bpe.encodeWord doc; BpeSpec pins it)
+    ("q152_bpe_fertility_kernel" -> base("q146_bpe_fertility"))
 }

@@ -232,6 +232,13 @@ object ScaleSmoke {
       // initial scan (tiling grows freqs, not the vocab)
       ("bpe_train", d => Bpe.learn(d, numMerges = 8)
         .map(_.freq).sum, null),
+      // vocab-shaped merge count: 256 pair-count iterations over the
+      // distinct-word relation. Tiling grows word FREQS, not the vocab,
+      // so if per-iteration cost is truly vocabulary-bound the 10x ratio
+      // must track the single linear word-count scan, not multiply the
+      // 256 iterations — the flat-per-iteration claim, measured
+      ("bpe_train_256", d => Bpe.learn(d, numMerges = 256)
+        .map(_.freq).sum, null),
       // incremental ingest dedup: the batch stays the FIXED 1x slice while
       // the corpus grows — the operator's operating shape (an ingest batch
       // doesn't scale with the accumulated corpus), so the broadcast stays

@@ -905,6 +905,14 @@ object SparkEntry {
     "q146_bpe_fertility" -> ((s, dir) =>
       Bpe.fertility(docs(s, dir), numMerges = 16, cacheKey = dir)),
 
+    // q146's twin on the large-vocab encoder path: same learned
+    // schedule, same output, but the merges apply via the broadcast
+    // pair-rank kernel (mapPartitions) instead of the 16-deep replace
+    // chain — the form that carries a 32k-merge vocabulary. Shares
+    // q146's oracle (result-identical by the min-rank equivalence).
+    "q152_bpe_fertility_kernel" -> ((s, dir) =>
+      Bpe.fertilityKernel(docs(s, dir), numMerges = 16, cacheKey = dir)),
+
     // Balanced training mix: cap every source at 50 docs, kept set chosen
     // by salted portable hash (deterministic, partitioning-independent).
     "q96_stratified_sample" -> ((s, dir) =>

@@ -178,6 +178,97 @@ object Bpe {
     }
 
   /**
+   * Large-vocab ENCODER kernel — [[applyMerges]] folds the schedule into
+   * a chain of `replace` expressions, which is exactly right at
+   * datasheet merge counts (16: one codegen'd projection, no UDF) and
+   * structurally impossible at a production 32k-merge vocabulary
+   * (expression depth and generated-method size scale with the vocab).
+   * This is the WordPiece pattern instead ([[WordPiece]]): the learned
+   * schedule rides once per executor as a broadcast pair→rank table,
+   * and each word is encoded by the standard iterative procedure —
+   * find the lowest-rank adjacent pair, fuse ALL its leftmost-first
+   * non-overlapping occurrences, repeat until no learned pair applies.
+   *
+   * Equivalence with the chain: a merge's operands can only be symbols
+   * built by LOWER-rank merges (that is how the schedule was learned),
+   * and fusing two symbols never creates a new adjacency between
+   * pre-existing symbols — so min-rank-first iteration yields exactly
+   * the rank-order replace chain's symbol sequence. BpeSpec pins the
+   * property on every corpus word; q152 shares q146's oracle.
+   */
+  def encodeWord(word: String, ranks: Map[(String, String), Int]): Array[String] = {
+    var syms: Array[String] = {
+      val a = new Array[String](word.length + 1)
+      var i = 0
+      while (i < word.length) { a(i) = String.valueOf(word.charAt(i)); i += 1 }
+      a(word.length) = "_"
+      a
+    }
+    var done = syms.length < 2
+    while (!done) {
+      var bestRank = Int.MaxValue
+      var bestIdx = -1
+      var i = 0
+      while (i < syms.length - 1) {
+        val r = ranks.getOrElse((syms(i), syms(i + 1)), Int.MaxValue)
+        if (r < bestRank) { bestRank = r; bestIdx = i }
+        i += 1
+      }
+      if (bestIdx < 0) done = true
+      else {
+        val l = syms(bestIdx)
+        val r = syms(bestIdx + 1)
+        val buf = new scala.collection.mutable.ArrayBuffer[String](syms.length)
+        var j = 0
+        while (j < syms.length) {
+          if (j < syms.length - 1 && syms(j) == l && syms(j + 1) == r) {
+            buf += l + r; j += 2
+          } else { buf += syms(j); j += 1 }
+        }
+        syms = buf.toArray
+        if (syms.length < 2) done = true
+      }
+    }
+    syms
+  }
+
+  /**
+   * [[fertility]]'s twin on the kernel encoder — same output relation,
+   * same per-language aggregation, but the encode step is a broadcast-
+   * table `mapPartitions` instead of a numMerges-deep expression chain:
+   * the schedule costs one broadcast however large the vocabulary, and
+   * per-word encode cost depends on word length and applicable merges,
+   * not on the schedule size. Word extraction stays in-plan
+   * ([[TextAnalysis.words]]) so tokenization is bit-identical to
+   * [[fertility]]'s.
+   */
+  def fertilityKernel(docs: DataFrame, numMerges: Int, cacheKey: String = null,
+      textCol: String = "text", langCol: String = "lang"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ms = learnCached(docs, numMerges, cacheKey, textCol)
+    val ranks = ms.map(m => (m.lhs, m.rhs) -> m.rank).toMap
+    val bc = spark.sparkContext.broadcast(ranks)
+    val perDoc = docs
+      .select(col(langCol).cast("string").as("lang"),
+        TextAnalysis.words(col(textCol)).as("ws"))
+      .as[(String, Seq[String])]
+      .mapPartitions { it =>
+        val r = bc.value
+        it.map { case (lang, ws) =>
+          var nt = 0L
+          ws.foreach { w => nt += encodeWord(w, r).length.toLong }
+          (lang, ws.size.toLong, nt)
+        }
+      }.toDF("lang", "nw", "nt")
+    perDoc.groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("nw").as("words"),
+        sum("nt").as("tokens"))
+      .withColumn("fertility", when(col("words") > 0,
+        floor(col("tokens") / col("words") * 1e4 + 0.5) / 1e4))
+  }
+
+  /**
    * Tokenizer fertility of the LEARNED vocabulary over the corpus —
    * the [[TextAnalysis.tokenizerFertility]] datasheet row recomputed
    * with the trained subword tokenizer instead of the fixed proxy:

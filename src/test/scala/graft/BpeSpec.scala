@@ -81,4 +81,41 @@ class BpeSpec extends GraftSuite {
     val fert = r.getAs[Double]("fertility")
     assert(fert == math.floor(tokens.toDouble / words * 1e4 + 0.5) / 1e4)
   }
+
+  test("kernel encode ≡ chain encode on every corpus word and random words") {
+    // learn a real schedule, then assert the broadcast-rank kernel
+    // (encodeWord) produces exactly the replace chain's symbol sequence —
+    // the min-rank equivalence the large-vocab path rests on.
+    val docs = docsOf(
+      "spark sparse parse partition parquet stream streaming streams",
+      "table tables stable tablet parse parse spark spark spark",
+      "aaaa aabb abab bbaa partition parquet stream table")
+    val ms = Bpe.learn(docs, numMerges = 24)
+    val ranks = ms.map(m => (m.lhs, m.rhs) -> m.rank).toMap
+    val rnd = new scala.util.Random(42)
+    val corpusWords = docs.select(explode(
+      graft.operators.TextAnalysis.words(col("text")))).as[String].collect()
+    val randomWords = Seq.fill(200)(
+      (0 until (1 + rnd.nextInt(12))).map(_ => ('a' + rnd.nextInt(4)).toChar)
+        .mkString)
+    // words come from TextAnalysis.words ([a-z0-9]+) so are never empty
+    (corpusWords ++ randomWords).distinct.foreach { w =>
+      val chain = spark.range(1)
+        .select(Bpe.applyMerges(lit(w), ms).as("e")).head.getString(0)
+      val kernel = Bpe.encodeWord(w, ranks).mkString("(", ")(", ")")
+      assert(kernel == chain, s"word '$w': kernel $kernel != chain $chain")
+    }
+  }
+
+  test("fertilityKernel matches fertility on a multi-language corpus") {
+    val docs = Seq(
+      (0L, "spark stream sparse parse parse table", "en"),
+      (1L, "stream stream table parse spark", "en"),
+      (2L, "tabla corriente chispa chispa", "es"),
+      (3L, "chispa tabla tabla corriente corriente", "es"))
+      .toDF("doc_id", "text", "lang")
+    val a = Bpe.fertility(docs, numMerges = 12).orderBy("lang").collect()
+    val b = Bpe.fertilityKernel(docs, numMerges = 12).orderBy("lang").collect()
+    assert(a.toSeq == b.toSeq)
+  }
 }
