@@ -2465,5 +2465,8 @@ object Oracles {
     ("q148_adjacent_rule" -> base("q27_adjacent_join")) +
     // the kernel encoder is result-identical to the replace chain by the
     // min-rank equivalence argument (Bpe.encodeWord doc; BpeSpec pins it)
-    ("q152_bpe_fertility_kernel" -> base("q146_bpe_fertility"))
+    ("q152_bpe_fertility_kernel" -> base("q146_bpe_fertility")) +
+    // the aggregate form is result-identical to the window form (same
+    // candidates/scores/tie-breaks; topKByScore ranks identically)
+    ("q153_hard_negatives_agg" -> base("q129_hard_negatives"))
 }

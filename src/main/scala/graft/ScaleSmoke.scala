@@ -377,6 +377,13 @@ object ScaleSmoke {
       ("hard_negatives_scaled", (e, t) =>
         Similarity.hardNegatives(embD(e), k = 3, nPlanes = 8 + 4 * t,
           maxBucket = 64).count()),
+      // the aggregate twin under the same operating knobs: the rank
+      // window's key-partitioned sort is replaced by the bounded top-k
+      // exchange — the gap between this row and hard_negatives_scaled
+      // IS the window cost at the operating point
+      ("hard_negatives_agg_scaled", (e, t) =>
+        Similarity.hardNegativesAgg(embD(e), k = 3, nPlanes = 8 + 4 * t,
+          maxBucket = 64).count()),
       // SATURATED regime: 2 labels and only 2^4 buckets force every
       // bucket past maxBucket at EVERY tier, so candidates/anchor sit AT
       // the (nPlanes+1)·maxBucket·labels bound from 1x on — the measured

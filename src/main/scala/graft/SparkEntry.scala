@@ -784,6 +784,13 @@ object SparkEntry {
     "q129_hard_negatives" -> ((s, dir) =>
       Similarity.hardNegatives(embedsD(s, dir), k = 3)),
 
+    // q129's twin with the per-anchor rank window swapped for the
+    // bounded top-k aggregate — the corpus-scale exchange form (at most
+    // k pairs per task per anchor cross the shuffle). Shares q129's
+    // oracle; PlanShapeSpec asserts the WindowExec is gone.
+    "q153_hard_negatives_agg" -> ((s, dir) =>
+      Similarity.hardNegativesAgg(embedsD(s, dir), k = 3)),
+
     // Product quantization (m=8 subspaces x 16 codes over the 64-dim
     // embeddings): per-subspace Lloyd's codebooks (q94's determinism
     // rules applied per subspace, ONE aggregation pass per iteration for

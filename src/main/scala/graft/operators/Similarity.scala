@@ -380,6 +380,18 @@ object Similarity {
       maxBucket: Int = 0, idCol: String = "vec_id",
       vecCol: String = "embedding", labelCol: String = "label",
       maxCandPerAnchor: Int = 0): DataFrame = {
+    val w = Window.partitionBy("anchor_id").orderBy(col("cos").desc, col("neg_id"))
+    hardNegativeScores(corpus, nPlanes, maxBucket, idCol, vecCol, labelCol,
+        maxCandPerAnchor)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Candidate generation + cosine scoring shared by [[hardNegatives]]
+    * and [[hardNegativesAgg]]: (anchor_id, neg_id, cos), unranked. */
+  private def hardNegativeScores(corpus: DataFrame, nPlanes: Int,
+      maxBucket: Int, idCol: String, vecCol: String, labelCol: String,
+      maxCandPerAnchor: Int): DataFrame = {
     val withV = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
     val withB = corpus.select(col(idCol).as("id"), col(labelCol).as("lbl"),
       Dedup.signBucketHashed(col(vecCol).cast("array<double>"), nPlanes).as("bucket"))
@@ -411,14 +423,38 @@ object Similarity {
       cand0.withColumn("__c", row_number().over(wc))
         .filter(col("__c") <= maxCandPerAnchor).drop("__c")
     }
-    val w = Window.partitionBy("anchor_id").orderBy(col("cos").desc, col("neg_id"))
     cand
       .join(withV.select(col("id").as("a_id"), col("v").as("a_v")), "a_id")
       .join(withV.select(col("id").as("n_id"), col("v").as("n_v")), "n_id")
       .select(col("a_id").as("anchor_id"), col("n_id").as("neg_id"),
         round(tensor.cosine(col("a_v"), col("n_v")), 6).as("cos"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+  }
+
+  /**
+   * [[hardNegatives]] with the final per-anchor rank window replaced by
+   * the bounded [[TextAnalysis.topKByScore]] aggregate — identical
+   * results (same candidates, same scores, same ordering and ranks),
+   * different physical shape: with the default open valves there is NO
+   * WindowExec in the plan at all, and the scored-pair exchange carries
+   * at most k rows per (task, anchor) after map-side partial
+   * aggregation instead of every scored candidate sorting inside its
+   * anchor partition. At the operating point (every vector an anchor,
+   * candidates ≈ (nPlanes+1)·maxBucket per anchor) the rank window is
+   * the pair pipeline's dominant shuffle — this is the corpus-scale
+   * form, exactly the bm25TopKAgg/bruteForceTopKAgg trade.
+   */
+  def hardNegativesAgg(corpus: DataFrame, k: Int = 3, nPlanes: Int = 8,
+      maxBucket: Int = 0, idCol: String = "vec_id",
+      vecCol: String = "embedding", labelCol: String = "label",
+      maxCandPerAnchor: Int = 0): DataFrame = {
+    val tk = TextAnalysis.topKByScore(k)
+    hardNegativeScores(corpus, nPlanes, maxBucket, idCol, vecCol, labelCol,
+        maxCandPerAnchor)
+      .groupBy("anchor_id")
+      .agg(tk(col("cos"), col("neg_id")).as("__top"))
+      .select(col("anchor_id"), posexplode(col("__top")).as(Seq("__r", "__e")))
+      .select(col("anchor_id"), col("__e")("_2").as("neg_id"),
+        col("__e")("_1").as("cos"), (col("__r") + 1).cast("int").as("rank"))
   }
 
   // ---- Product quantization (Jegou et al. 2011, "Product Quantization

@@ -274,6 +274,20 @@ class PlanShapeSpec extends GraftSuite {
       s"raw corpus vectors crossed an exchange:\n$planStr")
   }
 
+  test("hardNegativesAgg: no WindowExec anywhere at default (open) valves") {
+    // the aggregate twin's contract: the final rank window is gone and —
+    // with maxBucket/maxCandPerAnchor valves open — nothing else in the
+    // pair pipeline introduces one either
+    val emb = (0L until 60L).map(i =>
+      (i, (0 until 8).map(d => ((i * 7 + d * 3) % 13 - 6).toDouble), (i % 3).toString))
+      .toDF("vec_id", "embedding", "label")
+    val out = operators.Similarity.hardNegativesAgg(emb, k = 3)
+    assert(out.collect().nonEmpty)
+    val nodes = PlanDigest.allNodes(out.queryExecution.executedPlan)
+    assert(!nodes.exists(_.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec]),
+      s"expected the rank window gone:\n${out.queryExecution.executedPlan}")
+  }
+
   test("q147/q148 naive theta forms fire the optimizer rewrites") {
     val d = "/root/testdata/sf0.001"
     val p147 = SparkEntry.queries("q147_contains_rule")(spark, d)
