@@ -43,7 +43,10 @@ class _RefExt(pa.ExtensionType):
         pa.ExtensionType.__init__(self, storage_type, self.NAME)
 
     def __arrow_ext_serialize__(self):
-        return b""
+        # re-serialize whatever payload the instance was reconstructed
+        # with (the reference types serialize their shape the same way) —
+        # REQUIRED for the Parquet round trip to preserve the metadata
+        return getattr(self, "_serialized", b"")
 
     @classmethod
     def __arrow_ext_deserialize__(cls, storage_type, serialized):
@@ -200,6 +203,28 @@ def check_tokenspan(dump, sub, tags):
     return len(got)
 
 
+def check_parquet(dump, sub, col_name, ext_name):
+    """The reference's test_parquet (array/test_span.py:489-498) performed
+    on ENGINE-produced arrays: reconstruct the extension table from the
+    engine's feather dir, push it through Parquet with pyarrow (pandas'
+    to_parquet path), read it back, and assert the extension type, its
+    serialized metadata, and every storage value survive the trip."""
+    t = read_feather_dir(os.path.join(dump, sub))
+    path = os.path.join(dump, f"{sub}_parquet_rt.parquet")
+    pq.write_table(t, path)
+    back = pq.read_table(path).combine_chunks()
+    typ = back.column(col_name).type
+    assert isinstance(typ, pa.ExtensionType) and typ.extension_name == ext_name, \
+        f"{sub}: extension type lost through parquet: {typ}"
+    orig_typ = t.column(col_name).type
+    assert typ.__arrow_ext_serialize__() == orig_typ.__arrow_ext_serialize__(), \
+        f"{sub}: extension metadata changed through parquet"
+    got = back.column(col_name).combine_chunks().storage.to_pylist()
+    want = t.column(col_name).combine_chunks().storage.to_pylist()
+    assert got == want, f"{sub}: storage values diverge through parquet"
+    return back.num_rows
+
+
 def write_pydump(dump):
     """REVERSE direction: write Feather files with plain pyarrow in the
     reference's serialized layout (storage types + raw extension field
@@ -245,6 +270,13 @@ def write_pydump(dump):
         "vec": vec})
     os.makedirs(os.path.join(dump, "pywritten_expected"), exist_ok=True)
     pq.write_table(exp, os.path.join(dump, "pywritten_expected", "part-0.parquet"))
+
+    # PARQUET form of the same table (reference test_parquet's file
+    # layout): pyarrow carries the extension field tags through its
+    # ARROW:schema parquet metadata — the engine's native parquet reader
+    # consumes the storage relation directly
+    os.makedirs(os.path.join(dump, "pyparquet"), exist_ok=True)
+    pq.write_table(table, os.path.join(dump, "pyparquet", "part-00000.parquet"))
 
     # single-tokenization token spans (the reference's supported form,
     # arrow_conversion.py:195-248): tokens = dictionary(int32,
@@ -297,6 +329,18 @@ def main(dump):
     for name, fn in present:
         n = fn(dump, tags[name])
         print(f"PASS {name} ({n} rows)")
+    # Parquet form (reference array/test_span.py:489-498): engine arrays
+    # must survive pandas' to_parquet/read_parquet path with extension
+    # type, metadata, and values intact. Token spans are excluded exactly
+    # as in the reference: their dictionary-of-list storage hits
+    # parquet's "nested dictionary not yet supported" (the reference's
+    # test_parquet lives in CharSpanArrayIOTests only, same bound).
+    pq_targets = [("spans", "span", "TextExtensionsSpan"),
+                  ("tensors", "vec", "TextExtensionsTensor")]
+    for sub, col_name, ext_name in pq_targets:
+        if os.path.isdir(os.path.join(dump, sub)):
+            n = check_parquet(dump, sub, col_name, ext_name)
+            print(f"PASS {sub}_parquet ({n} rows)")
     if not present:
         print(f"no datasets found under {dump}", file=sys.stderr)
         return 2

@@ -114,6 +114,22 @@ class ArrowPythonSpec extends GraftSuite {
       .orderBy("doc_id").collect().map(_.toString).toSeq
     assert(got == want)
 
+    // PARQUET form (reference array/test_span.py:489-498): the same
+    // reference-layout table written via pyarrow's to_parquet path; the
+    // engine's native parquet reader consumes the storage relation
+    // (dictionary-encoded target text decodes to plain strings)
+    val backPq = spark.read.parquet(s"$dump/pyparquet")
+    val gotPq = backPq.select(col("doc_id"),
+        col("span")("span_begins").as("begin"),
+        col("span")("span_ends").as("end"),
+        col("span")("target_text").as("target_text"),
+        col("vec").cast("array<float>"))
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    val wantPq = exp.select(col("doc_id"), col("begin"), col("end"),
+        col("target_text"), col("vec"))
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    assert(gotPq == wantPq)
+
     // token-span file in the reference's single-tokenization layout:
     // token ids back exactly, char offsets re-derived from the shared
     // tokenization dictionary entry
