@@ -1474,18 +1474,24 @@ object SparkEntry {
       val cleaned = crawl.select(col("page_id"),
         operators.Html.text(
           operators.Html.synthPage(col("doc_id"), col("lang"), col("text"))).as("txt"))
+      // survivor detection is ONE window over the hash — not a groupBy +
+      // self-join, which would re-evaluate the whole crawl→extract→clean
+      // subtree on both join sides (measured: the join form's optimized
+      // plan carried 112 copies of the extraction regex chain, the
+      // window form 56). The window input is already the narrow derived
+      // relation (id, counts, hash) — the text never rides the exchange.
       val c4 = operators.TextAnalysis.c4Clean(cleaned,
           idCol = "page_id", textCol = "txt")
         .filter(col("c4_keep"))
         .select(col("doc_id").as("page_id"), col("n_kept"), col("n_sentences"),
-          col("clean_text"))
-      val surv = c4
-        .groupBy(org.apache.spark.sql.graft.PortableHash(col("clean_text")).as("h"))
-        .agg(min(col("page_id")).as("page_id"), count(lit(1)).as("n_copies"))
-        .select("page_id", "n_copies")
-      c4.join(surv, "page_id")
+          org.apache.spark.sql.graft.PortableHash(col("clean_text")).as("h"),
+          length(col("clean_text")).cast("long").as("clean_chars"))
+      val wH = Window.partitionBy("h")
+      c4.withColumn("n_copies", count(lit(1)).over(wH))
+        .withColumn("__min", min(col("page_id")).over(wH))
+        .filter(col("page_id") === col("__min"))
         .select(col("page_id"), col("n_kept"), col("n_sentences"),
-          length(col("clean_text")).cast("long").as("clean_chars"), col("n_copies"))
+          col("clean_chars"), col("n_copies"))
     }),
 
     "q29_contain_join" -> ((s, dir) => {
