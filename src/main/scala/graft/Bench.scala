@@ -14,13 +14,13 @@ object Bench {
   private def emitOnce(names: Seq[String],
       best: scala.collection.Map[String, Double],
       samples: scala.collection.Map[String, Int],
-      failed: scala.collection.Set[String], sfDir: String): Unit =
+      failed: scala.collection.Map[String, Unit], sfDir: String): Unit =
     if (emitted.compareAndSet(false, true)) {
       val okNames = names.filter(best.contains)
       val qs = okNames.map { k => "\"" + k + "\":" + best(k) }
         .mkString("{", ",", "}")
-      val failedJson = failed.filterNot(best.contains)
-        .map("\"" + _ + "\"").mkString("[", ",", "]")
+      val failedJson = failed.keysIterator.filterNot(best.contains)
+        .toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
       // Machine-readable cold/hot separation: queries whose only sample is
       // the cold first run (pair budget or deadline cut their reruns).
       val coldOnly = okNames.filter(n => samples.getOrElse(n, 0) < 2)
@@ -28,8 +28,18 @@ object Bench {
       val minSamples =
         if (okNames.nonEmpty) okNames.map(n => samples.getOrElse(n, 0)).min else 0
       val total = if (okNames.nonEmpty) okNames.map(best).sum else 0.0
-      println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir","passes":$minSamples,"cold_only":$coldOnlyJson}""")
+      val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir","passes":$minSamples,"cold_only":$coldOnlyJson}"""
+      println(line)
       System.out.flush()
+      // The driver captures only a 2000-char tail of stdout, which at the
+      // 150+-query surface truncates the per-query map (r13: timings for
+      // 92 of 152 queries lost from the round record). Persist the full
+      // line in-repo so the round's evidence never depends on the tail.
+      // Best-effort: a filesystem error must not break artifact emission.
+      try {
+        java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_local.json"),
+          (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      } catch { case _: Throwable => }
     }
 
   def main(args: Array[String]): Unit = {
@@ -107,9 +117,14 @@ object Bench {
       org.apache.spark.sql.graft.CodegenWarmer.warmAllInBackground(
         names.map(n => n -> (() => queries(n)(spark, sfDir))),
         threads = math.max(2, cpus.toInt / 4))
-    val best = scala.collection.mutable.Map.empty[String, Double]
-    val samples = scala.collection.mutable.Map.empty[String, Int].withDefaultValue(0)
-    val failed = scala.collection.mutable.SortedSet.empty[String]
+    // Concurrent maps: the shutdown-hook emitter below reads these from
+    // its own thread while the sweep thread mutates them; a plain mutable
+    // HashMap observed mid-resize could throw or yield corrupt JSON on
+    // exactly the kill path the backstop exists for. TrieMap iteration is
+    // an O(1) consistent snapshot.
+    val best = scala.collection.concurrent.TrieMap.empty[String, Double]
+    val samples = scala.collection.concurrent.TrieMap.empty[String, Int]
+    val failed = scala.collection.concurrent.TrieMap.empty[String, Unit]
     // Kill backstop: if the process is terminated externally mid-sweep
     // (driver timeout → SIGTERM), still emit the artifact line from
     // whatever samples exist. No-op on the normal path (emitOnce guards).
@@ -129,9 +144,9 @@ object Bench {
       val sec = (System.nanoTime() - t0) / 1e9
       if (ok) {
         best(name) = math.min(best.getOrElse(name, Double.MaxValue), sec)
-        samples(name) += 1
+        samples(name) = samples.getOrElse(name, 0) + 1
         System.err.println(f"[bench] pass $pass $name%-24s $sec%8.2f s (best ${best(name)}%.2f)")
-      } else failed += name
+      } else failed(name) = ()
     }
     // Sweep 1 (paired): cold run, then immediate hot rerun while the pair
     // budget holds. The cold run always happens (every query gets at least

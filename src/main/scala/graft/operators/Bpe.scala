@@ -98,9 +98,26 @@ object Bpe {
   def learn(docs: DataFrame, numMerges: Int,
       textCol: String = "text"): Seq[Merge] = {
     require(numMerges > 0, "numMerges must be positive")
-    var words = wordCounts(docs, textCol)
-      .select(enc0(col("word")).as("enc"), col("freq"))
-      .localCheckpoint(true)
+    val sc = docs.sparkSession.sparkContext
+    // Dataset.unpersist does NOT release localCheckpoint storage: the
+    // blocks belong to the internal checkpointed RDD, which never enters
+    // the CacheManager. Diff getPersistentRDDs around each eager
+    // checkpoint to capture that RDD's id, and unpersist it directly once
+    // the next iteration's checkpoint has materialized — otherwise
+    // executor storage grows one vocab copy per merge iteration and a
+    // 32k-merge schedule exhausts it. (The diff is safe here: learn() is
+    // single-threaded and nothing else persists RDDs mid-call.)
+    def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) = {
+      val before = sc.getPersistentRDDs.keySet
+      val out = df.localCheckpoint(true)
+      (out, (sc.getPersistentRDDs.keySet -- before).toSet)
+    }
+    def releaseBlocks(ids: Set[Int]): Unit =
+      ids.foreach(id =>
+        sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+    var (words, wordsBlocks) = checkpointTracked(
+      wordCounts(docs, textCol)
+        .select(enc0(col("word")).as("enc"), col("freq")))
     val merges = Seq.newBuilder[Merge]
     var rank = 1
     var exhausted = false
@@ -117,16 +134,17 @@ object Bpe {
           expr_replace(col("enc"), s"($l)($r)", s"(${l + r})"))
         // eager checkpoint: materializes the merge AND truncates lineage,
         // so a 32k-merge schedule never accumulates a 32k-projection plan.
-        // The PREVIOUS iteration's checkpoint blocks are dead once the new
-        // one materializes — unpersist them, or executor storage grows
-        // linearly with the merge count (one vocab copy per iteration).
-        val prev = words
-        words = applied.localCheckpoint(true)
-        prev.unpersist()
+        // The PREVIOUS iteration's blocks are dead once the new checkpoint
+        // materializes (lineage is truncated, so they can never be needed
+        // for recompute) — release them eagerly.
+        val (next, nextBlocks) = checkpointTracked(applied)
+        releaseBlocks(wordsBlocks)
+        words = next
+        wordsBlocks = nextBlocks
         rank += 1
       }
     }
-    words.unpersist()
+    releaseBlocks(wordsBlocks)
     merges.result()
   }
 

@@ -428,6 +428,14 @@ object Similarity {
       .join(withV.select(col("id").as("n_id"), col("v").as("n_v")), "n_id")
       .select(col("a_id").as("anchor_id"), col("n_id").as("neg_id"),
         round(tensor.cosine(col("a_v"), col("n_v")), 6).as("cos"))
+      // NaN guard (zero-norm vector → 0/0 cosine): without it the window
+      // form ranks NaN first (desc treats NaN as largest) while
+      // topKByScore's `_1 > _2` comparator never ranks NaN better AND
+      // violates sortWith's strict-weak-ordering contract — the two forms
+      // would diverge exactly where the comparator may throw. A zero-norm
+      // vector has no meaningful similarity to anything; drop it here so
+      // both forms see the same well-ordered score set.
+      .filter(!isnan(col("cos")))
   }
 
   /**

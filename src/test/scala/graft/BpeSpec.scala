@@ -30,6 +30,20 @@ class BpeSpec extends GraftSuite {
       Seq((1, "l", "o", 4L), (2, "lo", "w", 4L), (3, "low", "_", 3L)))
   }
 
+  test("learn releases every checkpoint's storage (no per-iteration leak)") {
+    // Dataset.unpersist is a no-op for localCheckpointed Datasets (the
+    // blocks live on the internal RDD, outside the CacheManager), so the
+    // release must target the checkpointed RDDs themselves. Assert the
+    // persistent-RDD set is back to its pre-call state after learn() —
+    // a leak would leave one MEMORY_AND_DISK vocab copy per iteration.
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    Bpe.learn(docsOf("low low low lower lowest low lower"), numMerges = 6)
+    val leaked = sc.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty,
+      s"learn() leaked persisted RDDs: ${leaked.mkString(",")}")
+  }
+
   test("merge application is greedy leftmost, never overlapping") {
     // word "aaaa" encodes (a)(a)(a)(a)(_); merging (a,a) must produce
     // (aa)(aa)(_) — leftmost pairs first, the middle overlap skipped.
