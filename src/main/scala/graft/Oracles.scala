@@ -2468,5 +2468,10 @@ object Oracles {
     ("q152_bpe_fertility_kernel" -> base("q146_bpe_fertility")) +
     // the aggregate form is result-identical to the window form (same
     // candidates/scores/tie-breaks; topKByScore ranks identically)
-    ("q153_hard_negatives_agg" -> base("q129_hard_negatives"))
+    ("q153_hard_negatives_agg" -> base("q129_hard_negatives")) +
+    // bucketed-index and double-aggregate IVFADC forms are
+    // result-identical to q149 by construction (same index relation,
+    // same probed cells, same ADC folds, same tie-breaks)
+    ("q154_ivfpq_bucketed" -> base("q149_ivfpq")) +
+    ("q155_ivfpq_agg" -> base("q149_ivfpq"))
 }

@@ -822,6 +822,43 @@ object SparkEntry {
         Similarity.pqFitCodebooks(e, m = 8, ksub = 16, iters = 2), nprobe = 2, k = 10)
     }),
 
+    // q149's PERSISTED-index form: the (cell_id, codes) index relation is
+    // written bucketed by cell_id (Storage.writeBucketed — the q110
+    // lever), read back, and the probed cells are pushed down as a
+    // cell_id isin filter, which Spark turns into physical BUCKET
+    // PRUNING at the scan (SelectedBucketsCount < total; asserted in
+    // StorageSpec). The probe-cell set is bounded by queries×nprobe
+    // (10 here), so collecting it is a bounded driver action like the
+    // centroid fit. Results identical to q149 — shares its oracle.
+    "q154_ivfpq_bucketed" -> ((s, dir) => {
+      val out = scratchDir("graft_ivfpq_idx")
+      val e = embedsD(s, dir)
+      val q = e.filter(col("vec_id") < 5).select(col("vec_id").as("query_id"), col("embedding"))
+      val centroids = Similarity.kmeansFit(e, k = 8, iters = 2)
+      val books = Similarity.pqFitCodebooks(e, m = 8, ksub = 16, iters = 2)
+      sources.Storage.writeBucketed(
+        Similarity.ivfPqIndex(e, centroids, books),
+        "graft_q154_idx", s"$out/idx", bucketCol = "cell_id", buckets = 8)
+      val probes = Similarity.ivfPqProbes(q, centroids, nprobe = 2)
+      val cells = probes.select("cell_id").distinct()
+        .collect().map(_.getInt(0)).sorted
+      Similarity.ivfPqTopKFromIndex(
+        sources.Storage.readTable(s, "graft_q154_idx")
+          .filter(col("cell_id").isin(cells.map(Integer.valueOf): _*)),
+        probes, books, k = 10)
+    }),
+
+    // q149 with BOTH rank windows (probe routing + final top-k) swapped
+    // for the bounded topKByScore aggregate — no WindowExec in the plan
+    // (PlanShapeSpec asserts); the scored exchange carries ≤k rows per
+    // (task, query). Identical results — shares q149's oracle.
+    "q155_ivfpq_agg" -> ((s, dir) => {
+      val e = embedsD(s, dir)
+      val q = e.filter(col("vec_id") < 5).select(col("vec_id").as("query_id"), col("embedding"))
+      Similarity.ivfPqTopKAgg(e, q, Similarity.kmeansFit(e, k = 8, iters = 2),
+        Similarity.pqFitCodebooks(e, m = 8, ksub = 16, iters = 2), nprobe = 2, k = 10)
+    }),
+
     // BM25 keyword retrieval (Okapi, Lucene idf form): three term
     // queries over the corpus; query-term dictionary broadcast-filtered
     // before any aggregation, per-(query, doc) sums folded in term order.

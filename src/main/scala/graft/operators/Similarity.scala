@@ -656,42 +656,150 @@ object Similarity {
   def ivfPqTopK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
       books: IndexedSeq[IndexedSeq[(Int, Array[Double])]], nprobe: Int = 2,
       k: Int = 10, idCol: String = "vec_id", vecCol: String = "embedding",
-      queryIdCol: String = "query_id"): DataFrame = {
+      queryIdCol: String = "query_id"): DataFrame =
+    ivfPqTopKFromIndex(ivfPqIndex(corpus, centroids, books, idCol, vecCol),
+      ivfPqProbes(queries, centroids, nprobe, queryIdCol, vecCol),
+      books, k, idCol, queryIdCol)
+
+  /**
+   * The IVF-PQ INDEX relation: (id, cell_id, c0..c{m-1}) — one row per
+   * corpus vector, the vector itself replaced by its coarse cell and m
+   * PQ codes. One corpus pass: the same projection computes all m codes
+   * (native NearestCentroid expressions) AND feeds the coarse-cell
+   * min_by aggregation, so the only corpus-width exchange carries
+   * (id, m small ints, cell partials) — the raw vector never crosses a
+   * shuffle. This is the relation a production deployment PERSISTS
+   * (bucketed by cell_id via [[graft.sources.Storage.writeBucketed]]):
+   * the build cost amortizes over every query batch, and a cell_id
+   * filter on the stored table becomes physical bucket pruning at the
+   * scan (asserted in StorageSpec; q154 runs exactly that shape).
+   */
+  def ivfPqIndex(corpus: DataFrame, centroids: DataFrame,
+      books: IndexedSeq[IndexedSeq[(Int, Array[Double])]],
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val m = books.size
     require(m > 0 && books.head.nonEmpty,
-      "ivfPqTopK needs non-empty codebooks (m >= 1 subspaces, >= 1 code each)")
+      "ivfPqIndex needs non-empty codebooks (m >= 1 subspaces, >= 1 code each)")
     val d = books.head.head._2.length
     val vecD = col(vecCol).cast("array<double>")
     val cb = broadcast(centroids.select(col("cell_id"), col("centroid")))
     val codeCols = (0 until m).map(s =>
       org.apache.spark.sql.graft.NearestCentroid(
         slice(vecD, s * d + 1, d), books(s))("cid").as(s"c$s"))
-    val encoded = corpus.select(col(idCol) +: vecD.as("c_vec") +: codeCols: _*)
+    corpus.select(col(idCol) +: vecD.as("c_vec") +: codeCols: _*)
       .crossJoin(cb)
       .withColumn("ccos", tensor.cosine(col("c_vec"), col("centroid")))
       .groupBy(col(idCol))
       .agg(min_by(col("cell_id"),
           struct((-col("ccos")).as("nc"), col("cell_id"))).as("cell_id"),
         (0 until m).map(s => first(col(s"c$s")).as(s"c$s")): _*)
+  }
+
+  /**
+   * Query→cell routing: (query_id, q_vec, cell_id), one row per probed
+   * cell — each query's `nprobe` max-cosine cells (ties to the smaller
+   * cell_id) from a broadcast crossJoin against the C-row centroid
+   * table. The window sorts queries×C rows, fine for interactive
+   * batches; [[ivfPqProbesAgg]] is the huge-stored-query-batch form.
+   */
+  def ivfPqProbes(queries: DataFrame, centroids: DataFrame, nprobe: Int = 2,
+      queryIdCol: String = "query_id", vecCol: String = "embedding"): DataFrame = {
+    val vecD = col(vecCol).cast("array<double>")
+    val cb = broadcast(centroids.select(col("cell_id"), col("centroid")))
     val wProbe = Window.partitionBy(queryIdCol).orderBy(col("qcos").desc, col("cell_id"))
-    val probes = queries.select(col(queryIdCol), vecD.as("q_vec"))
+    queries.select(col(queryIdCol), vecD.as("q_vec"))
       .crossJoin(cb)
       .withColumn("qcos", tensor.cosine(col("q_vec"), col("centroid")))
       .withColumn("__rn", row_number().over(wProbe))
       .filter(col("__rn") <= nprobe)
       .select(col(queryIdCol), col("q_vec"), col("cell_id"))
+  }
+
+  /** [[ivfPqProbes]] with the routing window replaced by the bounded
+    * [[TextAnalysis.topKByScore]] aggregate — identical cells (max
+    * cosine, ties to the smaller cell_id), no WindowExec: at a
+    * millions-of-stored-queries batch the queries×C routing sort is
+    * itself a corpus-sized window, and this form caps the exchange at
+    * nprobe rows per (task, query). */
+  def ivfPqProbesAgg(queries: DataFrame, centroids: DataFrame, nprobe: Int = 2,
+      queryIdCol: String = "query_id", vecCol: String = "embedding"): DataFrame = {
+    val vecD = col(vecCol).cast("array<double>")
+    val cb = broadcast(centroids.select(col("cell_id"), col("centroid")))
+    val qv = queries.select(col(queryIdCol), vecD.as("q_vec"))
+    val tk = TextAnalysis.topKByScore(nprobe)
+    qv.crossJoin(cb)
+      .withColumn("qcos", tensor.cosine(col("q_vec"), col("centroid")))
+      .groupBy(col(queryIdCol))
+      .agg(tk(col("qcos"), col("cell_id").cast("long")).as("__p"))
+      .select(col(queryIdCol), explode(col("__p")).as("__e"))
+      .select(col(queryIdCol), col("__e")("_2").cast("int").as("cell_id"))
+      .join(broadcast(qv), queryIdCol)
+      .select(col(queryIdCol), col("q_vec"), col("cell_id"))
+  }
+
+  /** Shared ADC scoring stage: probed index rows (the cell_id equi-join
+    * against the broadcast probe set drops unprobed cells before any
+    * distance arithmetic) with the summed per-subspace asymmetric
+    * distance attached. */
+  private def ivfPqScored(index: DataFrame, probes: DataFrame,
+      books: IndexedSeq[IndexedSeq[(Int, Array[Double])]]): DataFrame = {
+    val m = books.size
+    require(m > 0 && books.head.nonEmpty,
+      "ivfPq scoring needs non-empty codebooks (m >= 1 subspaces, >= 1 code each)")
+    val d = books.head.head._2.length
     val bookMaps = books.map(b =>
       typedLit(b.map { case (c, v) => (c, v.toSeq) }.toMap))
     val adc = (0 until m).map { s =>
       sqDistCol(slice(col("q_vec"), s * d + 1, d),
         element_at(bookMaps(s), col(s"c$s")))
     }.reduceLeft(_ + _)
-    val w = Window.partitionBy(queryIdCol).orderBy(col("adc"), col(idCol))
-    encoded.join(broadcast(probes), "cell_id")
+    index.join(broadcast(probes), "cell_id")
       .withColumn("adc", round(adc, 6))
+  }
+
+  /**
+   * IVFADC scoring over a PREBUILT index relation — [[ivfPqTopK]] with
+   * the index build factored out, so the index can come straight from
+   * [[ivfPqIndex]] or be read back from bucketed storage. `index` must
+   * have the (id, cell_id, c0..c{m-1}) shape [[ivfPqIndex]] produces;
+   * rows outside probed cells may already be filtered away (e.g. a
+   * cell_id isin pushdown that bucket-prunes the stored table — q154) —
+   * the cell_id equi-join makes that filter a no-op on results.
+   */
+  def ivfPqTopKFromIndex(index: DataFrame, probes: DataFrame,
+      books: IndexedSeq[IndexedSeq[(Int, Array[Double])]], k: Int = 10,
+      idCol: String = "vec_id", queryIdCol: String = "query_id"): DataFrame = {
+    val w = Window.partitionBy(queryIdCol).orderBy(col("adc"), col(idCol))
+    ivfPqScored(index, probes, books)
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col(queryIdCol), col(idCol), col("adc"), col("rank"))
+  }
+
+  /**
+   * [[ivfPqTopK]] with BOTH rank windows replaced by the bounded
+   * [[TextAnalysis.topKByScore]] aggregate — identical results (same
+   * cells probed, same ADC, same ordering and ranks; ADC ranks
+   * ascending, so the score fed to the max-first aggregate is −adc),
+   * and NO WindowExec anywhere in the plan (probe routing uses
+   * [[ivfPqProbesAgg]]). This is the production-query-batch operating
+   * form: the scored exchange carries at most k rows per (task, query)
+   * after map-side partial aggregation instead of every probed code
+   * row sorting inside its query partition — the q142/q153 trade
+   * applied to the IVFADC tail.
+   */
+  def ivfPqTopKAgg(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
+      books: IndexedSeq[IndexedSeq[(Int, Array[Double])]], nprobe: Int = 2,
+      k: Int = 10, idCol: String = "vec_id", vecCol: String = "embedding",
+      queryIdCol: String = "query_id"): DataFrame = {
+    val tk = TextAnalysis.topKByScore(k)
+    ivfPqScored(ivfPqIndex(corpus, centroids, books, idCol, vecCol),
+        ivfPqProbesAgg(queries, centroids, nprobe, queryIdCol, vecCol), books)
+      .groupBy(queryIdCol)
+      .agg(tk(-col("adc"), col(idCol)).as("__top"))
+      .select(col(queryIdCol), posexplode(col("__top")).as(Seq("__r", "__e")))
+      .select(col(queryIdCol), col("__e")("_2").as(idCol),
+        (-col("__e")("_1")).as("adc"), (col("__r") + 1).cast("int").as("rank"))
   }
 
   /**

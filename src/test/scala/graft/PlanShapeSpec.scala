@@ -288,6 +288,16 @@ class PlanShapeSpec extends GraftSuite {
       s"expected the rank window gone:\n${out.queryExecution.executedPlan}")
   }
 
+  test("q155 ivfPqTopKAgg: no WindowExec anywhere (probe routing included)") {
+    // the IVFADC aggregate twin removes BOTH rank windows — the final
+    // per-query top-k AND the queries×C probe-routing sort
+    val out = SparkEntry.queries("q155_ivfpq_agg")(spark, "/root/testdata/sf0.001")
+    assert(out.collect().nonEmpty)
+    val nodes = PlanDigest.allNodes(out.queryExecution.executedPlan)
+    assert(!nodes.exists(_.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec]),
+      s"expected both rank windows gone:\n${out.queryExecution.executedPlan}")
+  }
+
   test("q147/q148 naive theta forms fire the optimizer rewrites") {
     val d = "/root/testdata/sf0.001"
     val p147 = SparkEntry.queries("q147_contains_rule")(spark, d)

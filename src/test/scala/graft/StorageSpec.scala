@@ -49,6 +49,28 @@ class StorageSpec extends GraftSuite {
     }
   }
 
+  test("q154 bucketed IVF-PQ index scan bucket-prunes to the probed cells") {
+    // The IVFADC claim made physical: with the index stored bucketed by
+    // cell_id, the probed-cell isin filter must plan as BUCKET PRUNING at
+    // the scan (SelectedBucketsCount strictly below the bucket count) —
+    // the single-node analogue of 1000 executors never opening the
+    // unprobed shards of a 100 TB code table.
+    val df = SparkEntry.queries("q154_ivfpq_bucketed")(spark, "/root/testdata/sf0.001")
+    try {
+      val planStr = df.queryExecution.executedPlan.toString
+      val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+        .findFirstMatchIn(planStr)
+      assert(sel.isDefined,
+        s"expected a bucket-pruned scan of the stored index, got:\n$planStr")
+      val (chosen, total) = (sel.get.group(1).toInt, sel.get.group(2).toInt)
+      assert(chosen < total && total == 8,
+        s"expected pruning below the 8 written buckets, got $chosen of $total")
+      assert(df.count() > 0)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_q154_idx")
+    }
+  }
+
   test("saltedJoin is row-identical to the plain join under a hot key") {
     // 0L is a hot key: 100 rows against 3 for key 1
     val large = ((1 to 100).map(i => (0L, s"v$i")) ++ Seq((1L, "a"), (1L, "b"), (1L, "c")))
