@@ -1718,6 +1718,24 @@ object Oracles {
          |  FROM cand JOIN hs x ON x.doc_id = cand.batch_id JOIN hs y ON y.doc_id = cand.dup_id)
          |WHERE jaccard >= 0.7""".stripMargin,
 
+    // Streaming crawl ingest mirror: the stream side's text is the
+    // EXTRACTED text of its synthetic page (q150's chain), the corpus
+    // side raw text; then exactly q120's band-join + first-shared-band
+    // (DISTINCT) + exact-Jaccard-verify pipeline.
+    "q156_stream_crawl_ingest" ->
+      s"""WITH src156 AS (SELECT doc_id,
+         |    coalesce(array_to_string(${htmlBlocksSql(htmlPageSql("doc_id", "lang", "text"))}, chr(10)), '') AS text
+         |  FROM documents),
+         |${minhashCte("src156")},
+         |bnd AS (SELECT doc_id, generate_subscripts(keys, 1) - 1 AS band, unnest(keys) AS key FROM bk),
+         |cand AS (SELECT DISTINCT b.doc_id AS batch_id, c.doc_id AS dup_id
+         |  FROM bnd b JOIN bnd c ON b.band = c.band AND b.key = c.key
+         |  WHERE b.doc_id % 7 = 3 AND c.doc_id % 7 <> 3)
+         |SELECT * FROM (SELECT batch_id, dup_id,
+         |    floor((CAST(len(list_intersect(x.h, y.h)) AS DOUBLE) / len(list_distinct(list_concat(x.h, y.h)))) * 1e4 + 0.5) / 1e4 AS jaccard
+         |  FROM cand JOIN hs x ON x.doc_id = cand.batch_id JOIN hs y ON y.doc_id = cand.dup_id)
+         |WHERE jaccard >= 0.7""".stripMargin,
+
     // Corpus sharding: salted-hash shard + independent salted-hash
     // in-shard order, dense 0-based position (doc_id tie-break).
     "q119_shard_order" ->

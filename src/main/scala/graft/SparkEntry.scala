@@ -1531,6 +1531,28 @@ object SparkEntry {
           col("clean_chars"), col("n_copies"))
     }),
 
+    // Streaming crawl ingest on its batch path (same plan; every
+    // operator in it is streaming-stateless): raw HTML pages (synth
+    // pages of doc_id ≡ 3 mod 7) → Html.text extraction (stateless
+    // projection) → near-dup probe of the static corpus band index —
+    // q150's front door composed with q120's stream-static dedup, the
+    // shape a continuous crawl runs 24/7. StreamingSpec drives the same
+    // plan from a MemoryStream and asserts zero state.
+    "q156_stream_crawl_ingest" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val pages = d.filter(col("doc_id") % 7 === 3)
+        .select(col("doc_id").as("page_id"),
+          operators.Html.synthPage(col("doc_id"), col("lang"), col("text")).as("html"))
+      // the static corpus is itself the OUTPUT of this pipeline (earlier
+      // crawls, already extracted) — so both join sides share the
+      // extraction normalization, exactly as in a continuously-fed corpus
+      val corpus = d.filter(col("doc_id") % 7 =!= 3)
+        .select(col("doc_id"), operators.Html.text(
+          operators.Html.synthPage(col("doc_id"), col("lang"), col("text"))).as("text"))
+      streaming.DocumentStreams.crawlNearDupAgainstCorpus(
+        pages, corpus, threshold = 0.7, k = 8, bands = 4, shingleK = 3)
+    }),
+
     "q29_contain_join" -> ((s, dir) => {
       val t = toks(s, dir)
       SpanJoin.containJoin(win(t, 4, 4), t.select(col("doc_id"), col("span")))

@@ -150,4 +150,33 @@ object DocumentStreams {
       .filter(col("jaccard") >= threshold)
       .select("batch_id", "dup_id", "jaccard")
   }
+
+  /**
+   * Streaming CRAWL ingest — the 24/7 front door of a crawl pipeline:
+   * raw HTML pages arrive as a stream, text extraction
+   * ([[graft.operators.Html.text]] — comment/script/style removal,
+   * block segmentation, entity decode) runs as a STATELESS codegen
+   * projection on each micro-batch, and the extracted text probes the
+   * EXISTING corpus's MinHash-LSH band index via
+   * [[nearDupAgainstCorpus]]'s stream-static join. Emits one
+   * `(batch_id, dup_id, jaccard)` row per detected re-crawl /
+   * already-have-it page, in append mode.
+   *
+   * Everything in the plan is streaming-stateless (no watermark, no
+   * state store): extraction is a projection, candidate emission is
+   * first-shared-band, the verify is an inline join. State between
+   * batches: zero — the corpus index is the static side, re-read (or,
+   * persisted bucketed by band key through sources/Storage, pruned)
+   * per micro-batch.
+   */
+  def crawlNearDupAgainstCorpus(pages: DataFrame, corpus: DataFrame,
+      threshold: Double = 0.8, k: Int = 16, bands: Int = 4,
+      shingleK: Int = 3, pageIdCol: String = "page_id",
+      htmlCol: String = "html", corpusIdCol: String = "doc_id",
+      corpusTextCol: String = "text"): DataFrame = {
+    val extracted = pages.select(col(pageIdCol).as(corpusIdCol),
+      graft.operators.Html.text(col(htmlCol)).as(corpusTextCol))
+    nearDupAgainstCorpus(extracted, corpus, threshold, k, bands, shingleK,
+      idCol = corpusIdCol, textCol = corpusTextCol)
+  }
 }

@@ -201,6 +201,44 @@ class StreamingSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("crawlNearDupAgainstCorpus: streaming HTML pages, stateless, extraction-normalized") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // corpus = previously-crawled EXTRACTED text (the pipeline's own
+    // output); an arriving page whose markup differs (comments, a
+    // script, entities) but whose content matches must still collide
+    val corpus = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog and runs far away today"),
+      (2L, "completely different text about database engines and query planners"))
+      .toDF("doc_id", "text")
+    def pageOf(body: String): String =
+      s"<html><head><title>T</title></head><body><!-- c --><p>$body</p>" +
+        "<script>track();</script></body></html>"
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.streaming.DocumentStreams.crawlNearDupAgainstCorpus(
+        mem.toDF.toDF("page_id", "html"), corpus,
+        threshold = 0.5, k = 8, bands = 4, shingleK = 3)
+      .writeStream.format("memory").queryName("crawl_dups")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        (10L, pageOf("the quick brown fox jumps over the lazy dog and runs far away today")),
+        (11L, pageOf("a genuinely novel page about glaciers carving deep mountain valleys")))
+      q.processAllAvailable()
+      val b1 = spark.table("crawl_dups").as[(Long, Long, Double)].collect()
+      assert(b1.toSeq == Seq((10L, 0L, 1.0)), s"got ${b1.toSeq}")
+      // second batch: detection is against the STATIC corpus only —
+      // page 10 from batch 1 is not in the index, and no state carries
+      mem.addData((12L, pageOf("the quick brown fox jumps over the lazy dog and runs far away today")))
+      q.processAllAvailable()
+      val b2 = spark.table("crawl_dups").as[(Long, Long, Double)].collect()
+      assert(b2.map(r => (r._1, r._2)).toSet == Set((10L, 0L), (12L, 0L)))
+      // the whole plan (extraction projection + band probe + verify)
+      // holds NO state: progress reports no stateful operators
+      assert(q.lastProgress == null || q.lastProgress.stateOperators.isEmpty)
+    } finally q.stop()
+  }
+
   test("nearDupAgainstCorpus batch path matches incrementalDupPairs corpus branch") {
     import spark.implicits._
     val t0 = "the quick brown fox jumps over the lazy dog and runs far away today"
