@@ -115,6 +115,17 @@ object Bpe {
     def releaseBlocks(ids: Set[Int]): Unit =
       ids.foreach(id =>
         sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+    // Unpersisting a truncated-lineage checkpoint logs one WARN per RDD
+    // ("cannot be recomputed after unpersisting") — correct here by
+    // construction (the next checkpoint is already materialized, the old
+    // blocks can never be needed), and at a 32k-merge schedule it would
+    // be 32k log lines. Silence exactly that logger for the call.
+    val ckLoggerName = "org.apache.spark.rdd.MapPartitionsRDD"
+    val prevLevel = org.apache.logging.log4j.LogManager
+      .getLogger(ckLoggerName).getLevel
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      ckLoggerName, org.apache.logging.log4j.Level.ERROR)
+    try {
     var (words, wordsBlocks) = checkpointTracked(
       wordCounts(docs, textCol)
         .select(enc0(col("word")).as("enc"), col("freq")))
@@ -146,6 +157,10 @@ object Bpe {
     }
     releaseBlocks(wordsBlocks)
     merges.result()
+    } finally {
+      org.apache.logging.log4j.core.config.Configurator.setLevel(
+        ckLoggerName, prevLevel)
+    }
   }
 
   // `functions.replace` exists only from Spark 3.5 as `replace`; route

@@ -121,6 +121,38 @@ class BpeSpec extends GraftSuite {
     }
   }
 
+  test("kernel encode ≡ chain encode at a 256-merge schedule") {
+    // vocabulary-scale twin of the 24-merge equivalence: a deterministic
+    // syllable corpus rich enough to sustain 256 learned merges; the
+    // chain form is evaluated ONCE over the whole word relation (a
+    // 256-deep replace expression — the structural regime the
+    // broadcast-rank kernel exists to escape), then compared word by
+    // word against encodeWord.
+    val syll = Vector("ba", "be", "bi", "bo", "bu", "da", "de", "di",
+      "do", "du", "ka", "ke", "ki", "ko", "ku", "la", "le", "li", "lo",
+      "lu", "ma", "me", "mi", "mo", "mu")
+    val words = (0 until 900).map { i =>
+      // LCG-mixed syllable picks: regular stride patterns collapse into
+      // whole-word merges and exhaust the pair supply before 256
+      var st = i * 2654435761L
+      def next(): Int = { st = (st * 1103515245L + 12345L) & 0x7fffffffL; (st % syll.size).toInt }
+      (0 until (2 + i % 5)).map(_ => syll(next())).mkString
+    }
+    val weighted = words.zipWithIndex.flatMap { case (w, i) => Seq.fill(1 + i % 3)(w) }
+    val docs = docsOf(weighted.grouped(40).map(_.mkString(" ")).toSeq: _*)
+    val ms = Bpe.learn(docs, numMerges = 256)
+    assert(ms.size == 256, s"corpus exhausted early, only ${ms.size} merges")
+    val ranks = ms.map(m => (m.lhs, m.rhs) -> m.rank).toMap
+    val distinctW = words.distinct
+    val chain = distinctW.toDF("w")
+      .select(col("w"), Bpe.applyMerges(col("w"), ms).as("e"))
+      .as[(String, String)].collect().toMap
+    distinctW.foreach { w =>
+      val kernel = Bpe.encodeWord(w, ranks).mkString("(", ")(", ")")
+      assert(kernel == chain(w), s"word '$w': kernel $kernel != chain ${chain(w)}")
+    }
+  }
+
   test("fertilityKernel matches fertility on a multi-language corpus") {
     val docs = Seq(
       (0L, "spark stream sparse parse parse table", "en"),
