@@ -901,6 +901,36 @@ object Oracles {
          |SELECT d.doc_id, coalesce(agg.n_bigrams, 0) AS n_bigrams, agg.avg_lp
          |FROM documents d LEFT JOIN agg USING (doc_id)""".stripMargin,
 
+    // Mirror of TextAnalysis.nbQualityClassifier: hashed-unigram Naive
+    // Bayes with Laplace smoothing over the 2^16 bucket space, seed =
+    // sources src0-src4; per-doc position-ordered llr fold + prior.
+    "q157_nb_quality" ->
+      s"""WITH tok AS (SELECT doc_id, is_pos,
+         |    generate_subscripts(hl, 1) - 1 AS pos, unnest(hl) % 65536 AS bucket
+         |  FROM (SELECT doc_id,
+         |      CASE WHEN source IN ('src0','src1','src2','src3','src4')
+         |        THEN 1 ELSE 0 END AS is_pos,
+         |      list_transform($Words, w -> ${H("w")}) AS hl FROM documents)),
+         |bc AS (SELECT bucket, sum(is_pos) AS c_pos, sum(1 - is_pos) AS c_neg
+         |  FROM tok GROUP BY bucket),
+         |tt AS (SELECT sum(is_pos) AS ntp, sum(1 - is_pos) AS ntn FROM tok),
+         |dt AS (SELECT sum(CASE WHEN source IN ('src0','src1','src2','src3','src4')
+         |      THEN 1 ELSE 0 END) AS ndp,
+         |    sum(CASE WHEN source IN ('src0','src1','src2','src3','src4')
+         |      THEN 0 ELSE 1 END) AS ndn FROM documents),
+         |model AS (SELECT bucket,
+         |    ln(CAST(c_pos + 1 AS DOUBLE) / (ntp + 65536)) -
+         |    ln(CAST(c_neg + 1 AS DOUBLE) / (ntn + 65536)) AS llr FROM bc, tt),
+         |sc AS (SELECT doc_id, count(*) AS n_tokens,
+         |    list_reduce(list_prepend(0.0, list(llr ORDER BY pos)),
+         |      (a, x) -> a + x) AS s
+         |  FROM tok JOIN model USING (bucket) GROUP BY doc_id),
+         |fin AS (SELECT d.doc_id, coalesce(sc.n_tokens, 0) AS n_tokens,
+         |    round(ln(CAST(ndp AS DOUBLE) / ndn) + coalesce(sc.s, 0.0), 4) AS score
+         |  FROM documents d LEFT JOIN sc USING (doc_id), dt)
+         |SELECT doc_id, n_tokens, score,
+         |  CASE WHEN score > 0 THEN 1 ELSE 0 END AS label FROM fin""".stripMargin,
+
     // CCNet-style perplexity bucketing: q86's bigram-LM scores, then a
     // per-language cume_dist over the unique (avg_lp DESC NULLS LAST,
     // doc_id) ordering and head/middle/tail labels.

@@ -1054,6 +1054,14 @@ object SparkEntry {
     "q128_ccnet_buckets" -> ((s, dir) =>
       TextAnalysis.ccnetBuckets(docs(s, dir))),
 
+    // fastText-style quality classifier: closed-form hashed-feature
+    // Naive Bayes trained from a curated-source seed (two map-side-
+    // combinable aggregation passes, bounded model broadcast back),
+    // scored per document as a position-ordered log-odds fold.
+    "q157_nb_quality" -> ((s, dir) =>
+      TextAnalysis.nbQualityClassifier(docs(s, dir),
+        col("source").isin("src0", "src1", "src2", "src3", "src4"))),
+
     // Tokenizer fertility per language: exact integer sums, two rounded
     // ratio columns — the multilingual tokenizer-health datasheet row.
     "q130_fertility" -> ((s, dir) =>

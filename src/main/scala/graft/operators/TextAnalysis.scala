@@ -762,6 +762,78 @@ object TextAnalysis {
   }
 
   /**
+   * fastText-style quality classifier (the LLaMA/CCNet "is this page
+   * reference-quality?" filter, Joulin et al. 2017 shape): a multinomial
+   * Naive Bayes log-linear model over HASHED unigram features, trained
+   * from an in-corpus seed rule (`seed` marks the curated/positive
+   * documents) and applied back to every document as a per-token
+   * log-likelihood-ratio sum plus the class-prior log-odds.
+   *
+   * This is deliberately the linear-classifier half of fastText (bag of
+   * hashed features, bounded table, linear decision) with closed-form NB
+   * fitting instead of SGD: training is TWO aggregation passes, both
+   * map-side combinable, and fitting is deterministic on any cluster —
+   * no learning rate, no epoch order, no float-sum race. Laplace
+   * smoothing (+1 over the full `buckets` feature space) keeps every
+   * bucket's ratio finite.
+   *
+   * Scale shape (the reason the feature space is bounded): token
+   * features hash into `buckets` (default 2^16) so the fitted model is
+   * at most `buckets` narrow rows — BROADCAST to the scoring join no
+   * matter the corpus size. Training shuffles only (bucket) partial
+   * counts (map-side combine caps each task's exchange at `buckets`
+   * rows); scoring is a broadcast hash join on the token stream plus ONE
+   * doc_id shuffle for the position-ordered fold. Nothing corpus-sized
+   * crosses an exchange except the narrow (doc_id, pos, bucket) stream.
+   * Determinism: the per-doc score folds llr terms in token-position
+   * order (the [[bigramLogProb]] discipline), so the double sum is
+   * identical on every engine, partitioning, and run.
+   *
+   * Output: (doc_id, n_tokens, score, label) — label = 1 iff the rounded
+   * log-odds score is positive; tokenless docs score the prior alone.
+   */
+  def nbQualityClassifier(docs: DataFrame, seed: Column,
+      buckets: Int = 1 << 16, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(buckets >= 2, "buckets must be >= 2")
+    val b = lit(buckets.toLong)
+    // (doc_id, is_pos, pos, bucket) token stream — narrow, shuffle-free
+    val tok = docs.select(col(idCol).as("doc_id"),
+        seed.cast("int").as("is_pos"),
+        posexplode(ngramHashes(col(textCol), 1)).as(Seq("pos", "h")))
+      .withColumn("bucket", col("h") % b).drop("h")
+    // pass 1: per-bucket class counts (<= buckets rows after combine)
+    val bucketCounts = tok.groupBy("bucket")
+      .agg(sum(col("is_pos")).as("c_pos"),
+        sum(lit(1) - col("is_pos")).as("c_neg"))
+    // pass 2: scalar totals — token mass per class, doc count per class
+    val tokTotals = tok.agg(sum(col("is_pos")).as("ntp"),
+      sum(lit(1) - col("is_pos")).as("ntn"))
+    val docTotals = docs.agg(
+      sum(seed.cast("int")).as("ndp"),
+      sum(lit(1) - seed.cast("int")).as("ndn"))
+    // fitted model: bounded, broadcast; llr structurally identical to the
+    // oracle SQL so the doubles agree bit-for-bit
+    val model = bucketCounts.crossJoin(broadcast(tokTotals))
+      .select(col("bucket"),
+        (log((col("c_pos") + 1L).cast("double") / (col("ntp") + b)) -
+         log((col("c_neg") + 1L).cast("double") / (col("ntn") + b))).as("llr"))
+    val scored = tok.join(broadcast(model), "bucket")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        aggregate(array_sort(collect_list(struct(col("pos"), col("llr").as("llr")))),
+          lit(0.0), (acc, x) => acc + x("llr")).as("s"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .crossJoin(broadcast(docTotals))
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        round(log(col("ndp").cast("double") / col("ndn")) +
+          coalesce(col("s"), lit(0.0)), 4).as("score"))
+      .withColumn("label", (col("score") > 0).cast("int"))
+  }
+
+  /**
    * Deterministic quality-weighted subsampling (the resampling stage of a
    * data-mixing pipeline): document kept iff `u < rate × quality`, where
    * `u` = portableHash(text)/P is a reproducible pseudo-uniform in [0,1).

@@ -1021,6 +1021,53 @@ class PipelineOpsSpec extends GraftSuite {
     }
   }
 
+  test("nbQualityClassifier: matches a driver-side NB recomputation; " +
+      "tokenless doc scores the prior; partition-invariant") {
+    val data = Seq(
+      (0L, "good clean prose with facts and citations", "wiki"),
+      (1L, "more good prose with careful facts and notes", "wiki"),
+      (2L, "buy now cheap pills click here buy now", "spam"),
+      (3L, "click here cheap deals buy cheap now", "spam"),
+      (4L, "prose with facts but also cheap deals", "web"),
+      (5L, "", "web"))
+    val docsDf = data.toDF("doc_id", "text", "source")
+    val seed = col("source") === "wiki"
+    val b = 64
+    val out = TextAnalysis.nbQualityClassifier(docsDf, seed, buckets = b)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .sortBy(_._1)
+    // driver-side recomputation of the exact NB formula
+    val toks = data.map { case (id, t, src) =>
+      (id, src == "wiki",
+        "[a-z0-9]+".r.findAllIn(t.toLowerCase).toSeq
+          .map(w => (TextAnalysis.hashString(w) % b).toInt))
+    }
+    val cPos = new scala.collection.mutable.HashMap[Int, Long].withDefaultValue(0L)
+    val cNeg = new scala.collection.mutable.HashMap[Int, Long].withDefaultValue(0L)
+    toks.foreach { case (_, pos, bs) =>
+      bs.foreach(k => if (pos) cPos(k) += 1 else cNeg(k) += 1) }
+    val (ntp, ntn) = (cPos.values.sum, cNeg.values.sum)
+    val prior = math.log(2.0 / 4.0) // 2 wiki docs, 4 others
+    def llr(k: Int) = math.log((cPos(k) + 1).toDouble / (ntp + b)) -
+      math.log((cNeg(k) + 1).toDouble / (ntn + b))
+    toks.foreach { case (id, _, bs) =>
+      val want = BigDecimal(prior + bs.map(llr).sum)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val got = out(id.toInt)
+      assert(got._2 == bs.size, s"doc $id n_tokens")
+      assert(got._3 == want, s"doc $id score: got ${got._3} want $want")
+      assert(got._4 == (if (want > 0) 1 else 0), s"doc $id label")
+    }
+    // seed docs positive, spam negative; empty doc = prior only (negative)
+    assert(out(0)._4 == 1 && out(1)._4 == 1 && out(2)._4 == 0 && out(3)._4 == 0)
+    assert(out(5)._2 == 0L && out(5)._4 == 0)
+    // fold determinism: same result under a different partitioning
+    val out2 = TextAnalysis.nbQualityClassifier(docsDf.repartition(7), seed, buckets = b)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .sortBy(_._1)
+    assert(out2.toSeq == out.toSeq)
+  }
+
   test("hardNegatives: nearest different-label vectors; same label excluded; " +
       "partition-invariant") {
     val pts = Seq(
