@@ -226,6 +226,18 @@ object ScaleSmoke {
       // aggregate (no global sort) — every stage linear in corpus size
       ("dsir_select", d => TextAnalysis.dsirSelect(d,
         d.filter(col("source") === "src0"), topN = 200).count(), null),
+      // NB quality classifier: training is two map-side-combinable agg
+      // passes (exchange capped at `buckets` rows per task), the fitted
+      // model is a bounded broadcast, scoring is one doc_id shuffle of
+      // the narrow (doc_id, pos, llr) stream — cost must track the scan
+      // (the sum over score+n_tokens forces the scoring join + fold; a
+      // bare count could prune the unique-key left join. The synthetic
+      // corpus has no real source-quality signal, so labels are all 0 —
+      // the spec proves discrimination on separable data.)
+      ("nb_quality", d => TextAnalysis.nbQualityClassifier(d,
+        col("source").isin("src0", "src1", "src2", "src3", "src4"))
+        .agg(sum(col("score") + col("n_tokens"))).collect()
+        .head.getDouble(0).round, null),
       // BPE tokenizer training: ONE corpus-linear word-count pass, then 8
       // pair-count iterations over the distinct-word table only — per-
       // iteration cost is vocabulary-bound, so total cost tracks the
