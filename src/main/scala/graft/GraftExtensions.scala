@@ -27,6 +27,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         org.apache.spark.sql.graft.PortableHash(children.head)
       }))
     ext.injectFunction((
+      new FunctionIdentifier("wide_hash"),
+      new ExpressionInfo(classOf[org.apache.spark.sql.graft.WideHash].getName,
+        "wide_hash"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "wide_hash takes exactly one argument")
+        org.apache.spark.sql.graft.WideHash(children.head)
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[org.apache.spark.sql.graft.CosineSim].getName,
         "cosine_sim"),

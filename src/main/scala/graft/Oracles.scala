@@ -26,6 +26,13 @@ object Oracles {
       s"list_transform(string_split($e, ''), c -> CAST(ascii(c) AS BIGINT))), " +
       s"(a, b) -> (a*31 + b) % 2147483647)"
 
+  /** Base-131 twin of [[H]]; packed with it as `H*P + H131` this mirrors
+    * the engine's ~62-bit WideHash fingerprint. */
+  def H131(e: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(string_split($e, ''), c -> CAST(ascii(c) AS BIGINT))), " +
+      s"(a, b) -> (a*131 + b) % 2147483647)"
+
   /** Tokens relation with char offsets: doc_id, token_id, "begin", "end",
     * text. Prefix-sum of (len+1) reproduces the tokenizer's offsets because
     * the corpus is single-space-separated words. */
@@ -930,6 +937,45 @@ object Oracles {
          |  FROM documents d LEFT JOIN sc USING (doc_id), dt)
          |SELECT doc_id, n_tokens, score,
          |  CASE WHEN score > 0 THEN 1 ELSE 0 END AS label FROM fin""".stripMargin,
+
+    // Mirror of TextAnalysis.hllDistinctTokens (p=12): 62-bit packed
+    // double hash, components quadratic-cross-mixed mod P; mixed base-31
+    // low 12 bits -> register, mixed base-131 component is the 31-bit
+    // rank word (leading zeros via bin() length), per-register MAX,
+    // bucket-ordered 2^-M fold, alpha*m^2/S with linear-counting
+    // small-range correction.
+    "q158_hll_distinct" ->
+      s"""WITH tok AS (SELECT source AS grp,
+         |    unnest(list_transform($Words,
+         |      w -> ${H("w")} * CAST(2147483647 AS BIGINT) + ${H131("w")})) AS h
+         |  FROM documents),
+         |x AS (SELECT grp, h // 2147483647 AS x1, h % 2147483647 AS x2
+         |  FROM tok),
+         |u AS (SELECT grp,
+         |    (((x1 * x1) % 2147483647) * 16807 + x2 * 40692 + 12345)
+         |      % 2147483647 AS u1,
+         |    (((x2 * x2) % 2147483647) * 48271 + x1 * 69621 + 54321)
+         |      % 2147483647 AS u2
+         |  FROM x),
+         |reg AS (SELECT grp, u1 & 4095 AS bucket,
+         |    max(CASE WHEN u2 = 0 THEN 32
+         |      ELSE 32 - length(ltrim(bin(u2), '0')) END) AS r,
+         |    count(*) AS c
+         |  FROM u GROUP BY grp, bucket),
+         |g AS (SELECT grp, count(*) AS n_regs, CAST(sum(c) AS BIGINT) AS n_tokens,
+         |    list(r ORDER BY bucket) AS rs FROM reg GROUP BY grp),
+         |s AS (SELECT grp, n_tokens, n_regs,
+         |    list_reduce(list_prepend(CAST(4096 - n_regs AS DOUBLE),
+         |      list_transform(rs, r -> pow(2.0, -r))), (a, b) -> a + b) AS s
+         |  FROM g),
+         |fin AS (SELECT grp, n_tokens, n_regs,
+         |    0.7213 / (1.0 + 1.079 / 4096.0) * 4096.0 * 4096.0 / s AS raw
+         |  FROM s)
+         |SELECT grp AS source, n_tokens, n_regs,
+         |  round(CASE WHEN raw <= 2.5 * 4096.0 AND n_regs < 4096
+         |    THEN 4096.0 * ln(4096.0 / CAST(4096 - n_regs AS DOUBLE))
+         |    ELSE raw END, 4) AS est_distinct
+         |FROM fin""".stripMargin,
 
     // CCNet-style perplexity bucketing: q86's bigram-LM scores, then a
     // per-language cume_dist over the unique (avg_lp DESC NULLS LAST,

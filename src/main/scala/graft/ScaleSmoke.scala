@@ -238,6 +238,12 @@ object ScaleSmoke {
         col("source").isin("src0", "src1", "src2", "src3", "src4"))
         .agg(sum(col("score") + col("n_tokens"))).collect()
         .head.getDouble(0).round, null),
+      // HLL distinct-token sketch: exchange capped at 2^p register rows
+      // per (task, group) by map-side partial MAX — pure scan scaling;
+      // exact distinct would shuffle the whole vocabulary instead
+      ("hll_distinct", d => TextAnalysis.hllDistinctTokens(d)
+        .agg(sum(col("est_distinct") + col("n_tokens"))).collect()
+        .head.getDouble(0).round, null),
       // BPE tokenizer training: ONE corpus-linear word-count pass, then 8
       // pair-count iterations over the distinct-word table only — per-
       // iteration cost is vocabulary-bound, so total cost tracks the

@@ -1062,6 +1062,13 @@ object SparkEntry {
       TextAnalysis.nbQualityClassifier(docs(s, dir),
         col("source").isin("src0", "src1", "src2", "src3", "src4"))),
 
+    // HyperLogLog distinct-token estimate per source: the datasheet
+    // cardinality column exact COUNT DISTINCT can't provide at 100 TB —
+    // exchange capped at 2^p register rows per (task, group) by map-side
+    // partial MAX, estimation a bounded bucket-ordered fold.
+    "q158_hll_distinct" -> ((s, dir) =>
+      TextAnalysis.hllDistinctTokens(docs(s, dir))),
+
     // Tokenizer fertility per language: exact integer sums, two rounded
     // ratio columns — the multilingual tokenizer-health datasheet row.
     "q130_fertility" -> ((s, dir) =>

@@ -1068,6 +1068,54 @@ class PipelineOpsSpec extends GraftSuite {
     assert(out2.toSeq == out.toSeq)
   }
 
+  test("hllDistinctTokens: estimate within 5% of exact at 30k cardinality; " +
+      "linear-counting branch near-exact; n_tokens exact; partition-invariant") {
+    // WideHash kernel vs driver recomputation
+    def wide(s: String): Long = {
+      var h1 = 0L; var h2 = 0L
+      s.foreach { c =>
+        h1 = (h1 * 31 + c) % 2147483647L
+        h2 = (h2 * 131 + c) % 2147483647L
+      }
+      h1 * 2147483647L + h2
+    }
+    val wh = spark.range(1).select(
+      org.apache.spark.sql.graft.WideHash(lit("hello")).as("h"))
+      .collect().head.getLong(0)
+    assert(wh == wide("hello"))
+
+    // HLL regime: two groups, 30k and 8k distinct words, each word
+    // repeated (dups must not move the estimate), 500 words per doc
+    val docs = spark.range(100).select(
+      when(col("id") < 60, "big").otherwise("small").as("source"),
+      concat_ws(" ", transform(sequence(lit(0), lit(499)),
+        i => when(col("id") < 60,
+            concat(lit("w"), ((col("id") * 500 + i) % 30000).cast("string")))
+          .otherwise(concat(lit("v"), ((col("id") * 500 + i) % 8000).cast("string")))))
+        .as("text"))
+    val out = TextAnalysis.hllDistinctTokens(docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out("big")._1 == 30000L && out("small")._1 == 20000L, "exact token counts")
+    assert(math.abs(out("big")._3 / 30000.0 - 1) < 0.05,
+      s"big est ${out("big")._3} not within 5% of 30000")
+    assert(math.abs(out("small")._3 / 8000.0 - 1) < 0.05,
+      s"small est ${out("small")._3} not within 5% of 8000")
+    // 30k distinct over 4096 registers is far past the 2.5m linear-counting
+    // cutoff — the raw-estimate branch must be the one that fired
+    assert(out("big")._2 > 4096 * 0.9, "big should nearly saturate registers")
+
+    // linear-counting branch: 40 distinct words -> near-exact
+    val small = spark.range(40).select(lit("s").as("source"),
+      concat(lit("u"), col("id").cast("string")).as("text"))
+    val est = TextAnalysis.hllDistinctTokens(small).collect().head.getDouble(3)
+    assert(math.abs(est - 40.0) < 1.0, s"linear-counting est $est vs 40")
+
+    // partition invariance (register MAX + bucket-ordered fold)
+    val out2 = TextAnalysis.hllDistinctTokens(docs.repartition(13)).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out2 == out)
+  }
+
   test("hardNegatives: nearest different-label vectors; same label excluded; " +
       "partition-invariant") {
     val pts = Seq(
