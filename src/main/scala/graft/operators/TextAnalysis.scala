@@ -121,6 +121,48 @@ object TextAnalysis {
     * words i..i+n-1). Input to [[Dedup.duplicatedSpans]]. */
   def ngramHashes(text: Column, n: Int): Column = ngramUdf(n)(words(text))
 
+  /** JVM kernel: DISTINCT wide (~62-bit) n-gram fingerprints from a word
+    * list, insertion order — the dual-base fold of
+    * [[org.apache.spark.sql.graft.WideHash]] applied to the space-joined
+    * gram, packed `h31·P + h131`. Texts shorter than n grams yield an
+    * empty set (the [[ngramHashSeq]] contract, not the shingle
+    * fallback). Input to Bloom-filter membership stages, which need two
+    * independent 31-bit hashes per gram for double-hashed probes. */
+  def wideNgramHashSet(ws: Seq[String], n: Int): Seq[Long] = {
+    val out = mutable.LinkedHashSet.empty[Long]
+    if (ws.length >= n) {
+      var i = 0
+      while (i + n <= ws.length) {
+        var h1 = 0L
+        var h2 = 0L
+        var j = 0
+        while (j < n) {
+          if (j > 0) {
+            h1 = (h1 * 31 + ' ') % HashP
+            h2 = (h2 * 131 + ' ') % HashP
+          }
+          val w = ws(i + j)
+          var c = 0
+          while (c < w.length) {
+            h1 = (h1 * 31 + w.charAt(c)) % HashP
+            h2 = (h2 * 131 + w.charAt(c)) % HashP
+            c += 1
+          }
+          j += 1
+        }
+        out += h1 * HashP + h2
+        i += 1
+      }
+    }
+    out.toSeq
+  }
+
+  private def wideNgramUdf(n: Int) =
+    udf((ws: Seq[String]) => Option(ws).map(wideNgramHashSet(_, n)))
+
+  /** Distinct wide n-gram fingerprints of a text column. */
+  def wideNgramHashes(text: Column, n: Int): Column = wideNgramUdf(n)(words(text))
+
   // ---- language ID (n-gram/stopword heuristic) ----
 
   /** Tiny per-language stopword lists; ratio of stopwords decides. */
