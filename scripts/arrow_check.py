@@ -349,5 +349,12 @@ def main(dump):
 
 if __name__ == "__main__":
     if sys.argv[1] == "--write":
-        sys.exit(write_pydump(sys.argv[2]))
-    sys.exit(main(sys.argv[1]))
+        rc = write_pydump(sys.argv[2])
+    else:
+        rc = main(sys.argv[1])
+    # pyarrow 16.1.0's C++ teardown (detached-thread destructor) can SIGABRT
+    # after every check has already passed; skip interpreter teardown so the
+    # exit code always reflects the checks, never the shutdown race.
+    sys.stdout.flush()
+    sys.stderr.flush()
+    os._exit(rc)

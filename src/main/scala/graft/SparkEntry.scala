@@ -105,6 +105,15 @@ object SparkEntry {
     d
   }
 
+  /** Catalog table name unique to one scratch dir. Queries that persist a
+    * bucketed table (q110, q154) can be CONSTRUCTED concurrently (the
+    * bench's codegen warmer races the sweep); a fixed table name would
+    * let two constructions drop/recreate the same catalog entry pointing
+    * at different scratch paths. Deriving the name from the (unique)
+    * temp-dir suffix makes each construction self-contained. */
+  private def scratchTable(prefix: String, out: java.nio.file.Path): String =
+    prefix + "_" + out.getFileName.toString.replaceAll("[^A-Za-z0-9_]", "_")
+
   /** Synthetic IOB tagging rule shared by q31/q32/q34: 'key' begins an
     * entity (type K), following 'value' tokens continue it. */
   private def tagged(t: DataFrame): DataFrame = t
@@ -439,14 +448,16 @@ object SparkEntry {
     // the physical-plan level in StorageSpec over this very query).
     "q110_bucketed_join" -> ((s, dir) => {
       val out = scratchDir("graft_bucketed_q")
+      val (tToks, tDocs) =
+        (scratchTable("graft_q110_toks", out), scratchTable("graft_q110_docs", out))
       val d = docs(s, dir)
       sources.Storage.writeBucketed(
         Tokenize.normalizedTokens(d).select(col("doc_id"), col("token_id")),
-        "graft_q110_toks", s"$out/toks", buckets = 8)
+        tToks, s"$out/toks", buckets = 8)
       sources.Storage.writeBucketed(d.select(col("doc_id"), col("n_chars")),
-        "graft_q110_docs", s"$out/docs", buckets = 8)
-      sources.Storage.readTable(s, "graft_q110_toks")
-        .join(sources.Storage.readTable(s, "graft_q110_docs"), "doc_id")
+        tDocs, s"$out/docs", buckets = 8)
+      sources.Storage.readTable(s, tToks)
+        .join(sources.Storage.readTable(s, tDocs), "doc_id")
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_toks"), min("n_chars").as("n_chars"))
     }),
@@ -832,18 +843,31 @@ object SparkEntry {
     // centroid fit. Results identical to q149 — shares its oracle.
     "q154_ivfpq_bucketed" -> ((s, dir) => {
       val out = scratchDir("graft_ivfpq_idx")
+      val tbl = scratchTable("graft_q154_idx", out)
       val e = embedsD(s, dir)
       val q = e.filter(col("vec_id") < 5).select(col("vec_id").as("query_id"), col("embedding"))
       val centroids = Similarity.kmeansFit(e, k = 8, iters = 2)
       val books = Similarity.pqFitCodebooks(e, m = 8, ksub = 16, iters = 2)
       sources.Storage.writeBucketed(
         Similarity.ivfPqIndex(e, centroids, books),
-        "graft_q154_idx", s"$out/idx", bucketCol = "cell_id", buckets = 8)
+        tbl, s"$out/idx", bucketCol = "cell_id", buckets = 8)
       val probes = Similarity.ivfPqProbes(q, centroids, nprobe = 2)
+      // The probe-cell collect is a VALVE, not an unbounded driver action:
+      // |cells| ≤ min(queries x nprobe, k_cells) and the require turns a
+      // misuse at production query-batch sizes into an explicit error
+      // instead of a silently growing isin literal + driver fetch. Within
+      // the cap, the literal isin is what Spark turns into physical
+      // bucket pruning at the scan (SelectedBucketsCount, StorageSpec);
+      // beyond it, route the batch through q155's aggregate form (no
+      // index persistence) or shard the query batch.
+      val maxProbeCells = 4096
       val cells = probes.select("cell_id").distinct()
-        .collect().map(_.getInt(0)).sorted
+        .limit(maxProbeCells + 1).collect().map(_.getInt(0)).sorted
+      require(cells.length <= maxProbeCells,
+        s"probe-cell set exceeds $maxProbeCells: shard the query batch " +
+          "or use the aggregate (q155) form")
       Similarity.ivfPqTopKFromIndex(
-        sources.Storage.readTable(s, "graft_q154_idx")
+        sources.Storage.readTable(s, tbl)
           .filter(col("cell_id").isin(cells.map(Integer.valueOf): _*)),
         probes, books, k = 10)
     }),

@@ -101,16 +101,19 @@ object Bpe {
     val sc = docs.sparkSession.sparkContext
     // Dataset.unpersist does NOT release localCheckpoint storage: the
     // blocks belong to the internal checkpointed RDD, which never enters
-    // the CacheManager. Diff getPersistentRDDs around each eager
-    // checkpoint to capture that RDD's id, and unpersist it directly once
-    // the next iteration's checkpoint has materialized — otherwise
-    // executor storage grows one vocab copy per merge iteration and a
-    // 32k-merge schedule exhausts it. (The diff is safe here: learn() is
-    // single-threaded and nothing else persists RDDs mid-call.)
+    // the CacheManager. Read that RDD's id straight off the returned
+    // Dataset's LogicalRDD plan node and unpersist it directly once the
+    // next iteration's checkpoint has materialized — otherwise executor
+    // storage grows one vocab copy per merge iteration and a 32k-merge
+    // schedule exhausts it. (Reading the plan node — rather than diffing
+    // sc.getPersistentRDDs around the call — is thread-safe: concurrent
+    // checkpoints from other queries can never be captured here.)
     def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) = {
-      val before = sc.getPersistentRDDs.keySet
       val out = df.localCheckpoint(true)
-      (out, (sc.getPersistentRDDs.keySet -- before).toSet)
+      val ids = out.queryExecution.analyzed.collect {
+        case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd.id
+      }.toSet
+      (out, ids)
     }
     def releaseBlocks(ids: Set[Int]): Unit =
       ids.foreach(id =>

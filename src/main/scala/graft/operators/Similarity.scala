@@ -428,14 +428,14 @@ object Similarity {
       .join(withV.select(col("id").as("n_id"), col("v").as("n_v")), "n_id")
       .select(col("a_id").as("anchor_id"), col("n_id").as("neg_id"),
         round(tensor.cosine(col("a_v"), col("n_v")), 6).as("cos"))
-      // NaN guard (zero-norm vector → 0/0 cosine): without it the window
-      // form ranks NaN first (desc treats NaN as largest) while
-      // topKByScore's `_1 > _2` comparator never ranks NaN better AND
-      // violates sortWith's strict-weak-ordering contract — the two forms
-      // would diverge exactly where the comparator may throw. A zero-norm
-      // vector has no meaningful similarity to anything; drop it here so
-      // both forms see the same well-ordered score set.
-      .filter(!isnan(col("cos")))
+      // No NaN can reach the rank window or topKByScore's comparator:
+      // CosineSim's CONTRACT (CosineSim.scala:78) maps zero-norm and null
+      // vectors to 0.0, never 0/0 — and the oracle's cos() mirrors the
+      // same CASE (Oracles.cos: ELSE 0.0). So the window form, the
+      // aggregate form, and the DuckDB oracle all see the identical
+      // well-ordered score set even on degenerate embeddings; a
+      // `!isnan(cos)` guard here would be dead code that, were it ever
+      // live, would DROP pairs the oracle still ranks at 0.0.
   }
 
   /**

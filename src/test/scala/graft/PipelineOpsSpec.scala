@@ -1141,6 +1141,34 @@ class PipelineOpsSpec extends GraftSuite {
       out.sortBy(x => (x._1, x._4)).toSeq)
   }
 
+  test("hardNegatives on degenerate (zero-norm) vectors: scored 0.0 like the " +
+      "oracle, never NaN, window and aggregate forms identical") {
+    // id 9 is the all-zero vector with the opposite label of everything
+    // else — every pair involving it has a 0/0 cosine shape. CosineSim's
+    // contract maps that to 0.0 (matching the oracle's CASE ... ELSE 0.0),
+    // so the pairs must be RANKED (at 0.0), not dropped, and the window
+    // and bounded-aggregate forms must agree exactly.
+    // three all-zero vectors share sign-LSH bucket 0 at any plane count,
+    // so opposite-label zero-norm pairs are guaranteed candidates; two
+    // normal vectors keep the query non-degenerate.
+    val pts = Seq(
+      (0L, Seq(0.0f, 0.0f), 0), (1L, Seq(0.0f, 0.0f), 1),
+      (2L, Seq(0.0f, 0.0f), 0),
+      (3L, Seq(1.0f, 0.1f), 1), (4L, Seq(1.0f, 0.0f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val w = Similarity.hardNegatives(pts, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    val a = Similarity.hardNegativesAgg(pts, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(w.sortBy(x => (x._1, x._4)).toSeq == a.sortBy(x => (x._1, x._4)).toSeq)
+    assert(w.forall(x => !x._3.isNaN))
+    // zero-norm pairs present, RANKED, and scored exactly 0.0
+    val zeroPairs = w.filter(x => Set(x._1, x._2).subsetOf(Set(0L, 1L, 2L)))
+    assert(zeroPairs.nonEmpty && zeroPairs.forall(_._3 == 0.0))
+    assert(w.toSet.contains((0L, 1L, 0.0, 1)))
+    assert(w.filter(_._1 == 1L).map(_._2).toSet == Set(0L, 2L))
+  }
+
   test("tokenizerFertility: exact integer sums and hand-computed ratios per language") {
     val docs = Seq(
       (0L, "hello world", "en"),        // words 2, bpe: hell+o+worl+d = 4, chars 11

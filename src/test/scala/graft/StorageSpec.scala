@@ -11,6 +11,13 @@ import graft.sources.Storage
 class StorageSpec extends GraftSuite {
   import spark.implicits._
 
+  /** q110/q154 derive a unique catalog name per construction (race fix);
+    * clean up by prefix rather than by fixed name. */
+  private def dropScratchTables(prefix: String): Unit =
+    spark.catalog.listTables().collect()
+      .filter(_.name.startsWith(prefix))
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS ${t.name}"))
+
   test("co-bucketed doc_id join has no Exchange in the physical plan") {
     val docs = Seq((0L, "key agg row scan"), (1L, "slow fast join")).toDF("doc_id", "text")
     val toks = Tokenize.normalizedTokens(docs)
@@ -44,8 +51,7 @@ class StorageSpec extends GraftSuite {
         s"expected exchange-free bucketed join+agg, got:\n$plan")
       assert(df.count() > 0)
     } finally {
-      spark.sql("DROP TABLE IF EXISTS graft_q110_toks")
-      spark.sql("DROP TABLE IF EXISTS graft_q110_docs")
+      dropScratchTables("graft_q110_")
     }
   }
 
@@ -67,7 +73,7 @@ class StorageSpec extends GraftSuite {
         s"expected pruning below the 8 written buckets, got $chosen of $total")
       assert(df.count() > 0)
     } finally {
-      spark.sql("DROP TABLE IF EXISTS graft_q154_idx")
+      dropScratchTables("graft_q154_")
     }
   }
 
