@@ -2567,5 +2567,11 @@ object Oracles {
     // result-identical to q149 by construction (same index relation,
     // same probed cells, same ADC folds, same tie-breaks)
     ("q154_ivfpq_bucketed" -> base("q149_ivfpq")) +
-    ("q155_ivfpq_agg" -> base("q149_ivfpq"))
+    ("q155_ivfpq_agg" -> base("q149_ivfpq")) +
+    // stored-band-index probes are result-identical to their recompute
+    // forms by construction: Dedup.lshBandIndex rows ARE the corpus-side
+    // band projection those queries derive inline, and key pruning is a
+    // semantic no-op (unprobed keys can never join)
+    ("q159_indexed_ingest_dedup" -> base("q120_stream_ingest_dedup")) +
+    ("q160_indexed_incremental" -> base("q117_incremental_dedup"))
 }

@@ -1592,6 +1592,61 @@ object SparkEntry {
         pages, corpus, threshold = 0.7, k = 8, bands = 4, shingleK = 3)
     }),
 
+    // q120's stream-ingest probe against the PERSISTED corpus band index
+    // (Dedup.lshBandIndex written bucketed by band key — the q154
+    // storage pattern applied to the 24/7 ingest shape): the per-batch
+    // full-corpus signature recompute becomes a stored-table read, and
+    // the batch's band keys reach the scan as an isin literal that Spark
+    // plans as physical BUCKET PRUNING (StorageSpec asserts
+    // SelectedBucketsCount on this pattern). Row-identical to q120 by
+    // construction — shares its oracle.
+    "q159_indexed_ingest_dedup" -> ((s, dir) => {
+      val out = scratchDir("graft_band_idx")
+      val tbl = scratchTable("graft_q159_idx", out)
+      val d = docs(s, dir)
+      val corpus = d.filter(col("doc_id") % 7 =!= 3)
+      val batch = d.filter(col("doc_id") % 7 === 3)
+      sources.Storage.writeBucketed(
+        Dedup.lshBandIndex(corpus, k = 8, bands = 4, shingleK = 3),
+        tbl, s"$out/idx", bucketCol = "key", buckets = 8)
+      val index = sources.Storage.readTable(s, tbl)
+      // Probe-key pruning valve: the batch's distinct band keys, bounded
+      // by |batch| x bands. A micro-batch's key set is small (this is
+      // the lever: unprobed buckets are never opened); a huge backfill
+      // batch would touch every bucket anyway, so above the cap we skip
+      // the (semantically no-op) prune instead of growing the literal —
+      // soft valve, unlike q154's hard one, because here pruning is
+      // purely an optimization.
+      val maxProbeKeys = 4096
+      val keys = batch.select(
+          explode(Dedup.lshBandKeys(
+            Dedup.minhashSignature(col("text"), 8, 3), 8, 4)).as("key"))
+        .distinct().limit(maxProbeKeys + 1).collect().map(_.getLong(0))
+      val pruned = if (keys.length > maxProbeKeys) index
+        else index.filter(col("key").isin(keys.map(java.lang.Long.valueOf): _*))
+      streaming.DocumentStreams.nearDupAgainstIndex(batch, pruned, corpus,
+        threshold = 0.7, k = 8, bands = 4, shingleK = 3)
+    }),
+
+    // q117's incremental-ingest probe against the SAME persisted band
+    // index relation (one stored index serves every probe shape: batch
+    // ingest, incremental dedup, streaming crawl) — corpus branch reads
+    // the table, batch-vs-batch branch unchanged. Row-identical to q117
+    // by construction — shares its oracle.
+    "q160_indexed_incremental" -> ((s, dir) => {
+      val out = scratchDir("graft_band_idx2")
+      val tbl = scratchTable("graft_q160_idx", out)
+      val d = docs(s, dir)
+      val corpus = d.filter(col("doc_id") % 7 =!= 3)
+      val batch = d.filter(col("doc_id") % 7 === 3)
+      sources.Storage.writeBucketed(
+        Dedup.lshBandIndex(corpus, k = 8, bands = 4, shingleK = 3),
+        tbl, s"$out/idx", bucketCol = "key", buckets = 8)
+      Dedup.incrementalDupPairsIndexed(
+        sources.Storage.readTable(s, tbl), corpus, batch,
+        threshold = 0.7, k = 8, bands = 4, shingleK = 3)
+    }),
+
     "q29_contain_join" -> ((s, dir) => {
       val t = toks(s, dir)
       SpanJoin.containJoin(win(t, 4, 4), t.select(col("doc_id"), col("span")))

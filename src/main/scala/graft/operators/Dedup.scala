@@ -996,4 +996,69 @@ object Dedup {
         col("jaccard"), lit("batch").as("dup_src"))
     vsCorpus.unionByName(vsBatch)
   }
+
+  /**
+   * The corpus's MinHash-LSH band index as a PERSISTABLE relation —
+   * `(dup_id, kc, band, key)`, one row per (document, band), where `kc`
+   * is the document's full band-key array (what the first-shared-band
+   * emission trick needs on the index side) and `key = kc[band]` is the
+   * equi-join/bucketing key.
+   *
+   * This is the relation every ingest probe re-derives from raw corpus
+   * text per batch ([[incrementalDupPairs]]'s corpus branch, the
+   * stream-static joins in streaming/DocumentStreams): computing it once
+   * and persisting it bucketed by `key`
+   * (`Storage.writeBucketed(..., bucketCol = "key")`) turns the dominant
+   * recurring cost of a 24/7 ingest — a full corpus scan + signature
+   * recompute per batch — into a pruned read: a batch's band keys reach
+   * the scan as an `isin` literal, which Spark plans as physical BUCKET
+   * pruning (SelectedBucketsCount < buckets; asserted in StorageSpec).
+   * New corpus shards append their own index rows; no global rebuild.
+   */
+  def lshBandIndex(corpus: DataFrame, k: Int = 16, bands: Int = 4,
+      shingleK: Int = 3, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    corpus.select(col(idCol).as("dup_id"),
+        lshBandKeys(minhashSignature(col(textCol), k, shingleK), k, bands)
+          .as("kc"))
+      .select(col("dup_id"), col("kc"),
+        posexplode(col("kc")).as(Seq("band", "key")))
+
+  /**
+   * [[incrementalDupPairs]] with the corpus branch probing a pre-built
+   * [[lshBandIndex]] relation instead of re-deriving band keys from
+   * corpus text — row-identical by construction (the index rows ARE the
+   * corpusBands projection), so it shares the oracle. `corpus` is still
+   * needed for the exact shingle-Jaccard verify, but only the (few)
+   * candidates' sets are computed — the full-corpus signature recompute
+   * is gone.
+   */
+  def incrementalDupPairsIndexed(index: DataFrame, corpus: DataFrame,
+      batch: DataFrame, threshold: Double = 0.8, k: Int = 16,
+      bands: Int = 4, shingleK: Int = 3, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val batchSets = batch.select(col(idCol).as("batch_id"),
+      shingleHashes(col(textCol), shingleK).as("set_b"),
+      minhashSignature(col(textCol), k, shingleK).as("sigb"))
+    val batchBands = batchSets.select(col("batch_id"),
+      posexplode(lshBandKeys(col("sigb"), k, bands)).as(Seq("band", "key")))
+    val corpusCand = index.select(col("dup_id"), col("band"), col("key"))
+      .join(broadcast(batchBands), Seq("band", "key"))
+      .select("batch_id", "dup_id").dropDuplicates("batch_id", "dup_id")
+    val vsCorpus = corpusCand
+      .join(corpus.select(col(idCol).as("dup_id"),
+        shingleHashes(col(textCol), shingleK).as("set_c")), "dup_id")
+      .join(broadcast(batchSets.select("batch_id", "set_b")), "batch_id")
+      .withColumn("jaccard",
+        halfUp4(size(array_intersect(col("set_b"), col("set_c"))).cast("double") /
+          size(array_union(col("set_b"), col("set_c")))))
+      .filter(col("jaccard") >= threshold)
+      .select(col("batch_id"), col("dup_id"), col("jaccard"),
+        lit("corpus").as("dup_src"))
+    val vsBatch = minhashDupPairs(batch, threshold, k, bands, shingleK,
+        idCol, textCol)
+      .select(col("id_b").as("batch_id"), col("id_a").as("dup_id"),
+        col("jaccard"), lit("batch").as("dup_src"))
+    vsCorpus.unionByName(vsBatch)
+  }
 }

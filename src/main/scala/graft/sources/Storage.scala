@@ -29,6 +29,16 @@ object Storage {
       .format("parquet")
       .saveAsTable(table)
 
-  def readTable(spark: SparkSession, table: String): DataFrame =
+  def readTable(spark: SparkSession, table: String): DataFrame = {
+    // Every graft table is bucketed DELIBERATELY (co-located joins, or
+    // bucket-pruned index probes). Spark's DisableUnnecessaryBucketedScan
+    // rule models only the join/agg co-location benefit — under a
+    // broadcast join it silently reverts to a non-bucketed scan and
+    // thereby LOSES bucket pruning ("Bucketed: false (disabled by query
+    // planner)"), turning a probe that should open 1 of N shards into a
+    // full index read. Pin auto-bucketed-scan off for the session: scans
+    // of bucketed tables always honor the bucketing.
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
     spark.table(table)
+  }
 }

@@ -110,6 +110,24 @@ object DocumentStreams {
   def nearDupAgainstCorpus(docs: DataFrame, corpus: DataFrame,
       threshold: Double = 0.8, k: Int = 16, bands: Int = 4,
       shingleK: Int = 3, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    nearDupAgainstIndex(docs,
+      graft.operators.Dedup.lshBandIndex(corpus, k, bands, shingleK,
+        idCol, textCol),
+      corpus, threshold, k, bands, shingleK, idCol, textCol)
+
+  /**
+   * [[nearDupAgainstCorpus]] probing a pre-built
+   * [[graft.operators.Dedup.lshBandIndex]] relation — row-identical by
+   * construction (the recompute form passes its freshly derived index
+   * here), so it shares the oracle. With the index PERSISTED bucketed by
+   * `key` (sources/Storage, the q154 pattern), the per-micro-batch cost
+   * drops from a full corpus signature recompute to a pruned index read
+   * plus the candidates' verify join.
+   */
+  def nearDupAgainstIndex(docs: DataFrame, index: DataFrame,
+      corpus: DataFrame, threshold: Double = 0.8, k: Int = 16,
+      bands: Int = 4, shingleK: Int = 3, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     import graft.operators.Dedup
     // Stream side: one row per (doc, band), carrying its shingle set —
@@ -121,16 +139,12 @@ object DocumentStreams {
           .as("kb"))
       .select(col("batch_id"), col("set_b"), col("kb"),
         posexplode(col("kb")).as(Seq("band", "key")))
-    // Corpus side stays NARROW through the explode — (id, band keys)
-    // only; the corpus-sized shingle sets join back on the (few)
-    // candidates below instead of riding every band row.
-    val index = corpus.select(col(idCol).as("dup_id"),
-        Dedup.lshBandKeys(
-          Dedup.minhashSignature(col(textCol), k, shingleK), k, bands)
-          .as("kc"))
-      .select(col("dup_id"), col("kc"),
-        posexplode(col("kc")).as(Seq("band_c", "key_c")))
-    val candidates = probe.join(index,
+    // Index side stays NARROW — (id, band keys) only; the corpus-sized
+    // shingle sets join back on the (few) candidates below instead of
+    // riding every band row.
+    val indexC = index.select(col("dup_id"), col("kc"),
+      col("band").as("band_c"), col("key").as("key_c"))
+    val candidates = probe.join(indexC,
         col("band") === col("band_c") && col("key") === col("key_c"))
       // first-shared-band: drop this collision if any EARLIER band pair
       // is also equal (slice of length `band` = bands 0..band-1; empty
@@ -165,9 +179,11 @@ object DocumentStreams {
    * Everything in the plan is streaming-stateless (no watermark, no
    * state store): extraction is a projection, candidate emission is
    * first-shared-band, the verify is an inline join. State between
-   * batches: zero — the corpus index is the static side, re-read (or,
-   * persisted bucketed by band key through sources/Storage, pruned)
-   * per micro-batch.
+   * batches: zero — the corpus index is the static side: either re-read
+   * ([[nearDupAgainstCorpus]], this form) or, in production, the
+   * PERSISTED [[graft.operators.Dedup.lshBandIndex]] table bucketed by
+   * band key ([[crawlNearDupAgainstIndex]]) so each micro-batch reads
+   * the stored index instead of re-deriving every corpus signature.
    */
   def crawlNearDupAgainstCorpus(pages: DataFrame, corpus: DataFrame,
       threshold: Double = 0.8, k: Int = 16, bands: Int = 4,
@@ -178,5 +194,20 @@ object DocumentStreams {
       graft.operators.Html.text(col(htmlCol)).as(corpusTextCol))
     nearDupAgainstCorpus(extracted, corpus, threshold, k, bands, shingleK,
       idCol = corpusIdCol, textCol = corpusTextCol)
+  }
+
+  /** [[crawlNearDupAgainstCorpus]] probing a pre-built (typically
+    * persisted, bucketed-by-`key`) band-index relation — the 24/7 crawl
+    * operating form: the static side of the stream-static join is a
+    * stored-table read, not a per-micro-batch corpus recompute. */
+  def crawlNearDupAgainstIndex(pages: DataFrame, index: DataFrame,
+      corpus: DataFrame, threshold: Double = 0.8, k: Int = 16,
+      bands: Int = 4, shingleK: Int = 3, pageIdCol: String = "page_id",
+      htmlCol: String = "html", corpusIdCol: String = "doc_id",
+      corpusTextCol: String = "text"): DataFrame = {
+    val extracted = pages.select(col(pageIdCol).as(corpusIdCol),
+      graft.operators.Html.text(col(htmlCol)).as(corpusTextCol))
+    nearDupAgainstIndex(extracted, index, corpus, threshold, k, bands,
+      shingleK, idCol = corpusIdCol, textCol = corpusTextCol)
   }
 }

@@ -77,6 +77,52 @@ class StorageSpec extends GraftSuite {
     }
   }
 
+  test("persisted band index: probe-key isin bucket-prunes the scan and the " +
+      "probe matches the recompute form row-for-row") {
+    // One-page micro-batch → ≤4 band keys → the stored-index scan must
+    // open strictly fewer than the 8 written buckets (the 24/7 ingest
+    // lever: unprobed shards of the corpus index are never read), while
+    // producing exactly nearDupAgainstCorpus's rows.
+    val corpus = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog and runs far away today"),
+      (2L, "completely different text about database engines and query planners"),
+      (3L, "a third page on storage bucketing and physical plan pruning facts"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog and runs far away today"))
+      .toDF("doc_id", "text")
+    val base = java.nio.file.Files.createTempDirectory("graft_band_idx_t")
+    base.toFile.deleteOnExit()
+    graft.sources.Storage.writeBucketed(
+      graft.operators.Dedup.lshBandIndex(corpus, k = 8, bands = 4, shingleK = 3),
+      "band_idx_spec", s"$base/idx", bucketCol = "key", buckets = 8)
+    try {
+      val keys = batch.select(
+          explode(graft.operators.Dedup.lshBandKeys(
+            graft.operators.Dedup.minhashSignature(col("text"), 8, 3), 8, 4))
+            .as("key"))
+        .distinct().collect().map(_.getLong(0))
+      val pruned = Storage.readTable(spark, "band_idx_spec")
+        .filter(col("key").isin(keys.map(java.lang.Long.valueOf): _*))
+      val probed = graft.streaming.DocumentStreams.nearDupAgainstIndex(
+        batch, pruned, corpus, threshold = 0.5, k = 8, bands = 4, shingleK = 3)
+      val planStr = probed.queryExecution.executedPlan.toString
+      val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+        .findFirstMatchIn(planStr)
+      assert(sel.isDefined,
+        s"expected a bucket-pruned scan of the stored band index, got:\n$planStr")
+      val (chosen, total) = (sel.get.group(1).toInt, sel.get.group(2).toInt)
+      assert(chosen < total && total == 8,
+        s"expected pruning below the 8 written buckets, got $chosen of $total")
+      val expect = graft.streaming.DocumentStreams.nearDupAgainstCorpus(
+        batch, corpus, threshold = 0.5, k = 8, bands = 4, shingleK = 3)
+        .collect().map(_.toString).sorted.toSeq
+      assert(probed.collect().map(_.toString).sorted.toSeq == expect && expect.nonEmpty)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS band_idx_spec")
+    }
+  }
+
   test("saltedJoin is row-identical to the plain join under a hot key") {
     // 0L is a hot key: 100 rows against 3 for key 1
     val large = ((1 to 100).map(i => (0L, s"v$i")) ++ Seq((1L, "a"), (1L, "b"), (1L, "c")))

@@ -239,6 +239,46 @@ class StreamingSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("crawlNearDupAgainstIndex: stream-static probe of the PERSISTED bucketed " +
+      "band index matches the recompute form, zero state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog and runs far away today"),
+      (2L, "completely different text about database engines and query planners"))
+      .toDF("doc_id", "text")
+    def pageOf(body: String): String =
+      s"<html><head><title>T</title></head><body><!-- c --><p>$body</p>" +
+        "<script>track();</script></body></html>"
+    // the 24/7 operating shape: the index is BUILT ONCE and persisted
+    // bucketed by band key; micro-batches read the table, never the
+    // corpus signatures
+    val base = java.nio.file.Files.createTempDirectory("graft_crawl_idx")
+    base.toFile.deleteOnExit()
+    graft.sources.Storage.writeBucketed(
+      graft.operators.Dedup.lshBandIndex(corpus, k = 8, bands = 4, shingleK = 3),
+      "crawl_band_idx", s"$base/idx", bucketCol = "key", buckets = 8)
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.streaming.DocumentStreams.crawlNearDupAgainstIndex(
+        mem.toDF.toDF("page_id", "html"),
+        graft.sources.Storage.readTable(spark, "crawl_band_idx"), corpus,
+        threshold = 0.5, k = 8, bands = 4, shingleK = 3)
+      .writeStream.format("memory").queryName("crawl_dups_idx")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        (10L, pageOf("the quick brown fox jumps over the lazy dog and runs far away today")),
+        (11L, pageOf("a genuinely novel page about glaciers carving deep mountain valleys")))
+      q.processAllAvailable()
+      val b1 = spark.table("crawl_dups_idx").as[(Long, Long, Double)].collect()
+      assert(b1.toSeq == Seq((10L, 0L, 1.0)), s"got ${b1.toSeq}")
+      assert(q.lastProgress == null || q.lastProgress.stateOperators.isEmpty)
+    } finally {
+      q.stop()
+      spark.sql("DROP TABLE IF EXISTS crawl_band_idx")
+    }
+  }
+
   test("nearDupAgainstCorpus batch path matches incrementalDupPairs corpus branch") {
     import spark.implicits._
     val t0 = "the quick brown fox jumps over the lazy dog and runs far away today"
