@@ -84,6 +84,30 @@ object ScaleSmoke {
     def embD(e: DataFrame) = e.select(col("vec_id"),
       transform(col("embedding"), x => x.cast("double")).as("embedding"), col("label"))
 
+    // Fixed 1x ingest batch for the per-batch probe rows (an ingest batch
+    // doesn't scale with the accumulated corpus), offset ids like
+    // incremental_dedup's.
+    val smokeBatch = docs1.filter(col("doc_id") % 7 === 3)
+      .select((col("doc_id") + 500000000L).as("doc_id"), col("text"))
+    // Per-tier PERSISTED band index, built+written ONCE outside the timed
+    // region (keyed on the tier DataFrame's identity: docs1 / docs10 /
+    // docs100 are stable vals) — the smoke then measures only what a 24/7
+    // ingest pays per batch.
+    val bandIdxByTier = scala.collection.mutable.Map.empty[Int, DataFrame]
+    def storedBandIndex(d: DataFrame): DataFrame = synchronized {
+      bandIdxByTier.getOrElseUpdate(System.identityHashCode(d), {
+        val p = java.nio.file.Files.createTempDirectory("graft_smoke_bandidx")
+        p.toFile.deleteOnExit()
+        val tbl = "graft_smoke_idx_" +
+          p.getFileName.toString.replaceAll("[^A-Za-z0-9_]", "_")
+        graft.sources.Storage.writeBucketed(
+          Dedup.lshBandIndex(d.select("doc_id", "text"),
+            k = 8, bands = 4, shingleK = 3),
+          tbl, s"$p/idx", bucketCol = "key", buckets = 32)
+        graft.sources.Storage.readTable(spark, tbl)
+      })
+    }
+
     val ops: Seq[(String, DataFrame => Long, DataFrame => Long)] = Seq(
       ("tokenize", d => Tokenize.normalizedTokens(d).count(), null),
       ("extract_regex", d => Extract.extractRegex(d, "\\bs[a-z0-9]*").count(), null),
@@ -257,6 +281,27 @@ object ScaleSmoke {
       // 256 iterations — the flat-per-iteration claim, measured
       ("bpe_train_256", d => Bpe.learn(d, numMerges = 256)
         .map(_.freq).sum, null),
+      // batched merge selection (top-8 non-interacting per round): the
+      // A/B against bpe_train_256 isolates the driver round-trip cost.
+      // NOTE the synthetic corpus EXHAUSTS at 107 merges (measured:
+      // seq and batched both learn the identical complete 107-merge
+      // set), so both rows measure training to exhaustion — sequential
+      // takes 107 driver rounds, batched 17
+      ("bpe_train_256_batched", d => Bpe.learnBatched(d, numMerges = 256,
+        batch = 8).map(_.freq).sum, null),
+      // the vocab-shaped row one decade up: the base vocab is too small
+      // to sustain 1024 merges, so adjacent word pairs are FUSED into
+      // longer words first (one projection; vocabulary grows
+      // quadratically in distinct-word pairs) — the regime where
+      // sequential selection's 1024 scheduler round-trips would be the
+      // wall-clock, run with the batched learner's ~128
+      ("bpe_train_1024", d => {
+        val w = TextAnalysis.words(col("text"))
+        val fused = d.select(array_join(zip_with(
+          slice(w, lit(1), size(w) - 1), slice(w, lit(2), size(w) - 1),
+          (a, b) => concat(a, b)), " ").as("text"))
+        Bpe.learnBatched(fused, numMerges = 1024, batch = 8).map(_.freq).sum
+      }, null),
       // BPE ENCODE at the vocab-shaped merge count — the production
       // serving shape: ONE schedule (trained on the 1x corpus during the
       // warmup call; the constant cacheKey makes every later tier reuse
@@ -297,6 +342,21 @@ object ScaleSmoke {
         docs1.filter(col("doc_id") % 7 === 3)
           .select((col("doc_id") + 500000000L).as("doc_id"), col("text")),
         threshold = 0.7, k = 8, bands = 4, shingleK = 3).count(), null),
+      // per-batch ingest probe, recompute vs PERSISTED band index (the
+      // q159 lever): the batch is the FIXED 1x slice, the corpus (and its
+      // stored index) carries the scale. The recompute row re-derives
+      // every corpus MinHash signature per batch; the indexed row reads
+      // the bucketed table, so the DELTA between the two rows is the
+      // recurring per-batch cost a 24/7 ingest stops paying — and the
+      // indexed row's tier ratio is the residual (candidate verify) cost.
+      ("ingest_probe_recompute", d =>
+        graft.streaming.DocumentStreams.nearDupAgainstCorpus(smokeBatch,
+          d.select("doc_id", "text"),
+          threshold = 0.7, k = 8, bands = 4, shingleK = 3).count(), null),
+      ("ingest_probe_indexed", d =>
+        graft.streaming.DocumentStreams.nearDupAgainstIndex(smokeBatch,
+          storedBandIndex(d), d.select("doc_id", "text"),
+          threshold = 0.7, k = 8, bands = 4, shingleK = 3).count(), null),
       // split-leakage audit: gram-hash-keyed distinct + join, both
       // map-side partial-agg; the sum forces the full counts
       ("split_leakage", d => Dedup.splitLeakage(TextAnalysis.hashSplit(d),
@@ -360,6 +420,14 @@ object ScaleSmoke {
     // below run only when unfiltered.
     val only = sys.env.get("SPARK_GRAFT_SMOKE_ONLY").map(_.r)
     def wanted(n: String) = only.forall(_.findFirstIn(n).isDefined)
+
+    // The stored band index is built ONCE per tier, outside the timed
+    // region (the harness warmup only covers the 1x tier) — a 24/7
+    // ingest amortizes the build across every batch, so timing it inside
+    // one probe would misattribute it.
+    if (wanted("ingest_probe_indexed")) {
+      storedBandIndex(docs1); storedBandIndex(docs10)
+    }
 
     val results = scala.collection.mutable.ArrayBuffer.empty[String]
     val time10 = scala.collection.mutable.Map.empty[String, Double]

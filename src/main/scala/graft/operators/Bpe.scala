@@ -166,6 +166,117 @@ object Bpe {
     }
   }
 
+  /**
+   * [[learn]] with BATCHED merge selection — the driver-round-trip
+   * remedy for long schedules: each iteration collects the top of the
+   * pair-count order (one bounded driver action, `candPool = 8·batch`
+   * rows) and greedily accepts up to `batch` merges that are pairwise
+   * NON-INTERACTING. Merging (a,b) changes only the counts of pairs
+   * adjacent to a consumed occurrence — those whose rhs is `a`, whose
+   * lhs is `b`, or that mention the new symbol `ab` — so accepted pair
+   * q=(c,d) must satisfy, against every earlier-accepted p:
+   * `c != p.rhs, d != p.lhs, c != p.merged, d != p.merged,
+   * q.merged != p.lhs, q.merged != p.rhs`. (Sharing only lhs-with-lhs
+   * or rhs-with-rhs does NOT interact: merging (e)(_) leaves every
+   * (s)(_) occurrence and count untouched — which is what lets the
+   * many end-of-word-marker pairs that dominate early iterations batch
+   * together.) Non-interaction makes the batch's `replace`
+   * applications commute AND leaves every accepted pair's corpus count
+   * unchanged while the batch applies, so the schedule equals the
+   * sequential one — EXCEPT for two controlled divergences: sequential
+   * BPE may interleave (i) a pair newly CREATED by an earlier member
+   * (its count is bounded by its creator's, so only on a count tie),
+   * or (ii) a SKIPPED conflicting pair, ahead of a later member.
+   * BpeSpec measures the divergence at 256 merges on the spec corpus
+   * and pins the invariants that hold always: accepted merges are
+   * pairwise non-interacting, counts are the true corpus counts at
+   * batch start, and the batched schedule is a valid merge chain.
+   *
+   * A 32k-merge vocabulary costs ~32k/`batch` driver round-trips
+   * instead of 32k — at `batch = 8` that is the ≥8× scheduler-cost cut
+   * for the one operator whose wall-clock is round-trip-bound.
+   */
+  def learnBatched(docs: DataFrame, numMerges: Int, batch: Int = 8,
+      textCol: String = "text"): Seq[Merge] =
+    learnBatchedStats(docs, numMerges, batch, textCol)._1
+
+  /** [[learnBatched]] plus the number of driver-sequenced iterations it
+    * took (the quantity the batching exists to cut — BpeSpec asserts the
+    * ≥8x reduction on it). */
+  private[graft] def learnBatchedStats(docs: DataFrame, numMerges: Int,
+      batch: Int = 8, textCol: String = "text"): (Seq[Merge], Int) = {
+    require(numMerges > 0, "numMerges must be positive")
+    require(batch > 0, "batch must be positive")
+    def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) = {
+      val out = df.localCheckpoint(true)
+      val ids = out.queryExecution.analyzed.collect {
+        case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd.id
+      }.toSet
+      (out, ids)
+    }
+    val sc = docs.sparkSession.sparkContext
+    def releaseBlocks(ids: Set[Int]): Unit =
+      ids.foreach(id =>
+        sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+    val ckLoggerName = "org.apache.spark.rdd.MapPartitionsRDD"
+    val prevLevel = org.apache.logging.log4j.LogManager
+      .getLogger(ckLoggerName).getLevel
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      ckLoggerName, org.apache.logging.log4j.Level.ERROR)
+    try {
+      var (words, wordsBlocks) = checkpointTracked(
+        wordCounts(docs, textCol)
+          .select(enc0(col("word")).as("enc"), col("freq")))
+      val merges = Seq.newBuilder[Merge]
+      var rank = 1
+      var iters = 0
+      var exhausted = false
+      while (rank <= numMerges && !exhausted) {
+        val want = math.min(batch, numMerges - rank + 1)
+        val top = pairCounts(words)
+          .orderBy(col("pair_freq").desc, col("lhs"), col("rhs"))
+          .limit(8 * want).collect()
+        if (top.isEmpty) exhausted = true
+        else {
+          // greedy non-interacting acceptance in the total order (see
+          // the scaladoc's conflict rule)
+          val accLhs = scala.collection.mutable.Set.empty[String]
+          val accRhs = scala.collection.mutable.Set.empty[String]
+          val accMerged = scala.collection.mutable.Set.empty[String]
+          val accepted = Seq.newBuilder[Merge]
+          var n = 0
+          top.iterator.takeWhile(_ => n < want).foreach { r =>
+            val (l, rr, f) = (r.getString(0), r.getString(1), r.getLong(2))
+            val m = l + rr
+            if (!accRhs(l) && !accLhs(rr) && !accMerged(l) && !accMerged(rr) &&
+                !accLhs(m) && !accRhs(m)) {
+              accepted += Merge(rank + n, l, rr, f)
+              accLhs += l; accRhs += rr; accMerged += m
+              n += 1
+            }
+          }
+          val batchMerges = accepted.result()
+          merges ++= batchMerges
+          rank += batchMerges.length
+          val applied = words.withColumn("enc",
+            batchMerges.foldLeft(col("enc")) { (c, m) =>
+              expr_replace(c, s"(${m.lhs})(${m.rhs})", s"(${m.merged})")
+            })
+          val (next, nextBlocks) = checkpointTracked(applied)
+          releaseBlocks(wordsBlocks)
+          words = next
+          wordsBlocks = nextBlocks
+        }
+        iters += 1
+      }
+      releaseBlocks(wordsBlocks)
+      (merges.result(), iters)
+    } finally {
+      org.apache.logging.log4j.core.config.Configurator.setLevel(
+        ckLoggerName, prevLevel)
+    }
+  }
+
   // `functions.replace` exists only from Spark 3.5 as `replace`; route
   // through the SQL function for the exact non-regex leftmost semantics.
   private def expr_replace(src: Column, search: String, repl: String): Column =
