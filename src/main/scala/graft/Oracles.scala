@@ -2573,5 +2573,10 @@ object Oracles {
     // band projection those queries derive inline, and key pruning is a
     // semantic no-op (unprobed keys can never join)
     ("q159_indexed_ingest_dedup" -> base("q120_stream_ingest_dedup")) +
-    ("q160_indexed_incremental" -> base("q117_incremental_dedup"))
+    ("q160_indexed_incremental" -> base("q117_incremental_dedup")) +
+    // the incremental HLL sketch is register-row-identical to the full
+    // recompute (per-register MAX/SUM are exact integer folds over any
+    // partition of the corpus), so the estimate read off the merged
+    // sketch equals q158's
+    ("q161_hll_incremental" -> base("q158_hll_distinct"))
 }

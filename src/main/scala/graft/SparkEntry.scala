@@ -1093,6 +1093,24 @@ object SparkEntry {
     "q158_hll_distinct" -> ((s, dir) =>
       TextAnalysis.hllDistinctTokens(docs(s, dir))),
 
+    // q158's INCREMENTAL form — the stored-sketch datasheet update: the
+    // standing corpus's register relation (≤2^p rows per group) is
+    // PERSISTED, a new batch's registers are MAX/SUM-merged in, and the
+    // estimate is read off the merged sketch — no corpus re-scan. The
+    // register merge is exact integer max/sum, so the merged sketch is
+    // row-identical to recomputing from the union — shares q158's
+    // oracle. (PipelineOpsSpec pins merge associativity/commutativity.)
+    "q161_hll_incremental" -> ((s, dir) => {
+      val out = scratchDir("graft_hll_sketch")
+      val d = docs(s, dir)
+      TextAnalysis.hllRegisters(d.filter(col("doc_id") % 7 =!= 3))
+        .write.mode("overwrite").parquet(s"$out/sketch")
+      TextAnalysis.hllEstimate(
+        TextAnalysis.hllMergeRegisters(
+          s.read.parquet(s"$out/sketch"),
+          TextAnalysis.hllRegisters(d.filter(col("doc_id") % 7 === 3))))
+    }),
+
     // Tokenizer fertility per language: exact integer sums, two rounded
     // ratio columns — the multilingual tokenizer-health datasheet row.
     "q130_fertility" -> ((s, dir) =>

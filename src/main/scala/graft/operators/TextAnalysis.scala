@@ -912,12 +912,27 @@ object TextAnalysis {
    * counts), occupied registers, and the rounded cardinality estimate.
    */
   def hllDistinctTokens(docs: DataFrame, p: Int = 12,
+      groupCol: String = "source", textCol: String = "text"): DataFrame =
+    hllEstimate(hllRegisters(docs, p, groupCol, textCol), p, groupCol)
+
+  /**
+   * The PERSISTABLE half of [[hllDistinctTokens]]: the per-(group,
+   * register) sketch relation `(grp, bucket, r, c)` — max rank and exact
+   * token-instance count per occupied register. At most `2^p` rows per
+   * group, and MERGEABLE: registers of two corpus slices combine with
+   * `MAX(r), SUM(c)` per (grp, bucket) ([[hllMergeRegisters]]), which is
+   * associative and commutative, so an incremental corpus-datasheet
+   * pipeline stores this relation and folds each new batch's registers
+   * in — no corpus re-scan, ever — then reads the estimate off the
+   * merged sketch with [[hllEstimate]]. Hashing/mixing/rank details: see
+   * [[hllDistinctTokens]].
+   */
+  def hllRegisters(docs: DataFrame, p: Int = 12,
       groupCol: String = "source", textCol: String = "text"): DataFrame = {
     require(p >= 4 && p <= 24, "p must be in [4, 24]")
     val m = 1 << p
     val w = 31 // rank-word width: the mixed base-131 component
-    val md = m.toDouble
-    val reg = docs.select(col(groupCol).as("grp"),
+    docs.select(col(groupCol).as("grp"),
         explode(words(col(textCol))).as("word"))
       .select(col("grp"),
         org.apache.spark.sql.graft.WideHash(col("word")).as("h"))
@@ -934,6 +949,26 @@ object TextAnalysis {
         .otherwise(lit(w + 1) - length(ltrim(bin(col("u2")), "0"))))
       .groupBy("grp", "bucket")
       .agg(max(col("rho")).as("r"), count(lit(1)).as("c"))
+  }
+
+  /** Associative-commutative register merge: MAX rank + SUM count per
+    * (grp, bucket). `hllRegisters(A ∪ B) ≡ hllMergeRegisters(
+    * hllRegisters(A), hllRegisters(B))` — exactly because per-register
+    * max/count are themselves max/sum folds over rows. */
+  def hllMergeRegisters(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b)
+      .groupBy("grp", "bucket")
+      .agg(max(col("r")).as("r"), sum(col("c")).as("c"))
+
+  /** Finish a (possibly merged, possibly re-read) [[hllRegisters]]
+    * relation into the (groupCol, n_tokens, n_regs, est_distinct) surface
+    * — the second half of [[hllDistinctTokens]], usable directly on a
+    * stored sketch. */
+  def hllEstimate(reg: DataFrame, p: Int = 12,
+      groupCol: String = "source"): DataFrame = {
+    require(p >= 4 && p <= 24, "p must be in [4, 24]")
+    val m = 1 << p
+    val md = m.toDouble
     reg.groupBy("grp")
       .agg(count(lit(1)).as("n_regs"), sum(col("c")).as("n_tokens"),
         array_sort(collect_list(struct(col("bucket"), col("r")))).as("rs"))

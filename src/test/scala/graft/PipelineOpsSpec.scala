@@ -1114,6 +1114,26 @@ class PipelineOpsSpec extends GraftSuite {
     val out2 = TextAnalysis.hllDistinctTokens(docs.repartition(13)).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
     assert(out2 == out)
+
+    // MERGEABLE sketch: registers of arbitrary corpus slices MAX/SUM-
+    // merge into exactly the full-corpus registers — associative,
+    // commutative, and estimate-identical to the one-shot computation
+    // (the incremental corpus-datasheet property behind q161)
+    val Seq(sa, sb, sc) = Seq(0, 1, 2).map(k =>
+      docs.filter(pmod(hash(col("text")), lit(3)) === k))
+    def regs(d: org.apache.spark.sql.DataFrame) = TextAnalysis.hllRegisters(d)
+    def key(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(_.toString).sorted.toSeq
+    val full = regs(docs)
+    val leftAssoc = TextAnalysis.hllMergeRegisters(
+      TextAnalysis.hllMergeRegisters(regs(sa), regs(sb)), regs(sc))
+    val rightAssoc = TextAnalysis.hllMergeRegisters(
+      regs(sc), TextAnalysis.hllMergeRegisters(regs(sb), regs(sa)))
+    assert(key(leftAssoc) == key(full))
+    assert(key(rightAssoc) == key(full))
+    val estMerged = TextAnalysis.hllEstimate(leftAssoc).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(estMerged == out)
   }
 
   test("hardNegatives: nearest different-label vectors; same label excluded; " +
