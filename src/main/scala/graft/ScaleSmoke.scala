@@ -582,6 +582,40 @@ object ScaleSmoke {
       results += f"""{"op":"$name","sec_1x":$t1%.2f,"sec_10x":$t10%.2f,"ratio":${t10 / t1}%.2f,"rows_1x":$n1,"rows_10x":$n10}"""
     }
 
+    // ANN RECALL@10 — the quality axis of the approximate families: the
+    // LSH (q19), label-IVF (q56), k-means-IVF (q95), and IVF-PQ (q149)
+    // retrievals against the exact brute-force top-10 (q18) on the same
+    // fixed query set, per tier. Declared-parameter recall, not a tuned
+    // sweep: the number documents what the DEFAULT knobs (nprobe=2 of 8
+    // cells, 8-plane LSH probes, m=8×16-code PQ) trade for their bounded
+    // scan — and whether that trade HOLDS as the corpus grows a decade.
+    def recallAt10(e: DataFrame): (Double, Double, Double, Double) = {
+      val ed = embD(e)
+      val q = ed.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      def ids(df: DataFrame): Map[Any, Set[Long]] = df.collect()
+        .groupBy(_.get(0)).map { case (g, rs) => g -> rs.map(_.getLong(1)).toSet }
+      val exact = ids(Similarity.bruteForceTopK(ed, q, k = 10))
+      def rec(df: DataFrame): Double = {
+        val a = ids(df)
+        exact.map { case (g, ex) =>
+          (a.getOrElse(g, Set.empty) & ex).size.toDouble / ex.size
+        }.sum / exact.size
+      }
+      (rec(Similarity.lshTopK(ed, q, k = 10)),
+        rec(Similarity.ivfTopK(ed, q, Similarity.labelCentroids(e), nprobe = 2, k = 10)),
+        rec(Similarity.ivfTopK(ed, q, Similarity.kmeansFit(ed, k = 8, iters = 2),
+          nprobe = 2, k = 10)),
+        rec(Similarity.ivfPqTopK(ed, q, Similarity.kmeansFit(ed, k = 8, iters = 2),
+          Similarity.pqFitCodebooks(ed, m = 8, ksub = 16, iters = 2),
+          nprobe = 2, k = 10)))
+    }
+    if (wanted("ann_recall")) {
+      val (l1, v1, w1, p1) = recallAt10(emb1)
+      val (l10, v10, w10, p10) = recallAt10(emb10)
+      results += f"""{"op":"ann_recall_at10","lsh_1x":$l1%.3f,"ivf_label_1x":$v1%.3f,"ivf_kmeans_1x":$w1%.3f,"ivfpq_1x":$p1%.3f,"lsh_10x":$l10%.3f,"ivf_label_10x":$v10%.3f,"ivf_kmeans_10x":$w10%.3f,"ivfpq_10x":$p10%.3f}"""
+    }
+
     // Optional 100x tier (SPARK_GRAFT_SCALE_100=1): another decade of the
     // same tiling, answering "does the 10x ratio hold at the NEXT 10x" for
     // the scan- and candidate-generation-shaped families. Pair-LISTING ops
@@ -629,6 +663,10 @@ object ScaleSmoke {
       embOps.filter(o => !emb100Skip(o._1) && wanted(o._1)).foreach { case (name, f) =>
         val (t100, n100) = timed(f(emb100, 2))
         r100 += f"""{"op":"$name","sec_100x":$t100%.2f,"ratio_vs_10x":${t100 / time10(name)}%.2f,"rows_100x":$n100}"""
+      }
+      if (wanted("ann_recall")) {
+        val (l, v, w, p) = recallAt10(emb100)
+        r100 += f"""{"op":"ann_recall_at10","lsh_100x":$l%.3f,"ivf_label_100x":$v%.3f,"ivf_kmeans_100x":$w%.3f,"ivfpq_100x":$p%.3f}"""
       }
       println(s"""{"scale_smoke_100x":[${r100.mkString(",")}],"docs_100x":${docs100.count()}}""")
 
