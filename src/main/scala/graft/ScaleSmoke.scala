@@ -633,6 +633,9 @@ object ScaleSmoke {
       // in the first timed op (the 1x/10x rows it is ratioed against ran
       // after their own warmup)
       docs100.count(); emb100.count()
+      // stored band index for the 100x tier, built outside the timed
+      // region like the 1x/10x ones
+      if (wanted("ingest_probe_indexed")) storedBandIndex(docs100)
       // The default subset is the scan/candidate-generation families; the
       // composed pipelines + distributed writer (align_bert, conll_to_bert,
       // conll_write — minutes each at 100x) join under
@@ -644,7 +647,9 @@ object ScaleSmoke {
         "gopher_rules", "c4_clean", "chunk_documents", "pack_sequences",
         "stratified_sample", "pmi_collocations", "fuzzy_decontaminate",
         "quality_calibrate", "dedup_lines", "dsir_select", "bpe_train",
-        "incremental_dedup", "mix_corpus", "shard_order",
+        "bpe_train_256_batched", "bpe_train_1024", "incremental_dedup",
+        "ingest_probe_recompute", "ingest_probe_indexed",
+        "mix_corpus", "shard_order",
         "bm25_topk", "ngram_novelty", "winnow_fingerprints") ++
         (if (sys.env.get("SPARK_GRAFT_SCALE_100").contains("full"))
           Set("align_bert_pipeline", "conll_to_bert", "conll_write")
