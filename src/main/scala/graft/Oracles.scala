@@ -2568,6 +2568,9 @@ object Oracles {
     // same probed cells, same ADC folds, same tie-breaks)
     ("q154_ivfpq_bucketed" -> base("q149_ivfpq")) +
     ("q155_ivfpq_agg" -> base("q149_ivfpq")) +
+    // append(90%)∪append(10%) under frozen quantizers == the full-corpus
+    // index relation row-for-row, so the probe result is q149's
+    ("q162_ivfpq_append" -> base("q149_ivfpq")) +
     // stored-band-index probes are result-identical to their recompute
     // forms by construction: Dedup.lshBandIndex rows ARE the corpus-side
     // band projection those queries derive inline, and key pruning is a

@@ -467,6 +467,20 @@ object ScaleSmoke {
     def semScaled(e: DataFrame, k: Int): Long =
       Dedup.semanticDedup(embD(e), k = k, iters = 2, tau = 0.9,
         fitFraction = 0.2, twoLevelAssign = true).count()
+    // FROZEN quantizers for the index-append rows, fit once per tier
+    // outside the timed region (keyed on tier-DataFrame identity like
+    // storedBandIndex) — kmeansFit/pqFitCodebooks collect to bounded
+    // local artifacts, so reuse costs nothing per call.
+    val quantByTier = scala.collection.mutable.Map.empty[
+      Int, (DataFrame, IndexedSeq[IndexedSeq[(Int, Array[Double])]])]
+    def frozenQuant(e: DataFrame) = synchronized {
+      quantByTier.getOrElseUpdate(System.identityHashCode(e), {
+        val ed = embD(e)
+        (Similarity.kmeansFit(ed, k = 8, iters = 2),
+          Similarity.pqFitCodebooks(ed, m = 8, ksub = 16, iters = 2))
+      })
+    }
+    if (wanted("ann_index_")) { frozenQuant(emb1); frozenQuant(emb10) }
     // (name, run(embeddings, tier)) where tier 0/1/2 = 1x/10x/100x
     val embOps: Seq[(String, (DataFrame, Int) => Long)] = Seq[(String, (DataFrame, Int) => Long)](
       ("ann_lsh_topk", (e, _) => lsh(e)),
@@ -557,6 +571,21 @@ object ScaleSmoke {
           Similarity.pqFitCodebooks(ed, m = 8, ksub = 16, iters = 2),
           nprobe = 2, k = 10).count()
       }),
+      // INDEX-APPEND ECONOMICS (q162 shape): quantizers FROZEN — prefit
+      // once per tier OUTSIDE the timed region (the production contract:
+      // centroids/codebooks are trained artifacts, batches never refit) —
+      // then rebuild = encode the whole corpus vs append = encode one
+      // FIXED 500-vector batch. The rebuild row must track corpus size;
+      // the append row must stay corpus-size-flat — the widening gap per
+      // decade is what Storage.appendBucketed buys a 24/7 ingest
+      ("ann_index_rebuild", (e, _) => {
+        val (c, b) = frozenQuant(e)
+        Similarity.ivfPqIndex(embD(e), c, b).count()
+      }),
+      ("ann_index_append", (e, _) => {
+        val (c, b) = frozenQuant(e)
+        Similarity.ivfPqIndex(embD(e).filter(col("vec_id") < 500), c, b).count()
+      }),
       ("semantic_dedup", (e, t) => sem(e, 8 * math.pow(10, t).toInt)),
       ("semantic_dedup_scaled", (e, t) => semScaled(e, 8 * math.pow(10, t).toInt)),
       // diversity sampling under its 100 TB knobs (k grows with the
@@ -633,9 +662,10 @@ object ScaleSmoke {
       // in the first timed op (the 1x/10x rows it is ratioed against ran
       // after their own warmup)
       docs100.count(); emb100.count()
-      // stored band index for the 100x tier, built outside the timed
-      // region like the 1x/10x ones
+      // stored band index + frozen quantizers for the 100x tier, built
+      // outside the timed region like the 1x/10x ones
       if (wanted("ingest_probe_indexed")) storedBandIndex(docs100)
+      if (wanted("ann_index_")) frozenQuant(emb100)
       // The default subset is the scan/candidate-generation families; the
       // composed pipelines + distributed writer (align_bert, conll_to_bert,
       // conll_write — minutes each at 100x) join under

@@ -883,6 +883,47 @@ object SparkEntry {
         Similarity.pqFitCodebooks(e, m = 8, ksub = 16, iters = 2), nprobe = 2, k = 10)
     }),
 
+    // INCREMENTAL index append — the ANN analog of q159/q160's stored
+    // band index: the coarse centroids and PQ codebooks are FROZEN
+    // artifacts (trained once per corpus snapshot, the production
+    // contract), the "existing" 90% of the corpus is written as the
+    // bucketed index, and the "new" 10% batch is ENCODED with the frozen
+    // quantizers and APPENDED (Storage.appendBucketed) — no retraining,
+    // no index rebuild, per-batch cost ∝ batch size. Appended files are
+    // bucketed under the same spec, so the probe still bucket-prunes
+    // across both generations (StorageSpec asserts SelectedBucketsCount
+    // AND append==rebuild parity). Because append(base)∪append(batch)
+    // is row-identical to the full-corpus index under frozen quantizers,
+    // results are identical to q149 — shares its oracle.
+    "q162_ivfpq_append" -> ((s, dir) => {
+      val out = scratchDir("graft_ivfpq_app")
+      val tbl = scratchTable("graft_q162_idx", out)
+      val e = embedsD(s, dir)
+      val q = e.filter(col("vec_id") < 5).select(col("vec_id").as("query_id"), col("embedding"))
+      val centroids = Similarity.kmeansFit(e, k = 8, iters = 2)
+      val books = Similarity.pqFitCodebooks(e, m = 8, ksub = 16, iters = 2)
+      val base = e.filter(pmod(col("vec_id"), lit(10)) =!= 0)
+      val batch = e.filter(pmod(col("vec_id"), lit(10)) === 0)
+      sources.Storage.writeBucketed(
+        Similarity.ivfPqIndex(base, centroids, books),
+        tbl, s"$out/idx", bucketCol = "cell_id", buckets = 8)
+      sources.Storage.appendBucketed(
+        Similarity.ivfPqIndex(batch, centroids, books),
+        tbl, bucketCol = "cell_id", buckets = 8)
+      val probes = Similarity.ivfPqProbes(q, centroids, nprobe = 2)
+      // same bounded probe-cell valve as q154
+      val maxProbeCells = 4096
+      val cells = probes.select("cell_id").distinct()
+        .limit(maxProbeCells + 1).collect().map(_.getInt(0)).sorted
+      require(cells.length <= maxProbeCells,
+        s"probe-cell set exceeds $maxProbeCells: shard the query batch " +
+          "or use the aggregate (q155) form")
+      Similarity.ivfPqTopKFromIndex(
+        sources.Storage.readTable(s, tbl)
+          .filter(col("cell_id").isin(cells.map(Integer.valueOf): _*)),
+        probes, books, k = 10)
+    }),
+
     // BM25 keyword retrieval (Okapi, Lucene idf form): three term
     // queries over the corpus; query-term dictionary broadcast-filtered
     // before any aggregation, per-(query, doc) sums folded in term order.

@@ -29,6 +29,24 @@ object Storage {
       .format("parquet")
       .saveAsTable(table)
 
+  /**
+   * Append `df` to an existing table written by [[writeBucketed]], with
+   * the SAME bucket spec — Spark hash-buckets the appended rows into a
+   * new file per (written task, bucket), so bucket pruning and
+   * co-located joins keep holding over the union of all appends. This is
+   * the incremental-index lever: a new batch lands as its own bucketed
+   * files (cost ∝ batch), the existing index files are never rewritten,
+   * and a probe still opens only the probed buckets' files across every
+   * append generation.
+   */
+  def appendBucketed(df: DataFrame, table: String,
+      bucketCol: String = "doc_id", buckets: Int = 32): Unit =
+    df.write.mode(SaveMode.Append)
+      .bucketBy(buckets, bucketCol)
+      .sortBy(bucketCol)
+      .format("parquet")
+      .saveAsTable(table)
+
   def readTable(spark: SparkSession, table: String): DataFrame = {
     // Every graft table is bucketed DELIBERATELY (co-located joins, or
     // bucket-pruned index probes). Spark's DisableUnnecessaryBucketedScan

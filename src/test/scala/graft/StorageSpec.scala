@@ -77,6 +77,47 @@ class StorageSpec extends GraftSuite {
     }
   }
 
+  test("q162 appended IVF-PQ index equals a rebuild and still bucket-prunes") {
+    // The incremental-index claim: appending a batch encoded with FROZEN
+    // quantizers produces the same index relation as rebuilding from the
+    // full corpus, and the appended generation's files keep the bucket
+    // spec — a probe-cell filter prunes across BOTH generations.
+    import graft.operators.Similarity
+    val rng = new scala.util.Random(7)
+    val emb = (0L until 40L).map(i =>
+      (i, Array.fill(16)(rng.nextDouble()), s"l${i % 3}"))
+      .toDF("vec_id", "embedding", "label")
+    val centroids = Similarity.kmeansFit(emb, k = 4, iters = 2)
+    val books = Similarity.pqFitCodebooks(emb, m = 4, ksub = 4, iters = 2)
+    val base = emb.filter(pmod(col("vec_id"), lit(4)) =!= 0)
+    val batch = emb.filter(pmod(col("vec_id"), lit(4)) === 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_app_idx_t")
+    dir.toFile.deleteOnExit()
+    Storage.writeBucketed(Similarity.ivfPqIndex(base, centroids, books),
+      "app_idx_spec", s"$dir/idx", bucketCol = "cell_id", buckets = 8)
+    Storage.appendBucketed(Similarity.ivfPqIndex(batch, centroids, books),
+      "app_idx_spec", bucketCol = "cell_id", buckets = 8)
+    try {
+      val stored = Storage.readTable(spark, "app_idx_spec")
+      val rebuilt = Similarity.ivfPqIndex(emb, centroids, books)
+      assert(stored.collect().map(_.toString).sorted.toSeq ==
+        rebuilt.collect().map(_.toString).sorted.toSeq,
+        "appended index diverges from a full rebuild under frozen quantizers")
+      val oneCell = stored.select("cell_id").limit(1).collect()(0).getInt(0)
+      val planStr = stored.filter(col("cell_id") === oneCell)
+        .queryExecution.executedPlan.toString
+      val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+        .findFirstMatchIn(planStr)
+      assert(sel.isDefined,
+        s"expected a bucket-pruned scan of the appended index, got:\n$planStr")
+      val (chosen, total) = (sel.get.group(1).toInt, sel.get.group(2).toInt)
+      assert(chosen < total && total == 8,
+        s"expected pruning below the 8 written buckets, got $chosen of $total")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS app_idx_spec")
+    }
+  }
+
   test("persisted band index: probe-key isin bucket-prunes the scan and the " +
       "probe matches the recompute form row-for-row") {
     // One-page micro-batch → ≤4 band keys → the stored-index scan must
