@@ -977,6 +977,49 @@ object Oracles {
          |    ELSE raw END, 4) AS est_distinct
          |FROM fin""".stripMargin,
 
+    // Count-Min sketch probe counts: same WideHash + quadratic mix as
+    // q158, then d=4 double-hashing rows (u1 + i*u2 mod P, low 10 bits),
+    // counter = count per (grp, row, bucket), estimate = min over the
+    // probe token's 4 counters (missing counter = 0).
+    "q163_cms_counts" ->
+      s"""WITH tok AS (SELECT source AS grp,
+         |    unnest(list_transform($Words,
+         |      w -> ${H("w")} * CAST(2147483647 AS BIGINT) + ${H131("w")})) AS h
+         |  FROM documents),
+         |x AS (SELECT grp, h // 2147483647 AS x1, h % 2147483647 AS x2
+         |  FROM tok),
+         |u AS (SELECT grp,
+         |    (((x1 * x1) % 2147483647) * 16807 + x2 * 40692 + 12345)
+         |      % 2147483647 AS u1,
+         |    (((x2 * x2) % 2147483647) * 48271 + x1 * 69621 + 54321)
+         |      % 2147483647 AS u2
+         |  FROM x),
+         |rws AS (SELECT unnest([0, 1, 2, 3]) AS rw),
+         |reg AS (SELECT grp, rw,
+         |    ((u1 + rw * u2) % 2147483647) & 1023 AS bucket,
+         |    count(*) AS cnt
+         |  FROM u CROSS JOIN rws GROUP BY grp, rw, bucket),
+         |probes AS (SELECT unnest(['scan', 'window', 'spark', 'hash',
+         |    'stream', 'zqxabsent']) AS token),
+         |pu AS (SELECT token,
+         |    ${H("token")} AS px1, ${H131("token")} AS px2 FROM probes),
+         |pm AS (SELECT token,
+         |    (((px1 * px1) % 2147483647) * 16807 + px2 * 40692 + 12345)
+         |      % 2147483647 AS u1,
+         |    (((px2 * px2) % 2147483647) * 48271 + px1 * 69621 + 54321)
+         |      % 2147483647 AS u2
+         |  FROM pu),
+         |pb AS (SELECT token, rw,
+         |    ((u1 + rw * u2) % 2147483647) & 1023 AS bucket
+         |  FROM pm CROSS JOIN rws),
+         |grps AS (SELECT DISTINCT grp FROM reg)
+         |SELECT g.grp AS source, p.token,
+         |  CAST(min(coalesce(r.cnt, 0)) AS BIGINT) AS est_count
+         |FROM grps g CROSS JOIN pb p
+         |LEFT JOIN reg r ON r.grp = g.grp AND r.rw = p.rw
+         |  AND r.bucket = p.bucket
+         |GROUP BY g.grp, p.token""".stripMargin,
+
     // CCNet-style perplexity bucketing: q86's bigram-LM scores, then a
     // per-language cume_dist over the unique (avg_lp DESC NULLS LAST,
     // doc_id) ordering and head/middle/tail labels.
@@ -2581,5 +2624,7 @@ object Oracles {
     // recompute (per-register MAX/SUM are exact integer folds over any
     // partition of the corpus), so the estimate read off the merged
     // sketch equals q158's
-    ("q161_hll_incremental" -> base("q158_hll_distinct"))
+    ("q161_hll_incremental" -> base("q158_hll_distinct")) +
+    // counter SUM-merge of corpus slices == one-shot counters, exactly
+    ("q164_cms_incremental" -> base("q163_cms_counts"))
 }

@@ -268,6 +268,14 @@ object ScaleSmoke {
       ("hll_distinct", d => TextAnalysis.hllDistinctTokens(d)
         .agg(sum(col("est_distinct") + col("n_tokens"))).collect()
         .head.getDouble(0).round, null),
+      // Count-Min token-frequency sketch: exchange capped at d·2^logW
+      // counter rows per (task, group) by map-side partial SUM, probe
+      // join touches only the bounded sketch — pure scan scaling like
+      // hll_distinct; exact per-token counts would shuffle the whole
+      // (growing) vocabulary instead
+      ("cms_counts", d => TextAnalysis.cmsTokenCounts(d,
+          Seq("scan", "window", "spark", "hash", "stream", "zqxabsent"))
+        .agg(sum(col("est_count"))).collect().head.getLong(0), null),
       // BPE tokenizer training: ONE corpus-linear word-count pass, then 8
       // pair-count iterations over the distinct-word table only — per-
       // iteration cost is vocabulary-bound, so total cost tracks the

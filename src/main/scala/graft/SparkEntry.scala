@@ -87,6 +87,13 @@ object SparkEntry {
     * remove non-empty directories, so a bench's repeated passes would
     * leak one dir per invocation; instead every dir registers here and
     * ONE shutdown hook deletes them recursively. */
+  /** Probe tokens for the q163/q164 Count-Min queries: frequent corpus
+    * tokens at several magnitudes plus one absent token (its estimate is
+    * whatever collision mass lands on its counters — CMS never
+    * underestimates, and the oracle reproduces the same collisions). */
+  private val CmsProbeTokens =
+    Seq("scan", "window", "spark", "hash", "stream", "zqxabsent")
+
   private val scratchDirs =
     java.util.concurrent.ConcurrentHashMap.newKeySet[java.nio.file.Path]()
   locally {
@@ -1150,6 +1157,34 @@ object SparkEntry {
         TextAnalysis.hllMergeRegisters(
           s.read.parquet(s"$out/sketch"),
           TextAnalysis.hllRegisters(d.filter(col("doc_id") % 7 === 3))))
+    }),
+
+    // Count-Min token-frequency sketch per source: the datasheet
+    // heavy-hitter column exact per-token GROUP BY can't provide at
+    // 100 TB — exchange capped at d·2^logW counter rows per (task,
+    // group) by map-side partial SUM; probing joins only the bounded
+    // sketch relation, never the corpus.
+    "q163_cms_counts" -> ((s, dir) =>
+      TextAnalysis.cmsTokenCounts(docs(s, dir), CmsProbeTokens)),
+
+    // q163's INCREMENTAL form — the stored-sketch heavy-hitter update
+    // (the q161 pattern applied to counters): the standing corpus's
+    // counter relation is PERSISTED, a new batch's counters are
+    // SUM-merged in, and the estimates are read off the merged sketch —
+    // no corpus re-scan. Counter merge is exact integer addition, so
+    // the merged sketch is row-identical to recomputing from the
+    // union — shares q163's oracle. (PipelineOpsSpec pins merge
+    // associativity/commutativity and estimate identity.)
+    "q164_cms_incremental" -> ((s, dir) => {
+      val out = scratchDir("graft_cms_sketch")
+      val d = docs(s, dir)
+      TextAnalysis.cmsRegisters(d.filter(col("doc_id") % 7 =!= 3))
+        .write.mode("overwrite").parquet(s"$out/sketch")
+      TextAnalysis.cmsEstimate(
+        TextAnalysis.cmsMergeRegisters(
+          s.read.parquet(s"$out/sketch"),
+          TextAnalysis.cmsRegisters(d.filter(col("doc_id") % 7 === 3))),
+        CmsProbeTokens)
     }),
 
     // Tokenizer fertility per language: exact integer sums, two rounded

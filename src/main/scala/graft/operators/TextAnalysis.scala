@@ -932,17 +932,8 @@ object TextAnalysis {
     require(p >= 4 && p <= 24, "p must be in [4, 24]")
     val m = 1 << p
     val w = 31 // rank-word width: the mixed base-131 component
-    docs.select(col(groupCol).as("grp"),
-        explode(words(col(textCol))).as("word"))
-      .select(col("grp"),
-        org.apache.spark.sql.graft.WideHash(col("word")).as("h"))
-      .select(col("grp"), expr("h div 2147483647").as("x1"),
-        (col("h") % lit(HashP)).as("x2"))
-      .select(col("grp"),
-        ((((col("x1") * col("x1")) % lit(HashP)) * lit(16807L) +
-          col("x2") * lit(40692L) + lit(12345L)) % lit(HashP)).as("u1"),
-        ((((col("x2") * col("x2")) % lit(HashP)) * lit(48271L) +
-          col("x1") * lit(69621L) + lit(54321L)) % lit(HashP)).as("u2"))
+    mixedHash(docs.select(col(groupCol).as("grp"),
+        explode(words(col(textCol))).as("word")), "word")
       .select(col("grp"), col("u1").bitwiseAND(lit((m - 1).toLong)).as("bucket"),
         col("u2"))
       .withColumn("rho", when(col("u2") === 0, lit(w + 1))
@@ -950,6 +941,25 @@ object TextAnalysis {
       .groupBy("grp", "bucket")
       .agg(max(col("rho")).as("r"), count(lit(1)).as("c"))
   }
+
+  /** WideHash + the quadratic cross-mix shared by the sketch family
+    * ([[hllRegisters]], [[cmsRegisters]]): appends well-mixed 31-bit
+    * components `u1`/`u2` computed from `wordCol`, keeping every other
+    * column. Quadratic, not affine — measured on the HLL family, affine
+    * mixing of the two polynomial components leaves a ±9–18 % lattice
+    * bias in the register distribution; the quadratic form lands within
+    * ±1.1 % (see [[hllDistinctTokens]]). */
+  private def mixedHash(df: DataFrame, wordCol: String): DataFrame =
+    df.withColumn("__h", org.apache.spark.sql.graft.WideHash(col(wordCol)))
+      .withColumn("__x1", expr("__h div 2147483647"))
+      .withColumn("__x2", col("__h") % lit(HashP))
+      .withColumn("u1",
+        (((col("__x1") * col("__x1")) % lit(HashP)) * lit(16807L) +
+          col("__x2") * lit(40692L) + lit(12345L)) % lit(HashP))
+      .withColumn("u2",
+        (((col("__x2") * col("__x2")) % lit(HashP)) * lit(48271L) +
+          col("__x1") * lit(69621L) + lit(54321L)) % lit(HashP))
+      .drop("__h", "__x1", "__x2", wordCol)
 
   /** Associative-commutative register merge: MAX rank + SUM count per
     * (grp, bucket). `hllRegisters(A ∪ B) ≡ hllMergeRegisters(
@@ -983,6 +993,91 @@ object TextAnalysis {
             lit(md) * log(lit(md) /
               (lit(m.toLong) - col("n_regs")).cast("double")))
           .otherwise(col("raw")), 4).as("est_distinct"))
+  }
+
+  /**
+   * Count-Min sketch of per-group token frequencies (Cormode &
+   * Muthukrishnan 2005, "An improved data stream summary: the count-min
+   * sketch and its applications"): `d` hash rows × `2^logW` counters per
+   * group; a probe token's estimated count is the MIN over its `d`
+   * counters — never an underestimate, overestimate bounded by
+   * collisions (ε ≈ e/w of the group's token mass at δ ≈ e^-d). The
+   * datasheet heavy-hitter column exact per-token GROUP BY can't provide
+   * at 100 TB without shuffling the whole (growing) vocabulary: here the
+   * exchange is capped at `d·w` counter rows per (task, group) by
+   * map-side partial aggregation, the sketch itself is a bounded
+   * relation, and probing is a join against that bounded relation.
+   * Hash rows are double-hashing composites `u1 + i·u2 mod P`
+   * (Kirsch–Mitzenmacher construction) over the same quadratic-mixed
+   * WideHash components as [[hllDistinctTokens]] — deterministic,
+   * partition-invariant, and mirrored term-for-term by the SQL oracle.
+   *
+   * Output: (groupCol, token, est_count) for each probe token.
+   */
+  def cmsTokenCounts(docs: DataFrame, probes: Seq[String], d: Int = 4,
+      logW: Int = 10, groupCol: String = "source",
+      textCol: String = "text"): DataFrame =
+    cmsEstimate(cmsRegisters(docs, d, logW, groupCol, textCol), probes,
+      d, logW, groupCol)
+
+  /**
+   * The PERSISTABLE half of [[cmsTokenCounts]]: the per-group counter
+   * relation `(grp, row, bucket, cnt)` — at most `d·2^logW` rows per
+   * group, and MERGEABLE: counters of two corpus slices combine with
+   * `SUM(cnt)` per (grp, row, bucket) ([[cmsMergeRegisters]]), which is
+   * associative and commutative, so an incremental pipeline stores this
+   * relation and folds each new batch's counters in — no corpus
+   * re-scan — then probes the merged sketch with [[cmsEstimate]].
+   */
+  def cmsRegisters(docs: DataFrame, d: Int = 4, logW: Int = 10,
+      groupCol: String = "source", textCol: String = "text"): DataFrame = {
+    require(d >= 1 && d <= 8, "d must be in [1, 8]")
+    require(logW >= 4 && logW <= 20, "logW must be in [4, 20]")
+    cmsBuckets(mixedHash(docs.select(col(groupCol).as("grp"),
+        explode(words(col(textCol))).as("word")), "word"), d, logW)
+      .groupBy("grp", "row", "bucket")
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Double-hashing bucket fan-out shared by the register build and the
+    * probe side: one input row → `d` (row, bucket) rows, bucket_i =
+    * (u1 + i·u2 mod P) masked to the low logW bits. */
+  private def cmsBuckets(mixed: DataFrame, d: Int, logW: Int): DataFrame =
+    mixed
+      .select(col("*"), explode(sequence(lit(0), lit(d - 1))).as("row"))
+      .withColumn("bucket",
+        ((col("u1") + col("row").cast("long") * col("u2")) % lit(HashP))
+          .bitwiseAND(lit(((1 << logW) - 1).toLong)))
+      .drop("u1", "u2")
+
+  /** Associative-commutative counter merge: SUM per (grp, row, bucket).
+    * `cmsRegisters(A ∪ B) ≡ cmsMergeRegisters(cmsRegisters(A),
+    * cmsRegisters(B))` — exactly because counters are sums over rows. */
+  def cmsMergeRegisters(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b)
+      .groupBy("grp", "row", "bucket")
+      .agg(sum(col("cnt")).as("cnt"))
+
+  /** Probe a (possibly merged, possibly re-read) [[cmsRegisters]]
+    * relation: each probe token's `d` (row, bucket) addresses join the
+    * sketch and the estimate is the MIN surviving counter (a missing
+    * counter row is a zero counter). The sketch side is bounded by
+    * `d·2^logW` rows per group, so it broadcasts — probing never
+    * shuffles the corpus, only the bounded sketch. */
+  def cmsEstimate(reg: DataFrame, probes: Seq[String], d: Int = 4,
+      logW: Int = 10, groupCol: String = "source"): DataFrame = {
+    require(probes.nonEmpty, "cmsEstimate needs at least one probe token")
+    val spark = reg.sparkSession
+    import spark.implicits._
+    val pb = cmsBuckets(
+      mixedHash(probes.toDF("token").withColumn("word", col("token")),
+        "word"), d, logW)
+    reg.select("grp").distinct()
+      .crossJoin(broadcast(pb))
+      .join(broadcast(reg), Seq("grp", "row", "bucket"), "left")
+      .groupBy(col("grp"), col("token"))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est_count"))
+      .select(col("grp").as(groupCol), col("token"), col("est_count"))
   }
 
   /**

@@ -1136,6 +1136,54 @@ class PipelineOpsSpec extends GraftSuite {
     assert(estMerged == out)
   }
 
+  test("cmsTokenCounts: never underestimates; exact when sparse; " +
+      "partition-invariant; counters merge associatively (q164 property)") {
+    // two groups with known token frequencies at several magnitudes
+    val docs = spark.range(60).select(col("id"),
+      when(col("id") < 40, "a").otherwise("b").as("source"),
+      concat_ws(" ",
+        lit("alpha"), lit("alpha"), lit("beta"),
+        when(col("id") % 2 === 0, "gamma").otherwise("delta")).as("text"))
+    val exact = Map( // per (source, token) true counts
+      ("a", "alpha") -> 80L, ("a", "beta") -> 40L,
+      ("a", "gamma") -> 20L, ("a", "delta") -> 20L,
+      ("b", "alpha") -> 40L, ("b", "beta") -> 20L,
+      ("b", "gamma") -> 10L, ("b", "delta") -> 10L)
+    val probes = Seq("alpha", "beta", "gamma", "delta", "zqxabsent")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.cmsTokenCounts(d, probes).collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val out = run(docs)
+    // CMS guarantee: min-of-counters never underestimates
+    exact.foreach { case (k, c) =>
+      assert(out(k) >= c, s"$k underestimated: ${out(k)} < $c") }
+    // 4 distinct tokens over 4x1024 counters: collisions implausible and
+    // deterministic — the estimates are exact here (verified at authoring;
+    // any change to the hash family must re-justify this corpus)
+    exact.foreach { case (k, c) =>
+      assert(out(k) == c, s"$k inexact on sparse corpus: ${out(k)} vs $c") }
+    assert(out(("a", "zqxabsent")) == 0L && out(("b", "zqxabsent")) == 0L)
+    // partition invariance (counter SUM + min fold over integer counters)
+    assert(run(docs.repartition(13)) == out)
+    // MERGEABLE counters: SUM-merge of arbitrary slices == the one-shot
+    // relation, associatively and commutatively (the q164 property)
+    val Seq(sa, sb, sc) = Seq(0, 1, 2).map(k =>
+      docs.filter(pmod(col("id"), lit(3)) === k))
+    def regs(d: org.apache.spark.sql.DataFrame) = TextAnalysis.cmsRegisters(d)
+    def key(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(_.toString).sorted.toSeq
+    val full = regs(docs)
+    val leftAssoc = TextAnalysis.cmsMergeRegisters(
+      TextAnalysis.cmsMergeRegisters(regs(sa), regs(sb)), regs(sc))
+    val rightAssoc = TextAnalysis.cmsMergeRegisters(
+      regs(sc), TextAnalysis.cmsMergeRegisters(regs(sb), regs(sa)))
+    assert(key(leftAssoc) == key(full))
+    assert(key(rightAssoc) == key(full))
+    val estMerged = TextAnalysis.cmsEstimate(leftAssoc, probes).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(estMerged == out)
+  }
+
   test("hardNegatives: nearest different-label vectors; same label excluded; " +
       "partition-invariant") {
     val pts = Seq(
