@@ -1020,6 +1020,36 @@ object Oracles {
          |  AND r.bucket = p.bucket
          |GROUP BY g.grp, p.token""".stripMargin,
 
+    // Token-length histogram quantile sketch: quarter-octave integer
+    // bins (bitlen via bin() string length, the q158 trick), per-group
+    // bin counts, percentile = lower bound of the first bin whose
+    // cumulative count reaches q·n (integer comparison), lower bound =
+    // 2^(b-1)*(4+quarter) // 4.
+    "q165_len_quantiles" ->
+      s"""WITH lens AS (SELECT source AS grp,
+         |    CAST(length($Words) AS BIGINT) AS len FROM documents),
+         |bins AS (SELECT grp,
+         |    length(bin(len)) * 4 +
+         |      ((len * 4) // CAST(pow(2, length(bin(len)) - 1) AS BIGINT)) % 4
+         |      AS bin
+         |  FROM lens),
+         |reg AS (SELECT grp, bin, count(*) AS cnt FROM bins GROUP BY grp, bin),
+         |g AS (SELECT grp, CAST(sum(cnt) AS BIGINT) AS n FROM reg GROUP BY grp),
+         |c AS (SELECT grp, bin,
+         |    CAST(sum(cnt) OVER (PARTITION BY grp ORDER BY bin) AS BIGINT)
+         |      AS cum
+         |  FROM reg),
+         |p50 AS (SELECT c.grp, min(bin) AS b FROM c JOIN g USING (grp)
+         |  WHERE cum * 100 >= 50 * n GROUP BY c.grp),
+         |p95 AS (SELECT c.grp, min(bin) AS b FROM c JOIN g USING (grp)
+         |  WHERE cum * 100 >= 95 * n GROUP BY c.grp)
+         |SELECT g.grp AS source, g.n AS n_docs,
+         |  CAST(pow(2, (p50.b // 4) - 1) AS BIGINT) * (4 + p50.b % 4) // 4
+         |    AS p50_est,
+         |  CAST(pow(2, (p95.b // 4) - 1) AS BIGINT) * (4 + p95.b % 4) // 4
+         |    AS p95_est
+         |FROM g JOIN p50 USING (grp) JOIN p95 USING (grp)""".stripMargin,
+
     // CCNet-style perplexity bucketing: q86's bigram-LM scores, then a
     // per-language cume_dist over the unique (avg_lp DESC NULLS LAST,
     // doc_id) ordering and head/middle/tail labels.
@@ -2626,5 +2656,7 @@ object Oracles {
     // sketch equals q158's
     ("q161_hll_incremental" -> base("q158_hll_distinct")) +
     // counter SUM-merge of corpus slices == one-shot counters, exactly
-    ("q164_cms_incremental" -> base("q163_cms_counts"))
+    ("q164_cms_incremental" -> base("q163_cms_counts")) +
+    // bin SUM-merge of corpus slices == one-shot bins, exactly
+    ("q166_len_quantiles_incremental" -> base("q165_len_quantiles"))
 }

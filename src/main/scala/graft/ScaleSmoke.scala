@@ -276,6 +276,13 @@ object ScaleSmoke {
       ("cms_counts", d => TextAnalysis.cmsTokenCounts(d,
           Seq("scan", "window", "spark", "hash", "stream", "zqxabsent"))
         .agg(sum(col("est_count"))).collect().head.getLong(0), null),
+      // token-length histogram quantile sketch: exchange capped at #bins
+      // (≤ ~128) rows per (task, group), percentile read-off a bounded
+      // bin-ordered fold — scan-bound like the other sketch rows; the
+      // exact percentile forms pay a corpus-wide cume_dist sort instead
+      ("len_quantiles", d => TextAnalysis.lenHistQuantiles(d)
+        .agg(sum(col("p50_est") + col("p95_est") + col("n_docs"))).collect()
+        .head.getLong(0), null),
       // BPE tokenizer training: ONE corpus-linear word-count pass, then 8
       // pair-count iterations over the distinct-word table only — per-
       // iteration cost is vocabulary-bound, so total cost tracks the

@@ -1187,6 +1187,31 @@ object SparkEntry {
         CmsProbeTokens)
     }),
 
+    // Token-length histogram quantile sketch per source: p50/p95 doc
+    // lengths from a BOUNDED quarter-octave bin relation (≤ ~128 rows
+    // per group, integer-only bin addressing) — the percentile
+    // datasheet column without the corpus-wide cume_dist sort that the
+    // exact forms (q115/q128) pay; exchange capped at #bins rows per
+    // (task, group) by map-side partial SUM.
+    "q165_len_quantiles" -> ((s, dir) =>
+      TextAnalysis.lenHistQuantiles(docs(s, dir))),
+
+    // q165's INCREMENTAL form — the stored-sketch quantile update (the
+    // q161/q164 pattern applied to histogram bins): persisted bin
+    // relation + exact associative SUM-merge + percentile read-off from
+    // the merged sketch, no corpus re-scan. Row-identical to one-shot
+    // recomputation — shares q165's oracle.
+    "q166_len_quantiles_incremental" -> ((s, dir) => {
+      val out = scratchDir("graft_lenhist_sketch")
+      val d = docs(s, dir)
+      TextAnalysis.lenHistRegisters(d.filter(col("doc_id") % 7 =!= 3))
+        .write.mode("overwrite").parquet(s"$out/sketch")
+      TextAnalysis.lenHistEstimate(
+        TextAnalysis.lenHistMerge(
+          s.read.parquet(s"$out/sketch"),
+          TextAnalysis.lenHistRegisters(d.filter(col("doc_id") % 7 === 3))))
+    }),
+
     // Tokenizer fertility per language: exact integer sums, two rounded
     // ratio columns — the multilingual tokenizer-health datasheet row.
     "q130_fertility" -> ((s, dir) =>

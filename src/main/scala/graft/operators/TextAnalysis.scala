@@ -1081,6 +1081,93 @@ object TextAnalysis {
   }
 
   /**
+   * Mergeable token-length HISTOGRAM sketch — the quantile member of the
+   * bounded-sketch datasheet trio (cardinality = [[hllDistinctTokens]],
+   * frequency = [[cmsTokenCounts]], quantiles = this): per-group
+   * document token-length percentiles without the corpus-wide
+   * percentile sort the exact forms (q115/q128's cume_dist windows) pay.
+   * Lengths land in QUARTER-OCTAVE bins addressed by pure integer
+   * arithmetic — bin = bitlen(L)·4 + ((4L div 2^(bitlen-1)) mod 4), at
+   * most ~128 bins over any 64-bit length — so the per-group relation
+   * is bounded, the exchange is capped at #bins rows per (task, group)
+   * by map-side partial SUM, and the quantile read-off is a bounded
+   * bin-ordered fold (no float bin edges: integer bit arithmetic is
+   * identical on every engine and in the SQL oracle). The estimate for
+   * percentile q is the LOWER BOUND of the first bin whose cumulative
+   * count reaches q·n — within a quarter-octave (≤ ~19 %) of the exact
+   * order statistic, deterministic, and rank-conservative.
+   *
+   * Output: (groupCol, n_docs, p50_est, p95_est).
+   */
+  def lenHistQuantiles(docs: DataFrame, groupCol: String = "source",
+      textCol: String = "text"): DataFrame =
+    lenHistEstimate(lenHistRegisters(docs, groupCol, textCol), groupCol)
+
+  /**
+   * The PERSISTABLE half of [[lenHistQuantiles]]: the per-group bin
+   * relation `(grp, bin, cnt)` — bounded (~128 rows max per group) and
+   * MERGEABLE with `SUM(cnt)` per (grp, bin) ([[lenHistMerge]]),
+   * associative and commutative, so an incremental datasheet stores
+   * this relation and folds each new batch's bins in — no corpus
+   * re-scan — then reads percentiles off the merged sketch.
+   */
+  def lenHistRegisters(docs: DataFrame, groupCol: String = "source",
+      textCol: String = "text"): DataFrame = {
+    // bitlen via bin() string length (exact integer log2+1, no float);
+    // 2^(bitlen-1) via pow is exact in double through 2^52
+    val len = size(words(col(textCol))).cast("long")
+    docs.select(col(groupCol).as("grp"), len.as("len"))
+      .withColumn("b", length(bin(col("len"))).cast("long"))
+      .withColumn("bin",
+        expr("b * 4 + (((len * 4) div cast(pow(2, b - 1) as bigint)) % 4)"))
+      .groupBy("grp", "bin")
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Associative-commutative bin merge: SUM per (grp, bin).
+    * `lenHistRegisters(A ∪ B) ≡ lenHistMerge(lenHistRegisters(A),
+    * lenHistRegisters(B))` — counters are sums over rows. */
+  def lenHistMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b)
+      .groupBy("grp", "bin")
+      .agg(sum(col("cnt")).as("cnt"))
+
+  /** Finish a (possibly merged, possibly re-read) [[lenHistRegisters]]
+    * relation into (groupCol, n_docs, p50_est, p95_est): bin-ordered
+    * cumulative fold, estimate = lower bound of the first bin whose
+    * cumulative count reaches q·n (integer comparison `100·cum ≥ q·n`),
+    * lower bound of bin id = 2^(b−1)·(4+quarter) div 4. */
+  def lenHistEstimate(reg: DataFrame, groupCol: String = "source"): DataFrame = {
+    // lower bound of a quarter-octave bin id, pure integer: b = bin div 4,
+    // lo = 2^(b-1)·(4+quarter) div 4 (pow exact in double through 2^52)
+    def lo(bin: Column): Column = {
+      val b = floor(bin.cast("double") / lit(4.0)).cast("long")
+      val base = pow(lit(2.0), (b - lit(1L)).cast("double")).cast("long")
+      floor((base * (lit(4L) + pmod(bin, lit(4L)))).cast("double") / lit(4.0))
+        .cast("long")
+    }
+    val step = (acc: Column, x: Column) => struct(
+      (acc("cum") + x("cnt")).as("cum"),
+      when(acc("p50") >= 0, acc("p50"))
+        .otherwise(when((acc("cum") + x("cnt")) * 100 >= lit(50) * acc("n"),
+          x("bin")).otherwise(lit(-1L))).as("p50"),
+      when(acc("p95") >= 0, acc("p95"))
+        .otherwise(when((acc("cum") + x("cnt")) * 100 >= lit(95) * acc("n"),
+          x("bin")).otherwise(lit(-1L))).as("p95"),
+      acc("n").as("n"))
+    reg.groupBy("grp")
+      .agg(sum(col("cnt")).as("n_docs"),
+        array_sort(collect_list(struct(col("bin"), col("cnt")))).as("rs"))
+      .select(col("grp"), col("n_docs"),
+        aggregate(col("rs"),
+          struct(lit(0L).as("cum"), lit(-1L).as("p50"), lit(-1L).as("p95"),
+            col("n_docs").as("n")),
+          step).as("f"))
+      .select(col("grp").as(groupCol), col("n_docs"),
+        lo(col("f")("p50")).as("p50_est"), lo(col("f")("p95")).as("p95_est"))
+  }
+
+  /**
    * Deterministic quality-weighted subsampling (the resampling stage of a
    * data-mixing pipeline): document kept iff `u < rate × quality`, where
    * `u` = portableHash(text)/P is a reproducible pseudo-uniform in [0,1).

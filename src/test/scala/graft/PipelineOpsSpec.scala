@@ -1184,6 +1184,54 @@ class PipelineOpsSpec extends GraftSuite {
     assert(estMerged == out)
   }
 
+  test("lenHistQuantiles: estimates within a quarter-octave below the exact " +
+      "order statistic; partition-invariant; bins merge associatively (q166)") {
+    // group a: lengths 1..100 (p50 exact = 50, p95 = 95); group b:
+    // lengths 10·(1..40) (p50 = 200, p95 = 380)
+    val docs = spark.range(140).select(col("id"),
+      when(col("id") < 100, "a").otherwise("b").as("source"),
+      concat_ws(" ", transform(
+        sequence(lit(1), when(col("id") < 100, col("id") + 1)
+          .otherwise((col("id") - 99) * 10)),
+        _ => lit("w"))).as("text"))
+    def run(d: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.lenHistQuantiles(d).collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toMap
+    val out = run(docs)
+    assert(out("a")._1 == 100L && out("b")._1 == 40L)
+    // the estimate is the lower bound of the bin holding the exact order
+    // statistic: lower-bounded by exact/1.19 (quarter-octave width), never
+    // above the exact value's bin upper edge
+    for ((g, exact50, exact95) <- Seq(("a", 50.0, 95.0), ("b", 200.0, 380.0))) {
+      val (_, p50, p95) = out(g)
+      assert(p50 <= exact50 && p50 >= exact50 / 1.26,
+        s"$g p50 est $p50 vs exact $exact50")
+      assert(p95 <= exact95 && p95 >= exact95 / 1.26,
+        s"$g p95 est $p95 vs exact $exact95")
+    }
+    // partition invariance (bin SUM + bin-ordered fold)
+    assert(run(docs.repartition(13)) == out)
+    // MERGEABLE bins: SUM-merge of arbitrary slices == the one-shot
+    // relation, associatively and commutatively (the q166 property)
+    val Seq(sa, sb, sc) = Seq(0, 1, 2).map(k =>
+      docs.filter(pmod(col("id"), lit(3)) === k))
+    def regs(d: org.apache.spark.sql.DataFrame) = TextAnalysis.lenHistRegisters(d)
+    def key(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(_.toString).sorted.toSeq
+    val full = regs(docs)
+    val leftAssoc = TextAnalysis.lenHistMerge(
+      TextAnalysis.lenHistMerge(regs(sa), regs(sb)), regs(sc))
+    val rightAssoc = TextAnalysis.lenHistMerge(
+      regs(sc), TextAnalysis.lenHistMerge(regs(sb), regs(sa)))
+    assert(key(leftAssoc) == key(full))
+    assert(key(rightAssoc) == key(full))
+    val estMerged = TextAnalysis.lenHistEstimate(leftAssoc).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(estMerged == out)
+  }
+
   test("hardNegatives: nearest different-label vectors; same label excluded; " +
       "partition-invariant") {
     val pts = Seq(
