@@ -1050,6 +1050,45 @@ object Oracles {
          |    AS p95_est
          |FROM g JOIN p50 USING (grp) JOIN p95 USING (grp)""".stripMargin,
 
+    // One-permutation MinHash source signatures: same WideHash +
+    // quadratic mix as q158; mixed base-31 low 12 bits -> bucket (the
+    // HLL register addressing), packed 62-bit u1*P+u2 -> rank minimized
+    // per (grp, bucket); pairwise estimate joins signatures on bucket
+    // (src_a < src_b), n_both co-occupied, n_eq agreeing minima,
+    // est_jaccard = n_eq over UNION-occupied buckets (n_a + n_b -
+    // n_both; the unbiased one-perm estimator — dividing by n_both
+    // conditions on co-occupancy, which discards the single-token
+    // buckets that can only be co-occupied when shared, inflating J),
+    // half-up-rounded to 4 decimals.
+    "q167_src_jaccard_sketch" ->
+      s"""WITH tok AS (SELECT source AS grp,
+         |    unnest(list_transform($Words,
+         |      w -> ${H("w")} * CAST(2147483647 AS BIGINT) + ${H131("w")})) AS h
+         |  FROM documents),
+         |x AS (SELECT grp, h // 2147483647 AS x1, h % 2147483647 AS x2
+         |  FROM tok),
+         |u AS (SELECT grp,
+         |    (((x1 * x1) % 2147483647) * 16807 + x2 * 40692 + 12345)
+         |      % 2147483647 AS u1,
+         |    (((x2 * x2) % 2147483647) * 48271 + x1 * 69621 + 54321)
+         |      % 2147483647 AS u2
+         |  FROM x),
+         |sig AS (SELECT grp, u1 & 4095 AS bucket,
+         |    min(u1 * CAST(2147483647 AS BIGINT) + u2) AS v
+         |  FROM u GROUP BY grp, bucket),
+         |siz AS (SELECT grp, count(*) AS n_occ FROM sig GROUP BY grp),
+         |p AS (SELECT a.grp AS src_a, b.grp AS src_b,
+         |    count(*) AS n_both,
+         |    sum(CASE WHEN a.v = b.v THEN 1 ELSE 0 END) AS n_eq
+         |  FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.grp < b.grp
+         |  GROUP BY a.grp, b.grp)
+         |SELECT src_a, src_b, CAST(n_both AS BIGINT) AS n_both,
+         |  CAST(n_eq AS BIGINT) AS n_eq,
+         |  floor(n_eq / (sa.n_occ + sb.n_occ - n_both) * 1e4 + 0.5) / 1e4
+         |    AS est_jaccard
+         |FROM p JOIN siz sa ON sa.grp = p.src_a
+         |JOIN siz sb ON sb.grp = p.src_b""".stripMargin,
+
     // CCNet-style perplexity bucketing: q86's bigram-LM scores, then a
     // per-language cume_dist over the unique (avg_lp DESC NULLS LAST,
     // doc_id) ordering and head/middle/tail labels.
@@ -2658,5 +2697,7 @@ object Oracles {
     // counter SUM-merge of corpus slices == one-shot counters, exactly
     ("q164_cms_incremental" -> base("q163_cms_counts")) +
     // bin SUM-merge of corpus slices == one-shot bins, exactly
-    ("q166_len_quantiles_incremental" -> base("q165_len_quantiles"))
+    ("q166_len_quantiles_incremental" -> base("q165_len_quantiles")) +
+    // signature MIN-merge of corpus slices == one-shot minima, exactly
+    ("q168_src_jaccard_incremental" -> base("q167_src_jaccard_sketch"))
 }

@@ -1212,6 +1212,32 @@ object SparkEntry {
           TextAnalysis.lenHistRegisters(d.filter(col("doc_id") % 7 === 3))))
     }),
 
+    // One-permutation MinHash source signatures: cross-source vocabulary
+    // Jaccard from a bucket-minimum sketch — the similarity member of
+    // the bounded-sketch datasheet family (q158/q163/q165), and the
+    // sketch twin of q135's exact overlap matrix: exchange capped at
+    // 2^logM signature rows per (task, group) by map-side partial MIN,
+    // pair estimation joins only the bounded (broadcast) sketch — the
+    // exact form shuffles the whole growing vocabulary per refresh.
+    "q167_src_jaccard_sketch" -> ((s, dir) =>
+      TextAnalysis.sourceJaccardSketch(docs(s, dir))),
+
+    // q167's INCREMENTAL form — the stored-sketch similarity update (the
+    // q161/q164/q166 pattern applied to signature minima): persisted
+    // signature relation + exact associative MIN-merge + pair estimation
+    // off the merged sketch, no corpus re-scan. Row-identical to
+    // one-shot recomputation — shares q167's oracle.
+    "q168_src_jaccard_incremental" -> ((s, dir) => {
+      val out = scratchDir("graft_minhash_sig_sketch")
+      val d = docs(s, dir)
+      TextAnalysis.minhashSignatures(d.filter(col("doc_id") % 7 =!= 3))
+        .write.mode("overwrite").parquet(s"$out/sketch")
+      TextAnalysis.minhashJaccardEstimate(
+        TextAnalysis.minhashMergeSignatures(
+          s.read.parquet(s"$out/sketch"),
+          TextAnalysis.minhashSignatures(d.filter(col("doc_id") % 7 === 3))))
+    }),
+
     // Tokenizer fertility per language: exact integer sums, two rounded
     // ratio columns — the multilingual tokenizer-health datasheet row.
     "q130_fertility" -> ((s, dir) =>

@@ -1168,6 +1168,113 @@ object TextAnalysis {
   }
 
   /**
+   * One-permutation MinHash SOURCE signatures — the SIMILARITY member of
+   * the bounded-sketch datasheet family (cardinality =
+   * [[hllDistinctTokens]], frequency = [[cmsTokenCounts]], quantiles =
+   * [[lenHistQuantiles]], similarity = this): a per-group bucket-minimum
+   * sketch (Li, Owen & Zhang 2012, "One permutation hashing") over the
+   * token vocabulary, from which cross-source vocabulary Jaccard is
+   * estimated WITHOUT the vocabulary-wide distinct + gram-keyed
+   * self-join the exact overlap matrix ([[sourceOverlapMatrix]], q135)
+   * pays — at a growing web corpus the exact form shuffles the whole
+   * (growing) vocabulary once per refresh, while this sketch's exchange
+   * is capped at `2^logM` bucket rows per (task, group) by map-side
+   * partial MIN, and pair estimation joins only the bounded sketch.
+   *
+   * Hashing is the family's quadratic-cross-mixed WideHash
+   * ([[hllDistinctTokens]] documents why affine mixing is not enough):
+   * the mixed base-31 component's low `logM` bits pick the bucket (the
+   * HLL register addressing) and the packed 62-bit value
+   * `u1·P + u2` is the permutation rank minimized within the bucket —
+   * deterministic, partition-invariant, mirrored term-for-term by the
+   * SQL oracle. The estimator divides agreeing minima by the count of
+   * buckets occupied by EITHER group (`n_eq / (n_a + n_b − n_both)`):
+   * within any occupied union-bucket the minimum-ranked token is
+   * uniform over the union members there, and the minima agree exactly
+   * when it is shared, so `P(agree | bucket occupied) = J` — unbiased.
+   * Dividing by the CO-occupied count `n_both` instead is the tempting
+   * wrong estimator: a union-bucket holding a single token can only be
+   * co-occupied when that token is shared, so conditioning on
+   * co-occupancy discards disagreements and inflates J (measured:
+   * +0.055 absolute at J=1/3, 15k-token union, logM=12 — 7σ out; the
+   * union-occupancy form lands inside 5σ ≈ ±0.037). Standard error
+   * ≈ √(J(1−J)/m_occ); ±1.6 % at J=0.5, logM=12.
+   *
+   * The signature relation is MERGEABLE with per-(grp, bucket) MIN —
+   * associative and commutative — so an incremental datasheet stores it
+   * and folds each new batch in with [[minhashMergeSignatures]]; the
+   * merged sketch is row-identical to recomputation from the union.
+   */
+  def sourceJaccardSketch(docs: DataFrame, logM: Int = 12,
+      groupCol: String = "source", textCol: String = "text"): DataFrame =
+    minhashJaccardEstimate(minhashSignatures(docs, logM, groupCol, textCol),
+      groupCol)
+
+  /**
+   * The PERSISTABLE half of [[sourceJaccardSketch]]: the per-(group,
+   * bucket) signature relation `(grp, bucket, v)` — minimum packed
+   * 62-bit rank per occupied bucket, at most `2^logM` rows per group.
+   * Mergeable with `MIN(v)` per (grp, bucket)
+   * ([[minhashMergeSignatures]]).
+   */
+  def minhashSignatures(docs: DataFrame, logM: Int = 12,
+      groupCol: String = "source", textCol: String = "text"): DataFrame = {
+    require(logM >= 4 && logM <= 20, "logM must be in [4, 20]")
+    val m = 1 << logM
+    mixedHash(docs.select(col(groupCol).as("grp"),
+        explode(words(col(textCol))).as("word")), "word")
+      .select(col("grp"),
+        col("u1").bitwiseAND(lit((m - 1).toLong)).as("bucket"),
+        (col("u1") * lit(HashP) + col("u2")).as("v"))
+      .groupBy("grp", "bucket")
+      .agg(min(col("v")).as("v"))
+  }
+
+  /** Associative-commutative signature merge: MIN rank per (grp,
+    * bucket). `minhashSignatures(A ∪ B) ≡ minhashMergeSignatures(
+    * minhashSignatures(A), minhashSignatures(B))` — a bucket minimum is
+    * itself a MIN fold over rows. */
+  def minhashMergeSignatures(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b)
+      .groupBy("grp", "bucket")
+      .agg(min(col("v")).as("v"))
+
+  /** Estimate pairwise vocabulary Jaccard from a (possibly merged,
+    * possibly re-read) [[minhashSignatures]] relation: for each
+    * unordered group pair the signatures equi-join on bucket (the
+    * sketch side is bounded by `2^logM` rows per group, so it
+    * broadcasts — pair estimation never touches the corpus), `n_both`
+    * counts co-occupied buckets, `n_eq` counts agreeing minima, and
+    * `est_jaccard = n_eq / (n_a + n_b − n_both)` — agreeing minima
+    * over UNION-occupied buckets, the unbiased form (see
+    * [[sourceJaccardSketch]] for why dividing by `n_both` is wrong) —
+    * rounded to 4 decimals with the exact half-up integer trick
+    * ([[sourceOverlapMatrix]]'s). Pairs sharing no bucket at all (only
+    * possible for near-empty vocabularies at `2^logM` buckets) emit no
+    * row, exactly as in the mirrored oracle.
+    *
+    * Output: (src_a, src_b, n_both, n_eq, est_jaccard), src_a < src_b.
+    */
+  def minhashJaccardEstimate(sig: DataFrame,
+      groupCol: String = "source"): DataFrame = {
+    val sizes = sig.groupBy("grp").agg(count(lit(1)).as("n_occ"))
+    sig.as("a")
+      .join(broadcast(sig.as("b")),
+        col("a.bucket") === col("b.bucket") && col("a.grp") < col("b.grp"))
+      .groupBy(col("a.grp").as("src_a"), col("b.grp").as("src_b"))
+      .agg(count(lit(1)).as("n_both"),
+        sum(when(col("a.v") === col("b.v"), 1L).otherwise(0L)).as("n_eq"))
+      .join(broadcast(sizes.withColumnsRenamed(
+        Map("grp" -> "src_a", "n_occ" -> "n_a"))), "src_a")
+      .join(broadcast(sizes.withColumnsRenamed(
+        Map("grp" -> "src_b", "n_occ" -> "n_b"))), "src_b")
+      .withColumn("est_jaccard",
+        floor(col("n_eq") / (col("n_a") + col("n_b") - col("n_both"))
+          * 1e4 + 0.5) / 1e4)
+      .select("src_a", "src_b", "n_both", "n_eq", "est_jaccard")
+  }
+
+  /**
    * Deterministic quality-weighted subsampling (the resampling stage of a
    * data-mixing pipeline): document kept iff `u < rate × quality`, where
    * `u` = portableHash(text)/P is a reproducible pseudo-uniform in [0,1).

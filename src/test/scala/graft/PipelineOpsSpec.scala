@@ -1232,6 +1232,67 @@ class PipelineOpsSpec extends GraftSuite {
     assert(estMerged == out)
   }
 
+  test("sourceJaccardSketch: estimates within 5 sigma of true vocabulary " +
+      "Jaccard; identical sources hit 1.0; disjoint near 0; bounded; " +
+      "partition-invariant; signatures MIN-merge associatively (q168)") {
+    // four sources with controlled vocabulary overlap: a = w0..w9999,
+    // b = w5000..w14999 (J(a,b) = 5000/15000 = 1/3), c = v0..v9999
+    // (disjoint from a/b), d = c's vocabulary exactly (J(c,d) = 1)
+    val docs = spark.range(80).select(col("id"),
+      when(col("id") < 20, "a").when(col("id") < 40, "b")
+        .when(col("id") < 60, "c").otherwise("d").as("source"),
+      concat_ws(" ", transform(sequence(lit(0), lit(499)), i =>
+        when(col("id") < 20,
+            concat(lit("w"), (col("id") * 500 + i).cast("string")))
+          .when(col("id") < 40,
+            concat(lit("w"), (lit(5000) + (col("id") - 20) * 500 + i).cast("string")))
+          .when(col("id") < 60,
+            concat(lit("v"), ((col("id") - 40) * 500 + i).cast("string")))
+          .otherwise(
+            concat(lit("v"), ((col("id") - 60) * 500 + i).cast("string")))))
+        .as("text"))
+    def run(d: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.sourceJaccardSketch(d).collect()
+        .map(r => (r.getString(0), r.getString(1)) ->
+          (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    val out = run(docs)
+    // one-perm MinHash stderr = sqrt(J(1-J)/m); 5 sigma at m=4096
+    val j = 1.0 / 3.0
+    val tol = 5 * math.sqrt(j * (1 - j) / 4096.0)
+    assert(math.abs(out(("a", "b"))._3 - j) < tol,
+      s"J(a,b) est ${out(("a", "b"))._3} vs $j (tol $tol)")
+    // identical vocabularies: every co-occupied bucket agrees, exactly 1
+    assert(out(("c", "d"))._3 == 1.0 && out(("c", "d"))._1 == out(("c", "d"))._2)
+    // disjoint vocabularies: agreement only via 62-bit rank collision
+    assert(out(("a", "c"))._3 < 0.005, s"J(a,c) est ${out(("a", "c"))._3}")
+    assert(out(("b", "c"))._3 < 0.005)
+    // bounded sketch: at most 2^logM signature rows per group
+    val sig = TextAnalysis.minhashSignatures(docs)
+    val maxRows = sig.groupBy("grp").count().agg(max("count")).collect().head.getLong(0)
+    assert(maxRows <= 4096, s"signature rows per group $maxRows > 4096")
+    // partition invariance (bucket MIN + integer join/count fold)
+    assert(run(docs.repartition(13)) == out)
+    // MERGEABLE signatures: MIN-merge of arbitrary slices == the
+    // one-shot relation, associatively and commutatively (q168), and
+    // the estimate off the merged sketch is identical
+    val Seq(sa, sb, sc) = Seq(0, 1, 2).map(k =>
+      docs.filter(pmod(hash(col("text")), lit(3)) === k))
+    def regs(d: org.apache.spark.sql.DataFrame) = TextAnalysis.minhashSignatures(d)
+    def key(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(_.toString).sorted.toSeq
+    val full = regs(docs)
+    val leftAssoc = TextAnalysis.minhashMergeSignatures(
+      TextAnalysis.minhashMergeSignatures(regs(sa), regs(sb)), regs(sc))
+    val rightAssoc = TextAnalysis.minhashMergeSignatures(
+      regs(sc), TextAnalysis.minhashMergeSignatures(regs(sb), regs(sa)))
+    assert(key(leftAssoc) == key(full))
+    assert(key(rightAssoc) == key(full))
+    val estMerged = TextAnalysis.minhashJaccardEstimate(leftAssoc).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(estMerged == out)
+  }
+
   test("hardNegatives: nearest different-label vectors; same label excluded; " +
       "partition-invariant") {
     val pts = Seq(
