@@ -54,6 +54,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.sources.Storage.pinBucketedScans(spark)
     // Warm the JVM/codegen/parquet paths once so the alphabetically-first
     // query doesn't absorb session startup in its measurement.
     try {

@@ -11,6 +11,7 @@ object DebugPlan {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.sources.Storage.pinBucketedScans(spark)
     val df = SparkEntry.queries(args(0))(spark, args.lift(1).getOrElse("/root/testdata/sf0.001"))
     df.queryExecution.optimizedPlan.foreach {
       case w: Window if w.partitionSpec.isEmpty =>

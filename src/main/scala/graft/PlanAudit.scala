@@ -21,6 +21,7 @@ object PlanAudit {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.sources.Storage.pinBucketedScans(spark)
     names.foreach { n =>
       println(s"########## $n")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")

@@ -64,6 +64,7 @@ object PlanDigest {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.sources.Storage.pinBucketedScans(spark)
     names.foreach { n =>
       println(s"$n -> ${of(SparkEntry.queries(n)(spark, sfDir))}")
     }

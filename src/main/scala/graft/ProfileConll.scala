@@ -19,6 +19,7 @@ object ProfileConll {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    graft.sources.Storage.pinBucketedScans(spark)
 
     def t[A](label: String)(f: => A): A = {
       val s = System.nanoTime(); val r = f

@@ -18,6 +18,7 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.sources.Storage.pinBucketedScans(spark)
     new java.io.File(outDir).mkdirs()
     // Local-iteration filter (unset when the driver runs): only dump
     // queries whose name matches the regex.

@@ -248,8 +248,11 @@ object Bpe {
           top.iterator.takeWhile(_ => n < want).foreach { r =>
             val (l, rr, f) = (r.getString(0), r.getString(1), r.getLong(2))
             val m = l + rr
+            // !accMerged(m): two same-batch merges may NOT produce the
+            // identical merged symbol (e.g. (a,bc) and (ab,c) → abc) —
+            // that would assign two ranks to one vocabulary entry
             if (!accRhs(l) && !accLhs(rr) && !accMerged(l) && !accMerged(rr) &&
-                !accLhs(m) && !accRhs(m)) {
+                !accLhs(m) && !accRhs(m) && !accMerged(m)) {
               accepted += Merge(rank + n, l, rr, f)
               accLhs += l; accRhs += rr; accMerged += m
               n += 1

@@ -1207,8 +1207,7 @@ object TextAnalysis {
    */
   def sourceJaccardSketch(docs: DataFrame, logM: Int = 12,
       groupCol: String = "source", textCol: String = "text"): DataFrame =
-    minhashJaccardEstimate(minhashSignatures(docs, logM, groupCol, textCol),
-      groupCol)
+    minhashJaccardEstimate(minhashSignatures(docs, logM, groupCol, textCol))
 
   /**
    * The PERSISTABLE half of [[sourceJaccardSketch]]: the per-(group,
@@ -1255,8 +1254,7 @@ object TextAnalysis {
     *
     * Output: (src_a, src_b, n_both, n_eq, est_jaccard), src_a < src_b.
     */
-  def minhashJaccardEstimate(sig: DataFrame,
-      groupCol: String = "source"): DataFrame = {
+  def minhashJaccardEstimate(sig: DataFrame): DataFrame = {
     val sizes = sig.groupBy("grp").agg(count(lit(1)).as("n_occ"))
     sig.as("a")
       .join(broadcast(sig.as("b")),

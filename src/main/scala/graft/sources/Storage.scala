@@ -47,16 +47,23 @@ object Storage {
       .format("parquet")
       .saveAsTable(table)
 
-  def readTable(spark: SparkSession, table: String): DataFrame = {
-    // Every graft table is bucketed DELIBERATELY (co-located joins, or
-    // bucket-pruned index probes). Spark's DisableUnnecessaryBucketedScan
-    // rule models only the join/agg co-location benefit — under a
-    // broadcast join it silently reverts to a non-bucketed scan and
-    // thereby LOSES bucket pruning ("Bucketed: false (disabled by query
-    // planner)"), turning a probe that should open 1 of N shards into a
-    // full index read. Pin auto-bucketed-scan off for the session: scans
-    // of bucketed tables always honor the bucketing.
+  /**
+   * Pin bucketed scans ON for the session. Every graft table is bucketed
+   * DELIBERATELY (co-located joins, or bucket-pruned index probes).
+   * Spark's DisableUnnecessaryBucketedScan rule models only the join/agg
+   * co-location benefit — under a broadcast join it silently reverts to a
+   * non-bucketed scan and thereby LOSES bucket pruning ("Bucketed: false
+   * (disabled by query planner)"), turning a probe that should open 1 of
+   * N shards into a full index read. Call ONCE at session initialization
+   * (the graft harness mains and test fixture all do); [[readTable]] does
+   * not mutate session config.
+   */
+  def pinBucketedScans(spark: SparkSession): Unit =
     spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+
+  /** Read a table written by [[writeBucketed]]/[[appendBucketed]]. Assumes
+   *  [[pinBucketedScans]] was applied at session init (bucket pruning is
+   *  lost otherwise — a perf hazard, never a correctness one). */
+  def readTable(spark: SparkSession, table: String): DataFrame =
     spark.table(table)
-  }
 }

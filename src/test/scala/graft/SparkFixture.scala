@@ -14,6 +14,7 @@ object SparkFixture {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    graft.sources.Storage.pinBucketedScans(s)
     s
   }
 }
