@@ -1924,6 +1924,28 @@ object Oracles {
          |  FROM cand JOIN hs x ON x.doc_id = cand.batch_id JOIN hs y ON y.doc_id = cand.dup_id)
          |WHERE jaccard >= 0.7""".stripMargin,
 
+    // Self-updating ingest loop mirror: the sequential two-batch
+    // semantics flattened — batch1 (doc_id%7=3) collides with the seed
+    // corpus (%7=0) only; batch2 (%7=5) collides with the seed corpus
+    // AND batch1 (the rows the engine's index absorbed between the
+    // probes). Same band-join + first-shared-band (DISTINCT) + exact
+    // Jaccard verify as q120.
+    "q169_selfupdating_ingest" ->
+      s"""WITH $MinhashCte,
+         |bnd AS (SELECT doc_id, generate_subscripts(keys, 1) - 1 AS band, unnest(keys) AS key FROM bk),
+         |cand AS (
+         |  SELECT DISTINCT b.doc_id AS batch_id, c.doc_id AS dup_id
+         |  FROM bnd b JOIN bnd c ON b.band = c.band AND b.key = c.key
+         |  WHERE b.doc_id % 7 = 3 AND c.doc_id % 7 = 0
+         |  UNION
+         |  SELECT DISTINCT b.doc_id, c.doc_id
+         |  FROM bnd b JOIN bnd c ON b.band = c.band AND b.key = c.key
+         |  WHERE b.doc_id % 7 = 5 AND c.doc_id % 7 IN (0, 3))
+         |SELECT * FROM (SELECT batch_id, dup_id,
+         |    floor((CAST(len(list_intersect(x.h, y.h)) AS DOUBLE) / len(list_distinct(list_concat(x.h, y.h)))) * 1e4 + 0.5) / 1e4 AS jaccard
+         |  FROM cand JOIN hs x ON x.doc_id = cand.batch_id JOIN hs y ON y.doc_id = cand.dup_id)
+         |WHERE jaccard >= 0.7""".stripMargin,
+
     // Corpus sharding: salted-hash shard + independent salted-hash
     // in-shard order, dense 0-based position (doc_id tie-break).
     "q119_shard_order" ->

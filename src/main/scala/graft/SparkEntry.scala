@@ -1762,13 +1762,8 @@ object SparkEntry {
       // the (semantically no-op) prune instead of growing the literal —
       // soft valve, unlike q154's hard one, because here pruning is
       // purely an optimization.
-      val maxProbeKeys = 4096
-      val keys = batch.select(
-          explode(Dedup.lshBandKeys(
-            Dedup.minhashSignature(col("text"), 8, 3), 8, 4)).as("key"))
-        .distinct().limit(maxProbeKeys + 1).collect().map(_.getLong(0))
-      val pruned = if (keys.length > maxProbeKeys) index
-        else index.filter(col("key").isin(keys.map(java.lang.Long.valueOf): _*))
+      val pruned = Dedup.pruneIndexForBatch(index, batch, k = 8, bands = 4,
+        shingleK = 3)
       streaming.DocumentStreams.nearDupAgainstIndex(batch, pruned, corpus,
         threshold = 0.7, k = 8, bands = 4, shingleK = 3)
     }),
@@ -1790,6 +1785,35 @@ object SparkEntry {
       Dedup.incrementalDupPairsIndexed(
         sources.Storage.readTable(s, tbl), corpus, batch,
         threshold = 0.7, k = 8, bands = 4, shingleK = 3)
+    }),
+
+    // The 24/7 crawl loop CLOSED (round-16): two successive ingest
+    // batches against a SELF-UPDATING stored band index + corpus —
+    // batch 1 probes the seed corpus (doc_id % 7 == 0) and is absorbed
+    // (Storage.appendBucketed, the q162 pattern applied to
+    // Dedup.lshBandIndex); batch 2 then collides with BOTH the seed
+    // corpus and batch 1 through the appended index rows. Each probe is
+    // q159's bucket-pruned stored-index read; each update costs ∝ batch.
+    // The oracle mirrors the sequential semantics exactly: batch1 vs
+    // corpus pairs ∪ batch2 vs (corpus ∪ batch1) pairs.
+    "q169_selfupdating_ingest" -> ((s, dir) => {
+      val out = scratchDir("graft_selfidx")
+      val idxTbl = scratchTable("graft_q169_idx", out)
+      val corTbl = scratchTable("graft_q169_cor", out)
+      val d = docs(s, dir)
+      val corpus0 = d.filter(col("doc_id") % 7 === 0).select("doc_id", "text")
+      val batch1 = d.filter(col("doc_id") % 7 === 3).select("doc_id", "text")
+      val batch2 = d.filter(col("doc_id") % 7 === 5).select("doc_id", "text")
+      sources.Storage.writeBucketed(
+        Dedup.lshBandIndex(corpus0, k = 8, bands = 4, shingleK = 3),
+        idxTbl, s"$out/idx", bucketCol = "key", buckets = 8)
+      sources.Storage.writeBucketed(corpus0, corTbl, s"$out/cor",
+        bucketCol = "doc_id", buckets = 8)
+      val r1 = streaming.DocumentStreams.ingestProbeThenUpdate(batch1,
+        idxTbl, corTbl, threshold = 0.7, k = 8, bands = 4, shingleK = 3)
+      val r2 = streaming.DocumentStreams.ingestProbeThenUpdate(batch2,
+        idxTbl, corTbl, threshold = 0.7, k = 8, bands = 4, shingleK = 3)
+      r1.unionByName(r2)
     }),
 
     "q29_contain_join" -> ((s, dir) => {

@@ -1025,6 +1025,29 @@ object Dedup {
         posexplode(col("kc")).as(Seq("band", "key")))
 
   /**
+   * Prune a (typically persisted, bucketed-by-`key`) [[lshBandIndex]]
+   * relation to the buckets one ingest batch can touch: the batch's
+   * DISTINCT band keys — bounded by |batch| × bands — reach the scan as
+   * an `isin` literal, which Spark plans as physical BUCKET PRUNING
+   * (SelectedBucketsCount < buckets; StorageSpec asserts the pattern).
+   * Soft valve: a micro-batch's key set is small (that is the lever —
+   * unprobed buckets are never opened), while a huge backfill batch
+   * would touch every bucket anyway, so above `maxProbeKeys` the
+   * (semantically no-op) prune is skipped instead of growing the
+   * literal and the driver fetch.
+   */
+  def pruneIndexForBatch(index: DataFrame, batch: DataFrame, k: Int = 16,
+      bands: Int = 4, shingleK: Int = 3, textCol: String = "text",
+      maxProbeKeys: Int = 4096): DataFrame = {
+    val keys = batch.select(
+        explode(lshBandKeys(
+          minhashSignature(col(textCol), k, shingleK), k, bands)).as("key"))
+      .distinct().limit(maxProbeKeys + 1).collect().map(_.getLong(0))
+    if (keys.length > maxProbeKeys) index
+    else index.filter(col("key").isin(keys.map(java.lang.Long.valueOf): _*))
+  }
+
+  /**
    * [[incrementalDupPairs]] with the corpus branch probing a pre-built
    * [[lshBandIndex]] relation instead of re-deriving band keys from
    * corpus text — row-identical by construction (the index rows ARE the

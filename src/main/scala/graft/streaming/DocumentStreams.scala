@@ -196,6 +196,121 @@ object DocumentStreams {
       idCol = corpusIdCol, textCol = corpusTextCol)
   }
 
+  /**
+   * Probe the PERSISTED corpus for one ingest batch — the read half of
+   * the self-updating loop: the stored [[graft.operators.Dedup.lshBandIndex]]
+   * table (bucketed by `key`) supplies candidates through
+   * [[graft.operators.Dedup.pruneIndexForBatch]]'s bucket-pruned scan,
+   * and the stored corpus relation `(idCol, textCol)` supplies the exact
+   * shingle-Jaccard verify for just those candidates. Per-batch cost:
+   * a pruned index read + the candidates' verify join — no corpus
+   * signature recompute anywhere.
+   */
+  def probeStoredIndex(batch: DataFrame, indexTable: String,
+      corpusTable: String, threshold: Double = 0.8, k: Int = 16,
+      bands: Int = 4, shingleK: Int = 3, idCol: String = "doc_id",
+      textCol: String = "text", maxProbeKeys: Int = 4096): DataFrame = {
+    import graft.operators.Dedup
+    import graft.sources.Storage
+    val spark = batch.sparkSession
+    val pruned = Dedup.pruneIndexForBatch(
+      Storage.readTable(spark, indexTable), batch, k, bands, shingleK,
+      textCol, maxProbeKeys)
+    nearDupAgainstIndex(batch, pruned, Storage.readTable(spark, corpusTable),
+      threshold, k, bands, shingleK, idCol, textCol)
+  }
+
+  /**
+   * Absorb one ingest batch INTO the stored corpus — the write half of
+   * the self-updating loop: the batch's own band rows append bucketed
+   * under the index table's spec ([[graft.sources.Storage.appendBucketed]])
+   * and its `(idCol, textCol)` rows under the corpus table's, so the
+   * NEXT batch's probe sees this batch as corpus. Per-batch cost ∝
+   * batch size (the existing index files are never rewritten); probes
+   * keep bucket-pruning across append generations (StorageSpec).
+   */
+  def updateStoredIndex(batch: DataFrame, indexTable: String,
+      corpusTable: String, k: Int = 16, bands: Int = 4, shingleK: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text",
+      indexBuckets: Int = 8, corpusBuckets: Int = 8): Unit = {
+    import graft.operators.Dedup
+    import graft.sources.Storage
+    Storage.appendBucketed(
+      Dedup.lshBandIndex(batch, k, bands, shingleK, idCol, textCol),
+      indexTable, bucketCol = "key", buckets = indexBuckets)
+    Storage.appendBucketed(batch.select(col(idCol), col(textCol)),
+      corpusTable, bucketCol = idCol, buckets = corpusBuckets)
+  }
+
+  /**
+   * One step of the SELF-UPDATING ingest loop — probe, then absorb:
+   * emit the batch's dup pairs against everything ingested so far, then
+   * fold the batch into the stored index + corpus so the next batch
+   * probes it too. This is the 24/7 operating shape q159 (static probe)
+   * and q162 (append) each carry half of.
+   *
+   * The emitted pairs are MATERIALIZED (eager `localCheckpoint`) before
+   * the append — the probe plan is lazy, so without the barrier a
+   * consumer evaluating the returned relation after the append would
+   * read the batch's own index rows and report every document as its
+   * own duplicate. (The streaming form gets the same ordering for free:
+   * [[crawlSelfUpdating]] writes the pairs to the sink before
+   * appending.)
+   *
+   * Semantics: batch-vs-ingested pairs only (intra-batch duplicates are
+   * [[graft.operators.Dedup.minhashDupPairs]] on the batch, exactly as
+   * in [[graft.operators.Dedup.incrementalDupPairs]]'s `vsBatch`
+   * branch) — a later batch DOES collide with an earlier batch's
+   * documents through the appended index rows.
+   */
+  def ingestProbeThenUpdate(batch: DataFrame, indexTable: String,
+      corpusTable: String, threshold: Double = 0.8, k: Int = 16,
+      bands: Int = 4, shingleK: Int = 3, idCol: String = "doc_id",
+      textCol: String = "text", indexBuckets: Int = 8,
+      corpusBuckets: Int = 8, maxProbeKeys: Int = 4096): DataFrame = {
+    val pairs = probeStoredIndex(batch, indexTable, corpusTable, threshold,
+      k, bands, shingleK, idCol, textCol, maxProbeKeys)
+      .localCheckpoint(true)
+    updateStoredIndex(batch, indexTable, corpusTable, k, bands, shingleK,
+      idCol, textCol, indexBuckets, corpusBuckets)
+    pairs
+  }
+
+  /**
+   * The streaming 24/7 crawl loop, CLOSED: each micro-batch of raw HTML
+   * pages is extracted ([[graft.operators.Html.text]]), probes the
+   * stored band index (bucket-pruned), lands its dup pairs in
+   * `pairsDir`, and is then absorbed into the stored index + corpus —
+   * so a page recrawled in a LATER micro-batch is detected against this
+   * one. `foreachBatch` gives the ordering guarantee the loop needs
+   * (pairs written before the index absorbs the batch) and runs each
+   * batch exactly once per epoch; the probe itself is the stateless
+   * q156/q159 plan, so there is still no watermark and no state store —
+   * all cross-batch memory lives in the two stored tables.
+   *
+   * Returns the started query; stop it to end the crawl.
+   */
+  def crawlSelfUpdating(pages: DataFrame, indexTable: String,
+      corpusTable: String, pairsDir: String, checkpointDir: String,
+      threshold: Double = 0.8, k: Int = 16, bands: Int = 4,
+      shingleK: Int = 3, pageIdCol: String = "page_id",
+      htmlCol: String = "html", corpusIdCol: String = "doc_id",
+      corpusTextCol: String = "text", indexBuckets: Int = 8,
+      corpusBuckets: Int = 8, maxProbeKeys: Int = 4096)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    pages.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val extracted = batch.select(col(pageIdCol).as(corpusIdCol),
+          graft.operators.Html.text(col(htmlCol)).as(corpusTextCol))
+        probeStoredIndex(extracted, indexTable, corpusTable, threshold,
+          k, bands, shingleK, corpusIdCol, corpusTextCol, maxProbeKeys)
+          .write.mode("append").parquet(pairsDir)
+        updateStoredIndex(extracted, indexTable, corpusTable, k, bands,
+          shingleK, corpusIdCol, corpusTextCol, indexBuckets, corpusBuckets)
+      }
+      .start()
+
   /** [[crawlNearDupAgainstCorpus]] probing a pre-built (typically
     * persisted, bucketed-by-`key`) band-index relation — the 24/7 crawl
     * operating form: the static side of the stream-static join is a

@@ -164,6 +164,64 @@ class StorageSpec extends GraftSuite {
     }
   }
 
+  test("self-updating ingest: each probe matches sequential recompute, the " +
+      "update is visible to the NEXT batch, and pruning holds across generations") {
+    import graft.streaming.DocumentStreams
+    val t0 = "the quick brown fox jumps over the lazy dog and runs far away today"
+    val t1 = "completely different text about database engines and query planners"
+    val corpus = Seq((0L, t0), (2L, t1)).toDF("doc_id", "text")
+    // batch1 duplicates a CORPUS doc; batch2 duplicates a BATCH1 doc —
+    // detectable only if batch1 was absorbed into the stored index
+    val batch1 = Seq((10L, t0), (11L, "novel glacier valley survey notes today"))
+      .toDF("doc_id", "text")
+    val batch2 = Seq((20L, "novel glacier valley survey notes today"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_self_idx_t")
+    dir.toFile.deleteOnExit()
+    Storage.writeBucketed(
+      graft.operators.Dedup.lshBandIndex(corpus, k = 8, bands = 4, shingleK = 3),
+      "self_idx_spec", s"$dir/idx", bucketCol = "key", buckets = 8)
+    Storage.writeBucketed(corpus, "self_cor_spec", s"$dir/cor",
+      bucketCol = "doc_id", buckets = 8)
+    try {
+      def run(b: org.apache.spark.sql.DataFrame) =
+        DocumentStreams.ingestProbeThenUpdate(b, "self_idx_spec",
+          "self_cor_spec", threshold = 0.5, k = 8, bands = 4, shingleK = 3)
+      val r1 = run(batch1).collect().map(_.toString).sorted.toSeq
+      val r2 = run(batch2).collect().map(_.toString).sorted.toSeq
+      // sequential recompute oracle: batch1 vs corpus; batch2 vs corpus∪batch1
+      val e1 = DocumentStreams.nearDupAgainstCorpus(batch1, corpus,
+        threshold = 0.5, k = 8, bands = 4, shingleK = 3)
+        .collect().map(_.toString).sorted.toSeq
+      val e2 = DocumentStreams.nearDupAgainstCorpus(batch2,
+        corpus.unionByName(batch1), threshold = 0.5, k = 8, bands = 4,
+        shingleK = 3).collect().map(_.toString).sorted.toSeq
+      assert(r1 == e1 && r1.nonEmpty, s"batch1: $r1 vs $e1")
+      assert(r2 == e2, s"batch2: $r2 vs $e2")
+      // the batch2 detection is AGAINST A BATCH1 DOC — the self-update
+      // is what makes it visible
+      assert(r2.exists(_.contains("11")), s"expected a dup vs batch1 doc 11, got $r2")
+      // a fresh probe over THREE index generations (seed + two appends)
+      // still bucket-prunes at the scan
+      val probe3 = DocumentStreams.probeStoredIndex(
+        Seq((30L, t0)).toDF("doc_id", "text"), "self_idx_spec",
+        "self_cor_spec", threshold = 0.5, k = 8, bands = 4, shingleK = 3)
+      val planStr = probe3.queryExecution.executedPlan.toString
+      val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+        .findFirstMatchIn(planStr)
+      assert(sel.isDefined,
+        s"expected a bucket-pruned scan across generations, got:\n$planStr")
+      val (chosen, total) = (sel.get.group(1).toInt, sel.get.group(2).toInt)
+      assert(chosen < total && total == 8,
+        s"expected pruning below the 8 written buckets, got $chosen of $total")
+      assert(probe3.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+        Set((30L, 0L), (30L, 10L)))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS self_idx_spec")
+      spark.sql("DROP TABLE IF EXISTS self_cor_spec")
+    }
+  }
+
   test("saltedJoin is row-identical to the plain join under a hot key") {
     // 0L is a hot key: 100 rows against 3 for key 1
     val large = ((1 to 100).map(i => (0L, s"v$i")) ++ Seq((1L, "a"), (1L, "b"), (1L, "c")))

@@ -279,6 +279,57 @@ class StreamingSpec extends GraftSuite {
     }
   }
 
+  test("crawlSelfUpdating: the 24/7 loop end-to-end — a page recrawled in a " +
+      "LATER micro-batch is detected through the appended index rows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog and runs far away today"),
+      (2L, "completely different text about database engines and query planners"))
+      .toDF("doc_id", "text")
+    def pageOf(body: String): String =
+      s"<html><head><title>T</title></head><body><!-- c --><p>$body</p>" +
+        "<script>track();</script></body></html>"
+    val base = java.nio.file.Files.createTempDirectory("graft_self_crawl")
+    base.toFile.deleteOnExit()
+    graft.sources.Storage.writeBucketed(
+      graft.operators.Dedup.lshBandIndex(corpus, k = 8, bands = 4, shingleK = 3),
+      "self_crawl_idx", s"$base/idx", bucketCol = "key", buckets = 8)
+    graft.sources.Storage.writeBucketed(corpus, "self_crawl_cor",
+      s"$base/cor", bucketCol = "doc_id", buckets = 8)
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.streaming.DocumentStreams.crawlSelfUpdating(
+      mem.toDF.toDF("page_id", "html"), "self_crawl_idx", "self_crawl_cor",
+      s"$base/pairs", s"$base/ckpt", threshold = 0.5, k = 8, bands = 4,
+      shingleK = 3)
+    try {
+      // batch 1: page 10 duplicates corpus doc 0; page 11 is novel
+      mem.addData(
+        (10L, pageOf("the quick brown fox jumps over the lazy dog and runs far away today")),
+        (11L, pageOf("a genuinely novel page about glaciers carving deep mountain valleys")))
+      q.processAllAvailable()
+      val b1 = spark.read.parquet(s"$base/pairs")
+        .as[(Long, Long, Double)].collect().toSet
+      assert(b1 == Set((10L, 0L, 1.0)), s"got $b1")
+      // batch 2: page 12 duplicates BATCH-1 page 11 — detectable only
+      // because batch 1 was absorbed into the stored index (the exact
+      // case the static-index form above documents as a miss)
+      mem.addData(
+        (12L, pageOf("a genuinely novel page about glaciers carving deep mountain valleys")))
+      q.processAllAvailable()
+      val b2 = spark.read.parquet(s"$base/pairs")
+        .as[(Long, Long, Double)].collect().toSet
+      assert(b2.map(r => (r._1, r._2)) == Set((10L, 0L), (12L, 11L)), s"got $b2")
+      // the streaming query itself holds no state — cross-batch memory
+      // lives entirely in the two stored tables
+      assert(q.lastProgress == null || q.lastProgress.stateOperators.isEmpty)
+    } finally {
+      q.stop()
+      spark.sql("DROP TABLE IF EXISTS self_crawl_idx")
+      spark.sql("DROP TABLE IF EXISTS self_crawl_cor")
+    }
+  }
+
   test("nearDupAgainstCorpus batch path matches incrementalDupPairs corpus branch") {
     import spark.implicits._
     val t0 = "the quick brown fox jumps over the lazy dog and runs far away today"
