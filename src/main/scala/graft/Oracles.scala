@@ -1685,6 +1685,44 @@ object Oracles {
          |     ORDER BY adc, vec_id) AS INTEGER) AS rank FROM scored)
          |WHERE rank <= 10""".stripMargin,
 
+    // IVFADC+R mirror: q149's CTE chain through the ADC scores, then the
+    // rerank tail — top-R=40 shortlist by (adc asc, vec_id), exact cosine
+    // re-score of just those rows, final top-10 by (cos desc, vec_id).
+    "q170_ivfpq_rerank" ->
+      s"""WITH $EmbCte,
+         |${kmeansCtes(8, 2)},
+         |${pqCtes(8, 16, 2)},
+         |cen AS (SELECT cid AS cell_id, v AS centroid FROM c2),
+         |asg AS (SELECT id AS vec_id, cell_id FROM
+         |  (SELECT e.id, c.cell_id, row_number() OVER (PARTITION BY e.id
+         |     ORDER BY ${cos("e.v", "c.centroid")} DESC, c.cell_id) AS rn
+         |   FROM ed e CROSS JOIN cen c) WHERE rn = 1),
+         |pr AS (SELECT id AS query_id, cell_id FROM
+         |  (SELECT e.id, c.cell_id, row_number() OVER (PARTITION BY e.id
+         |     ORDER BY ${cos("e.v", "c.centroid")} DESC, c.cell_id) AS rn
+         |   FROM ed e CROSS JOIN cen c WHERE e.id < 5) WHERE rn <= 2),
+         |cand AS (SELECT DISTINCT p.query_id, a.vec_id
+         |  FROM pr p JOIN asg a USING (cell_id)),
+         |qsv AS (SELECT id AS query_id, sub, v AS qv FROM psv WHERE id < 5),
+         |sd AS (SELECT q.query_id, a.id AS vec_id, q.sub, ${sqDist("q.qv", "c.v")} AS dist
+         |  FROM qsv q JOIN pa3 a ON q.sub = a.sub
+         |  JOIN pc2 c ON a.sub = c.sub AND a.cid = c.cid
+         |  JOIN cand ON cand.query_id = q.query_id AND cand.vec_id = a.id),
+         |scored AS (SELECT query_id, vec_id,
+         |  round(list_reduce(list_prepend(0.0, list(dist ORDER BY sub)),
+         |    (u, w) -> u + w), 6) AS adc
+         |  FROM sd GROUP BY query_id, vec_id),
+         |short AS (SELECT query_id, vec_id FROM
+         |  (SELECT *, row_number() OVER (PARTITION BY query_id
+         |     ORDER BY adc, vec_id) AS rr FROM scored) WHERE rr <= 40),
+         |rer AS (SELECT s.query_id, s.vec_id, round(${cos("qe.v", "ce.v")}, 6) AS cos
+         |  FROM short s JOIN ed qe ON qe.id = s.query_id
+         |  JOIN ed ce ON ce.id = s.vec_id)
+         |SELECT query_id, vec_id, cos, rank FROM
+         |  (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+         |     ORDER BY cos DESC, vec_id) AS INTEGER) AS rank FROM rer)
+         |WHERE rank <= 10""".stripMargin,
+
     // Semantic dedup: k-means assignment (same unrolled CTEs as q94),
     // then within-cluster lower-id cosine >= 0.9 marks duplicates.
     // The 4dp stabilization mirrors the engine's sign-aware

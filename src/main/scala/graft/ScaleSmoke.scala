@@ -640,7 +640,7 @@ object ScaleSmoke {
     // sweep: the number documents what the DEFAULT knobs (nprobe=2 of 8
     // cells, 8-plane LSH probes, m=8×16-code PQ) trade for their bounded
     // scan — and whether that trade HOLDS as the corpus grows a decade.
-    def recallAt10(e: DataFrame): (Double, Double, Double, Double) = {
+    def recallAt10(e: DataFrame): (Double, Double, Double, Double, Double) = {
       val ed = embD(e)
       val q = ed.filter(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("embedding"))
@@ -653,18 +653,28 @@ object ScaleSmoke {
           (a.getOrElse(g, Set.empty) & ex).size.toDouble / ex.size
         }.sum / exact.size
       }
+      val km = Similarity.kmeansFit(ed, k = 8, iters = 2)
+      val pqb = Similarity.pqFitCodebooks(ed, m = 8, ksub = 16, iters = 2)
       (rec(Similarity.lshTopK(ed, q, k = 10)),
         rec(Similarity.ivfTopK(ed, q, Similarity.labelCentroids(e), nprobe = 2, k = 10)),
-        rec(Similarity.ivfTopK(ed, q, Similarity.kmeansFit(ed, k = 8, iters = 2),
-          nprobe = 2, k = 10)),
-        rec(Similarity.ivfPqTopK(ed, q, Similarity.kmeansFit(ed, k = 8, iters = 2),
-          Similarity.pqFitCodebooks(ed, m = 8, ksub = 16, iters = 2),
-          nprobe = 2, k = 10)))
+        rec(Similarity.ivfTopK(ed, q, km, nprobe = 2, k = 10)),
+        rec(Similarity.ivfPqTopK(ed, q, km, pqb, nprobe = 2, k = 10)),
+        // IVFADC+R: exact re-ranking of the top-R=400 ADC shortlist —
+        // same knobs otherwise, so the delta vs ivfpq IS the rerank lift.
+        // Measured sweep at the 1x diverse tier: R=40 → 0.68, R=100 →
+        // 0.82, R=200 → 0.88, R=400 → 0.98 = the ivf_kmeans ceiling
+        // (recall loss beyond R is pure cell ROUTING, which no rerank
+        // recovers). R=400 is large relative to this toy corpus's probed
+        // cells; at production scale R stays ~10–40x k while the probed
+        // cells grow with the corpus — the knob trades R·|queries| exact
+        // distances for recall, independent of corpus size.
+        rec(Similarity.ivfPqTopKRerank(ed, q, km, pqb, nprobe = 2, k = 10,
+          r = 400)))
     }
     if (wanted("ann_recall")) {
-      val (l1, v1, w1, p1) = recallAt10(emb1)
-      val (l10, v10, w10, p10) = recallAt10(emb10)
-      results += f"""{"op":"ann_recall_at10","lsh_1x":$l1%.3f,"ivf_label_1x":$v1%.3f,"ivf_kmeans_1x":$w1%.3f,"ivfpq_1x":$p1%.3f,"lsh_10x":$l10%.3f,"ivf_label_10x":$v10%.3f,"ivf_kmeans_10x":$w10%.3f,"ivfpq_10x":$p10%.3f}"""
+      val (l1, v1, w1, p1, r1) = recallAt10(emb1)
+      val (l10, v10, w10, p10, r10) = recallAt10(emb10)
+      results += f"""{"op":"ann_recall_at10","lsh_1x":$l1%.3f,"ivf_label_1x":$v1%.3f,"ivf_kmeans_1x":$w1%.3f,"ivfpq_1x":$p1%.3f,"ivfpq_rerank_1x":$r1%.3f,"lsh_10x":$l10%.3f,"ivf_label_10x":$v10%.3f,"ivf_kmeans_10x":$w10%.3f,"ivfpq_10x":$p10%.3f,"ivfpq_rerank_10x":$r10%.3f}"""
     }
 
     // Optional 100x tier (SPARK_GRAFT_SCALE_100=1): another decade of the
@@ -722,8 +732,8 @@ object ScaleSmoke {
         r100 += f"""{"op":"$name","sec_100x":$t100%.2f,"ratio_vs_10x":${t100 / time10(name)}%.2f,"rows_100x":$n100}"""
       }
       if (wanted("ann_recall")) {
-        val (l, v, w, p) = recallAt10(emb100)
-        r100 += f"""{"op":"ann_recall_at10","lsh_100x":$l%.3f,"ivf_label_100x":$v%.3f,"ivf_kmeans_100x":$w%.3f,"ivfpq_100x":$p%.3f}"""
+        val (l, v, w, p, r) = recallAt10(emb100)
+        r100 += f"""{"op":"ann_recall_at10","lsh_100x":$l%.3f,"ivf_label_100x":$v%.3f,"ivf_kmeans_100x":$w%.3f,"ivfpq_100x":$p%.3f,"ivfpq_rerank_100x":$r%.3f}"""
       }
       println(s"""{"scale_smoke_100x":[${r100.mkString(",")}],"docs_100x":${docs100.count()}}""")
 

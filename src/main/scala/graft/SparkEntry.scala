@@ -840,6 +840,22 @@ object SparkEntry {
         Similarity.pqFitCodebooks(e, m = 8, ksub = 16, iters = 2), nprobe = 2, k = 10)
     }),
 
+    // IVFADC+R (round-16): q149's pipeline + EXACT re-ranking of the
+    // top-R=40 ADC shortlist against the true vectors — the standard fix
+    // for ADC quantization error (measured recall@10 0.38 at default
+    // knobs on the diverse tier; the rerank row in BASELINE.md records
+    // the lift). Shortlist bounded at R per (task, query) by the top-k
+    // aggregate; the exact re-score is a BROADCAST of R·|queries| rows
+    // probing the corpus by id — no corpus shuffle, no window anywhere.
+    // Oracle mirrors the full pipeline (q149's CTEs + the rerank tail).
+    "q170_ivfpq_rerank" -> ((s, dir) => {
+      val e = embedsD(s, dir)
+      val q = e.filter(col("vec_id") < 5).select(col("vec_id").as("query_id"), col("embedding"))
+      Similarity.ivfPqTopKRerank(e, q, Similarity.kmeansFit(e, k = 8, iters = 2),
+        Similarity.pqFitCodebooks(e, m = 8, ksub = 16, iters = 2),
+        nprobe = 2, k = 10, r = 40)
+    }),
+
     // q149's PERSISTED-index form: the (cell_id, codes) index relation is
     // written bucketed by cell_id (Storage.writeBucketed — the q110
     // lever), read back, and the probed cells are pushed down as a

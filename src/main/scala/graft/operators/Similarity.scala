@@ -803,6 +803,55 @@ object Similarity {
   }
 
   /**
+   * IVFADC+R — [[ivfPqTopKAgg]] followed by EXACT re-ranking of the
+   * top-R ADC shortlist against the true vectors (Jégou, Douze & Schmid
+   * 2011, "Product Quantization for Nearest Neighbor Search", the
+   * IVFADC+R variant): ADC ordering carries quantization error — the
+   * measured round-15 recall@10 at default knobs on the diverse tier was
+   * 0.38 — so the standard remedy keeps R ≥ k ADC candidates and
+   * re-scores ONLY those with the exact metric. Routing loss (a true
+   * neighbor in an unprobed cell) is the remaining ceiling: rerank
+   * recall converges to the probed-cells-exact recall ([[ivfTopK]] over
+   * the same cells) as R grows, at R·|queries| exact distances instead
+   * of the probed cells' full membership.
+   *
+   * Scale shape: the shortlist is bounded at R rows per (task, query) by
+   * the [[TextAnalysis.topKByScore]] aggregate (no WindowExec anywhere),
+   * and the exact re-score joins the R·|queries|-row shortlist against
+   * the corpus BY ID — the shortlist BROADCASTS, so the corpus side is a
+   * broadcast-hash probe (no corpus shuffle, no new scan shape). The
+   * final top-k is the same bounded aggregate at k.
+   *
+   * Output: (query_id, vec_id, cos, rank) — [[bruteForceTopK]]'s schema
+   * and metric (cosine desc, ties to the smaller corpus id), because
+   * after exact re-scoring the ranking IS an exact ranking of the
+   * shortlist.
+   */
+  def ivfPqTopKRerank(corpus: DataFrame, queries: DataFrame,
+      centroids: DataFrame, books: IndexedSeq[IndexedSeq[(Int, Array[Double])]],
+      nprobe: Int = 2, k: Int = 10, r: Int = 40, idCol: String = "vec_id",
+      vecCol: String = "embedding", queryIdCol: String = "query_id"): DataFrame = {
+    require(r >= k, s"rerank shortlist r=$r must be >= k=$k")
+    val tkR = TextAnalysis.topKByScore(r)
+    val shortlist = ivfPqScored(ivfPqIndex(corpus, centroids, books, idCol, vecCol),
+        ivfPqProbesAgg(queries, centroids, nprobe, queryIdCol, vecCol), books)
+      .groupBy(queryIdCol)
+      .agg(tkR(-col("adc"), col(idCol)).as("__s"))
+      .select(col(queryIdCol), explode(col("__s")).as("__e"))
+      .select(col(queryIdCol), col("__e")("_2").as(idCol))
+    val qv = queries.select(col(queryIdCol), col(vecCol).as("q_vec"))
+    val tkK = TextAnalysis.topKByScore(k)
+    corpus.select(col(idCol), col(vecCol).as("c_vec"))
+      .join(broadcast(shortlist), Seq(idCol))
+      .join(broadcast(qv), Seq(queryIdCol))
+      .withColumn("cos", round(tensor.cosine(col("q_vec"), col("c_vec")), 6))
+      .groupBy(queryIdCol).agg(tkK(col("cos"), col(idCol)).as("__top"))
+      .select(col(queryIdCol), posexplode(col("__top")).as(Seq("__r", "__e")))
+      .select(col(queryIdCol), col("__e")("_2").as(idCol),
+        col("__e")("_1").as("cos"), (col("__r") + 1).cast("int").as("rank"))
+  }
+
+  /**
    * Approximate top-k via sign-LSH: candidates share the query's bucket or
    * any single-bit-flip neighbor; exact cosine re-rank inside candidates.
    * Recall < 1 by construction; the scale path when queries are many.

@@ -938,6 +938,55 @@ class PipelineOpsSpec extends GraftSuite {
     assert(out.collect { case ((1L, c), (_, r)) if r <= 3 => c }.toSet == Set(1L, 3L, 5L))
   }
 
+  test("ivfPqTopKRerank: exact-metric output — equals bruteForceTopK when " +
+      "routing covers all cells, and beats raw ADC ordering under " +
+      "quantization error") {
+    val rng = new scala.util.Random(11)
+    val pts = (0L until 60L).map(i =>
+      (i, Array.fill(8)(rng.nextDouble().toFloat).toSeq))
+      .toDF("vec_id", "embedding")
+    val q = pts.filter($"vec_id" < 3)
+      .select($"vec_id".as("query_id"), $"embedding")
+    val cents = Similarity.kmeansFit(pts, k = 4, iters = 2)
+    val books = Similarity.pqFitCodebooks(pts, m = 4, ksub = 4, iters = 2)
+    // nprobe = all 4 cells (no routing loss) + R = corpus size: the
+    // rerank IS an exact scan — row-identical to brute force, including
+    // the cosine values and tie-breaks
+    val full = Similarity.ivfPqTopKRerank(pts, q, cents, books,
+      nprobe = 4, k = 10, r = 60).collect().map(_.toString).sorted.toSeq
+    val brute = Similarity.bruteForceTopK(pts, q, k = 10)
+      .collect().map(_.toString).sorted.toSeq
+    assert(full == brute)
+    // default knobs: the reranked top-k is ordered by EXACT cosine
+    // (desc, ties to smaller id) and recall@10 is at least the raw ADC
+    // ordering's — the shortlist contains ADC's top-k by construction,
+    // so re-scoring can only promote true neighbors into the top-k
+    def recall(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.collect().groupBy(_.getLong(0))
+        .map { case (g, rs) => g -> rs.map(_.getLong(1)).toSet }
+      val exact = Similarity.bruteForceTopK(pts, q, k = 10).collect()
+        .groupBy(_.getLong(0)).map { case (g, rs) => g -> rs.map(_.getLong(1)).toSet }
+      exact.map { case (g, ex) => (got.getOrElse(g, Set.empty[Long]) & ex).size.toDouble / ex.size }
+        .sum / exact.size
+    }
+    val rer = Similarity.ivfPqTopKRerank(pts, q, cents, books, nprobe = 2, k = 10, r = 30)
+    val adc = Similarity.ivfPqTopK(pts, q, cents, books, nprobe = 2, k = 10)
+    assert(recall(rer) >= recall(adc))
+    val rows = rer.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    rows.groupBy(_._1).values.foreach { g =>
+      val sorted = g.sortBy(_._4)
+      assert(sorted.map(_._4).toSeq == (1 to g.length).toSeq)
+      assert(sorted.sliding(2).forall {
+        case Array(a, b) => a._3 > b._3 || (a._3 == b._3 && a._2 < b._2)
+        case _ => true
+      })
+    }
+    // r < k is a contract violation, not a silent truncation
+    intercept[IllegalArgumentException] {
+      Similarity.ivfPqTopKRerank(pts, q, cents, books, k = 10, r = 5)
+    }
+  }
+
   test("hardNegatives maxBucket valve is label-aware: rare-label negatives " +
       "survive the cap") {
     // one bucket: 40 label-0 vectors + one label-1, all identical vectors
