@@ -677,6 +677,52 @@ object ScaleSmoke {
       results += f"""{"op":"ann_recall_at10","lsh_1x":$l1%.3f,"ivf_label_1x":$v1%.3f,"ivf_kmeans_1x":$w1%.3f,"ivfpq_1x":$p1%.3f,"ivfpq_rerank_1x":$r1%.3f,"lsh_10x":$l10%.3f,"ivf_label_10x":$v10%.3f,"ivf_kmeans_10x":$w10%.3f,"ivfpq_10x":$p10%.3f,"ivfpq_rerank_10x":$r10%.3f}"""
     }
 
+    // BUCKETED-INDEX COMPACTION (round-16): the 24/7 append loop grows
+    // files linearly in batch count (one per (task, bucket) per append
+    // generation); Storage.compactBuckets bounds the probe's file count
+    // by rewriting to ONE file per bucket + a two-catalog-op swap. This
+    // row measures the file-count collapse and the rewrite cost at 8
+    // append generations over the tier's corpus — the rewrite is one
+    // linear pass, amortized over however many batches ran between
+    // compactions (a knob, not a recurring per-batch cost).
+    if (wanted("index_compaction")) {
+      def measureCompact(d: DataFrame, tag: String): String = {
+        val p = java.nio.file.Files.createTempDirectory("graft_smoke_compact")
+        p.toFile.deleteOnExit()
+        val tbl = "graft_smoke_cmp_" +
+          p.getFileName.toString.replaceAll("[^A-Za-z0-9_]", "_")
+        def slice(g: Int) = d.filter(col("doc_id") % 9 === g).select("doc_id", "text")
+        graft.sources.Storage.writeBucketed(
+          Dedup.lshBandIndex(slice(0), k = 8, bands = 4, shingleK = 3),
+          tbl, s"$p/idx", bucketCol = "key", buckets = 32)
+        (1 to 8).foreach(g => graft.sources.Storage.appendBucketed(
+          Dedup.lshBandIndex(slice(g), k = 8, bands = 4, shingleK = 3),
+          tbl, bucketCol = "key", buckets = 32))
+        def nFiles: Long = {
+          val loc = java.nio.file.Paths.get(new java.net.URI(
+            spark.sql(s"DESC FORMATTED $tbl").filter(col("col_name") === "Location")
+              .collect()(0).getString(1)))
+          var n = 0L
+          java.nio.file.Files.walk(loc).forEach(q =>
+            if (q.getFileName.toString.startsWith("part-")) n += 1)
+          n
+        }
+        val before = nFiles
+        val rowsBefore = spark.table(tbl).count()
+        val (tc, rowsAfter) = timed {
+          graft.sources.Storage.compactBuckets(spark, tbl, bucketCol = "key",
+            buckets = 32)
+          spark.table(tbl).count()
+        }
+        val after = nFiles
+        require(rowsAfter == rowsBefore, "compaction changed row count")
+        spark.sql(s"DROP TABLE IF EXISTS $tbl")
+        f"""{"op":"band_index_compact_$tag","files_before":$before,"files_after":$after,"sec_compact":$tc%.2f,"rows":$rowsAfter}"""
+      }
+      results += measureCompact(docs1, "1x")
+      results += measureCompact(docs10, "10x")
+    }
+
     // Optional 100x tier (SPARK_GRAFT_SCALE_100=1): another decade of the
     // same tiling, answering "does the 10x ratio hold at the NEXT 10x" for
     // the scan- and candidate-generation-shaped families. Pair-LISTING ops

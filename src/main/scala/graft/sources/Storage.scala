@@ -48,6 +48,58 @@ object Storage {
       .saveAsTable(table)
 
   /**
+   * Compact an appended table back to ONE FILE PER BUCKET.
+   *
+   * [[appendBucketed]] lands one new file per (write task, bucket) per
+   * batch — the right write-side economics (existing files never
+   * rewritten, cost ∝ batch), but a 24/7 ingest accumulates files
+   * linearly in batch count until listing + parquet-footer overhead
+   * dominates even a bucket-pruned read. Compaction is the standard
+   * answer: rewrite the table's rows bucketed under the SAME spec, with
+   * the rows pre-partitioned BY THE BUCKET COLUMN into `buckets`
+   * partitions — `repartition(n, col)` and the bucketed writer share
+   * Spark's HashPartitioning bucket-id arithmetic, so every row of
+   * bucket b lands in exactly one task and the write emits exactly one
+   * file per non-empty bucket.
+   *
+   * The swap is two catalog operations (drop + rename), not a data
+   * copy: the compacted relation is written to a fresh sibling
+   * directory as `<table>_compact`, the original table is dropped
+   * (external — its files are removed best-effort afterwards), and the
+   * temp table is renamed into place. Readers that resolved the table
+   * BEFORE the swap keep reading the old snapshot's files (deleted
+   * last); new resolutions see the compacted spec-identical table, so
+   * bucket pruning and co-located joins are unchanged (StorageSpec
+   * asserts row parity and SelectedBucketsCount across the swap).
+   */
+  def compactBuckets(spark: SparkSession, table: String,
+      bucketCol: String = "doc_id", buckets: Int = 32): Unit = {
+    import org.apache.spark.sql.catalyst.TableIdentifier
+    import org.apache.spark.sql.functions.col
+    val meta = spark.sessionState.catalog.getTableMetadata(TableIdentifier(table))
+    val oldPath = java.nio.file.Paths.get(meta.location)
+    val newPath = oldPath.resolveSibling(
+      oldPath.getFileName.toString + s"_c${System.nanoTime()}")
+    val tmp = table + "_compact"
+    spark.table(table)
+      .repartition(buckets, col(bucketCol))
+      .write.mode(SaveMode.Overwrite)
+      .option("path", newPath.toString)
+      .bucketBy(buckets, bucketCol)
+      .sortBy(bucketCol)
+      .format("parquet")
+      .saveAsTable(tmp)
+    spark.sql(s"DROP TABLE `$table`")
+    spark.sql(s"ALTER TABLE `$tmp` RENAME TO `$table`")
+    // old generation's files: best-effort removal, AFTER the swap
+    try {
+      java.nio.file.Files.walk(oldPath)
+        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+    } catch { case _: Exception => () }
+  }
+
+  /**
    * Pin bucketed scans ON for the session. Every graft table is bucketed
    * DELIBERATELY (co-located joins, or bucket-pruned index probes).
    * Spark's DisableUnnecessaryBucketedScan rule models only the join/agg

@@ -1,5 +1,7 @@
 package graft
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.execution.exchange.Exchange
 import graft.operators.Tokenize
@@ -161,6 +163,59 @@ class StorageSpec extends GraftSuite {
       assert(probed.collect().map(_.toString).sorted.toSeq == expect && expect.nonEmpty)
     } finally {
       spark.sql("DROP TABLE IF EXISTS band_idx_spec")
+    }
+  }
+
+  test("compactBuckets: 8 append generations collapse to one file per bucket " +
+      "with row parity and unchanged bucket pruning") {
+    import graft.operators.Dedup
+    val mk = (ids: Range, tag: String) => ids.map(i =>
+      (i.toLong, s"generation $tag doc number $i about topic ${i % 3} and storage"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact_t")
+    dir.toFile.deleteOnExit()
+    Storage.writeBucketed(
+      Dedup.lshBandIndex(mk(0 until 4, "seed"), k = 8, bands = 4, shingleK = 3),
+      "compact_spec", s"$dir/idx", bucketCol = "key", buckets = 8)
+    (1 to 8).foreach { g =>
+      Storage.appendBucketed(
+        Dedup.lshBandIndex(mk(g * 100 until g * 100 + 4, s"g$g"),
+          k = 8, bands = 4, shingleK = 3),
+        "compact_spec", bucketCol = "key", buckets = 8)
+    }
+    try {
+      def files(t: String): Seq[java.nio.file.Path] = {
+        val loc = java.nio.file.Paths.get(new java.net.URI(
+          spark.sql(s"DESC FORMATTED $t").filter($"col_name" === "Location")
+            .collect()(0).getString(1)))
+        java.nio.file.Files.walk(loc).iterator().asScala
+          .filter(p => p.getFileName.toString.startsWith("part-")).toSeq
+      }
+      val before = Storage.readTable(spark, "compact_spec")
+        .collect().map(_.toString).sorted.toSeq
+      val nBefore = files("compact_spec").size
+      // 9 generations × files-per-generation: well above one per bucket
+      assert(nBefore > 8, s"expected >8 files before compaction, got $nBefore")
+      Storage.compactBuckets(spark, "compact_spec", bucketCol = "key", buckets = 8)
+      val nAfter = files("compact_spec").size
+      assert(nAfter <= 8 && nAfter < nBefore,
+        s"expected <=8 files (one per non-empty bucket), got $nAfter of $nBefore")
+      val after = Storage.readTable(spark, "compact_spec")
+        .collect().map(_.toString).sorted.toSeq
+      assert(after == before, "compaction changed the relation")
+      // a key probe still bucket-prunes exactly as before the swap
+      val oneKey = Storage.readTable(spark, "compact_spec")
+        .select("key").limit(1).collect()(0).getLong(0)
+      val planStr = Storage.readTable(spark, "compact_spec")
+        .filter($"key" === oneKey).queryExecution.executedPlan.toString
+      val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+        .findFirstMatchIn(planStr)
+      assert(sel.isDefined, s"expected bucket pruning after compaction:\n$planStr")
+      assert(sel.get.group(1).toInt < sel.get.group(2).toInt &&
+        sel.get.group(2).toInt == 8)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS compact_spec")
+      spark.sql("DROP TABLE IF EXISTS compact_spec_compact")
     }
   }
 
