@@ -2759,5 +2759,26 @@ object Oracles {
     // bin SUM-merge of corpus slices == one-shot bins, exactly
     ("q166_len_quantiles_incremental" -> base("q165_len_quantiles")) +
     // signature MIN-merge of corpus slices == one-shot minima, exactly
-    ("q168_src_jaccard_incremental" -> base("q167_src_jaccard_sketch"))
+    ("q168_src_jaccard_incremental" -> base("q167_src_jaccard_sketch")) +
+    // the incremental-datasheet capstone reads the merged sketches, and
+    // every member sketch is merge-exact (register MAX/SUM/MIN folds),
+    // so the datasheet equals the four one-shot sketch oracles reshaped
+    // into the tidy (source, metric, k, value) long form
+    ("q171_datasheet_incremental" ->
+      s"""SELECT source, 'est_distinct_tokens' AS metric, CAST(NULL AS VARCHAR) AS k,
+         |    CAST(est_distinct AS DOUBLE) AS value FROM (${base("q158_hll_distinct")})
+         |UNION ALL SELECT source, 'n_tokens', NULL, CAST(n_tokens AS DOUBLE)
+         |  FROM (${base("q158_hll_distinct")})
+         |UNION ALL SELECT source, 'hll_regs', NULL, CAST(n_regs AS DOUBLE)
+         |  FROM (${base("q158_hll_distinct")})
+         |UNION ALL SELECT source, 'token_count', token, CAST(est_count AS DOUBLE)
+         |  FROM (${base("q163_cms_counts")})
+         |UNION ALL SELECT source, 'n_docs', NULL, CAST(n_docs AS DOUBLE)
+         |  FROM (${base("q165_len_quantiles")})
+         |UNION ALL SELECT source, 'p50_len', NULL, CAST(p50_est AS DOUBLE)
+         |  FROM (${base("q165_len_quantiles")})
+         |UNION ALL SELECT source, 'p95_len', NULL, CAST(p95_est AS DOUBLE)
+         |  FROM (${base("q165_len_quantiles")})
+         |UNION ALL SELECT src_a, 'jaccard', src_b, CAST(est_jaccard AS DOUBLE)
+         |  FROM (${base("q167_src_jaccard_sketch")})""".stripMargin)
 }

@@ -840,6 +840,41 @@ object SparkEntry {
         Similarity.pqFitCodebooks(e, m = 8, ksub = 16, iters = 2), nprobe = 2, k = 10)
     }),
 
+    // Incremental-datasheet capstone (round-16): the FULL per-source
+    // datasheet — HLL cardinality, CMS heavy-hitters, length quantiles,
+    // pairwise vocabulary Jaccard — refreshed for a new batch ENTIRELY
+    // from the four stored sketch relations: both slices' registers are
+    // persisted at ingest time (the q161/q164/q166/q168 write half,
+    // done here at construction), and the RETURNED plan reads only the
+    // eight sketch parquet relations — merge + estimate, no documents
+    // scan anywhere (PlanShapeSpec asserts it). The recurring cost of
+    // keeping a 100 TB corpus's datasheet current is bounded by sketch
+    // sizes, not the corpus.
+    "q171_datasheet_incremental" -> ((s, dir) => {
+      val out = scratchDir("graft_datasheet_sk")
+      val d = docs(s, dir)
+      val corpus = d.filter(col("doc_id") % 7 =!= 3)
+      val batch = d.filter(col("doc_id") % 7 === 3)
+      def store(name: String, df: DataFrame): DataFrame = {
+        df.write.mode("overwrite").parquet(s"$out/$name")
+        s.read.parquet(s"$out/$name")
+      }
+      TextAnalysis.datasheetFromSketches(
+        TextAnalysis.hllMergeRegisters(
+          store("hll0", TextAnalysis.hllRegisters(corpus)),
+          store("hll1", TextAnalysis.hllRegisters(batch))),
+        TextAnalysis.cmsMergeRegisters(
+          store("cms0", TextAnalysis.cmsRegisters(corpus)),
+          store("cms1", TextAnalysis.cmsRegisters(batch))),
+        TextAnalysis.lenHistMerge(
+          store("len0", TextAnalysis.lenHistRegisters(corpus)),
+          store("len1", TextAnalysis.lenHistRegisters(batch))),
+        TextAnalysis.minhashMergeSignatures(
+          store("sig0", TextAnalysis.minhashSignatures(corpus)),
+          store("sig1", TextAnalysis.minhashSignatures(batch))),
+        CmsProbeTokens)
+    }),
+
     // IVFADC+R (round-16): q149's pipeline + EXACT re-ranking of the
     // top-R=40 ADC shortlist against the true vectors — the standard fix
     // for ADC quantization error (measured recall@10 0.38 at default

@@ -1210,6 +1210,47 @@ object TextAnalysis {
     minhashJaccardEstimate(minhashSignatures(docs, logM, groupCol, textCol))
 
   /**
+   * The INCREMENTAL-DATASHEET capstone: the full per-source datasheet —
+   * cardinality ([[hllEstimate]]), heavy-hitter frequencies
+   * ([[cmsEstimate]]), length quantiles ([[lenHistEstimate]]) and
+   * pairwise vocabulary Jaccard ([[minhashJaccardEstimate]]) — read
+   * ENTIRELY off the four (typically stored, typically merged) sketch
+   * relations. No document relation appears anywhere in the plan: a
+   * refresh after a new batch is `merge(stored, batch-registers)` per
+   * family followed by this read-off, so the recurring cost of keeping
+   * a 100 TB corpus's datasheet current is bounded by the sketch sizes
+   * (2^p + d·2^logW + ~128 + 2^logM rows per group), not the corpus.
+   *
+   * Output: tidy long form `(source, metric, k, value)` — per-source
+   * rows carry k = NULL (or the probe token for `token_count`); the
+   * similarity member emits one row per source pair with k = the
+   * second source.
+   */
+  def datasheetFromSketches(hllReg: DataFrame, cmsReg: DataFrame,
+      lenReg: DataFrame, sigReg: DataFrame, probes: Seq[String],
+      p: Int = 12, d: Int = 4, logW: Int = 10): DataFrame = {
+    val hll = hllEstimate(hllReg, p)
+    val cms = cmsEstimate(cmsReg, probes, d, logW)
+    val len = lenHistEstimate(lenReg)
+    val jac = minhashJaccardEstimate(sigReg)
+    val nk = lit(null).cast("string")
+    def row(df: DataFrame, src: Column, metric: String, k: Column,
+        value: Column): DataFrame =
+      df.select(src.as("source"), lit(metric).as("metric"), k.as("k"),
+        value.cast("double").as("value"))
+    row(hll, col("source"), "est_distinct_tokens", nk, col("est_distinct"))
+      .unionByName(row(hll, col("source"), "n_tokens", nk, col("n_tokens")))
+      .unionByName(row(hll, col("source"), "hll_regs", nk, col("n_regs")))
+      .unionByName(row(cms, col("source"), "token_count", col("token"),
+        col("est_count")))
+      .unionByName(row(len, col("source"), "n_docs", nk, col("n_docs")))
+      .unionByName(row(len, col("source"), "p50_len", nk, col("p50_est")))
+      .unionByName(row(len, col("source"), "p95_len", nk, col("p95_est")))
+      .unionByName(row(jac, col("src_a"), "jaccard", col("src_b"),
+        col("est_jaccard")))
+  }
+
+  /**
    * The PERSISTABLE half of [[sourceJaccardSketch]]: the per-(group,
    * bucket) signature relation `(grp, bucket, v)` — minimum packed
    * 62-bit rank per occupied bucket, at most `2^logM` rows per group.

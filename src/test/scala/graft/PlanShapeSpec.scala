@@ -298,6 +298,30 @@ class PlanShapeSpec extends GraftSuite {
       s"expected both rank windows gone:\n${out.queryExecution.executedPlan}")
   }
 
+  test("q171 incremental datasheet: the returned plan reads ONLY the stored " +
+      "sketch relations — no documents scan anywhere") {
+    // the capstone contract: refreshing the full per-source datasheet
+    // for a new batch is merge + estimate over the eight stored sketch
+    // parquet relations; the corpus (and even the batch's raw text) is
+    // scanned only at ingest time, never by the refresh plan
+    val out = SparkEntry.queries("q171_datasheet_incremental")(
+      spark, "/root/testdata/sf0.001")
+    assert(out.collect().nonEmpty)
+    val scans = PlanDigest.allNodes(out.queryExecution.executedPlan).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty)
+    val scanned = scans.flatMap(_.relation.location.rootPaths.map(_.toString))
+    assert(scanned.forall(p => !p.contains("documents.parquet")),
+      s"datasheet refresh scanned the corpus:\n${scanned.mkString("\n")}")
+    assert(scanned.forall(p => p.contains("graft_datasheet_sk")),
+      s"expected only stored sketch relations:\n${scanned.mkString("\n")}")
+    // and the datasheet carries all four sketch families
+    assert(out.select("metric").distinct().collect().map(_.getString(0)).toSet ==
+      Set("est_distinct_tokens", "n_tokens", "hll_regs", "token_count",
+        "n_docs", "p50_len", "p95_len", "jaccard"))
+  }
+
   test("q147/q148 naive theta forms fire the optimizer rewrites") {
     val d = "/root/testdata/sf0.001"
     val p147 = SparkEntry.queries("q147_contains_rule")(spark, d)
