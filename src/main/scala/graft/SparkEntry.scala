@@ -856,7 +856,11 @@ object SparkEntry {
       val corpus = d.filter(col("doc_id") % 7 =!= 3)
       val batch = d.filter(col("doc_id") % 7 === 3)
       def store(name: String, df: DataFrame): DataFrame = {
-        df.write.mode("overwrite").parquet(s"$out/$name")
+        // registers are bounded relations (≤ d·2^logW rows/group) whose
+        // partial aggregation already ran map-side — collapse the final
+        // agg's shuffle partitions so each sketch lands as ONE file
+        // instead of shuffle-partition-count near-empty ones
+        df.coalesce(1).write.mode("overwrite").parquet(s"$out/$name")
         s.read.parquet(s"$out/$name")
       }
       TextAnalysis.datasheetFromSketches(
@@ -1203,7 +1207,7 @@ object SparkEntry {
       val out = scratchDir("graft_hll_sketch")
       val d = docs(s, dir)
       TextAnalysis.hllRegisters(d.filter(col("doc_id") % 7 =!= 3))
-        .write.mode("overwrite").parquet(s"$out/sketch")
+        .coalesce(1).write.mode("overwrite").parquet(s"$out/sketch")
       TextAnalysis.hllEstimate(
         TextAnalysis.hllMergeRegisters(
           s.read.parquet(s"$out/sketch"),
@@ -1230,7 +1234,7 @@ object SparkEntry {
       val out = scratchDir("graft_cms_sketch")
       val d = docs(s, dir)
       TextAnalysis.cmsRegisters(d.filter(col("doc_id") % 7 =!= 3))
-        .write.mode("overwrite").parquet(s"$out/sketch")
+        .coalesce(1).write.mode("overwrite").parquet(s"$out/sketch")
       TextAnalysis.cmsEstimate(
         TextAnalysis.cmsMergeRegisters(
           s.read.parquet(s"$out/sketch"),
@@ -1256,7 +1260,7 @@ object SparkEntry {
       val out = scratchDir("graft_lenhist_sketch")
       val d = docs(s, dir)
       TextAnalysis.lenHistRegisters(d.filter(col("doc_id") % 7 =!= 3))
-        .write.mode("overwrite").parquet(s"$out/sketch")
+        .coalesce(1).write.mode("overwrite").parquet(s"$out/sketch")
       TextAnalysis.lenHistEstimate(
         TextAnalysis.lenHistMerge(
           s.read.parquet(s"$out/sketch"),
@@ -1282,7 +1286,7 @@ object SparkEntry {
       val out = scratchDir("graft_minhash_sig_sketch")
       val d = docs(s, dir)
       TextAnalysis.minhashSignatures(d.filter(col("doc_id") % 7 =!= 3))
-        .write.mode("overwrite").parquet(s"$out/sketch")
+        .coalesce(1).write.mode("overwrite").parquet(s"$out/sketch")
       TextAnalysis.minhashJaccardEstimate(
         TextAnalysis.minhashMergeSignatures(
           s.read.parquet(s"$out/sketch"),
@@ -1774,16 +1778,26 @@ object SparkEntry {
     // shape a continuous crawl runs 24/7. StreamingSpec drives the same
     // plan from a MemoryStream and asserts zero state.
     "q156_stream_crawl_ingest" -> ((s, dir) => {
+      val out = scratchDir("graft_crawl_corpus")
       val d = docs(s, dir)
       val pages = d.filter(col("doc_id") % 7 === 3)
         .select(col("doc_id").as("page_id"),
           operators.Html.synthPage(col("doc_id"), col("lang"), col("text")).as("html"))
       // the static corpus is itself the OUTPUT of this pipeline (earlier
       // crawls, already extracted) — so both join sides share the
-      // extraction normalization, exactly as in a continuously-fed corpus
-      val corpus = d.filter(col("doc_id") % 7 =!= 3)
+      // extraction normalization, exactly as in a continuously-fed
+      // corpus. And BECAUSE it is pipeline output, production holds it
+      // extracted in storage — so the query lands the extraction once
+      // (one regex pass over the corpus) and both consumers (band index
+      // derivation + the exact-Jaccard verify join) read the stored
+      // relation, instead of re-running the extraction chain per
+      // consumer. Same rows, same oracle; the corpus extraction runs
+      // once instead of twice.
+      d.filter(col("doc_id") % 7 =!= 3)
         .select(col("doc_id"), operators.Html.text(
           operators.Html.synthPage(col("doc_id"), col("lang"), col("text"))).as("text"))
+        .write.mode("overwrite").parquet(s"$out/corpus")
+      val corpus = s.read.parquet(s"$out/corpus")
       streaming.DocumentStreams.crawlNearDupAgainstCorpus(
         pages, corpus, threshold = 0.7, k = 8, bands = 4, shingleK = 3)
     }),
