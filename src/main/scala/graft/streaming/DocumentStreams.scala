@@ -296,11 +296,20 @@ object DocumentStreams {
       shingleK: Int = 3, pageIdCol: String = "page_id",
       htmlCol: String = "html", corpusIdCol: String = "doc_id",
       corpusTextCol: String = "text", indexBuckets: Int = 8,
-      corpusBuckets: Int = 8, maxProbeKeys: Int = 4096)
-      : org.apache.spark.sql.streaming.StreamingQuery =
+      corpusBuckets: Int = 8, maxProbeKeys: Int = 4096,
+      compactEvery: Int = 0)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    // `compactEvery = n > 0` folds the MAINTENANCE half of the 24/7 loop
+    // in: after every n-th absorbed batch, both stored tables rewrite to
+    // one file per bucket (Storage.compactBuckets), periodically
+    // resetting the file count the append loop grows linearly — probe
+    // cost stays bounded by bucket count, not uptime. foreachBatch is
+    // serial per query, so no probe ever races the swap.
+    val absorbed = new java.util.concurrent.atomic.AtomicLong(0L)
     pages.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
         val extracted = batch.select(col(pageIdCol).as(corpusIdCol),
           graft.operators.Html.text(col(htmlCol)).as(corpusTextCol))
         probeStoredIndex(extracted, indexTable, corpusTable, threshold,
@@ -308,8 +317,15 @@ object DocumentStreams {
           .write.mode("append").parquet(pairsDir)
         updateStoredIndex(extracted, indexTable, corpusTable, k, bands,
           shingleK, corpusIdCol, corpusTextCol, indexBuckets, corpusBuckets)
+        if (compactEvery > 0 && absorbed.incrementAndGet() % compactEvery == 0) {
+          graft.sources.Storage.compactBuckets(spark, indexTable,
+            bucketCol = "key", buckets = indexBuckets)
+          graft.sources.Storage.compactBuckets(spark, corpusTable,
+            bucketCol = corpusIdCol, buckets = corpusBuckets)
+        }
       }
       .start()
+  }
 
   /** [[crawlNearDupAgainstCorpus]] probing a pre-built (typically
     * persisted, bucketed-by-`key`) band-index relation — the 24/7 crawl

@@ -298,10 +298,15 @@ class StreamingSpec extends GraftSuite {
     graft.sources.Storage.writeBucketed(corpus, "self_crawl_cor",
       s"$base/cor", bucketCol = "doc_id", buckets = 8)
     val mem = MemoryStream[(Long, String)]
+    // compactEvery = 1: every absorbed batch is followed by a compaction
+    // of both stored tables — the maintenance half of the loop must be
+    // invisible to detection (batch 2 still collides with batch 1's rows
+    // THROUGH a compacted index) and must hold the file count at one per
+    // non-empty bucket
     val q = graft.streaming.DocumentStreams.crawlSelfUpdating(
       mem.toDF.toDF("page_id", "html"), "self_crawl_idx", "self_crawl_cor",
       s"$base/pairs", s"$base/ckpt", threshold = 0.5, k = 8, bands = 4,
-      shingleK = 3)
+      shingleK = 3, compactEvery = 1)
     try {
       // batch 1: page 10 duplicates corpus doc 0; page 11 is novel
       mem.addData(
@@ -323,6 +328,15 @@ class StreamingSpec extends GraftSuite {
       // the streaming query itself holds no state — cross-batch memory
       // lives entirely in the two stored tables
       assert(q.lastProgress == null || q.lastProgress.stateOperators.isEmpty)
+      // after two absorb+compact cycles the index holds ONE file per
+      // non-empty bucket (8 written buckets), not one per generation
+      val idxLoc = java.nio.file.Paths.get(new java.net.URI(
+        spark.sql("DESC FORMATTED self_crawl_idx")
+          .filter($"col_name" === "Location").collect()(0).getString(1)))
+      var nIdxFiles = 0
+      java.nio.file.Files.walk(idxLoc).forEach(p =>
+        if (p.getFileName.toString.startsWith("part-")) nIdxFiles += 1)
+      assert(nIdxFiles <= 8, s"expected <=8 files after compaction, got $nIdxFiles")
     } finally {
       q.stop()
       spark.sql("DROP TABLE IF EXISTS self_crawl_idx")
