@@ -109,6 +109,35 @@ object ScaleSmoke {
       })
     }
 
+    // Per-tier stored index + corpus TABLE PAIR for the self-updating
+    // step row — seeded once per tier outside the timed region (the
+    // production contract: the standing corpus's index already exists;
+    // the loop's recurring cost is probe + absorb, which IS the row).
+    val selfUpdByTier = scala.collection.mutable.Map.empty[Int, (String, String)]
+    val stepSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+    def selfUpdatingTables(d: DataFrame): (String, String) = synchronized {
+      selfUpdByTier.getOrElseUpdate(System.identityHashCode(d), {
+        val p = java.nio.file.Files.createTempDirectory("graft_smoke_selfupd")
+        p.toFile.deleteOnExit()
+        val sfx = p.getFileName.toString.replaceAll("[^A-Za-z0-9_]", "_")
+        val (it, ct) = ("graft_smoke_sui_" + sfx, "graft_smoke_suc_" + sfx)
+        // seeded COMPACTED (one file per bucket — the shape compactBuckets
+        // maintains): append/refresh cost includes a file listing of the
+        // existing table, so an uncompacted seed (tasks×buckets files,
+        // growing with the tier) would leak corpus-sized listing cost
+        // into the per-batch row this measures
+        graft.sources.Storage.writeBucketed(
+          Dedup.lshBandIndex(d.select("doc_id", "text"),
+            k = 8, bands = 4, shingleK = 3)
+            .repartition(32, col("key")),
+          it, s"$p/idx", bucketCol = "key", buckets = 32)
+        graft.sources.Storage.writeBucketed(
+          d.select("doc_id", "text").repartition(32, col("doc_id")),
+          ct, s"$p/cor", bucketCol = "doc_id", buckets = 32)
+        (it, ct)
+      })
+    }
+
     val ops: Seq[(String, DataFrame => Long, DataFrame => Long)] = Seq(
       ("tokenize", d => Tokenize.normalizedTokens(d).count(), null),
       ("extract_regex", d => Extract.extractRegex(d, "\\bs[a-z0-9]*").count(), null),
@@ -373,6 +402,20 @@ object ScaleSmoke {
         graft.streaming.DocumentStreams.nearDupAgainstIndex(smokeBatch,
           storedBandIndex(d), d.select("doc_id", "text"),
           threshold = 0.7, k = 8, bands = 4, shingleK = 3).count(), null),
+      // one FULL self-updating step (q169 shape): probe the stored index
+      // + corpus tables, materialize the pairs, then absorb the FIXED 1x
+      // batch (append band rows + text). The corpus carries the scale;
+      // the batch is constant — so the row must stay corpus-size-flat
+      // like ingest_probe_indexed plus a constant append cost, proving
+      // the CLOSED loop (read AND write halves) is O(batch) per batch
+      ("ingest_selfupdating_step", d => {
+        val (it, ct) = selfUpdatingTables(d)
+        graft.streaming.DocumentStreams.ingestProbeThenUpdate(
+          smokeBatch.select(col("doc_id") + lit(900000000L) * stepSeq
+            .incrementAndGet() as "doc_id", col("text")),
+          it, ct, threshold = 0.7, k = 8, bands = 4, shingleK = 3,
+          indexBuckets = 32, corpusBuckets = 32).count()
+      }, null),
       // split-leakage audit: gram-hash-keyed distinct + join, both
       // map-side partial-agg; the sum forces the full counts
       ("split_leakage", d => Dedup.splitLeakage(TextAnalysis.hashSplit(d),
