@@ -113,10 +113,14 @@ object ScaleSmoke {
     // step row — seeded once per tier outside the timed region (the
     // production contract: the standing corpus's index already exists;
     // the loop's recurring cost is probe + absorb, which IS the row).
-    val selfUpdByTier = scala.collection.mutable.Map.empty[Int, (String, String)]
+    val selfUpdByTier =
+      scala.collection.mutable.Map.empty[(Int, String), (String, String)]
     val stepSeq = new java.util.concurrent.atomic.AtomicLong(0L)
-    def selfUpdatingTables(d: DataFrame): (String, String) = synchronized {
-      selfUpdByTier.getOrElseUpdate(System.identityHashCode(d), {
+    // keyed by (tier, variant): each measured variant gets its OWN table
+    // pair, so one row's absorbed generations never inflate another
+    // row's probe output or timings
+    def selfUpdatingTables(d: DataFrame, variant: String): (String, String) = synchronized {
+      selfUpdByTier.getOrElseUpdate((System.identityHashCode(d), variant), {
         val p = java.nio.file.Files.createTempDirectory("graft_smoke_selfupd")
         p.toFile.deleteOnExit()
         val sfx = p.getFileName.toString.replaceAll("[^A-Za-z0-9_]", "_")
@@ -409,12 +413,27 @@ object ScaleSmoke {
       // like ingest_probe_indexed plus a constant append cost, proving
       // the CLOSED loop (read AND write halves) is O(batch) per batch
       ("ingest_selfupdating_step", d => {
-        val (it, ct) = selfUpdatingTables(d)
+        val (it, ct) = selfUpdatingTables(d, "plain")
         graft.streaming.DocumentStreams.ingestProbeThenUpdate(
           smokeBatch.select(col("doc_id") + lit(900000000L) * stepSeq
             .incrementAndGet() as "doc_id", col("text")),
           it, ct, threshold = 0.7, k = 8, bands = 4, shingleK = 3,
           indexBuckets = 32, corpusBuckets = 32).count()
+      }, null),
+      // same step with the VERIFY side's corpus read pruned to candidate
+      // ids (bucket pruning on the doc_id-bucketed corpus table) — the
+      // delta vs the row above is what the read-side valve saves per
+      // batch; at this toy scale the corpus scan is small, so the point
+      // of the row is that the prune is ~free here and the scan cost it
+      // removes grows with the corpus
+      ("ingest_selfupdating_pruned", d => {
+        val (it, ct) = selfUpdatingTables(d, "pruned")
+        graft.streaming.DocumentStreams.ingestProbeThenUpdate(
+          smokeBatch.select(col("doc_id") + lit(900000000L) * stepSeq
+            .incrementAndGet() as "doc_id", col("text")),
+          it, ct, threshold = 0.7, k = 8, bands = 4, shingleK = 3,
+          indexBuckets = 32, corpusBuckets = 32,
+          pruneCorpusByCandidates = true).count()
       }, null),
       // split-leakage audit: gram-hash-keyed distinct + join, both
       // map-side partial-agg; the sum forces the full counts

@@ -209,14 +209,41 @@ object DocumentStreams {
   def probeStoredIndex(batch: DataFrame, indexTable: String,
       corpusTable: String, threshold: Double = 0.8, k: Int = 16,
       bands: Int = 4, shingleK: Int = 3, idCol: String = "doc_id",
-      textCol: String = "text", maxProbeKeys: Int = 4096): DataFrame = {
+      textCol: String = "text", maxProbeKeys: Int = 4096,
+      pruneCorpusByCandidates: Boolean = false,
+      maxCandidateIds: Int = 4096): DataFrame = {
     import graft.operators.Dedup
     import graft.sources.Storage
     val spark = batch.sparkSession
     val pruned = Dedup.pruneIndexForBatch(
       Storage.readTable(spark, indexTable), batch, k, bands, shingleK,
       textCol, maxProbeKeys)
-    nearDupAgainstIndex(batch, pruned, Storage.readTable(spark, corpusTable),
+    // The verify side reads the stored corpus for the candidates' exact
+    // shingle sets. With `pruneCorpusByCandidates` the candidate ids —
+    // known from the (narrow, shingle-free) band join — reach the corpus
+    // scan as an `isin` literal, which the doc_id-bucketed corpus table
+    // turns into physical BUCKET PRUNING: per batch, only the buckets
+    // holding candidate documents are opened instead of the whole stored
+    // corpus. At 100 TB the corpus text scan is the verify's dominant
+    // cost, so this is the read-side lever; semantically a no-op (rows
+    // outside candidate ids can never survive the verify equi-join).
+    // Soft valve like pruneIndexForBatch: above `maxCandidateIds` the
+    // prune is skipped rather than growing the literal — a batch with
+    // that many collisions touches most buckets anyway.
+    val corpus0 = Storage.readTable(spark, corpusTable)
+    val corpus = if (!pruneCorpusByCandidates) corpus0 else {
+      val candIds = batch.select(col(idCol).as("batch_id"),
+          explode(Dedup.lshBandKeys(
+            Dedup.minhashSignature(col(textCol), k, shingleK), k, bands))
+            .as("key"))
+        .join(pruned.select(col("dup_id"), col("key")), "key")
+        .select("dup_id").distinct()
+        .limit(maxCandidateIds + 1).collect().map(_.getLong(0))
+      if (candIds.length > maxCandidateIds) corpus0
+      else corpus0.filter(col(idCol).isin(
+        candIds.map(java.lang.Long.valueOf): _*))
+    }
+    nearDupAgainstIndex(batch, pruned, corpus,
       threshold, k, bands, shingleK, idCol, textCol)
   }
 
@@ -267,9 +294,11 @@ object DocumentStreams {
       corpusTable: String, threshold: Double = 0.8, k: Int = 16,
       bands: Int = 4, shingleK: Int = 3, idCol: String = "doc_id",
       textCol: String = "text", indexBuckets: Int = 8,
-      corpusBuckets: Int = 8, maxProbeKeys: Int = 4096): DataFrame = {
+      corpusBuckets: Int = 8, maxProbeKeys: Int = 4096,
+      pruneCorpusByCandidates: Boolean = false): DataFrame = {
     val pairs = probeStoredIndex(batch, indexTable, corpusTable, threshold,
-      k, bands, shingleK, idCol, textCol, maxProbeKeys)
+      k, bands, shingleK, idCol, textCol, maxProbeKeys,
+      pruneCorpusByCandidates)
       .localCheckpoint(true)
     updateStoredIndex(batch, indexTable, corpusTable, k, bands, shingleK,
       idCol, textCol, indexBuckets, corpusBuckets)

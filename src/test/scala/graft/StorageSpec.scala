@@ -271,6 +271,22 @@ class StorageSpec extends GraftSuite {
         s"expected pruning below the 8 written buckets, got $chosen of $total")
       assert(probe3.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
         Set((30L, 0L), (30L, 10L)))
+      // candidate-pruned corpus read: same rows, and the VERIFY side's
+      // corpus scan now bucket-prunes too (the candidate ids reach the
+      // doc_id-bucketed corpus table as an isin literal) — at 100 TB the
+      // corpus text scan is the verify's dominant per-batch cost
+      val probe3p = DocumentStreams.probeStoredIndex(
+        Seq((30L, t0)).toDF("doc_id", "text"), "self_idx_spec",
+        "self_cor_spec", threshold = 0.5, k = 8, bands = 4, shingleK = 3,
+        pruneCorpusByCandidates = true)
+      assert(probe3p.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+        Set((30L, 0L), (30L, 10L)))
+      val prunedScans = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+        .findAllMatchIn(probe3p.queryExecution.executedPlan.toString).toSeq
+      assert(prunedScans.size >= 2,
+        s"expected BOTH the index and corpus scans bucket-pruned:\n" +
+          probe3p.queryExecution.executedPlan)
+      assert(prunedScans.forall(m => m.group(1).toInt < m.group(2).toInt))
     } finally {
       spark.sql("DROP TABLE IF EXISTS self_idx_spec")
       spark.sql("DROP TABLE IF EXISTS self_cor_spec")
