@@ -805,6 +805,10 @@ object ScaleSmoke {
       // stored band index + frozen quantizers for the 100x tier, built
       // outside the timed region like the 1x/10x ones
       if (wanted("ingest_probe_indexed")) storedBandIndex(docs100)
+      if (wanted("ingest_selfupdating_step"))
+        selfUpdatingTables(docs100, "plain")
+      if (wanted("ingest_selfupdating_pruned"))
+        selfUpdatingTables(docs100, "pruned")
       if (wantsAnnIndex) frozenQuant(emb100)
       // The default subset is the scan/candidate-generation families; the
       // composed pipelines + distributed writer (align_bert, conll_to_bert,
@@ -819,6 +823,7 @@ object ScaleSmoke {
         "quality_calibrate", "dedup_lines", "dsir_select", "bpe_train",
         "bpe_train_256_batched", "bpe_train_1024", "incremental_dedup",
         "ingest_probe_recompute", "ingest_probe_indexed",
+        "ingest_selfupdating_step", "ingest_selfupdating_pruned",
         "mix_corpus", "shard_order",
         "bm25_topk", "ngram_novelty", "winnow_fingerprints") ++
         (if (sys.env.get("SPARK_GRAFT_SCALE_100").contains("full"))
