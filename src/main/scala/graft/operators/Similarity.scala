@@ -830,16 +830,34 @@ object Similarity {
   def ivfPqTopKRerank(corpus: DataFrame, queries: DataFrame,
       centroids: DataFrame, books: IndexedSeq[IndexedSeq[(Int, Array[Double])]],
       nprobe: Int = 2, k: Int = 10, r: Int = 40, idCol: String = "vec_id",
+      vecCol: String = "embedding", queryIdCol: String = "query_id"): DataFrame =
+    ivfPqTopKRerankFromIndex(ivfPqIndex(corpus, centroids, books, idCol, vecCol),
+      ivfPqProbesAgg(queries, centroids, nprobe, queryIdCol, vecCol),
+      corpus, books, k, r, idCol, vecCol, queryIdCol)
+
+  /**
+   * [[ivfPqTopKRerank]] over a PREBUILT index relation — the production
+   * composition: the index comes from [[ivfPqIndex]] or is read back
+   * from bucketed storage (possibly cell-pruned by the probe set, the
+   * q154 pattern — the cell_id equi-join makes that filter a results
+   * no-op), the ADC shortlist is the bounded aggregate, and the exact
+   * re-score joins the broadcast shortlist against the TRUE vectors by
+   * id. `corpus` here serves only the re-score — at production scale it
+   * is the stored vector table, and the broadcast id-join probes it
+   * without a shuffle.
+   */
+  def ivfPqTopKRerankFromIndex(index: DataFrame, probes: DataFrame,
+      corpus: DataFrame, books: IndexedSeq[IndexedSeq[(Int, Array[Double])]],
+      k: Int = 10, r: Int = 40, idCol: String = "vec_id",
       vecCol: String = "embedding", queryIdCol: String = "query_id"): DataFrame = {
     require(r >= k, s"rerank shortlist r=$r must be >= k=$k")
     val tkR = TextAnalysis.topKByScore(r)
-    val shortlist = ivfPqScored(ivfPqIndex(corpus, centroids, books, idCol, vecCol),
-        ivfPqProbesAgg(queries, centroids, nprobe, queryIdCol, vecCol), books)
+    val shortlist = ivfPqScored(index, probes, books)
       .groupBy(queryIdCol)
       .agg(tkR(-col("adc"), col(idCol)).as("__s"))
       .select(col(queryIdCol), explode(col("__s")).as("__e"))
       .select(col(queryIdCol), col("__e")("_2").as(idCol))
-    val qv = queries.select(col(queryIdCol), col(vecCol).as("q_vec"))
+    val qv = probes.select(col(queryIdCol), col("q_vec")).dropDuplicates(queryIdCol)
     val tkK = TextAnalysis.topKByScore(k)
     corpus.select(col(idCol), col(vecCol).as("c_vec"))
       .join(broadcast(shortlist), Seq(idCol))

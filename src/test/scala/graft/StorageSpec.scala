@@ -166,6 +166,41 @@ class StorageSpec extends GraftSuite {
     }
   }
 
+  test("ivfPqTopKRerankFromIndex over the stored cell-pruned index matches " +
+      "the inline form row-for-row and keeps bucket pruning") {
+    import graft.operators.Similarity
+    val rng = new scala.util.Random(13)
+    val emb = (0L until 60L).map(i =>
+      (i, Array.fill(16)(rng.nextDouble()), s"l${i % 3}"))
+      .toDF("vec_id", "embedding", "label")
+    val q = emb.filter($"vec_id" < 3)
+      .select($"vec_id".as("query_id"), $"embedding")
+    val cents = Similarity.kmeansFit(emb, k = 4, iters = 2)
+    val books = Similarity.pqFitCodebooks(emb, m = 4, ksub = 4, iters = 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft_rerank_idx_t")
+    dir.toFile.deleteOnExit()
+    Storage.writeBucketed(Similarity.ivfPqIndex(emb, cents, books),
+      "rerank_idx_spec", s"$dir/idx", bucketCol = "cell_id", buckets = 8)
+    try {
+      val probes = Similarity.ivfPqProbes(q, cents, nprobe = 2)
+      val cells = probes.select("cell_id").distinct().collect().map(_.getInt(0))
+      val stored = Storage.readTable(spark, "rerank_idx_spec")
+        .filter($"cell_id".isin(cells.map(Integer.valueOf): _*))
+      val out = Similarity.ivfPqTopKRerankFromIndex(stored, probes, emb,
+        books, k = 10, r = 20)
+      val inline = Similarity.ivfPqTopKRerank(emb, q, cents, books,
+        nprobe = 2, k = 10, r = 20).collect().map(_.toString).sorted.toSeq
+      assert(out.collect().map(_.toString).sorted.toSeq == inline &&
+        inline.nonEmpty)
+      val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+        .findFirstMatchIn(out.queryExecution.executedPlan.toString)
+      assert(sel.isDefined && sel.get.group(1).toInt < sel.get.group(2).toInt,
+        "expected the stored index scan bucket-pruned under the rerank")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS rerank_idx_spec")
+    }
+  }
+
   test("compactBuckets: 8 append generations collapse to one file per bucket " +
       "with row parity and unchanged bucket pruning") {
     import graft.operators.Dedup
