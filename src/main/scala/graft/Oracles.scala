@@ -1537,6 +1537,26 @@ object Oracles {
          |    FROM cand c JOIN ed x ON x.id = c.batch_id JOIN ed y ON y.id = c.dup_id))
          |WHERE cos >= 0.3""".stripMargin,
 
+    // Semantic self-updating loop mirror (q169's pattern on embeddings):
+    // batch1 (vec_id%5=1) collides with the seed corpus (%5=0) only;
+    // batch2 (%5=2) with the seed corpus AND batch1 (the rows the
+    // engine's index absorbed between probes). Same probe-bucket join +
+    // exact-cosine verify as q136; probe buckets are pairwise distinct,
+    // so emission is exactly-once without DISTINCT.
+    "q172_semantic_selfupdating" ->
+      s"""WITH $EmbCte,
+         |bk AS (SELECT id, v, ${bucketH("v")} AS bucket FROM ed),
+         |pr AS (SELECT id AS batch_id, $ProbeExpr FROM bk WHERE id % 5 IN (1, 2)),
+         |cand AS (SELECT pr.batch_id, bk.id AS dup_id FROM pr
+         |  JOIN bk ON pr.pb = bk.bucket
+         |  WHERE (pr.batch_id % 5 = 1 AND bk.id % 5 = 0)
+         |     OR (pr.batch_id % 5 = 2 AND bk.id % 5 IN (0, 1)))
+         |SELECT * FROM (SELECT batch_id, dup_id,
+         |    (CASE WHEN c >= 0 THEN floor(c*1e4 + 0.5) ELSE -floor(-c*1e4 + 0.5) END) / 1e4 AS cos
+         |  FROM (SELECT c.batch_id, c.dup_id, ${cos("x.v", "y.v")} AS c
+         |    FROM cand c JOIN ed x ON x.id = c.batch_id JOIN ed y ON y.id = c.dup_id))
+         |WHERE cos >= 0.3""".stripMargin,
+
     // Cross-source overlap matrix: distinct (source, gram-hash) pairs,
     // self-join on hash, per-pair counts + first-source fraction.
     "q135_source_overlap" ->

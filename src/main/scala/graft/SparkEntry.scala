@@ -879,6 +879,35 @@ object SparkEntry {
         CmsProbeTokens)
     }),
 
+    // q169's EMBEDDING twin (round-16): two sequential vector batches
+    // against a SELF-UPDATING stored sign-LSH bucket index + vector
+    // corpus — batch 1 probes the seed corpus (vec_id % 5 == 0) and is
+    // absorbed; batch 2 then collides with BOTH the seed corpus and
+    // batch 1 through the appended index rows. Probes bucket-prune on
+    // the pb-bucketed stored table; per-batch update cost ∝ batch. The
+    // oracle mirrors the sequential semantics exactly.
+    "q172_semantic_selfupdating" -> ((s, dir) => {
+      val out = scratchDir("graft_semselfidx")
+      val idxTbl = scratchTable("graft_q172_idx", out)
+      val corTbl = scratchTable("graft_q172_cor", out)
+      val e = embedsD(s, dir)
+      val corpus0 = e.filter(col("vec_id") % 5 === 0)
+        .select("vec_id", "embedding")
+      val batch1 = e.filter(col("vec_id") % 5 === 1)
+        .select("vec_id", "embedding")
+      val batch2 = e.filter(col("vec_id") % 5 === 2)
+        .select("vec_id", "embedding")
+      sources.Storage.writeBucketed(Dedup.signBucketIndex(corpus0),
+        idxTbl, s"$out/idx", bucketCol = "pb", buckets = 8)
+      sources.Storage.writeBucketed(corpus0, corTbl, s"$out/cor",
+        bucketCol = "vec_id", buckets = 8)
+      val r1 = streaming.DocumentStreams.semanticIngestProbeThenUpdate(
+        batch1, idxTbl, corTbl, tau = 0.3)
+      val r2 = streaming.DocumentStreams.semanticIngestProbeThenUpdate(
+        batch2, idxTbl, corTbl, tau = 0.3)
+      r1.unionByName(r2)
+    }),
+
     // IVFADC+R (round-16): q149's pipeline + EXACT re-ranking of the
     // top-R=40 ADC shortlist against the true vectors — the standard fix
     // for ADC quantization error (measured recall@10 0.38 at default

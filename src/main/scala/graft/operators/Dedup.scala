@@ -425,6 +425,22 @@ object Dedup {
   }
 
   /**
+   * The corpus's sign-LSH bucket index as a PERSISTABLE relation —
+   * `(dup_id, pb)`, one row per vector, `pb` its [[signBucketHashed]]
+   * bucket. The embedding analog of [[lshBandIndex]]: every semantic
+   * ingest probe re-derives this from raw corpus vectors per batch
+   * ([[graft.streaming.DocumentStreams.semanticDupAgainstCorpus]]);
+   * persisting it bucketed by `pb` (`Storage.writeBucketed(...,
+   * bucketCol = "pb")`) turns the recurring per-batch cost into a
+   * bucket-pruned stored-table read, and a new batch's rows APPEND
+   * under the same spec — the q169 self-updating loop for embeddings.
+   */
+  def signBucketIndex(corpus: DataFrame, nPlanes: Int = 8,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    corpus.select(col(idCol).as("dup_id"),
+      signBucketHashed(col(vecCol).cast("array<double>"), nPlanes).as("pb"))
+
+  /**
    * Embedding near-duplicate pairs: bucket by sign-LSH, exact cosine inside
    * buckets, keep pairs with cosine >= `tau`. For recall, the probe side
    * also visits the buckets differing in one bit (`probe = true`), which

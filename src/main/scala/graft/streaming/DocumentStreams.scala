@@ -89,22 +89,73 @@ object DocumentStreams {
    */
   def semanticDupAgainstCorpus(batch: DataFrame, corpus: DataFrame,
       tau: Double = 0.3, nPlanes: Int = 8, idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
+      vecCol: String = "embedding"): DataFrame =
+    semanticDupAgainstIndex(batch,
+      graft.operators.Dedup.signBucketIndex(corpus, nPlanes, idCol, vecCol),
+      corpus, tau, nPlanes, idCol, vecCol)
+
+  /**
+   * [[semanticDupAgainstCorpus]] probing a pre-built
+   * [[graft.operators.Dedup.signBucketIndex]] relation — row-identical
+   * by construction (the index rows ARE the corpus-side bucket
+   * projection), so it shares the oracle. With the index PERSISTED
+   * bucketed by `pb`, the per-batch cost drops from a full corpus
+   * bucket recompute to a pruned index read plus the candidates'
+   * cosine-verify join.
+   */
+  def semanticDupAgainstIndex(batch: DataFrame, index: DataFrame,
+      corpus: DataFrame, tau: Double = 0.3, nPlanes: Int = 8,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     import graft.operators.Dedup
     val vecD = col(vecCol).cast("array<double>")
     val probe = batch.select(col(idCol).as("batch_id"), vecD.as("v_b"),
         Dedup.signBucketHashed(vecD, nPlanes).as("bucket"))
       .select(col("batch_id"), col("v_b"),
         explode(Dedup.probeBuckets(col("bucket"), nPlanes)).as("pb"))
-    val index = corpus.select(col(idCol).as("dup_id"),
-      Dedup.signBucketHashed(vecD, nPlanes).as("pb"))
-    probe.join(index, "pb")
+    probe.join(index.select(col("dup_id"), col("pb")), "pb")
       .filter(col("batch_id") =!= col("dup_id"))
       .join(corpus.select(col(idCol).as("dup_id"), vecD.as("v_c")), "dup_id")
       .withColumn("cos",
         Dedup.halfUp4Signed(graft.tensor.cosine(col("v_b"), col("v_c"))))
       .filter(col("cos") >= tau)
       .select("batch_id", "dup_id", "cos")
+  }
+
+  /**
+   * The self-updating loop for EMBEDDINGS — [[ingestProbeThenUpdate]]'s
+   * semantic twin: probe the stored [[graft.operators.Dedup.signBucketIndex]]
+   * (pruned to the batch's probe buckets — own bucket + single-bit
+   * flips — pushed as an isin literal the pb-bucketed table turns into
+   * physical bucket pruning; soft-valved), emit `(batch_id, dup_id,
+   * cos)` pairs, then absorb the batch: its bucket rows append under
+   * the index's spec, its `(id, vector)` rows under the corpus's. The
+   * pairs are materialized before the append, so the returned relation
+   * can never see the batch's own index rows.
+   */
+  def semanticIngestProbeThenUpdate(batch: DataFrame, indexTable: String,
+      corpusTable: String, tau: Double = 0.3, nPlanes: Int = 8,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      indexBuckets: Int = 8, corpusBuckets: Int = 8,
+      maxProbeBuckets: Int = 4096): DataFrame = {
+    import graft.operators.Dedup
+    import graft.sources.Storage
+    val spark = batch.sparkSession
+    val vecD = col(vecCol).cast("array<double>")
+    val index0 = Storage.readTable(spark, indexTable)
+    val pbs = batch.select(
+        explode(Dedup.probeBuckets(
+          Dedup.signBucketHashed(vecD, nPlanes), nPlanes)).as("pb"))
+      .distinct().limit(maxProbeBuckets + 1).collect().map(_.getLong(0))
+    val pruned = if (pbs.length > maxProbeBuckets) index0
+      else index0.filter(col("pb").isin(pbs.map(java.lang.Long.valueOf): _*))
+    val pairs = semanticDupAgainstIndex(batch, pruned,
+        Storage.readTable(spark, corpusTable), tau, nPlanes, idCol, vecCol)
+      .localCheckpoint(true)
+    Storage.appendBucketed(Dedup.signBucketIndex(batch, nPlanes, idCol, vecCol),
+      indexTable, bucketCol = "pb", buckets = indexBuckets)
+    Storage.appendBucketed(batch.select(col(idCol), col(vecCol)),
+      corpusTable, bucketCol = idCol, buckets = corpusBuckets)
+    pairs
   }
 
   def nearDupAgainstCorpus(docs: DataFrame, corpus: DataFrame,

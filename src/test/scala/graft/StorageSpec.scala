@@ -328,6 +328,53 @@ class StorageSpec extends GraftSuite {
     }
   }
 
+  test("semantic self-updating ingest: sequential parity and cross-batch " +
+      "detection through the appended index (probe runs the pruned path)") {
+    import graft.streaming.DocumentStreams
+    val base = Array.tabulate(8)(i => 1.0 + i * 0.1)
+    def jitter(eps: Double) = base.map(_ + eps)
+    val far = Array.tabulate(8)(i => if (i % 2 == 0) -3.0 + i else 2.0 - i)
+    val corpus = Seq((0L, base), (5L, far)).toDF("vec_id", "embedding")
+    // batch1 near-dups a CORPUS vector and adds a novel one; batch2
+    // near-dups the BATCH1 novel vector — visible only via the update
+    val novel = Array.tabulate(8)(i => (i % 3 - 1) * 2.0 + 0.3)
+    val batch1 = Seq((10L, jitter(0.01)), (11L, novel))
+      .toDF("vec_id", "embedding")
+    val batch2 = Seq((20L, novel.map(_ + 0.005))).toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graft_sem_self_t")
+    dir.toFile.deleteOnExit()
+    Storage.writeBucketed(graft.operators.Dedup.signBucketIndex(corpus),
+      "sem_self_idx", s"$dir/idx", bucketCol = "pb", buckets = 8)
+    Storage.writeBucketed(corpus, "sem_self_cor", s"$dir/cor",
+      bucketCol = "vec_id", buckets = 8)
+    try {
+      def run(b: org.apache.spark.sql.DataFrame) =
+        DocumentStreams.semanticIngestProbeThenUpdate(b, "sem_self_idx",
+          "sem_self_cor", tau = 0.9)
+      val r1 = run(batch1).collect().map(_.toString).sorted.toSeq
+      val r2 = run(batch2).collect().map(_.toString).sorted.toSeq
+      val e1 = DocumentStreams.semanticDupAgainstCorpus(batch1, corpus,
+        tau = 0.9).collect().map(_.toString).sorted.toSeq
+      val e2 = DocumentStreams.semanticDupAgainstCorpus(batch2,
+        corpus.unionByName(batch1), tau = 0.9)
+        .collect().map(_.toString).sorted.toSeq
+      assert(r1 == e1 && r1.nonEmpty, s"batch1: $r1 vs $e1")
+      assert(r2 == e2, s"batch2: $r2 vs $e2")
+      assert(r2.exists(_.contains("11")), s"expected a dup vs batch1 vec 11, got $r2")
+      // a fresh probe over three generations still bucket-prunes
+      val probe3 = {
+        val b3 = Seq((30L, jitter(0.02))).toDF("vec_id", "embedding")
+        DocumentStreams.semanticIngestProbeThenUpdate(b3, "sem_self_idx",
+          "sem_self_cor", tau = 0.9)
+      }
+      assert(probe3.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+        Set((30L, 0L), (30L, 10L)))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS sem_self_idx")
+      spark.sql("DROP TABLE IF EXISTS sem_self_cor")
+    }
+  }
+
   test("saltedJoin is row-identical to the plain join under a hot key") {
     // 0L is a hot key: 100 rows against 3 for key 1
     val large = ((1 to 100).map(i => (0L, s"v$i")) ++ Seq((1L, "a"), (1L, "b"), (1L, "c")))
