@@ -90,13 +90,24 @@ object ScaleSmoke {
     // incremental_dedup's.
     val smokeBatch = docs1.filter(col("doc_id") % 7 === 3)
       .select((col("doc_id") + 500000000L).as("doc_id"), col("text"))
+    // Explicit tier tags for the per-tier caches below — reference
+    // equality against the stable tier vals, NOT identityHashCode (two
+    // distinct objects can share an identity hash, which would silently
+    // alias two tiers to one cached table pair and corrupt the
+    // corpus-size-flat measurement). Anything that is not docs1/docs10
+    // (or emb1/emb10) is the late-defined 100x tier. (The 1000x spot
+    // check never reaches these caches — its subset1000 ops build no
+    // stored tables — so the fallback is unambiguous.)
+    def tierTag(d: DataFrame): String =
+      if (d eq docs1) "1x" else if (d eq docs10) "10x" else "100x"
+    def embTierTag(e: DataFrame): String =
+      if (e eq emb1) "1x" else if (e eq emb10) "10x" else "100x"
     // Per-tier PERSISTED band index, built+written ONCE outside the timed
-    // region (keyed on the tier DataFrame's identity: docs1 / docs10 /
-    // docs100 are stable vals) — the smoke then measures only what a 24/7
-    // ingest pays per batch.
-    val bandIdxByTier = scala.collection.mutable.Map.empty[Int, DataFrame]
+    // region — the smoke then measures only what a 24/7 ingest pays per
+    // batch.
+    val bandIdxByTier = scala.collection.mutable.Map.empty[String, DataFrame]
     def storedBandIndex(d: DataFrame): DataFrame = synchronized {
-      bandIdxByTier.getOrElseUpdate(System.identityHashCode(d), {
+      bandIdxByTier.getOrElseUpdate(tierTag(d), {
         val p = java.nio.file.Files.createTempDirectory("graft_smoke_bandidx")
         p.toFile.deleteOnExit()
         val tbl = "graft_smoke_idx_" +
@@ -114,13 +125,13 @@ object ScaleSmoke {
     // production contract: the standing corpus's index already exists;
     // the loop's recurring cost is probe + absorb, which IS the row).
     val selfUpdByTier =
-      scala.collection.mutable.Map.empty[(Int, String), (String, String)]
+      scala.collection.mutable.Map.empty[(String, String), (String, String)]
     val stepSeq = new java.util.concurrent.atomic.AtomicLong(0L)
-    // keyed by (tier, variant): each measured variant gets its OWN table
-    // pair, so one row's absorbed generations never inflate another
+    // keyed by (tier tag, variant): each measured variant gets its OWN
+    // table pair, so one row's absorbed generations never inflate another
     // row's probe output or timings
     def selfUpdatingTables(d: DataFrame, variant: String): (String, String) = synchronized {
-      selfUpdByTier.getOrElseUpdate((System.identityHashCode(d), variant), {
+      selfUpdByTier.getOrElseUpdate((tierTag(d), variant), {
         val p = java.nio.file.Files.createTempDirectory("graft_smoke_selfupd")
         p.toFile.deleteOnExit()
         val sfx = p.getFileName.toString.replaceAll("[^A-Za-z0-9_]", "_")
@@ -546,13 +557,13 @@ object ScaleSmoke {
       Dedup.semanticDedup(embD(e), k = k, iters = 2, tau = 0.9,
         fitFraction = 0.2, twoLevelAssign = true).count()
     // FROZEN quantizers for the index-append rows, fit once per tier
-    // outside the timed region (keyed on tier-DataFrame identity like
-    // storedBandIndex) — kmeansFit/pqFitCodebooks collect to bounded
-    // local artifacts, so reuse costs nothing per call.
+    // outside the timed region (keyed by tier tag like storedBandIndex)
+    // — kmeansFit/pqFitCodebooks collect to bounded local artifacts, so
+    // reuse costs nothing per call.
     val quantByTier = scala.collection.mutable.Map.empty[
-      Int, (DataFrame, IndexedSeq[IndexedSeq[(Int, Array[Double])]])]
+      String, (DataFrame, IndexedSeq[IndexedSeq[(Int, Array[Double])]])]
     def frozenQuant(e: DataFrame) = synchronized {
-      quantByTier.getOrElseUpdate(System.identityHashCode(e), {
+      quantByTier.getOrElseUpdate(embTierTag(e), {
         val ed = embD(e)
         (Similarity.kmeansFit(ed, k = 8, iters = 2),
           Similarity.pqFitCodebooks(ed, m = 8, ksub = 16, iters = 2))
@@ -765,8 +776,10 @@ object ScaleSmoke {
             spark.sql(s"DESC FORMATTED $tbl").filter(col("col_name") === "Location")
               .collect()(0).getString(1)))
           var n = 0L
-          java.nio.file.Files.walk(loc).forEach(q =>
+          val walk = java.nio.file.Files.walk(loc)
+          try walk.forEach(q =>
             if (q.getFileName.toString.startsWith("part-")) n += 1)
+          finally walk.close()
           n
         }
         val before = nFiles

@@ -47,6 +47,19 @@ object Storage {
       .format("parquet")
       .saveAsTable(table)
 
+  /** Drop `table` from the catalog and recursively delete its files
+   *  (best effort) through the Hadoop FileSystem API — scheme-agnostic,
+   *  so the same cleanup works for file://, hdfs:// and s3a:// table
+   *  locations. */
+  private def dropWithFiles(spark: SparkSession, table: String): Unit = {
+    import org.apache.spark.sql.catalyst.TableIdentifier
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.getTableMetadata(TableIdentifier(table)).location)
+    spark.sql(s"DROP TABLE `$table`")
+    try loc.getFileSystem(spark.sessionState.newHadoopConf()).delete(loc, true)
+    catch { case _: Exception => () }
+  }
+
   /**
    * Compact an appended table back to ONE FILE PER BUCKET.
    *
@@ -62,41 +75,61 @@ object Storage {
    * bucket b lands in exactly one task and the write emits exactly one
    * file per non-empty bucket.
    *
-   * The swap is two catalog operations (drop + rename), not a data
-   * copy: the compacted relation is written to a fresh sibling
-   * directory as `<table>_compact`, the original table is dropped
-   * (external — its files are removed best-effort afterwards), and the
-   * temp table is renamed into place. Readers that resolved the table
-   * BEFORE the swap keep reading the old snapshot's files (deleted
-   * last); new resolutions see the compacted spec-identical table, so
-   * bucket pruning and co-located joins are unchanged (StorageSpec
-   * asserts row parity and SelectedBucketsCount across the swap).
+   * The swap is CRASH-SAFE catalog renames, not a data copy: the
+   * compacted relation lands in a fresh sibling directory as
+   * `<table>_compact`, then (1) the live table renames aside to
+   * `<table>_old`, (2) the compacted table renames into place, (3) the
+   * aside entry drops with its files. A crash between any two steps
+   * leaves a state the NEXT call repairs on entry (adopt the compacted
+   * snapshot if the live name is missing; drop a stale aside/tmp
+   * otherwise) — at no point is the data unreachable under some catalog
+   * name. All path handling goes through the Hadoop FileSystem API, so
+   * the swap and old-generation cleanup work unchanged when the table
+   * lives on hdfs:// or s3a:// rather than local disk. Readers that
+   * resolved the table BEFORE the swap keep reading the old snapshot's
+   * files (deleted last); new resolutions see the compacted
+   * spec-identical table, so bucket pruning and co-located joins are
+   * unchanged (StorageSpec asserts row parity and SelectedBucketsCount
+   * across the swap).
    */
   def compactBuckets(spark: SparkSession, table: String,
       bucketCol: String = "doc_id", buckets: Int = 32): Unit = {
     import org.apache.spark.sql.catalyst.TableIdentifier
     import org.apache.spark.sql.functions.col
-    val meta = spark.sessionState.catalog.getTableMetadata(TableIdentifier(table))
-    val oldPath = java.nio.file.Paths.get(meta.location)
-    val newPath = oldPath.resolveSibling(
-      oldPath.getFileName.toString + s"_c${System.nanoTime()}")
+    val catalog = spark.sessionState.catalog
+    def exists(t: String) = catalog.tableExists(TableIdentifier(t))
     val tmp = table + "_compact"
+    val aside = table + "_old"
+    // Recovery from a previous compaction interrupted mid-swap (the swap
+    // states below are the only ways these names can coexist):
+    if (exists(aside)) {
+      if (!exists(table)) {
+        // crashed between rename-aside and rename-in: the compacted
+        // snapshot (tmp, written before the swap began) is complete —
+        // adopt it; fall back to restoring the aside if tmp is gone.
+        if (exists(tmp)) spark.sql(s"ALTER TABLE `$tmp` RENAME TO `$table`")
+        else spark.sql(s"ALTER TABLE `$aside` RENAME TO `$table`")
+      }
+      if (exists(aside)) dropWithFiles(spark, aside)
+    }
+    // a tmp WITH the live table present is an incomplete prior write (or
+    // post-adoption leftover): stale rows, rewrite fresh
+    if (exists(tmp)) dropWithFiles(spark, tmp)
+    val oldLoc = new org.apache.hadoop.fs.Path(
+      catalog.getTableMetadata(TableIdentifier(table)).location)
+    val newLoc = new org.apache.hadoop.fs.Path(oldLoc.getParent,
+      oldLoc.getName + s"_c${System.nanoTime()}")
     spark.table(table)
       .repartition(buckets, col(bucketCol))
       .write.mode(SaveMode.Overwrite)
-      .option("path", newPath.toString)
+      .option("path", newLoc.toString)
       .bucketBy(buckets, bucketCol)
       .sortBy(bucketCol)
       .format("parquet")
       .saveAsTable(tmp)
-    spark.sql(s"DROP TABLE `$table`")
+    spark.sql(s"ALTER TABLE `$table` RENAME TO `$aside`")
     spark.sql(s"ALTER TABLE `$tmp` RENAME TO `$table`")
-    // old generation's files: best-effort removal, AFTER the swap
-    try {
-      java.nio.file.Files.walk(oldPath)
-        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(p => java.nio.file.Files.deleteIfExists(p))
-    } catch { case _: Exception => () }
+    dropWithFiles(spark, aside) // old generation's files go LAST
   }
 
   /**

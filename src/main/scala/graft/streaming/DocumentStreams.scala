@@ -151,10 +151,13 @@ object DocumentStreams {
     val pairs = semanticDupAgainstIndex(batch, pruned,
         Storage.readTable(spark, corpusTable), tau, nPlanes, idCol, vecCol)
       .localCheckpoint(true)
-    Storage.appendBucketed(Dedup.signBucketIndex(batch, nPlanes, idCol, vecCol),
-      indexTable, bucketCol = "pb", buckets = indexBuckets)
+    // corpus FIRST (same failure-atomicity argument as updateStoredIndex:
+    // a corpus-only half-absorb is inert; an index-only one silently
+    // drops candidates at the verify join)
     Storage.appendBucketed(batch.select(col(idCol), col(vecCol)),
       corpusTable, bucketCol = idCol, buckets = corpusBuckets)
+    Storage.appendBucketed(Dedup.signBucketIndex(batch, nPlanes, idCol, vecCol),
+      indexTable, bucketCol = "pb", buckets = indexBuckets)
     pairs
   }
 
@@ -306,6 +309,15 @@ object DocumentStreams {
    * NEXT batch's probe sees this batch as corpus. Per-batch cost ∝
    * batch size (the existing index files are never rewritten); probes
    * keep bucket-pruning across append generations (StorageSpec).
+   *
+   * Append ORDER matters for failure atomicity: the corpus text rows
+   * land FIRST. The two appends are not a transaction; if the second
+   * fails, a corpus-first half-absorbed batch is inert (extra corpus
+   * rows are only ever read through a candidate's `dup_id` join, and
+   * with no index rows the batch can never be a candidate — it reads as
+   * "not yet absorbed"). The reverse order would leave index rows whose
+   * corpus text is missing, and the verify join would silently DROP
+   * those candidates — false-negative duplicates forever.
    */
   def updateStoredIndex(batch: DataFrame, indexTable: String,
       corpusTable: String, k: Int = 16, bands: Int = 4, shingleK: Int = 3,
@@ -313,11 +325,11 @@ object DocumentStreams {
       indexBuckets: Int = 8, corpusBuckets: Int = 8): Unit = {
     import graft.operators.Dedup
     import graft.sources.Storage
+    Storage.appendBucketed(batch.select(col(idCol), col(textCol)),
+      corpusTable, bucketCol = idCol, buckets = corpusBuckets)
     Storage.appendBucketed(
       Dedup.lshBandIndex(batch, k, bands, shingleK, idCol, textCol),
       indexTable, bucketCol = "key", buckets = indexBuckets)
-    Storage.appendBucketed(batch.select(col(idCol), col(textCol)),
-      corpusTable, bucketCol = idCol, buckets = corpusBuckets)
   }
 
   /**
@@ -363,10 +375,26 @@ object DocumentStreams {
    * `pairsDir`, and is then absorbed into the stored index + corpus —
    * so a page recrawled in a LATER micro-batch is detected against this
    * one. `foreachBatch` gives the ordering guarantee the loop needs
-   * (pairs written before the index absorbs the batch) and runs each
-   * batch exactly once per epoch; the probe itself is the stateless
-   * q156/q159 plan, so there is still no watermark and no state store —
-   * all cross-batch memory lives in the two stored tables.
+   * (pairs written before the index absorbs the batch); the probe
+   * itself is the stateless q156/q159 plan, so there is still no
+   * watermark and no state store — all cross-batch memory lives in the
+   * two stored tables.
+   *
+   * Replay idempotence: `foreachBatch` is AT-LEAST-ONCE (a batch whose
+   * epoch commit was lost replays on restart with the same batchId),
+   * and neither the pairs append nor the table absorb is naturally
+   * idempotent — a naive replay would permanently duplicate the batch's
+   * index rows, doubling every future probe's pairs for those docs. The
+   * loop therefore records the last fully-absorbed batchId in a marker
+   * file under `checkpointDir` and SKIPS replays of completed batches.
+   * Remaining window, documented honestly: a crash inside a batch
+   * (after some writes, before the marker) replays that ONE batch, so
+   * its pairs — and, if the crash split the two appends, its corpus/
+   * index rows — can land twice; bounded to a single batch per crash,
+   * vs. unbounded duplication without the marker. (The appends
+   * themselves order corpus-first so a split absorb degrades to "not
+   * yet absorbed", never to silent candidate loss — see
+   * [[updateStoredIndex]].)
    *
    * Returns the started query; stop it to end the crawl.
    */
@@ -386,22 +414,43 @@ object DocumentStreams {
     // cost stays bounded by bucket count, not uptime. foreachBatch is
     // serial per query, so no probe ever races the swap.
     val absorbed = new java.util.concurrent.atomic.AtomicLong(0L)
+    // Last-absorbed-batch marker (Hadoop FS, so the checkpoint can live on
+    // hdfs://s3a:// like the tables): written AFTER a batch's pairs +
+    // absorb complete; a replayed batchId at-or-below it is skipped.
+    val markerName = "graft_absorbed_batch"
     pages.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        val extracted = batch.select(col(pageIdCol).as(corpusIdCol),
-          graft.operators.Html.text(col(htmlCol)).as(corpusTextCol))
-        probeStoredIndex(extracted, indexTable, corpusTable, threshold,
-          k, bands, shingleK, corpusIdCol, corpusTextCol, maxProbeKeys)
-          .write.mode("append").parquet(pairsDir)
-        updateStoredIndex(extracted, indexTable, corpusTable, k, bands,
-          shingleK, corpusIdCol, corpusTextCol, indexBuckets, corpusBuckets)
-        if (compactEvery > 0 && absorbed.incrementAndGet() % compactEvery == 0) {
-          graft.sources.Storage.compactBuckets(spark, indexTable,
-            bucketCol = "key", buckets = indexBuckets)
-          graft.sources.Storage.compactBuckets(spark, corpusTable,
-            bucketCol = corpusIdCol, buckets = corpusBuckets)
+        val marker = new org.apache.hadoop.fs.Path(checkpointDir, markerName)
+        val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
+        val lastAbsorbed =
+          try {
+            if (!fs.exists(marker)) -1L
+            else {
+              val in = fs.open(marker)
+              try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+              finally in.close()
+            }
+          } catch { case _: Exception => -1L }
+        if (batchId > lastAbsorbed) {
+          val extracted = batch.select(col(pageIdCol).as(corpusIdCol),
+            graft.operators.Html.text(col(htmlCol)).as(corpusTextCol))
+          probeStoredIndex(extracted, indexTable, corpusTable, threshold,
+            k, bands, shingleK, corpusIdCol, corpusTextCol, maxProbeKeys)
+            .write.mode("append").parquet(pairsDir)
+          updateStoredIndex(extracted, indexTable, corpusTable, k, bands,
+            shingleK, corpusIdCol, corpusTextCol, indexBuckets, corpusBuckets)
+          val out = fs.create(marker, true)
+          try out.write(batchId.toString.getBytes(
+            java.nio.charset.StandardCharsets.UTF_8))
+          finally out.close()
+          if (compactEvery > 0 && absorbed.incrementAndGet() % compactEvery == 0) {
+            graft.sources.Storage.compactBuckets(spark, indexTable,
+              bucketCol = "key", buckets = indexBuckets)
+            graft.sources.Storage.compactBuckets(spark, corpusTable,
+              bucketCol = corpusIdCol, buckets = corpusBuckets)
+          }
         }
       }
       .start()

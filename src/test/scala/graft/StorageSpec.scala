@@ -254,6 +254,93 @@ class StorageSpec extends GraftSuite {
     }
   }
 
+  test("compactBuckets adopts the compacted snapshot after a crash between " +
+      "the swap's renames, and clears a stale tmp next to a live table") {
+    import graft.operators.Dedup
+    val docs = (0 until 6).map(i =>
+      (i.toLong, s"recovery doc $i about compaction swap states and buckets"))
+      .toDF("doc_id", "text")
+    val idx = Dedup.lshBandIndex(docs, k = 8, bands = 4, shingleK = 3)
+    val dir = java.nio.file.Files.createTempDirectory("graft_recov_t")
+    dir.toFile.deleteOnExit()
+    try {
+      // ---- crash state B: rename-aside done, rename-in not reached ----
+      // (live name missing; the compacted snapshot sits under _compact)
+      Storage.writeBucketed(idx, "recov_spec", s"$dir/idx",
+        bucketCol = "key", buckets = 8)
+      val rows = Storage.readTable(spark, "recov_spec")
+        .collect().map(_.toString).sorted.toSeq
+      Storage.writeBucketed(idx, "recov_spec_compact", s"$dir/idx_c",
+        bucketCol = "key", buckets = 8)
+      spark.sql("ALTER TABLE `recov_spec` RENAME TO `recov_spec_old`")
+      assert(!spark.catalog.tableExists("recov_spec"))
+      Storage.compactBuckets(spark, "recov_spec", bucketCol = "key", buckets = 8)
+      assert(Storage.readTable(spark, "recov_spec")
+        .collect().map(_.toString).sorted.toSeq == rows,
+        "adoption lost rows")
+      assert(!spark.catalog.tableExists("recov_spec_old") &&
+        !spark.catalog.tableExists("recov_spec_compact"),
+        "recovery left swap-state tables behind")
+      // the aside generation's files are gone (Hadoop FS delete)
+      assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$dir/idx")),
+        "aside generation's files were not cleaned up")
+      // ---- crash state A: tmp written, swap never started ----
+      // (live table present; the stale tmp must be dropped, not adopted)
+      Storage.writeBucketed(idx.limit(2), "recov_spec_compact",
+        s"$dir/idx_stale", bucketCol = "key", buckets = 8)
+      Storage.compactBuckets(spark, "recov_spec", bucketCol = "key", buckets = 8)
+      assert(Storage.readTable(spark, "recov_spec")
+        .collect().map(_.toString).sorted.toSeq == rows,
+        "stale tmp leaked into the compacted table")
+      assert(!spark.catalog.tableExists("recov_spec_compact"))
+    } finally {
+      Seq("recov_spec", "recov_spec_old", "recov_spec_compact")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
+    }
+  }
+
+  test("compactBuckets resolves scheme-qualified table locations through the " +
+      "Hadoop FileSystem API (file:// URI — the hdfs/s3a-portable path)") {
+    import graft.operators.Dedup
+    val docs = (0 until 5).map(i =>
+      (i.toLong, s"scheme doc $i about hadoop filesystem path resolution"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_scheme_t")
+    dir.toFile.deleteOnExit()
+    // an explicitly scheme-qualified location: java.nio file walking would
+    // need the URI unwrapped by hand; the Hadoop Path/FileSystem route the
+    // compactor uses handles any scheme uniformly
+    Storage.writeBucketed(
+      Dedup.lshBandIndex(docs, k = 8, bands = 4, shingleK = 3),
+      "scheme_spec", s"file://$dir/idx", bucketCol = "key", buckets = 8)
+    Storage.appendBucketed(
+      Dedup.lshBandIndex(docs.withColumn("doc_id", $"doc_id" + 100L),
+        k = 8, bands = 4, shingleK = 3),
+      "scheme_spec", bucketCol = "key", buckets = 8)
+    try {
+      val before = Storage.readTable(spark, "scheme_spec")
+        .collect().map(_.toString).sorted.toSeq
+      Storage.compactBuckets(spark, "scheme_spec", bucketCol = "key", buckets = 8)
+      assert(Storage.readTable(spark, "scheme_spec")
+        .collect().map(_.toString).sorted.toSeq == before)
+      // the new location is a sibling of the old and the old generation's
+      // directory is gone — both resolved via Hadoop Path arithmetic
+      val loc = new org.apache.hadoop.fs.Path(new java.net.URI(
+        spark.sql("DESC FORMATTED scheme_spec")
+          .filter($"col_name" === "Location").collect()(0).getString(1)))
+      val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
+      assert(fs.exists(loc), s"compacted location missing: $loc")
+      assert(loc.getName.startsWith("idx_c"), s"unexpected location: $loc")
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(loc.getParent, "idx")),
+        "old generation's directory survived the swap")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS scheme_spec")
+      spark.sql("DROP TABLE IF EXISTS scheme_spec_compact")
+      spark.sql("DROP TABLE IF EXISTS scheme_spec_old")
+    }
+  }
+
   test("self-updating ingest: each probe matches sequential recompute, the " +
       "update is visible to the NEXT batch, and pruning holds across generations") {
     import graft.streaming.DocumentStreams

@@ -334,13 +334,92 @@ class StreamingSpec extends GraftSuite {
         spark.sql("DESC FORMATTED self_crawl_idx")
           .filter($"col_name" === "Location").collect()(0).getString(1)))
       var nIdxFiles = 0
-      java.nio.file.Files.walk(idxLoc).forEach(p =>
+      val walk = java.nio.file.Files.walk(idxLoc)
+      try walk.forEach(p =>
         if (p.getFileName.toString.startsWith("part-")) nIdxFiles += 1)
+      finally walk.close()
       assert(nIdxFiles <= 8, s"expected <=8 files after compaction, got $nIdxFiles")
     } finally {
       q.stop()
       spark.sql("DROP TABLE IF EXISTS self_crawl_idx")
       spark.sql("DROP TABLE IF EXISTS self_crawl_cor")
+    }
+  }
+
+  test("crawlSelfUpdating skips the replay of an already-absorbed batch " +
+      "(foreachBatch is at-least-once; the marker makes the absorb effectively-once)") {
+    import spark.implicits._
+    val corpus = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog and runs far away today"),
+      (2L, "completely different text about database engines and query planners"))
+      .toDF("doc_id", "text")
+    def pageOf(body: String): String =
+      s"<html><head><title>T</title></head><body><p>$body</p></body></html>"
+    val base = java.nio.file.Files.createTempDirectory("graft_replay_crawl")
+    base.toFile.deleteOnExit()
+    graft.sources.Storage.writeBucketed(
+      graft.operators.Dedup.lshBandIndex(corpus, k = 8, bands = 4, shingleK = 3),
+      "replay_crawl_idx", s"$base/idx", bucketCol = "key", buckets = 8)
+    graft.sources.Storage.writeBucketed(corpus, "replay_crawl_cor",
+      s"$base/cor", bucketCol = "doc_id", buckets = 8)
+    // a FILE source (not MemoryStream): it re-delivers a batch whose epoch
+    // commit was lost, which is exactly the replay this test exercises
+    val srcDir = s"$base/src"
+    def startCrawl() = graft.streaming.DocumentStreams.crawlSelfUpdating(
+      spark.readStream
+        .schema("page_id LONG, html STRING").json(srcDir),
+      "replay_crawl_idx", "replay_crawl_cor",
+      s"$base/pairs", s"$base/ckpt", threshold = 0.5, k = 8, bands = 4,
+      shingleK = 3)
+    Seq(
+      (10L, pageOf("the quick brown fox jumps over the lazy dog and runs far away today")),
+      (11L, pageOf("a genuinely novel page about glaciers carving deep mountain valleys")))
+      .toDF("page_id", "html").write.mode("append").json(srcDir)
+    val q1 = startCrawl()
+    try q1.processAllAvailable() finally q1.stop()
+    val pairs1 = spark.read.parquet(s"$base/pairs")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(pairs1 == Set((10L, 0L, 1.0)), s"got $pairs1")
+    // the absorb runs in the stream's CLONED session; refresh this
+    // session's relation cache before every count or it reads the file
+    // list it snapshotted at the previous count
+    def tableRows(t: String): Long = {
+      spark.catalog.refreshTable(t); spark.table(t).count()
+    }
+    val idxRows = tableRows("replay_crawl_idx")
+    val corRows = tableRows("replay_crawl_cor")
+    // lose batch 0's epoch commit: on restart the engine re-runs the batch
+    // with the same batchId — the at-least-once case the marker absorbs
+    val commit0 = java.nio.file.Paths.get(s"$base/ckpt/commits/0")
+    assert(java.nio.file.Files.deleteIfExists(commit0),
+      "expected a commit file for batch 0")
+    // the checksum twin too, or the re-commit's rename collides on it
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$base/ckpt/commits/.0.crc"))
+    val q2 = startCrawl()
+    try {
+      q2.processAllAvailable()
+      assert(spark.read.parquet(s"$base/pairs")
+        .as[(Long, Long, Double)].collect().toSet == pairs1,
+        "replay duplicated the batch's pairs")
+      assert(tableRows("replay_crawl_idx") == idxRows,
+        "replay re-absorbed the batch's index rows")
+      assert(tableRows("replay_crawl_cor") == corRows,
+        "replay re-absorbed the batch's corpus rows")
+      // and the loop still advances: a NEW batch after the skipped replay
+      // is probed and absorbed normally (page 12 dups batch-1 page 11)
+      Seq((12L, pageOf("a genuinely novel page about glaciers carving deep mountain valleys")))
+        .toDF("page_id", "html").write.mode("append").json(srcDir)
+      q2.processAllAvailable()
+      val pairs2 = spark.read.parquet(s"$base/pairs")
+        .as[(Long, Long, Double)].collect().toSet
+      assert(pairs2.map(r => (r._1, r._2)) == Set((10L, 0L), (12L, 11L)),
+        s"got $pairs2")
+      assert(tableRows("replay_crawl_idx") > idxRows)
+    } finally {
+      q2.stop()
+      spark.sql("DROP TABLE IF EXISTS replay_crawl_idx")
+      spark.sql("DROP TABLE IF EXISTS replay_crawl_cor")
     }
   }
 
