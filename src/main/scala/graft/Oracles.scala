@@ -2004,6 +2004,27 @@ object Oracles {
          |  FROM cand JOIN hs x ON x.doc_id = cand.batch_id JOIN hs y ON y.doc_id = cand.dup_id)
          |WHERE jaccard >= 0.7""".stripMargin,
 
+    // Takedown propagation: q169's sequential semantics with a delete
+    // interleaved between the batches — even-id documents among
+    // everything ingested before batch2 (%7 in (0,3)) are tombstoned,
+    // so batch2's candidate clause keeps only odd-id corpus members.
+    // Batch1's clause is untouched (the ledger was empty at its probe).
+    "q173_takedown_ingest" ->
+      s"""WITH $MinhashCte,
+         |bnd AS (SELECT doc_id, generate_subscripts(keys, 1) - 1 AS band, unnest(keys) AS key FROM bk),
+         |cand AS (
+         |  SELECT DISTINCT b.doc_id AS batch_id, c.doc_id AS dup_id
+         |  FROM bnd b JOIN bnd c ON b.band = c.band AND b.key = c.key
+         |  WHERE b.doc_id % 7 = 3 AND c.doc_id % 7 = 0
+         |  UNION
+         |  SELECT DISTINCT b.doc_id, c.doc_id
+         |  FROM bnd b JOIN bnd c ON b.band = c.band AND b.key = c.key
+         |  WHERE b.doc_id % 7 = 5 AND c.doc_id % 7 IN (0, 3) AND c.doc_id % 2 = 1)
+         |SELECT * FROM (SELECT batch_id, dup_id,
+         |    floor((CAST(len(list_intersect(x.h, y.h)) AS DOUBLE) / len(list_distinct(list_concat(x.h, y.h)))) * 1e4 + 0.5) / 1e4 AS jaccard
+         |  FROM cand JOIN hs x ON x.doc_id = cand.batch_id JOIN hs y ON y.doc_id = cand.dup_id)
+         |WHERE jaccard >= 0.7""".stripMargin,
+
     // Corpus sharding: salted-hash shard + independent salted-hash
     // in-shard order, dense 0-based position (doc_id tie-break).
     "q119_shard_order" ->

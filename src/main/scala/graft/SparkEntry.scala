@@ -1910,6 +1910,47 @@ object SparkEntry {
       r1.unionByName(r2)
     }),
 
+    // TAKEDOWN propagation (round-17): q169's self-updating loop with a
+    // DELETE interleaved between the two batches. Deletions are recorded
+    // as a tombstone relation (DocumentStreams.recordDeletions — an
+    // O(deletions) bucketed append, never a corpus rewrite); batch 2's
+    // probe anti-joins its candidates against it BEFORE the verify join,
+    // so pairs referencing deleted docs (seed-corpus and batch-1 members
+    // with even ids alike) are never emitted. Physical reclamation rides
+    // the next compaction (Storage.compactBuckets dropIds — StorageSpec
+    // gates that half); this query gates the read-side semantics against
+    // a sequential recompute on (corpus ∪ batch1 − deletions).
+    "q173_takedown_ingest" -> ((s, dir) => {
+      val out = scratchDir("graft_takedown")
+      val idxTbl = scratchTable("graft_q173_idx", out)
+      val corTbl = scratchTable("graft_q173_cor", out)
+      val tsTbl = scratchTable("graft_q173_ts", out)
+      val d = docs(s, dir)
+      val corpus0 = d.filter(col("doc_id") % 7 === 0).select("doc_id", "text")
+      val batch1 = d.filter(col("doc_id") % 7 === 3).select("doc_id", "text")
+      val batch2 = d.filter(col("doc_id") % 7 === 5).select("doc_id", "text")
+      sources.Storage.writeBucketed(
+        Dedup.lshBandIndex(corpus0, k = 8, bands = 4, shingleK = 3),
+        idxTbl, s"$out/idx", bucketCol = "key", buckets = 8)
+      sources.Storage.writeBucketed(corpus0, corTbl, s"$out/cor",
+        bucketCol = "doc_id", buckets = 8)
+      // the takedown ledger exists from day one (empty)
+      streaming.DocumentStreams.recordDeletions(
+        d.select("doc_id").limit(0), tsTbl, s"$out/ts")
+      val r1 = streaming.DocumentStreams.ingestProbeThenUpdate(batch1,
+        idxTbl, corTbl, threshold = 0.7, k = 8, bands = 4, shingleK = 3,
+        tombstoneTable = Some(tsTbl))
+      // the takedown lands BETWEEN the batches: every even-id document
+      // ingested so far — seed corpus (%7=0) and batch 1 (%7=3) alike
+      streaming.DocumentStreams.recordDeletions(
+        d.filter((col("doc_id") % 7).isin(0, 3) && col("doc_id") % 2 === 0)
+          .select("doc_id"), tsTbl, s"$out/ts")
+      val r2 = streaming.DocumentStreams.ingestProbeThenUpdate(batch2,
+        idxTbl, corTbl, threshold = 0.7, k = 8, bands = 4, shingleK = 3,
+        tombstoneTable = Some(tsTbl))
+      r1.unionByName(r2)
+    }),
+
     "q29_contain_join" -> ((s, dir) => {
       val t = toks(s, dir)
       SpanJoin.containJoin(win(t, 4, 4), t.select(col("doc_id"), col("span")))

@@ -926,6 +926,18 @@ object TextAnalysis {
    * in — no corpus re-scan, ever — then reads the estimate off the
    * merged sketch with [[hllEstimate]]. Hashing/mixing/rank details: see
    * [[hllDistinctTokens]].
+   *
+   * TAKEDOWN policy (shared by every add-only register family here —
+   * HLL, CMS, length-hist, minhash signatures): a MAX/SUM/MIN register
+   * cannot subtract a deleted document, so deletions are handled by
+   * REBUILDING ONLY THE AFFECTED GROUPS — registers are keyed by `grp`,
+   * so a takedown in source s invalidates exactly s's rows; recompute
+   * them from s's surviving documents (cost ∝ |source|, never the
+   * corpus) and union with every untouched group's stored rows. The
+   * merge law (`registers(A ∪ B) ≡ merge(registers(A), registers(B))`,
+   * applied per group) makes the patched relation IDENTICAL to a full
+   * recompute on (corpus − deletions) — PipelineOpsSpec asserts this
+   * row-for-row for all four families.
    */
   def hllRegisters(docs: DataFrame, p: Int = 12,
       groupCol: String = "source", textCol: String = "text"): DataFrame = {

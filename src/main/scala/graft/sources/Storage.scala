@@ -91,9 +91,18 @@ object Storage {
    * spec-identical table, so bucket pruning and co-located joins are
    * unchanged (StorageSpec asserts row parity and SelectedBucketsCount
    * across the swap).
+   *
+   * `dropIds = Some((ids, column))` is the LSM delete shape: rows whose
+   * `column` appears in the single-column `ids` relation are PHYSICALLY
+   * dropped at the rewrite (a broadcast anti-join folded into the
+   * compaction's one linear pass — takedowns piggyback on maintenance
+   * the table was paying for anyway). Between a takedown and the next
+   * compaction, readers hide the rows with the same anti-join
+   * (DocumentStreams probes do); compaction is what reclaims the bytes.
    */
   def compactBuckets(spark: SparkSession, table: String,
-      bucketCol: String = "doc_id", buckets: Int = 32): Unit = {
+      bucketCol: String = "doc_id", buckets: Int = 32,
+      dropIds: Option[(DataFrame, String)] = None): Unit = {
     import org.apache.spark.sql.catalyst.TableIdentifier
     import org.apache.spark.sql.functions.col
     val catalog = spark.sessionState.catalog
@@ -119,7 +128,11 @@ object Storage {
       catalog.getTableMetadata(TableIdentifier(table)).location)
     val newLoc = new org.apache.hadoop.fs.Path(oldLoc.getParent,
       oldLoc.getName + s"_c${System.nanoTime()}")
-    spark.table(table)
+    val live = dropIds.foldLeft(spark.table(table)) { case (t, (ids, c)) =>
+      t.join(org.apache.spark.sql.functions.broadcast(
+        ids.toDF("__drop_id")), col(c) === col("__drop_id"), "left_anti")
+    }
+    live
       .repartition(buckets, col(bucketCol))
       .write.mode(SaveMode.Overwrite)
       .option("path", newLoc.toString)

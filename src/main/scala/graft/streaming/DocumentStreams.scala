@@ -136,7 +136,8 @@ object DocumentStreams {
       corpusTable: String, tau: Double = 0.3, nPlanes: Int = 8,
       idCol: String = "vec_id", vecCol: String = "embedding",
       indexBuckets: Int = 8, corpusBuckets: Int = 8,
-      maxProbeBuckets: Int = 4096): DataFrame = {
+      maxProbeBuckets: Int = 4096,
+      tombstoneTable: Option[String] = None): DataFrame = {
     import graft.operators.Dedup
     import graft.sources.Storage
     val spark = batch.sparkSession
@@ -146,8 +147,10 @@ object DocumentStreams {
         explode(Dedup.probeBuckets(
           Dedup.signBucketHashed(vecD, nPlanes), nPlanes)).as("pb"))
       .distinct().limit(maxProbeBuckets + 1).collect().map(_.getLong(0))
-    val pruned = if (pbs.length > maxProbeBuckets) index0
-      else index0.filter(col("pb").isin(pbs.map(java.lang.Long.valueOf): _*))
+    val pruned = dropTombstoned(
+      if (pbs.length > maxProbeBuckets) index0
+      else index0.filter(col("pb").isin(pbs.map(java.lang.Long.valueOf): _*)),
+      spark, tombstoneTable)
     val pairs = semanticDupAgainstIndex(batch, pruned,
         Storage.readTable(spark, corpusTable), tau, nPlanes, idCol, vecCol)
       .localCheckpoint(true)
@@ -260,18 +263,64 @@ object DocumentStreams {
    * a pruned index read + the candidates' verify join — no corpus
    * signature recompute anywhere.
    */
+  /**
+   * Record TAKEDOWNS: append the single-column `ids` relation to the
+   * stored tombstone table (created bucketed by the id on first use).
+   * A tombstone makes a corpus document invisible to every subsequent
+   * probe — [[probeStoredIndex]] / [[semanticIngestProbeThenUpdate]]
+   * anti-join candidates against this table — and is PHYSICALLY applied
+   * at the next compaction ([[graft.sources.Storage.compactBuckets]]'s
+   * `dropIds`), the standard LSM delete shape: O(deletions) to record,
+   * reclaimed for free inside maintenance the table already pays for.
+   * Deletion cost never touches the 100 TB corpus outside compaction.
+   */
+  def recordDeletions(ids: DataFrame, tombstoneTable: String, path: String,
+      idCol: String = "doc_id", buckets: Int = 8): Unit = {
+    import graft.sources.Storage
+    val spark = ids.sparkSession
+    if (spark.catalog.tableExists(tombstoneTable))
+      Storage.appendBucketed(ids.select(col(idCol)), tombstoneTable,
+        bucketCol = idCol, buckets = buckets)
+    else
+      Storage.writeBucketed(ids.select(col(idCol)), tombstoneTable, path,
+        bucketCol = idCol, buckets = buckets)
+  }
+
+  /** Anti-join an index/candidate relation's `dup_id` against the stored
+    * tombstone table (no-op when none is configured). Applied to the
+    * (already bucket-pruned, narrow) index rows BEFORE the verify join,
+    * so a tombstoned candidate never costs a corpus text read — and the
+    * candidate-id corpus prune then excludes it from the isin literal
+    * too. The tombstone side broadcasts: takedown lists are tiny
+    * relative to any corpus worth indexing.
+    *
+    * The table is refreshed before every read: takedowns are recorded
+    * by EXTERNAL sessions by definition (a compliance process, not the
+    * loop), and a stale cached file listing would silently serve
+    * pre-deletion candidates — e.g. a 24/7 crawl's cloned streaming
+    * session would otherwise pin the ledger's state at stream start
+    * forever. Metadata-only, O(1) vs any probe. */
+  private def dropTombstoned(rel: DataFrame, spark: org.apache.spark.sql.SparkSession,
+      tombstoneTable: Option[String]): DataFrame =
+    tombstoneTable.fold(rel) { t =>
+      spark.catalog.refreshTable(t)
+      rel.join(broadcast(graft.sources.Storage.readTable(spark, t)
+        .toDF("__ts_id")), col("dup_id") === col("__ts_id"), "left_anti")
+    }
+
   def probeStoredIndex(batch: DataFrame, indexTable: String,
       corpusTable: String, threshold: Double = 0.8, k: Int = 16,
       bands: Int = 4, shingleK: Int = 3, idCol: String = "doc_id",
       textCol: String = "text", maxProbeKeys: Int = 4096,
       pruneCorpusByCandidates: Boolean = false,
-      maxCandidateIds: Int = 4096): DataFrame = {
+      maxCandidateIds: Int = 4096,
+      tombstoneTable: Option[String] = None): DataFrame = {
     import graft.operators.Dedup
     import graft.sources.Storage
     val spark = batch.sparkSession
-    val pruned = Dedup.pruneIndexForBatch(
+    val pruned = dropTombstoned(Dedup.pruneIndexForBatch(
       Storage.readTable(spark, indexTable), batch, k, bands, shingleK,
-      textCol, maxProbeKeys)
+      textCol, maxProbeKeys), spark, tombstoneTable)
     // The verify side reads the stored corpus for the candidates' exact
     // shingle sets. With `pruneCorpusByCandidates` the candidate ids —
     // known from the (narrow, shingle-free) band join — reach the corpus
@@ -358,10 +407,11 @@ object DocumentStreams {
       bands: Int = 4, shingleK: Int = 3, idCol: String = "doc_id",
       textCol: String = "text", indexBuckets: Int = 8,
       corpusBuckets: Int = 8, maxProbeKeys: Int = 4096,
-      pruneCorpusByCandidates: Boolean = false): DataFrame = {
+      pruneCorpusByCandidates: Boolean = false,
+      tombstoneTable: Option[String] = None): DataFrame = {
     val pairs = probeStoredIndex(batch, indexTable, corpusTable, threshold,
       k, bands, shingleK, idCol, textCol, maxProbeKeys,
-      pruneCorpusByCandidates)
+      pruneCorpusByCandidates, tombstoneTable = tombstoneTable)
       .localCheckpoint(true)
     updateStoredIndex(batch, indexTable, corpusTable, k, bands, shingleK,
       idCol, textCol, indexBuckets, corpusBuckets)
@@ -396,6 +446,11 @@ object DocumentStreams {
    * yet absorbed", never to silent candidate loss — see
    * [[updateStoredIndex]].)
    *
+   * `tombstoneTable` wires TAKEDOWNS into the loop: every probe
+   * anti-joins its candidates against the table ([[recordDeletions]]
+   * maintains it), and each `compactEvery` maintenance cycle physically
+   * drops tombstoned rows from both stored tables at the rewrite.
+   *
    * Returns the started query; stop it to end the crawl.
    */
   def crawlSelfUpdating(pages: DataFrame, indexTable: String,
@@ -405,7 +460,7 @@ object DocumentStreams {
       htmlCol: String = "html", corpusIdCol: String = "doc_id",
       corpusTextCol: String = "text", indexBuckets: Int = 8,
       corpusBuckets: Int = 8, maxProbeKeys: Int = 4096,
-      compactEvery: Int = 0)
+      compactEvery: Int = 0, tombstoneTable: Option[String] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     // `compactEvery = n > 0` folds the MAINTENANCE half of the 24/7 loop
     // in: after every n-th absorbed batch, both stored tables rewrite to
@@ -437,7 +492,8 @@ object DocumentStreams {
           val extracted = batch.select(col(pageIdCol).as(corpusIdCol),
             graft.operators.Html.text(col(htmlCol)).as(corpusTextCol))
           probeStoredIndex(extracted, indexTable, corpusTable, threshold,
-            k, bands, shingleK, corpusIdCol, corpusTextCol, maxProbeKeys)
+            k, bands, shingleK, corpusIdCol, corpusTextCol, maxProbeKeys,
+            tombstoneTable = tombstoneTable)
             .write.mode("append").parquet(pairsDir)
           updateStoredIndex(extracted, indexTable, corpusTable, k, bands,
             shingleK, corpusIdCol, corpusTextCol, indexBuckets, corpusBuckets)
@@ -446,10 +502,17 @@ object DocumentStreams {
             java.nio.charset.StandardCharsets.UTF_8))
           finally out.close()
           if (compactEvery > 0 && absorbed.incrementAndGet() % compactEvery == 0) {
+            // compaction PHYSICALLY drops tombstoned rows (LSM delete):
+            // probes already hide them via the anti-join above, so the
+            // swap changes no probe result — it reclaims the bytes
+            val ts = tombstoneTable.map(t =>
+              graft.sources.Storage.readTable(spark, t))
             graft.sources.Storage.compactBuckets(spark, indexTable,
-              bucketCol = "key", buckets = indexBuckets)
+              bucketCol = "key", buckets = indexBuckets,
+              dropIds = ts.map((_, "dup_id")))
             graft.sources.Storage.compactBuckets(spark, corpusTable,
-              bucketCol = corpusIdCol, buckets = corpusBuckets)
+              bucketCol = corpusIdCol, buckets = corpusBuckets,
+              dropIds = ts.map((_, corpusIdCol)))
           }
         }
       }

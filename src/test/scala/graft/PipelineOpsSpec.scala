@@ -1185,6 +1185,43 @@ class PipelineOpsSpec extends GraftSuite {
     assert(estMerged == out)
   }
 
+  test("add-only sketch takedown policy: rebuilding ONLY the affected " +
+      "source's registers and re-merging equals a full recompute on the " +
+      "survivors (all four register families)") {
+    // Registers are add-only (MAX/SUM/MIN cannot subtract a deleted
+    // doc); the deletion policy is rebuild-affected-sources: a takedown
+    // in src0 invalidates exactly src0's register rows — recompute them
+    // from src0's SURVIVING docs (cost ∝ |source|, never the corpus) and
+    // union with every untouched group's stored rows. Mergeability per
+    // group makes the patch exactly a full rebuild on (corpus − deleted).
+    val docs = spark.range(90).select(col("id").as("doc_id"),
+      when(col("id") % 3 === 0, "src0").when(col("id") % 3 === 1, "src1")
+        .otherwise("src2").as("source"),
+      concat_ws(" ", transform(sequence(lit(0), lit(49)),
+        i => concat(lit("t"), ((col("id") * 37 + i) % 700).cast("string"))))
+        .as("text"))
+    val deleted = docs.filter(col("source") === "src0" && col("doc_id") % 2 === 0)
+    val survivors = docs.join(deleted.select("doc_id"), Seq("doc_id"), "left_anti")
+    val src0Alive = survivors.filter(col("source") === "src0")
+    def key(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(_.toString).sorted.toSeq
+    def patched(stored: org.apache.spark.sql.DataFrame,
+        rebuilt: org.apache.spark.sql.DataFrame) =
+      stored.filter(col("grp") =!= "src0").unionByName(rebuilt)
+    assert(key(patched(TextAnalysis.hllRegisters(docs),
+        TextAnalysis.hllRegisters(src0Alive))) ==
+      key(TextAnalysis.hllRegisters(survivors)), "hll")
+    assert(key(patched(TextAnalysis.cmsRegisters(docs),
+        TextAnalysis.cmsRegisters(src0Alive))) ==
+      key(TextAnalysis.cmsRegisters(survivors)), "cms")
+    assert(key(patched(TextAnalysis.lenHistRegisters(docs),
+        TextAnalysis.lenHistRegisters(src0Alive))) ==
+      key(TextAnalysis.lenHistRegisters(survivors)), "len-hist")
+    assert(key(patched(TextAnalysis.minhashSignatures(docs),
+        TextAnalysis.minhashSignatures(src0Alive))) ==
+      key(TextAnalysis.minhashSignatures(survivors)), "minhash")
+  }
+
   test("cmsTokenCounts: never underestimates; exact when sparse; " +
       "partition-invariant; counters merge associatively (q164 property)") {
     // two groups with known token frequencies at several magnitudes

@@ -415,6 +415,59 @@ class StorageSpec extends GraftSuite {
     }
   }
 
+  test("takedown tombstones: probes hide tombstoned docs immediately and " +
+      "compaction physically drops their rows (LSM delete shape)") {
+    import graft.streaming.DocumentStreams
+    val t0 = "the quick brown fox jumps over the lazy dog and runs far away today"
+    val t1 = "completely different text about database engines and query planners"
+    val corpus = Seq((0L, t0), (1L, t0 + " tonight"), (2L, t1))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_tomb_t")
+    dir.toFile.deleteOnExit()
+    Storage.writeBucketed(
+      graft.operators.Dedup.lshBandIndex(corpus, k = 8, bands = 4, shingleK = 3),
+      "tomb_idx_spec", s"$dir/idx", bucketCol = "key", buckets = 8)
+    Storage.writeBucketed(corpus, "tomb_cor_spec", s"$dir/cor",
+      bucketCol = "doc_id", buckets = 8)
+    try {
+      val batch = Seq((30L, t0)).toDF("doc_id", "text")
+      def probe(ts: Option[String]) = DocumentStreams.probeStoredIndex(
+        batch, "tomb_idx_spec", "tomb_cor_spec", threshold = 0.5, k = 8,
+        bands = 4, shingleK = 3, tombstoneTable = ts)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // before the takedown: the batch doc collides with 0 AND 1
+      assert(probe(None) == Set((30L, 0L), (30L, 1L)))
+      // takedown doc 0: the ledger starts empty, then absorbs the id
+      DocumentStreams.recordDeletions(Seq(0L).toDF("doc_id"),
+        "tomb_ts_spec", s"$dir/ts")
+      // hidden IMMEDIATELY (anti-join), long before any rewrite
+      assert(probe(Some("tomb_ts_spec")) == Set((30L, 1L)))
+      // compaction physically drops the tombstoned rows from both tables
+      val ts = Storage.readTable(spark, "tomb_ts_spec")
+      Storage.compactBuckets(spark, "tomb_idx_spec", bucketCol = "key",
+        buckets = 8, dropIds = Some((ts, "dup_id")))
+      Storage.compactBuckets(spark, "tomb_cor_spec", bucketCol = "doc_id",
+        buckets = 8, dropIds = Some((ts, "doc_id")))
+      assert(Storage.readTable(spark, "tomb_idx_spec")
+        .filter($"dup_id" === 0L).count() == 0, "index rows survived compaction")
+      assert(Storage.readTable(spark, "tomb_cor_spec")
+        .filter($"doc_id" === 0L).count() == 0, "corpus rows survived compaction")
+      // post-compaction: the same result WITHOUT the anti-join (rows are
+      // physically gone), and the probe still bucket-prunes
+      assert(probe(None) == Set((30L, 1L)))
+      val planStr = DocumentStreams.probeStoredIndex(batch, "tomb_idx_spec",
+        "tomb_cor_spec", threshold = 0.5, k = 8, bands = 4, shingleK = 3)
+        .queryExecution.executedPlan.toString
+      val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+        .findFirstMatchIn(planStr)
+      assert(sel.isDefined && sel.get.group(1).toInt < sel.get.group(2).toInt,
+        s"expected bucket pruning after tombstone compaction:\n$planStr")
+    } finally {
+      Seq("tomb_idx_spec", "tomb_cor_spec", "tomb_ts_spec")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
+    }
+  }
+
   test("semantic self-updating ingest: sequential parity and cross-batch " +
       "detection through the appended index (probe runs the pruned path)") {
     import graft.streaming.DocumentStreams
@@ -456,7 +509,18 @@ class StorageSpec extends GraftSuite {
       }
       assert(probe3.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
         Set((30L, 0L), (30L, 10L)))
+      // takedown on the SIGN-LSH index: tombstoned vectors disappear from
+      // the next probe's candidates (same anti-join as the band index)
+      DocumentStreams.recordDeletions(Seq(0L).toDF("vec_id"),
+        "sem_self_ts", s"$dir/ts", idCol = "vec_id")
+      val probe4 = DocumentStreams.semanticIngestProbeThenUpdate(
+        Seq((40L, jitter(0.03))).toDF("vec_id", "embedding"),
+        "sem_self_idx", "sem_self_cor", tau = 0.9,
+        tombstoneTable = Some("sem_self_ts"))
+      assert(probe4.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+        Set((40L, 10L), (40L, 30L)), "tombstoned vec 0 still surfaced")
     } finally {
+      spark.sql("DROP TABLE IF EXISTS sem_self_ts")
       spark.sql("DROP TABLE IF EXISTS sem_self_idx")
       spark.sql("DROP TABLE IF EXISTS sem_self_cor")
     }

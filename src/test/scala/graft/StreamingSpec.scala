@@ -346,6 +346,68 @@ class StreamingSpec extends GraftSuite {
     }
   }
 
+  test("crawlSelfUpdating with a tombstone table: a takedown between " +
+      "micro-batches stops matches against the deleted docs and the next " +
+      "compaction physically drops their rows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = "the quick brown fox jumps over the lazy dog and runs far away today"
+    val corpus = Seq(
+      (0L, t0),
+      (2L, "completely different text about database engines and query planners"))
+      .toDF("doc_id", "text")
+    def pageOf(body: String): String =
+      s"<html><head><title>T</title></head><body><p>$body</p></body></html>"
+    val base = java.nio.file.Files.createTempDirectory("graft_tomb_crawl")
+    base.toFile.deleteOnExit()
+    graft.sources.Storage.writeBucketed(
+      graft.operators.Dedup.lshBandIndex(corpus, k = 8, bands = 4, shingleK = 3),
+      "tomb_crawl_idx", s"$base/idx", bucketCol = "key", buckets = 8)
+    graft.sources.Storage.writeBucketed(corpus, "tomb_crawl_cor",
+      s"$base/cor", bucketCol = "doc_id", buckets = 8)
+    graft.streaming.DocumentStreams.recordDeletions(
+      Seq.empty[Long].toDF("doc_id"), "tomb_crawl_ts", s"$base/ts")
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.streaming.DocumentStreams.crawlSelfUpdating(
+      mem.toDF.toDF("page_id", "html"), "tomb_crawl_idx", "tomb_crawl_cor",
+      s"$base/pairs", s"$base/ckpt", threshold = 0.5, k = 8, bands = 4,
+      shingleK = 3, compactEvery = 1, tombstoneTable = Some("tomb_crawl_ts"))
+    try {
+      mem.addData((10L, pageOf(t0)))
+      q.processAllAvailable()
+      def pairs = spark.read.parquet(s"$base/pairs")
+        .as[(Long, Long, Double)].collect().toSet.map(
+          (r: (Long, Long, Double)) => (r._1, r._2))
+      assert(pairs == Set((10L, 0L)), s"got $pairs")
+      // takedown BOTH copies of the text ingested so far (corpus doc 0
+      // and the absorbed recrawl page 10)
+      graft.streaming.DocumentStreams.recordDeletions(
+        Seq(0L, 10L).toDF("doc_id"), "tomb_crawl_ts", s"$base/ts")
+      // a fresh recrawl of the SAME text now matches nothing
+      mem.addData((12L, pageOf(t0)))
+      q.processAllAvailable()
+      assert(pairs == Set((10L, 0L)), s"takedown leaked a pair: $pairs")
+      // batch 2's compaction cycle physically dropped the tombstoned rows
+      spark.catalog.refreshTable("tomb_crawl_idx")
+      assert(spark.table("tomb_crawl_idx")
+        .filter($"dup_id".isin(0L, 10L)).count() == 0,
+        "tombstoned index rows survived compaction")
+      spark.catalog.refreshTable("tomb_crawl_cor")
+      assert(spark.table("tomb_crawl_cor")
+        .filter($"doc_id".isin(0L, 10L)).count() == 0,
+        "tombstoned corpus rows survived compaction")
+      // the loop keeps operating: page 12 WAS absorbed (not tombstoned),
+      // so one more recrawl matches it — and only it
+      mem.addData((14L, pageOf(t0)))
+      q.processAllAvailable()
+      assert(pairs == Set((10L, 0L), (14L, 12L)), s"got $pairs")
+    } finally {
+      q.stop()
+      Seq("tomb_crawl_idx", "tomb_crawl_cor", "tomb_crawl_ts")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
+    }
+  }
+
   test("crawlSelfUpdating skips the replay of an already-absorbed batch " +
       "(foreachBatch is at-least-once; the marker makes the absorb effectively-once)") {
     import spark.implicits._
