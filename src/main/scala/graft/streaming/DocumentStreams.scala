@@ -138,6 +138,23 @@ object DocumentStreams {
       indexBuckets: Int = 8, corpusBuckets: Int = 8,
       maxProbeBuckets: Int = 4096,
       tombstoneTable: Option[String] = None): DataFrame = {
+    val pairs = probeStoredSemanticIndex(batch, indexTable, corpusTable,
+      tau, nPlanes, idCol, vecCol, maxProbeBuckets, tombstoneTable)
+      .localCheckpoint(true)
+    updateStoredSemanticIndex(batch, indexTable, corpusTable, nPlanes,
+      idCol, vecCol, indexBuckets, corpusBuckets)
+    pairs
+  }
+
+  /** The read half of the semantic self-updating loop: probe the stored
+    * [[graft.operators.Dedup.signBucketIndex]] table (pruned to the
+    * batch's probe buckets, soft-valved; tombstones anti-joined) and
+    * cosine-verify the candidates against the stored vector corpus. */
+  def probeStoredSemanticIndex(batch: DataFrame, indexTable: String,
+      corpusTable: String, tau: Double = 0.3, nPlanes: Int = 8,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      maxProbeBuckets: Int = 4096,
+      tombstoneTable: Option[String] = None): DataFrame = {
     import graft.operators.Dedup
     import graft.sources.Storage
     val spark = batch.sparkSession
@@ -151,17 +168,24 @@ object DocumentStreams {
       if (pbs.length > maxProbeBuckets) index0
       else index0.filter(col("pb").isin(pbs.map(java.lang.Long.valueOf): _*)),
       spark, tombstoneTable)
-    val pairs = semanticDupAgainstIndex(batch, pruned,
-        Storage.readTable(spark, corpusTable), tau, nPlanes, idCol, vecCol)
-      .localCheckpoint(true)
-    // corpus FIRST (same failure-atomicity argument as updateStoredIndex:
-    // a corpus-only half-absorb is inert; an index-only one silently
-    // drops candidates at the verify join)
+    semanticDupAgainstIndex(batch, pruned,
+      Storage.readTable(spark, corpusTable), tau, nPlanes, idCol, vecCol)
+  }
+
+  /** The write half: absorb the batch into the stored sign-LSH index +
+    * vector corpus. Corpus FIRST (same failure-atomicity argument as
+    * [[updateStoredIndex]]: a corpus-only half-absorb is inert; an
+    * index-only one silently drops candidates at the verify join). */
+  def updateStoredSemanticIndex(batch: DataFrame, indexTable: String,
+      corpusTable: String, nPlanes: Int = 8, idCol: String = "vec_id",
+      vecCol: String = "embedding", indexBuckets: Int = 8,
+      corpusBuckets: Int = 8): Unit = {
+    import graft.operators.Dedup
+    import graft.sources.Storage
     Storage.appendBucketed(batch.select(col(idCol), col(vecCol)),
       corpusTable, bucketCol = idCol, buckets = corpusBuckets)
     Storage.appendBucketed(Dedup.signBucketIndex(batch, nPlanes, idCol, vecCol),
       indexTable, bucketCol = "pb", buckets = indexBuckets)
-    pairs
   }
 
   def nearDupAgainstCorpus(docs: DataFrame, corpus: DataFrame,
@@ -469,26 +493,11 @@ object DocumentStreams {
     // cost stays bounded by bucket count, not uptime. foreachBatch is
     // serial per query, so no probe ever races the swap.
     val absorbed = new java.util.concurrent.atomic.AtomicLong(0L)
-    // Last-absorbed-batch marker (Hadoop FS, so the checkpoint can live on
-    // hdfs://s3a:// like the tables): written AFTER a batch's pairs +
-    // absorb complete; a replayed batchId at-or-below it is skipped.
-    val markerName = "graft_absorbed_batch"
     pages.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        val marker = new org.apache.hadoop.fs.Path(checkpointDir, markerName)
-        val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
-        val lastAbsorbed =
-          try {
-            if (!fs.exists(marker)) -1L
-            else {
-              val in = fs.open(marker)
-              try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
-              finally in.close()
-            }
-          } catch { case _: Exception => -1L }
-        if (batchId > lastAbsorbed) {
+        if (batchId > readAbsorbedMarker(spark, checkpointDir)) {
           val extracted = batch.select(col(pageIdCol).as(corpusIdCol),
             graft.operators.Html.text(col(htmlCol)).as(corpusTextCol))
           probeStoredIndex(extracted, indexTable, corpusTable, threshold,
@@ -497,10 +506,7 @@ object DocumentStreams {
             .write.mode("append").parquet(pairsDir)
           updateStoredIndex(extracted, indexTable, corpusTable, k, bands,
             shingleK, corpusIdCol, corpusTextCol, indexBuckets, corpusBuckets)
-          val out = fs.create(marker, true)
-          try out.write(batchId.toString.getBytes(
-            java.nio.charset.StandardCharsets.UTF_8))
-          finally out.close()
+          writeAbsorbedMarker(spark, checkpointDir, batchId)
           if (compactEvery > 0 && absorbed.incrementAndGet() % compactEvery == 0) {
             // compaction PHYSICALLY drops tombstoned rows (LSM delete):
             // probes already hide them via the anti-join above, so the
@@ -513,6 +519,87 @@ object DocumentStreams {
             graft.sources.Storage.compactBuckets(spark, corpusTable,
               bucketCol = corpusIdCol, buckets = corpusBuckets,
               dropIds = ts.map((_, corpusIdCol)))
+          }
+        }
+      }
+      .start()
+  }
+
+  /** Last-absorbed-batch marker (Hadoop FS, so the checkpoint can live
+    * on hdfs://s3a:// like the tables): written AFTER a batch's pairs +
+    * absorb complete; a replayed batchId at-or-below it is skipped. */
+  private def readAbsorbedMarker(spark: org.apache.spark.sql.SparkSession,
+      checkpointDir: String): Long =
+    try {
+      val marker = new org.apache.hadoop.fs.Path(checkpointDir,
+        "graft_absorbed_batch")
+      val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
+      if (!fs.exists(marker)) -1L
+      else {
+        val in = fs.open(marker)
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+        finally in.close()
+      }
+    } catch { case _: Exception => -1L }
+
+  private def writeAbsorbedMarker(spark: org.apache.spark.sql.SparkSession,
+      checkpointDir: String, batchId: Long): Unit = {
+    val marker = new org.apache.hadoop.fs.Path(checkpointDir,
+      "graft_absorbed_batch")
+    val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(marker, true)
+    try out.write(batchId.toString.getBytes(
+      java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /**
+   * The streaming 24/7 SEMANTIC ingest loop, CLOSED —
+   * [[crawlSelfUpdating]]'s embedding twin: each micro-batch of vectors
+   * probes the stored [[graft.operators.Dedup.signBucketIndex]]
+   * (bucket-pruned to the batch's own-plus-bit-flip probe buckets,
+   * tombstones anti-joined), lands its cosine pairs in `pairsDir`, and
+   * is then absorbed into the stored index + corpus — a vector
+   * re-ingested in a LATER micro-batch is detected against this one.
+   * Same guarantees as the crawl loop, for the same reasons: stateless
+   * plan (cross-batch memory lives in the two stored tables),
+   * pairs-before-absorb ordering inside `foreachBatch`, replay
+   * idempotence via the absorbed-batch marker (one-batch window on a
+   * mid-batch crash, documented at [[crawlSelfUpdating]]), corpus-first
+   * appends, and `compactEvery`-cycle maintenance that physically drops
+   * tombstoned rows. The batch path of the SAME probe/absorb step is
+   * q172's declared, oracle-gated query ([[semanticIngestProbeThenUpdate]]).
+   *
+   * Returns the started query; stop it to end the ingest.
+   */
+  def semanticSelfUpdating(vectors: DataFrame, indexTable: String,
+      corpusTable: String, pairsDir: String, checkpointDir: String,
+      tau: Double = 0.3, nPlanes: Int = 8, idCol: String = "vec_id",
+      vecCol: String = "embedding", indexBuckets: Int = 8,
+      corpusBuckets: Int = 8, maxProbeBuckets: Int = 4096,
+      compactEvery: Int = 0, tombstoneTable: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val absorbed = new java.util.concurrent.atomic.AtomicLong(0L)
+    vectors.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        if (batchId > readAbsorbedMarker(spark, checkpointDir)) {
+          probeStoredSemanticIndex(batch, indexTable, corpusTable, tau,
+            nPlanes, idCol, vecCol, maxProbeBuckets, tombstoneTable)
+            .write.mode("append").parquet(pairsDir)
+          updateStoredSemanticIndex(batch, indexTable, corpusTable,
+            nPlanes, idCol, vecCol, indexBuckets, corpusBuckets)
+          writeAbsorbedMarker(spark, checkpointDir, batchId)
+          if (compactEvery > 0 && absorbed.incrementAndGet() % compactEvery == 0) {
+            val ts = tombstoneTable.map(t =>
+              graft.sources.Storage.readTable(spark, t))
+            graft.sources.Storage.compactBuckets(spark, indexTable,
+              bucketCol = "pb", buckets = indexBuckets,
+              dropIds = ts.map((_, "dup_id")))
+            graft.sources.Storage.compactBuckets(spark, corpusTable,
+              bucketCol = idCol, buckets = corpusBuckets,
+              dropIds = ts.map((_, idCol)))
           }
         }
       }

@@ -346,6 +346,51 @@ class StreamingSpec extends GraftSuite {
     }
   }
 
+  test("semanticSelfUpdating: the 24/7 embedding loop end-to-end — a vector " +
+      "re-ingested in a LATER micro-batch is detected through the appended " +
+      "index rows, with zero streaming state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base0 = Array.tabulate(8)(i => 1.0 + i * 0.1)
+    val far = Array.tabulate(8)(i => if (i % 2 == 0) -3.0 + i else 2.0 - i)
+    val novel = Array.tabulate(8)(i => (i % 3 - 1) * 2.0 + 0.3)
+    val corpus = Seq((0L, base0), (5L, far)).toDF("vec_id", "embedding")
+    val base = java.nio.file.Files.createTempDirectory("graft_sem_stream")
+    base.toFile.deleteOnExit()
+    graft.sources.Storage.writeBucketed(
+      graft.operators.Dedup.signBucketIndex(corpus),
+      "sem_stream_idx", s"$base/idx", bucketCol = "pb", buckets = 8)
+    graft.sources.Storage.writeBucketed(corpus, "sem_stream_cor",
+      s"$base/cor", bucketCol = "vec_id", buckets = 8)
+    val mem = MemoryStream[(Long, Array[Double])]
+    // compactEvery = 1: the maintenance half must be invisible to
+    // detection, exactly as in the crawl-loop test
+    val q = graft.streaming.DocumentStreams.semanticSelfUpdating(
+      mem.toDF.toDF("vec_id", "embedding"), "sem_stream_idx",
+      "sem_stream_cor", s"$base/pairs", s"$base/ckpt", tau = 0.9,
+      compactEvery = 1)
+    try {
+      // batch 1: vec 10 near-dups corpus vec 0; vec 11 is novel
+      mem.addData((10L, base0.map(_ + 0.01)), (11L, novel))
+      q.processAllAvailable()
+      def pairs = spark.read.parquet(s"$base/pairs")
+        .as[(Long, Long, Double)].collect().toSet.map(
+          (r: (Long, Long, Double)) => (r._1, r._2))
+      assert(pairs == Set((10L, 0L)), s"got $pairs")
+      // batch 2: vec 12 near-dups BATCH-1 vec 11 — detectable only
+      // because batch 1 was absorbed into the stored index
+      mem.addData((12L, novel.map(_ + 0.005)))
+      q.processAllAvailable()
+      assert(pairs == Set((10L, 0L), (12L, 11L)), s"got $pairs")
+      // stateless: cross-batch memory lives entirely in the two tables
+      assert(q.lastProgress == null || q.lastProgress.stateOperators.isEmpty)
+    } finally {
+      q.stop()
+      spark.sql("DROP TABLE IF EXISTS sem_stream_idx")
+      spark.sql("DROP TABLE IF EXISTS sem_stream_cor")
+    }
+  }
+
   test("crawlSelfUpdating with a tombstone table: a takedown between " +
       "micro-batches stops matches against the deleted docs and the next " +
       "compaction physically drops their rows") {
