@@ -1964,6 +1964,43 @@ object Oracles {
          |  FROM cand JOIN hs x ON x.doc_id = cand.batch_id JOIN hs y ON y.doc_id = cand.dup_id)
          |WHERE jaccard >= 0.7""".stripMargin,
 
+    // q117's stored-index incremental probe with the round-17 slimmed
+    // corpus slice (%7 in (0,1)): corpus branch membership restricted,
+    // batch-vs-batch branch unchanged.
+    "q160_indexed_incremental" ->
+      s"""WITH $MinhashCte,
+         |bnd AS (SELECT doc_id, generate_subscripts(keys, 1) - 1 AS band, unnest(keys) AS key FROM bk),
+         |cand AS (
+         |  SELECT DISTINCT b.doc_id AS batch_id, c.doc_id AS dup_id, 'corpus' AS dup_src
+         |  FROM bnd b JOIN bnd c ON b.band = c.band AND b.key = c.key
+         |  WHERE b.doc_id % 7 = 3 AND c.doc_id % 7 IN (0, 1)
+         |  UNION
+         |  SELECT DISTINCT b2.doc_id, a.doc_id, 'batch'
+         |  FROM bnd a JOIN bnd b2 ON a.band = b2.band AND a.key = b2.key
+         |    AND a.doc_id < b2.doc_id
+         |  WHERE a.doc_id % 7 = 3 AND b2.doc_id % 7 = 3)
+         |SELECT * FROM (SELECT batch_id, dup_id,
+         |    floor((CAST(len(list_intersect(x.h, y.h)) AS DOUBLE) / len(list_distinct(list_concat(x.h, y.h)))) * 1e4 + 0.5) / 1e4 AS jaccard,
+         |    dup_src
+         |  FROM cand JOIN hs x ON x.doc_id = cand.batch_id JOIN hs y ON y.doc_id = cand.dup_id)
+         |WHERE jaccard >= 0.7""".stripMargin,
+
+    // q120's stored-index probe with the round-17 slimmed corpus slice
+    // (%7 in (0,1)) — the probe machinery is result-identical to the
+    // recompute form by construction (index rows ARE the band
+    // projection; key pruning is a semantic no-op), so the oracle is
+    // q120's with the corpus membership swapped in.
+    "q159_indexed_ingest_dedup" ->
+      s"""WITH $MinhashCte,
+         |bnd AS (SELECT doc_id, generate_subscripts(keys, 1) - 1 AS band, unnest(keys) AS key FROM bk),
+         |cand AS (SELECT DISTINCT b.doc_id AS batch_id, c.doc_id AS dup_id
+         |  FROM bnd b JOIN bnd c ON b.band = c.band AND b.key = c.key
+         |  WHERE b.doc_id % 7 = 3 AND c.doc_id % 7 IN (0, 1))
+         |SELECT * FROM (SELECT batch_id, dup_id,
+         |    floor((CAST(len(list_intersect(x.h, y.h)) AS DOUBLE) / len(list_distinct(list_concat(x.h, y.h)))) * 1e4 + 0.5) / 1e4 AS jaccard
+         |  FROM cand JOIN hs x ON x.doc_id = cand.batch_id JOIN hs y ON y.doc_id = cand.dup_id)
+         |WHERE jaccard >= 0.7""".stripMargin,
+
     // Streaming crawl ingest mirror: the stream side's text is the
     // EXTRACTED text of its synthetic page (q150's chain), the corpus
     // side raw text; then exactly q120's band-join + first-shared-band
@@ -1984,21 +2021,24 @@ object Oracles {
 
     // Self-updating ingest loop mirror: the sequential two-batch
     // semantics flattened — batch1 (doc_id%7=3) collides with the seed
-    // corpus (%7=0) only; batch2 (%7=5) collides with the seed corpus
+    // corpus (%21=0) only; batch2 (%7=5) collides with the seed corpus
     // AND batch1 (the rows the engine's index absorbed between the
-    // probes). Same band-join + first-shared-band (DISTINCT) + exact
-    // Jaccard verify as q120.
+    // probes). The seed slice is %21 (round-17, slimmed): the loop's
+    // declared recurring unit is one micro-batch's probe + absorb, so
+    // the seed build the query pays at construction is kept small —
+    // the machinery is slice-independent. Same band-join +
+    // first-shared-band (DISTINCT) + exact Jaccard verify as q120.
     "q169_selfupdating_ingest" ->
       s"""WITH $MinhashCte,
          |bnd AS (SELECT doc_id, generate_subscripts(keys, 1) - 1 AS band, unnest(keys) AS key FROM bk),
          |cand AS (
          |  SELECT DISTINCT b.doc_id AS batch_id, c.doc_id AS dup_id
          |  FROM bnd b JOIN bnd c ON b.band = c.band AND b.key = c.key
-         |  WHERE b.doc_id % 7 = 3 AND c.doc_id % 7 = 0
+         |  WHERE b.doc_id % 7 = 3 AND c.doc_id % 21 = 0
          |  UNION
          |  SELECT DISTINCT b.doc_id, c.doc_id
          |  FROM bnd b JOIN bnd c ON b.band = c.band AND b.key = c.key
-         |  WHERE b.doc_id % 7 = 5 AND c.doc_id % 7 IN (0, 3))
+         |  WHERE b.doc_id % 7 = 5 AND (c.doc_id % 21 = 0 OR c.doc_id % 7 = 3))
          |SELECT * FROM (SELECT batch_id, dup_id,
          |    floor((CAST(len(list_intersect(x.h, y.h)) AS DOUBLE) / len(list_distinct(list_concat(x.h, y.h)))) * 1e4 + 0.5) / 1e4 AS jaccard
          |  FROM cand JOIN hs x ON x.doc_id = cand.batch_id JOIN hs y ON y.doc_id = cand.dup_id)
@@ -2006,20 +2046,22 @@ object Oracles {
 
     // Takedown propagation: q169's sequential semantics with a delete
     // interleaved between the batches — even-id documents among
-    // everything ingested before batch2 (%7 in (0,3)) are tombstoned,
-    // so batch2's candidate clause keeps only odd-id corpus members.
-    // Batch1's clause is untouched (the ledger was empty at its probe).
+    // everything ingested before batch2 (seed %21=0 and batch1 %7=3)
+    // are tombstoned, so batch2's candidate clause keeps only odd-id
+    // corpus members. Batch1's clause is untouched (the ledger was
+    // empty at its probe).
     "q173_takedown_ingest" ->
       s"""WITH $MinhashCte,
          |bnd AS (SELECT doc_id, generate_subscripts(keys, 1) - 1 AS band, unnest(keys) AS key FROM bk),
          |cand AS (
          |  SELECT DISTINCT b.doc_id AS batch_id, c.doc_id AS dup_id
          |  FROM bnd b JOIN bnd c ON b.band = c.band AND b.key = c.key
-         |  WHERE b.doc_id % 7 = 3 AND c.doc_id % 7 = 0
+         |  WHERE b.doc_id % 7 = 3 AND c.doc_id % 21 = 0
          |  UNION
          |  SELECT DISTINCT b.doc_id, c.doc_id
          |  FROM bnd b JOIN bnd c ON b.band = c.band AND b.key = c.key
-         |  WHERE b.doc_id % 7 = 5 AND c.doc_id % 7 IN (0, 3) AND c.doc_id % 2 = 1)
+         |  WHERE b.doc_id % 7 = 5 AND (c.doc_id % 21 = 0 OR c.doc_id % 7 = 3)
+         |    AND c.doc_id % 2 = 1)
          |SELECT * FROM (SELECT batch_id, dup_id,
          |    floor((CAST(len(list_intersect(x.h, y.h)) AS DOUBLE) / len(list_distinct(list_concat(x.h, y.h)))) * 1e4 + 0.5) / 1e4 AS jaccard
          |  FROM cand JOIN hs x ON x.doc_id = cand.batch_id JOIN hs y ON y.doc_id = cand.dup_id)
@@ -2784,12 +2826,9 @@ object Oracles {
     // append(90%)∪append(10%) under frozen quantizers == the full-corpus
     // index relation row-for-row, so the probe result is q149's
     ("q162_ivfpq_append" -> base("q149_ivfpq")) +
-    // stored-band-index probes are result-identical to their recompute
-    // forms by construction: Dedup.lshBandIndex rows ARE the corpus-side
-    // band projection those queries derive inline, and key pruning is a
-    // semantic no-op (unprobed keys can never join)
-    ("q159_indexed_ingest_dedup" -> base("q120_stream_ingest_dedup")) +
-    ("q160_indexed_incremental" -> base("q117_incremental_dedup")) +
+    // (q159/q160 carry their own oracles since round-17: the probe
+    // machinery is result-identical to the recompute forms, but their
+    // slimmed corpus slices differ from q120/q117's)
     // the incremental HLL sketch is register-row-identical to the full
     // recompute (per-register MAX/SUM are exact integer folds over any
     // partition of the corpus), so the estimate read off the merged

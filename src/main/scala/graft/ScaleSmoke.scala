@@ -750,6 +750,37 @@ object ScaleSmoke {
       results += f"""{"op":"ann_recall_at10","lsh_1x":$l1%.3f,"ivf_label_1x":$v1%.3f,"ivf_kmeans_1x":$w1%.3f,"ivfpq_1x":$p1%.3f,"ivfpq_rerank_1x":$r1%.3f,"lsh_10x":$l10%.3f,"ivf_label_10x":$v10%.3f,"ivf_kmeans_10x":$w10%.3f,"ivfpq_10x":$p10%.3f,"ivfpq_rerank_10x":$r10%.3f}"""
     }
 
+    // IVFADC+R nprobe ROUTING sweep (round-17): the R sweep above
+    // converges to the ivf_kmeans ceiling because recall loss beyond R
+    // is pure cell routing — this row measures the ROUTING knob
+    // directly: recall@10 of IVFADC+R at FIXED R=40 (q170's declared
+    // default) as nprobe grows 2 → 4 → 8 (= all cells, the routing
+    // ceiling removed). Together with the R sweep it records the
+    // production trade pair: nprobe buys routing recall at the price of
+    // scanned cells (∝ corpus/C per extra cell); R buys re-rank
+    // precision within routed cells at R·|queries| exact distances,
+    // corpus-size-independent. 1x diverse tier, like the R sweep.
+    if (wanted("ann_nprobe_sweep")) {
+      val ed = embD(emb1)
+      val q = ed.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      def ids(df: DataFrame): Map[Any, Set[Long]] = df.collect()
+        .groupBy(_.get(0)).map { case (g, rs) => g -> rs.map(_.getLong(1)).toSet }
+      val exact = ids(Similarity.bruteForceTopK(ed, q, k = 10))
+      def rec(df: DataFrame): Double = {
+        val a = ids(df)
+        exact.map { case (g, ex) =>
+          (a.getOrElse(g, Set.empty) & ex).size.toDouble / ex.size
+        }.sum / exact.size
+      }
+      val km = Similarity.kmeansFit(ed, k = 8, iters = 2)
+      val pqb = Similarity.pqFitCodebooks(ed, m = 8, ksub = 16, iters = 2)
+      val Seq(n2, n4, n8) = Seq(2, 4, 8).map(np =>
+        rec(Similarity.ivfPqTopKRerank(ed, q, km, pqb, nprobe = np,
+          k = 10, r = 40)))
+      results += f"""{"op":"ann_nprobe_sweep_r40","nprobe2_1x":$n2%.3f,"nprobe4_1x":$n4%.3f,"nprobe8_1x":$n8%.3f}"""
+    }
+
     // BUCKETED-INDEX COMPACTION (round-16): the 24/7 append loop grows
     // files linearly in batch count (one per (task, bucket) per append
     // generation); Storage.compactBuckets bounds the probe's file count

@@ -323,10 +323,15 @@ object DocumentStreams {
     * loop), and a stale cached file listing would silently serve
     * pre-deletion candidates — e.g. a 24/7 crawl's cloned streaming
     * session would otherwise pin the ledger's state at stream start
-    * forever. Metadata-only, O(1) vs any probe. */
+    * forever. Metadata-only, O(1) vs any probe.
+    *
+    * A configured-but-MISSING table reads as an empty ledger: the ledger
+    * is created by the first takedown ([[recordDeletions]]), so a loop
+    * that has never seen one skips the read entirely instead of paying
+    * an empty table's write + scan up front. */
   private def dropTombstoned(rel: DataFrame, spark: org.apache.spark.sql.SparkSession,
       tombstoneTable: Option[String]): DataFrame =
-    tombstoneTable.fold(rel) { t =>
+    tombstoneTable.filter(spark.catalog.tableExists).fold(rel) { t =>
       spark.catalog.refreshTable(t)
       rel.join(broadcast(graft.sources.Storage.readTable(spark, t)
         .toDF("__ts_id")), col("dup_id") === col("__ts_id"), "left_anti")
@@ -511,8 +516,8 @@ object DocumentStreams {
             // compaction PHYSICALLY drops tombstoned rows (LSM delete):
             // probes already hide them via the anti-join above, so the
             // swap changes no probe result — it reclaims the bytes
-            val ts = tombstoneTable.map(t =>
-              graft.sources.Storage.readTable(spark, t))
+            val ts = tombstoneTable.filter(spark.catalog.tableExists)
+              .map(t => graft.sources.Storage.readTable(spark, t))
             graft.sources.Storage.compactBuckets(spark, indexTable,
               bucketCol = "key", buckets = indexBuckets,
               dropIds = ts.map((_, "dup_id")))
@@ -592,8 +597,8 @@ object DocumentStreams {
             nPlanes, idCol, vecCol, indexBuckets, corpusBuckets)
           writeAbsorbedMarker(spark, checkpointDir, batchId)
           if (compactEvery > 0 && absorbed.incrementAndGet() % compactEvery == 0) {
-            val ts = tombstoneTable.map(t =>
-              graft.sources.Storage.readTable(spark, t))
+            val ts = tombstoneTable.filter(spark.catalog.tableExists)
+              .map(t => graft.sources.Storage.readTable(spark, t))
             graft.sources.Storage.compactBuckets(spark, indexTable,
               bucketCol = "pb", buckets = indexBuckets,
               dropIds = ts.map((_, "dup_id")))
