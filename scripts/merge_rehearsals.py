@@ -1,0 +1,59 @@
+#!/usr/bin/env python3
+"""Merge bench rehearsal floors for a round.
+
+Usage: merge_rehearsals.py OUT PREV_FLOORS CHANGED_CSV REHEARSAL1 [REHEARSAL2 ...]
+
+Element-wise min over the previous round's merged floors and this
+round's full rehearsals, EXCEPT queries named in CHANGED_CSV (comma
+separated): their semantics or cost accounting changed this round, so
+their floors come only from this round's rehearsals (plus any seed
+passed as `name=value` items inside CHANGED_CSV).
+"""
+import json
+import sys
+
+out, prev_path, changed_csv = sys.argv[1], sys.argv[2], sys.argv[3]
+rehearsals = [json.load(open(p)) for p in sys.argv[4:]]
+prev = json.load(open(prev_path))["queries"]
+
+changed = {}
+for item in changed_csv.split(","):
+    if not item:
+        continue
+    if "=" in item:
+        name, seed = item.split("=")
+        changed[name] = float(seed)
+    else:
+        changed[item] = None
+
+names = set()
+for r in rehearsals:
+    names |= set(r["queries"].keys())
+
+floors = {}
+for n in sorted(names):
+    samples = [r["queries"][n] for r in rehearsals if n in r["queries"]]
+    if n in changed:
+        if changed[n] is not None:
+            samples.append(changed[n])
+    elif n in prev:
+        samples.append(prev[n])
+    floors[n] = min(samples)
+
+for r in rehearsals:
+    assert r["passes"] >= 3 and not r["failed"] and not r["cold_only"], r["passes"]
+
+doc = {
+    "metric": "total",
+    "value": sum(floors.values()),
+    "unit": "sec",
+    "queries": floors,
+    "failed": [],
+    "sf": rehearsals[0]["sf"],
+    "passes": min(r["passes"] for r in rehearsals),
+    "cold_only": [],
+    "note": "",
+}
+json.dump(doc, open(out, "w"), indent=1)
+print(f"{len(floors)} queries, total {sum(floors.values()):.1f}s, "
+      f"{len(changed)} reseeded")

@@ -278,16 +278,6 @@ object DocumentStreams {
   }
 
   /**
-   * Probe the PERSISTED corpus for one ingest batch — the read half of
-   * the self-updating loop: the stored [[graft.operators.Dedup.lshBandIndex]]
-   * table (bucketed by `key`) supplies candidates through
-   * [[graft.operators.Dedup.pruneIndexForBatch]]'s bucket-pruned scan,
-   * and the stored corpus relation `(idCol, textCol)` supplies the exact
-   * shingle-Jaccard verify for just those candidates. Per-batch cost:
-   * a pruned index read + the candidates' verify join — no corpus
-   * signature recompute anywhere.
-   */
-  /**
    * Record TAKEDOWNS: append the single-column `ids` relation to the
    * stored tombstone table (created bucketed by the id on first use).
    * A tombstone makes a corpus document invisible to every subsequent
@@ -337,6 +327,17 @@ object DocumentStreams {
         .toDF("__ts_id")), col("dup_id") === col("__ts_id"), "left_anti")
     }
 
+  /**
+   * Probe the PERSISTED corpus for one ingest batch — the read half of
+   * the self-updating loop: the stored [[graft.operators.Dedup.lshBandIndex]]
+   * table (bucketed by `key`) supplies candidates through
+   * [[graft.operators.Dedup.pruneIndexForBatch]]'s bucket-pruned scan
+   * (tombstoned candidates anti-joined out), and the stored corpus
+   * relation `(idCol, textCol)` supplies the exact shingle-Jaccard
+   * verify for just those candidates. Per-batch cost: a pruned index
+   * read + the candidates' verify join — no corpus signature recompute
+   * anywhere.
+   */
   def probeStoredIndex(batch: DataFrame, indexTable: String,
       corpusTable: String, threshold: Double = 0.8, k: Int = 16,
       bands: Int = 4, shingleK: Int = 3, idCol: String = "doc_id",
