@@ -1557,6 +1557,26 @@ object Oracles {
          |    FROM cand c JOIN ed x ON x.id = c.batch_id JOIN ed y ON y.id = c.dup_id))
          |WHERE cos >= 0.3""".stripMargin,
 
+    // Semantic takedown: q172's sequential semantics with a delete
+    // interleaved between the batches — even-id vectors among
+    // everything ingested before batch2 (seed %5=0 and batch1 %5=1) are
+    // tombstoned, so batch2's candidate clause keeps only odd-id
+    // corpus members. Batch1's clause is untouched (no ledger existed
+    // at its probe).
+    "q174_semantic_takedown" ->
+      s"""WITH $EmbCte,
+         |bk AS (SELECT id, v, ${bucketH("v")} AS bucket FROM ed),
+         |pr AS (SELECT id AS batch_id, $ProbeExpr FROM bk WHERE id % 5 IN (1, 2)),
+         |cand AS (SELECT pr.batch_id, bk.id AS dup_id FROM pr
+         |  JOIN bk ON pr.pb = bk.bucket
+         |  WHERE (pr.batch_id % 5 = 1 AND bk.id % 5 = 0)
+         |     OR (pr.batch_id % 5 = 2 AND bk.id % 5 IN (0, 1) AND bk.id % 2 = 1))
+         |SELECT * FROM (SELECT batch_id, dup_id,
+         |    (CASE WHEN c >= 0 THEN floor(c*1e4 + 0.5) ELSE -floor(-c*1e4 + 0.5) END) / 1e4 AS cos
+         |  FROM (SELECT c.batch_id, c.dup_id, ${cos("x.v", "y.v")} AS c
+         |    FROM cand c JOIN ed x ON x.id = c.batch_id JOIN ed y ON y.id = c.dup_id))
+         |WHERE cos >= 0.3""".stripMargin,
+
     // Cross-source overlap matrix: distinct (source, gram-hash) pairs,
     // self-join on hash, per-pair counts + first-source fraction.
     "q135_source_overlap" ->

@@ -152,6 +152,21 @@ object ScaleSmoke {
         (it, ct)
       })
     }
+    // Per-tier takedown LEDGER (~1% of the tier's doc ids), recorded once
+    // outside the timed region — the takedown row measures what the
+    // anti-join valve costs PER BATCH, not the one-time recordDeletions.
+    val ledgerByTier = scala.collection.mutable.Map.empty[String, String]
+    def takedownLedger(d: DataFrame): String = synchronized {
+      ledgerByTier.getOrElseUpdate(tierTag(d), {
+        val p = java.nio.file.Files.createTempDirectory("graft_smoke_tomb")
+        p.toFile.deleteOnExit()
+        val t = "graft_smoke_ts_" +
+          p.getFileName.toString.replaceAll("[^A-Za-z0-9_]", "_")
+        graft.streaming.DocumentStreams.recordDeletions(
+          d.filter(col("doc_id") % 97 === 0).select("doc_id"), t, s"$p/ts")
+        t
+      })
+    }
 
     val ops: Seq[(String, DataFrame => Long, DataFrame => Long)] = Seq(
       ("tokenize", d => Tokenize.normalizedTokens(d).count(), null),
@@ -445,6 +460,22 @@ object ScaleSmoke {
           it, ct, threshold = 0.7, k = 8, bands = 4, shingleK = 3,
           indexBuckets = 32, corpusBuckets = 32,
           pruneCorpusByCandidates = true).count()
+      }, null),
+      // the pruned step with a TAKEDOWN ledger (~1% of the tier) active:
+      // the tombstone anti-join broadcasts the ledger against the
+      // (narrow, already bucket-pruned) candidate rows, so the delta vs
+      // the row above is the per-batch cost of deletion-correctness —
+      // a ledger-broadcast, independent of the corpus — and the tier
+      // ratio must stay corpus-size-flat exactly like the pruned row
+      ("ingest_takedown_step", d => {
+        val (it, ct) = selfUpdatingTables(d, "takedown")
+        graft.streaming.DocumentStreams.ingestProbeThenUpdate(
+          smokeBatch.select(col("doc_id") + lit(900000000L) * stepSeq
+            .incrementAndGet() as "doc_id", col("text")),
+          it, ct, threshold = 0.7, k = 8, bands = 4, shingleK = 3,
+          indexBuckets = 32, corpusBuckets = 32,
+          pruneCorpusByCandidates = true,
+          tombstoneTable = Some(takedownLedger(d))).count()
       }, null),
       // split-leakage audit: gram-hash-keyed distinct + join, both
       // map-side partial-agg; the sum forces the full counts
@@ -853,6 +884,9 @@ object ScaleSmoke {
         selfUpdatingTables(docs100, "plain")
       if (wanted("ingest_selfupdating_pruned"))
         selfUpdatingTables(docs100, "pruned")
+      if (wanted("ingest_takedown_step")) {
+        selfUpdatingTables(docs100, "takedown"); takedownLedger(docs100)
+      }
       if (wantsAnnIndex) frozenQuant(emb100)
       // The default subset is the scan/candidate-generation families; the
       // composed pipelines + distributed writer (align_bert, conll_to_bert,
@@ -868,6 +902,7 @@ object ScaleSmoke {
         "bpe_train_256_batched", "bpe_train_1024", "incremental_dedup",
         "ingest_probe_recompute", "ingest_probe_indexed",
         "ingest_selfupdating_step", "ingest_selfupdating_pruned",
+        "ingest_takedown_step",
         "mix_corpus", "shard_order",
         "bm25_topk", "ngram_novelty", "winnow_fingerprints") ++
         (if (sys.env.get("SPARK_GRAFT_SCALE_100").contains("full"))

@@ -948,6 +948,39 @@ object SparkEntry {
       r1.unionByName(r2)
     }),
 
+    // q173's SEMANTIC twin (round-17): q172's self-updating embedding
+    // loop with a TAKEDOWN interleaved between the two batches — the
+    // tombstone ledger (created by the first recordDeletions) anti-joins
+    // batch 2's sign-LSH candidates before the cosine verify, so pairs
+    // referencing deleted vectors (even-id seed and batch-1 members) are
+    // never emitted. Completes the takedown story's symmetry: every
+    // self-updating loop (band and semantic) propagates deletions.
+    "q174_semantic_takedown" -> ((s, dir) => {
+      val out = scratchDir("graft_semtakedown")
+      val idxTbl = scratchTable("graft_q174_idx", out)
+      val corTbl = scratchTable("graft_q174_cor", out)
+      val tsTbl = scratchTable("graft_q174_ts", out)
+      val e = embedsD(s, dir)
+      val corpus0 = e.filter(col("vec_id") % 5 === 0)
+        .select("vec_id", "embedding")
+      val batch1 = e.filter(col("vec_id") % 5 === 1)
+        .select("vec_id", "embedding")
+      val batch2 = e.filter(col("vec_id") % 5 === 2)
+        .select("vec_id", "embedding")
+      sources.Storage.writeBucketed(Dedup.signBucketIndex(corpus0),
+        idxTbl, s"$out/idx", bucketCol = "pb", buckets = 8)
+      sources.Storage.writeBucketed(corpus0, corTbl, s"$out/cor",
+        bucketCol = "vec_id", buckets = 8)
+      val r1 = streaming.DocumentStreams.semanticIngestProbeThenUpdate(
+        batch1, idxTbl, corTbl, tau = 0.3, tombstoneTable = Some(tsTbl))
+      streaming.DocumentStreams.recordDeletions(
+        e.filter((col("vec_id") % 5).isin(0, 1) && col("vec_id") % 2 === 0)
+          .select("vec_id"), tsTbl, s"$out/ts", idCol = "vec_id")
+      val r2 = streaming.DocumentStreams.semanticIngestProbeThenUpdate(
+        batch2, idxTbl, corTbl, tau = 0.3, tombstoneTable = Some(tsTbl))
+      r1.unionByName(r2)
+    }),
+
     // IVFADC+R (round-16): q149's pipeline + EXACT re-ranking of the
     // top-R=40 ADC shortlist against the true vectors — the standard fix
     // for ADC quantization error (measured recall@10 0.38 at default
