@@ -386,8 +386,39 @@ class StreamingSpec extends GraftSuite {
       assert(q.lastProgress == null || q.lastProgress.stateOperators.isEmpty)
     } finally {
       q.stop()
-      spark.sql("DROP TABLE IF EXISTS sem_stream_idx")
-      spark.sql("DROP TABLE IF EXISTS sem_stream_cor")
+    }
+    // delete-then-probe on the SAME stored tables, streaming: tombstone
+    // every copy of the `novel` text's vector ingested so far (11, 12),
+    // restart the loop with the ledger configured — a fresh recrawl of
+    // that vector matches nothing, while an untombstoned one still hits
+    graft.streaming.DocumentStreams.recordDeletions(
+      Seq(11L, 12L).toDF("vec_id"), "sem_stream_ts", s"$base/ts",
+      idCol = "vec_id")
+    val q2 = graft.streaming.DocumentStreams.semanticSelfUpdating(
+      mem.toDF.toDF("vec_id", "embedding"), "sem_stream_idx",
+      "sem_stream_cor", s"$base/pairs", s"$base/ckpt", tau = 0.9,
+      compactEvery = 1, tombstoneTable = Some("sem_stream_ts"))
+    try {
+      mem.addData((20L, novel.map(_ + 0.002)), (21L, base0.map(_ + 0.02)))
+      q2.processAllAvailable()
+      // only the post-takedown batch's pairs (earlier pairs are history)
+      val p2 = spark.read.parquet(s"$base/pairs")
+        .as[(Long, Long, Double)].collect().toSet.map(
+          (r: (Long, Long, Double)) => (r._1, r._2))
+        .filter(_._1 >= 20L)
+      assert(!p2.exists(pr => pr._2 == 11L || pr._2 == 12L),
+        s"takedown leaked a semantic pair: $p2")
+      assert(p2.exists(pr => pr._1 == 21L && pr._2 == 0L),
+        s"untombstoned vector no longer matches: $p2")
+      // the compaction cycle physically dropped the tombstoned rows
+      spark.catalog.refreshTable("sem_stream_idx")
+      assert(spark.table("sem_stream_idx")
+        .filter($"dup_id".isin(11L, 12L)).count() == 0,
+        "tombstoned sign-LSH index rows survived compaction")
+    } finally {
+      q2.stop()
+      Seq("sem_stream_idx", "sem_stream_cor", "sem_stream_ts")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
     }
   }
 
