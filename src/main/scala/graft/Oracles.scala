@@ -2087,6 +2087,68 @@ object Oracles {
          |  FROM cand JOIN hs x ON x.doc_id = cand.batch_id JOIN hs y ON y.doc_id = cand.dup_id)
          |WHERE jaccard >= 0.7""".stripMargin,
 
+    // Hybrid retrieval RRF: q127's BM25 chain (lexical top-10) and q18's
+    // exact-cosine chain restricted to queries 0..2 (semantic top-10),
+    // fused with the system-ordered 1/(60+rank) fold — each contribution
+    // is one exact IEEE division, the sum folds lexical-then-semantic on
+    // both sides, half-up 6dp floor, ties by doc_id.
+    "q175_rrf_fusion" ->
+      s"""WITH qt(query_id, term) AS (VALUES (0, 'spark'), (0, 'join'), (0, 'fast'),
+         |  (1, 'window'), (1, 'sort'), (2, 'vector'), (2, 'hash'), (2, 'query')),
+         |dl AS (SELECT doc_id, CAST(len($Words) AS DOUBLE) AS dl FROM documents),
+         |st AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+         |  sum(dl) / CAST(count(*) AS DOUBLE) AS avgdl FROM dl),
+         |tok AS (SELECT doc_id, unnest($Words) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tok
+         |  WHERE term IN (SELECT DISTINCT term FROM qt) GROUP BY doc_id, term),
+         |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+         |sc AS (SELECT q.query_id, t.doc_id, t.term,
+         |    ln(1.0 + (st.n - d.df + 0.5) / (d.df + 0.5)) * (t.tf * (1.2 + 1)) /
+         |      (t.tf + 1.2 * ((1 - 0.75) + 0.75 * l.dl / st.avgdl)) AS s
+         |  FROM tf t JOIN df d USING (term) JOIN dl l USING (doc_id)
+         |  CROSS JOIN st JOIN qt q USING (term)),
+         |lexs AS (SELECT query_id, doc_id,
+         |    floor(list_reduce(list_prepend(0.0, list(s ORDER BY term)),
+         |      (u, w) -> u + w) * 1e4 + 0.5) / 1e4 AS score
+         |  FROM sc GROUP BY query_id, doc_id),
+         |lexr AS (SELECT query_id, doc_id, rank FROM
+         |  (SELECT *, row_number() OVER (PARTITION BY query_id
+         |     ORDER BY score DESC, doc_id) AS rank FROM lexs)
+         |  WHERE rank <= 10),
+         |$EmbCte,
+         |qv AS (SELECT id AS query_id, v AS qvec FROM ed WHERE id < 3),
+         |sems AS (SELECT query_id, id AS doc_id, round(${cos("qvec", "v")}, 6) AS cos
+         |  FROM ed CROSS JOIN qv),
+         |semr AS (SELECT query_id, doc_id, rank FROM
+         |  (SELECT *, row_number() OVER (PARTITION BY query_id
+         |     ORDER BY cos DESC, doc_id) AS rank FROM sems)
+         |  WHERE rank <= 10),
+         |contrib AS (SELECT query_id, doc_id, 0 AS sys, 1.0 / (60 + rank) AS part FROM lexr
+         |  UNION ALL SELECT query_id, doc_id, 1, 1.0 / (60 + rank) FROM semr),
+         |fused AS (SELECT query_id, doc_id,
+         |    floor(list_reduce(list_prepend(0.0, list(part ORDER BY sys)),
+         |      (u, w) -> u + w) * 1e6 + 0.5) / 1e6 AS rrf
+         |  FROM contrib GROUP BY query_id, doc_id)
+         |SELECT query_id, doc_id, rrf, rank FROM
+         |  (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+         |     ORDER BY rrf DESC, doc_id) AS INTEGER) AS rank FROM fused)
+         |WHERE rank <= 10""".stripMargin,
+
+    // Snapshot (time-travel) read pinned at gen <= 1: the mirror is the
+    // gen<=1 slice itself (gen = doc_id % 3 — the query's declared
+    // generation assignment); generation 2's rows are absent from BOTH
+    // sides even though the engine's stored table contains them, which
+    // is exactly the property the query gates.
+    "q176_snapshot_read" ->
+      s"""WITH snap AS (SELECT doc_id, source, text, n_chars,
+         |    CAST(doc_id % 3 AS BIGINT) AS gen
+         |  FROM documents WHERE doc_id % 3 <= 1)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+         |  CAST(sum(len($Words)) AS BIGINT) AS total_tokens,
+         |  max(gen) AS max_gen
+         |FROM snap GROUP BY source""".stripMargin,
+
     // Corpus sharding: salted-hash shard + independent salted-hash
     // in-shard order, dense 0-based position (doc_id tie-break).
     "q119_shard_order" ->

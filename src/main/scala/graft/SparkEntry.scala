@@ -2028,6 +2028,57 @@ object SparkEntry {
       r1.unionByName(r2)
     }),
 
+    // HYBRID retrieval (round-17): reciprocal-rank fusion of a LEXICAL
+    // ranking (q127's BM25 top-10 over documents) and a SEMANTIC ranking
+    // (q18's exact-cosine top-10 over the aligned embeddings, queries
+    // 0..2 matching the BM25 query ids) — Similarity.rrfFuse, the
+    // calibration-free combiner production retrieval stacks default to.
+    // Each system keeps its own scale form upstream; the fuse itself
+    // only ever sees Σ_s k_s bounded rows per query. The oracle mirrors
+    // both ranking chains and the system-ordered 1/(60+rank) fold.
+    "q175_rrf_fusion" -> ((s, dir) => {
+      import s.implicits._
+      val qs = Seq((0, "spark"), (0, "join"), (0, "fast"),
+        (1, "window"), (1, "sort"),
+        (2, "vector"), (2, "hash"), (2, "query")).toDF("query_id", "term")
+      val lex = TextAnalysis.bm25TopK(docs(s, dir), qs, k = 10)
+        .select("query_id", "doc_id", "rank")
+      val e = embedsD(s, dir)
+      val q = e.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val sem = Similarity.bruteForceTopK(e, q, k = 10)
+        .select(col("query_id"), col("vec_id").as("doc_id"), col("rank"))
+      Similarity.rrfFuse(Seq(lex, sem), k = 10)
+    }),
+
+    // SNAPSHOT (time-travel) read of a versioned corpus (round-17): the
+    // training-reproducibility contract for the self-updating corpus. A
+    // generation-partitioned bucketed table (Storage.writeVersioned)
+    // absorbs three generations; the query reads the table PINNED at
+    // gen <= 1 AFTER generation 2 has landed and rolls up per-source
+    // stats — proving a pinned read is repeatable while the table keeps
+    // growing. The pin is partition PRUNING, not a row filter: gen=2's
+    // directory is never opened (StorageSpec asserts via inputFiles),
+    // so a snapshot read costs exactly its pinned generations at any
+    // corpus size. Oracle: the same rollup over the gen<=1 slice.
+    "q176_snapshot_read" -> ((s, dir) => {
+      val out = scratchDir("graft_vercorpus")
+      val tbl = scratchTable("graft_q176_cor", out)
+      val d = docs(s, dir).select("doc_id", "source", "text", "n_chars")
+      sources.Storage.writeVersioned(d.filter(col("doc_id") % 3 === 0),
+        tbl, s"$out/cor", gen = 0, bucketCol = "doc_id", buckets = 8)
+      sources.Storage.appendVersioned(d.filter(col("doc_id") % 3 === 1),
+        tbl, gen = 1, bucketCol = "doc_id", buckets = 8)
+      sources.Storage.appendVersioned(d.filter(col("doc_id") % 3 === 2),
+        tbl, gen = 2, bucketCol = "doc_id", buckets = 8)
+      sources.Storage.snapshotAsOf(s, tbl, 1)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          sum(size(TextAnalysis.words(col("text")))).as("total_tokens"),
+          max(col("gen")).as("max_gen"))
+    }),
+
     "q29_contain_join" -> ((s, dir) => {
       val t = toks(s, dir)
       SpanJoin.containJoin(win(t, 4, 4), t.select(col("doc_id"), col("span")))

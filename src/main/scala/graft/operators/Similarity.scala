@@ -892,4 +892,52 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col(queryIdCol), col(idCol), col("cos"), col("rank"))
   }
+
+  /**
+   * Reciprocal-rank fusion (Cormack, Clarke & Büttcher 2009) — the
+   * standard HYBRID-retrieval combiner: given one per-system top-k
+   * ranking relation `(query_id, doc_id, rank)` per retrieval system
+   * (e.g. [[graft.operators.TextAnalysis.bm25TopK]] lexical and
+   * [[bruteForceTopK]]/[[ivfPqTopKRerank]] semantic), every candidate
+   * scores Σ_s 1/(c + rank_s) over the systems that retrieved it, and
+   * the fused top-k is returned. Rank-based fusion needs no score
+   * calibration between systems — BM25 scores and cosines never meet —
+   * which is exactly why RRF is the production default for
+   * lexical+dense retrieval (decontamination probes, hard-negative
+   * mining, topic slicing where either modality alone misses).
+   *
+   * Determinism: each contribution 1/(c + rank) is one exact IEEE
+   * division, and the per-(query, doc) sum folds in SYSTEM ORDER
+   * (array_sort over (sys, part) structs — at most one row per system
+   * after each input's own top-k), so the double is reproducible across
+   * partitionings and engines; the half-up 6dp floor stabilizes the
+   * display value and ties break by doc id.
+   *
+   * Scale shape: inputs are already bounded (k_s rows per query per
+   * system), so the union carries Σ_s k_s rows per query; the fuse is
+   * one narrow groupBy on (query, doc) and the final rank window
+   * partitions over those same bounded rows — nothing here ever sees
+   * corpus-sized data. The heavy lifting stays in the per-system
+   * retrievers, which each keep their own scale form (bm25TopKAgg,
+   * bruteForceTopKAgg, ivfPqTopKRerankFromIndex).
+   *
+   * Output: (query_id, doc_id, rrf, rank), best-first per query.
+   */
+  def rrfFuse(rankings: Seq[DataFrame], k: Int = 10, c: Int = 60,
+      idCol: String = "doc_id", queryIdCol: String = "query_id"): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    val contrib = rankings.zipWithIndex.map { case (r, i) =>
+      r.select(col(queryIdCol), col(idCol), lit(i).as("__sys"),
+        (lit(1.0) / (lit(c.toDouble) + col("rank").cast("double"))).as("__part"))
+    }.reduce(_ unionByName _)
+    val fused = contrib.groupBy(queryIdCol, idCol)
+      .agg(aggregate(array_sort(collect_list(struct(col("__sys"), col("__part")))),
+        lit(0.0), (acc, e) => acc + e("__part")).as("__raw"))
+      // contributions are positive → half-up floor == round, cheaply
+      .withColumn("rrf", floor(col("__raw") * 1e6 + 0.5) / 1e6)
+    val w = Window.partitionBy(queryIdCol).orderBy(col("rrf").desc, col(idCol))
+    fused.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(queryIdCol), col(idCol), col("rrf"), col("rank"))
+  }
 }

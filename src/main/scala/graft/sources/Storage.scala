@@ -47,6 +47,69 @@ object Storage {
       .format("parquet")
       .saveAsTable(table)
 
+  /**
+   * Create a VERSIONED bucketed table: rows land under a `gen` (append
+   * generation) PARTITION directory, bucketed+sorted by `bucketCol`
+   * within it. Generation-as-partition is what makes snapshot reads
+   * ([[snapshotAsOf]]) a physical plan property rather than a row
+   * filter: `gen <= g` prunes whole partition DIRECTORIES at planning
+   * time, so a pinned read costs exactly the pinned generations — a
+   * reader of generation 3 never opens (or even lists into) generation
+   * 4's files no matter how long the ingest loop keeps appending.
+   * Bucket pruning and co-located joins hold per partition exactly as
+   * for [[writeBucketed]] tables (same bucket spec within every
+   * generation).
+   */
+  def writeVersioned(df: DataFrame, table: String, path: String, gen: Long,
+      bucketCol: String = "doc_id", buckets: Int = 32): Unit =
+    df.withColumn("gen", org.apache.spark.sql.functions.lit(gen))
+      .write.mode(SaveMode.Overwrite)
+      .option("path", path)
+      .partitionBy("gen")
+      .bucketBy(buckets, bucketCol)
+      .sortBy(bucketCol)
+      .format("parquet")
+      .saveAsTable(table)
+
+  /** Append one generation to a [[writeVersioned]] table. Cost ∝ batch
+    * (a new `gen=<gen>` directory; existing generations are never
+    * touched), and every already-pinned snapshot read is REPEATABLE by
+    * construction: its partition predicate cannot select the new
+    * directory. This is the training-reproducibility contract — a run
+    * pins `asOfGen` once and re-reads byte-identical data while the 24/7
+    * loop keeps absorbing. */
+  def appendVersioned(df: DataFrame, table: String, gen: Long,
+      bucketCol: String = "doc_id", buckets: Int = 32): Unit =
+    df.withColumn("gen", org.apache.spark.sql.functions.lit(gen))
+      .write.mode(SaveMode.Append)
+      .partitionBy("gen")
+      .bucketBy(buckets, bucketCol)
+      .sortBy(bucketCol)
+      .format("parquet")
+      .saveAsTable(table)
+
+  /** Snapshot (time-travel) read of a [[writeVersioned]] table as of
+    * generation `gen`: all rows with `gen <= gen`, planned as PARTITION
+    * PRUNING (later generations' directories are never read — StorageSpec
+    * asserts via inputFiles). The table is refreshed first so a pin taken
+    * in a long-lived session sees every generation up to `gen` even when
+    * other sessions wrote them. */
+  def snapshotAsOf(spark: SparkSession, table: String, gen: Long): DataFrame = {
+    spark.catalog.refreshTable(table)
+    spark.table(table).filter(org.apache.spark.sql.functions.col("gen") <= gen)
+  }
+
+  /** Latest generation present in a [[writeVersioned]] table — what a
+    * training run records as its pin. Metadata-only: the partition
+    * column's values come from the directory listing, no data files are
+    * read. */
+  def latestGen(spark: SparkSession, table: String): Long = {
+    spark.catalog.refreshTable(table)
+    import org.apache.spark.sql.functions.max
+    val r = spark.table(table).select(max("gen")).head()
+    if (r.isNullAt(0)) -1L else r.getLong(0)
+  }
+
   /** Drop `table` from the catalog and recursively delete its files
    *  (best effort) through the Hadoop FileSystem API — scheme-agnostic,
    *  so the same cleanup works for file://, hdfs:// and s3a:// table

@@ -1585,6 +1585,34 @@ class PipelineOpsSpec extends GraftSuite {
     }
   }
 
+  test("rrfFuse: hand-computed reciprocal-rank sums, overlap beats single-system, " +
+      "ties break by doc id") {
+    // sys0: docs 10,11,12 at ranks 1,2,3; sys1: docs 11,13 at ranks 1,2.
+    // doc 11 is retrieved by BOTH (1/62 + 1/61) and must outrank doc 10's
+    // single best-rank hit (1/61).
+    val sys0 = Seq((0L, 10L, 1), (0L, 11L, 2), (0L, 12L, 3))
+      .toDF("query_id", "doc_id", "rank")
+    val sys1 = Seq((0L, 11L, 1), (0L, 13L, 2))
+      .toDF("query_id", "doc_id", "rank")
+    val out = Similarity.rrfFuse(Seq(sys0, sys1), k = 10).collect()
+      .map(r => r.getLong(1) -> (r.getDouble(2), r.getInt(3))).toMap
+    def f6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    assert(out(11L)._1 == f6(1.0 / 62 + 1.0 / 61))
+    assert(out(10L)._1 == f6(1.0 / 61))
+    assert(out(12L)._1 == f6(1.0 / 63))
+    assert(out(13L)._1 == f6(1.0 / 62))
+    // rank order: 11 (two systems) > 10 > then 12 vs 13 tie at 1/63 vs
+    // 1/62 — 13's 1/62 beats 12's 1/63
+    assert(out(11L)._2 == 1 && out(10L)._2 == 2 &&
+      out(13L)._2 == 3 && out(12L)._2 == 4)
+    // exact-tie determinism: two docs with identical contributions rank
+    // by doc id
+    val tied = Similarity.rrfFuse(Seq(
+      Seq((0L, 21L, 1), (0L, 20L, 1)).toDF("query_id", "doc_id", "rank")), k = 2)
+      .collect().map(r => (r.getLong(1), r.getInt(3))).toSet
+    assert(tied == Set((20L, 1), (21L, 2)))
+  }
+
   private def round6(x: Double): Double =
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 }

@@ -544,6 +544,49 @@ class StorageSpec extends GraftSuite {
     assert(spread > 1)
   }
 
+  test("versioned snapshots: pinned reads are repeatable across later appends, " +
+      "partition-prune later generations, and keep bucket co-location") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ver_t")
+    dir.toFile.deleteOnExit()
+    val mk = (ids: Seq[Long]) => ids.map(i => (i, s"doc $i text")).toDF("doc_id", "text")
+    Storage.writeVersioned(mk(Seq(0L, 1L, 2L)), "ver_spec", s"$dir/t", gen = 0,
+      buckets = 4)
+    Storage.appendVersioned(mk(Seq(3L, 4L)), "ver_spec", gen = 1, buckets = 4)
+    try {
+      assert(Storage.latestGen(spark, "ver_spec") == 1L)
+      val pinned = Storage.snapshotAsOf(spark, "ver_spec", 1)
+      val before = pinned.select("doc_id").as[Long].collect().sorted.toSeq
+      assert(before == Seq(0L, 1L, 2L, 3L, 4L))
+      // a later generation lands — the SAME pin must re-read identically
+      Storage.appendVersioned(mk(Seq(5L, 6L)), "ver_spec", gen = 2, buckets = 4)
+      assert(Storage.latestGen(spark, "ver_spec") == 2L)
+      val repinned = Storage.snapshotAsOf(spark, "ver_spec", 1)
+      assert(repinned.select("doc_id").as[Long].collect().sorted.toSeq == before,
+        "pinned snapshot changed after a later append")
+      // the pin is PHYSICAL partition pruning: gen=2's directory is never
+      // opened by the snapshot scan
+      assert(repinned.inputFiles.nonEmpty &&
+        repinned.inputFiles.forall(!_.contains("gen=2")),
+        s"snapshot read opened a later generation:\n${repinned.inputFiles.mkString("\n")}")
+      assert(Storage.snapshotAsOf(spark, "ver_spec", 2)
+        .inputFiles.exists(_.contains("gen=2")))
+      // bucket spec holds within every generation: a doc_id join against a
+      // co-bucketed table plans without shuffling the versioned side
+      Storage.writeBucketed(mk(Seq(0L, 3L, 5L)).select(col("doc_id"),
+        col("text").as("other")), "ver_spec_dim", s"$dir/d", buckets = 4)
+      val joined = Storage.snapshotAsOf(spark, "ver_spec", 1)
+        .join(Storage.readTable(spark, "ver_spec_dim"), "doc_id")
+      val exchanges = joined.queryExecution.executedPlan.collect {
+        case e: Exchange => e }
+      assert(exchanges.isEmpty,
+        s"expected exchange-free co-bucketed join, got:\n${joined.queryExecution.executedPlan}")
+      assert(joined.count() == 2) // doc_ids 0 and 3 (5 is behind the pin)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS ver_spec")
+      spark.sql("DROP TABLE IF EXISTS ver_spec_dim")
+    }
+  }
+
   test("saltedJoin rejects key-only large side and reserved __salt columns") {
     val small = Seq((0L, "zero")).toDF("doc_id", "name")
     // key-only large side: zero-arg hash() would fail analysis — and a salt
