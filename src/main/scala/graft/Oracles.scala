@@ -2908,6 +2908,13 @@ object Oracles {
     // append(90%)∪append(10%) under frozen quantizers == the full-corpus
     // index relation row-for-row, so the probe result is q149's
     ("q162_ivfpq_append" -> base("q149_ivfpq")) +
+    // refresh(corpus) ≡ build(corpus): the refresh retrains with the same
+    // deterministic fits q149's CTEs unroll (smallest-id init, fixed
+    // iterations, 6dp means) and re-encodes the full corpus, so probing
+    // the refreshed stored index with the fresh quantizers equals the
+    // one-shot IVFADC oracle — which the STALE-encoded index it replaced
+    // would NOT have matched (the gate on the swap actually happening)
+    ("q177_quantizer_refresh" -> base("q149_ivfpq")) +
     // (q159/q160 carry their own oracles since round-17: the probe
     // machinery is result-identical to the recompute forms, but their
     // slimmed corpus slices differ from q120/q117's)

@@ -812,6 +812,78 @@ object ScaleSmoke {
       results += f"""{"op":"ann_nprobe_sweep_r40","nprobe2_1x":$n2%.3f,"nprobe4_1x":$n4%.3f,"nprobe8_1x":$n8%.3f}"""
     }
 
+    // QUANTIZER DRIFT + REFRESH (round-17): what frozen quantizers COST
+    // once the distribution moves, and what the refresh maintenance op
+    // (Similarity.refreshStoredIvfPqIndex, q177's machinery) buys back.
+    // Stale = quantizers trained on the label<5 half ("yesterday's
+    // corpus"); the full tier contains the other five clusters (the
+    // drifted-in mass); the query set comes from the drifted region —
+    // the vectors a stale quantizer routes and codes worst. Both
+    // measurements probe a STORED bucketed index with q170's IVFADC+R
+    // defaults (nprobe=2, R=40): first the stale-encoded table (the
+    // operating state drift leaves behind under the frozen contract),
+    // then the SAME catalog table after the refresh op retrains on the
+    // current corpus, re-encodes, and swaps. refresh_sec is the op's
+    // wall time per tier — O(corpus) by design (the original build's
+    // price, paid once per drift epoch, vs the append path's per-batch
+    // O(batch)); its decade ratio must stay ~linear.
+    if (wanted("ann_quantizer_drift")) {
+      def driftRefresh(e: DataFrame, tag: String): (Double, Double, Double) = {
+        val ed = embD(e)
+        val q = ed.filter(col("label") >= 5).orderBy(col("vec_id")).limit(5)
+          .select(col("vec_id").as("query_id"), col("embedding"))
+        def ids(df: DataFrame): Map[Any, Set[Long]] = df.collect()
+          .groupBy(_.get(0)).map { case (g, rs) => g -> rs.map(_.getLong(1)).toSet }
+        val exact = ids(Similarity.bruteForceTopK(ed, q, k = 10))
+        def rec(df: DataFrame): Double = {
+          val a = ids(df)
+          exact.map { case (g, ex) =>
+            (a.getOrElse(g, Set.empty) & ex).size.toDouble / ex.size
+          }.sum / exact.size
+        }
+        val tbl = s"smoke_drift_idx_$tag"
+        spark.sql(s"DROP TABLE IF EXISTS $tbl")
+        spark.sql(s"DROP TABLE IF EXISTS ${tbl}_compact")
+        spark.sql(s"DROP TABLE IF EXISTS ${tbl}_old")
+        val dir = java.nio.file.Files.createTempDirectory(s"graft_drift_$tag")
+        dir.toFile.deleteOnExit()
+        val staleSlice = ed.filter(col("label") < 5)
+        graft.sources.Storage.writeBucketed(
+          Similarity.ivfPqIndex(ed,
+            Similarity.kmeansFit(staleSlice, k = 8, iters = 2),
+            Similarity.pqFitCodebooks(staleSlice, m = 8, ksub = 16, iters = 2)),
+          tbl, s"$dir/idx", bucketCol = "cell_id", buckets = 8)
+        def probeStored(cents: DataFrame,
+            books: IndexedSeq[IndexedSeq[(Int, Array[Double])]]): DataFrame = {
+          val probes = Similarity.ivfPqProbes(q, cents, nprobe = 2)
+          val cells = probes.select("cell_id").distinct().collect()
+            .map(_.getInt(0)).sorted
+          Similarity.ivfPqTopKRerankFromIndex(
+            graft.sources.Storage.readTable(spark, tbl)
+              .filter(col("cell_id").isin(cells.map(Integer.valueOf): _*)),
+            probes, ed, books, k = 10, r = 40)
+        }
+        // the stale probe routes with the quantizers the index was
+        // encoded with (routing and codes must agree — see the refresh
+        // op's contract)
+        val staleRec = rec(probeStored(
+          Similarity.kmeansFit(staleSlice, k = 8, iters = 2),
+          Similarity.pqFitCodebooks(staleSlice, m = 8, ksub = 16, iters = 2)))
+        var fresh: (DataFrame, IndexedSeq[IndexedSeq[(Int, Array[Double])]]) = null
+        val (tRefresh, _) = timed {
+          fresh = Similarity.refreshStoredIvfPqIndex(spark, ed, tbl,
+            k = 8, m = 8, ksub = 16, iters = 2, buckets = 8)
+          0L
+        }
+        val freshRec = rec(probeStored(fresh._1, fresh._2))
+        spark.sql(s"DROP TABLE IF EXISTS $tbl")
+        (staleRec, freshRec, tRefresh)
+      }
+      val (s1, f1, t1) = driftRefresh(emb1, "1x")
+      val (s10, f10, t10) = driftRefresh(emb10, "10x")
+      results += f"""{"op":"ann_quantizer_drift","stale_recall_1x":$s1%.3f,"refreshed_recall_1x":$f1%.3f,"refresh_sec_1x":$t1%.2f,"stale_recall_10x":$s10%.3f,"refreshed_recall_10x":$f10%.3f,"refresh_sec_10x":$t10%.2f,"refresh_ratio":${t10 / t1}%.2f}"""
+    }
+
     // BUCKETED-INDEX COMPACTION (round-16): the 24/7 append loop grows
     // files linearly in batch count (one per (task, bucket) per append
     // generation); Storage.compactBuckets bounds the probe's file count

@@ -2079,6 +2079,47 @@ object SparkEntry {
           max(col("gen")).as("max_gen"))
     }),
 
+    // QUANTIZER REFRESH (round-17): the drift-maintenance op the frozen-
+    // quantizer contract eventually requires. The stored IVF-PQ index is
+    // first built with STALE quantizers (trained on the even-id half —
+    // yesterday's distribution, the drift stand-in), then
+    // Similarity.refreshStoredIvfPqIndex retrains both quantizers on the
+    // full current corpus, re-encodes every vector, and swaps the
+    // rewritten index in via Storage.rewriteInPlace (compaction's
+    // crash-safe rename machinery). The probe runs q154's bucket-pruned
+    // stored-index shape against the refreshed table with the FRESH
+    // quantizers — and matches q149's oracle (whose k-means/PQ CTEs
+    // train on the full corpus) ONLY because the refresh actually
+    // retrained and re-encoded: the stale index routes and codes
+    // differently (StorageSpec asserts the inequality).
+    "q177_quantizer_refresh" -> ((s, dir) => {
+      val out = scratchDir("graft_ivfpq_refresh")
+      val tbl = scratchTable("graft_q177_idx", out)
+      val e = embedsD(s, dir)
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val stale = e.filter(col("vec_id") % 2 === 0)
+      sources.Storage.writeBucketed(
+        Similarity.ivfPqIndex(e,
+          Similarity.kmeansFit(stale, k = 8, iters = 2),
+          Similarity.pqFitCodebooks(stale, m = 8, ksub = 16, iters = 2)),
+        tbl, s"$out/idx", bucketCol = "cell_id", buckets = 8)
+      val (cents, books) = Similarity.refreshStoredIvfPqIndex(s, e, tbl,
+        k = 8, m = 8, ksub = 16, iters = 2, buckets = 8)
+      val probes = Similarity.ivfPqProbes(q, cents, nprobe = 2)
+      // q154's probe-cell valve: bounded by queries×nprobe, isin →
+      // physical bucket pruning on the refreshed table
+      val maxProbeCells = 4096
+      val cells = probes.select("cell_id").distinct()
+        .limit(maxProbeCells + 1).collect().map(_.getInt(0)).sorted
+      require(cells.length <= maxProbeCells,
+        s"probe-cell set exceeds $maxProbeCells: shard the query batch")
+      Similarity.ivfPqTopKFromIndex(
+        sources.Storage.readTable(s, tbl)
+          .filter(col("cell_id").isin(cells.map(Integer.valueOf): _*)),
+        probes, books, k = 10)
+    }),
+
     "q29_contain_join" -> ((s, dir) => {
       val t = toks(s, dir)
       SpanJoin.containJoin(win(t, 4, 4), t.select(col("doc_id"), col("span")))

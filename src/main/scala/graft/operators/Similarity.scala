@@ -894,6 +894,44 @@ object Similarity {
   }
 
   /**
+   * Quantizer REFRESH for a stored IVF-PQ index — the drift-maintenance
+   * op the frozen-quantizer contract eventually requires. Frozen
+   * quantizers (trained once, reused across every build/append/probe —
+   * the q162 production contract) are exactly right while the corpus
+   * distribution holds; as ingest drifts it, the coarse cells unbalance
+   * and the PQ codebooks stop covering the data, and recall decays with
+   * no knob to win it back (raising nprobe/R re-ranks the WRONG
+   * shortlist — BASELINE.md's sweep shows both saturate). The remedy is
+   * periodic: retrain BOTH quantizers on the current corpus, re-encode
+   * every vector, and swap the rewritten index in atomically.
+   *
+   * Mechanics: one corpus training pass per quantizer (the same
+   * deterministic [[kmeansFit]]/[[pqFitCodebooks]] fits as the original
+   * build — smallest-id init, fixed iterations, 6dp-rounded means, so
+   * refresh(corpus) ≡ build(corpus) row-for-row), one [[ivfPqIndex]]
+   * encode pass, and [[graft.sources.Storage.rewriteInPlace]]'s
+   * crash-safe rename swap (compaction's machinery — at no point is the
+   * index unreachable, in-flight probes keep reading the old snapshot's
+   * files, and a crash mid-swap repairs on the next maintenance call).
+   * Cost: O(corpus) — the same price as the original build, paid once
+   * per drift epoch, vs. the append path's O(batch) per batch; schedule
+   * it like compaction. Returns the fresh (centroids, codebooks) —
+   * probes MUST route with these from the swap on (stale-quantizer
+   * routing against a refreshed index would probe the wrong cells).
+   */
+  def refreshStoredIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+      corpus: DataFrame, indexTable: String, k: Int = 8, m: Int = 8,
+      ksub: Int = 16, iters: Int = 2, buckets: Int = 8,
+      idCol: String = "vec_id", vecCol: String = "embedding")
+      : (DataFrame, IndexedSeq[IndexedSeq[(Int, Array[Double])]]) = {
+    val cents = kmeansFit(corpus, k, iters, idCol, vecCol)
+    val books = pqFitCodebooks(corpus, m, ksub, iters, idCol, vecCol)
+    graft.sources.Storage.rewriteInPlace(spark, indexTable, "cell_id",
+      buckets)(_ => ivfPqIndex(corpus, cents, books, idCol, vecCol))
+    (cents, books)
+  }
+
+  /**
    * Reciprocal-rank fusion (Cormack, Clarke & Büttcher 2009) — the
    * standard HYBRID-retrieval combiner: given one per-system top-k
    * ranking relation `(query_id, doc_id, rank)` per retrieval system

@@ -138,22 +138,9 @@ object Storage {
    * bucket b lands in exactly one task and the write emits exactly one
    * file per non-empty bucket.
    *
-   * The swap is CRASH-SAFE catalog renames, not a data copy: the
-   * compacted relation lands in a fresh sibling directory as
-   * `<table>_compact`, then (1) the live table renames aside to
-   * `<table>_old`, (2) the compacted table renames into place, (3) the
-   * aside entry drops with its files. A crash between any two steps
-   * leaves a state the NEXT call repairs on entry (adopt the compacted
-   * snapshot if the live name is missing; drop a stale aside/tmp
-   * otherwise) — at no point is the data unreachable under some catalog
-   * name. All path handling goes through the Hadoop FileSystem API, so
-   * the swap and old-generation cleanup work unchanged when the table
-   * lives on hdfs:// or s3a:// rather than local disk. Readers that
-   * resolved the table BEFORE the swap keep reading the old snapshot's
-   * files (deleted last); new resolutions see the compacted
-   * spec-identical table, so bucket pruning and co-located joins are
-   * unchanged (StorageSpec asserts row parity and SelectedBucketsCount
-   * across the swap).
+   * The swap is [[rewriteInPlace]]'s CRASH-SAFE catalog renames, not a
+   * data copy — bucket pruning and co-located joins are unchanged across
+   * it (StorageSpec asserts row parity and SelectedBucketsCount).
    *
    * `dropIds = Some((ids, column))` is the LSM delete shape: rows whose
    * `column` appears in the single-column `ids` relation are PHYSICALLY
@@ -166,17 +153,47 @@ object Storage {
   def compactBuckets(spark: SparkSession, table: String,
       bucketCol: String = "doc_id", buckets: Int = 32,
       dropIds: Option[(DataFrame, String)] = None): Unit = {
+    import org.apache.spark.sql.functions.col
+    rewriteInPlace(spark, table, bucketCol, buckets) { live =>
+      dropIds.foldLeft(live) { case (t, (ids, c)) =>
+        t.join(org.apache.spark.sql.functions.broadcast(
+          ids.toDF("__drop_id")), col(c) === col("__drop_id"), "left_anti")
+      }
+    }
+  }
+
+  /**
+   * Crash-safe IN-PLACE rewrite of a bucketed table — the swap mechanics
+   * [[compactBuckets]] and quantizer refresh
+   * ([[graft.operators.Similarity.refreshStoredIvfPqIndex]]) share. The
+   * replacement rows (`rows(live)`, where `live` reads the CURRENT table
+   * — a rewrite that derives its output elsewhere may ignore it) land
+   * pre-partitioned by the bucket column in a fresh sibling directory as
+   * `<table>_compact`; then (1) the live table renames aside to
+   * `<table>_old`, (2) the rewritten table renames into place, (3) the
+   * aside entry drops with its files. A crash between any two steps
+   * leaves a state the NEXT call repairs on entry (adopt the rewritten
+   * snapshot if the live name is missing; drop a stale aside/tmp
+   * otherwise) — at no point is the data unreachable under some catalog
+   * name. All path handling goes through the Hadoop FileSystem API, so
+   * the swap and old-generation cleanup work unchanged on hdfs:// and
+   * s3a://. Readers that resolved the table BEFORE the swap keep reading
+   * the old snapshot's files (deleted last); new resolutions see the
+   * spec-identical rewritten table.
+   */
+  def rewriteInPlace(spark: SparkSession, table: String, bucketCol: String,
+      buckets: Int)(rows: DataFrame => DataFrame): Unit = {
     import org.apache.spark.sql.catalyst.TableIdentifier
     import org.apache.spark.sql.functions.col
     val catalog = spark.sessionState.catalog
     def exists(t: String) = catalog.tableExists(TableIdentifier(t))
     val tmp = table + "_compact"
     val aside = table + "_old"
-    // Recovery from a previous compaction interrupted mid-swap (the swap
+    // Recovery from a previous rewrite interrupted mid-swap (the swap
     // states below are the only ways these names can coexist):
     if (exists(aside)) {
       if (!exists(table)) {
-        // crashed between rename-aside and rename-in: the compacted
+        // crashed between rename-aside and rename-in: the rewritten
         // snapshot (tmp, written before the swap began) is complete —
         // adopt it; fall back to restoring the aside if tmp is gone.
         if (exists(tmp)) spark.sql(s"ALTER TABLE `$tmp` RENAME TO `$table`")
@@ -191,11 +208,7 @@ object Storage {
       catalog.getTableMetadata(TableIdentifier(table)).location)
     val newLoc = new org.apache.hadoop.fs.Path(oldLoc.getParent,
       oldLoc.getName + s"_c${System.nanoTime()}")
-    val live = dropIds.foldLeft(spark.table(table)) { case (t, (ids, c)) =>
-      t.join(org.apache.spark.sql.functions.broadcast(
-        ids.toDF("__drop_id")), col(c) === col("__drop_id"), "left_anti")
-    }
-    live
+    rows(spark.table(table))
       .repartition(buckets, col(bucketCol))
       .write.mode(SaveMode.Overwrite)
       .option("path", newLoc.toString)

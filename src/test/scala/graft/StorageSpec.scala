@@ -544,6 +544,62 @@ class StorageSpec extends GraftSuite {
     assert(spread > 1)
   }
 
+  test("quantizer refresh: refreshed stored index equals a fresh full-corpus " +
+      "build, differs from the stale encode it replaced, and still bucket-prunes") {
+    import graft.operators.Similarity
+    val rng = new scala.util.Random(11)
+    // yesterday's distribution near the origin; the drift batch lives far
+    // away — stale quantizers trained on the old slice cannot code it well
+    val old = (0L until 30L).map(i => (i, Array.fill(16)(rng.nextDouble()), "a"))
+    val drift = (30L until 45L).map(i =>
+      (i, Array.fill(16)(5.0 + rng.nextDouble()), "b"))
+    val all = (old ++ drift).toDF("vec_id", "embedding", "label")
+    val staleSlice = all.filter(col("vec_id") < 30)
+    val dir = java.nio.file.Files.createTempDirectory("graft_refresh_t")
+    dir.toFile.deleteOnExit()
+    Storage.writeBucketed(
+      Similarity.ivfPqIndex(all,
+        Similarity.kmeansFit(staleSlice, k = 4, iters = 2),
+        Similarity.pqFitCodebooks(staleSlice, m = 4, ksub = 4, iters = 2)),
+      "refresh_idx", s"$dir/idx", bucketCol = "cell_id", buckets = 8)
+    try {
+      val stale = Storage.readTable(spark, "refresh_idx")
+        .collect().map(_.toString).sorted.toSeq
+      val (cents, books) = Similarity.refreshStoredIvfPqIndex(spark, all,
+        "refresh_idx", k = 4, m = 4, ksub = 4, iters = 2, buckets = 8)
+      val refreshed = Storage.readTable(spark, "refresh_idx")
+      val got = refreshed.collect().map(_.toString).sorted.toSeq
+      // refresh(corpus) == build(corpus) row-for-row (same deterministic fits)
+      val rebuilt = Similarity.ivfPqIndex(all,
+        Similarity.kmeansFit(all, k = 4, iters = 2),
+        Similarity.pqFitCodebooks(all, m = 4, ksub = 4, iters = 2))
+        .collect().map(_.toString).sorted.toSeq
+      assert(got == rebuilt, "refreshed index diverges from a fresh build")
+      // ... and the swap actually replaced the stale encode
+      assert(got != stale, "refresh left the stale-quantizer encode in place")
+      // returned quantizers match the fresh fits (probes route with these)
+      assert(cents.collect().map(_.toString).sorted.toSeq ==
+        Similarity.kmeansFit(all, k = 4, iters = 2)
+          .collect().map(_.toString).sorted.toSeq)
+      def deep(b: IndexedSeq[IndexedSeq[(Int, Array[Double])]]) =
+        b.map(_.map { case (c, v) => (c, v.toSeq) })
+      assert(deep(books) ==
+        deep(Similarity.pqFitCodebooks(all, m = 4, ksub = 4, iters = 2)))
+      // the rewritten table keeps the bucket spec: cell filter still prunes
+      val oneCell = refreshed.select("cell_id").limit(1).collect()(0).getInt(0)
+      val planStr = refreshed.filter(col("cell_id") === oneCell)
+        .queryExecution.executedPlan.toString
+      val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+        .findFirstMatchIn(planStr)
+      assert(sel.isDefined && sel.get.group(1).toInt < sel.get.group(2).toInt,
+        s"expected a bucket-pruned scan of the refreshed index, got:\n$planStr")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS refresh_idx")
+      spark.sql("DROP TABLE IF EXISTS refresh_idx_compact")
+      spark.sql("DROP TABLE IF EXISTS refresh_idx_old")
+    }
+  }
+
   test("versioned snapshots: pinned reads are repeatable across later appends, " +
       "partition-prune later generations, and keep bucket co-location") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ver_t")
