@@ -884,6 +884,58 @@ object ScaleSmoke {
       results += f"""{"op":"ann_quantizer_drift","stale_recall_1x":$s1%.3f,"refreshed_recall_1x":$f1%.3f,"refresh_sec_1x":$t1%.2f,"stale_recall_10x":$s10%.3f,"refreshed_recall_10x":$f10%.3f,"refresh_sec_10x":$t10%.2f,"refresh_ratio":${t10 / t1}%.2f}"""
     }
 
+    // SNAPSHOT-READ ECONOMICS (round-17 extension): a generation-pinned
+    // read of a versioned table (Storage.snapshotAsOf — q176's op) costs
+    // its pinned generations ONLY, because the pin is partition pruning:
+    // as the 24/7 loop appends generations, the pinned read must stay
+    // FLAT in table uptime while the unpinned full read grows with
+    // generation count. Measured as pin-at-gen-0 count vs full count on
+    // the same table at 2 vs 8 absorbed generations (each generation =
+    // the full 1x doc corpus re-keyed).
+    if (wanted("snapshot_pinned_read")) {
+      def measure(gens: Int): (Double, Double, Int, Int) = {
+        val tbl = s"smoke_ver_$gens"
+        spark.sql(s"DROP TABLE IF EXISTS $tbl")
+        val dir = java.nio.file.Files.createTempDirectory(s"graft_snap_$gens")
+        dir.toFile.deleteOnExit()
+        // 10x docs per generation: enough data per generation that the
+        // read cost is IO-proportional rather than fixed-cost dominated
+        val d = docs10.select(col("doc_id"), col("text"))
+        graft.sources.Storage.writeVersioned(d, tbl, s"$dir/t", gen = 0,
+          buckets = 8)
+        (1 until gens).foreach(g => graft.sources.Storage.appendVersioned(
+          d.select((col("doc_id") + g * 100000000L).as("doc_id"), col("text")),
+          tbl, gen = g, buckets = 8))
+        // the read must touch DATA (sum over the text column), not just
+        // parquet footers — a count(*) scans an empty schema and reads as
+        // flat at any generation count, hiding exactly the effect measured
+        def readAll(df: DataFrame): Long = df
+          .agg(sum(length(col("text"))), count(lit(1))).head().getLong(1)
+        def minOf2(f: => Long): (Double, Long) = {
+          val a = timed(f); val b = timed(f)
+          (math.min(a._1, b._1), a._2)
+        }
+        readAll(graft.sources.Storage.snapshotAsOf(spark, tbl, 0)) // warmup
+        val (tPin, nPin) = minOf2(
+          readAll(graft.sources.Storage.snapshotAsOf(spark, tbl, 0)))
+        val (tFull, nFull) = minOf2(
+          readAll(graft.sources.Storage.readTable(spark, tbl)))
+        assert(nPin * gens == nFull, s"snapshot rows $nPin x $gens != $nFull")
+        // the deterministic half of the claim: files OPENED by each read
+        // (timing on a 32-core host absorbs much of the extra IO in
+        // parallel slack; the file listing cannot lie)
+        val filesPin =
+          graft.sources.Storage.snapshotAsOf(spark, tbl, 0).inputFiles.length
+        val filesFull =
+          graft.sources.Storage.readTable(spark, tbl).inputFiles.length
+        spark.sql(s"DROP TABLE IF EXISTS $tbl")
+        (tPin, tFull, filesPin, filesFull)
+      }
+      val (p2, f2, fp2, ff2) = measure(2)
+      val (p8, f8, fp8, ff8) = measure(8)
+      results += f"""{"op":"snapshot_pinned_read","pinned_2gen":$p2%.2f,"full_2gen":$f2%.2f,"pinned_8gen":$p8%.2f,"full_8gen":$f8%.2f,"pinned_ratio":${p8 / p2}%.2f,"full_ratio":${f8 / f2}%.2f,"files_pinned_2gen":$fp2,"files_full_2gen":$ff2,"files_pinned_8gen":$fp8,"files_full_8gen":$ff8}"""
+    }
+
     // BUCKETED-INDEX COMPACTION (round-16): the 24/7 append loop grows
     // files linearly in batch count (one per (task, bucket) per append
     // generation); Storage.compactBuckets bounds the probe's file count

@@ -204,14 +204,25 @@ object Storage {
     // a tmp WITH the live table present is an incomplete prior write (or
     // post-adoption leftover): stale rows, rewrite fresh
     if (exists(tmp)) dropWithFiles(spark, tmp)
-    val oldLoc = new org.apache.hadoop.fs.Path(
-      catalog.getTableMetadata(TableIdentifier(table)).location)
+    val meta = catalog.getTableMetadata(TableIdentifier(table))
+    val oldLoc = new org.apache.hadoop.fs.Path(meta.location)
     val newLoc = new org.apache.hadoop.fs.Path(oldLoc.getParent,
       oldLoc.getName + s"_c${System.nanoTime()}")
-    rows(spark.table(table))
+    // Partition columns SURVIVE the rewrite: compacting a versioned
+    // ([[writeVersioned]]) table must not silently demote its `gen`
+    // partitioning to a data column — snapshot reads would keep working
+    // but lose partition pruning. With partitions the one-file-per-bucket
+    // economics become one file per (partition, non-empty bucket), and a
+    // `dropIds` takedown removes the doc from EVERY generation — pinned
+    // snapshots lose it too, which is the right precedence
+    // (right-to-be-forgotten beats reproducibility).
+    val writer = rows(spark.table(table))
       .repartition(buckets, col(bucketCol))
       .write.mode(SaveMode.Overwrite)
       .option("path", newLoc.toString)
+    (if (meta.partitionColumnNames.nonEmpty)
+       writer.partitionBy(meta.partitionColumnNames: _*)
+     else writer)
       .bucketBy(buckets, bucketCol)
       .sortBy(bucketCol)
       .format("parquet")

@@ -526,6 +526,46 @@ class StorageSpec extends GraftSuite {
     }
   }
 
+  test("compactBuckets on a versioned table preserves generation partitioning " +
+      "(pinned reads still prune) and a takedown drops the doc from every " +
+      "generation, pinned snapshots included") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_vercomp_t")
+    dir.toFile.deleteOnExit()
+    val mk = (ids: Seq[Long]) => ids.map(i => (i, s"doc $i text")).toDF("doc_id", "text")
+    Storage.writeVersioned(mk(Seq(0L, 1L, 2L)), "vercomp", s"$dir/t", gen = 0,
+      buckets = 4)
+    Storage.appendVersioned(mk(Seq(3L, 4L)), "vercomp", gen = 1, buckets = 4)
+    try {
+      // takedown doc 1 (gen 0) and doc 4 (gen 1) at the compaction rewrite
+      Storage.compactBuckets(spark, "vercomp", bucketCol = "doc_id",
+        buckets = 4, dropIds = Some((Seq(1L, 4L).toDF("doc_id"), "doc_id")))
+      val after = Storage.readTable(spark, "vercomp")
+      assert(after.select("doc_id").as[Long].collect().sorted.toSeq ==
+        Seq(0L, 2L, 3L), "compaction row set wrong after takedown drop")
+      // the gen column is still a PARTITION (directories), so a pinned
+      // read keeps pruning after the rewrite...
+      val pinned = Storage.snapshotAsOf(spark, "vercomp", 0)
+      assert(pinned.inputFiles.nonEmpty &&
+        pinned.inputFiles.forall(f => f.contains("gen=0") && !f.contains("gen=1")),
+        s"post-compaction snapshot lost partition pruning:\n${pinned.inputFiles.mkString("\n")}")
+      // ...and the tombstoned doc is gone from EVERY generation, pinned
+      // snapshots included (right-to-be-forgotten beats reproducibility)
+      assert(pinned.select("doc_id").as[Long].collect().sorted.toSeq == Seq(0L, 2L))
+      // bucket spec survives too: a bucket filter on the compacted table
+      // still prunes
+      val planStr = Storage.readTable(spark, "vercomp")
+        .filter(col("doc_id") === 0L).queryExecution.executedPlan.toString
+      val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+        .findFirstMatchIn(planStr)
+      assert(sel.isDefined && sel.get.group(1).toInt < sel.get.group(2).toInt,
+        s"expected bucket pruning on the compacted versioned table, got:\n$planStr")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS vercomp")
+      spark.sql("DROP TABLE IF EXISTS vercomp_compact")
+      spark.sql("DROP TABLE IF EXISTS vercomp_old")
+    }
+  }
+
   test("saltedJoin is row-identical to the plain join under a hot key") {
     // 0L is a hot key: 100 rows against 3 for key 1
     val large = ((1 to 100).map(i => (0L, s"v$i")) ++ Seq((1L, "a"), (1L, "b"), (1L, "c")))

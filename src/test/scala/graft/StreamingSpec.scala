@@ -346,6 +346,50 @@ class StreamingSpec extends GraftSuite {
     }
   }
 
+  test("versioned training-corpus sink under foreachBatch: a pin taken after " +
+      "an early batch re-reads identically while the stream keeps absorbing") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // The composition a training pipeline runs 24/7: each micro-batch of
+    // cleaned documents appends ONE GENERATION (gen = batchId) to the
+    // versioned corpus; a training run records latestGen at launch and
+    // re-reads that exact snapshot for reproducibility no matter how far
+    // the ingest has advanced since — the pin is partition pruning, so
+    // later generations are never even opened.
+    val base = java.nio.file.Files.createTempDirectory("graft_ver_stream")
+    base.toFile.deleteOnExit()
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF.toDF("doc_id", "text").writeStream
+      .option("checkpointLocation", s"$base/ckpt")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        if (spark.catalog.tableExists("ver_stream_cor"))
+          graft.sources.Storage.appendVersioned(batch, "ver_stream_cor",
+            gen = batchId, buckets = 4)
+        else
+          graft.sources.Storage.writeVersioned(batch, "ver_stream_cor",
+            s"$base/cor", gen = batchId, buckets = 4)
+      }.start()
+    try {
+      mem.addData((0L, "alpha text"), (1L, "beta text"))
+      q.processAllAvailable()
+      val pin = graft.sources.Storage.latestGen(spark, "ver_stream_cor")
+      val snap0 = graft.sources.Storage.snapshotAsOf(spark, "ver_stream_cor", pin)
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      assert(pin == 0L && snap0 == Seq(0L, 1L))
+      mem.addData((2L, "gamma text"))
+      q.processAllAvailable()
+      assert(graft.sources.Storage.latestGen(spark, "ver_stream_cor") == 1L)
+      val re = graft.sources.Storage.snapshotAsOf(spark, "ver_stream_cor", pin)
+      assert(re.select("doc_id").as[Long].collect().sorted.toSeq == snap0,
+        "pinned snapshot changed after the stream absorbed a later batch")
+      assert(re.inputFiles.nonEmpty && re.inputFiles.forall(!_.contains("gen=1")),
+        s"pinned read opened a later generation:\n${re.inputFiles.mkString("\n")}")
+    } finally {
+      q.stop()
+      spark.sql("DROP TABLE IF EXISTS ver_stream_cor")
+    }
+  }
+
   test("semanticSelfUpdating: the 24/7 embedding loop end-to-end — a vector " +
       "re-ingested in a LATER micro-batch is detected through the appended " +
       "index rows, with zero streaming state") {
