@@ -262,6 +262,41 @@ class PropertySpec extends GraftSuite {
     })
   }
 
+  test("rrfFuse == brute-force reciprocal-rank recomputation on random rankings") {
+    import graft.operators.Similarity
+    // random per-system rankings: each system ranks a random subset of a
+    // tiny doc universe for each of 2 queries (ranks dense from 1, the
+    // shape every upstream top-k produces)
+    val genSys = Gen.listOfN(2, for {
+      docs0 <- Gen.someOf(0L to 6L)
+      docs1 <- Gen.someOf(0L to 6L)
+    } yield Seq(0L -> docs0.toSeq, 1L -> docs1.toSeq))
+    passed(Prop.forAll(genSys) { systems =>
+      val dfs = systems.map(qs =>
+        qs.flatMap { case (q, ds) =>
+          ds.zipWithIndex.map { case (d, i) => (q, d, i + 1) }
+        }.toDF("query_id", "doc_id", "rank"))
+      val k = 5
+      val got = Similarity.rrfFuse(dfs, k = k).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> (r.getDouble(2), r.getInt(3)))
+        .toMap
+      // brute force: sum 1/(60+rank) over systems (system order), floor 6dp
+      val contribs = systems.zipWithIndex.flatMap { case (qs, _) =>
+        qs.flatMap { case (q, ds) =>
+          ds.zipWithIndex.map { case (d, i) => (q, d) -> (1.0 / (60 + i + 1)) }
+        }
+      }.groupBy(_._1).map { case (key, xs) =>
+        key -> math.floor(xs.map(_._2).sum * 1e6 + 0.5) / 1e6
+      }
+      val want = contribs.groupBy(_._1._1).flatMap { case (q, m) =>
+        m.toSeq.map { case ((_, d), s) => (d, s) }
+          .sortBy { case (d, s) => (-s, d) }.take(k).zipWithIndex
+          .map { case ((d, s), i) => (q, d) -> (s, i + 1) }
+      }
+      got == want
+    })
+  }
+
   test("hashSplit covers every row with exactly one label for random weights") {
     val genW = Gen.listOfN(3, Gen.choose(1, 10))
     passed(Prop.forAll(genW) { ws =>
