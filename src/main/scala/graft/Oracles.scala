@@ -2149,6 +2149,35 @@ object Oracles {
          |  max(gen) AS max_gen
          |FROM snap GROUP BY source""".stripMargin,
 
+    // Bloom decontamination mirror: the same distinct wide gram
+    // fingerprints per doc (dedup on the (h1, h2) pair — exactly the
+    // packed-hash set the engine's wideNgramHashSet builds), k=4
+    // double-hashed probe positions (h1 + i·h2) mod 2^14, set bits =
+    // the eval slice's distinct positions, a gram hits iff all 4 of its
+    // probe rows land on set bits, keep iff no gram hits. Bit-exact
+    // including the filter's false positives, because both sides
+    // compute the identical integer arithmetic.
+    "q178_bloom_decontaminate" ->
+      s"""WITH ws0 AS (SELECT doc_id, source, $Words AS w FROM documents),
+         |gl AS (SELECT doc_id, source, list_transform(generate_series(0, len(w) - 8),
+         |    i -> array_to_string(list_slice(w, i + 1, i + 8), ' ')) AS gs FROM ws0),
+         |g0 AS (SELECT doc_id, source, ${H("gv")} AS h1, ${H131("gv")} AS h2
+         |  FROM (SELECT doc_id, source, unnest(gs) AS gv FROM gl)),
+         |g AS (SELECT DISTINCT doc_id, source, h1, h2 FROM g0),
+         |pp AS (SELECT doc_id, source, h1, h2,
+         |    (h1 + i * h2) % 1048576 AS pos
+         |  FROM (SELECT *, unnest(generate_series(0, 3)) AS i FROM g)),
+         |setbits AS (SELECT DISTINCT pos FROM pp WHERE source = 'src0'),
+         |mk AS (SELECT doc_id, h1, h2, count(*) AS m FROM pp
+         |  JOIN setbits USING (pos) WHERE source <> 'src0'
+         |  GROUP BY doc_id, h1, h2),
+         |hits AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+         |  FROM mk WHERE m = 4 GROUP BY doc_id)
+         |SELECT d.doc_id, CAST(coalesce(hits.n, 0) AS BIGINT) AS n_hits,
+         |  coalesce(hits.n, 0) = 0 AS keep
+         |FROM (SELECT doc_id FROM documents WHERE source <> 'src0') d
+         |LEFT JOIN hits ON d.doc_id = hits.doc_id""".stripMargin,
+
     // Corpus sharding: salted-hash shard + independent salted-hash
     // in-shard order, dense 0-based position (doc_id tie-break).
     "q119_shard_order" ->
@@ -2929,6 +2958,10 @@ object Oracles {
     ("q166_len_quantiles_incremental" -> base("q165_len_quantiles")) +
     // signature MIN-merge of corpus slices == one-shot minima, exactly
     ("q168_src_jaccard_incremental" -> base("q167_src_jaccard_sketch")) +
+    // register OR-merge of eval slices == one-shot filter, exactly
+    // (bitwise OR is associative, commutative and idempotent), so the
+    // merged-sketch verdicts equal q178's
+    ("q179_bloom_incremental" -> base("q178_bloom_decontaminate")) +
     // the incremental-datasheet capstone reads the merged sketches, and
     // every member sketch is merge-exact (register MAX/SUM/MIN folds),
     // so the datasheet equals the four one-shot sketch oracles reshaped

