@@ -14,9 +14,11 @@ object Bench {
   private def emitOnce(names: Seq[String],
       best: scala.collection.Map[String, Double],
       samples: scala.collection.Map[String, Int],
-      failed: scala.collection.Map[String, Unit], sfDir: String): Unit =
+      failed: scala.collection.Map[String, Unit], sfDir: String,
+      samplesAll: scala.collection.Map[String, Vector[Double]] =
+        scala.collection.Map.empty): Unit =
     if (emitted.compareAndSet(false, true)) {
-      val okNames = names.filter(best.contains)
+      val okNames = names.filter(best.contains).sorted
       val qs = okNames.map { k => "\"" + k + "\":" + best(k) }
         .mkString("{", ",", "}")
       val failedJson = failed.keysIterator.filterNot(best.contains)
@@ -39,6 +41,18 @@ object Bench {
       try {
         java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_local.json"),
           (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      } catch { case _: Throwable => }
+      // Forensic per-sample record (every measured time, in run order):
+      // a contended pass is machine-distinguishable from a plan
+      // regression — one inflated sample next to normal siblings vs all
+      // samples high (r17 adjudication had to infer this from cross-run
+      // comparisons; now it is in-artifact).
+      try {
+        val det = samplesAll.toSeq.sortBy(_._1).map { case (n, ts) =>
+          "\"" + n + "\":" + ts.mkString("[", ",", "]")
+        }.mkString("{", ",", "}")
+        java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_samples.json"),
+          (det + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
       } catch { case _: Throwable => }
     }
 
@@ -81,7 +95,7 @@ object Bench {
     // count across queries (2 after a complete paired sweep).
     // Malformed env values fall back to the defaults (a bad knob must not
     // kill the artifact this machinery exists to protect).
-    val reps = scala.util.Try(sys.env("SPARK_GRAFT_REPS").toInt).getOrElse(3).max(1)
+    val reps = scala.util.Try(sys.env("SPARK_GRAFT_REPS").toInt).getOrElse(5).max(1)
     // Deadline budget, round-13 recalibration: the deadline exists to
     // guarantee the JSON artifact gets emitted before any external kill,
     // NOT to model a known driver limit. Measured driver tolerance: the
@@ -106,8 +120,26 @@ object Bench {
     // Local-iteration filter (unset when the driver runs), same contract
     // as Verify's: only bench queries whose name matches the regex.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.r)
+    // Sweep-1 order: ASCENDING prior-round cost (the committed
+    // BENCH_local.json's per-query map), unknown/new queries LAST.
+    // The cold sweep's dominant avoidable cost is construction + codegen
+    // of the heavy queries; running the cheap tail first gives the
+    // background warmer pool maximum lead time on exactly the plans
+    // whose cold cost is largest (r17: q146's cold run was 72 s when the
+    // sweep reached it before the warmer, ~2 s warm), and a deadline
+    // that cuts the paired sweep then cuts the queries with the best
+    // warm coverage instead of the cheapest ones.
+    val prior: Map[String, Double] =
+      try {
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("BENCH_local.json")),
+          java.nio.charset.StandardCharsets.UTF_8)
+        """"(q[^"]+)":([0-9.Ee+-]+)""".r.findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      } catch { case _: Throwable => Map.empty }
     val names = queries.keys.toSeq.sorted
       .filter(n => only.forall(_.findFirstIn(n).isDefined))
+      .sortBy(n => prior.getOrElse(n, Double.MaxValue))
     // Parallel codegen pre-compile (r10 postmortem: the serial Janino
     // compile chain in front of each cold sample is the deadline's
     // biggest avoidable cost on a contended host). The pool races ahead
@@ -116,7 +148,10 @@ object Bench {
     // SPARK_GRAFT_NO_WARM=1 disables (A/B and forensics).
     if (!sys.env.contains("SPARK_GRAFT_NO_WARM"))
       org.apache.spark.sql.graft.CodegenWarmer.warmAllInBackground(
-        names.map(n => n -> (() => queries(n)(spark, sfDir))),
+        // reverse of the sweep's ascending-cost order: the warmer starts
+        // on the HEAVIEST constructions while the sweep measures the
+        // cheap tail, so the two meet in the middle with everything warm
+        names.reverse.map(n => n -> (() => queries(n)(spark, sfDir))),
         threads = math.max(2, cpus.toInt / 4))
     // Concurrent maps: the shutdown-hook emitter below reads these from
     // its own thread while the sweep thread mutates them; a plain mutable
@@ -125,12 +160,13 @@ object Bench {
     // an O(1) consistent snapshot.
     val best = scala.collection.concurrent.TrieMap.empty[String, Double]
     val samples = scala.collection.concurrent.TrieMap.empty[String, Int]
+    val samplesAll = scala.collection.concurrent.TrieMap.empty[String, Vector[Double]]
     val failed = scala.collection.concurrent.TrieMap.empty[String, Unit]
     // Kill backstop: if the process is terminated externally mid-sweep
     // (driver timeout → SIGTERM), still emit the artifact line from
     // whatever samples exist. No-op on the normal path (emitOnce guards).
     Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      emitOnce(names, best, samples, failed, sfDir), "bench-emit"))
+      emitOnce(names, best, samples, failed, sfDir, samplesAll), "bench-emit"))
     val benchT0 = System.nanoTime()
     def elapsed: Double = (System.nanoTime() - benchT0) / 1e9
     // A failed run must not feed best(name): a 0.1s exception would
@@ -146,6 +182,8 @@ object Bench {
       if (ok) {
         best(name) = math.min(best.getOrElse(name, Double.MaxValue), sec)
         samples(name) = samples.getOrElse(name, 0) + 1
+        samplesAll(name) = samplesAll.getOrElse(name, Vector.empty) :+
+          math.rint(sec * 1e6) / 1e6
         System.err.println(f"[bench] pass $pass $name%-24s $sec%8.2f s (best ${best(name)}%.2f)")
       } else failed(name) = ()
     }
@@ -172,7 +210,7 @@ object Bench {
       pass += 1
     }
     // Queries that never succeeded are reported in "failed", not as times.
-    emitOnce(names, best, samples, failed, sfDir)
+    emitOnce(names, best, samples, failed, sfDir, samplesAll)
     spark.stop()
   }
 }

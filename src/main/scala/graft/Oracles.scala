@@ -2152,7 +2152,9 @@ object Oracles {
     // Bloom decontamination mirror: the same distinct wide gram
     // fingerprints per doc (dedup on the (h1, h2) pair — exactly the
     // packed-hash set the engine's wideNgramHashSet builds), k=4
-    // double-hashed probe positions (h1 + i·h2) mod 2^14, set bits =
+    // double-hashed probe positions (h1 + i·h2) mod 2^20 (1048576 —
+    // the engine's logM=20 default; the logM=14 contrast lives in the
+    // engine docstring, not here), set bits =
     // the eval slice's distinct positions, a gram hits iff all 4 of its
     // probe rows land on set bits, keep iff no gram hits. Bit-exact
     // including the filter's false positives, because both sides

@@ -931,6 +931,166 @@ object Similarity {
     (cents, books)
   }
 
+  /** Collect a (cell_id, centroid) relation to the driver-side matrix the
+    * native routing/residual expressions carry. Bounded by construction —
+    * a coarse quantizer is C ≈ √N cells of a few hundred bytes each; the
+    * require is the same misuse valve as the probe-cell isin caps. */
+  private def centroidMatrix(centroids: DataFrame): Seq[(Int, Array[Double])] = {
+    val rows = centroids.select(col("cell_id"), col("centroid").cast("array<double>"))
+      .limit(65537).collect()
+    require(rows.length <= 65536,
+      "centroid table exceeds 65536 cells — not a coarse quantizer; " +
+        "route with the join form instead")
+    rows.map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).sortBy(_._1).toSeq
+  }
+
+  /**
+   * RESIDUAL relation for the true-IVFADC family (Jégou, Douze & Schmid
+   * 2011 §III): each vector's assigned coarse cell (max cosine, ties to
+   * the smaller cell_id — identical routing to [[ivfPqIndex]]) and the
+   * residual `x − centroid(cell)` the product quantizer then encodes.
+   * Raw PQ ([[ivfPqIndex]]) quantizes the original subvectors, so every
+   * codebook must cover the whole data spread; quantizing residuals
+   * centers every cell's distribution at the origin, and the same
+   * codebook budget buys a finer quantization of what actually varies —
+   * the measured recall gap in BASELINE.md's sweep.
+   *
+   * ONE shuffle-free projection (the 100 TB point of doing this with
+   * expressions rather than the crossJoin+min_by assignment): routing is
+   * the native [[org.apache.spark.sql.graft.NearestCosineCell]] kernel,
+   * the centroid lookup is an `element_at` on a small literal map, and
+   * the subtraction is `zip_with` — the raw vector never crosses an
+   * exchange, exactly as in the raw index build.
+   */
+  def ivfResiduals(corpus: DataFrame, centroids: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cents = centroidMatrix(centroids)
+    val centMap = typedLit(cents.map { case (c, v) => (c, v.toSeq) }.toMap)
+    val vecD = col(vecCol).cast("array<double>")
+    corpus
+      .withColumn("cell_id",
+        org.apache.spark.sql.graft.NearestCosineCell(vecD, cents))
+      .select(col(idCol), col("cell_id"),
+        zip_with(vecD, element_at(centMap, col("cell_id")),
+          (x, c) => x - c).as("res"))
+  }
+
+  /** PQ codebooks trained on RESIDUALS — [[pqFitCodebooks]]'s exact fit
+    * (ksub smallest-id init, per-subspace Lloyd's, 6dp-rounded means,
+    * smallest-code ties) run over [[ivfResiduals]] instead of the raw
+    * vectors. This is the codebook the true-IVFADC index encodes with;
+    * training and encoding MUST use the same centroids. */
+  def pqFitCodebooksResidual(corpus: DataFrame, centroids: DataFrame,
+      m: Int = 8, ksub: Int = 16, iters: Int = 2, idCol: String = "vec_id",
+      vecCol: String = "embedding"): IndexedSeq[IndexedSeq[(Int, Array[Double])]] =
+    pqFitCodebooks(ivfResiduals(corpus, centroids, idCol, vecCol),
+      m, ksub, iters, idCol, "res")
+
+  /**
+   * The RESIDUAL (true IVFADC) index relation: (id, cell_id,
+   * c0..c{m-1}) — [[ivfPqIndex]]'s shape, but the m codes quantize the
+   * residual `x − centroid(cell)` against residual-trained codebooks
+   * ([[pqFitCodebooksResidual]]). Same persistence contract (bucket by
+   * cell_id, probe with an isin that bucket-prunes), same single
+   * shuffle-free projection ([[ivfResiduals]] + m native NearestCentroid
+   * codes fused into one select).
+   */
+  def ivfPqIndexResidual(corpus: DataFrame, centroids: DataFrame,
+      books: IndexedSeq[IndexedSeq[(Int, Array[Double])]],
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val m = books.size
+    require(m > 0 && books.head.nonEmpty,
+      "ivfPqIndexResidual needs non-empty codebooks")
+    val d = books.head.head._2.length
+    val codeCols = (0 until m).map(s =>
+      org.apache.spark.sql.graft.NearestCentroid(
+        slice(col("res"), s * d + 1, d), books(s))("cid").as(s"c$s"))
+    ivfResiduals(corpus, centroids, idCol, vecCol)
+      .select(col(idCol) +: col("cell_id") +: codeCols: _*)
+  }
+
+  /** Residualize a probe relation: each (query, probed cell) row's
+    * `q_vec` becomes the QUERY residual `q − centroid(cell)` — ADC
+    * against a residual index compares residual to residual within the
+    * probed cell (Jégou 2011 eq. 17: ‖(q − c) − pq(x − c)‖²). Broadcast
+    * join against the C-row centroid table; queries×nprobe rows. */
+  private def residualizeProbes(probes: DataFrame, centroids: DataFrame,
+      queryIdCol: String): DataFrame =
+    probes.join(broadcast(centroids.select(col("cell_id"),
+        col("centroid").cast("array<double>").as("__cent"))), "cell_id")
+      .select(col(queryIdCol),
+        zip_with(col("q_vec"), col("__cent"), (x, c) => x - c).as("q_vec"),
+        col("cell_id"))
+
+  /** [[ivfPqProbes]] with residual query vectors (window routing form). */
+  def ivfPqResidualProbes(queries: DataFrame, centroids: DataFrame,
+      nprobe: Int = 2, queryIdCol: String = "query_id",
+      vecCol: String = "embedding"): DataFrame =
+    residualizeProbes(ivfPqProbes(queries, centroids, nprobe, queryIdCol,
+      vecCol), centroids, queryIdCol)
+
+  /** [[ivfPqProbesAgg]] with residual query vectors (bounded-aggregate
+    * routing form — no WindowExec, the huge-query-batch path). */
+  def ivfPqResidualProbesAgg(queries: DataFrame, centroids: DataFrame,
+      nprobe: Int = 2, queryIdCol: String = "query_id",
+      vecCol: String = "embedding"): DataFrame =
+    residualizeProbes(ivfPqProbesAgg(queries, centroids, nprobe, queryIdCol,
+      vecCol), centroids, queryIdCol)
+
+  /**
+   * TRUE-IVFADC top-k (residual encoding — Jégou, Douze & Schmid 2011
+   * §III): [[ivfPqTopK]] with the index quantizing residuals and the
+   * probes carrying query residuals per probed cell. The ADC scoring
+   * stage is IDENTICAL machinery ([[ivfPqTopKFromIndex]] works unchanged
+   * over a residual index + residual probes, because ADC is oblivious to
+   * what the codes and q_vec are relative to) — the residual form just
+   * feeds it centered inputs, which is where the recall improvement
+   * comes from. Determinism: same rules as [[ivfPqTopK]].
+   */
+  def ivfPqResidualTopK(corpus: DataFrame, queries: DataFrame,
+      centroids: DataFrame, books: IndexedSeq[IndexedSeq[(Int, Array[Double])]],
+      nprobe: Int = 2, k: Int = 10, idCol: String = "vec_id",
+      vecCol: String = "embedding", queryIdCol: String = "query_id"): DataFrame =
+    ivfPqTopKFromIndex(
+      ivfPqIndexResidual(corpus, centroids, books, idCol, vecCol),
+      ivfPqResidualProbes(queries, centroids, nprobe, queryIdCol, vecCol),
+      books, k, idCol, queryIdCol)
+
+  /**
+   * Residual IVFADC+R over a PREBUILT residual index —
+   * [[ivfPqTopKRerankFromIndex]]'s production composition for the
+   * residual family. One signature difference, load-bearing: the exact
+   * re-score CANNOT reuse the probes' `q_vec` (those are per-cell
+   * residuals, not the query), so the TRUE query vectors come in as
+   * their own relation. Shortlist bounded at R per (task, query), exact
+   * re-score via broadcast id-join, final top-k bounded at k — no
+   * WindowExec, no corpus shuffle, same as the raw form.
+   */
+  def ivfPqResidualTopKRerankFromIndex(index: DataFrame, probes: DataFrame,
+      queries: DataFrame, corpus: DataFrame,
+      books: IndexedSeq[IndexedSeq[(Int, Array[Double])]],
+      k: Int = 10, r: Int = 40, idCol: String = "vec_id",
+      vecCol: String = "embedding", queryIdCol: String = "query_id"): DataFrame = {
+    require(r >= k, s"rerank shortlist r=$r must be >= k=$k")
+    val tkR = TextAnalysis.topKByScore(r)
+    val shortlist = ivfPqScored(index, probes, books)
+      .groupBy(queryIdCol)
+      .agg(tkR(-col("adc"), col(idCol)).as("__s"))
+      .select(col(queryIdCol), explode(col("__s")).as("__e"))
+      .select(col(queryIdCol), col("__e")("_2").as(idCol))
+    val qv = queries.select(col(queryIdCol),
+      col(vecCol).cast("array<double>").as("q_vec"))
+    val tkK = TextAnalysis.topKByScore(k)
+    corpus.select(col(idCol), col(vecCol).as("c_vec"))
+      .join(broadcast(shortlist), Seq(idCol))
+      .join(broadcast(qv), Seq(queryIdCol))
+      .withColumn("cos", round(tensor.cosine(col("q_vec"), col("c_vec")), 6))
+      .groupBy(queryIdCol).agg(tkK(col("cos"), col(idCol)).as("__top"))
+      .select(col(queryIdCol), posexplode(col("__top")).as(Seq("__r", "__e")))
+      .select(col(queryIdCol), col("__e")("_2").as(idCol),
+        col("__e")("_1").as("cos"), (col("__r") + 1).cast("int").as("rank"))
+  }
+
   /**
    * Reciprocal-rank fusion (Cormack, Clarke & Büttcher 2009) — the
    * standard HYBRID-retrieval combiner: given one per-system top-k
@@ -962,16 +1122,58 @@ object Similarity {
    * Output: (query_id, doc_id, rrf, rank), best-first per query.
    */
   def rrfFuse(rankings: Seq[DataFrame], k: Int = 10, c: Int = 60,
-      idCol: String = "doc_id", queryIdCol: String = "query_id"): DataFrame = {
+      idCol: String = "doc_id", queryIdCol: String = "query_id"): DataFrame =
+    rrfFuseWeighted(rankings.map((_, 1.0)), k, c, idCol, queryIdCol)
+
+  /**
+   * WEIGHTED reciprocal-rank fusion — [[rrfFuse]] with a per-system
+   * weight: candidate score = Σ_s w_s/(c + rank_s). The two contract
+   * knobs a production fusion stack reaches for first, pinned
+   * explicitly:
+   *
+   *  - Per-system WEIGHTS: w_s scales system s's whole contribution
+   *    (w_s = 0 removes it; all weights 1 IS [[rrfFuse]] — the unit
+   *    fraction is bit-identical, not approximately equal). Weights must
+   *    be finite and non-negative (a negative weight would turn
+   *    "retrieved by s" into a penalty, which is a different operator).
+   *  - System DROPOUT: a system that did not retrieve a (query, doc)
+   *    contributes NOTHING to it — the sum ranges over retrieving
+   *    systems only, never imputing a worst-case rank for absent ones
+   *    (the Cormack 2009 formulation). A system absent for an entire
+   *    query affects that query exactly as if it had not been passed.
+   *  - TIES: equal fused scores order by ascending doc id — pinned and
+   *    engine-independent, so a weight change that creates a tie cannot
+   *    make the output depend on partitioning.
+   *
+   * Defensive input contract (the per-system relations are top-k
+   * rankings — at most one row per (query, doc)): a buggy upstream that
+   * emits duplicates would silently double-count, so each system is
+   * folded to its BEST (minimum) rank per (query, doc) before
+   * contributing — for lawful inputs a no-op on both the result and the
+   * fold order, for buggy ones a defined answer instead of an inflated
+   * score.
+   *
+   * Determinism: contributions fold in SYSTEM ORDER exactly as
+   * [[rrfFuse]]; the weight multiplies inside the per-system division
+   * (w/(c+rank), one IEEE division) so the sum is reproducible across
+   * partitionings and engines.
+   */
+  def rrfFuseWeighted(rankings: Seq[(DataFrame, Double)], k: Int = 10,
+      c: Int = 60, idCol: String = "doc_id",
+      queryIdCol: String = "query_id"): DataFrame = {
     require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
-    val contrib = rankings.zipWithIndex.map { case (r, i) =>
-      r.select(col(queryIdCol), col(idCol), lit(i).as("__sys"),
-        (lit(1.0) / (lit(c.toDouble) + col("rank").cast("double"))).as("__part"))
+    require(rankings.forall { case (_, wt) => wt >= 0 && !wt.isInfinite && !wt.isNaN },
+      "rrf weights must be finite and non-negative")
+    val contrib = rankings.zipWithIndex.map { case ((r, wt), i) =>
+      r.groupBy(col(queryIdCol), col(idCol))
+        .agg(min(col("rank").cast("double")).as("__rank"))
+        .select(col(queryIdCol), col(idCol), lit(i).as("__sys"),
+          (lit(wt) / (lit(c.toDouble) + col("__rank"))).as("__part"))
     }.reduce(_ unionByName _)
     val fused = contrib.groupBy(queryIdCol, idCol)
       .agg(aggregate(array_sort(collect_list(struct(col("__sys"), col("__part")))),
         lit(0.0), (acc, e) => acc + e("__part")).as("__raw"))
-      // contributions are positive → half-up floor == round, cheaply
+      // contributions are non-negative → half-up floor == round, cheaply
       .withColumn("rrf", floor(col("__raw") * 1e6 + 0.5) / 1e6)
     val w = Window.partitionBy(queryIdCol).orderBy(col("rrf").desc, col(idCol))
     fused.withColumn("rank", row_number().over(w))

@@ -77,9 +77,29 @@ object Storage {
     * construction: its partition predicate cannot select the new
     * directory. This is the training-reproducibility contract — a run
     * pins `asOfGen` once and re-reads byte-identical data while the 24/7
-    * loop keeps absorbing. */
+    * loop keeps absorbing.
+    *
+    * IDEMPOTENT per generation: the `gen=<gen>` partition is dropped
+    * (metadata + files) before the write, so a replay of the same
+    * generation — the at-least-once `foreachBatch` contract replays a
+    * micro-batch whose epoch commit was lost with the same batchId —
+    * lands the same rows ONCE instead of silently duplicating every row
+    * a pin ≥ gen reads. (A crash between the drop and the write leaves
+    * the generation absent, which the replay that caused it then
+    * rewrites — the same one-batch window as the loops' absorb marker.) */
   def appendVersioned(df: DataFrame, table: String, gen: Long,
-      bucketCol: String = "doc_id", buckets: Int = 32): Unit =
+      bucketCol: String = "doc_id", buckets: Int = 32): Unit = {
+    val spark = df.sparkSession
+    if (spark.catalog.tableExists(table)) {
+      import org.apache.spark.sql.catalyst.TableIdentifier
+      spark.sql(s"ALTER TABLE `$table` DROP IF EXISTS PARTITION (gen=$gen)")
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.sessionState.catalog.getTableMetadata(TableIdentifier(table)).location)
+      val genDir = new org.apache.hadoop.fs.Path(loc, s"gen=$gen")
+      val fs = genDir.getFileSystem(spark.sessionState.newHadoopConf())
+      try if (fs.exists(genDir)) fs.delete(genDir, true)
+      catch { case _: Exception => () }
+    }
     df.withColumn("gen", org.apache.spark.sql.functions.lit(gen))
       .write.mode(SaveMode.Append)
       .partitionBy("gen")
@@ -87,27 +107,84 @@ object Storage {
       .sortBy(bucketCol)
       .format("parquet")
       .saveAsTable(table)
+  }
 
   /** Snapshot (time-travel) read of a [[writeVersioned]] table as of
     * generation `gen`: all rows with `gen <= gen`, planned as PARTITION
     * PRUNING (later generations' directories are never read — StorageSpec
     * asserts via inputFiles). The table is refreshed first so a pin taken
     * in a long-lived session sees every generation up to `gen` even when
-    * other sessions wrote them. */
-  def snapshotAsOf(spark: SparkSession, table: String, gen: Long): DataFrame = {
+    * other sessions wrote them.
+    *
+    * `tombstoneTable` makes the pinned read TAKEDOWN-AWARE between a
+    * deletion and the compaction that physically applies it: rows whose
+    * `idCol` appears in the ledger are anti-joined out (broadcast — the
+    * ledger is O(pending takedowns)), so right-to-be-forgotten holds the
+    * moment [[graft.streaming.DocumentStreams.recordDeletions]] lands,
+    * not only after the next `compactBuckets(dropIds)` rewrite. This is
+    * the precedence the compaction path already implements
+    * (right-to-be-forgotten beats reproducibility — a pinned training
+    * read of a tombstoned doc would be a compliance violation, not a
+    * repeatability feature); a missing/absent ledger reads as empty. */
+  def snapshotAsOf(spark: SparkSession, table: String, gen: Long,
+      tombstoneTable: Option[String] = None,
+      idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col}
     spark.catalog.refreshTable(table)
-    spark.table(table).filter(org.apache.spark.sql.functions.col("gen") <= gen)
+    val pinned = spark.table(table).filter(col("gen") <= gen)
+    tombstoneTable.filter(spark.catalog.tableExists).fold(pinned) { t =>
+      spark.catalog.refreshTable(t)
+      pinned.join(broadcast(spark.table(t).toDF("__ts_id")),
+        col(idCol) === col("__ts_id"), "left_anti")
+    }
   }
 
   /** Latest generation present in a [[writeVersioned]] table — what a
-    * training run records as its pin. Metadata-only: the partition
-    * column's values come from the directory listing, no data files are
-    * read. */
+    * training run records as its pin. Metadata-only: generations are read
+    * from the CATALOG's partition listing (one metastore call), never by
+    * scanning data files — Spark plans `max(gen)` as a full scan unless
+    * OptimizeMetadataOnlyQuery is enabled (it is off by default), and the
+    * pin-at-launch call a 24/7 training run makes must not cost a table
+    * read. Partition names are `gen=<n>`. */
   def latestGen(spark: SparkSession, table: String): Long = {
+    import org.apache.spark.sql.catalyst.TableIdentifier
     spark.catalog.refreshTable(table)
-    import org.apache.spark.sql.functions.max
-    val r = spark.table(table).select(max("gen")).head()
-    if (r.isNullAt(0)) -1L else r.getLong(0)
+    val names = spark.sessionState.catalog
+      .listPartitionNames(TableIdentifier(table))
+    if (names.isEmpty) -1L
+    else names.map(_.stripPrefix("gen=").toLong).max
+  }
+
+  /**
+   * VACUUM a [[writeVersioned]] table: coalesce every generation at or
+   * below `oldestPin` into ONE base generation (`gen = oldestPin`),
+   * through [[rewriteInPlace]]'s crash-safe rename swap. Generations
+   * accumulate forever under the append loop; reads stay flat (partition
+   * pruning) but the directory/file count — and listing cost — grows
+   * with uptime. Every live pin is ≥ the oldest declared pin by
+   * definition, and a snapshot read at pin p selects `gen <= p` — so
+   * folding all generations ≤ oldestPin into one directory changes NO
+   * pinned read's row set (StorageSpec asserts row parity); it only
+   * drops the per-generation directories a 24/7 loop leaves behind.
+   *
+   * Guard: `pins` must be the CURRENT set of live pins — the vacuum
+   * folds to `pins.min`, so a generation some pin still distinguishes is
+   * never merged past it. (Passing a stale pin set is the caller's
+   * hazard, same as any retention policy.) Rows in generations above the
+   * fold point are rewritten unchanged (the rewrite is one linear pass —
+   * schedule it with compaction); a crash mid-swap recovers on the next
+   * maintenance call exactly as for [[compactBuckets]].
+   */
+  def vacuumVersioned(spark: SparkSession, table: String, pins: Seq[Long],
+      bucketCol: String = "doc_id", buckets: Int = 32): Unit = {
+    require(pins.nonEmpty, "vacuumVersioned needs the live pin set " +
+      "(vacuuming with no pins would be retention policy, not vacuum)")
+    val oldestPin = pins.min
+    import org.apache.spark.sql.functions.{col, lit, when}
+    rewriteInPlace(spark, table, bucketCol, buckets) { live =>
+      live.withColumn("gen",
+        when(col("gen") <= oldestPin, lit(oldestPin)).otherwise(col("gen")))
+    }
   }
 
   /** Drop `table` from the catalog and recursively delete its files
@@ -251,4 +328,49 @@ object Storage {
    *  lost otherwise — a perf hazard, never a correctness one). */
   def readTable(spark: SparkSession, table: String): DataFrame =
     spark.table(table)
+
+  /**
+   * CLONE a bucketed table: file-level copy of its directory plus a new
+   * catalog entry with the identical schema + bucket spec. The fast path
+   * for "start a mutable experiment from a stored baseline" — a
+   * self-updating loop's seed index, an A/B index variant, a staging
+   * copy — because it moves BYTES, not rows: no scan, no shuffle, no
+   * re-bucketing (Spark reads each file's bucket id from its name, which
+   * the copy preserves), vs. a `writeBucketed(readTable(src))` rebuild
+   * that re-pays the full shuffle+write. Appends/compactions to the
+   * clone never touch the source. All file handling goes through the
+   * Hadoop FileSystem API (file://, hdfs://, s3a:// alike; on object
+   * stores the "copy" is server-side per-object). Unpartitioned bucketed
+   * tables only — a versioned table's clone would also need partition
+   * recovery, which [[writeVersioned]] callers don't need cloned.
+   */
+  def cloneTable(spark: SparkSession, src: String, dst: String,
+      dstPath: String): Unit = {
+    import org.apache.spark.sql.catalyst.TableIdentifier
+    val catalog = spark.sessionState.catalog
+    val meta = catalog.getTableMetadata(TableIdentifier(src))
+    require(meta.partitionColumnNames.isEmpty,
+      s"cloneTable supports unpartitioned bucketed tables; `$src` is " +
+        s"partitioned by ${meta.partitionColumnNames.mkString(",")}")
+    val bs = meta.bucketSpec.getOrElse(
+      throw new IllegalArgumentException(s"`$src` is not bucketed"))
+    val srcLoc = new org.apache.hadoop.fs.Path(meta.location)
+    val dstLoc = new org.apache.hadoop.fs.Path(dstPath)
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = dstLoc.getFileSystem(conf)
+    if (catalog.tableExists(TableIdentifier(dst)))
+      spark.sql(s"DROP TABLE `$dst`")
+    if (fs.exists(dstLoc)) fs.delete(dstLoc, true)
+    org.apache.hadoop.fs.FileUtil.copy(
+      srcLoc.getFileSystem(conf), srcLoc, fs, dstLoc,
+      /* deleteSource = */ false, /* overwrite = */ true, conf)
+    val bucketCols = bs.bucketColumnNames.map(c => s"`$c`").mkString(", ")
+    val sortCols = bs.sortColumnNames.map(c => s"`$c`").mkString(", ")
+    val sortClause = if (bs.sortColumnNames.nonEmpty) s"SORTED BY ($sortCols)" else ""
+    spark.sql(
+      s"""CREATE TABLE `$dst` (${meta.schema.toDDL})
+         |USING parquet
+         |CLUSTERED BY ($bucketCols) $sortClause INTO ${bs.numBuckets} BUCKETS
+         |LOCATION '${dstLoc.toString}'""".stripMargin)
+  }
 }

@@ -300,6 +300,50 @@ object DocumentStreams {
         bucketCol = idCol, buckets = buckets)
   }
 
+  /**
+   * One MAINTENANCE cycle for a self-updating loop's stored tables: each
+   * `(table, bucketCol, buckets, dropCol)` compacts back to one file per
+   * bucket with the tombstone ledger's ids physically dropped
+   * ([[graft.sources.Storage.compactBuckets]]' `dropIds`), and the
+   * LEDGER ITSELF is then pruned of exactly those applied ids — closing
+   * the tombstone lifecycle. Without the prune the ledger grows
+   * monotonically with LIFETIME takedowns and every probe's broadcast
+   * anti-join grows with it; with it the ledger is O(pending takedowns
+   * since the last compaction), bounded for any uptime.
+   *
+   * Race-safety with concurrent external takedowns (a compliance
+   * process records deletions by definition outside the loop): the
+   * ledger is SNAPSHOTTED once (eager localCheckpoint) before any
+   * rewrite — the same snapshot both drives every table's `dropIds` and
+   * bounds the ledger prune's anti-join, so an id recorded DURING the
+   * cycle is neither half-applied nor pruned; it survives to the next
+   * cycle's snapshot. The ledger prune reuses [[graft.sources.Storage
+   * .rewriteInPlace]]'s crash-safe swap (a crash re-prunes ids that are
+   * already gone from the tables — idempotent).
+   */
+  def runMaintenance(spark: org.apache.spark.sql.SparkSession,
+      tombstoneTable: Option[String],
+      tables: Seq[(String, String, Int, String)],
+      tombstoneIdCol: String = "doc_id", tombstoneBuckets: Int = 8): Unit = {
+    import graft.sources.Storage
+    val ledger = tombstoneTable.filter(spark.catalog.tableExists)
+    val snap = ledger.map { t =>
+      spark.catalog.refreshTable(t)
+      Storage.readTable(spark, t).localCheckpoint(true)
+    }
+    tables.foreach { case (tbl, bucketCol, buckets, dropCol) =>
+      Storage.compactBuckets(spark, tbl, bucketCol, buckets,
+        dropIds = snap.map((_, dropCol)))
+    }
+    ledger.zip(snap).foreach { case (t, sn) =>
+      Storage.rewriteInPlace(spark, t, tombstoneIdCol, tombstoneBuckets) {
+        live =>
+          live.join(broadcast(sn.toDF("__applied_id")),
+            col(tombstoneIdCol) === col("__applied_id"), "left_anti")
+      }
+    }
+  }
+
   /** Anti-join an index/candidate relation's `dup_id` against the stored
     * tombstone table (no-op when none is configured). Applied to the
     * (already bucket-pruned, narrow) index rows BEFORE the verify join,
@@ -513,19 +557,16 @@ object DocumentStreams {
           updateStoredIndex(extracted, indexTable, corpusTable, k, bands,
             shingleK, corpusIdCol, corpusTextCol, indexBuckets, corpusBuckets)
           writeAbsorbedMarker(spark, checkpointDir, batchId)
-          if (compactEvery > 0 && absorbed.incrementAndGet() % compactEvery == 0) {
+          if (compactEvery > 0 && absorbed.incrementAndGet() % compactEvery == 0)
             // compaction PHYSICALLY drops tombstoned rows (LSM delete):
             // probes already hide them via the anti-join above, so the
-            // swap changes no probe result — it reclaims the bytes
-            val ts = tombstoneTable.filter(spark.catalog.tableExists)
-              .map(t => graft.sources.Storage.readTable(spark, t))
-            graft.sources.Storage.compactBuckets(spark, indexTable,
-              bucketCol = "key", buckets = indexBuckets,
-              dropIds = ts.map((_, "dup_id")))
-            graft.sources.Storage.compactBuckets(spark, corpusTable,
-              bucketCol = corpusIdCol, buckets = corpusBuckets,
-              dropIds = ts.map((_, corpusIdCol)))
-          }
+            // swap changes no probe result — it reclaims the bytes; the
+            // applied ids are then pruned from the ledger itself, so the
+            // probes' broadcast stays O(pending), not O(lifetime)
+            runMaintenance(spark, tombstoneTable, Seq(
+              (indexTable, "key", indexBuckets, "dup_id"),
+              (corpusTable, corpusIdCol, corpusBuckets, corpusIdCol)),
+              tombstoneIdCol = corpusIdCol)
         }
       }
       .start()
@@ -597,16 +638,11 @@ object DocumentStreams {
           updateStoredSemanticIndex(batch, indexTable, corpusTable,
             nPlanes, idCol, vecCol, indexBuckets, corpusBuckets)
           writeAbsorbedMarker(spark, checkpointDir, batchId)
-          if (compactEvery > 0 && absorbed.incrementAndGet() % compactEvery == 0) {
-            val ts = tombstoneTable.filter(spark.catalog.tableExists)
-              .map(t => graft.sources.Storage.readTable(spark, t))
-            graft.sources.Storage.compactBuckets(spark, indexTable,
-              bucketCol = "pb", buckets = indexBuckets,
-              dropIds = ts.map((_, "dup_id")))
-            graft.sources.Storage.compactBuckets(spark, corpusTable,
-              bucketCol = idCol, buckets = corpusBuckets,
-              dropIds = ts.map((_, idCol)))
-          }
+          if (compactEvery > 0 && absorbed.incrementAndGet() % compactEvery == 0)
+            runMaintenance(spark, tombstoneTable, Seq(
+              (indexTable, "pb", indexBuckets, "dup_id"),
+              (corpusTable, idCol, corpusBuckets, idCol)),
+              tombstoneIdCol = idCol)
         }
       }
       .start()
