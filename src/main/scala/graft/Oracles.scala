@@ -363,6 +363,43 @@ object Oracles {
     sb.toString
   }
 
+  /** Unrolled RESIDUAL product-quantization CTE chain (true IVFADC,
+    * mirror of Similarity.pqFitCodebooksResidual /
+    * ivfPqIndexResidual): requires `EmbCte`, `cen(cell_id, centroid)`
+    * and the max-cosine routing `asg(vec_id, cell_id)` in scope.
+    * Produces `red(id, v)` — the residual x − centroid(cell), exact
+    * double subtraction against the 6dp-rounded centroids — then the
+    * [[pqCtes]] fit/encode chain over the residuals under r-prefixed
+    * names (rsubs, rpsv, rpqf, rpc0, rpd*j*, rpa*j*, rpc*j*). Final
+    * codes = rpa`iters+1` against books rpc`iters`. */
+  def pqResidualCtes(m: Int, ksub: Int, iters: Int, dim: Int = 64): String = {
+    require(dim % m == 0)
+    val d = dim / m
+    val sb = new StringBuilder
+    sb ++= "red AS (SELECT e.id, list_transform(e.v, (x, i) -> x - c.centroid[i]) AS v\n" +
+      "  FROM ed e JOIN asg a ON a.vec_id = e.id JOIN cen c ON c.cell_id = a.cell_id),\n"
+    sb ++= s"rsubs AS (SELECT unnest(generate_series(0, ${m - 1})) AS sub),\n"
+    sb ++= s"rpsv AS (SELECT id, sub, list_slice(v, sub*$d+1, sub*$d+$d) AS v\n" +
+      s"  FROM red CROSS JOIN rsubs),\n"
+    sb ++= s"rpqf AS (SELECT id, dim // $d AS sub, dim % $d AS subpos, x FROM\n" +
+      s"  (SELECT id, generate_subscripts(v, 1) - 1 AS dim, unnest(v) AS x FROM red)),\n"
+    sb ++= s"rpc0 AS (SELECT sub, CAST(rn - 1 AS INTEGER) AS cid, v FROM\n" +
+      s"  (SELECT sub, id, v, row_number() OVER (PARTITION BY sub ORDER BY id) AS rn FROM rpsv)\n" +
+      s"  WHERE rn <= $ksub)"
+    for (j <- 1 to iters + 1) {
+      sb ++= s",\nrpd$j AS (SELECT p.id, p.sub, c.cid, ${sqDist("p.v", "c.v")} AS dist\n" +
+        s"  FROM rpsv p JOIN rpc${j - 1} c USING (sub)),\n"
+      sb ++= s"rpa$j AS (SELECT id, sub, cid, dist FROM (SELECT *, row_number() OVER\n" +
+        s"  (PARTITION BY id, sub ORDER BY dist, cid) AS rn FROM rpd$j) WHERE rn = 1)"
+      if (j <= iters)
+        sb ++= s",\nrpc$j AS (SELECT sub, cid, list(round(m, 6) ORDER BY subpos) AS v FROM\n" +
+          s"  (SELECT a.sub, a.cid, f.subpos, sum(f.x) / count(*) AS m FROM rpa$j a\n" +
+          s"   JOIN rpqf f ON a.id = f.id AND a.sub = f.sub GROUP BY a.sub, a.cid, f.subpos)\n" +
+          s"  GROUP BY sub, cid)"
+    }
+    sb.toString
+  }
+
   /** SQL mirror of Html.synthPage over (id, lang, text) expressions —
     * byte-identical page construction on both engines. */
   private def htmlPageSql(id: String, lang: String, text: String): String = {
@@ -1763,6 +1800,44 @@ object Oracles {
          |     ORDER BY cos DESC, vec_id) AS INTEGER) AS rank FROM rer)
          |WHERE rank <= 10""".stripMargin,
 
+    // RESIDUAL IVFADC mirror (true IVFADC, Jégou 2011 §III): q149's
+    // routing (cosine cells) but the PQ chain fits and encodes the
+    // RESIDUALS x − centroid(cell) (pqResidualCtes), and each query's
+    // ADC side is its per-probed-cell residual q − centroid(cell) —
+    // ‖(q−c) − pq(x−c)‖² summed per subspace, same folds, 6dp round,
+    // rank by (adc, vec_id).
+    "q180_ivfpq_residual" ->
+      s"""WITH $EmbCte,
+         |${kmeansCtes(8, 2)},
+         |cen AS (SELECT cid AS cell_id, v AS centroid FROM c2),
+         |asg AS (SELECT id AS vec_id, cell_id FROM
+         |  (SELECT e.id, c.cell_id, row_number() OVER (PARTITION BY e.id
+         |     ORDER BY ${cos("e.v", "c.centroid")} DESC, c.cell_id) AS rn
+         |   FROM ed e CROSS JOIN cen c) WHERE rn = 1),
+         |${pqResidualCtes(8, 16, 2)},
+         |pr AS (SELECT id AS query_id, cell_id FROM
+         |  (SELECT e.id, c.cell_id, row_number() OVER (PARTITION BY e.id
+         |     ORDER BY ${cos("e.v", "c.centroid")} DESC, c.cell_id) AS rn
+         |   FROM ed e CROSS JOIN cen c WHERE e.id < 5) WHERE rn <= 2),
+         |qr AS (SELECT p.query_id, p.cell_id,
+         |    list_transform(e.v, (x, i) -> x - c.centroid[i]) AS qv
+         |  FROM pr p JOIN ed e ON e.id = p.query_id
+         |  JOIN cen c ON c.cell_id = p.cell_id),
+         |rqsv AS (SELECT query_id, cell_id, sub,
+         |    list_slice(qv, sub*8+1, sub*8+8) AS v FROM qr CROSS JOIN rsubs),
+         |rsd AS (SELECT q.query_id, a.vec_id, q.sub, ${sqDist("q.v", "c.v")} AS dist
+         |  FROM rqsv q JOIN asg a ON a.cell_id = q.cell_id
+         |  JOIN rpa3 pa ON pa.id = a.vec_id AND pa.sub = q.sub
+         |  JOIN rpc2 c ON c.sub = pa.sub AND c.cid = pa.cid),
+         |rscored AS (SELECT query_id, vec_id,
+         |  round(list_reduce(list_prepend(0.0, list(dist ORDER BY sub)),
+         |    (u, w) -> u + w), 6) AS adc
+         |  FROM rsd GROUP BY query_id, vec_id)
+         |SELECT query_id, vec_id, adc, rank FROM
+         |  (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+         |     ORDER BY adc, vec_id) AS INTEGER) AS rank FROM rscored)
+         |WHERE rank <= 10""".stripMargin,
+
     // Semantic dedup: k-means assignment (same unrolled CTEs as q94),
     // then within-cluster lower-id cosine >= 0.9 marks duplicates.
     // The 4dp stabilization mirrors the engine's sign-aware
@@ -2133,6 +2208,137 @@ object Oracles {
          |  (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
          |     ORDER BY rrf DESC, doc_id) AS INTEGER) AS rank FROM fused)
          |WHERE rank <= 10""".stripMargin,
+
+    // STORED-INDEX hybrid retrieval mirror: q175's lexical BM25 chain
+    // fused with q170's IVFADC+R rerank chain (queries 0..2) — the
+    // batch-scale composition where the semantic side reads the
+    // persisted PQ index and reranks its bounded shortlist exactly as
+    // q170, and the fuse is the same system-ordered 1/(60+rank) fold.
+    "q181_hybrid_stored" ->
+      s"""WITH qt(query_id, term) AS (VALUES (0, 'spark'), (0, 'join'), (0, 'fast'),
+         |  (1, 'window'), (1, 'sort'), (2, 'vector'), (2, 'hash'), (2, 'query')),
+         |dl AS (SELECT doc_id, CAST(len($Words) AS DOUBLE) AS dl FROM documents),
+         |st AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+         |  sum(dl) / CAST(count(*) AS DOUBLE) AS avgdl FROM dl),
+         |tok AS (SELECT doc_id, unnest($Words) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tok
+         |  WHERE term IN (SELECT DISTINCT term FROM qt) GROUP BY doc_id, term),
+         |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+         |sc AS (SELECT q.query_id, t.doc_id, t.term,
+         |    ln(1.0 + (st.n - d.df + 0.5) / (d.df + 0.5)) * (t.tf * (1.2 + 1)) /
+         |      (t.tf + 1.2 * ((1 - 0.75) + 0.75 * l.dl / st.avgdl)) AS s
+         |  FROM tf t JOIN df d USING (term) JOIN dl l USING (doc_id)
+         |  CROSS JOIN st JOIN qt q USING (term)),
+         |lexs AS (SELECT query_id, doc_id,
+         |    floor(list_reduce(list_prepend(0.0, list(s ORDER BY term)),
+         |      (u, w) -> u + w) * 1e4 + 0.5) / 1e4 AS score
+         |  FROM sc GROUP BY query_id, doc_id),
+         |lexr AS (SELECT query_id, doc_id, rank FROM
+         |  (SELECT *, row_number() OVER (PARTITION BY query_id
+         |     ORDER BY score DESC, doc_id) AS rank FROM lexs)
+         |  WHERE rank <= 10),
+         |$EmbCte,
+         |${kmeansCtes(8, 2)},
+         |${pqCtes(8, 16, 2)},
+         |cen AS (SELECT cid AS cell_id, v AS centroid FROM c2),
+         |asg AS (SELECT id AS vec_id, cell_id FROM
+         |  (SELECT e.id, c.cell_id, row_number() OVER (PARTITION BY e.id
+         |     ORDER BY ${cos("e.v", "c.centroid")} DESC, c.cell_id) AS rn
+         |   FROM ed e CROSS JOIN cen c) WHERE rn = 1),
+         |pr AS (SELECT id AS query_id, cell_id FROM
+         |  (SELECT e.id, c.cell_id, row_number() OVER (PARTITION BY e.id
+         |     ORDER BY ${cos("e.v", "c.centroid")} DESC, c.cell_id) AS rn
+         |   FROM ed e CROSS JOIN cen c WHERE e.id < 3) WHERE rn <= 2),
+         |cand AS (SELECT DISTINCT p.query_id, a.vec_id
+         |  FROM pr p JOIN asg a USING (cell_id)),
+         |qsv AS (SELECT id AS query_id, sub, v AS qv FROM psv WHERE id < 3),
+         |sd AS (SELECT q.query_id, a.id AS vec_id, q.sub, ${sqDist("q.qv", "c.v")} AS dist
+         |  FROM qsv q JOIN pa3 a ON q.sub = a.sub
+         |  JOIN pc2 c ON a.sub = c.sub AND a.cid = c.cid
+         |  JOIN cand ON cand.query_id = q.query_id AND cand.vec_id = a.id),
+         |scored AS (SELECT query_id, vec_id,
+         |  round(list_reduce(list_prepend(0.0, list(dist ORDER BY sub)),
+         |    (u, w) -> u + w), 6) AS adc
+         |  FROM sd GROUP BY query_id, vec_id),
+         |short AS (SELECT query_id, vec_id FROM
+         |  (SELECT *, row_number() OVER (PARTITION BY query_id
+         |     ORDER BY adc, vec_id) AS rr FROM scored) WHERE rr <= 40),
+         |rer AS (SELECT s.query_id, s.vec_id, round(${cos("qe.v", "ce.v")}, 6) AS cos
+         |  FROM short s JOIN ed qe ON qe.id = s.query_id
+         |  JOIN ed ce ON ce.id = s.vec_id),
+         |semr AS (SELECT query_id, vec_id AS doc_id, rank FROM
+         |  (SELECT *, row_number() OVER (PARTITION BY query_id
+         |     ORDER BY cos DESC, vec_id) AS rank FROM rer)
+         |  WHERE rank <= 10),
+         |contrib AS (SELECT query_id, doc_id, 0 AS sys, 1.0 / (60 + rank) AS part FROM lexr
+         |  UNION ALL SELECT query_id, doc_id, 1, 1.0 / (60 + rank) FROM semr),
+         |fused AS (SELECT query_id, doc_id,
+         |    floor(list_reduce(list_prepend(0.0, list(part ORDER BY sys)),
+         |      (u, w) -> u + w) * 1e6 + 0.5) / 1e6 AS rrf
+         |  FROM contrib GROUP BY query_id, doc_id)
+         |SELECT query_id, doc_id, rrf, rank FROM
+         |  (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+         |     ORDER BY rrf DESC, doc_id) AS INTEGER) AS rank FROM fused)
+         |WHERE rank <= 10""".stripMargin,
+
+    // WEIGHTED RRF mirror: q175's two ranking chains, fused with
+    // per-system weights — 0.75/(60+rank) lexical, 1.5/(60+rank)
+    // semantic, each one exact IEEE division, same system-ordered fold.
+    "q182_rrf_weighted" ->
+      s"""WITH qt(query_id, term) AS (VALUES (0, 'spark'), (0, 'join'), (0, 'fast'),
+         |  (1, 'window'), (1, 'sort'), (2, 'vector'), (2, 'hash'), (2, 'query')),
+         |dl AS (SELECT doc_id, CAST(len($Words) AS DOUBLE) AS dl FROM documents),
+         |st AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+         |  sum(dl) / CAST(count(*) AS DOUBLE) AS avgdl FROM dl),
+         |tok AS (SELECT doc_id, unnest($Words) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tok
+         |  WHERE term IN (SELECT DISTINCT term FROM qt) GROUP BY doc_id, term),
+         |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+         |sc AS (SELECT q.query_id, t.doc_id, t.term,
+         |    ln(1.0 + (st.n - d.df + 0.5) / (d.df + 0.5)) * (t.tf * (1.2 + 1)) /
+         |      (t.tf + 1.2 * ((1 - 0.75) + 0.75 * l.dl / st.avgdl)) AS s
+         |  FROM tf t JOIN df d USING (term) JOIN dl l USING (doc_id)
+         |  CROSS JOIN st JOIN qt q USING (term)),
+         |lexs AS (SELECT query_id, doc_id,
+         |    floor(list_reduce(list_prepend(0.0, list(s ORDER BY term)),
+         |      (u, w) -> u + w) * 1e4 + 0.5) / 1e4 AS score
+         |  FROM sc GROUP BY query_id, doc_id),
+         |lexr AS (SELECT query_id, doc_id, rank FROM
+         |  (SELECT *, row_number() OVER (PARTITION BY query_id
+         |     ORDER BY score DESC, doc_id) AS rank FROM lexs)
+         |  WHERE rank <= 10),
+         |$EmbCte,
+         |qv AS (SELECT id AS query_id, v AS qvec FROM ed WHERE id < 3),
+         |sems AS (SELECT query_id, id AS doc_id, round(${cos("qvec", "v")}, 6) AS cos
+         |  FROM ed CROSS JOIN qv),
+         |semr AS (SELECT query_id, doc_id, rank FROM
+         |  (SELECT *, row_number() OVER (PARTITION BY query_id
+         |     ORDER BY cos DESC, doc_id) AS rank FROM sems)
+         |  WHERE rank <= 10),
+         |contrib AS (SELECT query_id, doc_id, 0 AS sys, 0.75 / (60 + rank) AS part FROM lexr
+         |  UNION ALL SELECT query_id, doc_id, 1, 1.5 / (60 + rank) FROM semr),
+         |fused AS (SELECT query_id, doc_id,
+         |    floor(list_reduce(list_prepend(0.0, list(part ORDER BY sys)),
+         |      (u, w) -> u + w) * 1e6 + 0.5) / 1e6 AS rrf
+         |  FROM contrib GROUP BY query_id, doc_id)
+         |SELECT query_id, doc_id, rrf, rank FROM
+         |  (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+         |     ORDER BY rrf DESC, doc_id) AS INTEGER) AS rank FROM fused)
+         |WHERE rank <= 10""".stripMargin,
+
+    // Tombstone-aware snapshot read: q176's pinned gen<=1 slice MINUS
+    // the taken-down ids (doc_id % 4 = 0 — the query's declared
+    // takedown set), proving right-to-be-forgotten holds on a pinned
+    // read BETWEEN a deletion and the compaction that applies it.
+    "q183_snapshot_takedown" ->
+      s"""WITH snap AS (SELECT doc_id, source, text, n_chars,
+         |    CAST(doc_id % 3 AS BIGINT) AS gen
+         |  FROM documents WHERE doc_id % 3 <= 1 AND doc_id % 4 <> 0)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+         |  CAST(sum(len($Words)) AS BIGINT) AS total_tokens,
+         |  max(gen) AS max_gen
+         |FROM snap GROUP BY source""".stripMargin,
 
     // Snapshot (time-travel) read pinned at gen <= 1: the mirror is the
     // gen<=1 slice itself (gen = doc_id % 3 — the query's declared

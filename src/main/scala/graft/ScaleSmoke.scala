@@ -892,15 +892,16 @@ object ScaleSmoke {
     // generation count. Measured as pin-at-gen-0 count vs full count on
     // the same table at 2 vs 8 absorbed generations (each generation =
     // the full 1x doc corpus re-keyed).
-    if (wanted("snapshot_pinned_read")) {
-      def measure(gens: Int): (Double, Double, Int, Int) = {
-        val tbl = s"smoke_ver_$gens"
+    def measureSnapshot(gens: Int, dTier: DataFrame, tag: String)
+        : (Double, Double, Int, Int) = {
+        val tbl = s"smoke_ver_${tag}_$gens"
         spark.sql(s"DROP TABLE IF EXISTS $tbl")
         val dir = java.nio.file.Files.createTempDirectory(s"graft_snap_$gens")
         dir.toFile.deleteOnExit()
-        // 10x docs per generation: enough data per generation that the
-        // read cost is IO-proportional rather than fixed-cost dominated
-        val d = docs10.select(col("doc_id"), col("text"))
+        // a full tier of docs per generation: enough data per generation
+        // that the read cost is IO-proportional rather than fixed-cost
+        // dominated
+        val d = dTier.select(col("doc_id"), col("text"))
         graft.sources.Storage.writeVersioned(d, tbl, s"$dir/t", gen = 0,
           buckets = 8)
         (1 until gens).foreach(g => graft.sources.Storage.appendVersioned(
@@ -930,10 +931,55 @@ object ScaleSmoke {
           graft.sources.Storage.readTable(spark, tbl).inputFiles.length
         spark.sql(s"DROP TABLE IF EXISTS $tbl")
         (tPin, tFull, filesPin, filesFull)
-      }
-      val (p2, f2, fp2, ff2) = measure(2)
-      val (p8, f8, fp8, ff8) = measure(8)
+    }
+    if (wanted("snapshot_pinned_read")) {
+      val (p2, f2, fp2, ff2) = measureSnapshot(2, docs10, "10x")
+      val (p8, f8, fp8, ff8) = measureSnapshot(8, docs10, "10x")
       results += f"""{"op":"snapshot_pinned_read","pinned_2gen":$p2%.2f,"full_2gen":$f2%.2f,"pinned_8gen":$p8%.2f,"full_8gen":$f8%.2f,"pinned_ratio":${p8 / p2}%.2f,"full_ratio":${f8 / f2}%.2f,"files_pinned_2gen":$fp2,"files_full_2gen":$ff2,"files_pinned_8gen":$fp8,"files_full_8gen":$ff8}"""
+    }
+
+    // RESIDUAL vs RAW IVFADC recall (round-18): the quality delta the
+    // residual encoding (q180 — true IVFADC, Jégou 2011 §III) buys at
+    // EQUAL knobs (same frozen coarse quantizer, same m×ksub codebook
+    // budget, same nprobe=2, same R=40 rerank as q170's declared
+    // default). Two comparisons per tier: ADC-only shortlist quality
+    // (raw vs residual, no rerank) and the R=40 rerank operating point —
+    // the raw form's R=40 recall is its measured ceiling short of paying
+    // more R; residual must beat it by making the SHORTLIST better, the
+    // mechanism being ~cell-centered codebooks quantizing what actually
+    // varies.
+    def residualRecall(e: DataFrame): (Double, Double, Double, Double) = {
+      val ed = embD(e)
+      val q = ed.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      def ids(df: DataFrame): Map[Any, Set[Long]] = df.collect()
+        .groupBy(_.get(0)).map { case (g, rs) => g -> rs.map(_.getLong(1)).toSet }
+      val exact = ids(Similarity.bruteForceTopK(ed, q, k = 10))
+      def rec(df: DataFrame): Double = {
+        val a = ids(df)
+        exact.map { case (g, ex) =>
+          (a.getOrElse(g, Set.empty) & ex).size.toDouble / ex.size
+        }.sum / exact.size
+      }
+      val km = Similarity.kmeansFit(ed, k = 8, iters = 2)
+      val rawB = Similarity.pqFitCodebooks(ed, m = 8, ksub = 16, iters = 2)
+      val resB = Similarity.pqFitCodebooksResidual(ed, km, m = 8, ksub = 16,
+        iters = 2)
+      val rawAdc = rec(Similarity.ivfPqTopK(ed, q, km, rawB, nprobe = 2, k = 10))
+      val resAdc = rec(Similarity.ivfPqResidualTopK(ed, q, km, resB,
+        nprobe = 2, k = 10))
+      val rawR40 = rec(Similarity.ivfPqTopKRerank(ed, q, km, rawB, nprobe = 2,
+        k = 10, r = 40))
+      val resR40 = rec(Similarity.ivfPqResidualTopKRerankFromIndex(
+        Similarity.ivfPqIndexResidual(ed, km, resB),
+        Similarity.ivfPqResidualProbesAgg(q, km, nprobe = 2),
+        q, ed, resB, k = 10, r = 40))
+      (rawAdc, resAdc, rawR40, resR40)
+    }
+    if (wanted("ann_residual_recall")) {
+      val (a1, b1, c1, d1) = residualRecall(emb1)
+      val (a10, b10, c10, d10) = residualRecall(emb10)
+      results += f"""{"op":"ann_residual_recall","raw_adc_1x":$a1%.3f,"residual_adc_1x":$b1%.3f,"raw_rerank40_1x":$c1%.3f,"residual_rerank40_1x":$d1%.3f,"raw_adc_10x":$a10%.3f,"residual_adc_10x":$b10%.3f,"raw_rerank40_10x":$c10%.3f,"residual_rerank40_10x":$d10%.3f}"""
     }
 
     // BUCKETED-INDEX COMPACTION (round-16): the 24/7 append loop grows
@@ -1050,6 +1096,19 @@ object ScaleSmoke {
       if (wanted("ann_recall")) {
         val (l, v, w, p, r) = recallAt10(emb100)
         r100 += f"""{"op":"ann_recall_at10","lsh_100x":$l%.3f,"ivf_label_100x":$v%.3f,"ivf_kmeans_100x":$w%.3f,"ivfpq_100x":$p%.3f,"ivfpq_rerank_100x":$r%.3f}"""
+      }
+      if (wanted("ann_residual_recall")) {
+        val (a, b, c, d2) = residualRecall(emb100)
+        r100 += f"""{"op":"ann_residual_recall","raw_adc_100x":$a%.3f,"residual_adc_100x":$b%.3f,"raw_rerank40_100x":$c%.3f,"residual_rerank40_100x":$d2%.3f}"""
+      }
+      // snapshot-read economics at the 100x tier: a full 100x corpus per
+      // generation — the pinned read must stay generation-proportional
+      // (2-gen pin flat as the table grows to 8 generations) exactly as
+      // at the 10x-per-generation scale
+      if (wanted("snapshot_pinned_read")) {
+        val (p2, f2, fp2, ff2) = measureSnapshot(2, docs100, "100x")
+        val (p8, f8, fp8, ff8) = measureSnapshot(8, docs100, "100x")
+        r100 += f"""{"op":"snapshot_pinned_read","pinned_2gen_100x":$p2%.2f,"full_2gen_100x":$f2%.2f,"pinned_8gen_100x":$p8%.2f,"full_8gen_100x":$f8%.2f,"pinned_ratio_100x":${p8 / p2}%.2f,"full_ratio_100x":${f8 / f2}%.2f,"files_pinned_2gen_100x":$fp2,"files_full_2gen_100x":$ff2,"files_pinned_8gen_100x":$fp8,"files_full_8gen_100x":$ff8}"""
       }
       println(s"""{"scale_smoke_100x":[${r100.mkString(",")}],"docs_100x":${docs100.count()}}""")
 

@@ -215,6 +215,15 @@ object SparkEntry {
       : IndexedSeq[IndexedSeq[(Int, Array[Double])]] =
     frozenPq.computeIfAbsent(dir, _ =>
       Similarity.pqFitCodebooks(embedsD(s, dir), m = 8, ksub = 16, iters = 2))
+  /** RESIDUAL codebooks (true IVFADC), frozen like [[pq816]] — trained
+    * on x − centroid(cell) against the same frozen coarse quantizer. */
+  private val frozenPqR = new java.util.concurrent.ConcurrentHashMap[
+    String, IndexedSeq[IndexedSeq[(Int, Array[Double])]]]()
+  private def pq816r(s: SparkSession, dir: String)
+      : IndexedSeq[IndexedSeq[(Int, Array[Double])]] =
+    frozenPqR.computeIfAbsent(dir, _ =>
+      Similarity.pqFitCodebooksResidual(embedsD(s, dir), km8(s, dir),
+        m = 8, ksub = 16, iters = 2))
 
   /** Synthetic IOB tagging rule shared by q31/q32/q34: 'key' begins an
     * entity (type K), following 'value' tokens continue it. */
@@ -2240,6 +2249,117 @@ object SparkEntry {
         TextAnalysis.bloomMergeRegisters(
           s.read.parquet(s"$out/sketch"),
           TextAnalysis.bloomRegisters(eval0.filter(col("doc_id") % 2 === 1))))
+    }),
+
+    // RESIDUAL IVFADC (round-18): true IVFADC per Jégou 2011 §III — the
+    // PQ codes quantize x − centroid(cell), not the raw subvectors, and
+    // each probe scores its per-cell QUERY residual against them.
+    // Centering every cell's distribution at the origin spends the same
+    // codebook budget on what actually varies — BASELINE.md's sweep
+    // records the recall lift over the raw form (q149) at equal knobs.
+    // Index build is ONE shuffle-free projection (NearestCosineCell
+    // routing + literal-map centroid lookup + zip_with subtraction + m
+    // native code assignments); probes residualize per probed cell via
+    // a broadcast join against the C-row centroid table.
+    "q180_ivfpq_residual" -> ((s, dir) => {
+      val e = embedsD(s, dir)
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      Similarity.ivfPqResidualTopK(e, q, km8(s, dir), pq816r(s, dir),
+        nprobe = 2, k = 10)
+    }),
+
+    // STORED-INDEX hybrid retrieval (round-18): q175's RRF fuse with
+    // both retrievers in their BATCH-SCALE operating forms — lexical =
+    // bm25TopKAgg (bounded aggregate, no WindowExec), semantic = q170's
+    // IVFADC+R rerank over the PERSISTED cell_id-bucketed PQ index
+    // (read-only construction → seedOnce; probed cells reach the scan
+    // as an isin that bucket-prunes, the q154 lever). The fuse sees only
+    // Σk bounded rows per query; PlanShapeSpec asserts no WindowExec on
+    // either retriever side.
+    "q181_hybrid_stored" -> ((s, dir) => {
+      import s.implicits._
+      val qs = Seq((0, "spark"), (0, "join"), (0, "fast"),
+        (1, "window"), (1, "sort"), (2, "vector"), (2, "hash"), (2, "query"))
+        .toDF("query_id", "term")
+      val lex = TextAnalysis.bm25TopKAgg(docs(s, dir), qs, k = 10)
+        .select("query_id", "doc_id", "rank")
+      val e = embedsD(s, dir)
+      val q = e.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val cents = km8(s, dir)
+      val books = pq816(s, dir)
+      val idxTbl = seedOnce("graft_ivfpqidx_ro", dir) { (o, t) =>
+        sources.Storage.writeBucketed(Similarity.ivfPqIndex(e, cents, books),
+          t, s"$o/idx", bucketCol = "cell_id", buckets = 8); t
+      }
+      val probes = Similarity.ivfPqProbesAgg(q, cents, nprobe = 2)
+      // q154's probe-cell valve: bounded by queries×nprobe; isin →
+      // physical bucket pruning on the stored index
+      val maxProbeCells = 4096
+      val cells = probes.select("cell_id").distinct()
+        .limit(maxProbeCells + 1).collect().map(_.getInt(0)).sorted
+      require(cells.length <= maxProbeCells,
+        s"probe-cell set exceeds $maxProbeCells: shard the query batch")
+      val sem = Similarity.ivfPqTopKRerankFromIndex(
+        sources.Storage.readTable(s, idxTbl)
+          .filter(col("cell_id").isin(cells.map(Integer.valueOf): _*)),
+        probes, e, books, k = 10, r = 40)
+        .select(col("query_id"), col("vec_id").as("doc_id"), col("rank"))
+      Similarity.rrfFuse(Seq(lex, sem), k = 10)
+    }),
+
+    // WEIGHTED RRF (round-18): q175's two rankings fused with per-system
+    // weights (0.75 lexical, 1.5 semantic) — the first knob a production
+    // fusion stack tunes. Dropout and tie rules pinned in
+    // Similarity.rrfFuseWeighted; the oracle mirrors the weighted
+    // divisions and the system-ordered fold.
+    "q182_rrf_weighted" -> ((s, dir) => {
+      import s.implicits._
+      val qs = Seq((0, "spark"), (0, "join"), (0, "fast"),
+        (1, "window"), (1, "sort"), (2, "vector"), (2, "hash"), (2, "query"))
+        .toDF("query_id", "term")
+      val lex = TextAnalysis.bm25TopK(docs(s, dir), qs, k = 10)
+        .select("query_id", "doc_id", "rank")
+      val e = embedsD(s, dir)
+      val q = e.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val sem = Similarity.bruteForceTopK(e, q, k = 10)
+        .select(col("query_id"), col("vec_id").as("doc_id"), col("rank"))
+      Similarity.rrfFuseWeighted(Seq((lex, 0.75), (sem, 1.5)), k = 10)
+    }),
+
+    // TOMBSTONE-AWARE snapshot read (round-18): q176's pinned gen<=1
+    // read with a takedown ledger (doc_id % 4 == 0) recorded AFTER the
+    // generations landed and BEFORE any compaction — the pinned read
+    // anti-joins the ledger (Storage.snapshotAsOf's tombstoneTable), so
+    // right-to-be-forgotten holds the moment the deletion is recorded,
+    // not only after the physical drop. Table and ledger are both
+    // read-only construction here (seedOnce); the ledger is shared
+    // with nothing — its ids deliberately straddle both pinned
+    // generations.
+    "q183_snapshot_takedown" -> ((s, dir) => {
+      val tbl = seedOnce("graft_vercorpus", dir) { (o, t) =>
+        val d = docs(s, dir).select("doc_id", "source", "text", "n_chars")
+        sources.Storage.writeVersioned(d.filter(col("doc_id") % 3 === 0),
+          t, s"$o/cor", gen = 0, bucketCol = "doc_id", buckets = 8)
+        sources.Storage.appendVersioned(d.filter(col("doc_id") % 3 === 1),
+          t, gen = 1, bucketCol = "doc_id", buckets = 8)
+        sources.Storage.appendVersioned(d.filter(col("doc_id") % 3 === 2),
+          t, gen = 2, bucketCol = "doc_id", buckets = 8)
+        t
+      }
+      val ts = seedOnce("graft_verts", dir) { (o, t) =>
+        streaming.DocumentStreams.recordDeletions(
+          docs(s, dir).filter(col("doc_id") % 4 === 0).select("doc_id"),
+          t, s"$o/ts"); t
+      }
+      sources.Storage.snapshotAsOf(s, tbl, 1, tombstoneTable = Some(ts))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          sum(size(TextAnalysis.words(col("text")))).as("total_tokens"),
+          max(col("gen")).as("max_gen"))
     }),
 
     "q29_contain_join" -> ((s, dir) => {

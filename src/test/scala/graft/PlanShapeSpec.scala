@@ -298,6 +298,38 @@ class PlanShapeSpec extends GraftSuite {
       s"expected both rank windows gone:\n${out.queryExecution.executedPlan}")
   }
 
+  test("q181 stored-index hybrid RRF: retriever sides window-free, the one " +
+      "WindowExec ranks only the fused bounded rows, ANN side bucket-prunes") {
+    // the batch-scale hybrid contract: BM25 side = bounded aggregate,
+    // ANN side = bounded shortlist + rerank over the stored index —
+    // the ONLY window left is the final RRF rank over Σk rows/query
+    val out = SparkEntry.queries("q181_hybrid_stored")(spark, "/root/testdata/sf0.001")
+    assert(out.collect().nonEmpty)
+    val planStr = out.queryExecution.executedPlan.toString
+    val windows = PlanDigest.allNodes(out.queryExecution.executedPlan).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.size == 1,
+      s"expected exactly the fused-rank window, got ${windows.size}:\n$planStr")
+    val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+      .findFirstMatchIn(planStr)
+    assert(sel.isDefined && sel.get.group(1).toInt < sel.get.group(2).toInt,
+      s"expected a bucket-pruned stored-index scan on the ANN side:\n$planStr")
+  }
+
+  test("q180 residual index build: one shuffle-free projection (routing + " +
+      "residual + codes), no join or exchange before the scored stage") {
+    import graft.operators.Similarity
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cents = Similarity.kmeansFit(e, k = 4, iters = 1)
+    val books = Similarity.pqFitCodebooksResidual(e, cents, m = 4, ksub = 4,
+      iters = 1)
+    val plan = Similarity.ivfPqIndexResidual(e, cents, books)
+      .queryExecution.executedPlan
+    assert(plan.collect { case ex: Exchange => ex }.isEmpty,
+      s"expected a shuffle-free residual index projection, got:\n$plan")
+  }
+
   test("q171 incremental datasheet: the returned plan reads ONLY the stored " +
       "sketch relations — no documents scan anywhere") {
     // the capstone contract: refreshing the full per-source datasheet

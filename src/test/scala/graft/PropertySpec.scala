@@ -297,6 +297,64 @@ class PropertySpec extends GraftSuite {
     })
   }
 
+  test("rrfFuseWeighted == brute-force weighted recomputation; weight 1.0 is " +
+      "rrfFuse; duplicate rows fold to the best rank") {
+    import graft.operators.Similarity
+    val genSys = Gen.listOfN(2, for {
+      docs0 <- Gen.someOf(0L to 6L)
+      docs1 <- Gen.someOf(0L to 6L)
+      w <- Gen.oneOf(0.0, 0.5, 1.0, 1.25, 2.0)
+    } yield (Seq(0L -> docs0.toSeq, 1L -> docs1.toSeq), w))
+    passed(Prop.forAll(genSys) { systems =>
+      val dfs = systems.map { case (qs, w) =>
+        (qs.flatMap { case (q, ds) =>
+          ds.zipWithIndex.map { case (d, i) => (q, d, i + 1) }
+        }.toDF("query_id", "doc_id", "rank"), w)
+      }
+      val k = 5
+      val got = Similarity.rrfFuseWeighted(dfs, k = k).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> (r.getDouble(2), r.getInt(3)))
+        .toMap
+      val contribs = systems.flatMap { case (qs, w) =>
+        qs.flatMap { case (q, ds) =>
+          ds.zipWithIndex.map { case (d, i) => (q, d) -> (w / (60 + i + 1)) }
+        }
+      }.groupBy(_._1).map { case (key, xs) =>
+        key -> math.floor(xs.map(_._2).sum * 1e6 + 0.5) / 1e6
+      }
+      val want = contribs.groupBy(_._1._1).flatMap { case (q, m) =>
+        m.toSeq.map { case ((_, d), s) => (d, s) }
+          .sortBy { case (d, s) => (-s, d) }.take(k).zipWithIndex
+          .map { case ((d, s), i) => (q, d) -> (s, i + 1) }
+      }
+      got == want
+    })
+    import graft.operators.Similarity
+    // all-ones weights reproduce rrfFuse exactly (bit-identical division)
+    val sys0 = Seq((0L, 3L, 1), (0L, 5L, 2)).toDF("query_id", "doc_id", "rank")
+    val sys1 = Seq((0L, 5L, 1), (0L, 2L, 2)).toDF("query_id", "doc_id", "rank")
+    assert(Similarity.rrfFuseWeighted(Seq((sys0, 1.0), (sys1, 1.0)))
+      .collect().map(_.toString).sorted.toSeq ==
+      Similarity.rrfFuse(Seq(sys0, sys1))
+        .collect().map(_.toString).sorted.toSeq)
+    // a buggy upstream emitting (query, doc) twice folds to min rank
+    // instead of double-counting
+    val dup = Seq((0L, 3L, 1), (0L, 3L, 4), (0L, 5L, 2))
+      .toDF("query_id", "doc_id", "rank")
+    val clean = Seq((0L, 3L, 1), (0L, 5L, 2)).toDF("query_id", "doc_id", "rank")
+    assert(Similarity.rrfFuseWeighted(Seq((dup, 2.0)))
+      .collect().map(_.toString).sorted.toSeq ==
+      Similarity.rrfFuseWeighted(Seq((clean, 2.0)))
+        .collect().map(_.toString).sorted.toSeq)
+    // contract violations fail loudly
+    intercept[IllegalArgumentException] {
+      Similarity.rrfFuseWeighted(Seq((clean, -1.0)))
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.rrfFuseWeighted(Seq.empty)
+    }
+  }
+
   test("hashSplit covers every row with exactly one label for random weights") {
     val genW = Gen.listOfN(3, Gen.choose(1, 10))
     passed(Prop.forAll(genW) { ws =>

@@ -683,6 +683,181 @@ class StorageSpec extends GraftSuite {
     }
   }
 
+  test("cloneTable: byte-level clone preserves rows, bucket pruning and " +
+      "co-location; mutating the clone never touches the source") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_clone_t")
+    dir.toFile.deleteOnExit()
+    val mk = (ids: Seq[Long]) => ids.map(i => (i, s"doc $i text")).toDF("doc_id", "text")
+    Storage.writeBucketed(mk(0L until 20L), "clone_src", s"$dir/src", buckets = 4)
+    try {
+      Storage.cloneTable(spark, "clone_src", "clone_dst", s"$dir/dst")
+      val src = Storage.readTable(spark, "clone_src")
+      val dst = Storage.readTable(spark, "clone_dst")
+      assert(dst.collect().map(_.toString).sorted.toSeq ==
+        src.collect().map(_.toString).sorted.toSeq)
+      // the copied files keep their bucket-id names → pruning still works
+      val planStr = dst.filter($"doc_id" === 3L)
+        .queryExecution.executedPlan.toString
+      val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+        .findFirstMatchIn(planStr)
+      assert(sel.isDefined && sel.get.group(1).toInt == 1 &&
+        sel.get.group(2).toInt == 4,
+        s"expected 1-of-4 bucket pruning on the clone, got:\n$planStr")
+      // co-bucketed join against the SOURCE plans exchange-free: the
+      // clone carries the full bucket spec, not just the files
+      val joined = dst.join(src.select(col("doc_id"), col("text").as("t2")), "doc_id")
+      assert(joined.queryExecution.executedPlan
+        .collect { case e: Exchange => e }.isEmpty)
+      // mutate the clone — the source is untouched
+      Storage.appendBucketed(mk(Seq(100L)), "clone_dst", buckets = 4)
+      assert(Storage.readTable(spark, "clone_dst").count() == 21)
+      assert(Storage.readTable(spark, "clone_src").count() == 20,
+        "appending to the clone leaked into the source table")
+      // non-bucketed and partitioned sources are rejected explicitly
+      mk(Seq(0L)).write.mode("overwrite").option("path", s"$dir/plain")
+        .saveAsTable("clone_plain")
+      intercept[IllegalArgumentException] {
+        Storage.cloneTable(spark, "clone_plain", "clone_nope", s"$dir/nope")
+      }
+    } finally {
+      Seq("clone_src", "clone_dst", "clone_plain")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
+    }
+  }
+
+  test("appendVersioned replay (same generation) is idempotent: no duplicated " +
+      "rows behind any pin") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_veridem_t")
+    dir.toFile.deleteOnExit()
+    val mk = (ids: Seq[Long]) => ids.map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    Storage.writeVersioned(mk(Seq(0L, 1L)), "ver_idem", s"$dir/t", gen = 0, buckets = 4)
+    Storage.appendVersioned(mk(Seq(2L, 3L)), "ver_idem", gen = 1, buckets = 4)
+    try {
+      val before = Storage.snapshotAsOf(spark, "ver_idem", 1)
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      assert(before == Seq(0L, 1L, 2L, 3L))
+      // the at-least-once replay: the SAME batch lands the SAME gen again
+      Storage.appendVersioned(mk(Seq(2L, 3L)), "ver_idem", gen = 1, buckets = 4)
+      val after = Storage.snapshotAsOf(spark, "ver_idem", 1)
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      assert(after == before,
+        s"replayed generation duplicated rows: $after")
+      assert(Storage.latestGen(spark, "ver_idem") == 1L)
+    } finally spark.sql("DROP TABLE IF EXISTS ver_idem")
+  }
+
+  test("vacuumVersioned folds generations <= the oldest pin into one base " +
+      "generation: pinned reads identical, old directories gone") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_vervac_t")
+    dir.toFile.deleteOnExit()
+    val mk = (ids: Seq[Long]) => ids.map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    Storage.writeVersioned(mk(Seq(0L, 1L)), "ver_vac", s"$dir/t", gen = 0, buckets = 4)
+    Storage.appendVersioned(mk(Seq(2L)), "ver_vac", gen = 1, buckets = 4)
+    Storage.appendVersioned(mk(Seq(3L)), "ver_vac", gen = 2, buckets = 4)
+    Storage.appendVersioned(mk(Seq(4L)), "ver_vac", gen = 3, buckets = 4)
+    try {
+      val pin1 = Storage.snapshotAsOf(spark, "ver_vac", 1)
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      val pin2 = Storage.snapshotAsOf(spark, "ver_vac", 2)
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      // live pins are 1 and 2 → generations 0 and 1 fold into gen=1
+      Storage.vacuumVersioned(spark, "ver_vac", pins = Seq(1L, 2L), buckets = 4)
+      assert(Storage.snapshotAsOf(spark, "ver_vac", 1)
+        .select("doc_id").as[Long].collect().sorted.toSeq == pin1,
+        "oldest pin's row set changed across vacuum")
+      assert(Storage.snapshotAsOf(spark, "ver_vac", 2)
+        .select("doc_id").as[Long].collect().sorted.toSeq == pin2,
+        "later pin's row set changed across vacuum")
+      // gen=0's directory no longer exists anywhere under the table
+      val files = Storage.readTable(spark, "ver_vac").inputFiles
+      assert(files.nonEmpty && files.forall(!_.contains("gen=0")),
+        s"vacuum left gen=0 files:\n${files.mkString("\n")}")
+      assert(Storage.latestGen(spark, "ver_vac") == 3L)
+      // a pin below the fold point now reads the folded base — vacuum's
+      // contract is "no LIVE pin below pins.min", asserted here as the
+      // documented behavior rather than silent data loss
+      assert(Storage.snapshotAsOf(spark, "ver_vac", 0).count() == 0)
+    } finally spark.sql("DROP TABLE IF EXISTS ver_vac")
+  }
+
+  test("snapshotAsOf with a tombstone ledger excludes taken-down docs " +
+      "BETWEEN the deletion and the compaction that applies it") {
+    import graft.streaming.DocumentStreams
+    val dir = java.nio.file.Files.createTempDirectory("graft_verts_t")
+    dir.toFile.deleteOnExit()
+    val mk = (ids: Seq[Long]) => ids.map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    Storage.writeVersioned(mk(Seq(0L, 1L, 2L)), "verts_spec", s"$dir/t", gen = 0,
+      buckets = 4)
+    Storage.appendVersioned(mk(Seq(3L, 4L)), "verts_spec", gen = 1, buckets = 4)
+    try {
+      // a configured-but-absent ledger reads as empty
+      assert(Storage.snapshotAsOf(spark, "verts_spec", 1,
+        tombstoneTable = Some("verts_ledger")).count() == 5)
+      DocumentStreams.recordDeletions(Seq(1L, 3L).toDF("doc_id"),
+        "verts_ledger", s"$dir/ts")
+      // takedown recorded, NOT yet compacted: the pinned read must
+      // already exclude the docs (right-to-be-forgotten beats
+      // reproducibility)
+      assert(Storage.snapshotAsOf(spark, "verts_spec", 1,
+        tombstoneTable = Some("verts_ledger"))
+        .select("doc_id").as[Long].collect().sorted.toSeq == Seq(0L, 2L, 4L))
+      // the raw pin still carries them — the ledger is the only mask
+      assert(Storage.snapshotAsOf(spark, "verts_spec", 1).count() == 5)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS verts_spec")
+      spark.sql("DROP TABLE IF EXISTS verts_ledger")
+    }
+  }
+
+  test("runMaintenance bounds the tombstone ledger: applied ids are pruned " +
+      "after the physical drop, detection unchanged across cycles") {
+    import graft.streaming.DocumentStreams
+    val t0 = "the quick brown fox jumps over the lazy dog and runs far away today"
+    val t1 = "completely different text about database engines and query planners"
+    val corpus = Seq((0L, t0), (1L, t0 + " tonight"), (2L, t1))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ledger_t")
+    dir.toFile.deleteOnExit()
+    Storage.writeBucketed(
+      graft.operators.Dedup.lshBandIndex(corpus, k = 8, bands = 4, shingleK = 3),
+      "led_idx", s"$dir/idx", bucketCol = "key", buckets = 8)
+    Storage.writeBucketed(corpus, "led_cor", s"$dir/cor", bucketCol = "doc_id",
+      buckets = 8)
+    try {
+      def probe() = DocumentStreams.probeStoredIndex(
+        Seq((30L, t0)).toDF("doc_id", "text"), "led_idx", "led_cor",
+        threshold = 0.5, k = 8, bands = 4, shingleK = 3,
+        tombstoneTable = Some("led_ts"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(probe() == Set((30L, 0L), (30L, 1L)))
+      // cycle 1: takedown doc 0 → hidden; maintenance applies + PRUNES
+      DocumentStreams.recordDeletions(Seq(0L).toDF("doc_id"), "led_ts", s"$dir/ts")
+      assert(probe() == Set((30L, 1L)))
+      DocumentStreams.runMaintenance(spark, Some("led_ts"), Seq(
+        ("led_idx", "key", 8, "dup_id"), ("led_cor", "doc_id", 8, "doc_id")))
+      assert(Storage.readTable(spark, "led_ts").count() == 0,
+        "applied tombstones were not pruned from the ledger")
+      assert(probe() == Set((30L, 1L)), "detection changed across the prune")
+      // cycle 2: a NEW takedown lands in the (now empty) ledger — the
+      // ledger carries ONLY the pending id, never lifetime history
+      DocumentStreams.recordDeletions(Seq(1L).toDF("doc_id"), "led_ts", s"$dir/ts")
+      assert(Storage.readTable(spark, "led_ts")
+        .as[Long].collect().toSeq == Seq(1L))
+      assert(probe() == Set.empty)
+      DocumentStreams.runMaintenance(spark, Some("led_ts"), Seq(
+        ("led_idx", "key", 8, "dup_id"), ("led_cor", "doc_id", 8, "doc_id")))
+      assert(Storage.readTable(spark, "led_ts").count() == 0)
+      assert(probe() == Set.empty, "physically dropped doc resurfaced")
+      // maintenance with NO ledger configured is compaction alone
+      DocumentStreams.runMaintenance(spark, None, Seq(
+        ("led_cor", "doc_id", 8, "doc_id")))
+      assert(Storage.readTable(spark, "led_cor").count() == 1)
+    } finally {
+      Seq("led_idx", "led_cor", "led_ts")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
+    }
+  }
+
   test("saltedJoin rejects key-only large side and reserved __salt columns") {
     val small = Seq((0L, "zero")).toDF("doc_id", "name")
     // key-only large side: zero-arg hash() would fail analysis — and a salt
