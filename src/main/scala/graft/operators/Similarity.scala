@@ -802,6 +802,24 @@ object Similarity {
         (-col("__e")("_1")).as("adc"), (col("__r") + 1).cast("int").as("rank"))
   }
 
+  /** [[ivfPqTopKFromIndex]] with the rank window replaced by the bounded
+    * [[TextAnalysis.topKByScore]] aggregate — the no-WindowExec tail for
+    * any PREBUILT index relation. Metric-agnostic: ADC neither knows nor
+    * cares whether the index codes raw subvectors ([[ivfPqIndex]]) or
+    * residuals ([[ivfPqIndexResidual]] — pass the matching probes),
+    * so this one tail serves both families at query-batch scale. */
+  def ivfPqTopKAggFromIndex(index: DataFrame, probes: DataFrame,
+      books: IndexedSeq[IndexedSeq[(Int, Array[Double])]], k: Int = 10,
+      idCol: String = "vec_id", queryIdCol: String = "query_id"): DataFrame = {
+    val tk = TextAnalysis.topKByScore(k)
+    ivfPqScored(index, probes, books)
+      .groupBy(queryIdCol)
+      .agg(tk(-col("adc"), col(idCol)).as("__top"))
+      .select(col(queryIdCol), posexplode(col("__top")).as(Seq("__r", "__e")))
+      .select(col(queryIdCol), col("__e")("_2").as(idCol),
+        (-col("__e")("_1")).as("adc"), (col("__r") + 1).cast("int").as("rank"))
+  }
+
   /**
    * IVFADC+R — [[ivfPqTopKAgg]] followed by EXACT re-ranking of the
    * top-R ADC shortlist against the true vectors (Jégou, Douze & Schmid

@@ -339,8 +339,10 @@ object Storage {
    * the copy preserves), vs. a `writeBucketed(readTable(src))` rebuild
    * that re-pays the full shuffle+write. Appends/compactions to the
    * clone never touch the source. All file handling goes through the
-   * Hadoop FileSystem API (file://, hdfs://, s3a:// alike; on object
-   * stores the "copy" is server-side per-object). Unpartitioned bucketed
+   * Hadoop FileSystem API (file://, hdfs://, s3a:// alike; note
+   * FileUtil.copy STREAMS bytes through the client — on an object store
+   * with a native copy operation, a production deployment would swap in
+   * the store's server-side copy, same contract). Unpartitioned bucketed
    * tables only — a versioned table's clone would also need partition
    * recovery, which [[writeVersioned]] callers don't need cloned.
    */

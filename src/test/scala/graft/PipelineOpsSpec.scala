@@ -1717,6 +1717,16 @@ class PipelineOpsSpec extends GraftSuite {
       nprobe = 4, k = 10))
     assert(resRec >= rawRec,
       s"residual ADC recall $resRec below raw ADC recall $rawRec at equal knobs")
+    // the bounded-aggregate tail is row-identical to the window form on
+    // the SAME residual index + probes (the q155 equivalence, residual
+    // family)
+    val idx = Similarity.ivfPqIndexResidual(pts, cents, resBooks)
+    val probes = Similarity.ivfPqResidualProbes(q, cents, nprobe = 2)
+    assert(Similarity.ivfPqTopKAggFromIndex(idx, probes, resBooks, k = 10)
+      .collect().map(_.toString).sorted.toSeq ==
+      Similarity.ivfPqTopKFromIndex(idx, probes, resBooks, k = 10)
+        .collect().map(_.toString).sorted.toSeq,
+      "aggregate tail diverged from the window form on the residual index")
   }
 
   private def round6(x: Double): Double =

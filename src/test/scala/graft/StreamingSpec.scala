@@ -516,6 +516,13 @@ class StreamingSpec extends GraftSuite {
       assert(spark.table("tomb_crawl_cor")
         .filter($"doc_id".isin(0L, 10L)).count() == 0,
         "tombstoned corpus rows survived compaction")
+      // ... and the maintenance cycle PRUNED the applied ids from the
+      // ledger itself (r18: the ledger is O(pending takedowns), not
+      // O(lifetime) — without this the probes' broadcast anti-join
+      // grows monotonically over the loop's uptime)
+      spark.catalog.refreshTable("tomb_crawl_ts")
+      assert(spark.table("tomb_crawl_ts").count() == 0,
+        "applied tombstones were not pruned from the ledger")
       // the loop keeps operating: page 12 WAS absorbed (not tombstoned),
       // so one more recrawl matches it — and only it
       mem.addData((14L, pageOf(t0)))
