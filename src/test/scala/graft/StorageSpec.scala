@@ -13,13 +13,6 @@ import graft.sources.Storage
 class StorageSpec extends GraftSuite {
   import spark.implicits._
 
-  /** q110/q154 derive a unique catalog name per construction (race fix);
-    * clean up by prefix rather than by fixed name. */
-  private def dropScratchTables(prefix: String): Unit =
-    spark.catalog.listTables().collect()
-      .filter(_.name.startsWith(prefix))
-      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS ${t.name}"))
-
   test("co-bucketed doc_id join has no Exchange in the physical plan") {
     val docs = Seq((0L, "key agg row scan"), (1L, "slow fast join")).toDF("doc_id", "text")
     val toks = Tokenize.normalizedTokens(docs)
@@ -47,14 +40,12 @@ class StorageSpec extends GraftSuite {
     // writes both bucketed tables, and the returned plan must carry NO
     // Exchange — neither for the doc_id join nor for the groupBy.
     val df = SparkEntry.queries("q110_bucketed_join")(spark, "/root/testdata/sf0.001")
-    try {
-      val plan = df.queryExecution.executedPlan
-      assert(plan.collect { case e: Exchange => e }.isEmpty,
-        s"expected exchange-free bucketed join+agg, got:\n$plan")
-      assert(df.count() > 0)
-    } finally {
-      dropScratchTables("graft_q110_")
-    }
+    val plan = df.queryExecution.executedPlan
+    assert(plan.collect { case e: Exchange => e }.isEmpty,
+      s"expected exchange-free bucketed join+agg, got:\n$plan")
+    assert(df.count() > 0)
+    // no table cleanup: the seed tables are per-JVM (seedOnce) — dropping
+    // them here would poison any later construction in this JVM
   }
 
   test("q154 bucketed IVF-PQ index scan bucket-prunes to the probed cells") {
@@ -64,19 +55,17 @@ class StorageSpec extends GraftSuite {
     // the single-node analogue of 1000 executors never opening the
     // unprobed shards of a 100 TB code table.
     val df = SparkEntry.queries("q154_ivfpq_bucketed")(spark, "/root/testdata/sf0.001")
-    try {
-      val planStr = df.queryExecution.executedPlan.toString
-      val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
-        .findFirstMatchIn(planStr)
-      assert(sel.isDefined,
-        s"expected a bucket-pruned scan of the stored index, got:\n$planStr")
-      val (chosen, total) = (sel.get.group(1).toInt, sel.get.group(2).toInt)
-      assert(chosen < total && total == 8,
-        s"expected pruning below the 8 written buckets, got $chosen of $total")
-      assert(df.count() > 0)
-    } finally {
-      dropScratchTables("graft_q154_")
-    }
+    val planStr = df.queryExecution.executedPlan.toString
+    val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+      .findFirstMatchIn(planStr)
+    assert(sel.isDefined,
+      s"expected a bucket-pruned scan of the stored index, got:\n$planStr")
+    val (chosen, total) = (sel.get.group(1).toInt, sel.get.group(2).toInt)
+    assert(chosen < total && total == 8,
+      s"expected pruning below the 8 written buckets, got $chosen of $total")
+    assert(df.count() > 0)
+    // no table cleanup: the stored index is the per-JVM seedOnce relation
+    // shared with q181 — dropping it would poison later constructions
   }
 
   test("q162 appended IVF-PQ index equals a rebuild and still bucket-prunes") {
