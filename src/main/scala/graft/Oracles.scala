@@ -3142,6 +3142,10 @@ object Oracles {
     // same probed cells, same ADC folds, same tie-breaks)
     ("q154_ivfpq_bucketed" -> base("q149_ivfpq")) +
     ("q155_ivfpq_agg" -> base("q149_ivfpq")) +
+    // the stored residual index + cell-pruned probe is a results no-op
+    // over q180's in-flight form (cell filter under the cell_id
+    // equi-join), so it shares the residual mirror
+    ("q184_ivfpq_residual_stored" -> base("q180_ivfpq_residual")) +
     // append(90%)∪append(10%) under frozen quantizers == the full-corpus
     // index relation row-for-row, so the probe result is q149's
     ("q162_ivfpq_append" -> base("q149_ivfpq")) +

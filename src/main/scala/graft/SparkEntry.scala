@@ -2275,6 +2275,35 @@ object SparkEntry {
         nprobe = 2, k = 10)
     }),
 
+    // q180's PERSISTED-index form (the q154 pattern applied to the
+    // residual family): the residual index lands once per JVM bucketed
+    // by cell_id (read-only construction), the probed cells reach the
+    // scan as an isin that bucket-prunes, and the probes carry per-cell
+    // QUERY residuals. Results identical to q180 (the cell filter is a
+    // results no-op under the cell_id equi-join) — shares its oracle.
+    "q184_ivfpq_residual_stored" -> ((s, dir) => {
+      val e = embedsD(s, dir)
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val cents = km8(s, dir)
+      val books = pq816r(s, dir)
+      val tbl = seedOnce("graft_residx_ro", dir) { (o, t) =>
+        sources.Storage.writeBucketed(
+          Similarity.ivfPqIndexResidual(e, cents, books),
+          t, s"$o/idx", bucketCol = "cell_id", buckets = 8); t
+      }
+      val probes = Similarity.ivfPqResidualProbes(q, cents, nprobe = 2)
+      val maxProbeCells = 4096
+      val cells = probes.select("cell_id").distinct()
+        .limit(maxProbeCells + 1).collect().map(_.getInt(0)).sorted
+      require(cells.length <= maxProbeCells,
+        s"probe-cell set exceeds $maxProbeCells: shard the query batch")
+      Similarity.ivfPqTopKFromIndex(
+        sources.Storage.readTable(s, tbl)
+          .filter(col("cell_id").isin(cells.map(Integer.valueOf): _*)),
+        probes, books, k = 10)
+    }),
+
     // STORED-INDEX hybrid retrieval (round-18): q175's RRF fuse with
     // both retrievers in their BATCH-SCALE operating forms — lexical =
     // bm25TopKAgg (bounded aggregate, no WindowExec), semantic = q170's

@@ -1109,6 +1109,25 @@ object Similarity {
         col("__e")("_1").as("cos"), (col("__r") + 1).cast("int").as("rank"))
   }
 
+  /** [[refreshStoredIvfPqIndex]] for a RESIDUAL (true IVFADC) stored
+    * index: retrains the coarse quantizer AND the residual codebooks on
+    * the current corpus (residuals against the FRESH centroids — the
+    * two fits are coupled, unlike the raw family where the codebooks
+    * are centroid-independent), re-encodes every vector, and swaps via
+    * the same crash-safe rewrite. Probes MUST route and residualize
+    * with the returned quantizers from the swap on. */
+  def refreshStoredIvfPqIndexResidual(spark: org.apache.spark.sql.SparkSession,
+      corpus: DataFrame, indexTable: String, k: Int = 8, m: Int = 8,
+      ksub: Int = 16, iters: Int = 2, buckets: Int = 8,
+      idCol: String = "vec_id", vecCol: String = "embedding")
+      : (DataFrame, IndexedSeq[IndexedSeq[(Int, Array[Double])]]) = {
+    val cents = kmeansFit(corpus, k, iters, idCol, vecCol)
+    val books = pqFitCodebooksResidual(corpus, cents, m, ksub, iters, idCol, vecCol)
+    graft.sources.Storage.rewriteInPlace(spark, indexTable, "cell_id",
+      buckets)(_ => ivfPqIndexResidual(corpus, cents, books, idCol, vecCol))
+    (cents, books)
+  }
+
   /**
    * Reciprocal-rank fusion (Cormack, Clarke & Büttcher 2009) — the
    * standard HYBRID-retrieval combiner: given one per-system top-k

@@ -847,6 +847,53 @@ class StorageSpec extends GraftSuite {
     }
   }
 
+  test("residual index: frozen-quantizer append equals a rebuild, refresh " +
+      "re-encodes and still bucket-prunes (q162/q177 parity, residual family)") {
+    import graft.operators.Similarity
+    val rng = new scala.util.Random(13)
+    val emb = (0L until 40L).map(i =>
+      (i, Array.fill(16)(rng.nextDouble()), s"l${i % 3}"))
+      .toDF("vec_id", "embedding", "label")
+    val centroids = Similarity.kmeansFit(emb, k = 4, iters = 2)
+    val books = Similarity.pqFitCodebooksResidual(emb, centroids, m = 4,
+      ksub = 4, iters = 2)
+    val base = emb.filter(pmod(col("vec_id"), lit(4)) =!= 0)
+    val batch = emb.filter(pmod(col("vec_id"), lit(4)) === 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_res_idx_t")
+    dir.toFile.deleteOnExit()
+    Storage.writeBucketed(Similarity.ivfPqIndexResidual(base, centroids, books),
+      "res_idx_spec", s"$dir/idx", bucketCol = "cell_id", buckets = 8)
+    Storage.appendBucketed(Similarity.ivfPqIndexResidual(batch, centroids, books),
+      "res_idx_spec", bucketCol = "cell_id", buckets = 8)
+    try {
+      val stored = Storage.readTable(spark, "res_idx_spec")
+      val rebuilt = Similarity.ivfPqIndexResidual(emb, centroids, books)
+      assert(stored.collect().map(_.toString).sorted.toSeq ==
+        rebuilt.collect().map(_.toString).sorted.toSeq,
+        "appended residual index diverges from a full rebuild under frozen quantizers")
+      // residual refresh: retrain + re-encode + crash-safe swap; the
+      // refreshed table equals a one-shot residual build with the fresh
+      // quantizers, and a cell filter still bucket-prunes after the swap
+      val (cents2, books2) = Similarity.refreshStoredIvfPqIndexResidual(
+        spark, emb, "res_idx_spec", k = 4, m = 4, ksub = 4, iters = 2,
+        buckets = 8)
+      val refreshed = Storage.readTable(spark, "res_idx_spec")
+      assert(refreshed.collect().map(_.toString).sorted.toSeq ==
+        Similarity.ivfPqIndexResidual(emb, cents2, books2)
+          .collect().map(_.toString).sorted.toSeq,
+        "refreshed residual index diverges from a fresh full build")
+      val oneCell = refreshed.select("cell_id").limit(1).collect()(0).getInt(0)
+      val planStr = refreshed.filter(col("cell_id") === oneCell)
+        .queryExecution.executedPlan.toString
+      val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+        .findFirstMatchIn(planStr)
+      assert(sel.isDefined && sel.get.group(1).toInt < sel.get.group(2).toInt,
+        s"expected a bucket-pruned scan after the residual refresh:\n$planStr")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS res_idx_spec")
+    }
+  }
+
   test("saltedJoin rejects key-only large side and reserved __salt columns") {
     val small = Seq((0L, "zero")).toDF("doc_id", "name")
     // key-only large side: zero-arg hash() would fail analysis — and a salt
