@@ -6,6 +6,18 @@ import org.apache.spark.sql.SparkSession
   * materialized through the noop sink — a bare `count()` would let Catalyst
   * prune the projections being measured. */
 object Bench {
+  /** Process CPU seconds so far (-1 if the JVM bean is unavailable).
+    * Emitted next to every wall time: on a contended host wall inflates
+    * while the query's own CPU demand does not, so wall >> cpu·threads
+    * is machine-readable evidence of contention, not plan cost. */
+  private def cpuSec: Double =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+      case os: com.sun.management.OperatingSystemMXBean =>
+        val t = os.getProcessCpuTime
+        if (t < 0) -1.0 else t / 1e9
+      case _ => -1.0
+    }
+
   // The one JSON artifact line. Emitted exactly once — either at normal
   // completion or (backstop) from a shutdown hook if an external kill
   // (SIGTERM from a driver timeout) lands mid-sweep, so a partial run
@@ -15,7 +27,10 @@ object Bench {
       best: scala.collection.Map[String, Double],
       samples: scala.collection.Map[String, Int],
       failed: scala.collection.Map[String, Unit], sfDir: String,
-      samplesAll: scala.collection.Map[String, Vector[Double]] =
+      samplesAll: scala.collection.Map[String, Vector[(Double, Double)]] =
+        scala.collection.Map.empty,
+      control: Seq[(Double, Double, Double)] = Seq.empty,
+      bestCpu: scala.collection.Map[String, Double] =
         scala.collection.Map.empty): Unit =
     if (emitted.compareAndSet(false, true)) {
       val okNames = names.filter(best.contains).sorted
@@ -30,7 +45,22 @@ object Bench {
       val minSamples =
         if (okNames.nonEmpty) okNames.map(n => samples.getOrElse(n, 0)).min else 0
       val total = if (okNames.nonEmpty) okNames.map(best).sum else 0.0
-      val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir","passes":$minSamples,"cold_only":$coldOnlyJson}"""
+      // HOST-HEALTH CONTROL (round-19, the r18 verdict's #1 item): every
+      // sample of the fixed calibration kernel, as [elapsed-sec-into-run,
+      // wall-sec, cpu-sec] triples. The kernel's plan never changes, so
+      // any wall variation across (and within) runs is the HOST, not the
+      // engine — a gate reader normalizes the per-query floor ratio by
+      // control-vs-BASELINE.md-control before calling a miss (rule in
+      // BASELINE.md §control).
+      val controlJson = control.map { case (t, w, c) =>
+        s"[${math.rint(t * 100) / 100},${math.rint(w * 1e4) / 1e4},${math.rint(c * 1e4) / 1e4}]"
+      }.mkString("[", ",", "]")
+      // Per-query CPU seconds of the SAME sample that provided the best
+      // wall time — wall/cpu shape separation per query.
+      val cpuJson = okNames.flatMap(n => bestCpu.get(n).map(c =>
+        "\"" + n + "\":" + math.rint(c * 1e4) / 1e4))
+        .mkString("{", ",", "}")
+      val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir","passes":$minSamples,"cold_only":$coldOnlyJson,"control":$controlJson,"cpu":$cpuJson}"""
       println(line)
       System.out.flush()
       // The driver captures only a 2000-char tail of stdout, which at the
@@ -45,11 +75,13 @@ object Bench {
       // Forensic per-sample record (every measured time, in run order):
       // a contended pass is machine-distinguishable from a plan
       // regression — one inflated sample next to normal siblings vs all
-      // samples high (r17 adjudication had to infer this from cross-run
-      // comparisons; now it is in-artifact).
+      // samples high. Round-19 shape: {"name":{"wall":[...],"cpu":[...]}}
+      // (cpu parallel to wall, same order) — r18's flat arrays carried
+      // wall only.
       try {
         val det = samplesAll.toSeq.sortBy(_._1).map { case (n, ts) =>
-          "\"" + n + "\":" + ts.mkString("[", ",", "]")
+          "\"" + n + "\":{\"wall\":" + ts.map(_._1).mkString("[", ",", "]") +
+            ",\"cpu\":" + ts.map(_._2).mkString("[", ",", "]") + "}"
         }.mkString("{", ",", "}")
         java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_samples.json"),
           (det + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -57,6 +89,12 @@ object Bench {
     }
 
   def main(args: Array[String]): Unit = {
+    // Deadline epoch = PROCESS start: the preseed/warmup phase added in
+    // round 19 runs before any timed sample, and on a pathologically slow
+    // host it must eat into the measurement budget rather than extend the
+    // total wall past the driver's proven kill tolerance.
+    val benchT0 = System.nanoTime()
+    def elapsed: Double = (System.nanoTime() - benchT0) / 1e9
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -69,6 +107,29 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.sources.Storage.pinBucketedScans(spark)
+    // ---- Host-health calibration kernel (round-19, r18 verdict #1) ----
+    // A fixed, sf-independent, plan-stable workload: hash-aggregate over
+    // a literal range — pure whole-stage-codegen CPU across all worker
+    // threads, no IO, no shuffle variation. Its intrinsic cost never
+    // changes between rounds, so its measured wall IS the host: the r18
+    // judge had to re-run 18 queries on an idle host to prove a 4.3x
+    // artifact was ~20x contention; these samples put that adjudication
+    // inside the artifact. Sampled before pass 1, between passes, and
+    // after the last pass.
+    val control = scala.collection.mutable.ArrayBuffer.empty[(Double, Double, Double)]
+    def controlSample(): Unit = {
+      val c0 = cpuSec; val t0 = System.nanoTime()
+      try {
+        spark.range(0L, 256L * 1000 * 1000, 1, cpus.toInt)
+          // bit_xor: same per-row hash work as a sum, but cannot overflow
+          // under ANSI mode
+          .selectExpr("bit_xor(xxhash64(id)) as h")
+          .write.format("noop").mode("overwrite").save()
+        control += ((elapsed, (System.nanoTime() - t0) / 1e9, cpuSec - c0))
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] control kernel failed: ${e.getMessage}")
+      }
+    }
     // Warm the JVM/codegen/parquet paths once so the alphabetically-first
     // query doesn't absorb session startup in its measurement.
     try {
@@ -76,7 +137,30 @@ object Bench {
         .mode("overwrite").save()
       spark.read.parquet(s"$sfDir/region.parquet").write.format("noop")
         .mode("overwrite").save()
+      // Warm the control kernel's own codegen AND JIT untimed (a real
+      // 64M-row pass, ~25% of the kernel) so every recorded control
+      // sample measures the HOST, never one-time compile/JIT cost.
+      spark.range(0L, 64L * 1000 * 1000, 1, cpus.toInt)
+        .selectExpr("bit_xor(xxhash64(id)) as h")
+        .write.format("noop").mode("overwrite").save()
     } catch { case _: Throwable => }
+    controlSample() // host state at run start, before any heavy work
+    // ---- Pre-seed phase (round-19, r18 verdict #2) ----
+    // Build every read-only stored seed template + frozen quantizer fit
+    // BEFORE the first timed sample: a cold sample should measure the
+    // OPERATOR, not per-JVM construction that production amortized long
+    // ago (seed-in-cold-sample was r18's worst contended-host asymmetry —
+    // q156's 61 s cold sample was almost entirely construction). Runs
+    // unless disabled
+    // (SPARK_GRAFT_NO_PRESEED=1 for A/B forensics).
+    if (!sys.env.contains("SPARK_GRAFT_NO_PRESEED")) {
+      val t0 = System.nanoTime()
+      try SparkEntry.preSeed(spark, sfDir)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] preseed failed: ${e.getMessage}")
+      }
+      System.err.println(f"[bench] preseed ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    }
     // Min-of-N per query: a single hot run on a shared host lets one noisy
     // neighbor fail the perf gate (round-4 postmortem: 20 phantom >2x
     // regressions on byte-identical plans). The min across samples is the
@@ -107,7 +191,8 @@ object Bench {
     // 1.15-1.25x contention the third pass straddles 720 exactly. 780 s
     // lets that pass finish while staying under the proven 794 s wall
     // (launch overhead on a warm compile is ~15 s). The shutdown-hook
-    // emitter below is the backstop if a kill ever lands.
+    // emitter below is the backstop if a kill ever lands. (Round 19: the
+    // epoch moved to process start, so preseed time counts against it.)
     val deadlineSec =
       scala.util.Try(sys.env("SPARK_GRAFT_DEADLINE_SEC").toDouble).getOrElse(780.0)
     // Budget for the paired first sweep: generous (2x the hot-pass deadline)
@@ -120,8 +205,7 @@ object Bench {
     // Local-iteration filter (unset when the driver runs), same contract
     // as Verify's: only bench queries whose name matches the regex.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.r)
-    // Sweep-1 order: ASCENDING prior-round cost (the committed
-    // BENCH_local.json's per-query map), unknown/new queries LAST.
+    // Sweep-1 order: ASCENDING prior-round cost, unknown/new queries LAST.
     // The cold sweep's dominant avoidable cost is construction + codegen
     // of the heavy queries; running the cheap tail first gives the
     // background warmer pool maximum lead time on exactly the plans
@@ -129,14 +213,29 @@ object Bench {
     // sweep reached it before the warmer, ~2 s warm), and a deadline
     // that cuts the paired sweep then cuts the queries with the best
     // warm coverage instead of the cheapest ones.
+    // The prior-cost map comes from an EXPLICITLY configured path
+    // (SPARK_GRAFT_PRIOR_PATH, default the repo's committed
+    // BENCH_local.json relative to CWD) and the source actually used is
+    // logged — sweep order silently depending on an unnoticed stale file
+    // was ADVICE r18; order is a measurement-quality knob, never a
+    // correctness one, so a missing file falls back (loudly) to
+    // alphabetical.
+    val priorPath = sys.env.getOrElse("SPARK_GRAFT_PRIOR_PATH", "BENCH_local.json")
     val prior: Map[String, Double] =
       try {
         val txt = new String(java.nio.file.Files.readAllBytes(
-          java.nio.file.Paths.get("BENCH_local.json")),
+          java.nio.file.Paths.get(priorPath)),
           java.nio.charset.StandardCharsets.UTF_8)
-        """"(q[^"]+)":([0-9.Ee+-]+)""".r.findAllMatchIn(txt)
+        val m = """"(q[^"]+)":([0-9.Ee+-]+)""".r.findAllMatchIn(txt)
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
-      } catch { case _: Throwable => Map.empty }
+        System.err.println(s"[bench] sweep order from $priorPath " +
+          s"(${m.size} prior costs)")
+        m
+      } catch { case _: Throwable =>
+        System.err.println(s"[bench] no prior-cost map at $priorPath — " +
+          "alphabetical sweep order")
+        Map.empty
+      }
     val names = queries.keys.toSeq.sorted
       .filter(n => only.forall(_.findFirstIn(n).isDefined))
       .sortBy(n => prior.getOrElse(n, Double.MaxValue))
@@ -159,19 +258,21 @@ object Bench {
     // exactly the kill path the backstop exists for. TrieMap iteration is
     // an O(1) consistent snapshot.
     val best = scala.collection.concurrent.TrieMap.empty[String, Double]
+    val bestCpu = scala.collection.concurrent.TrieMap.empty[String, Double]
     val samples = scala.collection.concurrent.TrieMap.empty[String, Int]
-    val samplesAll = scala.collection.concurrent.TrieMap.empty[String, Vector[Double]]
+    val samplesAll =
+      scala.collection.concurrent.TrieMap.empty[String, Vector[(Double, Double)]]
     val failed = scala.collection.concurrent.TrieMap.empty[String, Unit]
     // Kill backstop: if the process is terminated externally mid-sweep
     // (driver timeout → SIGTERM), still emit the artifact line from
     // whatever samples exist. No-op on the normal path (emitOnce guards).
     Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      emitOnce(names, best, samples, failed, sfDir, samplesAll), "bench-emit"))
-    val benchT0 = System.nanoTime()
-    def elapsed: Double = (System.nanoTime() - benchT0) / 1e9
+      emitOnce(names, best, samples, failed, sfDir, samplesAll,
+        control.toSeq, bestCpu), "bench-emit"))
     // A failed run must not feed best(name): a 0.1s exception would
     // otherwise read as the query's best time and mask the failure.
     def runOne(name: String, pass: Int): Unit = {
+      val c0 = cpuSec
       val t0 = System.nanoTime()
       val ok =
         try { queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
@@ -179,21 +280,27 @@ object Bench {
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
         }
       val sec = (System.nanoTime() - t0) / 1e9
+      val cpu = cpuSec - c0
       if (ok) {
-        best(name) = math.min(best.getOrElse(name, Double.MaxValue), sec)
+        if (sec < best.getOrElse(name, Double.MaxValue)) {
+          best(name) = sec
+          bestCpu(name) = cpu
+        }
         samples(name) = samples.getOrElse(name, 0) + 1
         samplesAll(name) = samplesAll.getOrElse(name, Vector.empty) :+
-          math.rint(sec * 1e6) / 1e6
-        System.err.println(f"[bench] pass $pass $name%-24s $sec%8.2f s (best ${best(name)}%.2f)")
+          ((math.rint(sec * 1e6) / 1e6, math.rint(cpu * 1e4) / 1e4))
+        System.err.println(f"[bench] pass $pass $name%-24s $sec%8.2f s (best ${best(name)}%.2f, cpu $cpu%.2f)")
       } else failed(name) = ()
     }
     // Sweep 1 (paired): cold run, then immediate hot rerun while the pair
     // budget holds. The cold run always happens (every query gets at least
     // one measurement, whatever the host).
+    controlSample() // host state entering the timed sweep
     for (name <- names) {
       runOne(name, 1)
       if (best.contains(name) && elapsed < pairBudgetSec) runOne(name, 2)
     }
+    controlSample() // host state after the paired sweep
     // Extra hot passes up to `reps` total samples, by DESCENDING best time,
     // so when a pass is cut short by the deadline the heaviest plans get
     // their extra sample first. A pass is not a unit of measurement — the
@@ -207,10 +314,13 @@ object Bench {
         if (elapsed >= deadlineSec) deadlineHit = true
         else runOne(name, pass)
       }
+      if (!deadlineHit) controlSample() // host state between hot passes
       pass += 1
     }
+    controlSample() // host state at run end
     // Queries that never succeeded are reported in "failed", not as times.
-    emitOnce(names, best, samples, failed, sfDir, samplesAll)
+    emitOnce(names, best, samples, failed, sfDir, samplesAll, control.toSeq,
+      bestCpu)
     spark.stop()
   }
 }

@@ -32,6 +32,9 @@ case class NearestCosineCell(child: Expression, cents: Seq[(Int, Seq[Double])])
     extends UnaryExpression with ExpectsInputTypes {
 
   require(cents.nonEmpty, "centroid matrix must not be empty")
+  require(cents.map(_._2.length).distinct.size == 1,
+    "coarse-quantizer centroids must share one dimension, got lengths " +
+      cents.map(_._2.length).distinct.sorted.mkString(","))
 
   override def dataType: DataType = IntegerType
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
@@ -57,8 +60,15 @@ case class NearestCosineCell(child: Expression, cents: Seq[(Int, Seq[Double])])
 object NearestCosineCell {
 
   /** cell id of the max-cosine centroid; [[CosineSim.cos]]'s fold per
-    * centroid, ties to the smallest cell id. */
+    * centroid, ties to the smallest cell id. A vector whose dimension
+    * differs from the quantizer's FAILS here rather than routing on a
+    * truncated prefix — silent truncation would build a wrong (and
+    * oracle-divergent) index from the first mismatched row (ADVICE r18). */
   def nearest(vec: ArrayData, ids: Array[Int], matrix: Array[Array[Double]]): Int = {
+    if (vec.numElements() != matrix(0).length)
+      throw new IllegalArgumentException(
+        s"NearestCosineCell: vector dimension ${vec.numElements()} != " +
+          s"coarse-quantizer dimension ${matrix(0).length}")
     var bestC = Double.NegativeInfinity
     var bestCid = Int.MaxValue
     var j = 0
@@ -68,7 +78,7 @@ object NearestCosineCell {
       var daa = 0.0
       var dbb = 0.0
       var i = 0
-      val n = math.min(vec.numElements(), c.length)
+      val n = c.length
       while (i < n) {
         val x = vec.getDouble(i)
         val y = c(i)

@@ -97,8 +97,16 @@ object Storage {
         spark.sessionState.catalog.getTableMetadata(TableIdentifier(table)).location)
       val genDir = new org.apache.hadoop.fs.Path(loc, s"gen=$gen")
       val fs = genDir.getFileSystem(spark.sessionState.newHadoopConf())
-      try if (fs.exists(genDir)) fs.delete(genDir, true)
-      catch { case _: Exception => () }
+      // The delete MUST succeed (or the dir must already be gone) before
+      // the Append write: swallowing a failed delete here would land the
+      // replayed rows NEXT TO the old files in the same gen dir —
+      // exactly the duplication this idempotency contract exists to
+      // prevent, made undetectable. Fail loudly instead (ADVICE r18).
+      if (fs.exists(genDir) && !fs.delete(genDir, true))
+        throw new java.io.IOException(
+          s"appendVersioned: could not clear existing generation dir " +
+            s"$genDir for idempotent replay of gen=$gen — aborting the " +
+            s"write rather than duplicating rows behind pins >= $gen")
     }
     df.withColumn("gen", org.apache.spark.sql.functions.lit(gen))
       .write.mode(SaveMode.Append)
@@ -134,7 +142,12 @@ object Storage {
     val pinned = spark.table(table).filter(col("gen") <= gen)
     tombstoneTable.filter(spark.catalog.tableExists).fold(pinned) { t =>
       spark.catalog.refreshTable(t)
-      pinned.join(broadcast(spark.table(t).toDF("__ts_id")),
+      // Select the ledger's id column EXPLICITLY: a positional toDF
+      // would assume a single-column ledger and fail any wider schema
+      // with an opaque arity error (ADVICE r18). The ledger contract is
+      // "has a column named idCol"; anything else fails with Spark's
+      // clear unresolved-column message naming the column.
+      pinned.join(broadcast(spark.table(t).select(col(idCol).as("__ts_id"))),
         col(idCol) === col("__ts_id"), "left_anti")
     }
   }
