@@ -400,6 +400,105 @@ object Oracles {
     sb.toString
   }
 
+  /** DuckDB literal for a rotation matrix: list-of-lists of doubles.
+    * Entries are the engine's 6dp-rounded values printed with Java's
+    * shortest round-trip repr — both engines parse the decimal back to
+    * the identical IEEE double, so the literal IS the matrix. */
+  def rotationLit(r: Array[Array[Double]]): String =
+    r.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
+
+  /** Rotation application mirror of Similarity.rotate over a double-list
+    * expression `v`: out[i] = dot(R[i], v), the same element-order left
+    * fold as [[dot]] — bit-identical per row, DELIBERATELY unrounded
+    * (see Similarity.rotate: stabilizing to 6dp here creates exact
+    * decimal ties in the downstream codebook means, which is where
+    * rounding becomes engine-divergent). */
+  def rotSql(rLit: String, v: String): String =
+    s"list_transform($rLit, rr -> list_reduce(list_prepend(0.0, " +
+      s"list_transform(rr, (x, i) -> x * $v[i])), (u, w) -> u + w))"
+
+  /** Unrolled OPQ product-quantization CTE chain (Ge 2013, mirror of
+    * Similarity.opqFitRotation's FINAL sweep + ivfPqIndexOpq): requires
+    * `EmbCte`, `cen(cell_id, centroid)` and the max-cosine routing
+    * `asg(vec_id, cell_id)` in scope, plus the fitted rotation as a
+    * literal (`rLit` — the engine embeds its 6dp-rounded fit; the SQL
+    * verifies everything DOWNSTREAM of choosing R: rotation
+    * application, the deterministic codebook fit on the rotated
+    * residuals, encoding, and ADC). Produces `red` (residuals), `ror`
+    * (rotated residuals), then the [[pqCtes]] fit/encode chain under
+    * o-prefixed names. Final codes = opa`iters+1` against books
+    * opc`iters`. */
+  def opqCtes(m: Int, ksub: Int, iters: Int, rLit: String,
+      dim: Int = 64): String = {
+    require(dim % m == 0)
+    val d = dim / m
+    val sb = new StringBuilder
+    sb ++= "red AS (SELECT e.id, list_transform(e.v, (x, i) -> x - c.centroid[i]) AS v\n" +
+      "  FROM ed e JOIN asg a ON a.vec_id = e.id JOIN cen c ON c.cell_id = a.cell_id),\n"
+    sb ++= s"ror AS (SELECT id, ${rotSql(rLit, "v")} AS v FROM red),\n"
+    sb ++= s"osubs AS (SELECT unnest(generate_series(0, ${m - 1})) AS sub),\n"
+    sb ++= s"opsv AS (SELECT id, sub, list_slice(v, sub*$d+1, sub*$d+$d) AS v\n" +
+      s"  FROM ror CROSS JOIN osubs),\n"
+    sb ++= s"opqf AS (SELECT id, dim // $d AS sub, dim % $d AS subpos, x FROM\n" +
+      s"  (SELECT id, generate_subscripts(v, 1) - 1 AS dim, unnest(v) AS x FROM ror)),\n"
+    sb ++= s"opc0 AS (SELECT sub, CAST(rn - 1 AS INTEGER) AS cid, v FROM\n" +
+      s"  (SELECT sub, id, v, row_number() OVER (PARTITION BY sub ORDER BY id) AS rn FROM opsv)\n" +
+      s"  WHERE rn <= $ksub)"
+    for (j <- 1 to iters + 1) {
+      sb ++= s",\nopd$j AS (SELECT p.id, p.sub, c.cid, ${sqDist("p.v", "c.v")} AS dist\n" +
+        s"  FROM opsv p JOIN opc${j - 1} c USING (sub)),\n"
+      sb ++= s"opa$j AS (SELECT id, sub, cid, dist FROM (SELECT *, row_number() OVER\n" +
+        s"  (PARTITION BY id, sub ORDER BY dist, cid) AS rn FROM opd$j) WHERE rn = 1)"
+      if (j <= iters)
+        sb ++= s",\nopc$j AS (SELECT sub, cid, list(round(m, 6) ORDER BY subpos) AS v FROM\n" +
+          s"  (SELECT a.sub, a.cid, f.subpos, sum(f.x) / count(*) AS m FROM opa$j a\n" +
+          s"   JOIN opqf f ON a.id = f.id AND a.sub = f.sub GROUP BY a.sub, a.cid, f.subpos)\n" +
+          s"  GROUP BY sub, cid)"
+    }
+    sb.toString
+  }
+
+  /** OPQ IVFADC oracle (q185/q186 — the stored form returns identical
+    * rows): q180's residual mirror with the fitted rotation applied to
+    * both the encoded residuals ([[opqCtes]]) and the per-probed-cell
+    * query residuals. Built at Verify time from the engine's fitted
+    * 6dp-rounded rotation (a deterministic pure function of the
+    * embeddings relation, frozen per JVM). */
+  def opqSql(r: Array[Array[Double]]): String = {
+    val rLit = rotationLit(r)
+    s"""WITH $EmbCte,
+       |${kmeansCtes(8, 2)},
+       |cen AS (SELECT cid AS cell_id, v AS centroid FROM c2),
+       |asg AS (SELECT id AS vec_id, cell_id FROM
+       |  (SELECT e.id, c.cell_id, row_number() OVER (PARTITION BY e.id
+       |     ORDER BY ${cos("e.v", "c.centroid")} DESC, c.cell_id) AS rn
+       |   FROM ed e CROSS JOIN cen c) WHERE rn = 1),
+       |${opqCtes(8, 16, 2, rLit)},
+       |pr AS (SELECT id AS query_id, cell_id FROM
+       |  (SELECT e.id, c.cell_id, row_number() OVER (PARTITION BY e.id
+       |     ORDER BY ${cos("e.v", "c.centroid")} DESC, c.cell_id) AS rn
+       |   FROM ed e CROSS JOIN cen c WHERE e.id < 5) WHERE rn <= 2),
+       |qr AS (SELECT p.query_id, p.cell_id,
+       |    list_transform(e.v, (x, i) -> x - c.centroid[i]) AS qv
+       |  FROM pr p JOIN ed e ON e.id = p.query_id
+       |  JOIN cen c ON c.cell_id = p.cell_id),
+       |qro AS (SELECT query_id, cell_id, ${rotSql(rLit, "qv")} AS qv FROM qr),
+       |oqsv AS (SELECT query_id, cell_id, sub,
+       |    list_slice(qv, sub*8+1, sub*8+8) AS v FROM qro CROSS JOIN osubs),
+       |osd AS (SELECT q.query_id, a.vec_id, q.sub, ${sqDist("q.v", "c.v")} AS dist
+       |  FROM oqsv q JOIN asg a ON a.cell_id = q.cell_id
+       |  JOIN opa3 pa ON pa.id = a.vec_id AND pa.sub = q.sub
+       |  JOIN opc2 c ON c.sub = pa.sub AND c.cid = pa.cid),
+       |oscored AS (SELECT query_id, vec_id,
+       |  round(list_reduce(list_prepend(0.0, list(dist ORDER BY sub)),
+       |    (u, w) -> u + w), 6) AS adc
+       |  FROM osd GROUP BY query_id, vec_id)
+       |SELECT query_id, vec_id, adc, rank FROM
+       |  (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+       |     ORDER BY adc, vec_id) AS INTEGER) AS rank FROM oscored)
+       |WHERE rank <= 10""".stripMargin
+  }
+
   /** SQL mirror of Html.synthPage over (id, lang, text) expressions —
     * byte-identical page construction on both engines. */
   private def htmlPageSql(id: String, lang: String, text: String): String = {

@@ -982,6 +982,59 @@ object ScaleSmoke {
       results += f"""{"op":"ann_residual_recall","raw_adc_1x":$a1%.3f,"residual_adc_1x":$b1%.3f,"raw_rerank40_1x":$c1%.3f,"residual_rerank40_1x":$d1%.3f,"raw_adc_10x":$a10%.3f,"residual_adc_10x":$b10%.3f,"raw_rerank40_10x":$c10%.3f,"residual_rerank40_10x":$d10%.3f}"""
     }
 
+    // OPQ vs RESIDUAL recall (round-19, Ge 2013): the learned-rotation
+    // step above q180's residual encoding, at the SAME equal knobs as
+    // the residual row (frozen k=8 coarse quantizer, m=8×ksub=16,
+    // nprobe=2, R=40; rotation fit = 4 alternating sweeps — the frozen
+    // operating point, quantization error strictly decreasing per
+    // sweep). Reported at TWO query-set sizes: the legacy 5-query point
+    // (comparable with the residual row above, but ±1 hit = ±0.02
+    // recall — noise-dominated) and a 50-query point (500 gold pairs)
+    // where the comparison is statistically meaningful; the residual
+    // family's 50-query rerank rides along as the direct reference.
+    def opqRecall(e: DataFrame): (Double, Double, Double, Double, Double) = {
+      val ed = embD(e)
+      def qn(n: Int) = ed.filter(col("vec_id") < n)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      def ids(df: DataFrame): Map[Any, Set[Long]] = df.collect()
+        .groupBy(_.get(0)).map { case (g, rs) => g -> rs.map(_.getLong(1)).toSet }
+      def recVs(q: DataFrame)(df: DataFrame): Double = {
+        val exact = ids(Similarity.bruteForceTopK(ed, q, k = 10))
+        val a = ids(df)
+        exact.map { case (g, ex) =>
+          (a.getOrElse(g, Set.empty) & ex).size.toDouble / ex.size
+        }.sum / exact.size
+      }
+      val km = Similarity.kmeansFit(ed, k = 8, iters = 2)
+      val (r, books) = Similarity.opqFitRotation(
+        Similarity.ivfResiduals(ed, km), m = 8, ksub = 16, iters = 2,
+        sweeps = 4)
+      val idx = Similarity.ivfPqIndexOpq(ed, km, r, books)
+      val q5 = qn(5); val q50 = qn(50)
+      val p5 = Similarity.ivfPqOpqProbes(q5, km, r, nprobe = 2)
+      val p50 = Similarity.ivfPqOpqProbes(q50, km, r, nprobe = 2)
+      val adc5 = recVs(q5)(Similarity.ivfPqTopKFromIndex(idx, p5, books, k = 10))
+      val r40q5 = recVs(q5)(Similarity.ivfPqResidualTopKRerankFromIndex(
+        idx, p5, q5, ed, books, k = 10, r = 40))
+      val r40q50 = recVs(q50)(Similarity.ivfPqResidualTopKRerankFromIndex(
+        idx, p50, q50, ed, books, k = 10, r = 40))
+      val resB = Similarity.pqFitCodebooksResidual(ed, km, m = 8, ksub = 16,
+        iters = 2)
+      val resR40q50 = recVs(q50)(Similarity.ivfPqResidualTopKRerankFromIndex(
+        Similarity.ivfPqIndexResidual(ed, km, resB),
+        Similarity.ivfPqResidualProbes(q50, km, nprobe = 2),
+        q50, ed, resB, k = 10, r = 40))
+      val rawB = Similarity.pqFitCodebooks(ed, m = 8, ksub = 16, iters = 2)
+      val rawR40q50 = recVs(q50)(Similarity.ivfPqTopKRerank(ed, q50, km, rawB,
+        nprobe = 2, k = 10, r = 40))
+      (adc5, r40q5, r40q50, resR40q50, rawR40q50)
+    }
+    if (wanted("ann_opq_recall")) {
+      val (a1, b1, c1, d1, e1) = opqRecall(emb1)
+      val (a10, b10, c10, d10, e10) = opqRecall(emb10)
+      results += f"""{"op":"ann_opq_recall","opq_adc_q5_1x":$a1%.3f,"opq_rerank40_q5_1x":$b1%.3f,"opq_rerank40_q50_1x":$c1%.3f,"residual_rerank40_q50_1x":$d1%.3f,"raw_rerank40_q50_1x":$e1%.3f,"opq_adc_q5_10x":$a10%.3f,"opq_rerank40_q5_10x":$b10%.3f,"opq_rerank40_q50_10x":$c10%.3f,"residual_rerank40_q50_10x":$d10%.3f,"raw_rerank40_q50_10x":$e10%.3f}"""
+    }
+
     // BUCKETED-INDEX COMPACTION (round-16): the 24/7 append loop grows
     // files linearly in batch count (one per (task, bucket) per append
     // generation); Storage.compactBuckets bounds the probe's file count

@@ -1109,6 +1109,158 @@ object Similarity {
         col("__e")("_1").as("cos"), (col("__r") + 1).cast("int").as("rank"))
   }
 
+  // ---- OPQ: optimized product quantization (Ge, He, Ke & Sun,
+  // "Optimized Product Quantization for Approximate Nearest Neighbor
+  // Search", CVPR 2013 — public knowledge) ----
+
+  /** Apply a FIXED rotation matrix to an `array<double>` column:
+    * out[i] = Σ_j r[i][j]·v[j]. One projection — the matrix rides as a
+    * literal array-of-arrays and the per-coordinate dot is the same
+    * zip_with/aggregate left fold as [[tensor.dot]] (and therefore the
+    * DuckDB oracle's `list_reduce` mirror). DELIBERATELY unrounded: a
+    * per-row fold in a fixed order is bit-identical across engines
+    * already, whereas 6dp-stabilizing here would turn every downstream
+    * codebook MEAN into a mean of exact 6dp decimals — which lands on
+    * exact decimal ties at the 7th digit for ~1/groupsize of
+    * coordinates, exactly where the order-dependent partial sum makes
+    * round()/floor() engine-divergent (observed: 10 of 128 book rows at
+    * sf0.001 before this was removed). Unrounded inputs keep the fit's
+    * tie probability at the residual family's negligible level. */
+  def rotate(vec: Column, r: Array[Array[Double]]): Column = {
+    val rl = typedLit(r.map(_.toSeq).toSeq)
+    transform(rl, rr => aggregate(zip_with(rr, vec, (a, b) => a * b),
+      lit(0.0), (acc, x) => acc + x))
+  }
+
+  /** OPQ rotation + codebooks, the non-parametric alternation of Ge 2013
+    * §4 over an (id, residual) relation: starting from R = I, alternate
+    * (a) fit PQ codebooks on the ROTATED residuals ([[pqFitCodebooks]]'s
+    * exact deterministic fit) and (b) re-solve the rotation as the
+    * orthogonal Procrustes problem min_R ‖R·x − y‖²_F against the
+    * current reconstruction y = decode(encode(R·x)) — solved in closed
+    * form as R = U·Vᵀ from the SVD of M = Σ_n y xᵀ (U·Vᵀ is invariant
+    * under the SVD's per-column sign ambiguity, so the solution is
+    * well-defined whenever M is nonsingular). The returned pair is
+    * COHERENT: the books are trained on rotate(R)-rotated residuals for
+    * the returned R, which is what the encode/probe path needs.
+    *
+    * Scale shape: each Procrustes step is ONE aggregation pass — every
+    * row computes its reconstruction (m native NearestCentroid codes +
+    * literal-map decode) and its flattened d×d outer product y·xᵀ inside
+    * a single projection, and the groupBy(pos) sum exchanges at most d²
+    * partial sums per partition; only the d×d matrix (a few KB) reaches
+    * the driver, where breeze's LAPACK SVD solves a 64×64 problem.
+    * Like every quantizer fit here, production trains on a SAMPLE of
+    * the corpus and freezes the result (the frozen-quantizer contract).
+    *
+    * Determinism (strict-oracle contract): R is rounded to 6dp after
+    * every Procrustes solve — the final codebook fit and all encoding
+    * run against the ROUNDED matrix, so an engine given the same 64×64
+    * literals (the oracle embeds them) reproduces the fit exactly. The
+    * accepted kmeans caveat (partial-sum order before a round) applies
+    * to M's entries; M is rounded to 6dp before the SVD to absorb it.
+    */
+  def opqFitRotation(residuals: DataFrame, m: Int = 8, ksub: Int = 16,
+      iters: Int = 2, sweeps: Int = 2, idCol: String = "vec_id",
+      resCol: String = "res")
+      : (Array[Array[Double]], IndexedSeq[IndexedSeq[(Int, Array[Double])]]) = {
+    require(sweeps >= 1, "opqFitRotation needs at least one sweep")
+    val dim = residuals.select(size(col(resCol)).as("d")).limit(1)
+      .collect()(0).getInt(0)
+    require(m > 0 && dim % m == 0, s"m=$m must divide dim=$dim")
+    val d = dim / m
+    var r = Array.tabulate(dim, dim)((i, j) => if (i == j) 1.0 else 0.0)
+    var books: IndexedSeq[IndexedSeq[(Int, Array[Double])]] = IndexedSeq.empty
+    for (sweep <- 1 to sweeps) {
+      val rot = residuals.select(col(idCol), rotate(col(resCol), r).as("rv"))
+      books = pqFitCodebooks(rot, m, ksub, iters, idCol, "rv")
+      if (sweep < sweeps) {
+        val bookMaps = books.map(b =>
+          typedLit(b.map { case (c, v) => (c, v.toSeq) }.toMap))
+        val ySubs = (0 until m).map { s0 =>
+          element_at(bookMaps(s0), org.apache.spark.sql.graft.NearestCentroid(
+            slice(col("rv"), s0 * d + 1, d), books(s0))("cid"))
+        }
+        // flattened outer product y·xᵀ, row-major: pos = i*dim + j holds
+        // y[i]·x[j] (x = the UNROTATED residual — Procrustes aligns R·x
+        // to y)
+        val outer = flatten(transform(concat(ySubs: _*),
+          yi => transform(col(resCol).cast("array<double>"), xi => yi * xi)))
+        val mRows = residuals
+          .select(col(resCol), rotate(col(resCol), r).as("rv"))
+          .select(posexplode(outer).as(Seq("pos", "p")))
+          .groupBy("pos").agg(sum("p").as("s"))
+          .collect()
+        val mFlat = new Array[Double](dim * dim)
+        mRows.foreach(row =>
+          mFlat(row.getInt(0)) = math.rint(row.getDouble(1) * 1e6) / 1e6)
+        val mMat = breeze.linalg.DenseMatrix.tabulate(dim, dim)(
+          (i, j) => mFlat(i * dim + j))
+        val s = breeze.linalg.svd(mMat)
+        val rNew = s.U * s.Vt
+        r = Array.tabulate(dim, dim)(
+          (i, j) => math.rint(rNew(i, j) * 1e6) / 1e6)
+      }
+    }
+    (r, books)
+  }
+
+  /** [[ivfResiduals]] with the residual ROTATED by the OPQ matrix —
+    * still one shuffle-free projection (route, subtract, rotate are all
+    * expressions; the raw vector never crosses an exchange). */
+  def opqResiduals(corpus: DataFrame, centroids: DataFrame,
+      r: Array[Array[Double]], idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
+    ivfResiduals(corpus, centroids, idCol, vecCol)
+      .withColumn("res", rotate(col("res"), r))
+
+  /** The OPQ index relation: [[ivfPqIndexResidual]]'s shape, with the m
+    * codes quantizing the ROTATED residual R·(x − centroid(cell))
+    * against OPQ-trained codebooks ([[opqFitRotation]]). Same
+    * persistence contract (bucket by cell_id, probe with a
+    * bucket-pruning isin), same single shuffle-free projection. */
+  def ivfPqIndexOpq(corpus: DataFrame, centroids: DataFrame,
+      r: Array[Array[Double]],
+      books: IndexedSeq[IndexedSeq[(Int, Array[Double])]],
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val m = books.size
+    require(m > 0 && books.head.nonEmpty,
+      "ivfPqIndexOpq needs non-empty codebooks")
+    val d = books.head.head._2.length
+    val codeCols = (0 until m).map(s =>
+      org.apache.spark.sql.graft.NearestCentroid(
+        slice(col("res"), s * d + 1, d), books(s))("cid").as(s"c$s"))
+    opqResiduals(corpus, centroids, r, idCol, vecCol)
+      .select(col(idCol) +: col("cell_id") +: codeCols: _*)
+  }
+
+  /** [[ivfPqResidualProbes]] with the per-cell query residual ROTATED —
+    * ADC against an OPQ index compares R·(q−c) to pq(R·(x−c)). */
+  def ivfPqOpqProbes(queries: DataFrame, centroids: DataFrame,
+      r: Array[Array[Double]], nprobe: Int = 2,
+      queryIdCol: String = "query_id", vecCol: String = "embedding"): DataFrame =
+    ivfPqResidualProbes(queries, centroids, nprobe, queryIdCol, vecCol)
+      .withColumn("q_vec", rotate(col("q_vec"), r))
+
+  /** [[refreshStoredIvfPqIndexResidual]] for an OPQ stored index: all
+    * THREE fits recouple on the current corpus (fresh centroids → fresh
+    * residuals → fresh rotation+codebooks), the index rewrites through
+    * the same crash-safe swap. Probes MUST route, residualize AND rotate
+    * with the returned quantizers from the swap on. */
+  def refreshStoredIvfPqIndexOpq(spark: org.apache.spark.sql.SparkSession,
+      corpus: DataFrame, indexTable: String, k: Int = 8, m: Int = 8,
+      ksub: Int = 16, iters: Int = 2, sweeps: Int = 2, buckets: Int = 8,
+      idCol: String = "vec_id", vecCol: String = "embedding")
+      : (DataFrame, Array[Array[Double]],
+         IndexedSeq[IndexedSeq[(Int, Array[Double])]]) = {
+    val cents = kmeansFit(corpus, k, iters, idCol, vecCol)
+    val (r, books) = opqFitRotation(
+      ivfResiduals(corpus, cents, idCol, vecCol), m, ksub, iters, sweeps, idCol)
+    graft.sources.Storage.rewriteInPlace(spark, indexTable, "cell_id",
+      buckets)(_ => ivfPqIndexOpq(corpus, cents, r, books, idCol, vecCol))
+    (cents, r, books)
+  }
+
   /** [[refreshStoredIvfPqIndex]] for a RESIDUAL (true IVFADC) stored
     * index: retrains the coarse quantizer AND the residual codebooks on
     * the current corpus (residuals against the FRESH centroids — the

@@ -1729,6 +1729,75 @@ class PipelineOpsSpec extends GraftSuite {
       "aggregate tail diverged from the window form on the residual index")
   }
 
+  test("OPQ (Ge 2013): rotation is orthogonal, quantization error never " +
+      "above the identity-rotation fit and decreases with sweeps, " +
+      "full-probe rerank equals brute force") {
+    // clustered data with CROSS-SUBSPACE correlation (pairs of
+    // coordinates spanning a subspace boundary move together) — the
+    // structure a learned rotation exists to exploit: it can align the
+    // correlated directions into single subspaces, which no
+    // dimension-independent codebook budget can do
+    val rnd = new scala.util.Random(7)
+    val pts = (0L until 80L).map { i =>
+      val t = Array.fill(4)((rnd.nextInt(200) - 100) / 20.0)
+      // v spans 4 subspaces of 2 dims; each latent t(j) feeds dims
+      // (2j+1, 2j+2) — straddling the subspace boundaries at dims 2|3,
+      // 4|5, 6|7
+      val v = Array(t(0), t(0) + t(1), t(1), t(1) + t(2), t(2),
+        t(2) + t(3), t(3), t(3) - t(0))
+      (i, v.toSeq)
+    }.toDF("vec_id", "embedding")
+    val cents = Similarity.kmeansFit(pts, k = 2, iters = 2)
+    val res = Similarity.ivfResiduals(pts, cents)
+    def err(rel: org.apache.spark.sql.DataFrame, bks: IndexedSeq[
+        IndexedSeq[(Int, Array[Double])]], vc: String) =
+      Similarity.pqEncode(rel, bks, vecCol = vc)
+        .agg(sum($"dist")).collect()(0).getDouble(0)
+    // identity baseline = the residual family's fit
+    val resBooks = Similarity.pqFitCodebooksResidual(pts, cents, m = 4,
+      ksub = 4, iters = 2)
+    val idErr = err(res.select($"vec_id", $"res"), resBooks, "res")
+    var prevErr = idErr
+    for (sw <- 2 to 3) {
+      val (r, books) = Similarity.opqFitRotation(res, m = 4, ksub = 4,
+        iters = 2, sweeps = sw)
+      // orthogonality: R·Rᵀ = I within the 6dp rounding of R's entries
+      // (worst deviation ≈ dim·1e-6)
+      val dim = r.length
+      for (i <- 0 until dim; j <- 0 until dim) {
+        val d = (0 until dim).map(k2 => r(i)(k2) * r(j)(k2)).sum
+        val want = if (i == j) 1.0 else 0.0
+        assert(math.abs(d - want) < 1e-4,
+          s"R not orthogonal at ($i,$j): $d, sweeps=$sw")
+      }
+      // the OPQ objective: error on the rotation's OWN rotated residuals
+      // never above the identity fit, and monotone in sweeps (exact in
+      // exact arithmetic; the 6dp rounds leave it far from these gaps)
+      val rot = res.select($"vec_id", Similarity.rotate($"res", r).as("rv"))
+      val e2 = err(rot, books, "rv")
+      assert(e2 <= prevErr + 1e-6,
+        s"OPQ error $e2 above previous $prevErr at sweeps=$sw")
+      prevErr = e2
+      // the rotation must actually be learned (not identity) on this
+      // correlated data
+      assert((0 until dim).exists(i => math.abs(r(i)(i) - 1.0) > 1e-3),
+        "rotation stayed at identity on cross-subspace-correlated data")
+    }
+    // with every cell probed and a corpus-wide shortlist, the exact
+    // rerank reproduces brute force bit-for-bit (ADC is only a shortlist)
+    val (r, books) = Similarity.opqFitRotation(res, m = 4, ksub = 4,
+      iters = 2, sweeps = 2)
+    val q = pts.filter($"vec_id" < 4).select($"vec_id".as("query_id"), $"embedding")
+    val got = Similarity.ivfPqResidualTopKRerankFromIndex(
+      Similarity.ivfPqIndexOpq(pts, cents, r, books),
+      Similarity.ivfPqOpqProbes(q, cents, r, nprobe = 2),
+      q, pts, books, k = 10, r = 80)
+      .collect().map(_.toString).sorted.toSeq
+    val want = Similarity.bruteForceTopK(pts, q, k = 10)
+      .collect().map(_.toString).sorted.toSeq
+    assert(got == want, "full-probe OPQ rerank diverged from brute force")
+  }
+
   private def round6(x: Double): Double =
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 }
