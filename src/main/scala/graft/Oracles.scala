@@ -1937,6 +1937,46 @@ object Oracles {
          |     ORDER BY adc, vec_id) AS INTEGER) AS rank FROM rscored)
          |WHERE rank <= 10""".stripMargin,
 
+    // DRIFT STATISTIC mirror (round-19): q180's residual fit chain, then
+    // per-generation totals of the FINAL encode's per-assignment dist —
+    // gen 0 over the corpus (rpa3's own assignments), gen 1 over the
+    // declared drifted batch (ids+1e6, vectors ×3 — same cosine
+    // routing, fresh residuals) encoded against the SAME rpc2 books.
+    // Each dist rounds to 6dp (pqEncode's contract) before the rounded
+    // sum; the verdict cross-multiplies totals by counts exactly as
+    // Similarity.refreshResidualIfDrifted.
+    "q187_drift_stat" ->
+      s"""WITH $EmbCte,
+         |${kmeansCtes(8, 2)},
+         |cen AS (SELECT cid AS cell_id, v AS centroid FROM c2),
+         |asg AS (SELECT id AS vec_id, cell_id FROM
+         |  (SELECT e.id, c.cell_id, row_number() OVER (PARTITION BY e.id
+         |     ORDER BY ${cos("e.v", "c.centroid")} DESC, c.cell_id) AS rn
+         |   FROM ed e CROSS JOIN cen c) WHERE rn = 1),
+         |${pqResidualCtes(8, 16, 2)},
+         |st0 AS (SELECT count(DISTINCT id) AS n,
+         |    round(sum(round(dist, 6)), 6) AS t FROM rpa3),
+         |ed2 AS (SELECT id + 1000000 AS id,
+         |    list_transform(v, x -> x * 3.0) AS v FROM ed),
+         |asg2 AS (SELECT id AS vec_id, cell_id FROM
+         |  (SELECT e.id, c.cell_id, row_number() OVER (PARTITION BY e.id
+         |     ORDER BY ${cos("e.v", "c.centroid")} DESC, c.cell_id) AS rn
+         |   FROM ed2 e CROSS JOIN cen c) WHERE rn = 1),
+         |red2 AS (SELECT e.id, list_transform(e.v, (x, i) -> x - c.centroid[i]) AS v
+         |  FROM ed2 e JOIN asg2 a ON a.vec_id = e.id JOIN cen c ON c.cell_id = a.cell_id),
+         |rpsv2 AS (SELECT id, sub, list_slice(v, sub*8+1, sub*8+8) AS v
+         |  FROM red2 CROSS JOIN rsubs),
+         |rpd2x AS (SELECT p.id, p.sub, c.cid, ${sqDist("p.v", "c.v")} AS dist
+         |  FROM rpsv2 p JOIN rpc2 c USING (sub)),
+         |rpa2x AS (SELECT id, sub, dist FROM (SELECT *, row_number() OVER
+         |  (PARTITION BY id, sub ORDER BY dist, cid) AS rn FROM rpd2x) WHERE rn = 1),
+         |st1 AS (SELECT count(DISTINCT id) AS n,
+         |    round(sum(round(dist, 6)), 6) AS t FROM rpa2x)
+         |SELECT CAST(0 AS BIGINT) AS gen, n, t AS total_err, false AS refresh_due FROM st0
+         |UNION ALL
+         |SELECT CAST(1 AS BIGINT), st1.n, st1.t,
+         |  st1.t * st0.n > 2.0 * st0.t * st1.n FROM st1, st0""".stripMargin,
+
     // Semantic dedup: k-means assignment (same unrolled CTEs as q94),
     // then within-cluster lower-id cosine >= 0.9 marks duplicates.
     // The 4dp stabilization mirrors the engine's sign-aware

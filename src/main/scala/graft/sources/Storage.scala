@@ -200,6 +200,69 @@ object Storage {
     }
   }
 
+  // ---- Pin registry (round-19, verdict item 7): vacuumVersioned trusts
+  // its `pins` argument, which makes a stale caller-held set a silent
+  // data hazard. The registry persists live pins as a tiny bucketed
+  // table so VACUUM CAN READ THE LIVE SET ITSELF — a training run
+  // registers its pin at launch and releases it at exit, and retention
+  // maintenance can run from any process without a side channel. ----
+
+  /** Register a live pin: `owner` (e.g. a training-run id) holds
+    * generation `gen` of some versioned table. One tiny row per
+    * registration; re-registering the same owner REPLACES its previous
+    * pin (a run re-pins when it restarts). */
+  def registerPin(spark: SparkSession, pinTable: String, path: String,
+      owner: String, gen: Long): Unit = {
+    import spark.implicits._
+    val row = Seq((owner, gen)).toDF("owner", "gen")
+    if (!spark.catalog.tableExists(pinTable))
+      writeBucketed(row, pinTable, path, bucketCol = "owner", buckets = 1)
+    else {
+      import org.apache.spark.sql.functions.col
+      rewriteInPlace(spark, pinTable, "owner", 1) { live =>
+        live.filter(col("owner") =!= owner).unionByName(row)
+      }
+    }
+  }
+
+  /** Release `owner`'s pin (no-op if absent). The crash-safe rewrite is
+    * the same swap as compaction — a release interrupted mid-swap
+    * repairs on the next registry operation. */
+  def releasePin(spark: SparkSession, pinTable: String, owner: String): Unit =
+    if (spark.catalog.tableExists(pinTable)) {
+      import org.apache.spark.sql.functions.col
+      rewriteInPlace(spark, pinTable, "owner", 1) { live =>
+        live.filter(col("owner") =!= owner)
+      }
+    }
+
+  /** The live pin set (empty if the registry doesn't exist yet). */
+  def livePins(spark: SparkSession, pinTable: String): Seq[Long] =
+    if (!spark.catalog.tableExists(pinTable)) Seq.empty
+    else {
+      spark.catalog.refreshTable(pinTable)
+      spark.table(pinTable).select("gen").collect().map(_.getLong(0)).toSeq
+    }
+
+  /** [[vacuumVersioned]] driven by the REGISTRY's live pin set instead
+    * of a caller-supplied argument — the vacuum can no longer fold past
+    * a generation any registered run still distinguishes, because it
+    * reads the same relation the runs register into. REFUSES to vacuum
+    * when no pin is registered: an empty registry means either no
+    * consumer exists (then retention policy, not vacuum, decides what
+    * to keep) or the registry path is wrong — both should fail loudly
+    * rather than fold everything into one generation. */
+  def vacuumVersionedRegistered(spark: SparkSession, table: String,
+      pinTable: String, bucketCol: String = "doc_id",
+      buckets: Int = 32): Unit = {
+    val pins = livePins(spark, pinTable)
+    require(pins.nonEmpty,
+      s"vacuumVersionedRegistered: no live pins registered in `$pinTable` — " +
+        "refusing to vacuum (register the consumers' pins, or use " +
+        "vacuumVersioned with an explicit retention decision)")
+    vacuumVersioned(spark, table, pins, bucketCol, buckets)
+  }
+
   /** Drop `table` from the catalog and recursively delete its files
    *  (best effort) through the Hadoop FileSystem API — scheme-agnostic,
    *  so the same cleanup works for file://, hdfs:// and s3a:// table
@@ -244,6 +307,11 @@ object Storage {
       bucketCol: String = "doc_id", buckets: Int = 32,
       dropIds: Option[(DataFrame, String)] = None): Unit = {
     import org.apache.spark.sql.functions.col
+    dropIds.foreach { case (ids, _) =>
+      require(ids.columns.length == 1,
+        s"compactBuckets dropIds must be a single-column id relation, " +
+          s"got columns ${ids.columns.mkString(",")}")
+    }
     rewriteInPlace(spark, table, bucketCol, buckets) { live =>
       dropIds.foldLeft(live) { case (t, (ids, c)) =>
         t.join(org.apache.spark.sql.functions.broadcast(

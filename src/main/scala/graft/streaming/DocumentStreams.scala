@@ -338,7 +338,10 @@ object DocumentStreams {
     ledger.zip(snap).foreach { case (t, sn) =>
       Storage.rewriteInPlace(spark, t, tombstoneIdCol, tombstoneBuckets) {
         live =>
-          live.join(broadcast(sn.toDF("__applied_id")),
+          // id column selected EXPLICITLY (not positional toDF) — same
+          // wider-ledger contract as Storage.snapshotAsOf (ADVICE r18)
+          live.join(broadcast(sn.select(
+              col(tombstoneIdCol).as("__applied_id"))),
             col(tombstoneIdCol) === col("__applied_id"), "left_anti")
       }
     }

@@ -894,6 +894,187 @@ class StorageSpec extends GraftSuite {
     }
   }
 
+  test("pin registry: vacuum reads the live pin set itself, refuses an " +
+      "empty registry, and never folds past a registered pin") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_pins_t")
+    dir.toFile.deleteOnExit()
+    val d = (0L until 30L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    Storage.writeVersioned(d.filter($"doc_id" % 3 === 0), "pin_ver_spec",
+      s"$dir/cor", gen = 0, buckets = 4)
+    Storage.appendVersioned(d.filter($"doc_id" % 3 === 1), "pin_ver_spec",
+      gen = 1, buckets = 4)
+    Storage.appendVersioned(d.filter($"doc_id" % 3 === 2), "pin_ver_spec",
+      gen = 2, buckets = 4)
+    try {
+      // empty registry → vacuum refuses (retention is a decision, not a
+      // default)
+      intercept[IllegalArgumentException] {
+        Storage.vacuumVersionedRegistered(spark, "pin_ver_spec",
+          "pin_reg_spec", buckets = 4)
+      }
+      // two runs pin generations 1 and 2 — vacuum may fold only gen<=1
+      Storage.registerPin(spark, "pin_reg_spec", s"$dir/pins", "runA", 1)
+      Storage.registerPin(spark, "pin_reg_spec", s"$dir/pins", "runB", 2)
+      // the fold relabels gen<=pin to the pin value by design — the
+      // pinned CONTENT (not the fold label) is the repeatability contract
+      val pinnedBefore = Storage.snapshotAsOf(spark, "pin_ver_spec", 1)
+        .drop("gen").collect().map(_.toString).sorted.toSeq
+      Storage.vacuumVersionedRegistered(spark, "pin_ver_spec",
+        "pin_reg_spec", buckets = 4)
+      val gens = spark.table("pin_ver_spec").select("gen").distinct()
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(gens == Seq(1L, 2L),
+        s"vacuum folded past runA's pin (gens after: $gens)")
+      assert(Storage.snapshotAsOf(spark, "pin_ver_spec", 1)
+        .drop("gen").collect().map(_.toString).sorted.toSeq == pinnedBefore,
+        "runA's pinned read changed across the registered vacuum")
+      // runA exits and releases; the next vacuum folds to runB's pin
+      Storage.releasePin(spark, "pin_reg_spec", "runA")
+      assert(Storage.livePins(spark, "pin_reg_spec") == Seq(2L))
+      Storage.vacuumVersionedRegistered(spark, "pin_ver_spec",
+        "pin_reg_spec", buckets = 4)
+      assert(spark.table("pin_ver_spec").select("gen").distinct()
+        .collect().map(_.getLong(0)).toSeq == Seq(2L))
+      // re-registration replaces (a restarted run re-pins)
+      Storage.registerPin(spark, "pin_reg_spec", s"$dir/pins", "runB", 5)
+      assert(Storage.livePins(spark, "pin_reg_spec") == Seq(5L))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS pin_ver_spec")
+      spark.sql("DROP TABLE IF EXISTS pin_reg_spec")
+    }
+  }
+
+  test("takedown + vacuum composition: the tombstone-aware pinned read is " +
+      "identical before and after the fold, and maintenance still bounds " +
+      "the ledger afterwards") {
+    import graft.streaming.DocumentStreams
+    val dir = java.nio.file.Files.createTempDirectory("graft_tvac_t")
+    dir.toFile.deleteOnExit()
+    val d = (0L until 30L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    Storage.writeVersioned(d.filter($"doc_id" % 3 === 0), "tvac_ver_spec",
+      s"$dir/cor", gen = 0, buckets = 4)
+    Storage.appendVersioned(d.filter($"doc_id" % 3 === 1), "tvac_ver_spec",
+      gen = 1, buckets = 4)
+    Storage.appendVersioned(d.filter($"doc_id" % 3 === 2), "tvac_ver_spec",
+      gen = 2, buckets = 4)
+    try {
+      // takedown recorded BETWEEN the pin and any compaction
+      DocumentStreams.recordDeletions(
+        d.filter($"doc_id" % 4 === 0).select("doc_id"),
+        "tvac_ts_spec", s"$dir/ts")
+      val before = Storage.snapshotAsOf(spark, "tvac_ver_spec", 1,
+        tombstoneTable = Some("tvac_ts_spec"))
+        .drop("gen").collect().map(_.toString).sorted.toSeq
+      assert(before.nonEmpty && !before.exists(_.contains("[0,")),
+        "premise: the tombstoned doc 0 must be gone from the pinned read")
+      // vacuum folds gens <= 1 while the ledger is still pending
+      Storage.vacuumVersioned(spark, "tvac_ver_spec", pins = Seq(1L, 2L),
+        buckets = 4)
+      val after = Storage.snapshotAsOf(spark, "tvac_ver_spec", 1,
+        tombstoneTable = Some("tvac_ts_spec"))
+        .drop("gen").collect().map(_.toString).sorted.toSeq
+      assert(after == before,
+        "tombstone-aware pinned read changed across vacuumVersioned")
+      // maintenance after the vacuum: the takedown applies physically to
+      // the FOLDED table and the ledger prunes to empty — the lifecycle
+      // composes with retention
+      DocumentStreams.runMaintenance(spark, Some("tvac_ts_spec"),
+        Seq(("tvac_ver_spec", "doc_id", 4, "doc_id")))
+      assert(spark.table("tvac_ts_spec").count() == 0,
+        "ledger not pruned after post-vacuum maintenance")
+      assert(spark.table("tvac_ver_spec")
+        .filter($"doc_id" % 4 === 0).count() == 0,
+        "takedown not physically applied to the folded table")
+      // the pinned read STILL returns the same rows — now from physical
+      // absence rather than the anti-join
+      assert(Storage.snapshotAsOf(spark, "tvac_ver_spec", 1,
+        tombstoneTable = Some("tvac_ts_spec"))
+        .drop("gen").collect().map(_.toString).sorted.toSeq == before,
+        "pinned read changed after the takedown was physically applied")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS tvac_ver_spec")
+      spark.sql("DROP TABLE IF EXISTS tvac_ts_spec")
+    }
+  }
+
+  test("drift detection lifecycle: stat grows under a drifted append, the " +
+      "threshold refresh fires once, restamps the baseline, then stays quiet") {
+    import graft.operators.Similarity
+    val rng = new scala.util.Random(29)
+    val emb = (0L until 40L).map(i =>
+      (i, Array.fill(16)(rng.nextDouble())))
+      .toDF("vec_id", "embedding")
+    val cents = Similarity.kmeansFit(emb, k = 4, iters = 2)
+    val books = Similarity.pqFitCodebooksResidual(emb, cents, m = 4,
+      ksub = 4, iters = 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft_drift_t")
+    dir.toFile.deleteOnExit()
+    // gen 0: the corpus itself, in-distribution baseline
+    Storage.writeBucketed(Similarity.ivfPqIndexResidual(emb, cents, books),
+      "drift_idx_spec", s"$dir/idx", bucketCol = "cell_id", buckets = 8)
+    val (n0, t0) = Similarity.residualQuantizationError(emb, cents, books)
+    Similarity.recordDriftStat(spark, "drift_stat_spec", s"$dir/stat",
+      gen = 0, n = n0, totalErr = t0)
+    try {
+      // healthy append: another in-distribution slice — stat comparable,
+      // refresh must NOT fire
+      val healthy = emb.select((col("vec_id") + 1000).as("vec_id"),
+        col("embedding"))
+      Storage.appendBucketed(
+        Similarity.ivfPqIndexResidual(healthy, cents, books),
+        "drift_idx_spec", bucketCol = "cell_id", buckets = 8)
+      val (n1, t1) = Similarity.residualQuantizationError(healthy, cents, books)
+      Similarity.recordDriftStat(spark, "drift_stat_spec", s"$dir/stat",
+        gen = 1, n = n1, totalErr = t1)
+      assert(Similarity.refreshResidualIfDrifted(spark,
+        emb.unionByName(healthy), "drift_idx_spec", "drift_stat_spec",
+        s"$dir/stat", factor = 2.0, k = 4, m = 4, ksub = 4, iters = 2,
+        buckets = 8).isEmpty,
+        "refresh fired on an in-distribution append")
+      assert(Similarity.driftStats(spark, "drift_stat_spec").count() == 2)
+      // drifted append: scaled vectors — per-row error must grow past 2x
+      val drifted = emb.select((col("vec_id") + 2000).as("vec_id"),
+        transform(col("embedding"), x => x * lit(3.0)).as("embedding"))
+      Storage.appendBucketed(
+        Similarity.ivfPqIndexResidual(drifted, cents, books),
+        "drift_idx_spec", bucketCol = "cell_id", buckets = 8)
+      val (n2, t2) = Similarity.residualQuantizationError(drifted, cents, books)
+      Similarity.recordDriftStat(spark, "drift_stat_spec", s"$dir/stat",
+        gen = 2, n = n2, totalErr = t2)
+      assert(t2 * n0 > 2.0 * t0 * n2,
+        s"test premise: drifted stat $t2/$n2 not past 2x baseline $t0/$n0")
+      val full = emb.unionByName(healthy).unionByName(drifted)
+      val fresh = Similarity.refreshResidualIfDrifted(spark, full,
+        "drift_idx_spec", "drift_stat_spec", s"$dir/stat", factor = 2.0,
+        k = 4, m = 4, ksub = 4, iters = 2, buckets = 8)
+      assert(fresh.isDefined, "refresh did not fire on a 3x-scaled batch")
+      val (cents2, books2) = fresh.get
+      // the refreshed index equals a one-shot build with the fresh
+      // quantizers over the full corpus
+      assert(Storage.readTable(spark, "drift_idx_spec")
+        .collect().map(_.toString).sorted.toSeq ==
+        Similarity.ivfPqIndexResidual(full, cents2, books2)
+          .collect().map(_.toString).sorted.toSeq,
+        "drift refresh diverges from a fresh full build")
+      // baseline restamped: ONE row, stamped with the latest gen, with
+      // the full corpus's fresh-quantizer error
+      val stats = Similarity.driftStats(spark, "drift_stat_spec").collect()
+      assert(stats.length == 1 && stats(0).getLong(0) == 2,
+        s"stats not restamped to a single latest-gen baseline: ${stats.toSeq}")
+      val (nF, tF) = Similarity.residualQuantizationError(full, cents2, books2)
+      assert(stats(0).getLong(1) == nF && stats(0).getDouble(2) == tF,
+        "restamped baseline is not the fresh-quantizer full-corpus stat")
+      // and with only the baseline present, a second call is a no-op
+      assert(Similarity.refreshResidualIfDrifted(spark, full,
+        "drift_idx_spec", "drift_stat_spec", s"$dir/stat", factor = 2.0,
+        k = 4, m = 4, ksub = 4, iters = 2, buckets = 8).isEmpty,
+        "refresh re-fired with no post-refresh appends")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS drift_idx_spec")
+      spark.sql("DROP TABLE IF EXISTS drift_stat_spec")
+    }
+  }
+
   test("saltedJoin rejects key-only large side and reserved __salt columns") {
     val small = Seq((0L, "zero")).toDF("doc_id", "name")
     // key-only large side: zero-arg hash() would fail analysis — and a salt
