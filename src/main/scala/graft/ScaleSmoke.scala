@@ -726,6 +726,31 @@ object ScaleSmoke {
         val (c, b) = frozenQuant(e)
         Similarity.ivfPqIndex(embD(e).filter(col("vec_id") < 500), c, b).count()
       }),
+      // RESIDUAL (true IVFADC, q180/q184) build/append/probe timing —
+      // same frozen-quantizer accounting as the raw rows above: rebuild
+      // tracks corpus size (one shuffle-free projection), append stays
+      // corpus-size-flat, and the probe is the ADC aggregate tail over
+      // the freshly-encoded index + residualized probes
+      ("ann_residual_index_rebuild", (e, _) => {
+        val (c, _) = frozenQuant(e)
+        Similarity.ivfPqIndexResidual(embD(e), c, frozenResQuant(e)).count()
+      }),
+      ("ann_residual_index_append", (e, _) => {
+        val (c, _) = frozenQuant(e)
+        Similarity.ivfPqIndexResidual(embD(e).filter(col("vec_id") < 500),
+          c, frozenResQuant(e)).count()
+      }),
+      ("ann_residual_probe", (e, _) => {
+        val ed = embD(e)
+        val (c, _) = frozenQuant(e)
+        val b = frozenResQuant(e)
+        val q = ed.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("query_id"), col("embedding"))
+        Similarity.ivfPqTopKAggFromIndex(
+          Similarity.ivfPqIndexResidual(ed, c, b),
+          Similarity.ivfPqResidualProbesAgg(q, c, nprobe = 2), b, k = 10)
+          .count()
+      }),
       ("semantic_dedup", (e, t) => sem(e, 8 * math.pow(10, t).toInt)),
       ("semantic_dedup_scaled", (e, t) => semScaled(e, 8 * math.pow(10, t).toInt)),
       // diversity sampling under its 100 TB knobs (k grows with the
@@ -748,10 +773,15 @@ object ScaleSmoke {
     // keeps a full-name filter like 'ann_index_rebuild' from skipping the
     // prefit while the op still runs, which would put the kmeans/PQ fit
     // inside the timed region and skew the 1x measurement.
-    val wantsAnnIndex = embOps.exists(o => o._1.startsWith("ann_index_") && wanted(o._1))
+    val wantsAnnIndex = embOps.exists(o => (o._1.startsWith("ann_index_") ||
+      o._1.startsWith("ann_residual_")) && wanted(o._1))
     if (wantsAnnIndex) { frozenQuant(emb1); frozenQuant(emb10) }
-    // drift_stat measures the ENCODE pass, not the amortized fits
-    if (wanted("drift_stat")) { frozenResQuant(emb1); frozenResQuant(emb10) }
+    // drift_stat + the residual rows measure ENCODE passes, not the
+    // amortized fits
+    if (wanted("drift_stat") ||
+        embOps.exists(o => o._1.startsWith("ann_residual_") && wanted(o._1))) {
+      frozenResQuant(emb1); frozenResQuant(emb10)
+    }
     embOps.filter(o => wanted(o._1)).foreach { case (name, f) =>
       f(emb1, 0) // warmup
       val (t1, n1) = timed(f(emb1, 0))
@@ -959,6 +989,94 @@ object ScaleSmoke {
       val (p2, f2, fp2, ff2) = measureSnapshot(2, docs10, "10x")
       val (p8, f8, fp8, ff8) = measureSnapshot(8, docs10, "10x")
       results += f"""{"op":"snapshot_pinned_read","pinned_2gen":$p2%.2f,"full_2gen":$f2%.2f,"pinned_8gen":$p8%.2f,"full_8gen":$f8%.2f,"pinned_ratio":${p8 / p2}%.2f,"full_ratio":${f8 / f2}%.2f,"files_pinned_2gen":$fp2,"files_full_2gen":$ff2,"files_pinned_8gen":$fp8,"files_full_8gen":$ff8}"""
+    }
+
+    // TOMBSTONE-AWARE pinned read (q183's shape, round-19 100x tier):
+    // the pinned read with the takedown ledger anti-joined (ledger =
+    // ~1% of the tier's docs — O(pending), broadcast). The interesting
+    // number is the OVERHEAD over the plain pinned read: a broadcast
+    // anti-join against a pending-sized ledger must stay a small
+    // constant factor at any corpus size.
+    def measureSnapshotTs(dTier: DataFrame, tag: String)
+        : (Double, Double, Long) = {
+      val tbl = s"smoke_verts_$tag"
+      val ts = s"smoke_verts_ts_$tag"
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      spark.sql(s"DROP TABLE IF EXISTS $ts")
+      val dir = java.nio.file.Files.createTempDirectory(s"graft_snapts_$tag")
+      dir.toFile.deleteOnExit()
+      val d = dTier.select(col("doc_id"), col("text"))
+      graft.sources.Storage.writeVersioned(d, tbl, s"$dir/t", gen = 0,
+        buckets = 8)
+      graft.sources.Storage.appendVersioned(
+        d.select((col("doc_id") + 100000000L).as("doc_id"), col("text")),
+        tbl, gen = 1, buckets = 8)
+      graft.streaming.DocumentStreams.recordDeletions(
+        d.filter(col("doc_id") % 97 === 0).select("doc_id"), ts, s"$dir/ts")
+      def readAll(df: DataFrame): Long = df
+        .agg(sum(length(col("text"))), count(lit(1))).head().getLong(1)
+      def minOf2(f: => Long): (Double, Long) = {
+        val a = timed(f); val b = timed(f)
+        (math.min(a._1, b._1), a._2)
+      }
+      readAll(graft.sources.Storage.snapshotAsOf(spark, tbl, 0)) // warmup
+      val (tPin, _) = minOf2(
+        readAll(graft.sources.Storage.snapshotAsOf(spark, tbl, 0)))
+      val (tTs, nTs) = minOf2(readAll(graft.sources.Storage.snapshotAsOf(
+        spark, tbl, 0, tombstoneTable = Some(ts))))
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      spark.sql(s"DROP TABLE IF EXISTS $ts")
+      (tPin, tTs, nTs)
+    }
+    if (wanted("snapshot_takedown_read")) {
+      val (p10, t10x, n10x) = measureSnapshotTs(docs10, "10x")
+      results += f"""{"op":"snapshot_takedown_read","pinned_10x":$p10%.2f,"ts_pinned_10x":$t10x%.2f,"overhead_10x":${t10x / p10}%.2f,"rows_10x":$n10x}"""
+    }
+
+    // STORED-INDEX HYBRID retrieval (q181's shape, round-19 100x tier):
+    // lexical bm25TopKAgg + IVFADC+R rerank over a PERSISTED
+    // cell_id-bucketed index (built once per tier outside the timed
+    // region, like the band index) fused under RRF. Both retrievers are
+    // bounded-aggregate forms; the fuse sees Σk rows/query — the row's
+    // ratio must track the corpus linearly (the two scans), nothing
+    // more.
+    def hybridStored(dTier: DataFrame, e: DataFrame, tag: String)
+        : (Double, Long) = {
+      val ed = embD(e)
+      val (c, b) = frozenQuant(e)
+      val tbl = s"smoke_hybrid_idx_$tag"
+      if (!spark.catalog.tableExists(tbl)) {
+        val dir = java.nio.file.Files.createTempDirectory(s"graft_hyb_$tag")
+        dir.toFile.deleteOnExit()
+        graft.sources.Storage.writeBucketed(Similarity.ivfPqIndex(ed, c, b),
+          tbl, s"$dir/idx", bucketCol = "cell_id", buckets = 8)
+      }
+      val qs = spark.createDataFrame(Seq(
+        (0, "spark"), (0, "join"), (0, "fast"), (1, "window"), (1, "sort"),
+        (2, "vector"), (2, "hash"), (2, "query"))).toDF("query_id", "term")
+      timed {
+        val lex = TextAnalysis.bm25TopKAgg(dTier, qs, k = 10)
+          .select("query_id", "doc_id", "rank")
+        val q = ed.filter(col("vec_id") < 3)
+          .select(col("vec_id").as("query_id"), col("embedding"))
+        val probes = Similarity.ivfPqProbesAgg(q, c, nprobe = 2)
+        val cells = probes.select("cell_id").distinct()
+          .limit(4097).collect().map(_.getInt(0)).sorted
+        require(cells.length <= 4096, "probe-cell valve")
+        val sem = Similarity.ivfPqTopKRerankFromIndex(
+          graft.sources.Storage.readTable(spark, tbl)
+            .filter(col("cell_id").isin(cells.map(Integer.valueOf): _*)),
+          probes, ed, b, k = 10, r = 40)
+          .select(col("query_id"), col("vec_id").as("doc_id"), col("rank"))
+        Similarity.rrfFuse(Seq(lex, sem), k = 10).count()
+      }
+    }
+    if (wanted("hybrid_rrf_stored")) {
+      hybridStored(docs1, emb1, "1x") // warmup (index build + codegen)
+      val (h1, hr1) = hybridStored(docs1, emb1, "1x")
+      val (h10, hr10) = hybridStored(docs10, emb10, "10x")
+      time10("hybrid_rrf_stored") = h10
+      results += f"""{"op":"hybrid_rrf_stored","sec_1x":$h1%.2f,"sec_10x":$h10%.2f,"ratio":${h10 / h1}%.2f,"rows_1x":$hr1,"rows_10x":$hr10}"""
     }
 
     // RESIDUAL vs RAW IVFADC recall (round-18): the quality delta the
@@ -1186,6 +1304,14 @@ object ScaleSmoke {
         val (p2, f2, fp2, ff2) = measureSnapshot(2, docs100, "100x")
         val (p8, f8, fp8, ff8) = measureSnapshot(8, docs100, "100x")
         r100 += f"""{"op":"snapshot_pinned_read","pinned_2gen_100x":$p2%.2f,"full_2gen_100x":$f2%.2f,"pinned_8gen_100x":$p8%.2f,"full_8gen_100x":$f8%.2f,"pinned_ratio_100x":${p8 / p2}%.2f,"full_ratio_100x":${f8 / f2}%.2f,"files_pinned_2gen_100x":$fp2,"files_full_2gen_100x":$ff2,"files_pinned_8gen_100x":$fp8,"files_full_8gen_100x":$ff8}"""
+      }
+      if (wanted("snapshot_takedown_read")) {
+        val (p, t, n) = measureSnapshotTs(docs100, "100x")
+        r100 += f"""{"op":"snapshot_takedown_read","pinned_100x":$p%.2f,"ts_pinned_100x":$t%.2f,"overhead_100x":${t / p}%.2f,"rows_100x":$n}"""
+      }
+      if (wanted("hybrid_rrf_stored")) {
+        val (h, hr) = hybridStored(docs100, emb100, "100x")
+        r100 += f"""{"op":"hybrid_rrf_stored","sec_100x":$h%.2f,"ratio_vs_10x":${h / time10.getOrElse("hybrid_rrf_stored", h)}%.2f,"rows_100x":$hr}"""
       }
       println(s"""{"scale_smoke_100x":[${r100.mkString(",")}],"docs_100x":${docs100.count()}}""")
 
