@@ -2937,7 +2937,17 @@ object SparkEntry {
     // queries in this JVM, so the stash is set on every full run; under
     // a local SPARK_GRAFT_ONLY filter that excludes q185/q186 the
     // entries are simply omitted (their results weren't dumped either).
-    val opqEntries = Option(lastOpqR.get()).map { r =>
+    // Fallback when the queries have NOT run in this JVM (e.g. the
+    // harness-contract spec enumerating the oracle map): compute the
+    // same deterministic fit on the live session at the default smoke
+    // dir. Harmless for correctness — whenever a q185/q186 RESULT
+    // exists to compare, the query ran first and the stash holds the
+    // fit for the right dir.
+    val rOpt = Option(lastOpqR.get()).orElse(
+      SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+        .map(s => opq816(s, sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
+          "/root/testdata/sf0.001"))._1))
+    val opqEntries = rOpt.map { r =>
       val sql = Oracles.opqSql(r)
       Map("q185_ivfpq_opq" -> sql, "q186_ivfpq_opq_stored" -> sql)
     }.getOrElse(Map.empty)

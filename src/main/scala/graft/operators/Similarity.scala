@@ -1201,6 +1201,50 @@ object Similarity {
     Some((cents, books))
   }
 
+  /** [[residualQuantizationError]] for an OPQ index: the error of the
+    * ROTATED residual against the OPQ codebooks — the same statistic,
+    * same decimal-exact total, for the rotated family's stored indexes. */
+  def opqQuantizationError(batch: DataFrame, centroids: DataFrame,
+      r: Array[Array[Double]],
+      books: IndexedSeq[IndexedSeq[(Int, Array[Double])]],
+      idCol: String = "vec_id", vecCol: String = "embedding"): (Long, Double) = {
+    val rot = opqResiduals(batch, centroids, r, idCol, vecCol)
+    val row = pqEncode(rot.select(col(idCol), col("res")), books, idCol, "res")
+      .agg(count(lit(1)).as("nm"), round(sum(col("dist")), 6).as("s"))
+      .collect()(0)
+    val n = row.getLong(0) / books.size.max(1)
+    (n, row.getDouble(1))
+  }
+
+  /** [[refreshResidualIfDrifted]] for an OPQ stored index — the same
+    * threshold contract, firing [[refreshStoredIvfPqIndexOpq]] (all
+    * three fits re-coupled) and restamping the baseline with the fresh
+    * triple's full-corpus error. */
+  def refreshOpqIfDrifted(spark: org.apache.spark.sql.SparkSession,
+      corpus: DataFrame, indexTable: String, statTable: String,
+      statPath: String, factor: Double = 2.0, k: Int = 8, m: Int = 8,
+      ksub: Int = 16, iters: Int = 2, sweeps: Int = 2, buckets: Int = 8,
+      idCol: String = "vec_id", vecCol: String = "embedding")
+      : Option[(DataFrame, Array[Array[Double]],
+                IndexedSeq[IndexedSeq[(Int, Array[Double])]])] = {
+    require(factor > 0, "drift factor must be positive")
+    val stats = driftStats(spark, statTable).collect()
+    if (stats.length < 2) return None
+    val base = stats.head
+    val latest = stats.last
+    val due = latest.getDouble(2) * base.getLong(1) >
+      factor * base.getDouble(2) * latest.getLong(1)
+    if (!due) return None
+    val (cents, r, books) = refreshStoredIvfPqIndexOpq(spark, corpus,
+      indexTable, k, m, ksub, iters, sweeps, buckets, idCol, vecCol)
+    val (n, err) = opqQuantizationError(corpus, cents, r, books, idCol, vecCol)
+    graft.sources.Storage.rewriteInPlace(spark, statTable, "gen", 1) { _ =>
+      import spark.implicits._
+      Seq((latest.getLong(0), n, err)).toDF("gen", "n", "total_err")
+    }
+    Some((cents, r, books))
+  }
+
   // ---- OPQ: optimized product quantization (Ge, He, Ke & Sun,
   // "Optimized Product Quantization for Approximate Nearest Neighbor
   // Search", CVPR 2013 — public knowledge) ----

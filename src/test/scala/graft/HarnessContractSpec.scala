@@ -5,9 +5,13 @@ package graft
  * have a DuckDB oracle (a query without one silently downgrades to a
  * rows-only check), and query names must be unique and well-formed.
  */
-class HarnessContractSpec extends org.scalatest.funsuite.AnyFunSuite {
+class HarnessContractSpec extends GraftSuite {
 
   test("queries and oracleSql cover exactly the same names") {
+    // the OPQ oracles embed a runtime-fitted rotation, so enumerating
+    // the oracle map needs a live session (exactly as in Verify, which
+    // dumps it after running the queries on one)
+    spark
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
     assert((q -- o).isEmpty, s"queries without oracle: ${(q -- o).toSeq.sorted}")

@@ -330,6 +330,30 @@ class PlanShapeSpec extends GraftSuite {
       s"expected a shuffle-free residual index projection, got:\n$plan")
   }
 
+  test("q185 OPQ index build: one shuffle-free projection (routing + " +
+      "residual + rotation + codes), and the stored form bucket-prunes") {
+    import graft.operators.Similarity
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cents = Similarity.kmeansFit(e, k = 4, iters = 1)
+    val (r, books) = Similarity.opqFitRotation(
+      Similarity.ivfResiduals(e, cents), m = 4, ksub = 4, iters = 1,
+      sweeps = 2)
+    // the rotation is one more expression in the same projection — the
+    // raw vector still never crosses an exchange
+    val plan = Similarity.ivfPqIndexOpq(e, cents, r, books)
+      .queryExecution.executedPlan
+    assert(plan.collect { case ex: Exchange => ex }.isEmpty,
+      s"expected a shuffle-free OPQ index projection, got:\n$plan")
+    // q186's stored probe: the probed-cell isin reaches the scan as
+    // physical bucket pruning
+    val planStr = SparkEntry.queries("q186_ivfpq_opq_stored")(
+      spark, "/root/testdata/sf0.001").queryExecution.executedPlan.toString
+    val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+      .findFirstMatchIn(planStr)
+    assert(sel.isDefined && sel.get.group(1).toInt < sel.get.group(2).toInt,
+      s"expected a bucket-pruned stored-OPQ-index scan:\n$planStr")
+  }
+
   test("q171 incremental datasheet: the returned plan reads ONLY the stored " +
       "sketch relations — no documents scan anywhere") {
     // the capstone contract: refreshing the full per-source datasheet

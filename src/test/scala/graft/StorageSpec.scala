@@ -997,6 +997,54 @@ class StorageSpec extends GraftSuite {
     }
   }
 
+  test("OPQ index: frozen-quantizer append equals a rebuild, refresh " +
+      "re-couples all three fits and still bucket-prunes (q186 parity)") {
+    import graft.operators.Similarity
+    val rng = new scala.util.Random(17)
+    val emb = (0L until 40L).map(i =>
+      (i, Array.fill(16)(rng.nextDouble())))
+      .toDF("vec_id", "embedding")
+    val cents = Similarity.kmeansFit(emb, k = 4, iters = 2)
+    val (rot, books) = Similarity.opqFitRotation(
+      Similarity.ivfResiduals(emb, cents), m = 4, ksub = 4, iters = 2,
+      sweeps = 2)
+    val base = emb.filter(pmod(col("vec_id"), lit(4)) =!= 0)
+    val batch = emb.filter(pmod(col("vec_id"), lit(4)) === 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_opq_idx_t")
+    dir.toFile.deleteOnExit()
+    Storage.writeBucketed(Similarity.ivfPqIndexOpq(base, cents, rot, books),
+      "opq_idx_spec", s"$dir/idx", bucketCol = "cell_id", buckets = 8)
+    Storage.appendBucketed(Similarity.ivfPqIndexOpq(batch, cents, rot, books),
+      "opq_idx_spec", bucketCol = "cell_id", buckets = 8)
+    try {
+      assert(Storage.readTable(spark, "opq_idx_spec")
+        .collect().map(_.toString).sorted.toSeq ==
+        Similarity.ivfPqIndexOpq(emb, cents, rot, books)
+          .collect().map(_.toString).sorted.toSeq,
+        "appended OPQ index diverges from a full rebuild under frozen quantizers")
+      // refresh re-couples centroids -> residuals -> rotation+codebooks
+      // and swaps crash-safe; the refreshed table equals a one-shot
+      // build with the fresh quantizer triple
+      val (c2, r2, b2) = Similarity.refreshStoredIvfPqIndexOpq(spark, emb,
+        "opq_idx_spec", k = 4, m = 4, ksub = 4, iters = 2, sweeps = 2,
+        buckets = 8)
+      val refreshed = Storage.readTable(spark, "opq_idx_spec")
+      assert(refreshed.collect().map(_.toString).sorted.toSeq ==
+        Similarity.ivfPqIndexOpq(emb, c2, r2, b2)
+          .collect().map(_.toString).sorted.toSeq,
+        "refreshed OPQ index diverges from a fresh full build")
+      val oneCell = refreshed.select("cell_id").limit(1).collect()(0).getInt(0)
+      val planStr = refreshed.filter(col("cell_id") === oneCell)
+        .queryExecution.executedPlan.toString
+      val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+        .findFirstMatchIn(planStr)
+      assert(sel.isDefined && sel.get.group(1).toInt < sel.get.group(2).toInt,
+        s"expected a bucket-pruned scan after the OPQ refresh:\n$planStr")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS opq_idx_spec")
+    }
+  }
+
   test("drift detection lifecycle: stat grows under a drifted append, the " +
       "threshold refresh fires once, restamps the baseline, then stays quiet") {
     import graft.operators.Similarity
@@ -1072,6 +1120,53 @@ class StorageSpec extends GraftSuite {
     } finally {
       spark.sql("DROP TABLE IF EXISTS drift_idx_spec")
       spark.sql("DROP TABLE IF EXISTS drift_stat_spec")
+    }
+  }
+
+  test("OPQ drift twin: opqQuantizationError grows on a drifted batch and " +
+      "refreshOpqIfDrifted fires, restamps, then stays quiet") {
+    import graft.operators.Similarity
+    val rng = new scala.util.Random(31)
+    val emb = (0L until 40L).map(i =>
+      (i, Array.fill(16)(rng.nextDouble())))
+      .toDF("vec_id", "embedding")
+    val cents = Similarity.kmeansFit(emb, k = 4, iters = 2)
+    val (rot, books) = Similarity.opqFitRotation(
+      Similarity.ivfResiduals(emb, cents), m = 4, ksub = 4, iters = 2,
+      sweeps = 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft_opqdrift_t")
+    dir.toFile.deleteOnExit()
+    Storage.writeBucketed(Similarity.ivfPqIndexOpq(emb, cents, rot, books),
+      "opqd_idx_spec", s"$dir/idx", bucketCol = "cell_id", buckets = 8)
+    val (n0, t0) = Similarity.opqQuantizationError(emb, cents, rot, books)
+    Similarity.recordDriftStat(spark, "opqd_stat_spec", s"$dir/stat",
+      gen = 0, n = n0, totalErr = t0)
+    try {
+      val drifted = emb.select((col("vec_id") + 2000).as("vec_id"),
+        transform(col("embedding"), x => x * lit(3.0)).as("embedding"))
+      Storage.appendBucketed(
+        Similarity.ivfPqIndexOpq(drifted, cents, rot, books),
+        "opqd_idx_spec", bucketCol = "cell_id", buckets = 8)
+      val (n1, t1) = Similarity.opqQuantizationError(drifted, cents, rot, books)
+      Similarity.recordDriftStat(spark, "opqd_stat_spec", s"$dir/stat",
+        gen = 1, n = n1, totalErr = t1)
+      assert(t1 * n0 > 2.0 * t0 * n1,
+        s"test premise: drifted OPQ stat $t1/$n1 not past 2x baseline $t0/$n0")
+      val full = emb.unionByName(drifted)
+      val fresh = Similarity.refreshOpqIfDrifted(spark, full,
+        "opqd_idx_spec", "opqd_stat_spec", s"$dir/stat", factor = 2.0,
+        k = 4, m = 4, ksub = 4, iters = 2, sweeps = 2, buckets = 8)
+      assert(fresh.isDefined, "OPQ refresh did not fire on a 3x-scaled batch")
+      val stats = Similarity.driftStats(spark, "opqd_stat_spec").collect()
+      assert(stats.length == 1 && stats(0).getLong(0) == 1,
+        s"OPQ stats not restamped: ${stats.toSeq}")
+      assert(Similarity.refreshOpqIfDrifted(spark, full, "opqd_idx_spec",
+        "opqd_stat_spec", s"$dir/stat", factor = 2.0, k = 4, m = 4,
+        ksub = 4, iters = 2, sweeps = 2, buckets = 8).isEmpty,
+        "OPQ refresh re-fired with no post-refresh appends")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS opqd_idx_spec")
+      spark.sql("DROP TABLE IF EXISTS opqd_stat_spec")
     }
   }
 
