@@ -464,8 +464,10 @@ object Oracles {
     * query residuals. Built at Verify time from the engine's fitted
     * 6dp-rounded rotation (a deterministic pure function of the
     * embeddings relation, frozen per JVM). */
-  def opqSql(r: Array[Array[Double]]): String = {
-    val rLit = rotationLit(r)
+  /** The shared OPQ WITH-chain through `oscored(query_id, vec_id,
+    * adc)` — routing, rotated-residual fit/encode, rotated probe
+    * residuals, ADC. */
+  private def opqChain(rLit: String): String =
     s"""WITH $EmbCte,
        |${kmeansCtes(8, 2)},
        |cen AS (SELECT cid AS cell_id, v AS centroid FROM c2),
@@ -492,12 +494,30 @@ object Oracles {
        |oscored AS (SELECT query_id, vec_id,
        |  round(list_reduce(list_prepend(0.0, list(dist ORDER BY sub)),
        |    (u, w) -> u + w), 6) AS adc
-       |  FROM osd GROUP BY query_id, vec_id)
+       |  FROM osd GROUP BY query_id, vec_id)""".stripMargin
+
+  def opqSql(r: Array[Array[Double]]): String =
+    s"""${opqChain(rotationLit(r))}
        |SELECT query_id, vec_id, adc, rank FROM
        |  (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
        |     ORDER BY adc, vec_id) AS INTEGER) AS rank FROM oscored)
        |WHERE rank <= 10""".stripMargin
-  }
+
+  /** OPQ IVFADC+R oracle (q59): [[opqChain]]'s ADC shortlist at R=40,
+    * exact cosine re-rank against the TRUE vectors (q170's tail shape,
+    * OPQ family). */
+  def opqRerankSql(r: Array[Array[Double]]): String =
+    s"""${opqChain(rotationLit(r))},
+       |short AS (SELECT query_id, vec_id FROM
+       |  (SELECT *, row_number() OVER (PARTITION BY query_id
+       |     ORDER BY adc, vec_id) AS rr FROM oscored) WHERE rr <= 40),
+       |rer AS (SELECT s.query_id, s.vec_id, round(${cos("qe.v", "ce.v")}, 6) AS cos
+       |  FROM short s JOIN ed qe ON qe.id = s.query_id
+       |  JOIN ed ce ON ce.id = s.vec_id)
+       |SELECT query_id, vec_id, cos, rank FROM
+       |  (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+       |     ORDER BY cos DESC, vec_id) AS INTEGER) AS rank FROM rer)
+       |WHERE rank <= 10""".stripMargin
 
   /** SQL mirror of Html.synthPage over (id, lang, text) expressions —
     * byte-identical page construction on both engines. */

@@ -2434,6 +2434,33 @@ object SparkEntry {
         books, k = 10)
     }),
 
+    // OPQ IVFADC+R over the PERSISTED index (round-19; q59 was the one
+    // never-assigned number — it now carries the OPQ family's
+    // production operating point): q186's bucket-pruned stored probe
+    // feeding the R=40 exact-cosine re-rank (q170's tail, rotated
+    // family — the true query vectors come in as their own relation
+    // because the probes carry per-cell ROTATED residuals). Bounded
+    // aggregates end-to-end; oracle = the OPQ chain's ADC shortlist +
+    // the exact re-rank tail.
+    "q59_ivfpq_opq_rerank" -> ((s, dir) => {
+      val e = embedsD(s, dir)
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val cents = km8(s, dir)
+      val (r, books) = opq816(s, dir)
+      val tbl = seedOpqIdxRo(s, dir)
+      val probes = Similarity.ivfPqOpqProbes(q, cents, r, nprobe = 2)
+      val maxProbeCells = 4096
+      val cells = probes.select("cell_id").distinct()
+        .limit(maxProbeCells + 1).collect().map(_.getInt(0)).sorted
+      require(cells.length <= maxProbeCells,
+        s"probe-cell set exceeds $maxProbeCells: shard the query batch")
+      Similarity.ivfPqResidualTopKRerankFromIndex(
+        sources.Storage.readTable(s, tbl)
+          .filter(col("cell_id").isin(cells.map(Integer.valueOf): _*)),
+        probes, q, e, books, k = 10, r = 40)
+    }),
+
     // q185's PERSISTED-index form (the q184 pattern, OPQ family): the
     // rotated-residual index lands once per JVM bucketed by cell_id,
     // probed cells bucket-prune via isin, probes carry ROTATED per-cell
@@ -2949,7 +2976,8 @@ object SparkEntry {
           "/root/testdata/sf0.001"))._1))
     val opqEntries = rOpt.map { r =>
       val sql = Oracles.opqSql(r)
-      Map("q185_ivfpq_opq" -> sql, "q186_ivfpq_opq_stored" -> sql)
+      Map("q185_ivfpq_opq" -> sql, "q186_ivfpq_opq_stored" -> sql,
+        "q59_ivfpq_opq_rerank" -> Oracles.opqRerankSql(r))
     }.getOrElse(Map.empty)
     Oracles.sql ++ opqEntries
   }
