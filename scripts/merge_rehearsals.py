@@ -47,6 +47,14 @@ for r in rehearsals:
     # local deadline instead (SPARK_GRAFT_DEADLINE_SEC)
     assert r["passes"] >= 2 and not r["failed"] and not r["cold_only"], r["passes"]
 
+# ADVICE r19: a floor resting only on passes==2 rehearsals can sit on a
+# single hot sample per query on a contended host — require at least one
+# rehearsal in the merge to have run the longer deadline (passes >= 3),
+# preserving the min-of-N defense the floor methodology is built on.
+assert max(r["passes"] for r in rehearsals) >= 3, (
+    "no rehearsal reached passes>=3 — rerun one with a longer "
+    "SPARK_GRAFT_DEADLINE_SEC before merging floors")
+
 doc = {
     "metric": "total",
     "value": sum(floors.values()),

@@ -1957,6 +1957,53 @@ object Oracles {
          |     ORDER BY adc, vec_id) AS INTEGER) AS rank FROM rscored)
          |WHERE rank <= 10""".stripMargin,
 
+    // FILTERED ANN mirror (round-20): q180's residual chain with the
+    // metadata predicate (label % 2 = 0) restricting the CANDIDATE set
+    // before ADC scoring — rank-k over the filtered set, exactly the
+    // engine's pushed-filter semantics — then q170's rerank tail
+    // (top-R=40 shortlist by (adc, vec_id), exact cosine re-score,
+    // final top-10 by (cos desc, vec_id)). The fits are over the FULL
+    // corpus (frozen-quantizer contract; the filter is probe-time).
+    "q188_filtered_ann" ->
+      s"""WITH $EmbCte,
+         |${kmeansCtes(8, 2)},
+         |cen AS (SELECT cid AS cell_id, v AS centroid FROM c2),
+         |asg AS (SELECT id AS vec_id, cell_id FROM
+         |  (SELECT e.id, c.cell_id, row_number() OVER (PARTITION BY e.id
+         |     ORDER BY ${cos("e.v", "c.centroid")} DESC, c.cell_id) AS rn
+         |   FROM ed e CROSS JOIN cen c) WHERE rn = 1),
+         |${pqResidualCtes(8, 16, 2)},
+         |lab AS (SELECT vec_id AS id FROM embeddings WHERE label % 2 = 0),
+         |pr AS (SELECT id AS query_id, cell_id FROM
+         |  (SELECT e.id, c.cell_id, row_number() OVER (PARTITION BY e.id
+         |     ORDER BY ${cos("e.v", "c.centroid")} DESC, c.cell_id) AS rn
+         |   FROM ed e CROSS JOIN cen c WHERE e.id < 5) WHERE rn <= 2),
+         |qr AS (SELECT p.query_id, p.cell_id,
+         |    list_transform(e.v, (x, i) -> x - c.centroid[i]) AS qv
+         |  FROM pr p JOIN ed e ON e.id = p.query_id
+         |  JOIN cen c ON c.cell_id = p.cell_id),
+         |rqsv AS (SELECT query_id, cell_id, sub,
+         |    list_slice(qv, sub*8+1, sub*8+8) AS v FROM qr CROSS JOIN rsubs),
+         |rsd AS (SELECT q.query_id, a.vec_id, q.sub, ${sqDist("q.v", "c.v")} AS dist
+         |  FROM rqsv q JOIN asg a ON a.cell_id = q.cell_id
+         |  JOIN lab ON lab.id = a.vec_id
+         |  JOIN rpa3 pa ON pa.id = a.vec_id AND pa.sub = q.sub
+         |  JOIN rpc2 c ON c.sub = pa.sub AND c.cid = pa.cid),
+         |rscored AS (SELECT query_id, vec_id,
+         |  round(list_reduce(list_prepend(0.0, list(dist ORDER BY sub)),
+         |    (u, w) -> u + w), 6) AS adc
+         |  FROM rsd GROUP BY query_id, vec_id),
+         |short AS (SELECT query_id, vec_id FROM
+         |  (SELECT *, row_number() OVER (PARTITION BY query_id
+         |     ORDER BY adc, vec_id) AS rr FROM rscored) WHERE rr <= 40),
+         |rer AS (SELECT s.query_id, s.vec_id, round(${cos("qe.v", "ce.v")}, 6) AS cos
+         |  FROM short s JOIN ed qe ON qe.id = s.query_id
+         |  JOIN ed ce ON ce.id = s.vec_id)
+         |SELECT query_id, vec_id, cos, rank FROM
+         |  (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+         |     ORDER BY cos DESC, vec_id) AS INTEGER) AS rank FROM rer)
+         |WHERE rank <= 10""".stripMargin,
+
     // DRIFT STATISTIC mirror (round-19): q180's residual fit chain, then
     // per-generation totals of the FINAL encode's per-assignment dist —
     // gen 0 over the corpus (rpa3's own assignments), gen 1 over the

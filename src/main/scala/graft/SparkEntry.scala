@@ -299,6 +299,18 @@ object SparkEntry {
         t, s"$o/idx", bucketCol = "cell_id", buckets = 8); t
     }
 
+  /** q188's stored residual index WITH the `label` metadata column —
+    * the filtered-ANN operating shape: the filterable attribute lives in
+    * the index next to the codes, so a probe-time predicate is a pushed
+    * parquet filter on the (bucket-pruned) index scan. */
+  private def seedResIdxLblRo(s: SparkSession, dir: String): String =
+    seedOnce("graft_residxlbl_ro", dir) { (o, t) =>
+      sources.Storage.writeBucketed(
+        Similarity.ivfPqIndexResidual(embedsD(s, dir), km8(s, dir),
+          pq816r(s, dir), extraCols = Seq("label")),
+        t, s"$o/idx", bucketCol = "cell_id", buckets = 8); t
+    }
+
   /** q186's stored OPQ index, cell_id-bucketed. */
   private def seedOpqIdxRo(s: SparkSession, dir: String): String =
     seedOnce("graft_opqidx_ro", dir) { (o, t) =>
@@ -334,6 +346,7 @@ object SparkEntry {
       "vercorpus" -> (() => seedVerCorpus(s, dir)),
       "verts" -> (() => seedVerTs(s, dir)),
       "staleidx" -> (() => seedStaleIdxTemplate(s, dir)),
+      "residxlbl" -> (() => seedResIdxLblRo(s, dir)),
       "opq" -> (() => opq816(s, dir)),
       "opqidx" -> (() => seedOpqIdxRo(s, dir)))
     val pool = java.util.concurrent.Executors.newFixedThreadPool(threads.max(1))
@@ -400,6 +413,13 @@ object SparkEntry {
     String, (Array[Array[Double]], IndexedSeq[IndexedSeq[(Int, Array[Double])]])]()
   private val lastOpqR =
     new java.util.concurrent.atomic.AtomicReference[Array[Array[Double]]]()
+  /** The sf dir the harness is operating on — [[Verify]] stamps its
+    * sfDir argument here before dumping [[oracleSql]], so the OPQ
+    * fallback fit (used only when no OPQ query ran in this JVM) targets
+    * the RIGHT data rather than the SPARK_GRAFT_SF_DIR env default. */
+  private val lastSfDir =
+    new java.util.concurrent.atomic.AtomicReference[String]()
+  def noteSfDir(dir: String): Unit = lastSfDir.set(dir)
   private def opq816(s: SparkSession, dir: String)
       : (Array[Array[Double]], IndexedSeq[IndexedSeq[(Int, Array[Double])]]) = {
     val fit = frozenOpq.computeIfAbsent(dir, _ =>
@@ -2509,6 +2529,38 @@ object SparkEntry {
         probes, books, k = 10)
     }),
 
+    // FILTERED ANN (round-20, r19 verdict item 3): the standard
+    // production ask after hybrid retrieval — "top-k nearest WHERE
+    // <metadata predicate>" (FAISS IDSelector-style filtering; public
+    // knowledge). The q184 stored residual probe with the `label`
+    // attribute STORED IN THE INDEX next to the codes: the predicate
+    // (label % 2 = 0) rides the bucket-pruned index scan as a pushed
+    // parquet filter (PlanShapeSpec pins PushedFilters), the ADC
+    // shortlist is built only from passing rows — rank-k over the
+    // FILTERED set, not a post-filtered rank-k, which is the semantics
+    // the query means — and the R=40 exact re-rank re-scores only
+    // passing ids. Oracle: q180's residual chain with the same
+    // predicate on the candidate set, shortlist, and rerank tail.
+    "q188_filtered_ann" -> ((s, dir) => {
+      val e = embedsD(s, dir)
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val cents = km8(s, dir)
+      val books = pq816r(s, dir)
+      val tbl = seedResIdxLblRo(s, dir)
+      val probes = Similarity.ivfPqResidualProbes(q, cents, nprobe = 2)
+      val maxProbeCells = 4096
+      val cells = probes.select("cell_id").distinct()
+        .limit(maxProbeCells + 1).collect().map(_.getInt(0)).sorted
+      require(cells.length <= maxProbeCells,
+        s"probe-cell set exceeds $maxProbeCells: shard the query batch")
+      Similarity.ivfPqResidualTopKRerankFromIndex(
+        sources.Storage.readTable(s, tbl)
+          .filter(col("cell_id").isin(cells.map(Integer.valueOf): _*) &&
+            col("label") % 2 === 0),
+        probes, q, e.filter(col("label") % 2 === 0), books, k = 10, r = 40)
+    }),
+
     // DRIFT DETECTION (round-19, verdict item 4): the statistic that
     // makes a stored frozen-quantizer index SELF-maintaining — per
     // generation, the total residual quantization error of the batch
@@ -2961,19 +3013,21 @@ object SparkEntry {
   def oracleSql: Map[String, String] = {
     // The OPQ oracle embeds the engine's fitted rotation as SQL literals
     // (see opq816's doc). Verify dumps oracle_sql.json after running the
-    // queries in this JVM, so the stash is set on every full run; under
-    // a local SPARK_GRAFT_ONLY filter that excludes q185/q186 the
-    // entries are simply omitted (their results weren't dumped either).
-    // Fallback when the queries have NOT run in this JVM (e.g. the
-    // harness-contract spec enumerating the oracle map): compute the
-    // same deterministic fit on the live session at the default smoke
-    // dir. Harmless for correctness — whenever a q185/q186 RESULT
-    // exists to compare, the query ran first and the stash holds the
-    // fit for the right dir.
+    // queries in this JVM, so the stash is set on every full run.
+    // Fallback when the OPQ queries have NOT run in this JVM (a
+    // SPARK_GRAFT_ONLY filter excluding them, or the harness-contract
+    // spec enumerating the oracle map): compute the same deterministic
+    // fit on the live session at the dir the harness DECLARED via
+    // [[noteSfDir]] (Verify stamps its sfDir argument before dumping —
+    // the env default was ADVICE r19: a filtered Verify at another SF
+    // would embed a wrong-dir rotation). Harmless for correctness
+    // either way — whenever a q185/q186 RESULT exists to compare, the
+    // query ran first and lastOpqR holds the fit for the right dir.
     val rOpt = Option(lastOpqR.get()).orElse(
       SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
-        .map(s => opq816(s, sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
-          "/root/testdata/sf0.001"))._1))
+        .map(s => opq816(s, Option(lastSfDir.get()).getOrElse(
+          sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
+            "/root/testdata/sf0.001")))._1))
     val opqEntries = rOpt.map { r =>
       val sql = Oracles.opqSql(r)
       Map("q185_ivfpq_opq" -> sql, "q186_ivfpq_opq_stored" -> sql,

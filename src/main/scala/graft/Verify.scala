@@ -20,6 +20,9 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     graft.sources.Storage.pinBucketedScans(spark)
     new java.io.File(outDir).mkdirs()
+    // Stamp the dir for oracleSql's OPQ fallback (ADVICE r19: a filtered
+    // run that skips the OPQ queries must still dump right-dir SQL).
+    SparkEntry.noteSfDir(sfDir)
     // Local-iteration filter (unset when the driver runs): only dump
     // queries whose name matches the regex.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.r)

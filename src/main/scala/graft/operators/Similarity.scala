@@ -981,16 +981,17 @@ object Similarity {
    * exchange, exactly as in the raw index build.
    */
   def ivfResiduals(corpus: DataFrame, centroids: DataFrame,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      extraCols: Seq[String] = Nil): DataFrame = {
     val cents = centroidMatrix(centroids)
     val centMap = typedLit(cents.map { case (c, v) => (c, v.toSeq) }.toMap)
     val vecD = col(vecCol).cast("array<double>")
     corpus
       .withColumn("cell_id",
         org.apache.spark.sql.graft.NearestCosineCell(vecD, cents))
-      .select(col(idCol), col("cell_id"),
+      .select(col(idCol) +: extraCols.map(col) :+ col("cell_id") :+
         zip_with(vecD, element_at(centMap, col("cell_id")),
-          (x, c) => x - c).as("res"))
+          (x, c) => x - c).as("res"): _*)
   }
 
   /** PQ codebooks trained on RESIDUALS — [[pqFitCodebooks]]'s exact fit
@@ -1013,9 +1014,20 @@ object Similarity {
    * shuffle-free projection ([[ivfResiduals]] + m native NearestCentroid
    * codes fused into one select).
    */
+  /** `extraCols` carries FILTERABLE METADATA columns (label, source,
+    * license tier …) into the index relation next to the codes — the
+    * FAISS-IDSelector-style production shape for FILTERED ANN: with the
+    * attribute stored in the index, a probe-time predicate reaches the
+    * (bucket-pruned) index SCAN as a pushed parquet filter, so
+    * filtering costs nothing extra and the shortlist is built only from
+    * passing rows (rank-k over the filtered set, not post-filtered
+    * rank-k — the semantics a "top-k WHERE license = permissive" query
+    * means). A few bytes per row; the build stays one shuffle-free
+    * projection. */
   def ivfPqIndexResidual(corpus: DataFrame, centroids: DataFrame,
       books: IndexedSeq[IndexedSeq[(Int, Array[Double])]],
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      extraCols: Seq[String] = Nil): DataFrame = {
     val m = books.size
     require(m > 0 && books.head.nonEmpty,
       "ivfPqIndexResidual needs non-empty codebooks")
@@ -1023,8 +1035,8 @@ object Similarity {
     val codeCols = (0 until m).map(s =>
       org.apache.spark.sql.graft.NearestCentroid(
         slice(col("res"), s * d + 1, d), books(s))("cid").as(s"c$s"))
-    ivfResiduals(corpus, centroids, idCol, vecCol)
-      .select(col(idCol) +: col("cell_id") +: codeCols: _*)
+    ivfResiduals(corpus, centroids, idCol, vecCol, extraCols)
+      .select(col(idCol) +: extraCols.map(col) ++: col("cell_id") +: codeCols: _*)
   }
 
   /** Residualize a probe relation: each (query, probed cell) row's

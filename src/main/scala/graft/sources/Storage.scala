@@ -207,34 +207,95 @@ object Storage {
   // registers its pin at launch and releases it at exit, and retention
   // maintenance can run from any process without a side channel. ----
 
+  /** Serialize registry mutations (and the read-then-fold inside
+    * [[vacuumVersionedRegistered]]) across PROCESSES with a filesystem
+    * mutex: an atomic `create(..., overwrite=false)` of a lock file next
+    * to the registry's data (same FileSystem, so the lock lives where
+    * the contention is — file://, hdfs://; object stores without atomic
+    * create need an external lock service, documented below). Without
+    * it, two racing register/release read-modify-writes can lose a pin,
+    * and a pin landing between livePins() and the vacuum's fold would be
+    * ignored — exactly the hazard the registry exists to prevent (ADVICE
+    * r19). Stale-lock recovery: a holder that died mid-operation leaves
+    * the file behind, so locks older than `staleLockMs` are broken
+    * (logged) — registry ops are sub-second metadata writes, minutes of
+    * age means a dead holder. Lock scope is the REGISTRY, not the
+    * versioned table: vacuum's long rewrite runs outside any lock; only
+    * the pin-set read is serialized against mutations, which suffices
+    * because a pin registered after the read was by definition taken on
+    * a generation the fold preserves (a new pin can only pin latestGen,
+    * never below an existing live pin's fold point). */
+  private def withPinLock[T](spark: SparkSession, lockPath: String,
+      staleLockMs: Long = 10 * 60 * 1000L)(body: => T): T = {
+    val lock = new org.apache.hadoop.fs.Path(lockPath + ".lock")
+    val fs = lock.getFileSystem(spark.sessionState.newHadoopConf())
+    val deadline = System.currentTimeMillis() + staleLockMs
+    var held = false
+    while (!held) {
+      try { fs.create(lock, /* overwrite = */ false).close(); held = true }
+      catch { case _: java.io.IOException =>
+        val age = try System.currentTimeMillis() -
+          fs.getFileStatus(lock).getModificationTime
+        catch { case _: java.io.FileNotFoundException => 0L }
+        if (age > staleLockMs) {
+          System.err.println(s"[storage] breaking stale pin-registry lock " +
+            s"$lock (age ${age / 1000}s)")
+          fs.delete(lock, false)
+        } else if (System.currentTimeMillis() > deadline)
+          throw new java.io.IOException(
+            s"pin-registry lock $lock held past the stale horizon — " +
+              "another registry operation is stuck or the clock is wrong")
+        else Thread.sleep(100)
+      }
+    }
+    try body finally fs.delete(lock, false)
+  }
+
+  /** The registry's lock anchor: its table directory (exists from the
+    * first register; the `.lock` sibling is created/removed atomically). */
+  private def pinLockAnchor(spark: SparkSession, pinTable: String,
+      path: String): String =
+    if (!spark.catalog.tableExists(pinTable)) path
+    else {
+      import org.apache.spark.sql.catalyst.TableIdentifier
+      spark.sessionState.catalog.getTableMetadata(TableIdentifier(pinTable))
+        .location.toString
+    }
+
   /** Register a live pin: `owner` (e.g. a training-run id) holds
     * generation `gen` of some versioned table. One tiny row per
     * registration; re-registering the same owner REPLACES its previous
-    * pin (a run re-pins when it restarts). */
+    * pin (a run re-pins when it restarts). Mutations are serialized by
+    * the registry's filesystem lock ([[withPinLock]]) so concurrent
+    * register/release from different processes cannot lose each other's
+    * rows. */
   def registerPin(spark: SparkSession, pinTable: String, path: String,
-      owner: String, gen: Long): Unit = {
-    import spark.implicits._
-    val row = Seq((owner, gen)).toDF("owner", "gen")
-    if (!spark.catalog.tableExists(pinTable))
-      writeBucketed(row, pinTable, path, bucketCol = "owner", buckets = 1)
-    else {
-      import org.apache.spark.sql.functions.col
-      rewriteInPlace(spark, pinTable, "owner", 1) { live =>
-        live.filter(col("owner") =!= owner).unionByName(row)
+      owner: String, gen: Long): Unit =
+    withPinLock(spark, pinLockAnchor(spark, pinTable, path)) {
+      import spark.implicits._
+      val row = Seq((owner, gen)).toDF("owner", "gen")
+      if (!spark.catalog.tableExists(pinTable))
+        writeBucketed(row, pinTable, path, bucketCol = "owner", buckets = 1)
+      else {
+        import org.apache.spark.sql.functions.col
+        rewriteInPlace(spark, pinTable, "owner", 1) { live =>
+          live.filter(col("owner") =!= owner).unionByName(row)
+        }
       }
     }
-  }
 
   /** Release `owner`'s pin (no-op if absent). The crash-safe rewrite is
     * the same swap as compaction — a release interrupted mid-swap
-    * repairs on the next registry operation. */
+    * repairs on the next registry operation. Lock-serialized like
+    * [[registerPin]]. */
   def releasePin(spark: SparkSession, pinTable: String, owner: String): Unit =
-    if (spark.catalog.tableExists(pinTable)) {
-      import org.apache.spark.sql.functions.col
-      rewriteInPlace(spark, pinTable, "owner", 1) { live =>
-        live.filter(col("owner") =!= owner)
+    if (spark.catalog.tableExists(pinTable))
+      withPinLock(spark, pinLockAnchor(spark, pinTable, "")) {
+        import org.apache.spark.sql.functions.col
+        rewriteInPlace(spark, pinTable, "owner", 1) { live =>
+          live.filter(col("owner") =!= owner)
+        }
       }
-    }
 
   /** The live pin set (empty if the registry doesn't exist yet). */
   def livePins(spark: SparkSession, pinTable: String): Seq[Long] =
@@ -251,16 +312,41 @@ object Storage {
     * when no pin is registered: an empty registry means either no
     * consumer exists (then retention policy, not vacuum, decides what
     * to keep) or the registry path is wrong — both should fail loudly
-    * rather than fold everything into one generation. */
+    * rather than fold everything into one generation.
+    *
+    * Concurrency (ADVICE r19): the pin-set READ runs under the
+    * registry's filesystem lock, so it cannot interleave with a
+    * register/release rewrite; the fold itself runs OUTSIDE the lock
+    * (it can take minutes — registry ops must not block on it). The
+    * registry contract is that a new pin is taken at a generation ≥ the
+    * current fold floor (register-at-launch pins [[latestGen]]; pinning
+    * below the oldest LIVE pin targets generations a prior vacuum may
+    * already have merged, so it was never meaningful). The post-fold
+    * RE-VALIDATION enforces that contract: if a pin below the fold
+    * point appears while the fold ran, this fails loudly naming it —
+    * the violating consumer must re-pin at or above the fold point. */
   def vacuumVersionedRegistered(spark: SparkSession, table: String,
       pinTable: String, bucketCol: String = "doc_id",
       buckets: Int = 32): Unit = {
-    val pins = livePins(spark, pinTable)
+    require(spark.catalog.tableExists(pinTable),
+      s"vacuumVersionedRegistered: pin registry `$pinTable` does not " +
+        "exist — register the consumers' pins first")
+    val anchor = pinLockAnchor(spark, pinTable, "")
+    val pins = withPinLock(spark, anchor) { livePins(spark, pinTable) }
     require(pins.nonEmpty,
       s"vacuumVersionedRegistered: no live pins registered in `$pinTable` — " +
         "refusing to vacuum (register the consumers' pins, or use " +
         "vacuumVersioned with an explicit retention decision)")
     vacuumVersioned(spark, table, pins, bucketCol, buckets)
+    val fold = pins.min
+    val below = withPinLock(spark, anchor) { livePins(spark, pinTable) }
+      .filter(_ < fold)
+    if (below.nonEmpty)
+      throw new IllegalStateException(
+        s"vacuumVersionedRegistered: pins ${below.mkString(",")} were " +
+          s"registered below the fold point $fold while the vacuum ran — " +
+          s"generations <= $fold are now merged at gen=$fold; those " +
+          s"consumers must re-pin at or above $fold")
   }
 
   /** Drop `table` from the catalog and recursively delete its files

@@ -354,6 +354,32 @@ class PlanShapeSpec extends GraftSuite {
       s"expected a bucket-pruned stored-OPQ-index scan:\n$planStr")
   }
 
+  test("q188 filtered ANN: the metadata predicate reaches the stored-index " +
+      "SCAN (pushed parquet filter on the bucket-pruned read), never a " +
+      "post-rerank filter") {
+    val out = SparkEntry.queries("q188_filtered_ann")(
+      spark, "/root/testdata/sf0.001")
+    assert(out.collect().nonEmpty)
+    val planStr = out.queryExecution.executedPlan.toString
+    // the label predicate is a data filter on the index's parquet scan —
+    // filtering costs nothing beyond the scan the probe already does
+    assert("PushedFilters: \\[[^\\]]*label[^\\]]*\\]".r
+      .findFirstIn(planStr).isDefined,
+      s"label predicate did not reach the index scan as a pushed filter:\n$planStr")
+    // and the probed-cell isin still bucket-prunes the same scan
+    val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+      .findFirstMatchIn(planStr)
+    assert(sel.isDefined && sel.get.group(1).toInt < sel.get.group(2).toInt,
+      s"expected a bucket-pruned filtered-index scan:\n$planStr")
+    // every returned neighbor satisfies the predicate (rank-k over the
+    // FILTERED set — the shortlist was built only from passing rows)
+    val labels = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out.collect().forall(r => labels(r.getLong(1)) % 2 == 0),
+      "a returned neighbor violates the pushed metadata predicate")
+  }
+
   test("q171 incremental datasheet: the returned plan reads ONLY the stored " +
       "sketch relations — no documents scan anywhere") {
     // the capstone contract: refreshing the full per-source datasheet

@@ -633,6 +633,105 @@ class StreamingSpec extends GraftSuite {
     assert(stream == batchOp && stream.map(_._1) == Set(10L, 11L))
   }
 
+  test("annSelfUpdating: drift-triggered refresh fires INSIDE the 24/7 loop " +
+      "— healthy appends never trigger, a drifted ingest crosses the " +
+      "threshold, the quantizers swap, and retrieval recovers") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Similarity
+    import graft.sources.Storage
+    val rng = new scala.util.Random(11)
+    // yesterday's distribution near the origin; the drifted ingest lives
+    // far away — stale quantizers trained on the old slice cannot code it
+    // (the refresh test's shape, now flowing through the STREAMING loop)
+    val old = (0L until 30L).map(i => (i, Array.fill(16)(rng.nextDouble())))
+    val corpus0 = old.toDF("vec_id", "embedding")
+    val cents0 = Similarity.kmeansFit(corpus0, k = 4, iters = 2)
+    val books0 = Similarity.pqFitCodebooksResidual(corpus0, cents0,
+      m = 4, ksub = 4, iters = 2)
+    val base = java.nio.file.Files.createTempDirectory("graft_ann_loop")
+    base.toFile.deleteOnExit()
+    Storage.writeBucketed(
+      Similarity.ivfPqIndexResidual(corpus0, cents0, books0),
+      "ann_loop_idx", s"$base/idx", bucketCol = "cell_id", buckets = 8)
+    Storage.writeBucketed(corpus0, "ann_loop_cor", s"$base/cor",
+      bucketCol = "vec_id", buckets = 8)
+    // baseline stat: the seed corpus under the initial quantizers
+    // (gen -1 < every batchId, so it stays the oldest row)
+    val (nb, tb) = Similarity.residualQuantizationError(corpus0, cents0, books0)
+    Similarity.recordDriftStat(spark, "ann_loop_stat", s"$base/stat",
+      gen = -1L, n = nb, totalErr = tb)
+    val driftA = (0L until 15L).map(j =>
+      (3000L + j, Array.fill(16)(5.0 + rng.nextDouble())))
+    def noisy(src: Seq[(Long, Array[Double])], idOff: Long) =
+      src.map { case (id, v) => (idOff + (id % 1000), v.map(_ + 0.01)) }
+    val mem = MemoryStream[(Long, Array[Double])]
+    val (q, quant) = graft.streaming.DocumentStreams.annSelfUpdating(
+      mem.toDF.toDF("vec_id", "embedding"), "ann_loop_idx", "ann_loop_cor",
+      "ann_loop_stat", s"$base/stat", s"$base/pairs", s"$base/ckpt",
+      cents0, books0, k = 1, r = 1, nprobe = 2, driftFactor = 2.0,
+      kmK = 4, pqM = 4, pqKsub = 4, maintainEvery = 2)
+    try {
+      def pairs = spark.read.parquet(s"$base/pairs")
+        .filter(col("rank") === 1)
+        .select("query_id", "vec_id").as[(Long, Long)].collect().toMap
+      // batches 0+1: in-distribution ingest (noisy copies of seed
+      // vectors) — batch 1 runs the maintenance cycle; refresh must stay
+      // quiet and detection must work (each copy retrieves its original)
+      mem.addData(old.take(5).map { case (i, v) => (1000L + i, v.map(_ + 0.01)) }: _*)
+      q.processAllAvailable()
+      mem.addData(old.slice(5, 10).map { case (i, v) => (1100L + i, v.map(_ + 0.01)) }: _*)
+      q.processAllAvailable()
+      assert(quant.get()._2 eq books0,
+        "refresh fired on in-distribution appends")
+      assert(Similarity.driftStats(spark, "ann_loop_stat").count() == 3,
+        "healthy cycle restamped the stat table")
+      val healthy = pairs
+      assert((0L until 5L).forall(i => healthy.get(1000L + i).contains(i)),
+        s"healthy detection broke: $healthy")
+      // batch 2: drifted set A lands (no cycle yet); batch 3: noisy
+      // copies of A probe it WITH THE STALE QUANTIZERS (the probe runs
+      // before batch 3's maintenance cycle) — then the cycle sees the
+      // drifted stats and must fire the refresh
+      mem.addData(driftA: _*)
+      q.processAllAvailable()
+      mem.addData(noisy(driftA, 4000L): _*)
+      q.processAllAvailable()
+      val staleRecall = (0L until 15L).count(j =>
+        pairs.get(4000L + j).contains(3000L + j)) / 15.0
+      assert(quant.get()._2 ne books0, "drift refresh did not fire in-loop")
+      val stats = Similarity.driftStats(spark, "ann_loop_stat").collect()
+      assert(stats.length == 1 && stats(0).getLong(0) == 3L,
+        s"stats not restamped to the latest-gen baseline: ${stats.toSeq}")
+      // the in-loop refresh equals a one-shot fresh build over the full
+      // stored corpus (the stand-alone refresh test's parity, through
+      // the loop)
+      val full = Storage.readTable(spark, "ann_loop_cor")
+      val centsF = Similarity.kmeansFit(full, k = 4, iters = 2)
+      val booksF = Similarity.pqFitCodebooksResidual(full, centsF,
+        m = 4, ksub = 4, iters = 2)
+      spark.catalog.refreshTable("ann_loop_idx")
+      assert(Storage.readTable(spark, "ann_loop_idx")
+        .collect().map(_.toString).sorted.toSeq ==
+        Similarity.ivfPqIndexResidual(full, centsF, booksF)
+          .collect().map(_.toString).sorted.toSeq,
+        "in-loop refresh diverges from a fresh full build")
+      // batch 4: more noisy copies of A, routed with the SWAPPED
+      // quantizers — retrieval of the drifted family recovers
+      mem.addData(noisy(driftA, 5000L): _*)
+      q.processAllAvailable()
+      val freshRecall = (0L until 15L).count(j =>
+        pairs.get(5000L + j).exists(v => v == 3000L + j || v == 4000L + j)) / 15.0
+      assert(freshRecall > staleRecall && freshRecall >= 0.8,
+        s"recall did not recover after the in-loop refresh: " +
+          s"stale $staleRecall, fresh $freshRecall")
+    } finally {
+      q.stop()
+      Seq("ann_loop_idx", "ann_loop_cor", "ann_loop_stat")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
+    }
+  }
+
   test("sessionize in batch mode emits the final open session") {
     import spark.implicits._
     // timeouts never fire in batch — the end-of-group flush must cover the
