@@ -611,6 +611,18 @@ object ScaleSmoke {
           iters = 2)
       })
     }
+    // OPQ-family frozen rotation + codebooks (q185/q186/q59's
+    // quantizers), cached per tier like frozenResQuant — the alternating
+    // fit is the trained artifact, never re-paid per batch
+    val quantOpqByTier = scala.collection.mutable.Map.empty[
+      String, (Array[Array[Double]], IndexedSeq[IndexedSeq[(Int, Array[Double])]])]
+    def frozenOpqQuant(e: DataFrame) = synchronized {
+      quantOpqByTier.getOrElseUpdate(embTierTag(e), {
+        val (c, _) = frozenQuant(e)
+        Similarity.opqFitRotation(Similarity.ivfResiduals(embD(e), c),
+          m = 8, ksub = 16, iters = 2, sweeps = 4)
+      })
+    }
     // (name, run(embeddings, tier)) where tier 0/1/2 = 1x/10x/100x
     val embOps: Seq[(String, (DataFrame, Int) => Long)] = Seq[(String, (DataFrame, Int) => Long)](
       ("ann_lsh_topk", (e, _) => lsh(e)),
@@ -751,6 +763,50 @@ object ScaleSmoke {
           Similarity.ivfPqResidualProbesAgg(q, c, nprobe = 2), b, k = 10)
           .count()
       }),
+      // OPQ (q185/q186/q59) build/append/probe timing — round-20: the
+      // residual rows' accounting applied to the rotated family, so the
+      // one-projection-build and corpus-size-flat-append claims cover
+      // the third decade for OPQ too. The rotation is one more
+      // expression in the same shuffle-free projection (PlanShapeSpec
+      // pins it); probe = ADC aggregate tail over rotated residuals.
+      ("ann_opq_index_rebuild", (e, _) => {
+        val (c, _) = frozenQuant(e)
+        val (r, b) = frozenOpqQuant(e)
+        Similarity.ivfPqIndexOpq(embD(e), c, r, b).count()
+      }),
+      ("ann_opq_index_append", (e, _) => {
+        val (c, _) = frozenQuant(e)
+        val (r, b) = frozenOpqQuant(e)
+        Similarity.ivfPqIndexOpq(embD(e).filter(col("vec_id") < 500),
+          c, r, b).count()
+      }),
+      ("ann_opq_probe", (e, _) => {
+        val ed = embD(e)
+        val (c, _) = frozenQuant(e)
+        val (r, b) = frozenOpqQuant(e)
+        val q = ed.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("query_id"), col("embedding"))
+        Similarity.ivfPqTopKAggFromIndex(
+          Similarity.ivfPqIndexOpq(ed, c, r, b),
+          Similarity.ivfPqOpqProbes(q, c, r, nprobe = 2), b, k = 10)
+          .count()
+      }),
+      // FILTERED ANN (q188, round-20): the metadata predicate rides the
+      // index relation into the ADC stage, shortlist + R=40 exact
+      // re-rank over passing rows only — the row documents that the
+      // filter adds nothing super-linear to the probe
+      ("ann_filtered_probe", (e, _) => {
+        val ed = embD(e)
+        val (c, _) = frozenQuant(e)
+        val b = frozenResQuant(e)
+        val q = ed.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("query_id"), col("embedding"))
+        Similarity.ivfPqResidualTopKRerankFromIndex(
+          Similarity.ivfPqIndexResidual(ed, c, b, extraCols = Seq("label"))
+            .filter(col("label") % 2 === 0),
+          Similarity.ivfPqResidualProbesAgg(q, c, nprobe = 2), q,
+          ed.filter(col("label") % 2 === 0), b, k = 10, r = 40).count()
+      }),
       ("semantic_dedup", (e, t) => sem(e, 8 * math.pow(10, t).toInt)),
       ("semantic_dedup_scaled", (e, t) => semScaled(e, 8 * math.pow(10, t).toInt)),
       // diversity sampling under its 100 TB knobs (k grows with the
@@ -776,11 +832,14 @@ object ScaleSmoke {
     val wantsAnnIndex = embOps.exists(o => (o._1.startsWith("ann_index_") ||
       o._1.startsWith("ann_residual_")) && wanted(o._1))
     if (wantsAnnIndex) { frozenQuant(emb1); frozenQuant(emb10) }
-    // drift_stat + the residual rows measure ENCODE passes, not the
-    // amortized fits
-    if (wanted("drift_stat") ||
+    // drift_stat + the residual/filtered rows measure ENCODE passes,
+    // not the amortized fits
+    if (wanted("drift_stat") || wanted("ann_filtered_probe") ||
         embOps.exists(o => o._1.startsWith("ann_residual_") && wanted(o._1))) {
       frozenResQuant(emb1); frozenResQuant(emb10)
+    }
+    if (embOps.exists(o => o._1.startsWith("ann_opq_") && wanted(o._1))) {
+      frozenOpqQuant(emb1); frozenOpqQuant(emb10)
     }
     embOps.filter(o => wanted(o._1)).foreach { case (name, f) =>
       f(emb1, 0) // warmup
@@ -1175,6 +1234,49 @@ object ScaleSmoke {
       val (a10, b10, c10, d10, e10) = opqRecall(emb10)
       results += f"""{"op":"ann_opq_recall","opq_adc_q5_1x":$a1%.3f,"opq_rerank40_q5_1x":$b1%.3f,"opq_rerank40_q50_1x":$c1%.3f,"residual_rerank40_q50_1x":$d1%.3f,"raw_rerank40_q50_1x":$e1%.3f,"opq_adc_q5_10x":$a10%.3f,"opq_rerank40_q5_10x":$b10%.3f,"opq_rerank40_q50_10x":$c10%.3f,"residual_rerank40_q50_10x":$d10%.3f,"raw_rerank40_q50_10x":$e10%.3f}"""
     }
+    // OPQ CODE-BUDGET SWEEP (round-20, r19 verdict item 6): Ge 2013's
+    // claim is that the learned rotation's advantage over raw/residual
+    // PQ grows with code budget — the m=8 point lives in ann_opq_recall;
+    // this row measures the SAME 50-query rerank40 recalls at m=16
+    // (double the bits, sub-dim 4), so BASELINE.md can show the gap at
+    // two budgets side by side.
+    def opqBudgetRecall(e: DataFrame, m: Int): (Double, Double, Double) = {
+      val ed = embD(e)
+      val q50 = ed.filter(col("vec_id") < 50)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      def ids(df: DataFrame): Map[Any, Set[Long]] = df.collect()
+        .groupBy(_.get(0)).map { case (g, rs) => g -> rs.map(_.getLong(1)).toSet }
+      val exact = ids(Similarity.bruteForceTopK(ed, q50, k = 10))
+      def rec(df: DataFrame): Double = {
+        val a = ids(df)
+        exact.map { case (g, ex) =>
+          (a.getOrElse(g, Set.empty) & ex).size.toDouble / ex.size
+        }.sum / exact.size
+      }
+      val km = Similarity.kmeansFit(ed, k = 8, iters = 2)
+      val (r, books) = Similarity.opqFitRotation(
+        Similarity.ivfResiduals(ed, km), m = m, ksub = 16, iters = 2,
+        sweeps = 4)
+      val opqR = rec(Similarity.ivfPqResidualTopKRerankFromIndex(
+        Similarity.ivfPqIndexOpq(ed, km, r, books),
+        Similarity.ivfPqOpqProbes(q50, km, r, nprobe = 2),
+        q50, ed, books, k = 10, r = 40))
+      val resB = Similarity.pqFitCodebooksResidual(ed, km, m = m, ksub = 16,
+        iters = 2)
+      val resR = rec(Similarity.ivfPqResidualTopKRerankFromIndex(
+        Similarity.ivfPqIndexResidual(ed, km, resB),
+        Similarity.ivfPqResidualProbes(q50, km, nprobe = 2),
+        q50, ed, resB, k = 10, r = 40))
+      val rawB = Similarity.pqFitCodebooks(ed, m = m, ksub = 16, iters = 2)
+      val rawR = rec(Similarity.ivfPqTopKRerank(ed, q50, km, rawB,
+        nprobe = 2, k = 10, r = 40))
+      (opqR, resR, rawR)
+    }
+    if (wanted("ann_opq_budget16")) {
+      val (o1, s1, w1) = opqBudgetRecall(emb1, 16)
+      val (o10, s10, w10) = opqBudgetRecall(emb10, 16)
+      results += f"""{"op":"ann_opq_budget16","opq_rerank40_q50_1x":$o1%.3f,"residual_rerank40_q50_1x":$s1%.3f,"raw_rerank40_q50_1x":$w1%.3f,"opq_rerank40_q50_10x":$o10%.3f,"residual_rerank40_q50_10x":$s10%.3f,"raw_rerank40_q50_10x":$w10%.3f}"""
+    }
 
     // BUCKETED-INDEX COMPACTION (round-16): the 24/7 append loop grows
     // files linearly in batch count (one per (task, bucket) per append
@@ -1252,7 +1354,11 @@ object ScaleSmoke {
         selfUpdatingTables(docs100, "takedown"); takedownLedger(docs100)
       }
       if (wantsAnnIndex) frozenQuant(emb100)
-      if (wanted("drift_stat")) frozenResQuant(emb100)
+      if (wanted("drift_stat") || wanted("ann_filtered_probe") ||
+          embOps.exists(o => o._1.startsWith("ann_residual_") && wanted(o._1)))
+        frozenResQuant(emb100)
+      if (embOps.exists(o => o._1.startsWith("ann_opq_") && wanted(o._1)))
+        frozenOpqQuant(emb100)
       // The default subset is the scan/candidate-generation families; the
       // composed pipelines + distributed writer (align_bert, conll_to_bert,
       // conll_write — minutes each at 100x) join under
