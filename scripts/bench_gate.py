@@ -1,0 +1,176 @@
+#!/usr/bin/env python3
+"""Machine adjudication of a bench artifact against the merged floors.
+
+Operationalizes BASELINE.md's §control rules (round-20 form) so a gate
+reader — human or driver — gets the verdict from the artifacts alone:
+
+  bench_gate.py ARTIFACT FLOORS [--ref REF] [--control-floor 0.33]
+                [--gate 2.0]
+
+ARTIFACT  the run to judge (BENCH_r{N}.json / BENCH_local.json — the
+          one-line JSON graft.Bench emits)
+FLOORS    the merged rehearsal floors (BENCH_rehearsal_r{N}.json)
+REF       a clean reference artifact carrying per-query `exec_cpu`
+          (default: the committed BENCH_local.json next to FLOORS)
+
+Rules applied, in order:
+ 1. Host factor h = median(mid-sweep control walls) / control_floor.
+    The first control sample is excluded (pre-preseed JIT — compare
+    first-samples to first-samples only, per BASELINE.md).
+ 2. Total ratio = sum(times)/sum(floors), reported raw and h-normalized
+    (measured / (floor x max(1, h))).
+ 3. Every query over `gate` x its floor is CLASSIFIED with the
+    round-20 rule: wall inflated while the query's own executor task
+    CPU (`exec_cpu`) stays near the reference => CONTENTION (the host,
+    not the plan); wall AND exec_cpu inflated together =>
+    REGRESSION-SUSPECT (the plan really does more distributed work).
+    Artifacts without exec_cpu (pre-round-20) degrade to UNCLASSIFIED.
+
+Exit code 0 = PASS (normalized total within gate, no regression
+suspects), 1 = FAIL, 2 = PASS-WITH-SUSPECTS (total inside the gate but
+individual queries need a look). One JSON line on stdout; a
+human-readable table on stderr.
+"""
+import argparse
+import json
+import os
+import sys
+
+
+def median(xs):
+    xs = sorted(xs)
+    n = len(xs)
+    if n == 0:
+        return None
+    return xs[n // 2] if n % 2 else (xs[n // 2 - 1] + xs[n // 2]) / 2
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("artifact")
+    ap.add_argument("floors")
+    ap.add_argument("--ref", default=None,
+                    help="reference artifact with exec_cpu (default: "
+                         "BENCH_local.json next to FLOORS)")
+    ap.add_argument("--control-floor", type=float, default=0.33,
+                    help="BASELINE.md's mid-sweep control median")
+    ap.add_argument("--gate", type=float, default=2.0)
+    args = ap.parse_args()
+
+    art = json.load(open(args.artifact))
+    salvaged = False
+    if "parsed" in art and "queries" not in art:
+        # driver wrapper {n, rc, sf, tail, parsed}: use the parsed line
+        # when the driver got one; otherwise salvage per-query times
+        # from the 2000-char stdout tail (same regex as Bench's
+        # prior-cost loader) — control/cpu maps may be cut, which the
+        # output flags as tail_salvage so the reader prefers the
+        # committed full-line BENCH_local.json when available
+        if art.get("parsed"):
+            art = art["parsed"]
+        else:
+            import re
+            tail = art.get("tail", "")
+            # Only the section after "queries":{ holds wall times — the
+            # cpu/exec_cpu maps share the same query-name keys, and at
+            # the 188-query surface a 2000-char tail usually holds ONLY
+            # those trailing maps. If the queries section is absent,
+            # the stdout tail cannot adjudicate anything: say so and
+            # point at the full line Bench persists in-repo.
+            start = tail.find('"queries":{')
+            if start < 0:
+                print(json.dumps({
+                    "verdict": "NO_PARSED_LINE",
+                    "reason": "driver tail truncated past the queries "
+                              "map; read the committed BENCH_local.json "
+                              "(graft.Bench persists the full artifact "
+                              "line in-repo for exactly this case)"}))
+                sys.exit(1)
+            frag = tail[start:]
+            cut = min((i for i in (frag.find('"failed":'),
+                                   frag.find('"cpu":'),
+                                   frag.find('"exec_cpu":'),
+                                   frag.find('"control":')) if i >= 0),
+                      default=len(frag))
+            qs = {m.group(1): float(m.group(2)) for m in re.finditer(
+                r'"(q\d+[a-z0-9_]*)":([0-9.Ee+-]+)', frag[:cut])}
+            art = {"queries": qs, "failed": [], "control": []}
+            salvaged = True
+    floors = json.load(open(args.floors))["queries"]
+    ref_path = args.ref or os.path.join(
+        os.path.dirname(os.path.abspath(args.floors)), "BENCH_local.json")
+    ref_exec = {}
+    if os.path.exists(ref_path):
+        ref_exec = json.load(open(ref_path)).get("exec_cpu", {})
+
+    # 1. host factor from the control series (skip the first sample)
+    control = art.get("control", [])
+    mid = [w for _, w, *_ in control[1:]] if len(control) > 1 else \
+        [w for _, w, *_ in control]
+    h = (median(mid) / args.control_floor) if mid else None
+    h_eff = max(1.0, h) if h is not None else 1.0
+
+    qs = {k: v for k, v in art.get("queries", {}).items() if k in floors}
+    missing = sorted(set(floors) - set(qs))
+    total = sum(qs.values())
+    floor_total = sum(floors[k] for k in qs)
+    raw = total / floor_total if floor_total else None
+    norm = raw / h_eff if raw is not None else None
+
+    # 3. classify every over-gate query
+    exec_cpu = art.get("exec_cpu", {})
+    contention, suspects, unclassified = [], [], []
+    for k, t in sorted(qs.items(), key=lambda kv: -kv[1] / floors[kv[0]]):
+        ratio = t / floors[k]
+        if ratio <= args.gate:
+            continue
+        e, er = exec_cpu.get(k), ref_exec.get(k)
+        row = {"q": k, "sec": round(t, 2), "floor": round(floors[k], 2),
+               "ratio": round(ratio, 2), "exec_cpu": e, "exec_ref": er}
+        if e is None or er is None:
+            unclassified.append(row)
+        elif e <= max(2.0 * er, er + 1.0):
+            contention.append(row)   # wall up, own task CPU flat
+        else:
+            suspects.append(row)     # wall AND task CPU up: real work
+    verdict = ("FAIL" if (norm is None or norm > args.gate or
+                          art.get("failed"))
+               else "PASS_WITH_SUSPECTS" if (suspects or unclassified)
+               else "PASS")
+    out = {
+        "verdict": verdict,
+        "host_factor_h": round(h, 2) if h is not None else None,
+        "raw_ratio": round(raw, 2) if raw is not None else None,
+        "normalized_ratio": round(norm, 2) if norm is not None else None,
+        "gate": args.gate,
+        "queries": len(qs),
+        "missing_vs_floors": missing,
+        "failed": art.get("failed", []),
+        "over_gate_contention": contention,
+        "over_gate_regression_suspects": suspects,
+        "over_gate_unclassified": unclassified,
+        "warm_drained": art.get("warm_drained"),
+        "passes": art.get("passes"),
+        "tail_salvage": salvaged,
+    }
+    print(json.dumps(out))
+
+    def tbl(rows, tag):
+        for r in rows[:10]:
+            print(f"  {tag:11s} {r['q']:28s} {r['sec']:8.2f}s vs floor "
+                  f"{r['floor']:.2f} ({r['ratio']:.1f}x)  exec_cpu "
+                  f"{r['exec_cpu']} vs ref {r['exec_ref']}", file=sys.stderr)
+    print(f"verdict {verdict}: h={out['host_factor_h']} raw "
+          f"{out['raw_ratio']}x -> normalized {out['normalized_ratio']}x "
+          f"over {len(qs)} queries (passes {out['passes']}, "
+          f"{len(suspects)} suspects, {len(contention)} contention, "
+          f"{len(unclassified)} unclassified)", file=sys.stderr)
+    tbl(suspects, "SUSPECT")
+    tbl(contention, "contention")
+    tbl(unclassified, "no-exec-data")
+    sys.exit(0 if verdict == "PASS" else 2 if verdict ==
+             "PASS_WITH_SUSPECTS" else 1)
+
+
+if __name__ == "__main__":
+    main()

@@ -367,11 +367,11 @@ object DocumentStreams {
     * that has never seen one skips the read entirely instead of paying
     * an empty table's write + scan up front. */
   private def dropTombstoned(rel: DataFrame, spark: org.apache.spark.sql.SparkSession,
-      tombstoneTable: Option[String]): DataFrame =
+      tombstoneTable: Option[String], idCol: String = "dup_id"): DataFrame =
     tombstoneTable.filter(spark.catalog.tableExists).fold(rel) { t =>
       spark.catalog.refreshTable(t)
       rel.join(broadcast(graft.sources.Storage.readTable(spark, t)
-        .toDF("__ts_id")), col("dup_id") === col("__ts_id"), "left_anti")
+        .toDF("__ts_id")), col(idCol) === col("__ts_id"), "left_anti")
     }
 
   /**
@@ -701,10 +701,15 @@ object DocumentStreams {
    * Returns the started query plus the live quantizer reference — the
    * caller reads it to route its OWN probes (a serving path must
    * follow the same swap) and the spec asserts the swap fired inside
-   * the loop. Takedowns compose exactly as in the other loops
-   * (tombstone anti-join + compaction `dropIds`) and are omitted here
-   * to keep the drift cycle legible; a production deployment lifts
-   * them verbatim from [[semanticSelfUpdating]].
+   * the loop. `tombstoneTable` wires TAKEDOWNS in exactly as in the
+   * other loops: every probe anti-joins the (already cell-pruned,
+   * codes-only) index rows against the ledger, the maintenance cycle
+   * physically drops tombstoned rows from BOTH stored tables and
+   * prunes the ledger ([[runMaintenance]]), and — ordering that
+   * matters for compliance — the maintenance drop runs BEFORE the
+   * drift check, so a fired refresh re-encodes from the
+   * already-scrubbed corpus and can never resurrect a deleted vector
+   * into the fresh index.
    */
   def annSelfUpdating(vectors: DataFrame, indexTable: String,
       corpusTable: String, statTable: String, statPath: String,
@@ -716,7 +721,7 @@ object DocumentStreams {
       pqKsub: Int = 16, fitIters: Int = 2, idCol: String = "vec_id",
       vecCol: String = "embedding", indexBuckets: Int = 8,
       corpusBuckets: Int = 8, maxProbeCells: Int = 4096,
-      maintainEvery: Int = 0)
+      maintainEvery: Int = 0, tombstoneTable: Option[String] = None)
       : (org.apache.spark.sql.streaming.StreamingQuery,
          java.util.concurrent.atomic.AtomicReference[
            (DataFrame, IndexedSeq[IndexedSeq[(Int, Array[Double])]])]) = {
@@ -738,10 +743,11 @@ object DocumentStreams {
           val cells = probes.select("cell_id").distinct()
             .limit(maxProbeCells + 1).collect().map(_.getInt(0))
           val index0 = Storage.readTable(spark, indexTable)
-          val pruned =
+          val pruned = dropTombstoned(
             if (cells.length > maxProbeCells) index0
             else index0.filter(col("cell_id").isin(
-              cells.map(Integer.valueOf): _*))
+              cells.map(Integer.valueOf): _*)),
+            spark, tombstoneTable, idCol)
           Similarity.ivfPqResidualTopKRerankFromIndex(pruned, probes, q,
             Storage.readTable(spark, corpusTable), books, k, r,
             idCol, vecCol)
@@ -759,19 +765,20 @@ object DocumentStreams {
           writeAbsorbedMarker(spark, checkpointDir, batchId)
           if (maintainEvery > 0 &&
               absorbed.incrementAndGet() % maintainEvery == 0) {
+            // takedowns apply PHYSICALLY first (both tables compact with
+            // the ledger's drops; the ledger itself prunes) so the drift
+            // refresh below — which retrains and re-encodes from the
+            // CURRENT corpus table — can never re-encode a deleted
+            // vector into the fresh index
+            runMaintenance(spark, tombstoneTable, Seq(
+              (indexTable, "cell_id", indexBuckets, idCol),
+              (corpusTable, idCol, corpusBuckets, idCol)),
+              tombstoneIdCol = idCol)
             Similarity.refreshResidualIfDrifted(spark,
               Storage.readTable(spark, corpusTable), indexTable, statTable,
               statPath, driftFactor, kmK, pqM, pqKsub, fitIters,
-              indexBuckets, idCol, vecCol) match {
-              case Some(fresh) =>
-                // the refresh's rewriteInPlace already left the index at
-                // one file per bucket; only the swap remains
-                quant.set(fresh)
-              case None =>
-                Storage.compactBuckets(spark, indexTable, "cell_id",
-                  indexBuckets)
-            }
-            Storage.compactBuckets(spark, corpusTable, idCol, corpusBuckets)
+              indexBuckets, idCol, vecCol)
+              .foreach(fresh => quant.set(fresh))
           }
         }
       }

@@ -725,9 +725,48 @@ class StreamingSpec extends GraftSuite {
       assert(freshRecall > staleRecall && freshRecall >= 0.8,
         s"recall did not recover after the in-loop refresh: " +
           s"stale $staleRecall, fresh $freshRecall")
+      // TAKEDOWN composes with the drift loop: tombstone the 3000
+      // family, restart with the ledger configured (and the SWAPPED
+      // quantizers, as a production restart would) — probes hide the
+      // deleted vectors immediately, and the next maintenance cycle
+      // drops them physically BEFORE any drift check could re-encode
+      // them
+      q.stop()
+      graft.streaming.DocumentStreams.recordDeletions(
+        (3000L until 3015L).toDF("vec_id"), "ann_loop_ts", s"$base/ts",
+        idCol = "vec_id")
+      val (centsNow, booksNow) = quant.get()
+      val (q2, _) = graft.streaming.DocumentStreams.annSelfUpdating(
+        mem.toDF.toDF("vec_id", "embedding"), "ann_loop_idx",
+        "ann_loop_cor", "ann_loop_stat", s"$base/stat", s"$base/pairs",
+        s"$base/ckpt", centsNow, booksNow, k = 1, r = 1, nprobe = 2,
+        driftFactor = 2.0, kmK = 4, pqM = 4, pqKsub = 4,
+        maintainEvery = 2, tombstoneTable = Some("ann_loop_ts"))
+      try {
+        mem.addData(noisy(driftA, 6000L): _*)
+        q2.processAllAvailable()
+        val p6 = (0L until 15L).flatMap(j => pairs.get(6000L + j))
+        assert(p6.nonEmpty && p6.forall(v => v < 3000L || v >= 4000L),
+          s"tombstoned vectors still matched after the takedown: $p6")
+        // second batch triggers the maintenance cycle → physical drop
+        mem.addData(old.slice(10, 15).map { case (i, v) =>
+          (7000L + i, v.map(_ + 0.01)) }: _*)
+        q2.processAllAvailable()
+        spark.catalog.refreshTable("ann_loop_idx")
+        assert(spark.table("ann_loop_idx")
+          .filter(col("vec_id").between(3000L, 3014L)).count() == 0,
+          "tombstoned index rows survived the maintenance compaction")
+        spark.catalog.refreshTable("ann_loop_cor")
+        assert(spark.table("ann_loop_cor")
+          .filter(col("vec_id").between(3000L, 3014L)).count() == 0,
+          "tombstoned corpus rows survived the maintenance compaction")
+        spark.catalog.refreshTable("ann_loop_ts")
+        assert(spark.table("ann_loop_ts").count() == 0,
+          "ledger not pruned after the drops were applied")
+      } finally q2.stop()
     } finally {
       q.stop()
-      Seq("ann_loop_idx", "ann_loop_cor", "ann_loop_stat")
+      Seq("ann_loop_idx", "ann_loop_cor", "ann_loop_stat", "ann_loop_ts")
         .foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
     }
   }
