@@ -43,10 +43,15 @@ class BenchTaskCpu(groupPrefix: String) extends SparkListener {
       cpuNs.addAndGet(te.taskMetrics.executorCpuTime)
 
   /** Cumulative attributed executor CPU seconds, after draining the
-    * async listener bus so in-flight task-end events are counted
-    * (bounded wait — a wedged bus must not hang the bench). */
+    * async listener bus so in-flight task-end events are counted.
+    * The wait is bounded TIGHT (2 s): an idle bus drains in
+    * milliseconds, and on a host contended enough to exceed this the
+    * measurement is already contention-dominated — a missed drain only
+    * blurs one sample's attribution (exec_cpu is best-effort by
+    * contract), while two 10 s waits per query across a 188-query
+    * sweep could meaningfully eat a degraded run's deadline. */
   def snapshotSec(sc: SparkContext): Double = {
-    try sc.listenerBus.waitUntilEmpty(10000L)
+    try sc.listenerBus.waitUntilEmpty(2000L)
     catch { case _: Throwable => () }
     cpuNs.get() / 1e9
   }
