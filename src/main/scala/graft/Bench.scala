@@ -76,7 +76,13 @@ object Bench {
       // BEFORE this instant may carry warmer-thread contamination
       // (ADVICE r19) — exec_cpu is immune by construction.
       val wd = math.rint(warmDrained * 100) / 100
-      val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir","passes":$minSamples,"cold_only":$coldOnlyJson,"control":$controlJson,"cpu":$cpuJson,"exec_cpu":$execJson,"warm_drained":$wd}"""
+      // Key order is load-bearing for the DRIVER'S 2000-char stdout tail
+      // (round-21, r20 verdict item 1a): the wall `queries` map — the only
+      // gate-critical section — goes LAST so a tail-truncated capture
+      // always contains it (BENCH_r20.json lost the wall map to exactly
+      // this truncation; JSON object key order is semantically neutral,
+      // so every existing parser is unaffected).
+      val line = s"""{"metric":"total","value":$total,"unit":"sec","failed":$failedJson,"sf":"$sfDir","passes":$minSamples,"cold_only":$coldOnlyJson,"control":$controlJson,"cpu":$cpuJson,"exec_cpu":$execJson,"warm_drained":$wd,"queries":$qs}"""
       println(line)
       System.out.flush()
       // The driver captures only a 2000-char tail of stdout, which at the
@@ -354,8 +360,16 @@ object Bench {
         if (sec < best.getOrElse(name, Double.MaxValue)) {
           best(name) = sec
           bestCpu(name) = cpu
-          bestExec(name) = exec
         }
+        // exec_cpu is the MIN across samples, independent of which sample
+        // won the wall (round-21, r20 verdict item 1c): at passes:2 the
+        // best-wall sample's task CPU still carries whole-stage-codegen
+        // COMPILE executed inside tasks, and the r20 gate misclassified 10
+        // healthy queries as regression suspects on exactly that. The min
+        // exec sample is the plan's intrinsic distributed work — the
+        // number the wall-vs-cpu contention adjudication should read.
+        if (exec < bestExec.getOrElse(name, Double.MaxValue))
+          bestExec(name) = exec
         samples(name) = samples.getOrElse(name, 0) + 1
         samplesAll(name) = samplesAll.getOrElse(name, Vector.empty) :+
           ((math.rint(sec * 1e6) / 1e6, math.rint(cpu * 1e4) / 1e4,
