@@ -21,6 +21,17 @@ object SparkEntry {
 
   // ---- table readers ----
 
+  // NOTE (round-21 optimization, measured and rejected): the testdata
+  // tables are single-row-group parquet, so every scan is one task and
+  // per-document CPU above it serializes — a scale-gated
+  // repartition-after-read (guide §2.5 "unsplittable input") was tried
+  // here and REVERTED: 32-way splitting of ~1 MB partitions inflated
+  // task CPU ~3-6x (allocation/SMT pressure, 6 extra exchanges) and made
+  // the window/sort-merge-heavy BERT queries 1.7x SLOWER (q93 2.77→4.86 s,
+  // q92 2.46→4.25 s) while the wins elsewhere were <0.2 s. The
+  // single-task subtree stages already overlap across a query's
+  // independent exchanges (AQE materializes them concurrently), so the
+  // wall cost of the serial scan is bounded by one subtree, not their sum.
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
 

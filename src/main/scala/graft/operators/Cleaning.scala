@@ -93,18 +93,27 @@ object Cleaning {
       entityTypeCol: String = "ent_type"): DataFrame = {
     val keys = spanIdCols :+ entityTypeCol
     val pick = keys.map(col)
-    val tp = predicted.select(pick: _*).join(corpus.select(pick: _*), keys)
-      .groupBy(col(entityTypeCol)).agg(count(lit(1)).as("__tp"))
-    val pp = predicted.groupBy(col(entityTypeCol))
-      .agg(count(lit(1)).as("__pp"))
-    val ap = corpus.groupBy(col(entityTypeCol))
-      .agg(count(lit(1)).as("__ap"))
-    val perType = pp.join(ap, Seq(entityTypeCol), "full_outer")
-      .join(tp, Seq(entityTypeCol), "full_outer")
+    // ONE pass over each input instead of five (round-21 optimization —
+    // guide §2.3 "aggregate before you shuffle"): tag the sides, count
+    // per (span id, type) key, then roll up per type. Per key the TP
+    // join's cardinality is exactly (pred rows) x (corpus rows), so
+    // sum(__p * __c) IS the inner-join count; sum(__p)/sum(__c) are the
+    // plain side counts. A type absent from a side had NO row after the
+    // old per-side aggregate (NULL through the full outer joins), which
+    // here is a zero sum — when(>0) restores the exact NULL behavior.
+    val perKey = predicted.select(pick: _*)
+      .withColumn("__p", lit(1L)).withColumn("__c", lit(0L))
+      .unionByName(corpus.select(pick: _*)
+        .withColumn("__p", lit(0L)).withColumn("__c", lit(1L)))
+      .groupBy(pick: _*)
+      .agg(sum(col("__p")).as("__p"), sum(col("__c")).as("__c"))
+    val perType = perKey.groupBy(col(entityTypeCol))
+      .agg(sum(col("__p") * col("__c")).as("__tp"),
+        sum(col("__p")).as("__pp"), sum(col("__c")).as("__ap"))
       .select(col(entityTypeCol).as("label"),
-        col("__tp").cast("double").as("__tp"),
-        col("__pp").cast("double").as("__pp"),
-        col("__ap").cast("double").as("__ap"))
+        when(col("__tp") > 0, col("__tp").cast("double")).as("__tp"),
+        when(col("__pp") > 0, col("__pp").cast("double")).as("__pp"),
+        when(col("__ap") > 0, col("__ap").cast("double")).as("__ap"))
     // micro row: column sums (sum skips NULLs == pandas skipna)
     val micro = perType.agg(sum("__tp").as("__tp"), sum("__pp").as("__pp"),
         sum("__ap").as("__ap"))
@@ -144,11 +153,21 @@ object Cleaning {
       entityTypeCol: String = "ent_type"): DataFrame = {
     val keys = spanIdCols :+ entityTypeCol
     val pick = keys.map(col)
-    val tp = predicted.select(pick: _*).join(corpus.select(pick: _*), keys)
-      .agg(count(lit(1)).cast("double").as("__tp"))
-    val pp = predicted.agg(count(lit(1)).cast("double").as("__pp"))
-    val ap = corpus.agg(count(lit(1)).cast("double").as("__ap"))
-    tp.crossJoin(broadcast(pp)).crossJoin(broadcast(ap))
+    // Same one-pass tagged-union rewrite as [[f1ScoreReportIob]]: the TP
+    // inner-join count per key is sum(__p) x sum(__c), the side totals
+    // are the tag sums — one derivation of each input instead of two,
+    // no join. coalesce(. , 0): an EMPTY input made count() return 0
+    // before; sum over zero rows is NULL.
+    val perKey = predicted.select(pick: _*)
+      .withColumn("__p", lit(1L)).withColumn("__c", lit(0L))
+      .unionByName(corpus.select(pick: _*)
+        .withColumn("__p", lit(0L)).withColumn("__c", lit(1L)))
+      .groupBy(pick: _*)
+      .agg(sum(col("__p")).as("__p"), sum(col("__c")).as("__c"))
+    perKey
+      .agg(coalesce(sum(col("__p") * col("__c")), lit(0L)).cast("double").as("__tp"),
+        coalesce(sum(col("__p")), lit(0L)).cast("double").as("__pp"),
+        coalesce(sum(col("__c")), lit(0L)).cast("double").as("__ap"))
       .withColumn("precision",
         when(col("__pp") > 0, col("__tp") / col("__pp")).otherwise(lit(0.0)))
       .withColumn("recall",
@@ -185,10 +204,19 @@ object Cleaning {
    */
   def classificationReport(df: DataFrame, goldCol: String,
       predCol: String): DataFrame = {
-    val g = df.groupBy(col(goldCol).as("label")).agg(count(lit(1)).as("__g"))
-    val p = df.groupBy(col(predCol).as("label")).agg(count(lit(1)).as("__p"))
-    val t = df.filter(col(goldCol) === col(predCol))
-      .groupBy(col(goldCol).as("label")).agg(count(lit(1)).as("__t"))
+    // Confusion-matrix pre-aggregate (round-21 optimization): g/p/t are
+    // all derivable from the tiny (gold, pred) count matrix, and because
+    // the three consumers below share the SAME `m` plan, physical
+    // planning dedups the aggregate's exchange (ReusedExchange) — the
+    // input relation (often a full tokenize of the corpus) is scanned
+    // once instead of three times. Sums of the matrix counts are exactly
+    // the old direct counts, NULL label groups included.
+    val m = df.groupBy(col(goldCol).as("__gl"), col(predCol).as("__pl"))
+      .agg(count(lit(1)).as("__n"))
+    val g = m.groupBy(col("__gl").as("label")).agg(sum("__n").as("__g"))
+    val p = m.groupBy(col("__pl").as("label")).agg(sum("__n").as("__p"))
+    val t = m.filter(col("__gl") === col("__pl"))
+      .groupBy(col("__gl").as("label")).agg(sum("__n").as("__t"))
     val per = g.join(p, Seq("label"), "full_outer")
       .join(t, Seq("label"), "full_outer")
       .select(col("label"),

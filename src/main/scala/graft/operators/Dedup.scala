@@ -85,7 +85,14 @@ object Dedup {
    * interpreted higher-order functions (~50x slower measured at sf0.1).
    * Arithmetic is engine-portable; the oracle mirrors it in SQL.
    */
-  def minhashSignature(text: Column, k: Int = 16, shingleK: Int = 3): Column = {
+  def minhashSignature(text: Column, k: Int = 16, shingleK: Int = 3): Column =
+    org.apache.spark.sql.graft.WordShingles.minhash(
+      shingleHashes(text, shingleK), k)
+
+  /** UDF form of [[minhashSignature]] — parity reference for
+    * WordShinglesParitySpec. */
+  private[graft] def minhashSignatureUdfForm(text: Column, k: Int = 16,
+      shingleK: Int = 3): Column = {
     val params = hashParams(k).toArray
     val sigUdf = udf((hs: Seq[Long]) => Option(hs).map(_ => // null in → null out
       params.map { case (a, b) =>
@@ -93,7 +100,7 @@ object Dedup {
         hs.foreach { h => val v = (h * a + b) % HashP; if (v < m) m = v }
         m
       }.toSeq))
-    sigUdf(shingleHashes(text, shingleK))
+    sigUdf(TextAnalysis.shingleHashesUdfForm(text, shingleK))
   }
 
   /**

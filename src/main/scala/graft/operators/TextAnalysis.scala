@@ -39,6 +39,12 @@ object TextAnalysis {
 
   /** Lowercase word list of a text column. */
   def words(text: Column): Column =
+    org.apache.spark.sql.graft.WordShingles.words(text)
+
+  /** The regexp form [[words]] replaced (round-21 native-expression
+    * optimization) — kept as the parity reference for
+    * WordShinglesParitySpec. */
+  private[graft] def wordsRegex(text: Column): Column =
     regexp_extract_all(lower(text), lit("[a-z0-9]+"), lit(0))
 
   /** Whitespace-separated token count. */
@@ -89,8 +95,16 @@ object TextAnalysis {
   private def shingleUdf(k: Int) =
     udf((ws: Seq[String]) => Option(ws).map(shingleHashSet(_, k)))
 
-  /** Distinct shingle hashes — the minhash/jaccard input set. */
-  def shingleHashes(text: Column, k: Int): Column = shingleUdf(k)(words(text))
+  /** [[shingleHashes]] through the UDF kernel — parity reference for
+    * WordShinglesParitySpec. */
+  private[graft] def shingleHashesUdfForm(text: Column, k: Int): Column =
+    shingleUdf(k)(wordsRegex(text))
+
+  /** Distinct shingle hashes — the minhash/jaccard input set. Native
+    * expression (round-21): no lowercase copy, no regex walk, no UDF
+    * Seq boxing — the byte-scan + rolling hash run inside the task loop. */
+  def shingleHashes(text: Column, k: Int): Column =
+    org.apache.spark.sql.graft.WordShingles.shingles(words(text), k)
 
   /** JVM kernel: POSITIONAL n-gram hashes — one hash per start position,
     * in order, duplicates kept (unlike [[shingleHashSet]], which
@@ -119,7 +133,13 @@ object TextAnalysis {
 
   /** Ordered positional n-gram hashes of a text column (index i = hash of
     * words i..i+n-1). Input to [[Dedup.duplicatedSpans]]. */
-  def ngramHashes(text: Column, n: Int): Column = ngramUdf(n)(words(text))
+  def ngramHashes(text: Column, n: Int): Column =
+    org.apache.spark.sql.graft.WordShingles.ngrams(words(text), n)
+
+  /** UDF form of [[ngramHashes]] — parity reference for
+    * WordShinglesParitySpec. */
+  private[graft] def ngramHashesUdfForm(text: Column, n: Int): Column =
+    ngramUdf(n)(wordsRegex(text))
 
   /** JVM kernel: DISTINCT wide (~62-bit) n-gram fingerprints from a word
     * list, insertion order — the dual-base fold of

@@ -27,8 +27,35 @@ object Tokenize {
 
   private val compiled = java.util.regex.Pattern.compile(TokenPattern)
 
-  /** Find (begin, end) char offsets of all tokens in a string. */
+  /** Find (begin, end) char offsets of all tokens in a string. Single
+    * manual scan (round-21 optimization — shared classifier tables with
+    * the TokenizeGenerator hot loop; TokenizerParitySpec pins equality
+    * to the regex form). */
   def tokenOffsets(text: String): Seq[(Int, Int)] = {
+    if (text == null) return Seq.empty
+    import org.apache.spark.sql.graft.TokenizeGenerator.{isPunct, isSpace}
+    val n = text.length
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    var pos = 0
+    while (pos < n) {
+      if (isSpace(text.charAt(pos))) pos += 1
+      else {
+        val b = pos
+        if (isPunct(text.charAt(pos))) pos += 1
+        else {
+          pos += 1
+          while (pos < n && !isSpace(text.charAt(pos)) &&
+            !isPunct(text.charAt(pos))) pos += 1
+        }
+        buf += ((b, pos))
+      }
+    }
+    buf.toSeq
+  }
+
+  /** The regex form tokenOffsets replaced — kept as the parity reference
+    * for TokenizerParitySpec. */
+  private[graft] def tokenOffsetsRegex(text: String): Seq[(Int, Int)] = {
     if (text == null) return Seq.empty
     val m = compiled.matcher(text)
     val buf = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
