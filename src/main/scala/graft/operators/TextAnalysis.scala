@@ -243,14 +243,32 @@ object TextAnalysis {
       .otherwise(lit(0.0))
 
   /** Fraction of characters that are ASCII punctuation. */
-  def punctRatio(text: Column): Column =
+  def punctRatio(text: Column): Column = {
+    val st = org.apache.spark.sql.graft.QualityStatsExpr(text)
+    when(st("n_chars") > 0,
+      st("n_punct").cast("double") / st("n_chars"))
+      .otherwise(lit(0.0))
+  }
+
+  /** Regex form of [[punctRatio]] — parity reference for
+    * QualityStatsParitySpec. */
+  private[graft] def punctRatioRegex(text: Column): Column =
     when(length(text) > 0,
       length(regexp_replace(text, "[^!-/:-@\\[-`{-~]", "")).cast("double") / length(text))
       .otherwise(lit(0.0))
 
   /** Mean word length (0 for empty docs). */
   def meanWordLen(text: Column): Column = {
-    val ws = words(text)
+    val st = org.apache.spark.sql.graft.QualityStatsExpr(text)
+    when(st("n_words") > 0,
+      st("word_len_sum").cast("double") / st("n_words"))
+      .otherwise(lit(0.0))
+  }
+
+  /** Aggregate-over-words form of [[meanWordLen]] — parity reference for
+    * QualityStatsParitySpec. */
+  private[graft] def meanWordLenAgg(text: Column): Column = {
+    val ws = wordsRegex(text)
     when(size(ws) > 0,
       aggregate(ws, lit(0L), (acc, w) => acc + length(w)).cast("double") / size(ws))
       .otherwise(lit(0.0))
@@ -263,11 +281,32 @@ object TextAnalysis {
    * heuristics (Gopher/C4-style rules), engine-portable arithmetic only.
    */
   def qualityScore(text: Column): Column = {
-    val ws = words(text)
+    // One fused stats pass (round-21) instead of four per-doc passes;
+    // the derived arithmetic below is unchanged expression-for-expression
+    // (QualityStatsParitySpec pins score equality to the regex form).
+    val st = org.apache.spark.sql.graft.QualityStatsExpr(text)
+    val nWords = st("n_words").cast("double")
+    val lengthCredit = least(nWords / 200.0, lit(1.0))
+    val pr = when(st("n_chars") > 0,
+      st("n_punct").cast("double") / st("n_chars")).otherwise(lit(0.0))
+    val punctPenalty = greatest(lit(0.0), lit(1.0) - pr * 5)
+    val mwl = when(st("n_words") > 0,
+      st("word_len_sum").cast("double") / st("n_words")).otherwise(lit(0.0))
+    val wordShape = when(mwl >= 2 && mwl <= 12, 1.0).otherwise(0.5)
+    val sr = when(st("n_words") > 0,
+      st("n_stop_en").cast("double") / st("n_words")).otherwise(lit(0.0))
+    val stopCredit = when(sr > 0.05, 1.0).otherwise(0.7)
+    round(lengthCredit * 0.4 + punctPenalty * 0.2 + wordShape * 0.2 + stopCredit * 0.2, 4)
+  }
+
+  /** The four-pass form [[qualityScore]] replaced — parity reference for
+    * QualityStatsParitySpec. */
+  private[graft] def qualityScoreRegex(text: Column): Column = {
+    val ws = wordsRegex(text)
     val nWords = size(ws).cast("double")
     val lengthCredit = least(nWords / 200.0, lit(1.0))
-    val punctPenalty = greatest(lit(0.0), lit(1.0) - punctRatio(text) * 5)
-    val mwl = meanWordLen(text)
+    val punctPenalty = greatest(lit(0.0), lit(1.0) - punctRatioRegex(text) * 5)
+    val mwl = meanWordLenAgg(text)
     val wordShape = when(mwl >= 2 && mwl <= 12, 1.0).otherwise(0.5)
     val stopCredit = when(stopRatio(ws, StopwordsEn) > 0.05, 1.0).otherwise(0.7)
     round(lengthCredit * 0.4 + punctPenalty * 0.2 + wordShape * 0.2 + stopCredit * 0.2, 4)

@@ -234,13 +234,30 @@ object Storage {
     while (!held) {
       try { fs.create(lock, /* overwrite = */ false).close(); held = true }
       catch { case _: java.io.IOException =>
-        val age = try System.currentTimeMillis() -
-          fs.getFileStatus(lock).getModificationTime
-        catch { case _: java.io.FileNotFoundException => 0L }
+        val stat = try Some(fs.getFileStatus(lock))
+        catch { case _: java.io.FileNotFoundException => None }
+        val age = stat.map(System.currentTimeMillis() - _.getModificationTime)
+          .getOrElse(0L)
         if (age > staleLockMs) {
-          System.err.println(s"[storage] breaking stale pin-registry lock " +
-            s"$lock (age ${age / 1000}s)")
-          fs.delete(lock, false)
+          // Atomic break claim (ADVICE r20): two waiters can both observe
+          // age > staleLockMs, and a plain delete let the slower one
+          // remove the winner's FRESH lock — two holders at once. The
+          // claim is now a rename to a unique sibling: exactly one
+          // waiter's rename succeeds (rename of a missing source fails),
+          // the winner deletes the claimed file, the loser loops back to
+          // the create race. The re-stat just above also narrows the
+          // stale-observation window: a lock re-created since the first
+          // stat reads as young and is never broken.
+          val claimed = new org.apache.hadoop.fs.Path(
+            lockPath + s".lock.stale.${java.util.UUID.randomUUID()}")
+          val won = try fs.rename(lock, claimed)
+          catch { case _: java.io.IOException => false }
+          if (won) {
+            System.err.println(s"[storage] broke stale pin-registry lock " +
+              s"$lock (age ${age / 1000}s)")
+            try fs.delete(claimed, false)
+            catch { case _: java.io.IOException => () }
+          }
         } else if (System.currentTimeMillis() > deadline)
           throw new java.io.IOException(
             s"pin-registry lock $lock held past the stale horizon — " +
