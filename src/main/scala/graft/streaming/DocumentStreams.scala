@@ -730,6 +730,25 @@ object DocumentStreams {
     val quant = new java.util.concurrent.atomic.AtomicReference(
       (initCentroids, initBooks))
     val absorbed = new java.util.concurrent.atomic.AtomicLong(0L)
+    // Drift-baseline seeding (ADVICE r20): refreshResidualIfDrifted
+    // compares the OLDEST stat row to the newest, and the loop only
+    // records per-batch stats — without a pre-recorded baseline the first
+    // ingest batch becomes the baseline, so drift relative to the seed
+    // corpus's training distribution is undetectable (and a drifted first
+    // batch poisons the comparison forever). If no stat table exists yet,
+    // record the seed corpus's residual quantization error under the
+    // initial quantizers at gen -1 (below every batchId, so it stays the
+    // oldest row). Callers that pre-seed (the documented precondition)
+    // are untouched: the table exists and this is skipped.
+    locally {
+      val spark0 = vectors.sparkSession
+      if (!spark0.catalog.tableExists(statTable)) {
+        val seed = Storage.readTable(spark0, corpusTable)
+        val (n0, err0) = Similarity.residualQuantizationError(seed,
+          initCentroids, initBooks, idCol, vecCol)
+        Similarity.recordDriftStat(spark0, statTable, statPath, -1L, n0, err0)
+      }
+    }
     val query = vectors.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -743,12 +762,24 @@ object DocumentStreams {
           val cells = probes.select("cell_id").distinct()
             .limit(maxProbeCells + 1).collect().map(_.getInt(0))
           val index0 = Storage.readTable(spark, indexTable)
-          val pruned = dropTombstoned(
+          // Self-exclusion BEFORE ranking (ADVICE r20): on an
+          // at-least-once replay (crash between the index append and the
+          // marker write) the batch's own vectors are already indexed —
+          // if they reach the ranking, rank 1 is the self match and a
+          // consumer reading rank === 1 silently gets k-1 real
+          // neighbors. Anti-join the batch's ids out of the pruned index
+          // (broadcast, O(batch)) so ranks are computed over true
+          // neighbors only; in a normal run the batch is not yet indexed
+          // and this is a no-op. The post-rank self filter below stays
+          // as defense in depth.
+          val prunedNoSelf = dropTombstoned(
             if (cells.length > maxProbeCells) index0
             else index0.filter(col("cell_id").isin(
               cells.map(Integer.valueOf): _*)),
             spark, tombstoneTable, idCol)
-          Similarity.ivfPqResidualTopKRerankFromIndex(pruned, probes, q,
+            .join(broadcast(batch.select(col(idCol).as("__self_id"))),
+              col(idCol) === col("__self_id"), "left_anti")
+          Similarity.ivfPqResidualTopKRerankFromIndex(prunedNoSelf, probes, q,
             Storage.readTable(spark, corpusTable), books, k, r,
             idCol, vecCol)
             .filter(col("query_id") =!= col(idCol)) // self after absorb-replay

@@ -785,4 +785,59 @@ class StreamingSpec extends GraftSuite {
     assert(s.exists(x => x.user_id == 1 && x.start_us == us(100) && x.n_events == 1))
     assert(s.exists(x => x.user_id == 2 && x.n_events == 1))
   }
+
+  test("annSelfUpdating replay: a batch whose vectors are ALREADY indexed " +
+      "(crash between append and marker) still ranks true neighbors first " +
+      "and seeds the drift baseline when no stat table exists") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Similarity
+    import graft.sources.Storage
+    val rng = new scala.util.Random(7)
+    val seedVecs = (0L until 20L).map(i => (i, Array.fill(16)(rng.nextDouble())))
+    val corpus0 = seedVecs.toDF("vec_id", "embedding")
+    val cents0 = Similarity.kmeansFit(corpus0, k = 4, iters = 2)
+    val books0 = Similarity.pqFitCodebooksResidual(corpus0, cents0,
+      m = 4, ksub = 4, iters = 2)
+    val base = java.nio.file.Files.createTempDirectory("graft_ann_replay")
+    base.toFile.deleteOnExit()
+    // the batch: noisy copies of seed vectors, with NEW ids
+    val batchVecs = seedVecs.take(5).map { case (i, v) =>
+      (1000L + i, v.map(_ + 0.01)) }
+    // replay state: batch vectors are ALREADY absorbed into index+corpus
+    // (the crash landed after the appends, before the marker write)
+    val preCorpus = (seedVecs ++ batchVecs).toDF("vec_id", "embedding")
+    Storage.writeBucketed(
+      Similarity.ivfPqIndexResidual(preCorpus, cents0, books0),
+      "ann_replay_idx", s"$base/idx", bucketCol = "cell_id", buckets = 8)
+    Storage.writeBucketed(preCorpus, "ann_replay_cor", s"$base/cor",
+      bucketCol = "vec_id", buckets = 8)
+    // NO stat table and NO manual baseline: the loop must seed gen -1
+    // from the (already-absorbed) corpus under the initial quantizers
+    val mem = MemoryStream[(Long, Array[Double])]
+    val (q, _) = graft.streaming.DocumentStreams.annSelfUpdating(
+      mem.toDF.toDF("vec_id", "embedding"), "ann_replay_idx",
+      "ann_replay_cor", "ann_replay_stat", s"$base/stat", s"$base/pairs",
+      s"$base/ckpt", cents0, books0, k = 1, r = 1, nprobe = 2,
+      kmK = 4, pqM = 4, pqKsub = 4)
+    try {
+      val seeded = Similarity.driftStats(spark, "ann_replay_stat").collect()
+      assert(seeded.length == 1 && seeded(0).getLong(0) == -1L,
+        s"missing gen=-1 drift baseline at loop start: ${seeded.toSeq}")
+      mem.addData(batchVecs: _*)
+      q.processAllAvailable()
+      val pairs = spark.read.parquet(s"$base/pairs")
+        .filter(col("rank") === 1)
+        .select("query_id", "vec_id").as[(Long, Long)].collect().toMap
+      // without pre-rank self-exclusion, rank 1 would be the batch's own
+      // replayed vector and the post-rank self filter would DROP the row
+      // — consumers of rank===1 would see no pair at all
+      assert((0L until 5L).forall(i => pairs.get(1000L + i).contains(i)),
+        s"replayed batch lost its true rank-1 neighbors: $pairs")
+    } finally {
+      q.stop()
+      Seq("ann_replay_idx", "ann_replay_cor", "ann_replay_stat")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
+    }
+  }
 }
