@@ -339,8 +339,10 @@ object Bench {
         pool.awaitTermination(math.max(0L, warmWaitSec.toLong),
           java.util.concurrent.TimeUnit.SECONDS)
       } catch { case _: InterruptedException => () }
+      // report pool state directly — warmDrained is stamped by the
+      // watcher thread and can lag this instant by a beat
       System.err.println(f"[bench] warm drain-wait ${elapsed - w0}%.1f s " +
-        s"(drained=${warmDrained.get() >= 0})")
+        s"(drained=${pool.isTerminated})")
     }
     // Per-query executor task CPU (round-20, r19 verdict item 1b): a
     // listener scoped to the bench's per-query job groups — warmer jobs

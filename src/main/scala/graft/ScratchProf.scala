@@ -53,6 +53,18 @@ object ScratchProf {
         .select(col("doc_id"), col("token_id").as("tok"),
           when(col("text") === "key", "K").otherwise("V").as("ent_type"))
         .groupBy("ent_type").agg(count(lit(1))))
+    t("explode(words) native + agg")(
+      d.select(col("doc_id"), explode(TextAnalysis.words(col("text"))).as("w"))
+        .groupBy("w").agg(count(lit(1))))
+    t("explode(words) REGEX + agg")(
+      d.select(col("doc_id"), explode(TextAnalysis.wordsRegex(col("text"))).as("w"))
+        .groupBy("w").agg(count(lit(1))))
+    locally {
+      import spark.implicits._
+      t("bm25 native")(TextAnalysis.bm25TopK(d,
+        Seq((0, "spark"), (0, "join"), (1, "window")).toDF("query_id", "term"),
+        k = 10))
+    }
     spark.stop()
   }
 }
