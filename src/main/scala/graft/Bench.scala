@@ -84,6 +84,16 @@ object Bench {
       // so every existing parser is unaffected).
       val line = s"""{"metric":"total","value":$total,"unit":"sec","failed":$failedJson,"sf":"$sfDir","passes":$minSamples,"cold_only":$coldOnlyJson,"control":$controlJson,"cpu":$cpuJson,"exec_cpu":$execJson,"warm_drained":$wd,"queries":$qs}"""
       println(line)
+      // SHORT summary line, printed AFTER the full artifact line (round-22,
+      // r21 verdict item 2): the driver captures only a ~2000-char stdout
+      // TAIL, and the 188-query artifact line is ~6 KB — so the driver's
+      // parse failed two rounds running (BENCH_r20/r21 both "parsed":
+      // null) and PERF_rXX.json lost the round-over-round comparison. This
+      // line always fits the tail, so the total/passes/failed are
+      // machine-readable from the capture alone; the full per-query map
+      // stays in the (first) full line and in the BENCH_local.json file
+      // written below. Reporting-only: nothing timed or measured changed.
+      println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","passes":$minSamples,"n_queries":${okNames.size},"failed":$failedJson}""")
       System.out.flush()
       // The driver captures only a 2000-char tail of stdout, which at the
       // 150+-query surface truncates the per-query map (r13: timings for

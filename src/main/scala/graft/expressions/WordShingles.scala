@@ -3,8 +3,10 @@
 package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.classic.ExpressionUtils
 import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, LongType, StringType}
@@ -27,15 +29,27 @@ import org.apache.spark.unsafe.types.UTF8String
  *
  * Parity is pinned by WordShinglesParitySpec against the regex form on
  * adversarial inputs (unicode, Kelvin sign, digits, empty).
+ *
+ * Round-22: `doGenCode` (a static call into the same kernel) replaces
+ * CodegenFallback — a fallback expression excludes its whole host
+ * projection from whole-stage codegen (CollapseCodegenStages treats any
+ * CodegenFallback in a plan node's expressions as non-codegen), so the
+ * ~30 consuming queries paid interpreted-Project row boxing around every
+ * scan→project chain. Same kernel, same values (parity specs unchanged);
+ * ExpressionSpec asserts the codegen participation.
  */
 case class WordsExtract(child: Expression)
-    extends UnaryExpression with CodegenFallback with ExpectsInputTypes {
+    extends UnaryExpression with ExpectsInputTypes {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = true)
   override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
 
   override def nullSafeEval(input: Any): Any =
     WordShingles.wordsOf(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"org.apache.spark.sql.graft.WordShingles.wordsOf($c)")
 
   override protected def withNewChildInternal(newChild: Expression): WordsExtract =
     copy(child = newChild)
@@ -50,7 +64,7 @@ case class WordsExtract(child: Expression)
  * bytes equals hashing chars.
  */
 case class ShingleHashesExpr(child: Expression, k: Int)
-    extends UnaryExpression with CodegenFallback with ExpectsInputTypes {
+    extends UnaryExpression with ExpectsInputTypes {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def inputTypes: Seq[AbstractDataType] =
@@ -58,6 +72,10 @@ case class ShingleHashesExpr(child: Expression, k: Int)
 
   override def nullSafeEval(input: Any): Any =
     WordShingles.shingleHashes(input.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"org.apache.spark.sql.graft.WordShingles.shingleHashes($c, $k)")
 
   override protected def withNewChildInternal(newChild: Expression): ShingleHashesExpr =
     copy(child = newChild)
@@ -69,7 +87,7 @@ case class ShingleHashesExpr(child: Expression, k: Int)
  * (TextAnalysis.ngramHashSeq).
  */
 case class NgramHashesExpr(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback with ExpectsInputTypes {
+    extends UnaryExpression with ExpectsInputTypes {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def inputTypes: Seq[AbstractDataType] =
@@ -77,6 +95,10 @@ case class NgramHashesExpr(child: Expression, n: Int)
 
   override def nullSafeEval(input: Any): Any =
     WordShingles.ngramHashes(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"org.apache.spark.sql.graft.WordShingles.ngramHashes($c, $n)")
 
   override protected def withNewChildInternal(newChild: Expression): NgramHashesExpr =
     copy(child = newChild)
@@ -89,7 +111,7 @@ case class NgramHashesExpr(child: Expression, n: Int)
  * (a_i, b_i)).
  */
 case class MinhashSigExpr(child: Expression, k: Int)
-    extends UnaryExpression with CodegenFallback with ExpectsInputTypes {
+    extends UnaryExpression with ExpectsInputTypes {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def inputTypes: Seq[AbstractDataType] =
@@ -98,7 +120,56 @@ case class MinhashSigExpr(child: Expression, k: Int)
   override def nullSafeEval(input: Any): Any =
     WordShingles.minhashSig(input.asInstanceOf[ArrayData], k)
 
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"org.apache.spark.sql.graft.WordShingles.minhashSig($c, $k)")
+
   override protected def withNewChildInternal(newChild: Expression): MinhashSigExpr =
+    copy(child = newChild)
+}
+
+/**
+ * Native LSH band keys over a MinHash signature — value-identical to the
+ * `lshBandKeys` Column form it replaces (per band b: left fold
+ * `acc = (acc*31 + h) mod 2^31-1` over the band's k/bands signature rows,
+ * seeded with b).
+ *
+ * Round-22 motivation: the Column form is `array(agg_0 .. agg_{bands-1})`
+ * where EVERY band's aggregate re-references the signature child — once
+ * the minhash chain participates in whole-stage codegen, contexts without
+ * subexpression elimination (Generate input, Filter predicates — only
+ * ProjectExec dedups in WSCG) evaluated the full words→shingles→minhash
+ * chain `bands` times per row (measured: q13 0.35→0.51 s on the naive
+ * codegen switch). One expression, one child evaluation, by construction.
+ *
+ * Null semantics mirror the replaced form exactly: NULL signature →
+ * array of `bands` NULLs (slice/aggregate of NULL per element — the
+ * array() constructor itself is never NULL); a NULL signature element
+ * nulls every band whose slice contains it.
+ */
+case class BandKeysExpr(child: Expression, k: Int, bands: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def nullable: Boolean = false
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(LongType))
+
+  override def eval(input: InternalRow): Any =
+    WordShingles.bandKeys(child.eval(input).asInstanceOf[ArrayData], k, bands)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    ev.copy(
+      code = code"""
+        ${c.code}
+        org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+          org.apache.spark.sql.graft.WordShingles.bandKeys(
+            ${c.isNull} ? null : ${c.value}, $k, $bands);""",
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BandKeysExpr =
     copy(child = newChild)
 }
 
@@ -217,6 +288,32 @@ object WordShingles {
     new GenericArrayData(out)
   }
 
+  /** [[BandKeysExpr]] kernel. NULL `sig` → array of `bands` nulls; a NULL
+    * element nulls its band — both exactly the aggregate-form semantics. */
+  def bandKeys(sig: ArrayData, k: Int, bands: Int): ArrayData = {
+    if (sig == null) return new GenericArrayData(new Array[Any](bands))
+    val rows = k / bands
+    val n = sig.numElements()
+    val out = new Array[Any](bands)
+    var b = 0
+    while (b < bands) {
+      var acc = b.toLong
+      var nul = false
+      var j = 0
+      while (j < rows) {
+        val idx = b * rows + j
+        if (idx < n) {
+          if (sig.isNullAt(idx)) nul = true
+          else if (!nul) acc = (acc * 31 + sig.getLong(idx)) % HashP
+        }
+        j += 1
+      }
+      out(b) = if (nul) null else java.lang.Long.valueOf(acc)
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
   private val paramCache =
     new java.util.concurrent.ConcurrentHashMap[Int, (Array[Long], Array[Long])]()
 
@@ -228,4 +325,6 @@ object WordShingles {
     ExpressionUtils.column(NgramHashesExpr(ExpressionUtils.expression(c), n))
   def minhash(c: Column, k: Int): Column =
     ExpressionUtils.column(MinhashSigExpr(ExpressionUtils.expression(c), k))
+  def bands(c: Column, k: Int, bands: Int): Column =
+    ExpressionUtils.column(BandKeysExpr(ExpressionUtils.expression(c), k, bands))
 }

@@ -108,7 +108,18 @@ object Dedup {
    * `k/bands` rows each, each band hashed to one long. Docs sharing any
    * band key are candidate duplicates.
    */
-  def lshBandKeys(sig: Column, k: Int = 16, bands: Int = 4): Column = {
+  def lshBandKeys(sig: Column, k: Int = 16, bands: Int = 4): Column =
+    // Native single-evaluation form (round-22): the aggregate-array form
+    // below re-references `sig` once per band, which re-evaluated the
+    // whole minhash chain `bands` times per row in codegen contexts
+    // without subexpression elimination (Generate input, Filter
+    // predicates). Value-identical (WordShinglesParitySpec pins it).
+    org.apache.spark.sql.graft.WordShingles.bands(sig, k, bands)
+
+  /** Aggregate-array form of [[lshBandKeys]] — parity reference for
+    * WordShinglesParitySpec. */
+  private[graft] def lshBandKeysAggForm(sig: Column, k: Int = 16,
+      bands: Int = 4): Column = {
     val rows = k / bands
     array((0 until bands).map { bnd =>
       aggregate(slice(sig, bnd * rows + 1, rows), lit(bnd.toLong),

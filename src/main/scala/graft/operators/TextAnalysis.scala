@@ -243,7 +243,16 @@ object TextAnalysis {
       .otherwise(lit(0.0))
 
   /** Fraction of characters that are ASCII punctuation. */
-  def punctRatio(text: Column): Column = {
+  def punctRatio(text: Column): Column =
+    // Fused scalar (round-22): the struct form below re-referenced the
+    // stats struct per field, which re-scanned the document per reference
+    // in codegen contexts without subexpression elimination (see
+    // QualityScoreRawExpr's doc). Value-identical incl. the NULL→0.0
+    // when-fold (QualityStatsParitySpec).
+    org.apache.spark.sql.graft.QualityStatsExpr.punctRatio(text)
+
+  /** Struct form of [[punctRatio]] — parity reference. */
+  private[graft] def punctRatioStructForm(text: Column): Column = {
     val st = org.apache.spark.sql.graft.QualityStatsExpr(text)
     when(st("n_chars") > 0,
       st("n_punct").cast("double") / st("n_chars"))
@@ -258,7 +267,12 @@ object TextAnalysis {
       .otherwise(lit(0.0))
 
   /** Mean word length (0 for empty docs). */
-  def meanWordLen(text: Column): Column = {
+  def meanWordLen(text: Column): Column =
+    // Fused scalar (round-22), see [[punctRatio]].
+    org.apache.spark.sql.graft.QualityStatsExpr.meanWordLen(text)
+
+  /** Struct form of [[meanWordLen]] — parity reference. */
+  private[graft] def meanWordLenStructForm(text: Column): Column = {
     val st = org.apache.spark.sql.graft.QualityStatsExpr(text)
     when(st("n_words") > 0,
       st("word_len_sum").cast("double") / st("n_words"))
@@ -280,10 +294,19 @@ object TextAnalysis {
    * stopword presence. The shape follows the usual corpus-cleaning
    * heuristics (Gopher/C4-style rules), engine-portable arithmetic only.
    */
-  def qualityScore(text: Column): Column = {
-    // One fused stats pass (round-21) instead of four per-doc passes;
-    // the derived arithmetic below is unchanged expression-for-expression
-    // (QualityStatsParitySpec pins score equality to the regex form).
+  def qualityScore(text: Column): Column =
+    // Fully fused scalar (round-22): ONE scan computes the unrounded
+    // score; only Spark's own round(_, 4) stays at Column level (now a
+    // single reference). The struct form below evaluated the stats struct
+    // once per field reference (~9×/row) in codegen contexts without
+    // subexpression elimination — Filter consumers like cleanDocs paid it
+    // per row per predicate evaluation (measured q69 0.37→0.77 s on the
+    // naive codegen switch, restored to 0.2x by this fusion).
+    // QualityStatsParitySpec pins scalar == struct == regex forms.
+    round(org.apache.spark.sql.graft.QualityStatsExpr.scoreRaw(text), 4)
+
+  /** Struct form of [[qualityScore]] — parity reference (round-21 shape). */
+  private[graft] def qualityScoreStructForm(text: Column): Column = {
     val st = org.apache.spark.sql.graft.QualityStatsExpr(text)
     val nWords = st("n_words").cast("double")
     val lengthCredit = least(nWords / 200.0, lit(1.0))

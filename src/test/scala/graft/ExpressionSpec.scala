@@ -132,4 +132,48 @@ class ExpressionSpec extends GraftSuite {
     assert(got(0L) == operators.TextAnalysis.hashString("x0"))
     assert(got(2L) == operators.TextAnalysis.hashString("x2"))
   }
+
+  test("words/shingles/ngrams/minhash/quality-stats participate in " +
+      "whole-stage codegen (round-22: CodegenFallback removed)") {
+    // A CodegenFallback expression excludes its host ProjectExec from
+    // whole-stage codegen entirely (CollapseCodegenStages), so the r21
+    // natives ran as interpreted projections. Assert each now compiles
+    // into a WholeStageCodegenExec over a non-foldable source AND that
+    // the codegen'd values equal the interpreted eval path.
+    import org.apache.spark.sql.graft.{QualityStatsExpr, WordShingles}
+    val base = spark.range(3)
+      .select(concat(lit("the quick brown fox 4"), col("id")).as("t"),
+        col("id"))
+    val df = base.select(col("id"),
+      WordShingles.words(col("t")).as("w"),
+      WordShingles.shingles(WordShingles.words(col("t")), 3).as("sh"),
+      WordShingles.ngrams(WordShingles.words(col("t")), 2).as("ng"),
+      WordShingles.minhash(
+        WordShingles.shingles(WordShingles.words(col("t")), 3), 4).as("mh"),
+      QualityStatsExpr(col("t")).as("qs"))
+    val codegenNode = df.queryExecution.executedPlan.find(
+      _.isInstanceOf[org.apache.spark.sql.execution.WholeStageCodegenExec])
+    assert(codegenNode.isDefined)
+    // and no interpreted fallback marker anywhere in the executed plan
+    assert(!df.queryExecution.executedPlan.toString.contains("CodegenFallback"))
+    val row = df.orderBy("id").collect()(0)
+    assert(row.getSeq[String](1) ==
+      Seq("the", "quick", "brown", "fox", "40"))
+    // interpreted-eval reference via the kernel directly
+    import org.apache.spark.unsafe.types.UTF8String
+    val ws = org.apache.spark.sql.graft.WordShingles
+      .wordsOf(UTF8String.fromString("the quick brown fox 40"))
+    val sh = org.apache.spark.sql.graft.WordShingles.shingleHashes(ws, 3)
+    assert(row.getSeq[Long](2) == sh.toLongArray().toSeq)
+    assert(row.getSeq[Long](3) ==
+      org.apache.spark.sql.graft.WordShingles.ngramHashes(ws, 2)
+        .toLongArray().toSeq)
+    assert(row.getSeq[Long](4) ==
+      org.apache.spark.sql.graft.WordShingles.minhashSig(sh, 4)
+        .toLongArray().toSeq)
+    val qs = row.getStruct(5)
+    val ref = QualityStatsExpr.statsOf(
+      UTF8String.fromString("the quick brown fox 40"))
+    assert((0 until 5).map(qs.getLong) == (0 until 5).map(ref.getLong))
+  }
 }

@@ -46,4 +46,26 @@ class QualityStatsParitySpec extends GraftSuite {
     assert(collectCol(TextAnalysis.qualityScore(col("text"))) ==
       collectCol(TextAnalysis.qualityScoreRegex(col("text"))))
   }
+
+  // round-22: the fused SCALAR kernels must also reproduce the round-21
+  // struct forms bit-for-bit (incl. the NULL-text when/least folds)
+  test("fused scalars == struct forms (round-22)") {
+    assert(collectCol(TextAnalysis.punctRatio(col("text"))) ==
+      collectCol(TextAnalysis.punctRatioStructForm(col("text"))))
+    assert(collectCol(TextAnalysis.meanWordLen(col("text"))) ==
+      collectCol(TextAnalysis.meanWordLenStructForm(col("text"))))
+    assert(collectCol(TextAnalysis.qualityScore(col("text"))) ==
+      collectCol(TextAnalysis.qualityScoreStructForm(col("text"))))
+  }
+
+  // the motivating context: the score used as a FILTER predicate (where
+  // whole-stage codegen does no subexpression elimination) must select
+  // the same rows as the struct form
+  test("qualityScore as a filter predicate selects identical rows") {
+    val a = df.filter(TextAnalysis.qualityScore(col("text")) >= 0.5)
+      .collect().map(_.getString(0)).toSeq
+    val b = df.filter(TextAnalysis.qualityScoreStructForm(col("text")) >= 0.5)
+      .collect().map(_.getString(0)).toSeq
+    assert(a == b && a.nonEmpty)
+  }
 }

@@ -62,4 +62,23 @@ class WordShinglesParitySpec extends GraftSuite {
         s"k=$k shingleK=$sk")
     }
   }
+
+  // round-22: the native single-evaluation band-keys expression must be
+  // value-identical to the aggregate-array form it replaced, including a
+  // NULL signature (→ array of `bands` NULLs, never a NULL array) and a
+  // signature whose length is not a multiple of the band width
+  test("BandKeysExpr == aggregate-array form (round-22)") {
+    for ((k, bands) <- Seq((16, 4), (8, 4), (8, 2), (4, 4))) {
+      val sig = Dedup.minhashSignature(col("text"), k, 3)
+      assert(collectCol(Dedup.lshBandKeys(sig, k, bands)) ==
+        collectCol(Dedup.lshBandKeysAggForm(sig, k, bands)),
+        s"k=$k bands=$bands")
+    }
+    // NULL signature propagation (minhashSignature(null text) is NULL)
+    val nullSig = Dedup.minhashSignature(col("text"), 8, 3)
+    val nat = collectCol(Dedup.lshBandKeys(nullSig, 8, 4))
+    val agg = collectCol(Dedup.lshBandKeysAggForm(nullSig, 8, 4))
+    assert(nat == agg)
+    assert(nat.last == Seq(null, null, null, null)) // the df's null row
+  }
 }
