@@ -105,6 +105,42 @@ object ProfAppendDetail {
       graft.sources.Storage.cloneTable(spark, tbl, "prof_apd_cl_" + suf,
         s"$out/cl")
     }
+    // clone sub-step attribution: file copy vs DROP vs CREATE DDL
+    locally {
+      import org.apache.spark.sql.catalyst.TableIdentifier
+      val catalog = spark.sessionState.catalog
+      val meta = catalog.getTableMetadata(TableIdentifier(tbl))
+      val bs = meta.bucketSpec.get
+      val srcLoc = new org.apache.hadoop.fs.Path(meta.location)
+      val conf = spark.sessionState.newHadoopConf()
+      var tCopy = 0.0; var tDrop = 0.0; var tCreate = 0.0
+      var i = 0
+      while (i < reps) {
+        val dst = s"prof_apd_cs_${suf}_$i"
+        val dstLoc = new org.apache.hadoop.fs.Path(s"$out/cs$i")
+        val fs = dstLoc.getFileSystem(conf)
+        val t0 = System.nanoTime()
+        org.apache.hadoop.fs.FileUtil.copy(
+          srcLoc.getFileSystem(conf), srcLoc, fs, dstLoc, false, true, conf)
+        val t1 = System.nanoTime()
+        val bucketCols = bs.bucketColumnNames.map(c => s"`$c`").mkString(", ")
+        val sortCols = bs.sortColumnNames.map(c => s"`$c`").mkString(", ")
+        val sc = if (bs.sortColumnNames.nonEmpty) s"SORTED BY ($sortCols)" else ""
+        spark.sql(
+          s"""CREATE TABLE `$dst` (${meta.schema.toDDL})
+             |USING parquet
+             |CLUSTERED BY ($bucketCols) $sc INTO ${bs.numBuckets} BUCKETS
+             |LOCATION '${dstLoc.toString}'""".stripMargin)
+        val t2 = System.nanoTime()
+        spark.sql(s"DROP TABLE `$dst`")
+        val t3 = System.nanoTime()
+        tCopy += (t1 - t0) / 1e9; tCreate += (t2 - t1) / 1e9
+        tDrop += (t3 - t2) / 1e9
+        i += 1
+      }
+      println(f"  [apd] clone substeps: copy ${tCopy / reps}%6.3f s  " +
+        f"createDDL ${tCreate / reps}%6.3f s  dropDDL ${tDrop / reps}%6.3f s")
+    }
     spark.stop()
   }
 }

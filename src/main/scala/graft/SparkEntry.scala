@@ -855,13 +855,22 @@ object SparkEntry {
       // both families need >= 2-char anchor + successor words so the +1
       // offset still overlaps the anchor token (mirrored in the oracle)
       val base = nx.filter(col("token_id") % 4 === 0 && col("l0") >= 2 && col("l1") >= 2)
-      val famA = base.filter(col("e1").isNotNull)
-        .select(col("doc_id"), S.span(col("b0") + 1, col("e1")).as("span"),
-          lit("A").as("ent_type"))
-      val famB = base.filter(col("e2").isNotNull)
-        .select(col("doc_id"), S.span(col("b1") + 1, col("e2")).as("span"),
-          lit("B").as("ent_type"))
-      Bert.alignBertTokensToCorpusTokens(famA.union(famB), t)
+      // Both families from ONE derivation (round-22): the famA.union(famB)
+      // form re-derived the scan→tokenize→window subtree once per branch;
+      // the explode emits the same row multiset (per base row: the A span
+      // when e1 is non-null, the B span when e2 is) from a single window
+      // pass. Values identical — the oracle is unchanged.
+      val fams = base.select(col("doc_id"), explode(filter(array(
+          when(col("e1").isNotNull,
+            struct(S.span(col("b0") + 1, col("e1")).as("span"),
+              lit("A").as("ent_type"))),
+          when(col("e2").isNotNull,
+            struct(S.span(col("b1") + 1, col("e2")).as("span"),
+              lit("B").as("ent_type")))),
+          x => x.isNotNull)).as("f"))
+        .select(col("doc_id"), col("f")("span").as("span"),
+          col("f")("ent_type").as("ent_type"))
+      Bert.alignBertTokensToCorpusTokens(fams, t)
         .select(col("doc_id"), col("span")("begin_tok").as("begin_tok"),
           col("span")("end_tok").as("end_tok"), col("span")("begin").as("begin"),
           col("span")("end").as("end"), col("ent_type"))
@@ -2889,18 +2898,24 @@ object SparkEntry {
             regexp_replace(w1, "s+$", "").as("normalized")).as("action")
         )).as("semantic_roles")))
       val responses = d.select(col("doc_id"), json.as("response"))
-      val kw = sources.WatsonNlu.keywords(responses).select(col("doc_id"),
-        col("text").as("kw_text"), col("relevance").as("kw_relevance"),
-        col("emotion_joy"), col("count").as("kw_count"))
-      val rel = sources.WatsonNlu.relations(responses).select(col("doc_id"),
-        col("type").as("rel_type"), col("score"),
-        col("arg0_span")("begin").as("a0_b"), col("arg0_span")("end").as("a0_e"),
-        col("arg1_span")("begin").as("a1_b"), col("arg1_span")("end").as("a1_e"),
-        col("arg0_text"), col("arg1_text"))
-      val sr = sources.WatsonNlu.semanticRoles(responses).select(col("doc_id"),
-        col("subject_text"), col("object_text"), col("action_verb_text"),
-        col("action_normalized"))
-      kw.join(rel, "doc_id").join(sr, "doc_id")
+      // ONE parse + three sequential explodes (WatsonNlu.frames, round-22)
+      // replaces three full-schema from_json derivations joined pairwise —
+      // row-identical (cross product per doc == the doc_id equi-joins;
+      // doc_id is unique per response row here), same column names and
+      // order as the former kw ⋈ rel ⋈ sr projection.
+      sources.WatsonNlu.frames(responses).select(col("doc_id"),
+        col("kw_text"), col("kw_relevance").as("kw_relevance"),
+        col("kw_emotion_joy").as("emotion_joy"), col("kw_count").as("kw_count"),
+        col("rel_type"), col("rel_score").as("score"),
+        col("rel_arg0_span")("begin").as("a0_b"),
+        col("rel_arg0_span")("end").as("a0_e"),
+        col("rel_arg1_span")("begin").as("a1_b"),
+        col("rel_arg1_span")("end").as("a1_e"),
+        col("rel_arg0_text").as("arg0_text"), col("rel_arg1_text").as("arg1_text"),
+        col("sr_subject_text").as("subject_text"),
+        col("sr_object_text").as("object_text"),
+        col("sr_action_verb_text").as("action_verb_text"),
+        col("sr_action_normalized").as("action_normalized"))
     }),
 
     "q46_make_span_entities" -> ((s, dir) => {

@@ -1014,10 +1014,18 @@ object Dedup {
     val corpusCand = corpusBands
       .join(broadcast(batchBands), Seq("band", "key"))
       .select("batch_id", "dup_id").dropDuplicates("batch_id", "dup_id")
+    // shingle sets computed ABOVE the candidates join (round-22): inside
+    // the corpus projection they were evaluated for EVERY corpus row per
+    // probe (cost ∝ corpus); post-join only candidates pay. Values
+    // identical (deterministic expression of the joined text); the
+    // separate select keeps CollapseProject from duplicating the
+    // non-cheap expression into the two jaccard references.
     val vsCorpus = corpusCand
-      .join(corpus.select(col(idCol).as("dup_id"),
-        shingleHashes(col(textCol), shingleK).as("set_c")), "dup_id")
+      .join(corpus.select(col(idCol).as("dup_id"), col(textCol).as("__vtext")),
+        "dup_id")
       .join(broadcast(batchSets.select("batch_id", "set_b")), "batch_id")
+      .select(col("batch_id"), col("dup_id"), col("set_b"),
+        shingleHashes(col("__vtext"), shingleK).as("set_c"))
       .withColumn("jaccard",
         halfUp4(size(array_intersect(col("set_b"), col("set_c"))).cast("double") /
           size(array_union(col("set_b"), col("set_c")))))
@@ -1102,10 +1110,18 @@ object Dedup {
     val corpusCand = index.select(col("dup_id"), col("band"), col("key"))
       .join(broadcast(batchBands), Seq("band", "key"))
       .select("batch_id", "dup_id").dropDuplicates("batch_id", "dup_id")
+    // shingle sets computed ABOVE the candidates join (round-22): inside
+    // the corpus projection they were evaluated for EVERY corpus row per
+    // probe (cost ∝ corpus); post-join only candidates pay. Values
+    // identical (deterministic expression of the joined text); the
+    // separate select keeps CollapseProject from duplicating the
+    // non-cheap expression into the two jaccard references.
     val vsCorpus = corpusCand
-      .join(corpus.select(col(idCol).as("dup_id"),
-        shingleHashes(col(textCol), shingleK).as("set_c")), "dup_id")
+      .join(corpus.select(col(idCol).as("dup_id"), col(textCol).as("__vtext")),
+        "dup_id")
       .join(broadcast(batchSets.select("batch_id", "set_b")), "batch_id")
+      .select(col("batch_id"), col("dup_id"), col("set_b"),
+        shingleHashes(col("__vtext"), shingleK).as("set_c"))
       .withColumn("jaccard",
         halfUp4(size(array_intersect(col("set_b"), col("set_c"))).cast("double") /
           size(array_union(col("set_b"), col("set_c")))))

@@ -124,21 +124,47 @@ object WatsonNlu {
         spanOf(col("m")("location")).as("span"),
         col("m")("confidence").as("confidence"))
 
+  // Per-element field extraction, shared by the single-frame functions
+  // and [[frames]] so the flattening logic exists exactly once. `p` is a
+  // column-name prefix ("" for the single-frame forms).
+  private def keywordCols(k: Column, p: String = ""): Seq[Column] = Seq(
+    k("text").as(p + "text"),
+    k("sentiment")("label").as(p + "sentiment_label"),
+    k("sentiment")("score").as(p + "sentiment_score"),
+    k("relevance").as(p + "relevance"),
+    k("emotion")("sadness").as(p + "emotion_sadness"),
+    k("emotion")("joy").as(p + "emotion_joy"),
+    k("emotion")("fear").as(p + "emotion_fear"),
+    k("emotion")("disgust").as(p + "emotion_disgust"),
+    k("emotion")("anger").as(p + "emotion_anger"),
+    k("count").as(p + "count"))
+
+  private def relationCols(rel: Column, p: String = ""): Seq[Column] = Seq(
+    rel("type").as(p + "type"),
+    rel("sentence").as(p + "sentence"),
+    rel("score").as(p + "score"),
+    spanOf(rel("arguments").getItem(0)("location")).as(p + "arg0_span"),
+    spanOf(rel("arguments").getItem(1)("location")).as(p + "arg1_span"),
+    rel("arguments").getItem(0)("entities").getItem(0)("type").as(p + "arg0_type"),
+    rel("arguments").getItem(1)("entities").getItem(0)("type").as(p + "arg1_type"),
+    rel("arguments").getItem(0)("entities").getItem(0)("text").as(p + "arg0_text"),
+    rel("arguments").getItem(1)("entities").getItem(0)("text").as(p + "arg1_text"))
+
+  private def roleCols(sr: Column, p: String = ""): Seq[Column] = Seq(
+    sr("subject")("text").as(p + "subject_text"),
+    sr("sentence").as(p + "sentence"),
+    sr("object")("text").as(p + "object_text"),
+    sr("action")("verb")("text").as(p + "action_verb_text"),
+    sr("action")("verb")("tense").as(p + "action_verb_tense"),
+    sr("action")("text").as(p + "action_text"),
+    sr("action")("normalized").as(p + "action_normalized"))
+
   /** Keywords frame (nlu.py:505-508). */
   def keywords(responses: DataFrame, idCol: String = "doc_id",
       responseCol: String = "response"): DataFrame =
     parsed(responses, idCol, responseCol)
       .select(col("doc_id"), explode(col("r")("keywords")).as("k"))
-      .select(col("doc_id"), col("k")("text").as("text"),
-        col("k")("sentiment")("label").as("sentiment_label"),
-        col("k")("sentiment")("score").as("sentiment_score"),
-        col("k")("relevance").as("relevance"),
-        col("k")("emotion")("sadness").as("emotion_sadness"),
-        col("k")("emotion")("joy").as("emotion_joy"),
-        col("k")("emotion")("fear").as("emotion_fear"),
-        col("k")("emotion")("disgust").as("emotion_disgust"),
-        col("k")("emotion")("anger").as("emotion_anger"),
-        col("k")("count").as("count"))
+      .select(col("doc_id") +: keywordCols(col("k")): _*)
 
   /** Relations frame with both argument spans and entity types flattened
     * (nlu.py:168-353 / _relations_schema). */
@@ -146,28 +172,43 @@ object WatsonNlu {
       responseCol: String = "response"): DataFrame =
     parsed(responses, idCol, responseCol)
       .select(col("doc_id"), explode(col("r")("relations")).as("rel"))
-      .select(col("doc_id"), col("rel")("type").as("type"),
-        col("rel")("sentence").as("sentence"), col("rel")("score").as("score"),
-        spanOf(col("rel")("arguments").getItem(0)("location")).as("arg0_span"),
-        spanOf(col("rel")("arguments").getItem(1)("location")).as("arg1_span"),
-        col("rel")("arguments").getItem(0)("entities").getItem(0)("type").as("arg0_type"),
-        col("rel")("arguments").getItem(1)("entities").getItem(0)("type").as("arg1_type"),
-        col("rel")("arguments").getItem(0)("entities").getItem(0)("text").as("arg0_text"),
-        col("rel")("arguments").getItem(1)("entities").getItem(0)("text").as("arg1_text"))
+      .select(col("doc_id") +: relationCols(col("rel")): _*)
 
   /** Semantic roles frame (nlu.py:510-513 / _semantic_roles_schema). */
   def semanticRoles(responses: DataFrame, idCol: String = "doc_id",
       responseCol: String = "response"): DataFrame =
     parsed(responses, idCol, responseCol)
       .select(col("doc_id"), explode(col("r")("semantic_roles")).as("sr"))
-      .select(col("doc_id"),
-        col("sr")("subject")("text").as("subject_text"),
-        col("sr")("sentence").as("sentence"),
-        col("sr")("object")("text").as("object_text"),
-        col("sr")("action")("verb")("text").as("action_verb_text"),
-        col("sr")("action")("verb")("tense").as("action_verb_tense"),
-        col("sr")("action")("text").as("action_text"),
-        col("sr")("action")("normalized").as("action_normalized"))
+      .select(col("doc_id") +: roleCols(col("sr")): _*)
+
+  /**
+   * ALL THREE frames from ONE parse — the q105-style tagged-union shape
+   * for the frames family (round-22): one `from_json` of the full
+   * response schema and three sequential explodes replace three separate
+   * parses joined pairwise on the id. Per response ROW, the output is the
+   * cross product keywords × relations × semantic_roles — row-identical
+   * to `keywords ⋈ relations ⋈ semanticRoles` on the id whenever the id
+   * is unique per response row (a duplicate-id input would cross frames
+   * ACROSS response rows under the join; this operator crosses within
+   * each row — the NLU contract is one response per document). Columns
+   * are the single-frame columns prefixed `kw_` / `rel_` / `sr_` (the
+   * two frames' `sentence` fields would otherwise collide), values
+   * extracted by the same shared expressions as the single-frame forms.
+   * An empty or NULL frame array drops the row exactly as the inner join
+   * dropped the document.
+   */
+  def frames(responses: DataFrame, idCol: String = "doc_id",
+      responseCol: String = "response"): DataFrame =
+    parsed(responses, idCol, responseCol)
+      .select(col("doc_id"), explode(col("r")("keywords")).as("k"),
+        col("r")("relations").as("__rels"),
+        col("r")("semantic_roles").as("__srs"))
+      .select(col("doc_id"), col("k"), explode(col("__rels")).as("rel"),
+        col("__srs"))
+      .select(col("doc_id"), col("k"), col("rel"),
+        explode(col("__srs")).as("sr"))
+      .select(col("doc_id") +: (keywordCols(col("k"), "kw_") ++
+        relationCols(col("rel"), "rel_") ++ roleCols(col("sr"), "sr_")): _*)
 
   /**
    * Greedy construction of entity spans from entity TEXTS when the response

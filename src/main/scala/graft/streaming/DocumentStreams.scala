@@ -112,11 +112,17 @@ object DocumentStreams {
         Dedup.signBucketHashed(vecD, nPlanes).as("bucket"))
       .select(col("batch_id"), col("v_b"),
         explode(Dedup.probeBuckets(col("bucket"), nPlanes)).as("pb"))
+    // vector cast applied ABOVE the join (round-22, same reasoning as
+    // nearDupAgainstIndex's verify shingles): the float→double cast
+    // allocated a fresh array for EVERY corpus row per probe; post-join
+    // only candidates pay it. Single reference, so CollapseProject can
+    // never duplicate it.
     probe.join(index.select(col("dup_id"), col("pb")), "pb")
       .filter(col("batch_id") =!= col("dup_id"))
-      .join(corpus.select(col(idCol).as("dup_id"), vecD.as("v_c")), "dup_id")
-      .withColumn("cos",
-        Dedup.halfUp4Signed(graft.tensor.cosine(col("v_b"), col("v_c"))))
+      .join(corpus.select(col(idCol).as("dup_id"), col(vecCol).as("__vc0")),
+        "dup_id")
+      .withColumn("cos", Dedup.halfUp4Signed(
+        graft.tensor.cosine(col("v_b"), col("__vc0").cast("array<double>"))))
       .filter(col("cos") >= tau)
       .select("batch_id", "dup_id", "cos")
   }
@@ -235,10 +241,21 @@ object DocumentStreams {
           slice(col("kc"), lit(1), col("band")), (a, b) => a === b),
         x => x))
       .select("batch_id", "set_b", "dup_id")
+    // The exact shingle sets are computed ABOVE the candidates join
+    // (round-22): computing them inside the corpus-side projection meant
+    // the streamed join side evaluated shingleHashes for EVERY stored
+    // corpus row per probe — cost ∝ corpus, exactly what the index is
+    // there to avoid. Post-join the expression runs only for the (few)
+    // candidate rows; values identical (deterministic expression of the
+    // joined text). Catalyst has no rule that pushes a non-attribute
+    // projection back below a join, and the separate select keeps
+    // CollapseProject from duplicating the non-cheap expression into the
+    // two jaccard references.
     candidates
-      .join(corpus.select(col(idCol).as("dup_id"),
-        TextAnalysis.shingleHashes(col(textCol), shingleK).as("set_c")),
+      .join(corpus.select(col(idCol).as("dup_id"), col(textCol).as("__vtext")),
         "dup_id")
+      .select(col("batch_id"), col("dup_id"), col("set_b"),
+        TextAnalysis.shingleHashes(col("__vtext"), shingleK).as("set_c"))
       .withColumn("jaccard",
         floor(size(array_intersect(col("set_b"), col("set_c"))).cast("double") /
           size(array_union(col("set_b"), col("set_c"))) * 1e4 + 0.5) / 1e4)
